@@ -1,13 +1,1154 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.ColFns
+import graft.operators._
+
+/** Driver contract (see SURVEY.md §7 + builder prompt).
+  *
+  * Each entry in [[queries]] exercises one operator row of SURVEY.md §2
+  * (key prefix = the §2 id) or one LLM-pipeline operator (`x*` keys),
+  * implemented via the graft library modules. [[oracleSql]] carries the
+  * DuckDB-equivalent SQL for the driver's hash-match gate; queries whose
+  * semantics DuckDB cannot express (LSH candidate generation, xxhash64
+  * fingerprints, streaming, input_file_name) are declared without an
+  * oracle → rows-only check.
+  *
+  * Determinism rules applied throughout (both sides):
+  *  - every query ends in an ORDER BY over non-null keys;
+  *  - double aggregation goes through DECIMAL(18,2) so sums are exact
+  *    and engine-order-independent, then casts back to double;
+  *  - averages are written as sum/count (not AVG) so both engines use
+  *    the same arithmetic;
+  *  - window ties are broken by a unique key.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** sum over exact DECIMAL(18,2), surfaced as double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  private def tmpDir(name: String): String = {
+    val d = new java.io.File(s"/root/repo/target/qtmp/$name")
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the
+    * mart-review-trends shape — fact ⋈ dim ⋈ dim, multi-key group-by,
+    * COUNT + rounded average (reference
+    * `gmaps/d_gmaps_mart_review_trends.py:70-106`). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qMartFlagship(spark, "/root/testdata/sf0.001")
+
+  private def qMartFlagship(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"), col("l_returnflag"))
+      .agg(
+        count(col("l_orderkey")).as("n_items"),
+        round(dsum(col("l_quantity")) / count(lit(1)), 2).as("avg_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+      .orderBy(col("c_mktsegment"), col("o_orderstatus"), col("l_returnflag"))
+  }
+
+  // =======================================================================
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- scans / sources / sinks (§2.1) --------------------------------
+    "s1_csv_roundtrip" -> ((s, dir) => {
+      // S1+S4: write csv with header, read back with explicit schema
+      val out = tmpDir("s1_csv")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate").cast(DateType).as("o_date"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType), StructField("o_date", DateType)))
+      s.read.option("header", "true").schema(schema).csv(out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "s3_jsonl_roundtrip" -> ((s, dir) => {
+      // S3+S6: jsonl write/read round-trip
+      val out = tmpDir("s3_jsonl")
+      t(s, dir, "customer").write.mode("overwrite").json(out)
+      val schema = t(s, dir, "customer").schema
+      s.read.schema(schema).json(out)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("balance"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "s9_partitioned_write" -> ((s, dir) => {
+      // S5+S9+S2: day-partitioned parquet write, partition-pruned read
+      val out = tmpDir("s9_part")
+      t(s, dir, "orders")
+        .withColumn("o_month", month(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_month").parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_month").between(3, 6))
+        .groupBy(col("o_month"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_month"))
+    }),
+
+    "s7_sql_over_views" -> ((s, dir) => {
+      // S7+S15+S16: external-table views + SQL text in, DataFrame out
+      Tables.createViews(s, dir)
+      s.sql("""
+        SELECT n.n_name AS nation, COUNT(*) AS n_cust,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n.n_name""")
+    }),
+
+    "s10_idempotent_guard" -> ((s, dir) => {
+      // S10: exists-guard via mode("ignore") — second write is a no-op
+      val out = tmpDir("s10_guard")
+      val src = t(s, dir, "region")
+      src.write.mode("overwrite").parquet(out)
+      src.limit(1).write.mode("ignore").parquet(out) // ignored: exists
+      s.read.parquet(out).select(col("r_regionkey"), col("r_name"))
+        .orderBy(col("r_regionkey"))
+    }),
+
+    // ---- projections / filters (§2.2) ----------------------------------
+    "p1_drop_columns" -> ((s, dir) => {
+      Relational.dropCols(t(s, dir, "lineitem"),
+          Seq("l_tax", "l_linestatus", "l_comment" /* absent → tolerated */))
+        .withColumn("l_shipdate", date_format(col("l_shipdate"), "yyyy-MM-dd"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "p2_drop_cols_regex" -> ((s, dir) => {
+      Relational.dropColsRegex(t(s, dir, "orders"), "^o_order(status|priority)$")
+        .withColumn("o_orderdate", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "p3_rename_columns" -> ((s, dir) => {
+      Relational.renameAll(t(s, dir, "customer"),
+          Map("c_name" -> "name", "c_acctbal" -> "balance",
+              "c_mktsegment" -> "segment"))
+        .select(col("c_custkey"), col("name"), col("balance"), col("segment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "p4_overwrite_keep_raw" -> ((s, dir) => {
+      Relational.overwriteKeepRaw(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+          "o_orderpriority",
+          regexp_extract(col("o_orderpriority"), "^(\\d+)", 1).cast(IntegerType))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "p5_project_filter" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 25)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "p7_dropna_subset" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("value_or_null",
+          when(col("value") < 50, lit(null)).otherwise(col("value")))
+        .na.drop(Seq("value_or_null"))
+        .select(col("event_id"), col("value_or_null"))
+        .orderBy(col("event_id"))
+    }),
+
+    "p11_limit_topn" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "p12_shuffle_seeded" -> ((s, dir) => {
+      Relational.deterministicShuffle(t(s, dir, "orders"), col("o_orderkey"))
+        .limit(500)
+        .select(col("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "p13_batch_ntile" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("batch", ntile(20).over(w))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("first_key"))
+        .orderBy(col("batch"))
+    }),
+
+    // ---- dedup (§2.3) --------------------------------------------------
+    "d1_dedup_keep_first" -> ((s, dir) => {
+      Dedup.keepFirst(t(s, dir, "orders"),
+          Seq("o_custkey", "o_orderstatus"), Seq(col("o_orderkey")))
+        .select(col("o_custkey"), col("o_orderstatus"), col("o_orderkey"))
+        .orderBy(col("o_custkey"), col("o_orderstatus"))
+    }),
+
+    "d2_dedup_keep_last" -> ((s, dir) => {
+      Dedup.keepLast(t(s, dir, "orders"),
+          Seq("o_custkey", "o_orderstatus"), Seq(col("o_orderkey")))
+        .select(col("o_custkey"), col("o_orderstatus"), col("o_orderkey"))
+        .orderBy(col("o_custkey"), col("o_orderstatus"))
+    }),
+
+    "d3_distinct_rows" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+    }),
+
+    "d4_select_distinct" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority"))
+        .distinct()
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+    // ---- joins (§2.4) --------------------------------------------------
+    "j1_join_inner" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "j2_join_left_agg" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val counts = t(s, dir, "customer")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("cnt"))
+      n.join(counts, n("n_nationkey") === counts("c_nationkey"), "left")
+        .select(col("n_nationkey"), col("n_name"),
+          coalesce(col("cnt"), lit(0L)).as("n_customers"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    "j3_join_chain3" -> ((s, dir) => {
+      // chained left joins, second ON is theta-style equality across
+      // different column names (reference create_dim_attraction_type)
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+        .select(col("c_custkey"), col("n_name"), col("r_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "j4_mart_flagship" -> ((s, dir) => qMartFlagship(s, dir)),
+
+    "j5_self_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"))
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_linenumber") < col("b.l_linenumber"))
+        .groupBy(col("a.l_orderkey").as("l_orderkey"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    "j6_anti_join" -> ((s, dir) => {
+      val p = t(s, dir, "part"); val li = t(s, dir, "lineitem")
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "j6b_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "j7_fuzzy_best_match" -> ((s, dir) => {
+      // corrupt nation names deterministically (strip vowels), then
+      // fuzzy-match each corrupted string back to the name table
+      val n = t(s, dir, "nation")
+      val corrupted = n.select(col("n_nationkey"),
+        regexp_replace(col("n_name"), "[AEIOU]", "").as("noisy_name"))
+      FuzzyJoin.bestMatch(corrupted, "noisy_name", n, "n_name")
+        .orderBy(col("n_nationkey"))
+    }),
+
+    "j8_lookup_join" -> ((s, dir) => {
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // ---- aggregation (§2.5) --------------------------------------------
+    "a1_pricing_summary" -> ((s, dir) => {
+      // TPC-H Q1 shape: the canonical partial+final hash aggregation
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("sum_disc_price"),
+          round(dsum(col("l_quantity")) / count(lit(1)), 2).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "a2_count_distinct" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_custs"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "a3_pivot_matrix" -> ((s, dir) => {
+      // pivot-accumulated matrix (reference populartimes 7×24)
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = Reshape.pivotMatrix(
+        t(s, dir, "events")
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+        col("day"), "event_type", count(lit(1)))
+      pivoted.select(col("day") +:
+          types.map(ty => coalesce(col(ty), lit(0L)).as(ty)): _*)
+        .orderBy(col("day"))
+    }),
+
+    "a4_hll_approx_distinct" -> ((s, dir) => {
+      // approx_count_distinct (HLL++) — no DuckDB oracle (different sketch)
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type"))
+    }),
+
+    "a5_stats_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          median(col("l_quantity")).as("median_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- windows / sort / top-k (§2.6) ---------------------------------
+    "w3_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("o_custkey"), col("rank"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rank"))
+    }),
+
+    "w4_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("running_total",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "w5_lag_delta" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("prev_price",
+          lag(col("o_totalprice").cast("decimal(18,2)"), 1).over(w))
+        .withColumn("delta",
+          (col("o_totalprice").cast("decimal(18,2)") - col("prev_price"))
+            .cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("prev_price").cast("double").as("prev_price"), col("delta"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ---- set ops (§2.7) ------------------------------------------------
+    "u1_union_distinct" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.union(su).distinct().orderBy(col("nationkey"))
+    }),
+
+    "u2_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.intersect(su).orderBy(col("nationkey"))
+    }),
+
+    "u3_except" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.except(su).orderBy(col("nationkey"))
+    }),
+
+    // ---- reshape (§2.8) ------------------------------------------------
+    "r1_unpivot_melt" -> ((s, dir) => {
+      Reshape.melt(t(s, dir, "lineitem"),
+          ids = Seq("l_orderkey", "l_linenumber"),
+          values = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          varName = "measure", valName = "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+    }),
+
+    "r2_explode_split" -> ((s, dir) => {
+      Reshape.explodeSplit(t(s, dir, "part"), "p_type", "type_word", " ")
+        .select(col("p_partkey"), col("type_word"))
+        .orderBy(col("p_partkey"), col("type_word"))
+    }),
+
+    "r3_transpose_small" -> ((s, dir) => {
+      Reshape.transposeSmall(t(s, dir, "region"), "r_name", "r_regionkey")
+    }),
+
+    "r4_column_reorder" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_name"), col("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- scalar functions (§2.9) ---------------------------------------
+    "f1_md5_key" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"), ColFns.md5Key(col("c_name")).as("name_md5"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "f2_regexp_extract" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          regexp_extract(col("o_orderpriority"), "(\\d+)-(\\w+)", 1)
+            .cast(IntegerType).as("prio_num"),
+          regexp_extract(col("o_orderpriority"), "(\\d+)-(\\w+)", 2)
+            .as("prio_word"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "f3_rel_date_zh" -> ((s, dir) => {
+      // Chinese relative-date resolution (reference convertDate UDF) —
+      // relative strings synthesized deterministically from events
+      val e = t(s, dir, "events")
+      val n = (col("user_id") % 30 + 1).cast(StringType)
+      val rel = when(col("event_type") === "click", concat(n, lit("分鐘前")))
+        .when(col("event_type") === "signup", concat(n, lit("小時前")))
+        .when(col("event_type") === "purchase", concat(n, lit("天前")))
+        .when(col("event_type") === "view", concat(n, lit("週前")))
+        .when(col("event_type") === "error", concat(n, lit("個月前")))
+        .otherwise(lit("在線上"))
+      e.withColumn("published_raw", rel)
+        .withColumn("published_at", date_format(
+          ColFns.convertRelDate(col("published_raw"), col("ts")), "yyyy-MM-dd"))
+        .select(col("event_id"), col("published_raw"), col("published_at"))
+        .orderBy(col("event_id"))
+    }),
+
+    "f5_parse_rating" -> ((s, dir) => {
+      // "4.0 分 (共 5 分)" parse (reference tripadvisor rating clean)
+      val e = t(s, dir, "events")
+      e.withColumn("rating_raw",
+          format_string("%.1f 分 (共 5 分)", (col("user_id") % 50) / lit(10.0d)))
+        .withColumn("rating", ColFns.parseRating(col("rating_raw")))
+        .select(col("event_id"), col("rating_raw"), col("rating"))
+        .orderBy(col("event_id"))
+    }),
+
+    "f7_roc_year" -> ((s, dir) => {
+      // "104(2015)" ROC year extraction (reference taipei visitors)
+      t(s, dir, "orders")
+        .withColumn("roc_raw", concat(
+          (year(col("o_orderdate")) - 1911).cast(StringType),
+          lit("("), year(col("o_orderdate")).cast(StringType), lit(")")))
+        .withColumn("year", ColFns.rocYear(col("roc_raw")))
+        .select(col("o_orderkey"), col("roc_raw"), col("year"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "f9_date_parts" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          quarter(col("o_orderdate")).as("q"),
+          ColFns.quarterCase(month(col("o_orderdate"))).as("q_case"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "f13_split_ym" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("ym", date_format(col("ts"), "yyyy-MM"))
+        .select(col("event_id"), col("ym"),
+          split(col("ym"), "-").getItem(0).cast(IntegerType).as("y"),
+          split(col("ym"), "-").getItem(1).cast(IntegerType).as("m"))
+        .orderBy(col("event_id"))
+    }),
+
+    "fj_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- time buckets / sessionization ---------------------------------
+    "t1_time_bucket" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("bucket"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("bucket"))
+    }),
+
+    "t2_sessionize" -> ((s, dir) => {
+      // gap>30min session split per user: lag + cumulative flag sum
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val e = t(s, dir, "events")
+        .withColumn("prev_sec", lag(unix_timestamp(col("ts")), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_sec").isNull ||
+            unix_timestamp(col("ts")) - col("prev_sec") > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      e.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // ---- LLM-pipeline: dedup (x1..x5) ----------------------------------
+    "x1_dedup_exact" -> ((s, dir) => {
+      Dedup.exactByHash(t(s, dir, "documents"),
+          col("doc_id"), ColFns.fingerprint(col("text")))
+        .orderBy(col("content_hash"))
+    }),
+
+    "x2_minhash_lsh_pairs" -> ((s, dir) => {
+      // MinHash+LSH candidate gen (no SQL oracle: LSH banding) with
+      // exact-Jaccard verification
+      Dedup.minhashPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+          threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "x3_simhash_bands" -> ((s, dir) => {
+      Dedup.simhashBands(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("id"), col("band"))
+    }),
+
+    "x4_ngram_jaccard_pairs" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"),
+          col("text"), threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "x5_embed_cosine_pairs" -> ((s, dir) => {
+      Dedup.cosinePairs(t(s, dir, "embeddings"), col("vec_id"),
+          col("embedding"), threshold = 0.40)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- LLM-pipeline: similarity search (x6..x7) ----------------------
+    "x6_ann_brute_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "x7_ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- LLM-pipeline: text analysis (x8..x11) -------------------------
+    "x8_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "x9_quality_score" -> ((s, dir) => {
+      TextOps.qualityFeatures(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("id"))
+    }),
+
+    "x10_token_counts" -> ((s, dir) => {
+      TextOps.tokenCounts(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("id"))
+    }),
+
+    "x11_fingerprints" -> ((s, dir) => {
+      TextOps.fingerprints(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("id"))
+    }),
+
+    // ---- LLM-pipeline: multimodal plumbing (x12) -----------------------
+    "x12_multimodal_decode" -> ((s, dir) => {
+      val media = Multimodal.asMedia(t(s, dir, "events"),
+        "event_id", "props", "image")
+      Multimodal.decodeStub(s, media).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("feat_hash"), col("width"), col("height"))
+        .orderBy(col("media_id"))
+    }),
+
+    // ---- streaming (§2.11) ---------------------------------------------
+    "st1_stream_hourly" -> ((s, dir) => {
+      graft.streaming.Streams.hourlyEventRollup(s, dir)
+        .orderBy(col("bucket"), col("event_type"))
+    }),
+  )
+
+  // =======================================================================
+  def oracleSql: Map[String, String] = Map(
+
+    "s1_csv_roundtrip" -> """
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "s3_jsonl_roundtrip" -> """
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "s9_partitioned_write" -> """
+      SELECT CAST(month(o_orderdate) AS INT) AS o_month, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders WHERE month(o_orderdate) BETWEEN 3 AND 6
+      GROUP BY 1 ORDER BY o_month""",
+
+    "s7_sql_over_views" -> """
+      SELECT n.n_name AS nation, COUNT(*) AS n_cust,
+             CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name ORDER BY nation""",
+
+    "s10_idempotent_guard" -> """
+      SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    "p1_drop_columns" -> """
+      SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+             l_extendedprice, l_discount, l_returnflag,
+             strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "p2_drop_cols_regex" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+      FROM orders ORDER BY o_orderkey""",
+
+    "p3_rename_columns" -> """
+      SELECT c_custkey, c_name AS name, c_acctbal AS balance,
+             c_mktsegment AS segment
+      FROM customer ORDER BY c_custkey""",
+
+    "p4_overwrite_keep_raw" -> """
+      SELECT o_orderkey,
+             CAST(regexp_extract(o_orderpriority, '^(\d+)', 1) AS INT)
+               AS o_orderpriority,
+             o_orderpriority AS o_orderpriority_raw
+      FROM orders ORDER BY o_orderkey""",
+
+    "p5_project_filter" -> """
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+      FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 25
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "p7_dropna_subset" -> """
+      SELECT event_id, v AS value_or_null FROM (
+        SELECT event_id, CASE WHEN value < 50 THEN NULL ELSE value END AS v
+        FROM events) WHERE v IS NOT NULL ORDER BY event_id""",
+
+    "p11_limit_topn" -> """
+      SELECT o_orderkey, o_totalprice FROM (
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100)
+      ORDER BY o_orderkey""",
+
+    "p12_shuffle_seeded" -> """
+      SELECT o_orderkey FROM (
+        SELECT o_orderkey FROM orders
+        ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey LIMIT 500)
+      ORDER BY o_orderkey""",
+
+    "p13_batch_ntile" -> """
+      SELECT batch, COUNT(*) AS n, MIN(o_orderkey) AS first_key FROM (
+        SELECT o_orderkey, ntile(20) OVER (ORDER BY o_orderkey) AS batch
+        FROM orders) GROUP BY batch ORDER BY batch""",
+
+    "d1_dedup_keep_first" -> """
+      SELECT o_custkey, o_orderstatus, o_orderkey FROM (
+        SELECT o_custkey, o_orderstatus, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+                                  ORDER BY o_orderkey) AS rn
+        FROM orders) WHERE rn = 1 ORDER BY o_custkey, o_orderstatus""",
+
+    "d2_dedup_keep_last" -> """
+      SELECT o_custkey, o_orderstatus, o_orderkey FROM (
+        SELECT o_custkey, o_orderstatus, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1 ORDER BY o_custkey, o_orderstatus""",
+
+    "d3_distinct_rows" -> """
+      SELECT DISTINCT l_returnflag, l_linestatus, l_quantity FROM lineitem
+      ORDER BY l_returnflag, l_linestatus, l_quantity""",
+
+    "d4_select_distinct" -> """
+      SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+      ORDER BY o_orderstatus, o_orderpriority""",
+
+    "j1_join_inner" -> """
+      SELECT c_custkey, c_name, n_name
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      ORDER BY c_custkey""",
+
+    "j2_join_left_agg" -> """
+      SELECT n_nationkey, n_name, COALESCE(cnt, 0) AS n_customers
+      FROM nation LEFT JOIN (
+        SELECT c_nationkey, COUNT(*) AS cnt FROM customer GROUP BY c_nationkey
+      ) c ON n_nationkey = c.c_nationkey
+      ORDER BY n_nationkey""",
+
+    "j3_join_chain3" -> """
+      SELECT c_custkey, n_name, r_name
+      FROM customer
+      LEFT JOIN nation ON c_nationkey = n_nationkey
+      LEFT JOIN region ON n_regionkey = r_regionkey
+      ORDER BY c_custkey""",
+
+    "j4_mart_flagship" -> """
+      SELECT c_mktsegment, o_orderstatus, l_returnflag,
+             COUNT(l_orderkey) AS n_items,
+             round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*), 2) AS avg_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, o_orderstatus, l_returnflag
+      ORDER BY c_mktsegment, o_orderstatus, l_returnflag""",
+
+    "j5_self_join" -> """
+      SELECT a.l_orderkey AS l_orderkey, COUNT(*) AS n_pairs
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+      GROUP BY a.l_orderkey ORDER BY l_orderkey""",
+
+    "j6_anti_join" -> """
+      SELECT p_partkey, p_name FROM part
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      ORDER BY p_partkey""",
+
+    "j6b_semi_join" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+
+    "j7_fuzzy_best_match" -> """
+      SELECT n_nationkey, noisy_name, match_n_name, match_score FROM (
+        SELECT n_nationkey, noisy_name, cand AS match_n_name,
+               round(score, 4) AS match_score,
+               row_number() OVER (PARTITION BY n_nationkey, noisy_name
+                                  ORDER BY score DESC, cand ASC) AS rn
+        FROM (
+          SELECT l.n_nationkey, l.noisy_name, r.cand,
+                 1.0 - CAST(levenshtein(lower(l.noisy_name), lower(r.cand))
+                            AS DOUBLE)
+                 / greatest(length(lower(l.noisy_name)),
+                            length(lower(r.cand)), 1) AS score
+          FROM (SELECT n_nationkey,
+                       regexp_replace(n_name, '[AEIOU]', '', 'g') AS noisy_name
+                FROM nation) l
+          CROSS JOIN (SELECT DISTINCT n_name AS cand FROM nation) r))
+      WHERE rn = 1 ORDER BY n_nationkey""",
+
+    "j8_lookup_join" -> """
+      SELECT n_nationkey, n_name, r_name
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      ORDER BY n_nationkey""",
+
+    "a1_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS sum_disc_price,
+             round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*), 2) AS avg_qty,
+             COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "a2_count_distinct" -> """
+      SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_custs,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "a3_pivot_matrix" -> """
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+             COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+             COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      FROM events GROUP BY 1 ORDER BY day""",
+
+    "a5_stats_summary" -> """
+      SELECT l_returnflag, MIN(l_quantity) AS min_qty,
+             MAX(l_quantity) AS max_qty,
+             CAST(median(l_quantity) AS DOUBLE) AS median_qty,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "w3_window_topk" -> """
+      SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey)
+                 AS rank
+        FROM orders) WHERE rank <= 3 ORDER BY o_custkey, rank""",
+
+    "w4_running_sum" -> """
+      SELECT o_custkey, o_orderkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS running_total
+      FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "w5_lag_delta" -> """
+      SELECT o_custkey, o_orderkey,
+             CAST(prev AS DOUBLE) AS prev_price,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) - prev AS DOUBLE)
+               AS delta
+      FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               lag(CAST(o_totalprice AS DECIMAL(18,2)), 1)
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders) ORDER BY o_custkey, o_orderkey""",
+
+    "u1_union_distinct" -> """
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""",
+
+    "u2_intersect" -> """
+      SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      INTERSECT SELECT DISTINCT s_nationkey FROM supplier ORDER BY nationkey""",
+
+    "u3_except" -> """
+      SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      EXCEPT SELECT DISTINCT s_nationkey FROM supplier ORDER BY nationkey""",
+
+    "r1_unpivot_melt" -> """
+      SELECT l_orderkey, l_linenumber, measure, value FROM (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+               l_quantity AS value FROM lineitem
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+               l_extendedprice FROM lineitem
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+               FROM lineitem
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+               FROM lineitem)
+      ORDER BY l_orderkey, l_linenumber, measure""",
+
+    "r2_explode_split" -> """
+      SELECT p_partkey, type_word FROM (
+        SELECT p_partkey, trim(unnest(string_split(p_type, ' '))) AS type_word
+        FROM part) ORDER BY p_partkey, type_word""",
+
+    "r3_transpose_small" -> """
+      SELECT MIN(r_regionkey) FILTER (WHERE r_name = 'AFRICA') AS "AFRICA",
+             MIN(r_regionkey) FILTER (WHERE r_name = 'AMERICA') AS "AMERICA",
+             MIN(r_regionkey) FILTER (WHERE r_name = 'ASIA') AS "ASIA",
+             MIN(r_regionkey) FILTER (WHERE r_name = 'EUROPE') AS "EUROPE",
+             MIN(r_regionkey) FILTER (WHERE r_name = 'MIDDLE EAST')
+               AS "MIDDLE EAST"
+      FROM region""",
+
+    "r4_column_reorder" -> """
+      SELECT c_mktsegment, c_name, c_custkey FROM customer ORDER BY c_custkey""",
+
+    "f1_md5_key" -> """
+      SELECT c_custkey, md5(c_name) AS name_md5 FROM customer
+      ORDER BY c_custkey""",
+
+    "f2_regexp_extract" -> """
+      SELECT o_orderkey,
+             CAST(regexp_extract(o_orderpriority, '(\d+)-(\w+)', 1) AS INT)
+               AS prio_num,
+             regexp_extract(o_orderpriority, '(\d+)-(\w+)', 2) AS prio_word
+      FROM orders ORDER BY o_orderkey""",
+
+    "f3_rel_date_zh" -> """
+      SELECT event_id, published_raw,
+        strftime(CAST(CASE
+          WHEN published_raw LIKE '%分鐘前'
+            THEN CAST(ts - to_minutes(n) AS DATE)
+          WHEN published_raw LIKE '%小時前'
+            THEN CAST(ts - to_hours(n) AS DATE)
+          WHEN published_raw LIKE '%天前'
+            THEN CAST(ts - to_days(n) AS DATE)
+          WHEN published_raw LIKE '%週前'
+            THEN CAST(ts - to_days(n * 7) AS DATE)
+          WHEN published_raw LIKE '%個月前'
+            THEN CAST(CAST(ts AS DATE) - to_months(n) AS DATE)
+          WHEN published_raw LIKE '%年前'
+            THEN CAST(CAST(ts AS DATE) - to_months(n * 12) AS DATE)
+          ELSE NULL
+        END AS DATE), '%Y-%m-%d') AS published_at
+      FROM (
+        SELECT event_id, ts,
+               CAST(user_id % 30 + 1 AS INT) AS n,
+               CASE event_type
+                 WHEN 'click' THEN CAST(user_id % 30 + 1 AS VARCHAR) || '分鐘前'
+                 WHEN 'signup' THEN CAST(user_id % 30 + 1 AS VARCHAR) || '小時前'
+                 WHEN 'purchase' THEN CAST(user_id % 30 + 1 AS VARCHAR) || '天前'
+                 WHEN 'view' THEN CAST(user_id % 30 + 1 AS VARCHAR) || '週前'
+                 WHEN 'error' THEN CAST(user_id % 30 + 1 AS VARCHAR) || '個月前'
+                 ELSE '在線上'
+               END AS published_raw
+        FROM events)
+      ORDER BY event_id""",
+
+    "f5_parse_rating" -> """
+      SELECT event_id, rating_raw,
+             TRY_CAST(string_split(rating_raw, ' ')[1] AS DOUBLE) AS rating
+      FROM (
+        SELECT event_id,
+               printf('%.1f 分 (共 5 分)', (user_id % 50) / 10.0) AS rating_raw
+        FROM events)
+      ORDER BY event_id""",
+
+    "f7_roc_year" -> """
+      SELECT o_orderkey, roc_raw,
+             TRY_CAST(regexp_extract(roc_raw, '\((\d+)\)', 1) AS INT) AS year
+      FROM (
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) - 1911 AS VARCHAR) || '(' ||
+               CAST(year(o_orderdate) AS VARCHAR) || ')' AS roc_raw
+        FROM orders)
+      ORDER BY o_orderkey""",
+
+    "f9_date_parts" -> """
+      SELECT o_orderkey,
+             CAST(year(o_orderdate) AS INT) AS y,
+             CAST(month(o_orderdate) AS INT) AS m,
+             CAST(day(o_orderdate) AS INT) AS d,
+             CAST(quarter(o_orderdate) AS INT) AS q,
+             CAST(CASE WHEN month(o_orderdate) BETWEEN 1 AND 3 THEN 1
+                  WHEN month(o_orderdate) BETWEEN 4 AND 6 THEN 2
+                  WHEN month(o_orderdate) BETWEEN 7 AND 9 THEN 3
+                  WHEN month(o_orderdate) BETWEEN 10 AND 12 THEN 4
+             END AS INT) AS q_case
+      FROM orders ORDER BY o_orderkey""",
+
+    "f13_split_ym" -> """
+      SELECT event_id, ym,
+             CAST(string_split(ym, '-')[1] AS INT) AS y,
+             CAST(string_split(ym, '-')[2] AS INT) AS m
+      FROM (SELECT event_id, strftime(ts, '%Y-%m') AS ym FROM events)
+      ORDER BY event_id""",
+
+    "fj_json_extract" -> """
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events ORDER BY event_id""",
+
+    "t1_time_bucket" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY bucket""",
+
+    "t2_sessionize" -> """
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+      FROM (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS session_id
+        FROM (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN prev_sec IS NULL
+                        OR CAST(floor(epoch(ts)) AS BIGINT) - prev_sec > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM (
+            SELECT user_id, ts, event_id,
+                   lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS prev_sec
+            FROM events)))
+      GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+
+    "x1_dedup_exact" -> """
+      SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+               AS content_hash,
+             MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
+      FROM documents GROUP BY 1 ORDER BY content_hash""",
+
+    "x4_ngram_jaccard_pairs" -> """
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1),
+                      i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [array_to_string(toks, ' ')] END) AS s
+        FROM (SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text),
+                       '\s+', ' ', 'g')), ' ') AS toks
+              FROM documents))
+      SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.8 ORDER BY id_a, id_b""",
+
+    "x8_lang_id" -> """
+      SELECT doc_id,
+        CASE WHEN cjk > 0 THEN 'zh'
+             WHEN es > greatest(en, de, fr) THEN 'es'
+             WHEN fr > greatest(en, de) THEN 'fr'
+             WHEN de > en THEN 'de'
+             ELSE 'en' END AS pred_lang
+      FROM (
+        SELECT doc_id,
+          len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk,
+          len(regexp_extract_all(lower(text),
+            '\b(the|and|of|is|to)\b')) AS en,
+          len(regexp_extract_all(lower(text),
+            '\b(der|die|und|das|nicht)\b')) AS de,
+          len(regexp_extract_all(lower(text),
+            '\b(le|la|et|les|des)\b')) AS fr,
+          len(regexp_extract_all(lower(text),
+            '\b(el|los|las|una|y)\b')) AS es
+        FROM documents)
+      ORDER BY doc_id""",
+
+    "x9_quality_score" -> """
+      SELECT id, n_chars, n_tokens, mean_token_len, punct_ratio,
+             stopword_ratio,
+             round(least(1.0, n_tokens / 100.0) * 0.4
+               + (1.0 - least(1.0, punct_ratio * 5.0)) * 0.3
+               + least(1.0, stopword_ratio * 4.0) * 0.3, 4) AS quality_score
+      FROM (
+        SELECT doc_id AS id, length(text) AS n_chars,
+               len(regexp_extract_all(text, '\S+')) AS n_tokens,
+               round(CASE WHEN len(regexp_extract_all(text, '\S+')) = 0
+                 THEN 0.0
+                 ELSE CAST(length(regexp_replace(text, '\s+', '', 'g'))
+                      AS DOUBLE) / len(regexp_extract_all(text, '\S+'))
+               END, 4) AS mean_token_len,
+               round(CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                      AS DOUBLE) / length(text) END, 4) AS punct_ratio,
+               round(CASE WHEN len(regexp_extract_all(lower(text), '\S+')) = 0
+                 THEN 0.0
+                 ELSE CAST(len(list_filter(
+                        regexp_extract_all(lower(text), '\S+'),
+                        t -> list_contains(['the','a','an','and','or','of',
+                                            'to','in','is','it'], t)))
+                      AS DOUBLE)
+                    / len(regexp_extract_all(lower(text), '\S+'))
+               END, 4) AS stopword_ratio
+        FROM documents)
+      ORDER BY id""",
+
+    "x10_token_counts" -> """
+      SELECT doc_id AS id,
+             len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+             len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens
+      FROM documents ORDER BY id""",
+
+    "x5_embed_cosine_pairs" -> """
+      SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[]))))
+                 AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      WHERE cos_sim > 0.40 ORDER BY id_a, id_b""",
+
+    "x6_ann_brute_topk" -> """
+      SELECT query_id, rank, neighbor_id, round(cos_sim, 4) AS cos_sim FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[]))))
+                 AS cos_sim,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                  CAST(c.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[]))))
+                 DESC, c.vec_id ASC) AS rank
+        FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+        JOIN embeddings c ON q.vec_id <> c.vec_id)
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "st1_stream_hourly" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+             event_type, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""",
+  )
 }

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar column builders — the reference's per-row cleaning functions
+  * re-expressed as pure Catalyst expression compositions (no UDFs, fully
+  * codegen'd / pushdown-friendly; SURVEY §2.9, §7.3).
+  */
+object ColFns {
+
+  /** md5 surrogate key of a utf-8 string (reference
+    * `airflow/utils/common.py:8-19`). */
+  def md5Key(c: Column): Column = md5(c.cast(StringType))
+
+  /** Chinese relative-date resolution — reference `convertDate` TEMP
+    * FUNCTION, `airflow/dags/d_gmaps_reviews_src_to_ods.py:51-62`.
+    *
+    * "N分鐘前/小時前/天前/週前" resolve by timestamp arithmetic against the
+    * extraction time; "N個月前/年前" resolve by *calendar* arithmetic on the
+    * extraction date (a month is not 30 days); anything else → NULL.
+    * Composed entirely from built-ins (`when`/`regexp_extract`/
+    * `make_dt_interval`/`add_months`) so Catalyst can fold and codegen it.
+    */
+  def convertRelDate(published: Column, extractedAt: Column): Column = {
+    val nStr = regexp_extract(published, "(\\d+)", 1)
+    val n = when(nStr === "", lit(null)).otherwise(nStr).try_cast("long")
+    val nInt = n.cast(IntegerType)
+    val ts = extractedAt.cast(TimestampType)
+    val d = ts.cast(DateType)
+    when(n.isNull, lit(null).cast(DateType))
+      .when(published.endsWith("分鐘前"),
+        (ts - make_dt_interval(lit(0), lit(0), n, lit(0))).cast(DateType))
+      .when(published.endsWith("小時前"),
+        (ts - make_dt_interval(lit(0), n, lit(0), lit(0))).cast(DateType))
+      .when(published.endsWith("天前"),
+        (ts - make_dt_interval(n, lit(0), lit(0), lit(0))).cast(DateType))
+      .when(published.endsWith("週前"),
+        (ts - make_dt_interval(n * 7, lit(0), lit(0), lit(0))).cast(DateType))
+      .when(published.endsWith("個月前"), add_months(d, -nInt))
+      .when(published.endsWith("年前"), add_months(d, -nInt * 12))
+      .otherwise(lit(null).cast(DateType))
+  }
+
+  /** Rating parse `"4.0 分 (共 5 分)"` → 4.0, null on garbage (reference
+    * `tripadvisor/d_tripadvisor_src_to_ods.py:74-81`, pandas
+    * `errors="coerce"` semantics via try_cast). */
+  def parseRating(c: Column): Column =
+    split(c, " ").getItem(0).try_cast("double")
+
+  /** ROC-formatted year `"104(2015)"` → 2015 (reference
+    * `transfer_src_taipei_to_ods_taipei.py:72`). */
+  def rocYear(c: Column): Column =
+    regexp_extract(c, "\\((\\d+)\\)", 1).try_cast("int")
+
+  /** City / region split of a zh address state — `"台北市信義區"` →
+    * ("台北市", "信義區") (reference `gmaps/d_gmaps_dim_places.py:40-41`). */
+  def cityOf(state: Column): Column = regexp_extract(state, "^(.*?[市縣])", 1)
+  def regionOf(state: Column): Column = regexp_extract(state, "[市縣](.*)$", 1)
+
+  /** CASE-based quarter, exact reference semantics
+    * (`gmaps/d_gmaps_dim_time.py:39-47`). */
+  def quarterCase(monthCol: Column): Column =
+    when(monthCol.between(1, 3), 1)
+      .when(monthCol.between(4, 6), 2)
+      .when(monthCol.between(7, 9), 3)
+      .when(monthCol.between(10, 12), 4)
+
+  // ---- text analysis (LLM-pipeline surface; BASELINE.json north star) ----
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** BPE-ish subword count: word pieces + digits + punctuation as
+    * separate tokens (GPT-2-style pre-tokenizer regex, simplified to
+    * what both Spark's and DuckDB's RE2-family engines support). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Punctuation character ratio (0 when empty). */
+  def punctRatio(text: Column): Column = {
+    val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val len = length(text)
+    when(len === 0, 0.0d).otherwise(punct.cast(DoubleType) / len.cast(DoubleType))
+  }
+
+  /** English stopword hit ratio over whitespace tokens. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+  def stopwordRatio(text: Column): Column = {
+    val toks = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+    val hits = size(filter(toks, t => array_contains(
+      array(stopwords.map(lit): _*), t)))
+    when(size(toks) === 0, 0.0d)
+      .otherwise(hits.cast(DoubleType) / size(toks).cast(DoubleType))
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized, lowercased text
+    * (canonical-form exact-dup key). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+}

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators — the reference's pandas
+  * `drop_duplicates(subset, keep=first|last)` (SURVEY §2.3) made
+  * deterministic and scale-safe, plus the near-dup family an LLM
+  * training-data pipeline needs (MinHash+LSH / SimHash / n-gram Jaccard /
+  * embedding cosine).
+  *
+  * Scale notes: every operator here is a single hash-shuffle on the dedup
+  * key (or LSH bucket key); no driver-side collection anywhere. Keep-first/
+  * keep-last use window `row_number`, the deterministic distributed
+  * equivalent of pandas' positional `keep=` (reference
+  * `tripadvisor/d_tripadvisor_src_to_ods.py:70-71`,
+  * `fb_scraper/facebook_scraper.py:141`).
+  */
+object Dedup {
+
+  /** Keep exactly one row per `keys`, the first by `order` ascending. */
+  def keepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Keep the last by `order` ascending (reference keep='last'). */
+  def keepLast(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    keepFirst(df, keys, order.map(_.desc))
+
+  /** Exact content dedup: canonical doc per normalized-text hash.
+    * Output: one row per distinct content hash with its canonical
+    * (minimum) id and the duplicate count. */
+  def exactByHash(df: DataFrame, id: Column, hash: Column): DataFrame =
+    df.select(hash.as("content_hash"), id.as("id"))
+      .groupBy("content_hash")
+      .agg(min("id").as("canonical_id"), count("*").as("n_dups"))
+
+  // ---------------------------------------------------------------- minhash
+
+  /** Word w-shingles of a text column (array of space-joined w-grams).
+    * Docs shorter than w shingle to the whole token string. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - w, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(w))))
+    array_distinct(grams)
+  }
+
+  /** k-permutation MinHash signature over a shingle array. Each
+    * "permutation" is xxhash64 salted by the permutation index — pure
+    * Catalyst, codegen'd, no UDF. */
+  def minhashSignature(shingleArr: Column, k: Int = 32): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(shingleArr, s => xxhash64(j, s))))
+
+  /** LSH band keys: signature split into `bands` bands of `k/bands` rows;
+    * each band hashed to one bucket key. */
+  def lshBandKeys(sig: Column, k: Int = 32, bands: Int = 8): Column = {
+    val r = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, to_json(struct(slice(sig, b * lit(r) + 1, lit(r))))))
+  }
+
+  /** Per-doc signatures + band keys for `text`; one row per doc. */
+  def minhashed(df: DataFrame, id: Column, text: Column,
+                k: Int = 32, bands: Int = 8, w: Int = 3): DataFrame = {
+    val sh = shingles(text, w)
+    df.select(id.as("id"), sh.as("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles"), k))
+      .withColumn("bands", lshBandKeys(col("sig"), k, bands))
+  }
+
+  /** MinHash/LSH near-duplicate pairs with exact Jaccard verification.
+    *
+    * explode band keys → hash-shuffle on (band, key) → pairs within a
+    * bucket → distinct → verify exact Jaccard on the shingle sets.
+    * The bucket join is the only shuffle that grows with data size; at
+    * 100 TB the band key is a uniform 64-bit hash so buckets only skew
+    * when true duplicate clusters exist (which is the work we want).
+    */
+  def minhashPairs(df: DataFrame, id: Column, text: Column,
+                   threshold: Double = 0.8, k: Int = 32, bands: Int = 8,
+                   w: Int = 3): DataFrame = {
+    val mh = minhashed(df, id, text, k, bands, w).cache()
+    val buckets = mh.select(col("id"),
+        posexplode(col("bands")).as(Seq("band", "key")))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val withSets = cand
+      .join(mh.select(col("id"), col("shingles").as("sh_a")), cand("id_a") === mh("id"))
+      .drop("id")
+      .join(mh.select(col("id"), col("shingles").as("sh_b")), cand("id_b") === mh("id"))
+      .drop("id")
+    withSets
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact all-pairs n-gram Jaccard above a threshold. O(n²) pair space —
+    * only for modest row counts / within-block comparison; the scale path
+    * is [[minhashPairs]]. */
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
+                        threshold: Double, w: Int = 3): DataFrame = {
+    val sh = df.select(id.as("id"), shingles(text, w).as("sh"))
+    sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast(DoubleType) /
+          size(array_union(col("a.sh"), col("b.sh"))).cast(DoubleType)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash of a text column, computed entirely with Catalyst
+    * array expressions: token xxhash64s → per-bit +1/−1 vote vector →
+    * sign bits → fingerprint. */
+  def simhash64(text: Column): Column = {
+    val toks = array_distinct(regexp_extract_all(lower(text), lit("\\S+"), lit(0)))
+    val hashes = transform(toks, t => xxhash64(t))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (c, i) => c + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
+    // 2^i is double-exact for i<=62; bit 63 is the sign bit.
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v < 0, 0L).otherwise(
+          when(i === 63, lit(Long.MinValue))
+            .otherwise(pow(lit(2.0d), i.cast(DoubleType)).cast(LongType)))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** SimHash LSH banding: explode the four 16-bit slices of the
+    * fingerprint — identical slice ⇒ near-dup candidate (catches every
+    * pair within Hamming distance 3). */
+  def simhashBands(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = df.select(id.as("id"), simhash64(text).as("simhash"))
+    base.select(col("id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftrightunsigned", col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("band", "band_key")))
+  }
+
+  // ------------------------------------------------------- embedding cosine
+
+  /** Cosine similarity of two float-array columns (elements upcast to
+    * double; left-to-right accumulation, deterministic). */
+  def cosine(a: Column, b: Column): Column = {
+    def d(x: Column) = transform(x, v => v.cast(DoubleType))
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+    val da = d(a); val db = d(b)
+    dot(da, db) / (sqrt(dot(da, da)) * sqrt(dot(db, db)))
+  }
+
+  /** All-pairs embedding cosine above a threshold (near-dup by vector).
+    * O(n²); scale path = [[Similarity.lshBuckets]] blocking first. */
+  def cosinePairs(df: DataFrame, id: Column, vec: Column,
+                  threshold: Double): DataFrame = {
+    val v = df.select(id.as("id"), vec.as("v"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cos_sim", cosine(col("a.v"), col("b.v")))
+      .filter(col("cos_sim") > threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
+}

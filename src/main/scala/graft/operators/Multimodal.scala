@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns + typed metadata, with partition-wise batch "decode" /
+  * feature-extraction. The Spark-side shape (schema, batching,
+  * partitioning) is real; the codec itself is a STUB — this container has
+  * no image/audio libraries, so [[decodeStub]] derives deterministic fake
+  * features from the bytes. Swap `stubFeatures` for a real decoder (JNI /
+  * FFmpeg / ImageIO) without touching the plumbing.
+  */
+object Multimodal {
+
+  /** One decoded media row. */
+  case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Int,
+      feat_hash: Long, width: Int, height: Int, feature: Array[Float])
+
+  /** Canonical media schema: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType), StructField("n_bytes", LongType))))))
+
+  /** Wrap any (id, string) table as a media table — payload = utf-8
+    * bytes. Stands in for reading real image/audio blobs. */
+  def asMedia(df: DataFrame, id: String, data: String, kind: String): DataFrame =
+    df.select(
+      col(id).cast(LongType).as("media_id"),
+      lit(kind).as("kind"),
+      encode(col(data), "UTF-8").as("payload"),
+      struct(lit("synthetic").as("source"),
+        length(col(data)).cast(LongType).as("n_bytes")).as("meta"))
+
+  // ---- STUB decoder --------------------------------------------------
+  // Deterministic fake: "width"/"height" from byte statistics, an 8-dim
+  // "feature vector" from rolling byte hashes. A real implementation
+  // would decode payload with an image/audio codec here.
+  private def stubFeatures(id: Long, kind: String, bytes: Array[Byte]): MediaFeatures = {
+    val n = if (bytes == null) 0 else bytes.length
+    var h = 1125899906842597L // fnv-ish rolling hash over payload bytes
+    var i = 0
+    while (i < n) { h = h * 31 + bytes(i); i += 1 }
+    val feat = Array.tabulate(8) { k =>
+      val hk = h ^ (0x9e3779b97f4a7c15L * (k + 1))
+      (hk % 1000).toFloat / 1000.0f
+    }
+    MediaFeatures(id, kind, n, h, 1 + math.abs(h % 640).toInt,
+      1 + math.abs((h >> 7) % 480).toInt, feat)
+  }
+
+  /** Partition-wise batch decode (the `mapInPandas` analog: one iterator
+    * per partition, so a real codec could amortize per-batch init —
+    * model load, JNI context — across rows). */
+  def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init of the (stubbed) codec happens here
+        it.map { case (id, kind, bytes) => stubFeatures(id, kind, bytes) }
+      }
+  }
+}
