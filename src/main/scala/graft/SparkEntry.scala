@@ -571,7 +571,8 @@ object SparkEntry {
     }),
 
     "x4_ngram_jaccard_pairs" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"),
+      Dedup.ngramJaccardPairs(
+          t(s, dir, "documents").filter(col("doc_id") < 1000), col("doc_id"),
           col("text"), threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -1045,7 +1046,7 @@ object SparkEntry {
         FROM (SELECT doc_id,
                      string_split(trim(regexp_replace(lower(text),
                        '\s+', ' ', 'g')), ' ') AS toks
-              FROM documents))
+              FROM documents WHERE doc_id < 1000))
       SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /

@@ -68,8 +68,11 @@ object Dedup {
   /** Per-doc signatures + band keys for `text`; one row per doc. */
   def minhashed(df: DataFrame, id: Column, text: Column,
                 k: Int = 32, bands: Int = 8, w: Int = 3): DataFrame = {
+    // single-file inputs arrive as one partition; per-doc hashing is the
+    // dominant cost, so spread it across cores before computing
+    val par = df.sparkSession.sparkContext.defaultParallelism * 2
     val sh = shingles(text, w)
-    df.select(id.as("id"), sh.as("shingles"))
+    df.repartition(par).select(id.as("id"), sh.as("shingles"))
       .withColumn("sig", minhashSignature(col("shingles"), k))
       .withColumn("bands", lshBandKeys(col("sig"), k, bands))
   }
@@ -112,8 +115,10 @@ object Dedup {
     * is [[minhashPairs]]. */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
                         threshold: Double, w: Int = 3): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism * 2
     val sh = df.select(id.as("id"), shingles(text, w).as("sh"))
-    sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+    sh.repartition(par).as("a")
+      .join(broadcast(sh).as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (size(array_intersect(col("a.sh"), col("b.sh"))).cast(DoubleType) /
           size(array_union(col("a.sh"), col("b.sh"))).cast(DoubleType)).as("jaccard"))
@@ -147,7 +152,8 @@ object Dedup {
     * fingerprint — identical slice ⇒ near-dup candidate (catches every
     * pair within Hamming distance 3). */
   def simhashBands(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val base = df.select(id.as("id"), simhash64(text).as("simhash"))
+    val par = df.sparkSession.sparkContext.defaultParallelism * 2
+    val base = df.repartition(par).select(id.as("id"), simhash64(text).as("simhash"))
     base.select(col("id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftrightunsigned", col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))))
@@ -167,12 +173,23 @@ object Dedup {
   }
 
   /** All-pairs embedding cosine above a threshold (near-dup by vector).
-    * O(n²); scale path = [[Similarity.lshBuckets]] blocking first. */
+    *
+    * Norms are computed once per row (not per pair), the per-pair dot
+    * product is the native [[graft.functions.DotProduct]] expression
+    * (codegen'd primitive loop), and the streamed side is repartitioned
+    * so the nested-loop pair join fans out across all cores. Arithmetic
+    * is dot/(norm_a*norm_b) — identical to the naive form. O(n²) pair
+    * space; the scale path is [[Similarity.lshTopK]]-style blocking. */
   def cosinePairs(df: DataFrame, id: Column, vec: Column,
                   threshold: Double): DataFrame = {
-    val v = df.select(id.as("id"), vec.as("v"))
-    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
-      .withColumn("cos_sim", cosine(col("a.v"), col("b.v")))
+    import graft.functions.VectorExprs
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism * 2
+    val v = df.select(id.as("id"), vec.as("v"),
+      VectorExprs.norm(vec).as("nrm"))
+    v.repartition(parallelism).as("a")
+      .join(broadcast(v).as("b"), col("a.id") < col("b.id"))
+      .withColumn("cos_sim",
+        VectorExprs.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos_sim") > threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("cos_sim"), 4).as("cos_sim"))

@@ -30,7 +30,8 @@ object Multimodal {
   /** Wrap any (id, string) table as a media table — payload = utf-8
     * bytes. Stands in for reading real image/audio blobs. */
   def asMedia(df: DataFrame, id: String, data: String, kind: String): DataFrame =
-    df.select(
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(
       col(id).cast(LongType).as("media_id"),
       lit(kind).as("kind"),
       encode(col(data), "UTF-8").as("payload"),

@@ -5,18 +5,24 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.VectorExprs
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`) — LLM-pipeline surface (BASELINE.json north star).
   *
   * Two paths:
   *  - [[bruteTopK]]: exact cosine top-k via broadcast of the (small) query
-  *    set against the full corpus — one scan, no shuffle of the corpus,
-  *    the right plan when |queries| ≪ |corpus| even at 100 TB.
+  *    set against the full corpus — one scan of the corpus, no corpus
+  *    shuffle; the right plan when |queries| ≪ |corpus| even at 100 TB.
   *  - [[lshTopK]]: random-hyperplane LSH bucketing (sign sketch) so only
   *    same-bucket candidates are scored — the scale path when the query
-  *    set itself is large. Hyperplane coefficients are derived from
-  *    xxhash64(plane, dim) so the sketch is deterministic with no
-  *    driver-side randomness.
+  *    set itself is large. Hyperplane coefficients derive from
+  *    xxhash64(plane, dim): deterministic, no driver-side randomness.
+  *
+  * Norms are precomputed per row; the per-pair dot product is the native
+  * codegen'd [[graft.functions.DotProduct]] expression. cos =
+  * dot/(norm_q*norm_c), arithmetically identical to the naive form (and
+  * the DuckDB oracle).
   */
 object Similarity {
 
@@ -38,15 +44,7 @@ object Similarity {
       (acc, s) => acc + s.getField("bit") * pow(lit(2.0d),
         s.getField("j").cast(DoubleType)).cast(LongType))
 
-  /** Exact top-k neighbors for each query vector (cosine, descending;
-    * ties broken by ascending corpus id for determinism). `queries` and
-    * `corpus` both expose (`idCol`, `vecCol`). */
-  def bruteTopK(queries: DataFrame, corpus: DataFrame,
-                idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", Dedup.cosine(col("qv"), col("cv")))
+  private def scoreAndRank(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -55,25 +53,38 @@ object Similarity {
         round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** Exact top-k neighbors for each query vector (cosine, descending;
+    * ties broken by ascending corpus id for determinism). `queries` and
+    * `corpus` both expose (`idCol`, `vecCol`). */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame,
+                idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VectorExprs.norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      VectorExprs.norm(col(vecCol)).as("cn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim",
+        VectorExprs.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    scoreAndRank(scored, k)
+  }
+
   /** LSH-bucketed ANN: corpus and queries sketched into sign buckets,
     * candidates scored only within matching buckets, then per-query
-    * top-k. Recall < 1 by construction; bucket-join shuffle replaces the
-    * cross product. */
+    * top-k. Recall < 1 by construction; the bucket-join shuffle replaces
+    * the cross product. */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               planes: Int = 8): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VectorExprs.norm(col(vecCol)).as("qn"),
       signBucket(col(vecCol), planes).as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      VectorExprs.norm(col(vecCol)).as("cn"),
       signBucket(col(vecCol), planes).as("bucket"))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", Dedup.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos_sim"), 4).as("cos_sim"))
+      .withColumn("cos_sim",
+        VectorExprs.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    scoreAndRank(scored, k)
   }
 }

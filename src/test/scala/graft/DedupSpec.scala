@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends GraftSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+    (3L, "completely different text about spark query engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+  ).toDF("id", "text")
+
+  test("keepFirst / keepLast are deterministic inverses") {
+    val df = Seq((1, "a", 10), (1, "a", 20), (2, "b", 30)).toDF("k", "g", "v")
+    val first = Dedup.keepFirst(df, Seq("k", "g"), Seq(col("v")))
+      .select("v").as[Int].collect().sorted
+    val last = Dedup.keepLast(df, Seq("k", "g"), Seq(col("v")))
+      .select("v").as[Int].collect().sorted
+    assert(first === Array(10, 30))
+    assert(last === Array(20, 30))
+  }
+
+  test("exactByHash collapses exact duplicates to canonical min id") {
+    val out = Dedup.exactByHash(docs, col("id"),
+      graft.functions.ColFns.fingerprint(col("text")))
+    val dup = out.filter(col("n_dups") === 2).collect()
+    assert(dup.length === 1)
+    assert(dup(0).getAs[Long]("canonical_id") === 1L)
+    assert(out.count() === 3)
+  }
+
+  test("minhashPairs finds the near-dup pair and not the unrelated doc") {
+    val pairs = Dedup.minhashPairs(docs, col("id"), col("text"), threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L))) // exact dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngramJaccardPairs exact scores: identical docs score 1.0") {
+    val out = Dedup.ngramJaccardPairs(docs, col("id"), col("text"), 0.5)
+      .filter(col("id_a") === 1 && col("id_b") === 4).collect()
+    assert(out.length === 1 && out(0).getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("simhash: near-dups collide on some band, unrelated docs differ") {
+    val bands = Dedup.simhashBands(docs, col("id"), col("text"))
+    val byBand = bands.select("band", "band_key", "id")
+      .as[(Int, Long, Long)].collect()
+      .groupBy(t => (t._1, t._2)).values.map(_.map(_._3).toSet)
+    assert(byBand.exists(s => s.contains(1L) && s.contains(2L)))
+    // exact dup: all 4 bands equal
+    val b1 = byBand.count(s => s.contains(1L) && s.contains(4L))
+    assert(b1 === 4)
+  }
+
+  test("cosine similarity basics") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
+      .select(round(Dedup.cosine(col("a"), col("b")), 6).as("c"))
+    assert(df.as[Double].collect().toSeq === Seq(1.0, 0.0))
+  }
+}

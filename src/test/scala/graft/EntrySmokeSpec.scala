@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + semantic spot-checks of the declared query surface on
+  * sf0.001 (full oracle equivalence is tools/check.py's job). */
+class EntrySmokeSpec extends GraftSuite {
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
+  test("w3 top-k: at most 3 rows per customer, ranks 1..3") {
+    val df = SparkEntry.queries("w3_window_topk")(spark, SparkTestBase.sfDir)
+    val bad = df.groupBy("o_custkey").agg(count(lit(1)).as("n"),
+      max("rank").as("mr")).filter(col("n") > 3 || col("mr") > 3)
+    assert(bad.count() === 0)
+  }
+
+  test("x1 exact dedup: canonical ids are minimal per hash") {
+    val df = SparkEntry.queries("x1_dedup_exact")(spark, SparkTestBase.sfDir)
+    assert(df.count() > 0)
+    assert(df.filter(col("n_dups") < 1).count() === 0)
+  }
+
+  test("x6 brute-force ANN: 5 neighbors per query, self excluded") {
+    val df = SparkEntry.queries("x6_ann_brute_topk")(spark, SparkTestBase.sfDir)
+    assert(df.groupBy("query_id").count().filter(col("count") =!= 5).count() === 0)
+    assert(df.filter(col("query_id") === col("neighbor_id")).count() === 0)
+  }
+
+  test("x8 lang id: zh detected for CJK text") {
+    import spark.implicits._
+    val df = Seq((1L, "這是中文文本 spark engine"), (2L, "the cat and the dog"))
+      .toDF("doc_id", "text")
+      .select(graft.operators.TextOps.langId(col("text")).as("l"))
+    assert(df.as[String].collect().toSeq === Seq("zh", "en"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class OperatorsSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("FuzzyJoin.bestMatch recovers typo'd names") {
+    val right = Seq("taipei 101", "sun moon lake", "taroko gorge").toDF("name")
+    val left = Seq((1, "taipei 110"), (2, "sun mon lake"), (3, "taroko gorge"))
+      .toDF("id", "q")
+    val out = FuzzyJoin.bestMatch(left, "q", right, "name")
+      .orderBy("id").select("match_name").as[String].collect()
+    assert(out === Array("taipei 101", "sun moon lake", "taroko gorge"))
+  }
+
+  test("Relational.dropCols tolerates absent columns") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    assert(Relational.dropCols(df, Seq("b", "zzz")).columns === Array("a"))
+  }
+
+  test("Relational.dropColsRegex drops by name pattern") {
+    val df = Seq((1, 2, 3)).toDF("keep", "Unnamed_0", "Unnamed_1")
+    assert(Relational.dropColsRegex(df, "^Unnamed.*").columns === Array("keep"))
+  }
+
+  test("Reshape.melt wide→long") {
+    val df = Seq((2015, 1, 100L, 200L)).toDF("year", "month", "zoo", "park")
+    val out = Reshape.melt(df, Seq("year", "month"), Seq("zoo", "park"),
+      "name", "number_people")
+    assert(out.columns === Array("year", "month", "name", "number_people"))
+    assert(out.count() === 2)
+    assert(out.filter($"name" === "park" && $"number_people" === 200).count() === 1)
+  }
+
+  test("Reshape.explodeSplit splits and trims (reference • delimiter)") {
+    val df = Seq(("建築物 • 購物中心", 1)).toDF("type", "id")
+    val out = Reshape.explodeSplit(df, "type", "one_type", "•")
+      .select("one_type").as[String].collect().toSeq
+    assert(out === Seq("建築物", "購物中心"))
+  }
+
+  test("Reshape.transposeSmall: key/value table to one wide row") {
+    val df = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    val out = Reshape.transposeSmall(df, "k", "v")
+    assert(out.columns.toSet === Set("a", "b"))
+    assert(out.count() === 1)
+  }
+
+  test("Similarity.bruteTopK ranks by cosine with deterministic ties") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteTopK(
+      corpus.filter($"vec_id" === 0), corpus, "vec_id", "embedding", 2)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toSeq
+    assert(out === Seq((1, 1L), (2, 3L)))
+  }
+
+  test("Multimodal stub decode is deterministic and partition-batched") {
+    val media = Multimodal.asMedia(
+      Seq((1L, "abc"), (2L, "defg")).toDF("id", "data"), "id", "data", "image")
+    assert(media.columns === Array("media_id", "kind", "payload", "meta"))
+    val f1 = Multimodal.decodeStub(spark, media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.decodeStub(spark, media).collect().sortBy(_.media_id)
+    assert(f1.map(_.feat_hash).toSeq === f2.map(_.feat_hash).toSeq)
+    assert(f1(0).n_bytes === 3 && f1(1).n_bytes === 4)
+    assert(f1(0).feature.length === 8)
+  }
+
+  test("Streams.hourlyEventRollup matches the batch aggregation") {
+    val streamed = graft.streaming.Streams
+      .hourlyEventRollup(spark, SparkTestBase.sfDir, "test_stream_out")
+    val batch = Tables.load(spark, SparkTestBase.sfDir, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(
+      batch.select("bucket", "event_type", "n_events", "sum_value")).count() === 0)
+  }
+}
