@@ -167,6 +167,19 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    "p6_dropna_all" -> ((s, dir) => {
+      // drop rows where ALL of the listed columns are null (pandas
+      // dropna(how='all'), reference tripadvisor t4)
+      t(s, dir, "events")
+        .select(col("event_id"),
+          when(col("value") < 50, lit(null).cast(DoubleType))
+            .otherwise(col("value")).as("v1"),
+          when(col("user_id") % 7 === 0, lit(null).cast(LongType))
+            .otherwise(col("user_id")).as("v2"))
+        .na.drop("all", Seq("v1", "v2"))
+        .orderBy(col("event_id"))
+    }),
+
     "p7_dropna_subset" -> ((s, dir) => {
       t(s, dir, "events")
         .withColumn("value_or_null",
@@ -358,6 +371,65 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    "a6_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    }),
+
+    "a7_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("priority"))
+    }),
+
+    // ---- DML-as-rewrite (§2.10) ----------------------------------------
+    "m1_update_rewrite" -> ((s, dir) => {
+      // UPDATE … SET name WHERE name=… ×N (reference synonym-id repair),
+      // as a repair-map rewrite + atomic overwrite of the parquet target
+      val out = tmpDir("m1_target")
+      Mutations.overwriteAtomic(
+        Mutations.repairByKey(t(s, dir, "nation"), "n_name", "n_name",
+          Map("JAPAN" -> "NIPPON", "FRANCE" -> "GAUL")), out)
+      s.read.parquet(out)
+        .select(col("n_nationkey"), col("n_name"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    "m2_insert_missing" -> ((s, dir) => {
+      // INSERT INTO target SELECT … WHERE key NOT IN target (reference
+      // dim_attraction_hashtag upsert) — anti-join + union rewrite
+      val out = tmpDir("m2_target")
+      t(s, dir, "nation").filter(col("n_nationkey") < 15)
+        .withColumn("src", lit("old"))
+        .write.mode("overwrite").parquet(out)
+      val target = s.read.parquet(out)
+      val source = t(s, dir, "nation").withColumn("src", lit("new"))
+      Mutations.insertMissing(target, source, Seq("n_nationkey"))
+        .select(col("n_nationkey"), col("n_name"), col("src"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    "m3_delete_rewrite" -> ((s, dir) => {
+      // DELETE FROM … WHERE cond ×N (reference dim_attraction_detail) —
+      // filter-out rewrite, then aggregate the survivors
+      val out = tmpDir("m3_target")
+      t(s, dir, "customer").write.mode("overwrite").parquet(out)
+      Mutations.deleteWhere(s.read.parquet(out),
+          col("c_acctbal") < 0 && col("c_mktsegment") === "MACHINERY")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("balance"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // ---- windows / sort / top-k (§2.6) ---------------------------------
     "w3_window_topk" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -474,6 +546,32 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "f4_fb_date_zh" -> ((s, dir) => {
+      // fb pandas date-normalization variant (reference
+      // fb_scraper/normalization.py:23-53): absolute "Y年M月D日",
+      // month-day with 上午/下午 suffix, "N天", 分鐘/小時 → ref date,
+      // 在線上 → null. Raw strings synthesized per event type.
+      val e = t(s, dir, "events")
+      val refD = col("ts").cast(DateType)
+      val n = (col("user_id") % 30 + 1).cast(StringType)
+      val d40 = date_sub(refD, 40); val d3 = date_sub(refD, 3)
+      val raw = when(col("event_type") === "click", concat(n, lit("天")))
+        .when(col("event_type") === "signup", concat(n, lit("分鐘")))
+        .when(col("event_type") === "purchase",
+          concat(year(d40).cast(StringType), lit("年"),
+            month(d40).cast(StringType), lit("月"),
+            dayofmonth(d40).cast(StringType), lit("日")))
+        .when(col("event_type") === "view",
+          concat(month(d3).cast(StringType), lit("月"),
+            dayofmonth(d3).cast(StringType), lit("日下午3:15")))
+        .otherwise(lit("在線上"))
+      e.withColumn("raw", raw)
+        .withColumn("created_at",
+          date_format(ColFns.fbDate(col("raw"), col("ts")), "yyyy-MM-dd"))
+        .select(col("event_id"), col("raw"), col("created_at"))
+        .orderBy(col("event_id"))
+    }),
+
     "f5_parse_rating" -> ((s, dir) => {
       // "4.0 分 (共 5 分)" parse (reference tripadvisor rating clean)
       val e = t(s, dir, "events")
@@ -493,6 +591,32 @@ object SparkEntry {
         .withColumn("year", ColFns.rocYear(col("roc_raw")))
         .select(col("o_orderkey"), col("roc_raw"), col("year"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    "f8_delim_normalize" -> ((s, dir) => {
+      // " • "-delimited multi-value normalize to comma string (reference
+      // tripadvisor categories clean); bullet list synthesized from p_type
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          regexp_replace(regexp_replace(col("p_type"), " ", " • "),
+            "\\s*•\\s*", ",").as("type_csv"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "f12_filename_parse" -> ((s, dir) => {
+      // filename → field parse via input_file_name (reference
+      // fb_scraper/normalization.py:8-13: place+date from csv name).
+      // Files land under r_name=<value>/ dirs; the glob defeats partition
+      // discovery so the value genuinely comes from the path string.
+      val out = tmpDir("f12_files")
+      t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+        .write.mode("overwrite").partitionBy("r_name").json(out)
+      s.read.schema(StructType(Seq(StructField("r_regionkey", LongType))))
+        .json(s"$out/r_name=*")
+        .withColumn("place",
+          url_decode(regexp_extract(input_file_name(), "r_name=([^/]+)/", 1)))
+        .select(col("place"), col("r_regionkey"))
+        .orderBy(col("place"))
     }),
 
     "f9_date_parts" -> ((s, dir) => {
@@ -630,10 +754,44 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    "x13_media_resize" -> ((s, dir) => {
+      val media = Multimodal.asMedia(t(s, dir, "events"),
+        "event_id", "props", "image")
+      Multimodal.resizeMeta(Multimodal.decodeStub(s, media).toDF())
+        .select(col("media_id"), col("width"), col("height"),
+          col("out_w"), col("out_h"), col("scale"))
+        .orderBy(col("media_id"))
+    }),
+
+    "x14_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.asMedia(t(s, dir, "documents"),
+        "doc_id", "text", "video")
+      Multimodal.frameSample(media, every = 64)
+        .orderBy(col("media_id"), col("frame_no"))
+    }),
+
+    // ---- end-to-end medallion pipeline (§3.1) --------------------------
+    "e2e_medallion_mart" -> ((s, dir) => {
+      // src → ods → dim/fact → mart chain with a dependency-ordered
+      // runner and per-layer parquet materialization; returns the mart
+      graft.pipelines.Medallion.run(s, dir, tmpDir("medallion_lake"))
+        .orderBy(col("segment"), col("year"), col("quarter"))
+    }),
+
     // ---- streaming (§2.11) ---------------------------------------------
     "st1_stream_hourly" -> ((s, dir) => {
       graft.streaming.Streams.hourlyEventRollup(s, dir)
         .orderBy(col("bucket"), col("event_type"))
+    }),
+
+    "st2_stream_sliding" -> ((s, dir) => {
+      graft.streaming.Streams.slidingEventCounts(s, dir)
+        .orderBy(col("bucket"), col("event_type"))
+    }),
+
+    "st3_stream_dedup_users" -> ((s, dir) => {
+      graft.streaming.Streams.streamDistinctUsers(s, dir)
+        .orderBy(col("user_id"))
     }),
   )
 
@@ -693,6 +851,14 @@ object SparkEntry {
              strftime(l_shipdate, '%Y-%m-%d') AS ship_date
       FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 25
       ORDER BY l_orderkey, l_linenumber""",
+
+    "p6_dropna_all" -> """
+      SELECT event_id, v1, v2 FROM (
+        SELECT event_id,
+               CASE WHEN value < 50 THEN NULL ELSE value END AS v1,
+               CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS v2
+        FROM events)
+      WHERE v1 IS NOT NULL OR v2 IS NOT NULL ORDER BY event_id""",
 
     "p7_dropna_subset" -> """
       SELECT event_id, v AS value_or_null FROM (
@@ -839,6 +1005,41 @@ object SparkEntry {
              COUNT(*) FILTER (WHERE event_type = 'view') AS view
       FROM events GROUP BY 1 ORDER BY day""",
 
+    "a6_rollup" -> """
+      SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+             COALESCE(l_linestatus, 'ALL') AS linestatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY returnflag, linestatus""",
+
+    "a7_cube" -> """
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS priority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY status, priority""",
+
+    "m1_update_rewrite" -> """
+      SELECT n_nationkey,
+             CASE n_name WHEN 'JAPAN' THEN 'NIPPON'
+                         WHEN 'FRANCE' THEN 'GAUL'
+                         ELSE n_name END AS n_name
+      FROM nation ORDER BY n_nationkey""",
+
+    "m2_insert_missing" -> """
+      SELECT n_nationkey, n_name,
+             CASE WHEN n_nationkey < 15 THEN 'old' ELSE 'new' END AS src
+      FROM nation ORDER BY n_nationkey""",
+
+    "m3_delete_rewrite" -> """
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance
+      FROM customer
+      WHERE NOT (c_acctbal < 0 AND c_mktsegment = 'MACHINERY')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
     "a5_stats_summary" -> """
       SELECT l_returnflag, MIN(l_quantity) AS min_qty,
              MAX(l_quantity) AS max_qty,
@@ -958,6 +1159,35 @@ object SparkEntry {
         FROM events)
       ORDER BY event_id""",
 
+    "f4_fb_date_zh" -> """
+      SELECT event_id, raw,
+        strftime(CASE
+          WHEN event_type = 'click' THEN ref - n
+          WHEN event_type = 'signup' THEN ref
+          WHEN event_type = 'purchase' THEN d40
+          WHEN event_type = 'view'
+            THEN make_date(year(ref), month(d3), day(d3))
+          ELSE NULL END, '%Y-%m-%d') AS created_at
+      FROM (
+        SELECT event_id, event_type, ref, n, d40, d3,
+               CASE event_type
+                 WHEN 'click' THEN CAST(n AS VARCHAR) || '天'
+                 WHEN 'signup' THEN CAST(n AS VARCHAR) || '分鐘'
+                 WHEN 'purchase' THEN CAST(year(d40) AS VARCHAR) || '年' ||
+                      CAST(month(d40) AS VARCHAR) || '月' ||
+                      CAST(day(d40) AS VARCHAR) || '日'
+                 WHEN 'view' THEN CAST(month(d3) AS VARCHAR) || '月' ||
+                      CAST(day(d3) AS VARCHAR) || '日下午3:15'
+                 ELSE '在線上'
+               END AS raw
+        FROM (
+          SELECT event_id, event_type, CAST(ts AS DATE) AS ref,
+                 CAST(user_id % 30 + 1 AS INT) AS n,
+                 CAST(ts AS DATE) - 40 AS d40,
+                 CAST(ts AS DATE) - 3 AS d3
+          FROM events))
+      ORDER BY event_id""",
+
     "f5_parse_rating" -> """
       SELECT event_id, rating_raw,
              TRY_CAST(string_split(rating_raw, ' ')[1] AS DOUBLE) AS rating
@@ -976,6 +1206,15 @@ object SparkEntry {
                CAST(year(o_orderdate) AS VARCHAR) || ')' AS roc_raw
         FROM orders)
       ORDER BY o_orderkey""",
+
+    "f8_delim_normalize" -> """
+      SELECT p_partkey,
+             regexp_replace(regexp_replace(p_type, ' ', ' • ', 'g'),
+               '\s*•\s*', ',', 'g') AS type_csv
+      FROM part ORDER BY p_partkey""",
+
+    "f12_filename_parse" -> """
+      SELECT r_name AS place, r_regionkey FROM region ORDER BY place""",
 
     "f9_date_parts" -> """
       SELECT o_orderkey,
@@ -1146,10 +1385,43 @@ object SparkEntry {
         JOIN embeddings c ON q.vec_id <> c.vec_id)
       WHERE rank <= 5 ORDER BY query_id, rank""",
 
+    "e2e_medallion_mart" -> """
+      SELECT c_mktsegment AS segment,
+             CAST(year(o_orderdate) AS INT) AS year,
+             CAST(quarter(o_orderdate) AS INT) AS quarter,
+             COUNT(o_orderkey) AS n_reviews,
+             round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*), 2) AS avg_rating
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+        AND o_orderdate IS NOT NULL
+      GROUP BY 1, 2, 3 ORDER BY segment, year, quarter""",
+
     "st1_stream_hourly" -> """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
              event_type, COUNT(*) AS n_events,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""",
+
+    "st2_stream_sliding" -> """
+      SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
+             COUNT(*) AS n_events
+      FROM (
+        SELECT date_trunc('hour', ts) - to_hours(h) AS ws, event_type
+        FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS h))
+      GROUP BY 1, 2 ORDER BY bucket, event_type""",
+
+    "st3_stream_dedup_users" -> """
+      SELECT DISTINCT user_id FROM events ORDER BY user_id""",
+
+    "x14_frame_sample" -> """
+      SELECT media_id, CAST(f AS INT) AS frame_no,
+             md5(substring(txt, CAST(f * 64 + 1 AS BIGINT), 64)) AS frame_md5
+      FROM (
+        SELECT doc_id AS media_id, text AS txt,
+               UNNEST(range(CAST(greatest(ceil(length(text) / 64.0), 1)
+                 AS BIGINT))) AS f
+        FROM documents)
+      ORDER BY media_id, frame_no""",
   )
 }

@@ -43,6 +43,44 @@ object ColFns {
       .otherwise(lit(null).cast(DateType))
   }
 
+  /** Facebook Chinese date normalization — the pandas variant of relative-
+    * date resolution (reference `fb_scraper/normalization.py:23-53`):
+    *
+    *  - "在線上" anywhere or a leading "+" → NULL (skipped rows);
+    *  - "N天" → refDate − N days (garbage N → NULL, int() raise);
+    *  - contains 小时/小時/分鐘 → refDate itself;
+    *  - "YYYY年M月D日…" → that absolute date;
+    *  - "M月D日…" (with optional 上午/下午 time suffix, stripped) → that
+    *    day in refDate's year;
+    *  - "M月" alone → NULL (the reference's strptime always fails on it);
+    *  - anything else → refDate.
+    *
+    * Pure Catalyst composition; invalid calendar dates null out via
+    * try_cast (pandas' exception→None). */
+  def fbDate(raw: Column, refDate: Column): Column = {
+    val ref = refDate.cast(DateType)
+    val nullDate = lit(null).cast(DateType)
+    def mkDate(y: Column, m: Column, d: Column): Column =
+      concat_ws("-", y, lpad(m, 2, "0"), lpad(d, 2, "0")).try_cast("date")
+    val dayN = regexp_extract(raw, "^(\\d+)天$", 1).try_cast("int")
+    val stripped = regexp_replace(raw, "(上午|下午).*$", "")
+    when(raw.isNull, nullDate)
+      .when(raw.contains("在線上") || raw.startsWith("+"), nullDate)
+      .when(raw.contains("天"),
+        when(dayN.isNull, nullDate).otherwise(date_sub(ref, dayN)))
+      .when(raw.contains("小时") || raw.contains("小時") || raw.contains("分鐘"), ref)
+      .when(raw.contains("年"), mkDate(
+        regexp_extract(stripped, "^(\\d{4})年", 1),
+        regexp_extract(stripped, "年(\\d{1,2})月", 1),
+        regexp_extract(stripped, "月(\\d{1,2})日", 1)))
+      .when(raw.contains("月") && raw.contains("日"), mkDate(
+        year(ref).cast(StringType),
+        regexp_extract(stripped, "^(\\d{1,2})月", 1),
+        regexp_extract(stripped, "月(\\d{1,2})日", 1)))
+      .when(raw.contains("月"), nullDate)
+      .otherwise(ref)
+  }
+
   /** Rating parse `"4.0 分 (共 5 分)"` → 4.0, null on garbage (reference
     * `tripadvisor/d_tripadvisor_src_to_ods.py:74-81`, pandas
     * `errors="coerce"` semantics via try_cast). */

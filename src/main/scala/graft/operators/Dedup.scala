@@ -110,18 +110,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Exact all-pairs n-gram Jaccard above a threshold. O(n²) pair space —
-    * only for modest row counts / within-block comparison; the scale path
-    * is [[minhashPairs]]. */
+  /** Exact all-pairs n-gram Jaccard above a threshold, via an inverted
+    * index: explode shingles → equi-join postings on the shingle →
+    * count common shingles per pair → |A∪B| = |A|+|B|−common.
+    *
+    * Identical scores to the naive cross-pair formula (shingle arrays
+    * are distinct sets), but the only pairs ever materialized are those
+    * sharing ≥1 shingle — for threshold > 0 that loses nothing. Scale
+    * shape: one hash-shuffle on the shingle key + one on the pair key;
+    * no cross join, no broadcast of the corpus. Skew concentrates on
+    * globally-frequent shingles; at 100 TB cap those with a document-
+    * frequency cutoff (stop-shingles carry no dedup signal). */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
                         threshold: Double, w: Int = 3): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism * 2
-    val sh = df.select(id.as("id"), shingles(text, w).as("sh"))
-    sh.repartition(par).as("a")
-      .join(broadcast(sh).as("b"), col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (size(array_intersect(col("a.sh"), col("b.sh"))).cast(DoubleType) /
-          size(array_union(col("a.sh"), col("b.sh"))).cast(DoubleType)).as("jaccard"))
+    val sh = df.repartition(par)
+      .select(id.as("id"), shingles(text, w).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val posts = sh.select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
+    posts.as("a")
+      .join(posts.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard", col("common").cast(DoubleType) /
+        (col("sz_a") + col("sz_b") - col("common")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

@@ -67,4 +67,33 @@ object Multimodal {
         it.map { case (id, kind, bytes) => stubFeatures(id, kind, bytes) }
       }
   }
+
+  /** Aspect-preserving resize metadata: fit (width, height) within
+    * maxDim × maxDim, never upscale. Pure column arithmetic over the
+    * decoded dims — a real resizer would also transform the pixels; the
+    * geometry (what a pipeline joins/filters on) is exact. */
+  def resizeMeta(decoded: DataFrame, maxDim: Int = 224): DataFrame = {
+    val s = least(lit(1.0d),
+      lit(maxDim.toDouble) / greatest(col("width"), col("height")).cast(DoubleType))
+    decoded
+      .withColumn("scale", round(s, 6))
+      .withColumn("out_w", greatest(round(col("width") * s).cast(IntegerType), lit(1)))
+      .withColumn("out_h", greatest(round(col("height") * s).cast(IntegerType), lit(1)))
+  }
+
+  /** "Video" frame sampling: slice the opaque payload into fixed-size
+    * byte frames and fingerprint each — one output row per sampled
+    * frame. The slice/explode plumbing (binary substr, per-frame rows,
+    * partition-parallel) is exactly what real frame extraction needs;
+    * md5-of-slice stands in for the decoded frame. */
+  def frameSample(media: DataFrame, every: Int = 64): DataFrame = {
+    val nFrames = ceil(length(col("payload")).cast(DoubleType) / every)
+      .cast(IntegerType)
+    media
+      .withColumn("__frames", transform(
+        sequence(lit(0), greatest(nFrames - 1, lit(0))),
+        i => md5(col("payload").substr(i * every + 1, lit(every)))))
+      .select(col("media_id"),
+        posexplode(col("__frames")).as(Seq("frame_no", "frame_md5")))
+  }
 }

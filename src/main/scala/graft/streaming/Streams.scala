@@ -11,25 +11,19 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object Streams {
 
+  /** Memory-sink names must be unique per start (a repeated bench pass
+    * in one session would otherwise collide on the temp view). */
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def unique(name: String): String = s"${name}_${runSeq.incrementAndGet()}"
+
   /** Stream the events parquet as a file source and run an hourly
     * windowed count/sum into an in-memory sink, synchronously
     * (AvailableNow processes the backlog then stops — the batch-parity
     * mode). Returns the materialized result. */
   def hourlyEventRollup(spark: SparkSession, sfDir: String,
                         queryName: String = "graft_stream_out"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // file stream sources need a directory: stage the single parquet file
-    val stage = new java.io.File("/root/repo/target/qtmp/st1_src")
-    stage.mkdirs()
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      java.nio.file.Paths.get(stage.getAbsolutePath, "events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val schema = spark.read.parquet(stage.getAbsolutePath).schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(stage.getAbsolutePath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", "1 hour")
+    val sink = unique(queryName)
+    val stream = eventStream(spark, sfDir, "st1_src", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).as("sum_value"))
@@ -39,10 +33,67 @@ object Streams {
         col("sum_value").cast("double").as("sum_value"))
     val q = stream.writeStream
       .outputMode("complete")
-      .format("memory").queryName(queryName)
+      .format("memory").queryName(sink)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(queryName)
+    spark.table(sink)
+  }
+
+  /** Stage `<sfDir>/events.parquet` into a directory (file stream
+    * sources need one) and return a watermarked event-time stream with
+    * `ts` as a proper timestamp. */
+  private def eventStream(spark: SparkSession, sfDir: String,
+                          stageName: String, watermark: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = new java.io.File(s"/root/repo/target/qtmp/$stageName")
+    stage.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(stage.getAbsolutePath, "events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(stage.getAbsolutePath).schema
+    spark.readStream.schema(schema).parquet(stage.getAbsolutePath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", watermark)
+  }
+
+  /** Sliding-window aggregation (2 h window, 1 h slide): each event lands
+    * in two overlapping windows. Batch-parity via AvailableNow + complete
+    * mode into a memory sink. */
+  def slidingEventCounts(spark: SparkSession, sfDir: String,
+                         queryName: String = "graft_stream_sliding"): DataFrame = {
+    val sink = unique(queryName)
+    val stream = eventStream(spark, sfDir, "st2_src", "2 hours")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n_events"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory").queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
+  /** Streaming stateful dedup: first event per user within the watermark
+    * horizon (`dropDuplicates` keyed state). Output is projected to the
+    * key alone so the result set is order-independent. */
+  def streamDistinctUsers(spark: SparkSession, sfDir: String,
+                          queryName: String = "graft_stream_users"): DataFrame = {
+    val sink = unique(queryName)
+    val stream = eventStream(spark, sfDir, "st3_src", "365 days")
+      .dropDuplicates("user_id")
+      .select(col("user_id"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory").queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
   }
 }

@@ -92,4 +92,26 @@ class ColFnsSpec extends GraftSuite {
       (ColFns.fingerprint(col("x")) === ColFns.fingerprint(col("y"))).as("eq"))
     assert(df.collect()(0).getBoolean(0))
   }
+
+  private def fb(raw: String, ref: String): Option[String] = {
+    val df = Seq((raw, ref)).toDF("r", "d")
+      .select(date_format(
+        ColFns.fbDate(col("r"), col("d").cast("date")), "yyyy-MM-dd").as("out"))
+    Option(df.collect()(0).getString(0))
+  }
+
+  test("fbDate: reference normalization.py branch vectors") {
+    assert(fb("3天", "2024-05-10") === Some("2024-05-07"))        // N天
+    assert(fb("5分鐘", "2024-05-10") === Some("2024-05-10"))      // 分鐘 → ref
+    assert(fb("2小時", "2024-05-10") === Some("2024-05-10"))      // 小時 → ref
+    assert(fb("2023年3月14日", "2024-05-10") === Some("2023-03-14")) // absolute
+    assert(fb("3月14日下午2:00", "2024-05-10") === Some("2024-03-14")) // ref year
+    assert(fb("12月31日", "2024-01-02") === Some("2024-12-31"))   // forced ref year
+    assert(fb("在線上", "2024-05-10") === None)                   // skipped
+    assert(fb("+5", "2024-05-10") === None)                       // skipped
+    assert(fb("3月", "2024-05-10") === None)                      // strptime fails
+    assert(fb("昨天發布", "2024-05-10") === None)                 // int('昨天發布') raises
+    assert(fb("something", "2024-05-10") === Some("2024-05-10"))  // fallthrough → ref
+    assert(fb("2024年2月30日", "2024-05-10") === None)            // invalid calendar date
+  }
 }

@@ -69,6 +69,64 @@ class OperatorsSpec extends GraftSuite {
     assert(f1(0).feature.length === 8)
   }
 
+  test("Mutations: updateWhere / repairByKey / insertMissing / deleteWhere") {
+    val df = Seq((1, "JAPAN", 10), (2, "FRANCE", 20), (3, "PERU", 30))
+      .toDF("id", "name", "v")
+    val upd = Mutations.updateWhere(df, $"name" === "PERU",
+      Map("v" -> lit(99))).filter($"id" === 3).select("v").as[Int].head()
+    assert(upd === 99)
+    val rep = Mutations.repairByKey(df, "name", "name",
+      Map("JAPAN" -> "NIPPON")).select("name").as[String].collect().toSet
+    assert(rep === Set("NIPPON", "FRANCE", "PERU"))
+    val target = df.filter($"id" < 3)
+    val merged = Mutations.insertMissing(target, df, Seq("id"))
+    assert(merged.count() === 3)
+    // null predicate rows survive a DELETE (SQL semantics)
+    val withNull = Seq((1, Some(5)), (2, None)).toDF("id", "v")
+    val kept = Mutations.deleteWhere(withNull, $"v" > 1)
+    assert(kept.select("id").as[Int].collect().toSet === Set(2))
+  }
+
+  test("Mutations.overwriteAtomic swaps and is rerunnable") {
+    val p = "/root/repo/target/qtmp/test_atomic"
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "s")
+    Mutations.overwriteAtomic(df, p)
+    Mutations.overwriteAtomic(df.filter($"id" === 1), p)
+    assert(spark.read.parquet(p).count() === 1)
+  }
+
+  test("Dedup.ngramJaccardPairs inverted index == naive pair formula") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words entirely here now"),
+      (4L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, $"id", $"text", threshold = 0.5)
+      .orderBy("id_a", "id_b")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSeq
+    // 1-4 identical (1.0); 1-2 and 2-4 share 6 of 8 distinct shingles
+    assert(pairs === Seq((1L, 2L, 0.75), (1L, 4L, 1.0), (2L, 4L, 0.75)))
+  }
+
+  test("Multimodal.resizeMeta fits within 224 preserving aspect, no upscale") {
+    val dims = Seq((1L, 640, 480), (2L, 100, 50)).toDF("media_id", "width", "height")
+    val out = Multimodal.resizeMeta(dims).orderBy("media_id")
+      .select("out_w", "out_h").as[(Int, Int)].collect().toSeq
+    assert(out === Seq((224, 168), (100, 50)))
+  }
+
+  test("Multimodal.frameSample slices payload into 64-byte md5 frames") {
+    val text = "x" * 130 // 3 frames: 64 + 64 + 2
+    val media = Multimodal.asMedia(Seq((1L, text)).toDF("id", "data"),
+      "id", "data", "video")
+    val frames = Multimodal.frameSample(media, every = 64)
+    assert(frames.count() === 3)
+    val first = frames.filter($"frame_no" === 0).select("frame_md5").as[String].head()
+    val exp = java.security.MessageDigest.getInstance("MD5")
+      .digest(("x" * 64).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(first === exp)
+  }
+
   test("Streams.hourlyEventRollup matches the batch aggregation") {
     val streamed = graft.streaming.Streams
       .hourlyEventRollup(spark, SparkTestBase.sfDir, "test_stream_out")
