@@ -308,11 +308,50 @@ object SparkEntry {
         .orderBy(col("n_nationkey"))
     }),
 
+    "j7b_fuzzy_blocked" -> ((s, dir) => {
+      // blocked fuzzy join (3-gram inverted index instead of cross
+      // product) — the scale path when the right side is too big to
+      // broadcast; corruption keeps 3-gram overlap so every row matches
+      val n = t(s, dir, "nation")
+      val corrupted = n.select(col("n_nationkey"),
+        concat(expr("substring(n_name, 1, length(n_name)-1)"), lit("X"))
+          .as("noisy_name"))
+      FuzzyJoin.blockedBestMatch(corrupted, "noisy_name", n, "n_name")
+        .orderBy(col("n_nationkey"))
+    }),
+
+    "j9_salted_join" -> ((s, dir) => {
+      // skew-resistant salted equi-join: same inner-join semantics,
+      // hot keys spread across salt buckets
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Relational.saltedJoin(o, c, "o_custkey", salt = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "j8_lookup_join" -> ((s, dir) => {
       val n = t(s, dir, "nation"); val r = t(s, dir, "region")
       n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .select(col("n_nationkey"), col("n_name"), col("r_name"))
         .orderBy(col("n_nationkey"))
+    }),
+
+    "j10_asof_join" -> ((s, dir) => {
+      // backward as-of join: each event picks up the probe user's most
+      // recent order state (right side pre-dedupped per (key, time) for
+      // deterministic ties)
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_totalprice")).as("last_order_price"))
+      AsofJoin.backward(e, "user_id", "ts",
+          o, "o_custkey", "o_orderdate", Seq("last_order_price"))
+        .select(col("event_id"), col("user_id"), col("last_order_price"))
+        .orderBy(col("event_id"))
     }),
 
     // ---- aggregation (§2.5) --------------------------------------------
@@ -722,6 +761,15 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "x15_ann_ivf_topk" -> ((s, dir) => {
+      // IVF cell-probing ANN (approximate → rows-only check; the spec
+      // proves nprobe=nlist degenerates to exact brute force)
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- LLM-pipeline: text analysis (x8..x11) -------------------------
     "x8_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -971,10 +1019,62 @@ object SparkEntry {
           CROSS JOIN (SELECT DISTINCT n_name AS cand FROM nation) r))
       WHERE rn = 1 ORDER BY n_nationkey""",
 
+    "j7b_fuzzy_blocked" -> """
+      WITH l AS (
+        SELECT n_nationkey,
+               substring(n_name, 1, length(n_name) - 1) || 'X' AS noisy_name
+        FROM nation),
+      r AS (SELECT DISTINCT n_name AS cand FROM nation),
+      lg AS (
+        SELECT DISTINCT n_nationkey, noisy_name, g FROM (
+          SELECT n_nationkey, noisy_name,
+                 unnest(list_transform(
+                   range(1, greatest(length(noisy_name) - 2, 1) + 1),
+                   i -> substring(lower(noisy_name), CAST(i AS BIGINT), 3)))
+                   AS g
+          FROM l)),
+      rg AS (
+        SELECT DISTINCT cand, g FROM (
+          SELECT cand,
+                 unnest(list_transform(
+                   range(1, greatest(length(cand) - 2, 1) + 1),
+                   i -> substring(lower(cand), CAST(i AS BIGINT), 3))) AS g
+          FROM r)),
+      cands AS (
+        SELECT DISTINCT n_nationkey, noisy_name, cand
+        FROM lg JOIN rg USING (g)),
+      scored AS (
+        SELECT n_nationkey, noisy_name, cand,
+               1.0 - CAST(levenshtein(lower(noisy_name), lower(cand))
+                          AS DOUBLE)
+                   / greatest(length(noisy_name), length(cand), 1) AS score
+        FROM cands)
+      SELECT n_nationkey, noisy_name, cand AS match_n_name,
+             round(score, 4) AS match_score
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY n_nationkey, noisy_name
+              ORDER BY score DESC, cand ASC) AS rn
+            FROM scored)
+      WHERE rn = 1 ORDER BY n_nationkey""",
+
+    "j9_salted_join" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
     "j8_lookup_join" -> """
       SELECT n_nationkey, n_name, r_name
       FROM nation JOIN region ON n_regionkey = r_regionkey
       ORDER BY n_nationkey""",
+
+    "j10_asof_join" -> """
+      WITH r AS (
+        SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS last_order_price
+        FROM orders GROUP BY 1, 2)
+      SELECT event_id, user_id, last_order_price
+      FROM events e ASOF LEFT JOIN r
+        ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+      ORDER BY event_id""",
 
     "a1_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,

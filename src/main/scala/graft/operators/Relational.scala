@@ -36,4 +36,23 @@ object Relational {
     * stable and a SQL oracle can reproduce the order). */
   def deterministicShuffle(df: DataFrame, keyCol: Column): DataFrame =
     df.orderBy(md5(keyCol.cast("string")), keyCol)
+
+  /** Skew-resistant equi-join: salt the skewed (left) side's key into
+    * `salt` sub-keys and replicate the build (right) side once per salt
+    * value, so one hot key spreads over `salt` shuffle partitions
+    * instead of hot-spotting one reducer.
+    *
+    * Inner equi-join semantics are unchanged: every (l, r) key match
+    * meets in exactly one salted bucket. This is the manual fallback
+    * for when AQE skew-join can't kick in (e.g. the skew is in a
+    * grouping key feeding the join, or AQE is off); prefer plain joins
+    * + AQE where possible. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salt: Int = 16): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -87,4 +87,53 @@ object Similarity {
         VectorExprs.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     scoreAndRank(scored, k)
   }
+
+  /** IVF (inverted-file) ANN — the other classic scale path: a coarse
+    * quantizer splits the corpus into `nlist` cells; each query probes
+    * only its `nprobe` nearest cells.
+    *
+    *  - Centroids: the `nlist` corpus vectors with the smallest
+    *    xxhash64(id) — a deterministic uniform sample, no driver-side
+    *    randomness, no iterative k-means (good enough as a coarse
+    *    quantizer; swappable for trained centroids).
+    *  - Assignment: one broadcast pass over the corpus, cell = argmax
+    *    cosine vs centroids (`max(struct(cos, id))` — no window shuffle).
+    *  - Search: probe lists meet assigned cells in a hash join on
+    *    cell id — the only shuffle that scales with corpus size.
+    *
+    * With nprobe = nlist this degenerates to exact brute force (every
+    * cell probed), which the test suite uses as an equivalence oracle. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      VectorExprs.norm(col(vecCol)).as("cn"))
+    val cents = c
+      .withColumn("__h", xxhash64(col("neighbor_id")))
+      .orderBy(col("__h"), col("neighbor_id")).limit(nlist)
+      .select(col("neighbor_id").as("cent_id"), col("cv").as("cent_v"),
+        col("cn").as("cent_n"))
+    def centCos(v: Column, n: Column): Column =
+      VectorExprs.dot(v, col("cent_v")) / (n * col("cent_n"))
+    val assigned = c.join(broadcast(cents))
+      .groupBy(col("neighbor_id"))
+      .agg(max(struct(centCos(col("cv"), col("cn")).as("cos"),
+          col("cent_id"))).getField("cent_id").as("cell"),
+        first(col("cv")).as("cv"), first(col("cn")).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VectorExprs.norm(col(vecCol)).as("qn"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("probe_cos").desc, col("cent_id").asc)
+    val probes = q.join(broadcast(cents))
+      .withColumn("probe_cos", centCos(col("qv"), col("qn")))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("cent_id").as("cell"))
+    val scored = assigned.join(probes, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim",
+        VectorExprs.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    scoreAndRank(scored, k)
+  }
 }

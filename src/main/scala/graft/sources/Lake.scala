@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Filesystem lake — the blob-store lifecycle surface of the reference's
+  * storage utility (`airflow/utils/gcp.py`: exists-guards :41-43/:84-86,
+  * list+sort :448-471, delete :301-345, rename/move :348-445) over
+  * Hadoop FS, so the same code paths work on local disk, HDFS, or any
+  * object store with a Hadoop connector.
+  *
+  * Layout convention mirrors the reference's date-prefixed buckets:
+  * `<root>/<zone>/<dataset>/<yyyy-MM-dd>/…` (e.g.
+  * `d_gmaps_places_src_to_ods.py:21`), which doubles as a partition
+  * column on read.
+  */
+final class Lake(spark: SparkSession, root: String) {
+
+  private def fs(p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def path(parts: String*): Path = new Path((root +: parts).mkString("/"))
+
+  /** S10: existence guard. */
+  def exists(parts: String*): Boolean = { val p = path(parts: _*); fs(p).exists(p) }
+
+  /** S11: list blobs under a prefix, name-sorted (the reference sorts
+    * blob names to get deterministic batch order). */
+  def list(parts: String*): Seq[String] = {
+    val p = path(parts: _*)
+    val f = fs(p)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).map(_.getPath.toString).sorted.toSeq
+  }
+
+  /** S12: delete a blob/prefix (recursive, idempotent). */
+  def delete(parts: String*): Boolean = {
+    val p = path(parts: _*); fs(p).delete(p, true)
+  }
+
+  /** S12: rename/move a prefix (the reference's raw→processed archive
+    * move, `gcp.py:348-445`). */
+  def rename(from: Seq[String], to: Seq[String]): Boolean = {
+    val src = path(from: _*); val dst = path(to: _*)
+    val f = fs(src)
+    f.mkdirs(dst.getParent)
+    f.rename(src, dst)
+  }
+
+  /** S8+S10: idempotent full-refresh write — `WRITE_TRUNCATE` when
+    * overwrite=true, exists-skip when false (`mode("ignore")`). */
+  def write(df: DataFrame, overwrite: Boolean, parts: String*): Unit =
+    df.write
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Ignore)
+      .parquet(path(parts: _*).toString)
+
+  /** Read a dataset (optionally a glob prefix, S7). */
+  def read(parts: String*): DataFrame =
+    spark.read.parquet(path(parts: _*).toString)
+}

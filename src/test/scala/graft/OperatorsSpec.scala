@@ -127,6 +127,72 @@ class OperatorsSpec extends GraftSuite {
     assert(first === exp)
   }
 
+  test("AsofJoin.backward: latest state ≤ probe time, exact-time wins, unmatched null") {
+    val probes = Seq((1L, "u1", 10L), (2L, "u1", 25L), (3L, "u1", 5L),
+      (4L, "u2", 100L), (5L, "u3", 50L))
+      .toDF("event_id", "k", "t")
+    val states = Seq(("u1", 10L, "a"), ("u1", 20L, "b"), ("u2", 999L, "c"))
+      .toDF("k", "t", "payload")
+    val out = AsofJoin.backward(probes, "k", "t", states, "k", "t",
+        Seq("payload"))
+      .orderBy("event_id")
+      .select($"payload").as[Option[String]].collect()
+    // t=10 matches the state AT 10 (inclusive); t=25 takes the later "b";
+    // t=5 precedes all u1 states; u2's only state is in the future; u3
+    // has no states at all
+    assert(out === Array(Some("a"), Some("b"), None, None, None))
+  }
+
+  test("Relational.saltedJoin preserves inner equi-join semantics") {
+    val o = Tables.load(spark, SparkTestBase.sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.load(spark, SparkTestBase.sfDir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val salted = Relational.saltedJoin(o, c, "o_custkey", salt = 4)
+    val plain = o.join(c, Seq("o_custkey"))
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+  }
+
+  test("Lake: exists / list-sorted / write-ignore / rename / delete") {
+    val lake = new graft.sources.Lake(spark, "/root/repo/target/qtmp/test_lake")
+    lake.delete("raw")
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "s")
+    lake.write(df, overwrite = true, "raw", "t1", "2024-01-01")
+    lake.write(df.limit(1), overwrite = false, "raw", "t1", "2024-01-01") // ignored
+    assert(lake.exists("raw", "t1", "2024-01-01"))
+    assert(lake.read("raw", "t1", "2024-01-01").count() === 2)
+    lake.write(df, overwrite = true, "raw", "t1", "2024-01-02")
+    val days = lake.list("raw", "t1").map(_.split('/').last)
+    assert(days === days.sorted && days.size === 2)
+    assert(lake.rename(Seq("raw", "t1"), Seq("processed", "t1")))
+    assert(!lake.exists("raw", "t1") && lake.exists("processed", "t1"))
+    assert(lake.delete("processed"))
+    assert(!lake.exists("processed", "t1"))
+  }
+
+  test("Similarity.ivfTopK with nprobe=nlist equals exact brute force") {
+    val emb = Tables.load(spark, SparkTestBase.sfDir, "embeddings")
+    val q = emb.filter($"vec_id" < 5)
+    val brute = Similarity.bruteTopK(q, emb, "vec_id", "embedding", 3)
+    val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 3,
+      nlist = 8, nprobe = 8)
+    assert(ivf.count() === brute.count())
+    assert(ivf.exceptAll(brute).count() === 0)
+  }
+
+  test("FuzzyJoin.blockedBestMatch agrees with bestMatch when grams overlap") {
+    val right = Seq("taipei 101", "sun moon lake", "taroko gorge").toDF("name")
+    val left = Seq((1, "taipei 10x"), (2, "sun moon lakx"), (3, "taroko gorgx"))
+      .toDF("id", "q")
+    val blocked = FuzzyJoin.blockedBestMatch(left, "q", right, "name")
+      .orderBy("id").select("match_name").as[String].collect()
+    val full = FuzzyJoin.bestMatch(left, "q", right, "name")
+      .orderBy("id").select("match_name").as[String].collect()
+    assert(blocked === full)
+    assert(blocked === Array("taipei 101", "sun moon lake", "taroko gorge"))
+  }
+
   test("Streams.hourlyEventRollup matches the batch aggregation") {
     val streamed = graft.streaming.Streams
       .hourlyEventRollup(spark, SparkTestBase.sfDir, "test_stream_out")
