@@ -43,7 +43,14 @@ object Medallion {
   }
 
   /** ods: cleaned reviews — null-key filter + date normalization,
-    * day-partition column (reference ods-gmaps-reviews). */
+    * date-partition column (reference ods-gmaps-reviews).
+    *
+    * Partition granularity is month, not day: the partition column must
+    * match data density (target: at least one well-sized file per partition).
+    * At this table's density a day partition holds a few KB — thousands of
+    * tiny files whose open/commit overhead dominates the build, and whose
+    * listing dominates every downstream read. Day-level pruning still
+    * works inside a month via parquet min/max stats on `published_at`. */
   private def odsReviews(s: SparkSession, ctx: Ctx): DataFrame =
     ctx.source("orders")
       .filter(col("o_orderkey").isNotNull && col("o_custkey").isNotNull &&
@@ -53,6 +60,8 @@ object Medallion {
         col("o_custkey").as("place_id"),
         col("o_totalprice").as("rating_raw"),
         col("o_orderdate").cast("date").as("published_at"))
+      .withColumn("published_month",
+        date_format(col("published_at"), "yyyy-MM"))
 
   /** dim: calendar dim from observed dates (reference dim-time). */
   private def dimTime(s: SparkSession, ctx: Ctx): DataFrame =
@@ -118,12 +127,24 @@ object Medallion {
     tables.foreach(t => visit(t.qualified, Set.empty))
     done.foreach { name =>
       val t = byName(name)
+      val t0 = System.nanoTime()
       val df = t.build(spark, ctx)
-      val writer = df.write.mode("overwrite")
-      val partitioned =
-        if (t.qualified == "ods.reviews") writer.partitionBy("published_at")
-        else writer
-      partitioned.parquet(ctx.path(t.qualified))
+      // Partitioned layers are shuffled on the partition column first so
+      // each partition lands in exactly one task → one file per partition
+      // instead of (tasks × partitions) tiny files. Same pattern at
+      // 100 TB: one hash shuffle co-locates each output partition's rows.
+      if (t.qualified == "ods.reviews") {
+        // explicit partition count: an AQE-coalesced shuffle would funnel
+        // every output partition through a handful of writer tasks
+        val n = spark.sparkContext.defaultParallelism
+        df.repartition(n, col("published_month")).write.mode("overwrite")
+          .partitionBy("published_month").parquet(ctx.path(t.qualified))
+      }
+      else
+        df.write.mode("overwrite").parquet(ctx.path(t.qualified))
+      if (sys.env.contains("GRAFT_TRACE"))
+        System.err.println(
+          f"[medallion] ${t.qualified}: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     ctx.read("mart.trends")
   }
