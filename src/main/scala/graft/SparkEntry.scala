@@ -213,6 +213,23 @@ object SparkEntry {
         .orderBy(col("batch"))
     }),
 
+    "p14_hash_sample" -> ((s, dir) => {
+      // deterministic hash sample (m/16 of rows, pure function of the key
+      // — reproducible across engines, cluster sizes, and reruns)
+      Sampling.hashSample(t(s, dir, "orders"), col("o_orderkey"), m = 4)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "p15_stratified_sample" -> ((s, dir) => {
+      // stratified hash sample: each stratum sampled at m/16 independently
+      Sampling.stratifiedHashSample(t(s, dir, "orders"),
+          col("o_orderstatus"), col("o_orderkey"), m = 4)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ---- dedup (§2.3) --------------------------------------------------
     "d1_dedup_keep_first" -> ((s, dir) => {
       Dedup.keepFirst(t(s, dir, "orders"),
@@ -339,6 +356,21 @@ object SparkEntry {
         .orderBy(col("n_nationkey"))
     }),
 
+    "j11_range_join" -> ((s, dir) => {
+      // point-in-interval join via bucketing (see RangeJoin): events
+      // land in non-uniform value tiers derived from region
+      val tiers = t(s, dir, "region").select(
+        col("r_regionkey").as("tier"),
+        (col("r_regionkey") * col("r_regionkey") * 20).cast(DoubleType).as("lo"),
+        ((col("r_regionkey") + 1) * (col("r_regionkey") + 1) * 20)
+          .cast(DoubleType).as("hi"))
+      RangeJoin.bucketed(t(s, dir, "events"), "value", tiers, "lo", "hi",
+          step = 20.0)
+        .groupBy(col("tier"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("tier"))
+    }),
+
     "j10_asof_join" -> ((s, dir) => {
       // backward as-of join: each event picks up the probe user's most
       // recent order state (right side pre-dedupped per (key, time) for
@@ -352,6 +384,22 @@ object SparkEntry {
           o, "o_custkey", "o_orderdate", Seq("last_order_price"))
         .select(col("event_id"), col("user_id"), col("last_order_price"))
         .orderBy(col("event_id"))
+    }),
+
+    "b1_bucketed_join" -> ((s, dir) => {
+      // co-located join over bucketed tables: the shuffle is paid once at
+      // write time; the join itself plans with zero exchanges
+      val o = Bucketing.writeBucketed(s,
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        "b1_orders", tmpDir("b1_orders"), "o_custkey", buckets = 8)
+      val c = Bucketing.writeBucketed(s,
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        "b1_customer", tmpDir("b1_customer"), "c_custkey", buckets = 8)
+      Bucketing.colocatedJoin(o, "o_custkey", c, "c_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("c_mktsegment"))
     }),
 
     // ---- aggregation (§2.5) --------------------------------------------
@@ -430,6 +478,30 @@ object SparkEntry {
         .orderBy(col("status"), col("priority"))
     }),
 
+    "a8_percentiles" -> ((s, dir) => {
+      // exact interpolated percentiles (quantile_cont semantics)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 2).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 2).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "a9_grouping_sets" -> ((s, dir) => {
+      Tables.createViews(s, dir)
+      s.sql("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY returnflag, linestatus""")
+    }),
+
     // ---- DML-as-rewrite (§2.10) ----------------------------------------
     "m1_update_rewrite" -> ((s, dir) => {
       // UPDATE … SET name WHERE name=… ×N (reference synonym-id repair),
@@ -503,6 +575,20 @@ object SparkEntry {
             .cast("double"))
         .select(col("o_custkey"), col("o_orderkey"),
           col("prev_price").cast("double").as("prev_price"), col("delta"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "w6_range_frame" -> ((s, dir) => {
+      // value-range window frame: trailing 30-day revenue per customer
+      // (RANGE, not ROWS — peers share the frame, so ties are harmless)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(datediff(col("o_orderdate").cast(DateType),
+          lit("1970-01-01").cast(DateType)))
+        .rangeBetween(-30, 0)
+      t(s, dir, "orders")
+        .withColumn("sum_30d",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("sum_30d"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
@@ -792,6 +878,28 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "x16_pii_scrub" -> ((s, dir) => {
+      // PII masking over documents with deterministic injected PII (the
+      // corpus itself carries none, so the injection makes the op visible)
+      val d = t(s, dir, "documents")
+        .withColumn("text2", concat(col("text"),
+          lit(" reach user"), col("doc_id").cast(StringType),
+          lit("@example.com or 555-867-5309 from 10.0.0."),
+          (col("doc_id") % 256).cast(StringType)))
+      TextOps.scrubPii(d, col("doc_id"), col("text2"))
+        .orderBy(col("id"))
+    }),
+
+    "x17_chunk_tokens" -> ((s, dir) => {
+      TextOps.chunkTokens(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("id"), col("chunk_no"))
+    }),
+
+    "x18_tfidf_topk" -> ((s, dir) => {
+      TextOps.tfidfTopTerms(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("id"), col("rank"))
+    }),
+
     // ---- LLM-pipeline: multimodal plumbing (x12) -----------------------
     "x12_multimodal_decode" -> ((s, dir) => {
       val media = Multimodal.asMedia(t(s, dir, "events"),
@@ -1075,6 +1183,115 @@ object SparkEntry {
       FROM events e ASOF LEFT JOIN r
         ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
       ORDER BY event_id""",
+
+    "j11_range_join" -> """
+      WITH tiers AS (
+        SELECT r_regionkey AS tier,
+               CAST(r_regionkey * r_regionkey * 20 AS DOUBLE) AS lo,
+               CAST((r_regionkey + 1) * (r_regionkey + 1) * 20 AS DOUBLE) AS hi
+        FROM region)
+      SELECT tier, lo, hi, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+      GROUP BY tier, lo, hi ORDER BY tier""",
+
+    "b1_bucketed_join" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "p14_hash_sample" -> """
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+              IN ('0', '1', '2', '3')
+      ORDER BY o_orderkey""",
+
+    "p15_stratified_sample" -> """
+      SELECT o_orderstatus, COUNT(*) AS n FROM orders
+      WHERE substring(md5(o_orderstatus || '|' ||
+              CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "a8_percentiles" -> """
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.25), 2) AS p25,
+             round(quantile_cont(l_quantity, 0.5), 2) AS p50,
+             round(quantile_cont(l_quantity, 0.75), 2) AS p75,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "a9_grouping_sets" -> """
+      SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+             COALESCE(l_linestatus, 'ALL') AS linestatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY returnflag, linestatus""",
+
+    "w6_range_frame" -> """
+      SELECT o_custkey, o_orderkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY date_diff('day', DATE '1970-01-01',
+                                           CAST(o_orderdate AS DATE))
+                        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS sum_30d
+      FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "x16_pii_scrub" -> """
+      SELECT doc_id AS id,
+             len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+             len(regexp_extract_all(t,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]',
+               'g'), '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')
+               AS clean_text
+      FROM (
+        SELECT doc_id,
+               text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+               '@example.com or 555-867-5309 from 10.0.0.' ||
+               CAST(doc_id % 256 AS VARCHAR) AS t
+        FROM documents)
+      ORDER BY id""",
+
+    "x17_chunk_tokens" -> """
+      WITH toks AS (
+        SELECT doc_id AS id, regexp_extract_all(text, '\S+') AS t
+        FROM documents),
+      st AS (
+        SELECT id, t,
+               UNNEST(range(0, greatest(len(t), 1), 40)) AS st0
+        FROM toks)
+      SELECT id, CAST(st0 / 40 AS INT) AS chunk_no,
+             array_to_string(t[CAST(st0 + 1 AS BIGINT):CAST(st0 + 50 AS BIGINT)],
+               ' ') AS chunk_text,
+             len(string_split(array_to_string(
+               t[CAST(st0 + 1 AS BIGINT):CAST(st0 + 50 AS BIGINT)], ' '), ' '))
+               AS n_chunk_tokens
+      FROM st ORDER BY id, chunk_no""",
+
+    "x18_tfidf_topk" -> """
+      WITH tf AS (
+        SELECT id, term, COUNT(*) AS tf FROM (
+          SELECT doc_id AS id,
+                 UNNEST(regexp_extract_all(lower(text), '\S+')) AS term
+          FROM documents) GROUP BY id, term),
+      dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      nn AS (SELECT COUNT(*) AS n FROM documents)
+      SELECT id, rank, term, round(score, 4) AS tfidf FROM (
+        SELECT id, term,
+               tf * ln((n + 1.0) / (df + 1.0)) AS score,
+               row_number() OVER (PARTITION BY id
+                 ORDER BY tf * ln((n + 1.0) / (df + 1.0)) DESC, term ASC)
+                 AS rank
+        FROM tf JOIN dfreq USING (term) CROSS JOIN nn)
+      WHERE rank <= 3 ORDER BY id, rank""",
 
     "a1_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,

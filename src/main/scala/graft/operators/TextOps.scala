@@ -75,4 +75,75 @@ object TextOps {
     df.select(id.as("id"),
       ColFns.fingerprint(text).as("md5_fp"),
       xxhash64(regexp_replace(trim(lower(text)), "\\s+", " ")).as("xx64_fp"))
+
+  /** PII patterns kept deliberately portable (no lookarounds) so the
+    * same regex runs in any RE2/PCRE-ish engine a pipeline audits with. */
+  val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrub: masks emails / phone numbers / IPv4 literals and counts
+    * what was masked. Pure per-row regexp — shuffle-free, scan-speed. */
+  def scrubPii(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("id"),
+      size(regexp_extract_all(text, lit(emailPat), lit(0))).as("n_emails"),
+      size(regexp_extract_all(text, lit(phonePat), lit(0))).as("n_phones"),
+      size(regexp_extract_all(text, lit(ipPat), lit(0))).as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, emailPat, "[EMAIL]"),
+          phonePat, "[PHONE]"),
+        ipPat, "[IP]").as("clean_text"))
+
+  /** Fixed-size token chunking with overlap (training-window prep):
+    * whitespace tokens, windows of `size` starting every `stride`
+    * tokens, final partial window kept. One generator expression + an
+    * explode — rows fan out ~n_tokens/stride with no shuffle. */
+  def chunkTokens(df: DataFrame, id: Column, text: Column,
+                  size: Int = 50, stride: Int = 40): DataFrame = {
+    require(stride > 0 && size > 0, "size and stride must be positive")
+    val toks = regexp_extract_all(text, lit("\\S+"), lit(0))
+    df.select(id.as("id"), toks.as("__toks"))
+      .withColumn("__starts",
+        sequence(lit(0),
+          greatest(org.apache.spark.sql.functions.size(col("__toks")) - 1,
+            lit(0)),
+          lit(stride)))
+      .select(col("id"),
+        posexplode(transform(col("__starts"),
+          st => concat_ws(" ", slice(col("__toks"), st + 1, lit(size)))))
+          .as(Seq("chunk_no", "chunk_text")))
+      .withColumn("n_chunk_tokens",
+        org.apache.spark.sql.functions.size(
+          split(col("chunk_text"), " ")))
+  }
+
+  /** Per-document top-k TF-IDF terms.
+    *
+    * tf = in-document count of the lowercased whitespace token;
+    * idf = ln((N+1)/(df+1)) with df = #docs containing the token.
+    * Two hash shuffles (token grain, then doc grain for the window) —
+    * the same shape a 100 TB vocabulary build takes; document frequency
+    * is a broadcastable side output at any scale (vocab ≪ corpus). */
+  def tfidfTopTerms(df: DataFrame, id: Column, text: Column,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count() // one cheap count pass; N is a scalar constant
+    val tokens = df.select(id.as("id"),
+        explode(regexp_extract_all(lower(text), lit("\\S+"), lit(0)))
+          .as("term"))
+    val tf = tokens.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score",
+        col("tf") * log((lit(n) + 1.0d) / (col("df") + 1.0d)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"),
+        round(col("score"), 4).as("tfidf"))
+  }
 }

@@ -205,4 +205,96 @@ class OperatorsSpec extends GraftSuite {
     assert(streamed.exceptAll(
       batch.select("bucket", "event_type", "n_events", "sum_value")).count() === 0)
   }
+
+  test("RangeJoin.bucketed equals the naive theta join") {
+    val events = Tables.load(spark, SparkTestBase.sfDir, "events")
+      .select($"event_id", $"value")
+    val tiers = Seq((0, 0.0, 20.0), (1, 20.0, 80.0), (2, 80.0, 180.0),
+        (3, 180.0, 320.0), (4, 320.0, 500.0))
+      .toDF("tier", "lo", "hi")
+    val bucketed = RangeJoin.bucketed(events, "value", tiers, "lo", "hi", 20.0)
+      .select("event_id", "tier")
+    val naive = events.join(tiers,
+        $"value" >= $"lo" && $"value" < $"hi")
+      .select("event_id", "tier")
+    assert(bucketed.count() === naive.count())
+    assert(bucketed.exceptAll(naive).count() === 0)
+  }
+
+  test("RangeJoin.bucketed half-open bounds: hi on a bucket boundary") {
+    val pts = Seq((1, 10.0), (2, 20.0), (3, 19.999)).toDF("id", "p")
+    val iv = Seq(("a", 10.0, 20.0)).toDF("name", "lo", "hi")
+    val out = RangeJoin.bucketed(pts, "p", iv, "lo", "hi", 5.0)
+      .select("id").as[Int].collect().sorted
+    assert(out === Array(1, 3)) // 20.0 excluded: [10,20)
+  }
+
+  test("Sampling.hashSample is deterministic and ~m/16 sized") {
+    val o = Tables.load(spark, SparkTestBase.sfDir, "orders")
+    val s1 = Sampling.hashSample(o, $"o_orderkey", 4)
+    val s2 = Sampling.hashSample(o.repartition(7), $"o_orderkey", 4)
+    assert(s1.count() === s2.count()) // layout-independent membership
+    val frac = s1.count().toDouble / o.count()
+    assert(frac > 0.15 && frac < 0.35) // 4/16 = 0.25 ± slack
+    assert(Sampling.hashSample(o, $"o_orderkey", 0).count() === 0)
+    assert(Sampling.hashSample(o, $"o_orderkey", 16).count() === o.count())
+  }
+
+  test("TextOps.scrubPii masks and counts emails/phones/ips") {
+    val df = Seq((1L, "mail a@b.com or c@d.org call 555-123-4567 ip 1.2.3.4"))
+      .toDF("id", "text")
+    val r = TextOps.scrubPii(df, $"id", $"text").collect()(0)
+    assert(r.getAs[Int]("n_emails") === 2)
+    assert(r.getAs[Int]("n_phones") === 1)
+    assert(r.getAs[Int]("n_ips") === 1)
+    assert(r.getAs[String]("clean_text") ===
+      "mail [EMAIL] or [EMAIL] call [PHONE] ip [IP]")
+  }
+
+  test("TextOps.chunkTokens windows with overlap and keeps the tail") {
+    val text = (1 to 95).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("id", "text")
+    val out = TextOps.chunkTokens(df, $"id", $"text", size = 50, stride = 40)
+      .orderBy("chunk_no").collect()
+    assert(out.length === 3) // starts 0, 40, 80
+    assert(out(0).getAs[Int]("n_chunk_tokens") === 50)
+    assert(out(1).getAs[Int]("n_chunk_tokens") === 50)
+    assert(out(2).getAs[Int]("n_chunk_tokens") === 15) // tail kept
+    assert(out(2).getAs[String]("chunk_text").startsWith("w81 "))
+  }
+
+  test("TextOps.tfidfTopTerms ranks distinguishing terms first") {
+    val df = Seq(
+      (1L, "apple apple apple common common"),
+      (2L, "banana banana common common"),
+      (3L, "cherry common")).toDF("id", "text")
+    val top1 = TextOps.tfidfTopTerms(df, $"id", $"text", k = 1)
+      .orderBy("id").select("term").as[String].collect()
+    assert(top1 === Array("apple", "banana", "cherry"))
+  }
+
+  test("Bucketing: colocated join matches plain join and plans no exchange") {
+    val dir = "/root/repo/target/qtmp/test_bucketing"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val o = Tables.load(spark, SparkTestBase.sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val c = Tables.load(spark, SparkTestBase.sfDir, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+    val ob = Bucketing.writeBucketed(spark, o, "tb_orders", s"$dir/o",
+      "o_custkey", 4)
+    val cb = Bucketing.writeBucketed(spark, c, "tb_customer", s"$dir/c",
+      "c_custkey", 4)
+    // broadcast would mask bucketing on tiny test data — force the
+    // shuffle-join path to prove the bucketed scans line up
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.colocatedJoin(ob, "o_custkey", cb, "c_custkey")
+      val plain = o.join(c, $"o_custkey" === $"c_custkey")
+      assert(joined.count() === plain.count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"),
+        s"expected shuffle-free plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
