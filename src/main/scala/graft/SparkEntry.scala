@@ -1569,10 +1569,10 @@ object SparkEntry {
              strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
       FROM (
         SELECT user_id, ts, event_id,
-               SUM(new_session) OVER (PARTITION BY user_id
+               CAST(SUM(new_session) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING
-                                      AND CURRENT ROW) AS session_id
+                                      AND CURRENT ROW) AS BIGINT) AS session_id
         FROM (
           SELECT user_id, ts, event_id,
                  CASE WHEN prev_sec IS NULL

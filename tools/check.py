@@ -48,6 +48,13 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> str:
         return f"FAIL rows spark={len(spark_df)} oracle={len(oracle_df)}"
     a, b = normalize(spark_df), normalize(oracle_df)
     for c in a.columns:
+        # driver's hash gate stringifies values: int width diffs are
+        # harmless (5 == 5) but float-vs-int is not (1.0 != 1) — flag
+        # only kind mismatches
+        if a[c].dtype.kind != b[c].dtype.kind:
+            return (f"FAIL dtype col {c}: spark={a[c].dtype} "
+                    f"oracle={b[c].dtype}")
+    for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):
             eq = (av.isna() & bv.isna()) | (av == bv)
