@@ -440,11 +440,18 @@ object SparkEntry {
     }),
 
     "a4_hll_approx_distinct" -> ((s, dir) => {
-      // approx_count_distinct (HLL++) — no DuckDB oracle (different sketch)
+      // approx_count_distinct (HLL++). The sketch itself is engine-
+      // specific, so the oracle-checked contract is the useful one: the
+      // exact count plus "approx landed within 5%" (HLL++ rsd default
+      // 0.05) — deterministic on fixed data, and exactly what a pipeline
+      // asserting sketch quality would check.
       t(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("within_5pct"))
         .orderBy(col("event_type"))
     }),
 
@@ -815,7 +822,9 @@ object SparkEntry {
     }),
 
     "x3_simhash_bands" -> ((s, dir) => {
-      Dedup.simhashBands(t(s, dir, "documents"), col("doc_id"), col("text"))
+      // portable 60-bit simhash (md5-derived token hashes) so the
+      // fingerprint — not just the row count — is oracle-checkable
+      Dedup.simhashBands60(t(s, dir, "documents"), col("doc_id"), col("text"))
         .orderBy(col("id"), col("band"))
     }),
 
@@ -1585,6 +1594,64 @@ object SparkEntry {
                      AS prev_sec
             FROM events)))
       GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+
+    "a4_hll_approx_distinct" -> """
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+             TRUE AS within_5pct
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "x2_minhash_lsh_pairs" -> """
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1),
+                      i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [array_to_string(toks, ' ')] END) AS s
+        FROM (SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text),
+                       '\s+', ' ', 'g')), ' ') AS toks
+              FROM documents))
+      SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.8 ORDER BY id_a, id_b""",
+
+    "x3_simhash_bands" -> """
+      WITH docs AS (
+        SELECT doc_id AS id,
+               list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+        FROM documents),
+      h AS (
+        SELECT id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS hv
+        FROM (SELECT id, UNNEST(toks) AS tok FROM docs)),
+      votes AS (
+        SELECT id, i,
+               SUM(CASE WHEN (hv >> CAST(i AS INT)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM h CROSS JOIN (SELECT UNNEST(range(60)) AS i) GROUP BY id, i),
+      fp0 AS (
+        SELECT id, CAST(SUM(CASE WHEN v >= 0
+                 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                 ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY id),
+      fp AS (
+        SELECT d.id,
+               COALESCE(f.simhash, CAST(1152921504606846975 AS BIGINT))
+                 AS simhash
+        FROM docs d LEFT JOIN fp0 f ON d.id = f.id)
+      SELECT id, simhash, CAST(b AS INT) AS band,
+             (simhash >> CAST(b * 15 AS INT)) & 32767 AS band_key
+      FROM fp CROSS JOIN (SELECT UNNEST(range(4)) AS b)
+      ORDER BY id, band""",
+
+    "x11_fingerprints" -> """
+      SELECT doc_id AS id,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS md5_fp,
+             CAST(('0x' || substring(md5(regexp_replace(trim(lower(text)),
+               '\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS fp60
+      FROM documents ORDER BY id""",
 
     "x1_dedup_exact" -> """
       SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))

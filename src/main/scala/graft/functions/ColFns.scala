@@ -139,4 +139,14 @@ object ColFns {
     * (canonical-form exact-dup key). */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Portable 60-bit integer hash: the first 15 hex digits of md5,
+    * parsed base-16. Unlike xxhash64 this reproduces bit-for-bit in any
+    * engine with an md5() (DuckDB/Trino/BigQuery: `CAST('0x' ||
+    * substring(md5(x),1,15) AS BIGINT)`), which is what you want for
+    * cross-system dedup audits and lineage fingerprints. 60 bits keeps
+    * it positive in a signed int64, so modulo/shift arithmetic downstream
+    * is sign-free. */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
 }

@@ -174,6 +174,37 @@ object Dedup {
         .as(Seq("band", "band_key")))
   }
 
+  /** Portable 60-bit SimHash: same vote construction as [[simhash64]]
+    * but token hashes come from [[graft.functions.ColFns.portableHash60]]
+    * (md5-derived), so the fingerprint reproduces bit-for-bit in any
+    * engine with md5 — the property a cross-system dedup audit needs.
+    * 60 bits also stays positive in a signed int64 (no sign-bit special
+    * case). Ties (vote = 0) set the bit, matching simhash64. */
+  def simhash60(text: Column): Column = {
+    val toks = array_distinct(regexp_extract_all(lower(text), lit("\\S+"), lit(0)))
+    val hashes = transform(toks, t => graft.functions.ColFns.portableHash60(t))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0L), 60),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(59)),
+        (c, i) => c + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(59)),
+        (v, i) => when(v >= 0,
+          call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** [[simhashBands]] over the portable fingerprint: four 15-bit bands. */
+  def simhashBands60(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism * 2
+    val base = df.repartition(par).select(id.as("id"), simhash60(text).as("simhash"))
+    base.select(col("id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftrightunsigned", col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))))
+        .as(Seq("band", "band_key")))
+  }
+
   // ------------------------------------------------------- embedding cosine
 
   /** Cosine similarity of two float-array columns (elements upcast to

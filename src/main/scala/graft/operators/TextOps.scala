@@ -70,11 +70,15 @@ object TextOps {
       ColFns.tokenCount(text).as("ws_tokens"),
       ColFns.bpeTokenCount(text).as("bpe_tokens"))
 
-  /** Content fingerprints: normalized md5 + 64-bit xxhash. */
-  def fingerprints(df: DataFrame, id: Column, text: Column): DataFrame =
+  /** Content fingerprints: normalized md5 + a portable 60-bit integer
+    * fingerprint ([[ColFns.portableHash60]] — engine-independent, so a
+    * downstream system can re-derive and cross-check it). */
+  def fingerprints(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val norm = regexp_replace(trim(lower(text)), "\\s+", " ")
     df.select(id.as("id"),
       ColFns.fingerprint(text).as("md5_fp"),
-      xxhash64(regexp_replace(trim(lower(text)), "\\s+", " ")).as("xx64_fp"))
+      ColFns.portableHash60(norm).as("fp60"))
+  }
 
   /** PII patterns kept deliberately portable (no lookarounds) so the
     * same regex runs in any RE2/PCRE-ish engine a pipeline audits with. */
