@@ -2,8 +2,16 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main (driver contract): runs the query surface on
+/** Benchmark main (driver contract): runs the headline query set on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
+  *
+  * The headline set is one query per operator class (scan+filter, agg,
+  * join, window, sessionize, reshape, dedup, ANN, text, streaming,
+  * end-to-end pipeline) rather than the full 90-query verify surface:
+  * the full surface made the JSON line so long that round 1's driver
+  * tail-capture truncated it mid-line and recorded `parsed: null`.
+  * Correctness of the full surface is Verify's job; Bench measures
+  * representative throughput with a line short enough to always parse.
   *
   * Timing uses the noop sink so every query is fully materialized
   * (count() would let Catalyst prune most of the work). One untimed
@@ -17,6 +25,23 @@ import org.apache.spark.sql.SparkSession
   * full pipeline runs both times.
   */
 object Bench {
+
+  /** One representative per operator family, heaviest variants chosen. */
+  val headline: Seq[String] = Seq(
+    "a1_pricing_summary",   // hash aggregation (TPC-H Q1 shape)
+    "p5_project_filter",    // scan + pushdown + projection
+    "j4_mart_flagship",     // fact ⋈ dim ⋈ dim + multi-key agg
+    "j5_self_join",         // self equi-join + agg
+    "j10_asof_join",        // as-of join
+    "w3_window_topk",       // window rank top-k
+    "t2_sessionize",        // lag + cumulative window sessionization
+    "r1_unpivot_melt",      // unpivot (4× row fan-out)
+    "x2_minhash_lsh_pairs", // MinHash+LSH near-dup (shuffle-heavy)
+    "x6_ann_brute_topk",    // embedding similarity top-k
+    "x18_tfidf_topk",       // text: explode + 2-level agg + window
+    "st1_stream_hourly",    // Structured Streaming windowed agg
+    "e2e_medallion_mart")   // src→ods→dim/fact→mart pipeline
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -34,10 +59,11 @@ object Bench {
     SparkEntry.queries("j4_mart_flagship")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
 
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
@@ -45,10 +71,9 @@ object Bench {
       }
     }
 
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val pass1 = ordered.map { case (n, fn) => n -> timeOnce(n, fn) }.toMap
-    val pass2 = ordered.map { case (n, fn) => n -> timeOnce(n, fn) }.toMap
-    val results = ordered.map { case (n, _) =>
+    val pass1 = headline.map(n => n -> timeOnce(n)).toMap
+    val pass2 = headline.map(n => n -> timeOnce(n)).toMap
+    val results = headline.map { n =>
       val (a, b) = (pass1(n), pass2(n))
       n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
