@@ -53,7 +53,10 @@ object ColFns {
     *  - "M月D日…" (with optional 上午/下午 time suffix, stripped) → that
     *    day in refDate's year;
     *  - "M月" alone → NULL (the reference's strptime always fails on it);
-    *  - anything else → refDate.
+    *  - anything else → NULL: the reference's fallthrough calls
+    *    `ref_date.date()` on what is already a `date`
+    *    (`normalization.py:53`), which always raises and lands in the
+    *    except→None path — so unknown strings normalize to null, kept.
     *
     * Pure Catalyst composition; invalid calendar dates null out via
     * try_cast (pandas' exception→None). */
@@ -78,7 +81,7 @@ object ColFns {
         regexp_extract(stripped, "^(\\d{1,2})月", 1),
         regexp_extract(stripped, "月(\\d{1,2})日", 1)))
       .when(raw.contains("月"), nullDate)
-      .otherwise(ref)
+      .otherwise(nullDate)
   }
 
   /** Rating parse `"4.0 分 (共 5 分)"` → 4.0, null on garbage (reference

@@ -111,7 +111,9 @@ class ColFnsSpec extends GraftSuite {
     assert(fb("+5", "2024-05-10") === None)                       // skipped
     assert(fb("3月", "2024-05-10") === None)                      // strptime fails
     assert(fb("昨天發布", "2024-05-10") === None)                 // int('昨天發布') raises
-    assert(fb("something", "2024-05-10") === Some("2024-05-10"))  // fallthrough → ref
+    // fallthrough: the reference calls ref_date.date() on a date —
+    // always raises → except → None (normalization.py:53)
+    assert(fb("something", "2024-05-10") === None)
     assert(fb("2024年2月30日", "2024-05-10") === None)            // invalid calendar date
   }
 }
