@@ -850,9 +850,12 @@ object SparkEntry {
     }),
 
     "x7_ann_lsh_topk" -> ((s, dir) => {
+      // 4-plane × 8-table OR-amplified sign LSH: the driver's synthetic
+      // embeddings are weakly similar (top-1 cos ≈ 0.38 → ~68° angles),
+      // so short sketches + many tables is the right operating point
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb,
-          "vec_id", "embedding", k = 5)
+          "vec_id", "embedding", k = 5, planes = 4, tables = 8)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -957,6 +960,13 @@ object SparkEntry {
     "st3_stream_dedup_users" -> ((s, dir) => {
       graft.streaming.Streams.streamDistinctUsers(s, dir)
         .orderBy(col("user_id"))
+    }),
+
+    "st4_stream_sessionize" -> ((s, dir) => {
+      // custom keyed-state streaming operator (flatMapGroupsWithState);
+      // same session semantics as batch t2 → same oracle
+      graft.streaming.Streams.streamSessionize(s, dir)
+        .orderBy(col("user_id"), col("session_id"))
     }),
   )
 
@@ -1797,6 +1807,28 @@ object SparkEntry {
 
     "st3_stream_dedup_users" -> """
       SELECT DISTINCT user_id FROM events ORDER BY user_id""",
+
+    "st4_stream_sessionize" -> """
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+      FROM (
+        SELECT user_id, ts, event_id,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN prev_sec IS NULL
+                        OR CAST(floor(epoch(ts)) AS BIGINT) - prev_sec > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM (
+            SELECT user_id, ts, event_id,
+                   lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS prev_sec
+            FROM events)))
+      GROUP BY user_id, session_id ORDER BY user_id, session_id""",
 
     "x14_frame_sample" -> """
       SELECT media_id, CAST(f AS INT) AS frame_no,

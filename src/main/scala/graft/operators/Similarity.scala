@@ -68,21 +68,43 @@ object Similarity {
     scoreAndRank(scored, k)
   }
 
-  /** LSH-bucketed ANN: corpus and queries sketched into sign buckets,
-    * candidates scored only within matching buckets, then per-query
-    * top-k. Recall < 1 by construction; the bucket-join shuffle replaces
-    * the cross product. */
+  /** Sign-sketch bucket for LSH table `t` (each table uses a disjoint
+    * slice of the hyperplane family: planes t*b .. t*b+b-1). */
+  private def tableBucket(vec: Column, t: Column, planes: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(planes - 1)), j => {
+        val plane = t * planes + j
+        val dotj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x.cast(DoubleType) * coef(plane, i)),
+          lit(0.0d), (acc, v) => acc + v)
+        struct(j.as("j"), when(dotj >= 0, 1L).otherwise(0L).as("bit"))
+      }),
+      lit(0L),
+      (acc, s) => acc + s.getField("bit") * pow(lit(2.0d),
+        s.getField("j").cast(DoubleType)).cast(LongType))
+
+  /** Multi-table LSH ANN: `tables` independent sign sketches of `planes`
+    * hyperplanes each; a candidate pair only needs to collide in ONE
+    * table (the standard OR-amplification), so recall rises steeply with
+    * `tables` while each table's bucket join stays selective. Candidates
+    * are deduped before scoring; the bucket joins replace the cross
+    * product — the only shuffles that scale with corpus size. */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              planes: Int = 8): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      VectorExprs.norm(col(vecCol)).as("qn"),
-      signBucket(col(vecCol), planes).as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      VectorExprs.norm(col(vecCol)).as("cn"),
-      signBucket(col(vecCol), planes).as("bucket"))
-    val scored = c.join(q, Seq("bucket"))
+              planes: Int = 8, tables: Int = 4): DataFrame = {
+    def sketch(df: DataFrame, id: String, vec: String, n: String) = df
+      .select(col(idCol).as(id), col(vecCol).as(vec),
+        VectorExprs.norm(col(vecCol)).as(n),
+        posexplode(transform(sequence(lit(0), lit(tables - 1)),
+          t => tableBucket(col(vecCol), t, planes)))
+          .as(Seq("table", "bucket")))
+    val q = sketch(queries, "query_id", "qv", "qn")
+    val c = sketch(corpus, "neighbor_id", "cv", "cn")
+    val scored = c.join(q, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "qv", "qn", "cv", "cn")
+      .dropDuplicates("query_id", "neighbor_id")   // OR across tables
       .withColumn("cos_sim",
         VectorExprs.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     scoreAndRank(scored, k)

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming surface. The reference is all `@daily` batch
   * (SURVEY §2.11) — its incremental daily file drops map to file-source
@@ -77,6 +77,62 @@ object Streams {
       .start()
     q.awaitTermination()
     spark.table(sink)
+  }
+
+  /** flatMapGroupsWithState input/output rows for [[streamSessionize]]. */
+  final case class SessEvent(user_id: Long, event_id: Long, sec: Long)
+  final case class SessionRow(user_id: Long, session_id: Long,
+                              n_events: Long, start_sec: Long)
+
+  /** Custom-state streaming sessionization: gap>30 min session split per
+    * user via `flatMapGroupsWithState` (`KeyValueGroupedDataset` state
+    * API — SURVEY §2.11's beyond-parity surface). Batch-parity mode:
+    * AvailableNow delivers each user's whole history to one group call,
+    * which sorts by (ts, event_id) and cuts sessions exactly like the
+    * lag+cumsum batch formulation (t2), so the two share an oracle.
+    *
+    * The in-function sort holds one user's events in memory — the same
+    * per-key bound every keyed-state operator carries; at 100 TB the
+    * keyed shuffle spreads users across executors and hot users are the
+    * thing to cap (event-count guard), not total volume. */
+  def streamSessionize(spark: SparkSession, sfDir: String,
+                       queryName: String = "graft_stream_sessions"): DataFrame = {
+    import spark.implicits._
+    val sink = unique(queryName)
+    val events = eventStream(spark, sfDir, "st4_src", "365 days")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      .as[SessEvent]
+    val sessions = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, SessionRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[SessEvent], state: GroupState[Long]) =>
+          val sorted = it.toIndexedSeq.sortBy(e => (e.sec, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+          var sessionId = 0L; var prevSec = Long.MinValue
+          var n = 0L; var startSec = 0L
+          def flush(): Unit = if (sessionId > 0)
+            out += SessionRow(uid, sessionId, n, startSec)
+          sorted.foreach { e =>
+            if (prevSec == Long.MinValue || e.sec - prevSec > 1800) {
+              flush(); sessionId += 1; n = 0L; startSec = e.sec
+            }
+            n += 1; prevSec = e.sec
+          }
+          flush()
+          out.iterator
+      }
+    val q = sessions.toDF().writeStream
+      .outputMode("append")
+      .format("memory").queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        date_format(timestamp_seconds(col("start_sec")),
+          "yyyy-MM-dd HH:mm:ss").as("session_start"))
   }
 
   /** Streaming stateful dedup: first event per user within the watermark

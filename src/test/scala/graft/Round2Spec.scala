@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+import graft.streaming.Streams
+
+/** Specs for the round-2 additions: portable fingerprints, multi-table
+  * LSH ANN, and the keyed-state streaming sessionizer. */
+class Round2Spec extends GraftSuite {
+  import spark.implicits._
+
+  test("portableHash60 equals the documented md5-prefix formula") {
+    val out = Seq("hello").toDF("s")
+      .select(graft.functions.ColFns.portableHash60(col("s"))).head().getLong(0)
+    // first 15 hex digits of md5('hello') = 5d41402abc4b2a7
+    assert(out === java.lang.Long.parseLong("5d41402abc4b2a7", 16))
+  }
+
+  test("simhash60: exact dups share all 4 bands; bits confined to 60") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely unrelated text")).toDF("id", "text")
+    val bands = Dedup.simhashBands60(docs, col("id"), col("text"))
+    val fp = bands.select("id", "simhash").distinct()
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+    assert(fp.values.forall(v => v >= 0 && v < (1L << 60)))
+    // identical docs collide in all 4 bands
+    val shared = bands.as("a").join(bands.as("b"),
+      col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.id") === 1 && col("b.id") === 2)
+    assert(shared.count() === 4)
+  }
+
+  test("multi-table LSH: recall rises with tables, exactness not claimed") {
+    val emb = Tables.load(spark, SparkTestBase.sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteTopK(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(planes: Int, tables: Int): Double = {
+      val got = Similarity.lshTopK(q, emb, "vec_id", "embedding", 5,
+          planes = planes, tables = tables)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val r1 = recall(4, 1)
+    val r8 = recall(4, 8)
+    assert(r8 >= r1)     // OR-amplification helps
+    assert(r8 >= 0.5, s"recall@5 with 8 tables was $r8")
+  }
+
+  test("streamSessionize equals the batch lag+cumsum sessionization") {
+    val stream = Streams.streamSessionize(spark, SparkTestBase.sfDir)
+    val batch = SparkEntry.queries("t2_sessionize")(spark, SparkTestBase.sfDir)
+    assert(stream.count() === batch.count())
+    assert(stream.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(stream).count() === 0)
+  }
+}
