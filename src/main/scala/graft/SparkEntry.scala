@@ -938,6 +938,33 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_no"))
     }),
 
+    // ---- reference pipeline chains (§3.2) ------------------------------
+    "ref1_tripadvisor_chain" -> ((s, dir) => {
+      // the 9-step TripAdvisor src→ods chain (ReferenceOds) over a
+      // zh-headed raw frame synthesized deterministically from `part`:
+      // dup names dedup keep-first, 無評分 ratings coerce-drop, "many"
+      // review counts coerce-drop, null 類型 drop, " • " normalize,
+      // md5 surrogate key — the whole chain under one oracle
+      val p = t(s, dir, "part")
+      val raw = p.select(
+        col("p_partkey").as("_rid"),
+        concat(lit("介紹 "), col("p_name")).as("景點介紹"),
+        concat(lit("https://img.example/"),
+          col("p_partkey").cast(StringType)).as("景點照"),
+        col("p_name").as("景點名"),
+        when(col("p_partkey") % 17 === 0, lit("無評分"))
+          .otherwise(format_string("%.1f 分 (共 5 分)",
+            (col("p_partkey") % 45 + 5) / lit(10.0d))).as("評分"),
+        when(col("p_partkey") % 13 === 0, lit("many"))
+          .otherwise(floor(col("p_retailprice")).cast(StringType))
+          .as("評論數"),
+        when(col("p_partkey") % 19 === 0, lit(null).cast(StringType))
+          .otherwise(regexp_replace(col("p_type"), " ", " • "))
+          .as("類型"))
+      graft.pipelines.ReferenceOds.tripadvisorInfo(raw)
+        .orderBy(col("attraction_name"), col("rating"))
+    }),
+
     // ---- end-to-end medallion pipeline (§3.1) --------------------------
     "e2e_medallion_mart" -> ((s, dir) => {
       // src → ods → dim/fact → mart chain with a dependency-ordered
@@ -1778,6 +1805,41 @@ object SparkEntry {
         FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
         JOIN embeddings c ON q.vec_id <> c.vec_id)
       WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "ref1_tripadvisor_chain" -> """
+      WITH raw AS (
+        SELECT p_partkey AS rid,
+               '介紹 ' || p_name AS info,
+               'https://img.example/' || CAST(p_partkey AS VARCHAR) AS photo,
+               p_name AS attraction_name,
+               CASE WHEN p_partkey % 17 = 0 THEN '無評分'
+                    ELSE printf('%.1f 分 (共 5 分)',
+                                (p_partkey % 45 + 5) / 10.0) END AS rating_raw,
+               CASE WHEN p_partkey % 13 = 0 THEN 'many'
+                    ELSE CAST(CAST(floor(p_retailprice) AS BIGINT) AS VARCHAR)
+               END AS reviews_raw,
+               CASE WHEN p_partkey % 19 = 0 THEN NULL
+                    ELSE replace(p_type, ' ', ' • ') END AS cat_raw
+        FROM part),
+      dedup AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY attraction_name, rating_raw ORDER BY rid) AS rn
+          FROM raw) WHERE rn = 1),
+      conv AS (
+        SELECT md5(attraction_name) AS attraction_id, info, photo,
+               attraction_name,
+               TRY_CAST(trim(string_split(rating_raw, '分 ')[1]) AS DOUBLE)
+                 AS rating,
+               TRY_CAST(reviews_raw AS BIGINT) AS total_reviews,
+               cat_raw
+        FROM dedup)
+      SELECT attraction_id, info, photo, attraction_name, rating,
+             total_reviews, replace(cat_raw, ' • ', ',') AS categories
+      FROM conv
+      WHERE rating IS NOT NULL AND total_reviews IS NOT NULL
+        AND cat_raw IS NOT NULL
+      ORDER BY attraction_name, rating""",
 
     "e2e_medallion_mart" -> """
       SELECT c_mktsegment AS segment,
