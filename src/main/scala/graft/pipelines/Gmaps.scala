@@ -160,6 +160,34 @@ object Gmaps {
     odsReviews.select(col("review_id"), col("place_name"), col("user_name"),
       col("rating"), col("published_at"), col("review_text")).distinct()
 
+  /** The populartimes 7×24 popularity matrix (reference
+    * `populartimes/crawler.py:215-269` accumulates it imperatively per
+    * place) from the nested `popular_times` struct: unnest the 7 day
+    * arrays → explode hour entries → pivot hours 0-23. One narrow
+    * explode + one pivot aggregation; no joins. Missing hours → 0. */
+  def popularMatrix(ods: DataFrame): DataFrame = {
+    val days = Seq("Monday", "Tuesday", "Wednesday", "Thursday",
+      "Friday", "Saturday", "Sunday")
+    val stacked = ods
+      .filter(col("popular_times").isNotNull)
+      .select(col("place_id"),
+        explode(array(days.map(d => struct(lit(d).as("day"),
+          col(s"popular_times.$d").as("entries"))): _*)).as("dt"))
+      .select(col("place_id"), col("dt.day").as("day"),
+        // outer: a day with no observations still gets its zero row
+        // (the reference emits a dense 7×24 matrix)
+        explode_outer(col("dt.entries")).as("e"))
+      .select(col("place_id"), col("day"),
+        col("e.hour_of_day").as("hour"),
+        col("e.popularity_percentage").as("pop"))
+    val pivoted = stacked.groupBy(col("place_id"), col("day"))
+      .pivot("hour", (0 to 23).map(_.toString))
+      .agg(first(col("pop")))
+    (0 to 23).foldLeft(pivoted) { (df, h) =>
+      df.withColumn(h.toString, coalesce(col(h.toString), lit(0L)))
+    }
+  }
+
   /** mart_review_trends (`d_gmaps_mart_review_trends.py:68-108`): fact ⋈
     * dim_places on place_name ⋈ dim_time on date, 11-key group-by,
     * COUNT + ROUND(AVG,2). Dims broadcast (small by construction). */

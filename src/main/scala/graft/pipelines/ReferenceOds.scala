@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.ColFns
-import graft.operators.{Dedup, Relational, Reshape}
+import graft.operators.{Dedup, Mutations, Relational, Reshape}
 
 /** The reference's concrete src→ods cleaning pipelines (SURVEY §3.2),
   * re-expressed as pure `DataFrame => DataFrame` chains: one lazy plan
@@ -138,6 +138,31 @@ object ReferenceOds {
         varName = "name", valName = "number_people")
       .select(col("year").cast("int"), col("month").cast("int"),
         col("name"), col("number_people").cast("int"))
+  }
+
+  // ===================================================================
+  // dim_attraction_hashtag — the id-mapping dim with folded DML
+  // (reference `create_dim_attraction_hashtag.py:72-191`)
+  // ===================================================================
+
+  /** The hashtag synonym dim: `taipeiIds UNION DISTINCT
+    * (tripOds ⋈ tripIds USING(name))`, then the reference's DML batch
+    * folded into the build — UPDATE×13 as a broadcast repair map
+    * (name → corrected attraction_id), INSERT-missing as an anti-join
+    * union from the hashtag id table. One shuffle per distinct/join;
+    * the repair map is literal data, not row-by-row DML. All inputs
+    * expose (name, attraction_id); `tripOds` exposes `name`. */
+  def hashtagDim(taipeiIds: DataFrame, tripOds: DataFrame,
+                 tripIds: DataFrame, hashtagIds: DataFrame,
+                 repairs: Map[String, String]): DataFrame = {
+    val joined = tripOds.select("name").distinct()
+      .join(tripIds, Seq("name"))
+      .select("name", "attraction_id")
+    val base = taipeiIds.select("name", "attraction_id")
+      .union(joined).distinct()
+    val repaired = Mutations.repairByKey(base, "name", "attraction_id", repairs)
+    Mutations.insertMissing(repaired,
+      hashtagIds.select("name", "attraction_id"), Seq("name"))
   }
 
   // ===================================================================

@@ -147,6 +147,42 @@ class ReferenceOdsSpec extends GraftSuite {
     assert(dim.map(_.getAs[String]("country")).toSeq === Seq("TW", "TW"))
   }
 
+  test("gmaps popularMatrix: nested popular_times → 7x24 pivot") {
+    val raw = spark.read.schema(Gmaps.placesRawSchema)
+      .json(s"$fx/places/*/*.jsonl")
+    val m = Gmaps.popularMatrix(Gmaps.odsPlaces(raw, input_file_name()))
+    // zoo has popular_times null → excluded; tower has 7 day rows
+    assert(m.count() === 7)
+    assert(m.columns.length === 2 + 24)
+    val mon = m.filter(col("day") === "Monday").head()
+    assert(mon.getAs[Long]("14") === 60L)
+    assert(mon.getAs[Long]("15") === 0L)       // missing hour → 0
+    val sat = m.filter(col("day") === "Saturday").head()
+    assert(sat.getAs[Long]("20") === 95L)
+  }
+
+  // ------------------------------------------- hashtag id-mapping dim
+
+  test("hashtagDim: union distinct + id join + folded UPDATE/INSERT DML") {
+    import spark.implicits._
+    val taipeiIds = Seq(("故宮博物院", "id-a"), ("台北塔樓", "id-b"))
+      .toDF("name", "attraction_id")
+    val tripOds = Seq("台北塔樓", "木柵動物園", "木柵動物園", "無編號景點")
+      .toDF("name")                      // dup name → distinct; one unmapped
+    val tripIds = Seq(("台北塔樓", "id-b"), ("木柵動物園", "id-c"))
+      .toDF("name", "attraction_id")
+    val hashtagIds = Seq(("故宮博物院", "id-x"), ("河畔夜市", "id-d"))
+      .toDF("name", "attraction_id")
+    val out = ReferenceOds.hashtagDim(taipeiIds, tripOds, tripIds, hashtagIds,
+        repairs = Map("台北塔樓" -> "id-b-fixed"))
+      .orderBy("name").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq === Seq(
+      ("台北塔樓", "id-b-fixed"),   // UPDATE repair applied
+      ("故宮博物院", "id-a"),       // already present → INSERT skipped
+      ("木柵動物園", "id-c"),       // via tripOds ⋈ tripIds
+      ("河畔夜市", "id-d")))        // INSERT-missing from hashtag ids
+  }
+
   // --------------------------------------------- gmaps reviews → mart
 
   test("gmaps reviews chain: ods date resolution → dims → fact → mart") {
