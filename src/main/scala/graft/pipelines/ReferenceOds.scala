@@ -166,6 +166,82 @@ object ReferenceOds {
   }
 
   // ===================================================================
+  // dim_type / dim_attraction_type / dim_attraction_detail
+  // (reference `create_dim_type.py:62-106`,
+  // `create_dim_attraction_type.py:71-120`,
+  // `create_dim_attraction_detail.py:63-200`)
+  // ===================================================================
+
+  /** dim_type: `SELECT DISTINCT type_id, type AS name FROM ods_tripadvisor
+    * JOIN ods_type_generate_id USING (type)`. `typeIds` is small
+    * (distinct type universe) → broadcast. */
+  def typeDim(tripOds: DataFrame, typeIds: DataFrame): DataFrame =
+    tripOds.select("type")
+      .join(broadcast(typeIds.select("type", "type_id")), Seq("type"))
+      .select(col("type_id"), col("type").as("name"))
+      .distinct()
+
+  /** dim_attraction_type: chained left joins where the second ON is a
+    * theta-style equality across different column names
+    * (`trip.type = dim_type.name` — SURVEY §2.4 J3), null type_ids
+    * filtered, distinct pairs. */
+  def attractionTypeDim(hashtagDim: DataFrame, tripOds: DataFrame,
+                        typeDim: DataFrame): DataFrame =
+    hashtagDim.select("name", "attraction_id")
+      .join(tripOds.select("name", "type").distinct(), Seq("name"), "left")
+      .join(broadcast(typeDim.select(col("type_id"),
+          col("name").as("__type_name"))),
+        col("type") === col("__type_name"), "left")
+      .filter(col("type_id").isNotNull)
+      .select("attraction_id", "type_id")
+      .distinct()
+
+  /** dim_attraction_detail: hashtag names left-joined to the trip ods
+    * detail columns, with the reference's DELETE×19 batch folded in as
+    * an exclusion list (`… AND info IS NULL` rows for the listed ids —
+    * `create_dim_attraction_detail.py:123-199`). */
+  def attractionDetailDim(hashtagDim: DataFrame, tripOds: DataFrame,
+                          deleteIds: Seq[String]): DataFrame = {
+    val base = hashtagDim.select("name", "attraction_id")
+      .join(tripOds.select("name", "info", "photo_url").distinct(),
+        Seq("name"), "left")
+      .select("attraction_id", "info", "photo_url")
+      .distinct()
+    Mutations.deleteWhere(base,
+      col("attraction_id").isin(deleteIds: _*) && col("info").isNull)
+  }
+
+  // ===================================================================
+  // CWA monthly weather → weather_history
+  // (reference `weatherINFO/a1-2.ipynb` cells 14-17; target star table
+  // `sql/init.sql:100-112`)
+  // ===================================================================
+
+  /** Measure columns as scraped (units embedded in headers). */
+  val weatherMeasures: Seq[String] = Seq(
+    "Minimum AirTemperature (˚C)", "Maximum AirTemperature (˚C)",
+    "Mean AirTemperature (˚C)", "Accumulation Precipitation (mm)",
+    "Minimum RelativeHumidity (%)", "Total SunshineDuration (hr)")
+
+  /** The notebook's cleaning: project station + Year-Month + measures,
+    * split "yyyy-MM" into year/month, numeric-coerce everything with
+    * null-on-failure (`pd.to_numeric(errors='coerce')` → `try_cast`).
+    * Trace values ("T") and sentinel dashes null out exactly like the
+    * reference. */
+  def weatherHistory(raw: DataFrame): DataFrame = {
+    val projected = raw.select(
+      (col("ID") +: col("Year-Month") +: weatherMeasures.map(col)): _*)
+    val coerced = weatherMeasures.foldLeft(projected) { (df, m) =>
+      df.withColumn(m, col(m).try_cast("double"))
+    }
+    coerced
+      .withColumn("year",
+        split(col("Year-Month"), "-").getItem(0).try_cast("int"))
+      .withColumn("month",
+        split(col("Year-Month"), "-").getItem(1).try_cast("int"))
+  }
+
+  // ===================================================================
   // Facebook posts normalization → Normalization_<place>_<date>.csv
   // (reference `fb_scraper/normalization.py:7-85`)
   // ===================================================================

@@ -183,6 +183,55 @@ class ReferenceOdsSpec extends GraftSuite {
       ("河畔夜市", "id-d")))        // INSERT-missing from hashtag ids
   }
 
+  test("typeDim / attractionTypeDim / attractionDetailDim chains") {
+    import spark.implicits._
+    val tripOds = Seq(
+      ("台北塔樓", "建築物", "i1", "u1"), ("台北塔樓", "購物中心", "i1", "u1"),
+      ("木柵動物園", "動物園", null, "u2"), ("無映射景點", "荒地", "i3", "u3"))
+      .toDF("name", "type", "info", "photo_url")
+    val typeIds = Seq(("建築物", "t1"), ("購物中心", "t2"), ("動物園", "t3"))
+      .toDF("type", "type_id")
+    val hashtag = Seq(("台北塔樓", "a1"), ("木柵動物園", "a2"),
+      ("未爬景點", "a3")).toDF("name", "attraction_id")
+
+    // dim_type: only types present in BOTH ods and the id table
+    val types = ReferenceOds.typeDim(tripOds, typeIds)
+      .orderBy("type_id").collect()
+    assert(types.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("t1", "建築物"), ("t2", "購物中心"), ("t3", "動物園")))
+
+    // dim_attraction_type: theta join on type name, null type_id dropped
+    val at = ReferenceOds.attractionTypeDim(hashtag, tripOds,
+        ReferenceOds.typeDim(tripOds, typeIds))
+      .orderBy("attraction_id", "type_id").collect()
+    assert(at.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("a1", "t1"), ("a1", "t2"), ("a2", "t3")))
+      // 未爬景點: left-join nulls filtered; 無映射景點: not in hashtag dim
+
+    // dim_attraction_detail: DELETE×N folded as exclusion — a2's row has
+    // null info AND is listed → removed; a3's null-info row is NOT
+    // listed → kept (the reference only repaired specific ids)
+    val det = ReferenceOds.attractionDetailDim(hashtag, tripOds,
+        deleteIds = Seq("a2"))
+      .orderBy("attraction_id").collect()
+    assert(det.map(_.getString(0)).toSeq === Seq("a1", "a3"))
+    assert(det.filter(_.getString(0) == "a3").head.isNullAt(1))
+  }
+
+  test("weatherHistory: ym split + coerce-null measures") {
+    val raw = readCsv(s"$fx/weatherInfoDW.csv")
+    val out = ReferenceOds.weatherHistory(raw)
+      .orderBy("ID", "Year-Month").collect()
+    assert(out.length === 3)
+    assert(out(0).getAs[Int]("year") === 2022)
+    assert(out(0).getAs[Int]("month") === 1)
+    assert(out(0).getAs[Double]("Minimum AirTemperature (˚C)") === 10.3)
+    // trace rainfall "T" and sentinel "---" coerce to null (to_numeric
+    // errors='coerce' parity)
+    assert(out(1).isNullAt(out(1).fieldIndex("Accumulation Precipitation (mm)")))
+    assert(out(2).isNullAt(out(2).fieldIndex("Total SunshineDuration (hr)")))
+  }
+
   // --------------------------------------------- gmaps reviews → mart
 
   test("gmaps reviews chain: ods date resolution → dims → fact → mart") {
