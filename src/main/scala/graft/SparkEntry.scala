@@ -337,6 +337,17 @@ object SparkEntry {
         .orderBy(col("n_nationkey"))
     }),
 
+    "j7c_token_sort_match" -> ((s, dir) => {
+      // word-order corruption (reverse token order) recovered by the
+      // fuzzywuzzy-style token-sort scorer — reordered names score 1.0
+      val n = t(s, dir, "nation")
+      val corrupted = n.select(col("n_nationkey"),
+        concat_ws(" ", reverse(split(col("n_name"), " "))).as("noisy_name"))
+      FuzzyJoin.bestMatch(corrupted, "noisy_name", n, "n_name",
+          FuzzyJoin.tokenSortSimilarity)
+        .orderBy(col("n_nationkey"))
+    }),
+
     "j9_salted_join" -> ((s, dir) => {
       // skew-resistant salted equi-join: same inner-join semantics,
       // hot keys spread across salt buckets
@@ -806,6 +817,28 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    "t3_session_window" -> ((s, dir) => {
+      // Spark's native session_window (gap-merge sessionization) —
+      // same 30-min-gap semantics as the lag+cumsum t2 formulation*,
+      // renumbered to ordinal session ids by window start so the two
+      // share an oracle. (*boundary note: session_window closes a
+      // session at gap >= 30min vs t2's > 30min; the event stream has
+      // sub-second timestamps, so exact-1800s gaps don't occur, and the
+      // oracle compare would flag it if they ever did.)
+      val e = t(s, dir, "events")
+      val sessions = e
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("session_window.start"))
+      sessions
+        .withColumn("session_id", row_number().over(w).cast(LongType))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("session_start"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     // ---- LLM-pipeline: dedup (x1..x5) ----------------------------------
     "x1_dedup_exact" -> ((s, dir) => {
       Dedup.exactByHash(t(s, dir, "documents"),
@@ -1203,6 +1236,38 @@ object SparkEntry {
                           AS DOUBLE)
                    / greatest(length(noisy_name), length(cand), 1) AS score
         FROM cands)
+      SELECT n_nationkey, noisy_name, cand AS match_n_name,
+             round(score, 4) AS match_score
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY n_nationkey, noisy_name
+              ORDER BY score DESC, cand ASC) AS rn
+            FROM scored)
+      WHERE rn = 1 ORDER BY n_nationkey""",
+
+    "j7c_token_sort_match" -> """
+      WITH l AS (
+        SELECT n_nationkey,
+               array_to_string(list_reverse(string_split(n_name, ' ')), ' ')
+                 AS noisy_name
+        FROM nation),
+      r AS (SELECT DISTINCT n_name AS cand FROM nation),
+      scored AS (
+        SELECT l.n_nationkey, l.noisy_name, r.cand,
+               1.0 - CAST(levenshtein(
+                 array_to_string(list_sort(list_filter(
+                   string_split_regex(lower(l.noisy_name), '[^a-z0-9]+'),
+                   t -> t <> '')), ' '),
+                 array_to_string(list_sort(list_filter(
+                   string_split_regex(lower(r.cand), '[^a-z0-9]+'),
+                   t -> t <> '')), ' ')) AS DOUBLE)
+               / greatest(
+                 length(array_to_string(list_sort(list_filter(
+                   string_split_regex(lower(l.noisy_name), '[^a-z0-9]+'),
+                   t -> t <> '')), ' ')),
+                 length(array_to_string(list_sort(list_filter(
+                   string_split_regex(lower(r.cand), '[^a-z0-9]+'),
+                   t -> t <> '')), ' ')), 1) AS score
+        FROM l CROSS JOIN r)
       SELECT n_nationkey, noisy_name, cand AS match_n_name,
              round(score, 4) AS match_score
       FROM (SELECT *, row_number() OVER (
@@ -1689,6 +1754,29 @@ object SparkEntry {
              CAST(('0x' || substring(md5(regexp_replace(trim(lower(text)),
                '\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS fp60
       FROM documents ORDER BY id""",
+
+
+    "t3_session_window" -> """
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+      FROM (
+        SELECT user_id, ts, event_id,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN prev_sec IS NULL
+                        OR CAST(floor(epoch(ts)) AS BIGINT) - prev_sec > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM (
+            SELECT user_id, ts, event_id,
+                   lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS prev_sec
+            FROM events)))
+      GROUP BY user_id, session_id ORDER BY user_id, session_id""",
 
     "x1_dedup_exact" -> """
       SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))

@@ -53,6 +53,24 @@ class Round2Spec extends GraftSuite {
     assert(r8 >= 0.5, s"recall@5 with 8 tables was $r8")
   }
 
+  test("tokenSortSimilarity: word-order invariant best match") {
+    import graft.operators.FuzzyJoin
+    val left = Seq((1L, "hot springs beitou")).toDF("id", "q")
+    val right = Seq("beitou hot springs", "beitou market", "taipei zoo")
+      .toDF("name")
+    val plain = FuzzyJoin.bestMatch(left, "q", right, "name")
+      .select("match_name", "match_score").head()
+    val ts = FuzzyJoin.bestMatch(left, "q", right, "name",
+        FuzzyJoin.tokenSortSimilarity)
+      .select("match_name", "match_score").head()
+    // token-sort finds the reordered name at a perfect score; plain
+    // Levenshtein mis-ranks reordered words (that's WHY fuzzywuzzy
+    // token-sorts first — and here it picks a wrong candidate outright)
+    assert(ts.getString(0) === "beitou hot springs")
+    assert(ts.getDouble(1) === 1.0)
+    assert(plain.getDouble(1) < 1.0)
+  }
+
   test("streamSessionize equals the batch lag+cumsum sessionization") {
     val stream = Streams.streamSessionize(spark, SparkTestBase.sfDir)
     val batch = SparkEntry.queries("t2_sessionize")(spark, SparkTestBase.sfDir)
