@@ -610,6 +610,18 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    "w7_rank_family" -> ((s, dir) => {
+      // the rest of the ranking family over one keyed window
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+          dense_rank().over(w).as("drank"),
+          round(percent_rank().over(w), 6).as("prank"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          first(col("o_orderkey")).over(w).as("top_key"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- set ops (§2.7) ------------------------------------------------
     "u1_union_distinct" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -1503,6 +1515,17 @@ object SparkEntry {
                  OVER (PARTITION BY o_custkey
                        ORDER BY o_orderdate, o_orderkey) AS prev
         FROM orders) ORDER BY o_custkey, o_orderkey""",
+
+    "w7_rank_family" -> """
+      SELECT o_orderkey, o_orderstatus,
+             dense_rank() OVER w AS drank,
+             round(percent_rank() OVER w, 6) AS prank,
+             round(cume_dist() OVER w, 6) AS cdist,
+             first_value(o_orderkey) OVER w AS top_key
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_orderkey""",
 
     "u1_union_distinct" -> """
       SELECT c_nationkey AS nationkey FROM customer

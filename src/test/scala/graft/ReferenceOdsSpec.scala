@@ -111,6 +111,14 @@ class ReferenceOdsSpec extends GraftSuite {
     assert(out.forall(_.getAs[String]("place") == "TaipeiTower"))
   }
 
+  test("utf_8_sig BOM CSVs read clean (reference fb output encoding)") {
+    val df = readCsv(s"$fx/bom_name_map.csv")
+    // the BOM must not leak into the first header name
+    assert(df.columns.toSeq === Seq("name_zh", "name_en"))
+    assert(df.count() === 2)
+    assert(df.orderBy("name_en").head().getString(0) === "木柵動物園")
+  }
+
   // ------------------------------------------------------- gmaps places
 
   test("gmaps odsPlaces: filename place_id, drops, renames, nested read") {
