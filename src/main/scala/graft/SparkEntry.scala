@@ -118,6 +118,19 @@ object SparkEntry {
         GROUP BY n.n_name ORDER BY n.n_name""")
     }),
 
+    "s8_managed_table" -> ((s, dir) => {
+      // S8 as a *catalog* table: layered namespace + saveAsTable full
+      // refresh + spark.table read-back (the reference's
+      // dataset.table BigQuery layout, SURVEY §1.1)
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_dim")
+      t(s, dir, "nation")
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable("graft_dim.nation")
+      s.table("graft_dim.nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     "s10_idempotent_guard" -> ((s, dir) => {
       // S10: exists-guard via mode("ignore") — second write is a no-op
       val out = tmpDir("s10_guard")
@@ -1066,6 +1079,10 @@ object SparkEntry {
              CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance
       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY n.n_name ORDER BY nation""",
+
+    "s8_managed_table" -> """
+      SELECT n_nationkey, n_name, n_regionkey FROM nation
+      ORDER BY n_nationkey""",
 
     "s10_idempotent_guard" -> """
       SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
