@@ -521,6 +521,24 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    "a8b_approx_percentiles" -> ((s, dir) => {
+      // sketch percentiles (GK/percentile_approx) — the 100 TB swap-in
+      // for a8's exact sort-based form (SCALE.md). Oracle contract like
+      // a4: exact values + "sketch landed within 1 quantity unit".
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_approx(l_quantity, 0.5, 10000)").as("approx_p50"),
+          expr("percentile(l_quantity, 0.5)").as("exact_p50_raw"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          round(col("exact_p50_raw"), 2).as("exact_p50"),
+          (abs(col("approx_p50") - col("exact_p50_raw")) <= 1.0)
+            .as("within_1"),
+          col("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "a9_grouping_sets" -> ((s, dir) => {
       Tables.createViews(s, dir)
       s.sql("""
@@ -1358,6 +1376,13 @@ object SparkEntry {
              round(quantile_cont(l_quantity, 0.25), 2) AS p25,
              round(quantile_cont(l_quantity, 0.5), 2) AS p50,
              round(quantile_cont(l_quantity, 0.75), 2) AS p75,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "a8b_approx_percentiles" -> """
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 2) AS exact_p50,
+             TRUE AS within_1,
              COUNT(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 

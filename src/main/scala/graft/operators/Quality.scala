@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality checks — the reference's relational contract
+  * (`sql/init.sql` primary keys, NOT NULL columns, FK references) has no
+  * enforcement in Spark or BigQuery; both reduce it to checks the
+  * pipeline runs after a build (SURVEY §1.1). Each check is one
+  * aggregation pass returning violation counts — at 100 TB they are the
+  * same partial+final hash aggregations as any other query, and several
+  * checks on one table fuse into a single pass via [[report]].
+  */
+object Quality {
+
+  /** NOT NULL violations per listed column (one combined pass). */
+  def notNullViolations(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(c)): _*)
+
+  /** Primary-key violation count: rows minus distinct keys (0 = unique).
+    * Null key components count as violations (SQL PKs forbid null). */
+  def pkViolations(df: DataFrame, keys: Seq[String]): Long = {
+    val total = df.count()
+    val nonNull = df.na.drop("any", keys)
+    val distinctKeys = nonNull.select(keys.map(col): _*).distinct().count()
+    (total - nonNull.count()) + (nonNull.count() - distinctKeys)
+  }
+
+  /** FK containment: child rows whose non-null key has no parent row.
+    * One left-anti join on the key — the scale-canonical referential
+    * check. */
+  def fkOrphans(child: DataFrame, childKey: String,
+                parent: DataFrame, parentKey: String): DataFrame =
+    child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+
+  /** Range/predicate violations (CHECK-constraint shape). */
+  def checkViolations(df: DataFrame, predicate: Column): Long =
+    df.filter(!coalesce(predicate, lit(false))).count()
+
+  /** One-pass combined report over a table: per-column null counts +
+    * total rows, as a single-row DataFrame (fused aggregation). */
+  def report(df: DataFrame, notNullCols: Seq[String]): DataFrame =
+    df.select(count(lit(1)).as("n_rows") +:
+      notNullCols.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c")): _*)
+}

@@ -53,6 +53,33 @@ class Round2Spec extends GraftSuite {
     assert(r8 >= 0.5, s"recall@5 with 8 tables was $r8")
   }
 
+  test("Quality: pk/fk/not-null/check mirror the init.sql contract") {
+    import graft.operators.Quality
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val fact = Seq((Some(1L), "x"), (Some(2L), "y"), (Some(9L), "orphan"),
+      (None, "nullkey")).toDF("dim_id", "payload")
+
+    // PK: dup + null key both violate
+    val pkBad = Seq(Some(1L), Some(1L), None).toDF("id")
+    assert(Quality.pkViolations(pkBad, Seq("id")) === 2L)
+    assert(Quality.pkViolations(dim, Seq("id")) === 0L)
+
+    // FK: only the non-null unmatched row is an orphan
+    val orphans = Quality.fkOrphans(fact, "dim_id", dim, "id").collect()
+    assert(orphans.map(_.getAs[String]("payload")).toSeq === Seq("orphan"))
+
+    // NOT NULL + fused report
+    val rep = Quality.report(fact, Seq("dim_id", "payload")).head()
+    assert(rep.getAs[Long]("n_rows") === 4L)
+    assert(rep.getAs[Long]("nulls_dim_id") === 1L)
+    assert(rep.getAs[Long]("nulls_payload") === 0L)
+
+    // CHECK-style predicate (null predicate rows violate, like SQL
+    // CHECK only passing on TRUE)
+    val vals = Seq(Some(5.0), Some(-1.0), None).toDF("v")
+    assert(Quality.checkViolations(vals, col("v") >= 0) === 2L)
+  }
+
   test("tokenSortSimilarity: word-order invariant best match") {
     import graft.operators.FuzzyJoin
     val left = Seq((1L, "hot springs beitou")).toDF("id", "q")
