@@ -123,6 +123,14 @@ object SparkEntry {
       // refresh + spark.table read-back (the reference's
       // dataset.table BigQuery layout, SURVEY §1.1)
       s.sql("CREATE DATABASE IF NOT EXISTS graft_dim")
+      s.sql("DROP TABLE IF EXISTS graft_dim.nation")
+      // the warehouse dir outlives the in-memory catalog: a location
+      // left by a previous session isn't "overwritten" (the new
+      // catalog has no such table) — clear it for true idempotence
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$wh/graft_dim.db/nation"))
       t(s, dir, "nation")
         .write.mode("overwrite").format("parquet")
         .saveAsTable("graft_dim.nation")
@@ -936,11 +944,21 @@ object SparkEntry {
     }),
 
     "x15_ann_ivf_topk" -> ((s, dir) => {
-      // IVF cell-probing ANN (approximate → rows-only check; the spec
-      // proves nprobe=nlist degenerates to exact brute force)
+      // IVF cell-probing ANN (approximate → rows-only check; x15b pins
+      // the same code path against the exact oracle)
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
           "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "x15b_ann_ivf_exact" -> ((s, dir) => {
+      // the SAME IVF operator at nprobe=nlist: every cell probed →
+      // provably exact → shares the brute-force DuckDB oracle, so the
+      // assignment/probe/score machinery itself is hash-checked
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 16)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1993,6 +2011,29 @@ object SparkEntry {
       WHERE rating IS NOT NULL AND total_reviews IS NOT NULL
         AND cat_raw IS NOT NULL
       ORDER BY attraction_name, rating""",
+
+
+    "x15b_ann_ivf_exact" -> """
+      SELECT query_id, rank, neighbor_id, round(cos_sim, 4) AS cos_sim FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[]))))
+                 AS cos_sim,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                  CAST(c.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[]))))
+                 DESC, c.vec_id ASC) AS rank
+        FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+        JOIN embeddings c ON q.vec_id <> c.vec_id)
+      WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "e2e_medallion_mart" -> """
       SELECT c_mktsegment AS segment,
