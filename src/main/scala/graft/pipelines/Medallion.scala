@@ -45,12 +45,14 @@ object Medallion {
   /** ods: cleaned reviews — null-key filter + date normalization,
     * date-partition column (reference ods-gmaps-reviews).
     *
-    * Partition granularity is month, not day: the partition column must
-    * match data density (target: at least one well-sized file per partition).
-    * At this table's density a day partition holds a few KB — thousands of
-    * tiny files whose open/commit overhead dominates the build, and whose
-    * listing dominates every downstream read. Day-level pruning still
-    * works inside a month via parquet min/max stats on `published_at`. */
+    * Partition granularity is chosen by data density (target: one
+    * well-sized file per partition), not by the key's natural grain. At
+    * this table's bench density a day holds a few KB and even a month
+    * only ~50 KB — tiny files whose open/commit overhead dominates the
+    * build and whose listing dominates every downstream read — so the
+    * layer partitions by year (~0.5 MB/file at sf0.1; at 100 TB the same
+    * rule lands on day). Finer-grained pruning still works inside a
+    * partition via parquet min/max row-group stats on `published_at`. */
   private def odsReviews(s: SparkSession, ctx: Ctx): DataFrame =
     ctx.source("orders")
       .filter(col("o_orderkey").isNotNull && col("o_custkey").isNotNull &&
@@ -60,8 +62,7 @@ object Medallion {
         col("o_custkey").as("place_id"),
         col("o_totalprice").as("rating_raw"),
         col("o_orderdate").cast("date").as("published_at"))
-      .withColumn("published_month",
-        date_format(col("published_at"), "yyyy-MM"))
+      .withColumn("published_year", year(col("published_at")))
 
   /** dim: calendar dim from observed dates (reference dim-time). */
   private def dimTime(s: SparkSession, ctx: Ctx): DataFrame =
@@ -137,8 +138,8 @@ object Medallion {
         // explicit partition count: an AQE-coalesced shuffle would funnel
         // every output partition through a handful of writer tasks
         val n = spark.sparkContext.defaultParallelism
-        df.repartition(n, col("published_month")).write.mode("overwrite")
-          .partitionBy("published_month").parquet(ctx.path(t.qualified))
+        df.repartition(n, col("published_year")).write.mode("overwrite")
+          .partitionBy("published_year").parquet(ctx.path(t.qualified))
       }
       else
         df.write.mode("overwrite").parquet(ctx.path(t.qualified))

@@ -12,12 +12,12 @@ class PipelineSpec extends GraftSuite {
     // every layer materialized
     for (t <- Medallion.tables)
       assert(new java.io.File(s"$lake/${t.layer}/${t.name}").exists(), t.qualified)
-    // ods is date-partitioned (S9) at month granularity — matched to the
+    // ods is date-partitioned (S9) at year granularity — matched to the
     // table's data density (see Medallion.odsReviews scaladoc)
     val odsDirs = new java.io.File(s"$lake/ods/reviews").listFiles()
-    assert(odsDirs.exists(_.getName.startsWith("published_month=")))
+    assert(odsDirs.exists(_.getName.startsWith("published_year=")))
     // exactly one file per partition dir (repartition-before-write)
-    val parts = odsDirs.filter(_.getName.startsWith("published_month="))
+    val parts = odsDirs.filter(_.getName.startsWith("published_year="))
     assert(parts.forall(
       _.listFiles().count(_.getName.endsWith(".parquet")) == 1))
     // full-refresh rerun yields the identical mart (materialize the
