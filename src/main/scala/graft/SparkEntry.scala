@@ -139,6 +139,27 @@ object SparkEntry {
         .orderBy(col("n_nationkey"))
     }),
 
+    "s14_jdbc_roundtrip" -> ((s, dir) => {
+      // S14: df → relational store over JDBC and back (the reference's
+      // MySQL weather sink, `MySQL/weatherINFO.ipynb`; embedded Derby
+      // stands in — same spark.jdbc surface, no external server)
+      val url = "jdbc:derby:memory:graftjdbc;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      // idempotent rerun: drop the table if a previous run left it
+      try {
+        val c = java.sql.DriverManager.getConnection(url)
+        try c.createStatement().execute("DROP TABLE nation_jdbc")
+        catch { case _: java.sql.SQLException => () } finally c.close()
+      } catch { case _: java.sql.SQLException => () }
+      t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .coalesce(1)
+        .write.mode("overwrite").jdbc(url, "nation_jdbc", props)
+      s.read.jdbc(url, "nation_jdbc", props)
+        .orderBy(col("n_nationkey"))
+    }),
+
     "s10_idempotent_guard" -> ((s, dir) => {
       // S10: exists-guard via mode("ignore") — second write is a no-op
       val out = tmpDir("s10_guard")
@@ -1117,6 +1138,10 @@ object SparkEntry {
       GROUP BY n.n_name ORDER BY nation""",
 
     "s8_managed_table" -> """
+      SELECT n_nationkey, n_name, n_regionkey FROM nation
+      ORDER BY n_nationkey""",
+
+    "s14_jdbc_roundtrip" -> """
       SELECT n_nationkey, n_name, n_regionkey FROM nation
       ORDER BY n_nationkey""",
 
