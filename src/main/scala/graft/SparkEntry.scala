@@ -11,12 +11,18 @@ import graft.operators._
 /** Driver contract (see SURVEY.md §7 + builder prompt).
   *
   * Each entry in [[queries]] exercises one operator row of SURVEY.md §2
-  * (key prefix = the §2 id) or one LLM-pipeline operator (`x*` keys),
-  * implemented via the graft library modules. [[oracleSql]] carries the
-  * DuckDB-equivalent SQL for the driver's hash-match gate; queries whose
-  * semantics DuckDB cannot express (LSH candidate generation, xxhash64
-  * fingerprints, streaming, input_file_name) are declared without an
-  * oracle → rows-only check.
+  * (key prefix = the §2 id), a reference pipeline chain (`ref*`), or an
+  * LLM-pipeline operator (`x*` keys), implemented via the graft library
+  * modules. [[oracleSql]] carries the DuckDB-equivalent SQL for the
+  * driver's hash-match gate. Only four queries are rows-only (no
+  * oracle): the multimodal decode/resize stubs (no codec in this
+  * container) and the two deliberately-approximate ANN operating points
+  * (x7 LSH, x15 IVF) — whose machinery is still gate-checked via the
+  * exact degenerate variant (x15b) and recall specs. Engine-specific
+  * hashing was made oracle-able by construction: fingerprints/simhash
+  * use a portable md5-derived 60-bit hash, sketch aggregates (a4 HLL,
+  * a8b percentile_approx) check exact values + tolerance flags, and
+  * streaming queries share their batch formulations' oracles.
   *
   * Determinism rules applied throughout (both sides):
   *  - every query ends in an ORDER BY over non-null keys;
@@ -1104,6 +1110,11 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "st5_stream_static_join" -> ((s, dir) => {
+      graft.streaming.Streams.streamStaticEnrich(s, dir)
+        .orderBy(col("day"), col("c_mktsegment"))
+    }),
+
     "st4_stream_sessionize" -> ((s, dir) => {
       // custom keyed-state streaming operator (flatMapGroupsWithState);
       // same session semantics as batch t2 → same oracle
@@ -2088,6 +2099,13 @@ object SparkEntry {
 
     "st3_stream_dedup_users" -> """
       SELECT DISTINCT user_id FROM events ORDER BY user_id""",
+
+    "st5_stream_static_join" -> """
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             c_mktsegment, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1, 2 ORDER BY day, c_mktsegment""",
 
     "st4_stream_sessionize" -> """
       SELECT user_id, session_id, COUNT(*) AS n_events,

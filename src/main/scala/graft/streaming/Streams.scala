@@ -135,6 +135,34 @@ object Streams {
           "yyyy-MM-dd HH:mm:ss").as("session_start"))
   }
 
+  /** Stream-static join: the event stream enriched against a static
+    * dimension (the reference's daily drops joining warehouse dims),
+    * then a per-segment windowed rollup. The static side is re-planned
+    * per micro-batch — broadcast each time (small dim), no stream-side
+    * state beyond the window aggregation. */
+  def streamStaticEnrich(spark: SparkSession, sfDir: String,
+                         queryName: String = "graft_stream_enrich"): DataFrame = {
+    val sink = unique(queryName)
+    val dim = graft.Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val stream = eventStream(spark, sfDir, "st5_src", "1 hour")
+      .join(dim, Seq("user_id"))        // stream ⋈ static
+      .groupBy(window(col("ts"), "1 day"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("c_mktsegment"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory").queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   /** Streaming stateful dedup: first event per user within the watermark
     * horizon (`dropDuplicates` keyed state). Output is projected to the
     * key alone so the result set is order-independent. */
