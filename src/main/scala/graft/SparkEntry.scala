@@ -989,6 +989,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "x19_embed_quantize" -> ((s, dir) => {
+      // int8 embedding quantization: per-vector scale + max dequant
+      // error; the quantized ints themselves are oracle-checked via
+      // their sum (bit-exact: floor-based half-up rounding both sides)
+      val emb = t(s, dir, "embeddings")
+      val q = emb.withColumn("quant",
+        Similarity.quantizeInt8(col("embedding")))
+      q.select(col("vec_id"),
+          round(col("quant.scale"), 4).as("scale"),
+          aggregate(col("quant.q"), lit(0L),
+            (acc, v) => acc + v.cast(LongType)).as("q_sum"),
+          (Similarity.dequantError(col("embedding"), col("quant")) <=
+            lit(0.005d)).as("err_ok"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- LLM-pipeline: text analysis (x8..x11) -------------------------
     "x8_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1896,6 +1912,23 @@ object SparkEntry {
                      AS prev_sec
             FROM events)))
       GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+
+    "x19_embed_quantize" -> """
+      WITH q AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                      x -> abs(x))) = 0 THEN 1.0
+                    ELSE 127.0 / list_max(list_transform(
+                      CAST(embedding AS DOUBLE[]), x -> abs(x))) END AS scale
+        FROM embeddings)
+      SELECT vec_id, round(scale, 4) AS scale,
+             CAST(list_sum(list_transform(emb,
+               x -> CAST(floor(x * scale + 0.5) AS BIGINT))) AS BIGINT)
+               AS q_sum,
+             list_max(list_transform(emb,
+               x -> abs(x - floor(x * scale + 0.5) / scale))) <= 0.005
+               AS err_ok
+      FROM q ORDER BY vec_id""",
 
     "x1_dedup_exact" -> """
       SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
