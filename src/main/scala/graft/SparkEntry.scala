@@ -939,6 +939,15 @@ object SparkEntry {
         .orderBy(col("id"), col("band"))
     }),
 
+    "x20_simhash_neardups" -> ((s, dir) => {
+      // full simhash dedup path: bands → candidates → Hamming≤3 pairs.
+      // Banding catches every pair at this threshold (pigeonhole), so
+      // the whole pipeline is hash-checked, not just the fingerprint.
+      Dedup.simhashNearDups60(t(s, dir, "documents"), col("doc_id"),
+          col("text"), maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "x4_ngram_jaccard_pairs" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(
           t(s, dir, "documents").filter(col("doc_id") < 1000), col("doc_id"),
@@ -1882,6 +1891,37 @@ object SparkEntry {
              (simhash >> CAST(b * 15 AS INT)) & 32767 AS band_key
       FROM fp CROSS JOIN (SELECT UNNEST(range(4)) AS b)
       ORDER BY id, band""",
+
+    "x20_simhash_neardups" -> """
+      WITH docs AS (
+        SELECT doc_id AS id,
+               list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+        FROM documents),
+      h AS (
+        SELECT id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS hv
+        FROM (SELECT id, UNNEST(toks) AS tok FROM docs)),
+      votes AS (
+        SELECT id, i,
+               SUM(CASE WHEN (hv >> CAST(i AS INT)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM h CROSS JOIN (SELECT UNNEST(range(60)) AS i) GROUP BY id, i),
+      fp0 AS (
+        SELECT id, CAST(SUM(CASE WHEN v >= 0
+                 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                 ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY id),
+      fp AS (
+        SELECT d.id,
+               COALESCE(f.simhash, CAST(1152921504606846975 AS BIGINT))
+                 AS simhash
+        FROM docs d LEFT JOIN fp0 f ON d.id = f.id)
+      -- brute-force definition: banding must find exactly these pairs
+      -- (4x15-bit bands catch every pair within Hamming distance 3)
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM fp a JOIN fp b ON a.id < b.id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY id_a, id_b""",
 
     "x11_fingerprints" -> """
       SELECT doc_id AS id,

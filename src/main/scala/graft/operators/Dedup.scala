@@ -205,6 +205,28 @@ object Dedup {
         .as(Seq("band", "band_key")))
   }
 
+  /** End-to-end SimHash near-dup pairs over the portable fingerprint:
+    * band-collision candidate generation ([[simhashBands60]]) →
+    * distinct pairs → Hamming filter (`bit_count(xor)`). By the
+    * pigeonhole principle the 4×15-bit banding catches every pair
+    * within Hamming distance 3 — candidate recall is exactly 1.0 at
+    * the default threshold, which is why the whole pipeline (not just
+    * the fingerprint) can be oracle-checked. The band bucket join is
+    * the only data-scaling shuffle. */
+  def simhashNearDups60(df: DataFrame, id: Column, text: Column,
+                        maxHamming: Int = 3): DataFrame = {
+    val bands = simhashBands60(df, id, text)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ------------------------------------------------------- embedding cosine
 
   /** Cosine similarity of two float-array columns (elements upcast to
