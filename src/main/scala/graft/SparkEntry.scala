@@ -445,6 +445,28 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "b2_bloom_prefilter_join" -> ((s, dir) => {
+      // Bloom-filter pre-filter before the exact join: build a bloom
+      // sketch of the dim keys, drop probe rows that can't match before
+      // the shuffle/broadcast (at 100 TB this is the runtime-filter
+      // pattern that cuts the big side's shuffle volume; AQE does it
+      // automatically for shuffle joins — shown here explicitly). False
+      // positives only pass extra rows to the exact join, so the result
+      // is identical to the plain join — which is the oracle.
+      val dim = t(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val bloomBytes = dim.agg(
+        graft.functions.BloomFns.bloomAgg(col("c_custkey"), 4000L, 40000L)
+          .as("bf")).head().getAs[Array[Byte]]("bf")
+      t(s, dir, "events")
+        .filter(graft.functions.BloomFns.mightContain(bloomBytes, col("user_id")))
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "b1_bucketed_join" -> ((s, dir) => {
       // co-located join over bucketed tables: the shuffle is paid once at
       // write time; the join itself plans with zero exchanges
@@ -1431,6 +1453,13 @@ object SparkEntry {
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
       GROUP BY tier, lo, hi ORDER BY tier""",
+
+    "b2_bloom_prefilter_join" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "b1_bucketed_join" -> """
       SELECT c_mktsegment, COUNT(*) AS n_orders,
