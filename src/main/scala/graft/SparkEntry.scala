@@ -1162,6 +1162,11 @@ object SparkEntry {
         .orderBy(col("day"), col("c_mktsegment"))
     }),
 
+    "st6_stream_upsert" -> ((s, dir) => {
+      graft.streaming.Streams.streamUpsertUsers(s, dir)
+        .orderBy(col("user_id"))
+    }),
+
     "st4_stream_sessionize" -> ((s, dir) => {
       // custom keyed-state streaming operator (flatMapGroupsWithState);
       // same session semantics as batch t2 → same oracle
@@ -2200,6 +2205,9 @@ object SparkEntry {
       GROUP BY 1, 2 ORDER BY bucket, event_type""",
 
     "st3_stream_dedup_users" -> """
+      SELECT DISTINCT user_id FROM events ORDER BY user_id""",
+
+    "st6_stream_upsert" -> """
       SELECT DISTINCT user_id FROM events ORDER BY user_id""",
 
     "st5_stream_static_join" -> """

@@ -163,6 +163,39 @@ object Streams {
     spark.table(sink)
   }
 
+  /** foreachBatch incremental upsert: each micro-batch's new user ids
+    * are merged into a parquet target with the anti-join INSERT-missing
+    * rewrite ([[graft.operators.Mutations.insertMissing]]) — the
+    * streaming version of the reference's daily-drop upsert DAGs. The
+    * final target is the distinct user set regardless of how the stream
+    * was batched, which is what the oracle checks. */
+  def streamUpsertUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = new java.io.File("/root/repo/target/qtmp/st6_target")
+    org.apache.commons.io.FileUtils.deleteQuietly(target)
+    val path = target.getAbsolutePath
+    // seed an empty target with the right schema
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType))))
+      .write.mode("overwrite").parquet(path)
+    val q = eventStream(spark, sfDir, "st6_src", "365 days")
+      .select(col("user_id"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark2 = batch.sparkSession
+        val merged = graft.operators.Mutations.insertMissing(
+          spark2.read.parquet(path), batch.distinct(), Seq("user_id"))
+        graft.operators.Mutations.overwriteAtomic(merged, path)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(path)
+  }
+
   /** Streaming stateful dedup: first event per user within the watermark
     * horizon (`dropDuplicates` keyed state). Output is projected to the
     * key alone so the result set is order-independent. */
