@@ -1020,6 +1020,13 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "x21_profile" -> ((s, dir) => {
+      // one-pass column profiling (nulls / exact distinct / lex min-max)
+      Quality.profile(t(s, dir, "orders"),
+          Seq("o_orderstatus", "o_orderpriority", "o_custkey"))
+        .orderBy(col("column"))
+    }),
+
     "x19_embed_quantize" -> ((s, dir) => {
       // int8 embedding quantization: per-vector scale + max dequant
       // error; the quantized ints themselves are oracle-checked via
@@ -1986,6 +1993,28 @@ object SparkEntry {
                      AS prev_sec
             FROM events)))
       GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+
+    "x21_profile" -> """
+      SELECT 'o_custkey' AS "column",
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+             COUNT(DISTINCT o_custkey) AS n_distinct,
+             MIN(CAST(o_custkey AS VARCHAR)) AS min_s,
+             MAX(CAST(o_custkey AS VARCHAR)) AS max_s
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority',
+             CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT o_orderpriority),
+             MIN(o_orderpriority), MAX(o_orderpriority)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus',
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT o_orderstatus),
+             MIN(o_orderstatus), MAX(o_orderstatus)
+      FROM orders
+      ORDER BY "column"""",
 
     "x19_embed_quantize" -> """
       WITH q AS (

@@ -46,4 +46,26 @@ object Quality {
     df.select(count(lit(1)).as("n_rows") +:
       notNullCols.map(c =>
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c")): _*)
+
+  /** Column profile in long format: one output row per profiled column
+    * with null count, exact distinct count, and lexicographic min/max
+    * (values stringified so heterogeneous columns share a schema). All
+    * columns profile in ONE aggregation job; the multiple exact
+    * DISTINCTs expand the aggregate (Spark's Expand operator) — at
+    * 100 TB swap `countDistinct` for `approx_count_distinct`. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      min(col(c).cast("string")).as(s"${c}__min"),
+      max(col(c).cast("string")).as(s"${c}__max")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__min").as("min_s"),
+        col(s"${c}__max").as("max_s"))): _*)).as("p"))
+      .select("p.*")
+  }
 }
