@@ -175,12 +175,23 @@ object Dedup {
   }
 
   /** Portable 60-bit SimHash: same vote construction as [[simhash64]]
-    * but token hashes come from [[graft.functions.ColFns.portableHash60]]
-    * (md5-derived), so the fingerprint reproduces bit-for-bit in any
+    * but token hashes are md5-derived ([[graft.functions.ColFns.portableHash60]]
+    * per token), so the fingerprint reproduces bit-for-bit in any
     * engine with md5 — the property a cross-system dedup audit needs.
     * 60 bits also stays positive in a signed int64 (no sign-bit special
-    * case). Ties (vote = 0) set the bit, matching simhash64. */
-  def simhash60(text: Column): Column = {
+    * case). Ties (vote = 0) set the bit, matching simhash64.
+    *
+    * Evaluates via the native [[graft.functions.SimHash60Expr]] (one
+    * primitive loop, codegen'd); [[simhash60Composed]] keeps the
+    * pure-built-in formulation and the spec proves them bit-identical. */
+  def simhash60(text: Column): Column =
+    graft.functions.SimHash60Expr.simhash60(
+      array_distinct(regexp_extract_all(lower(text), lit("\\S+"), lit(0))))
+
+  /** The composed-builtin formulation of [[simhash60]] (O(tokens×60)
+    * interpreted HOF steps per row — the reference semantics the native
+    * expression is verified against). */
+  def simhash60Composed(text: Column): Column = {
     val toks = array_distinct(regexp_extract_all(lower(text), lit("\\S+"), lit(0)))
     val hashes = transform(toks, t => graft.functions.ColFns.portableHash60(t))
     val votes = aggregate(
@@ -223,8 +234,14 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .as("hamming"))
-      .distinct()
+      // Hamming-filter BEFORE the pair dedup: it commutes (hamming is a
+      // pure function of the pair) and hot LSH buckets make it count —
+      // one 1.4k-doc bucket in the bench corpus yields ~1M candidate
+      // pairs, of which only the true near-dups should reach the
+      // distinct's shuffle. popcount-per-candidate is codegen'd and
+      // nearly free; the distinct shrinks ~300×.
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   // ------------------------------------------------------- embedding cosine

@@ -36,6 +36,21 @@ class Round2Spec extends GraftSuite {
     assert(shared.count() === 4)
   }
 
+  test("native SimHash60Expr is bit-identical to the composed form") {
+    val docs = Tables.load(spark, SparkTestBase.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val both = docs.select(
+      Dedup.simhash60(col("text")).as("native"),
+      Dedup.simhash60Composed(col("text")).as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() === 0)
+    // empty/whitespace text: all-votes-zero → all 60 bits set, both forms
+    val empty = Seq("", "   ").toDF("text").select(
+      Dedup.simhash60(col("text")).as("n"),
+      Dedup.simhash60Composed(col("text")).as("c")).collect()
+    assert(empty.forall(r => r.getLong(0) === r.getLong(1) &&
+      r.getLong(0) === (1L << 60) - 1))
+  }
+
   test("multi-table LSH: recall rises with tables, exactness not claimed") {
     val emb = Tables.load(spark, SparkTestBase.sfDir, "embeddings")
     val q = emb.filter(col("vec_id") < 10)
