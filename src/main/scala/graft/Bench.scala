@@ -37,9 +37,11 @@ object Bench {
     "t2_sessionize",        // lag + cumulative window sessionization
     "r1_unpivot_melt",      // unpivot (4× row fan-out)
     "x2_minhash_lsh_pairs", // MinHash+LSH near-dup (shuffle-heavy)
+    "x20_simhash_neardups", // simhash bands → Hamming pairs (native expr)
     "x6_ann_brute_topk",    // embedding similarity top-k
     "x18_tfidf_topk",       // text: explode + 2-level agg + window
     "st1_stream_hourly",    // Structured Streaming windowed agg
+    "ref1_tripadvisor_chain", // the reference's 9-step cleaning chain
     "e2e_medallion_mart")   // src→ods→dim/fact→mart pipeline
 
   def main(args: Array[String]): Unit = {
