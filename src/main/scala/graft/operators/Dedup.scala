@@ -244,6 +244,49 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over near-dup pairs — the step that turns
+    * pairwise matches into dedup decisions (cluster → elect canonical →
+    * drop the rest). Min-label propagation: every node starts labeled
+    * with its own id; each round takes the min of its and its
+    * neighbors' labels; converged when a round changes nothing.
+    *
+    * Rounds are O(component diameter) — near-dup clusters are
+    * star-shaped and shallow, so a handful of iterations suffices (the
+    * `maxIter` guard is for adversarial chains; production graph
+    * mining at 100 TB would switch to the large-star/small-star
+    * algorithm, same join primitives). Each round is one shuffle join
+    * + aggregate; the convergence check is a cheap count on the
+    * changed rows. Output: (id, component) with component = min id
+    * reachable, one row per node that appears in any pair. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).cache()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("component", "n_comp"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("n_comp")).as("n_comp"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("n_comp"), col("component")))
+            .as("component"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   // ------------------------------------------------------- embedding cosine
 
   /** Cosine similarity of two float-array columns (elements upcast to

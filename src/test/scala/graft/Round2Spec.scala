@@ -51,6 +51,17 @@ class Round2Spec extends GraftSuite {
       r.getLong(0) === (1L << 60) - 1))
   }
 
+  test("connectedComponents: chains, isolates-in-pairs, label minimality") {
+    // two components: a 6-node chain (forces multiple propagation
+    // rounds — diameter 5) and a disjoint pair
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(edges)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(cc === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (6L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
   test("multi-table LSH: recall rises with tables, exactness not claimed") {
     val emb = Tables.load(spark, SparkTestBase.sfDir, "embeddings")
     val q = emb.filter(col("vec_id") < 10)
