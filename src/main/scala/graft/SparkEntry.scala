@@ -984,6 +984,19 @@ object SparkEntry {
         .orderBy(col("component"))
     }),
 
+    "x23_dedup_keep_canonical" -> ((s, dir) => {
+      // the pipeline's final cut: drop every cluster member except its
+      // canonical (min-id) doc; singleton docs pass through untouched
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.simhashNearDups60(docs, col("doc_id"), col("text"),
+        maxHamming = 3)
+      val drop = Dedup.connectedComponents(pairs)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      docs.select(col("doc_id")).join(drop, Seq("doc_id"), "left_anti")
+        .orderBy(col("doc_id"))
+    }),
+
     "x4_ngram_jaccard_pairs" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(
           t(s, dir, "documents").filter(col("doc_id") < 1000), col("doc_id"),
@@ -2015,6 +2028,46 @@ object SparkEntry {
       SELECT component, COUNT(*) AS n_members, MIN(id) AS canonical_id
       FROM (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
       GROUP BY component ORDER BY component""",
+
+    "x23_dedup_keep_canonical" -> """
+      WITH RECURSIVE docs AS (
+        SELECT doc_id AS id,
+               list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+        FROM documents),
+      h AS (
+        SELECT id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS hv
+        FROM (SELECT id, UNNEST(toks) AS tok FROM docs)),
+      votes AS (
+        SELECT id, i,
+               SUM(CASE WHEN (hv >> CAST(i AS INT)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM h CROSS JOIN (SELECT UNNEST(range(60)) AS i) GROUP BY id, i),
+      fp0 AS (
+        SELECT id, CAST(SUM(CASE WHEN v >= 0
+                 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                 ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY id),
+      fp AS (
+        SELECT d.id,
+               COALESCE(f.simhash, CAST(1152921504606846975 AS BIGINT))
+                 AS simhash
+        FROM docs d LEFT JOIN fp0 f ON d.id = f.id),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM fp a JOIN fp b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+      sym AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+        UNION
+        SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id)
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (
+        SELECT id FROM (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+        WHERE id <> component)
+      ORDER BY doc_id""",
 
     "x11_fingerprints" -> """
       SELECT doc_id AS id,
