@@ -70,7 +70,7 @@ object Bench {
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
-      }
+      } finally spark.catalog.clearCache() // no cross-query cache leaks
     }
 
     val pass1 = headline.map(n => n -> timeOnce(n)).toMap

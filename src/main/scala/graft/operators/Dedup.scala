@@ -259,11 +259,18 @@ object Dedup {
     * changed rows. Output: (id, component) with component = min id
     * reachable, one row per node that appears in any pair. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (not cache) everywhere a frame re-enters the loop:
+    // each round's plan references the previous labels twice, so without
+    // lineage TRUNCATION the logical plan doubles per round — analysis
+    // and plan stringification go exponential and OOM the driver long
+    // before the (tiny) data does. Checkpointed frames re-enter each
+    // round as flat LogicalRDD scans. Same discipline GraphFrames-style
+    // iterative algorithms use.
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).cache()
+      .withColumn("component", col("id")).localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -276,14 +283,12 @@ object Dedup {
         .select(col("id"),
           least(col("component"), coalesce(col("n_comp"), col("component")))
             .as("component"))
-        .cache()
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
         .filter(col("component") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       iter += 1
     }
-    sym.unpersist()
     labels
   }
 
