@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver contract needs the forked main's stdout
+// verbatim: sbt's default LoggedOutput re-frames every forked line as
+// "[info] ..." which defeats the driver's JSON-line parser
+// (BENCH_r02.json parsed:null). StdoutOutput passes the child's
+// stdout/stderr straight through, and showSuccess drops the trailing
+// "[success] Total time ..." line so the bench JSON is genuinely the
+// last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

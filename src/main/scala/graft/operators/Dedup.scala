@@ -65,6 +65,22 @@ object Dedup {
       b => xxhash64(b, to_json(struct(slice(sig, b * lit(r) + 1, lit(r))))))
   }
 
+  /** [[lshBandKeys]] computed straight from the shingle array, without
+    * the intermediate signature column. Byte-identical keys (each band
+    * hashes the same `{"col1":[...]}` JSON of the same salted minima),
+    * but each of the k permutation minima is evaluated inside exactly
+    * one band's lambda. Referencing a sig *column* instead would let
+    * CollapseProject inline the whole k-entry signature expression into
+    * every band lambda — k×bands work per row instead of k (measured
+    * 8× on the pairs path). */
+  def lshBandKeysDirect(shingleArr: Column, k: Int = 32, bands: Int = 8): Column = {
+    val r = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, to_json(struct(
+        transform(sequence(b * lit(r), (b + 1) * lit(r) - 1),
+          j => array_min(transform(shingleArr, s => xxhash64(j, s))))))))
+  }
+
   /** Per-doc signatures + band keys for `text`; one row per doc. */
   def minhashed(df: DataFrame, id: Column, text: Column,
                 k: Int = 32, bands: Int = 8, w: Int = 3): DataFrame = {
@@ -74,40 +90,48 @@ object Dedup {
     val sh = shingles(text, w)
     df.repartition(par).select(id.as("id"), sh.as("shingles"))
       .withColumn("sig", minhashSignature(col("shingles"), k))
-      .withColumn("bands", lshBandKeys(col("sig"), k, bands))
+      .withColumn("bands", lshBandKeysDirect(col("shingles"), k, bands))
   }
 
   /** MinHash/LSH near-duplicate pairs with exact Jaccard verification.
     *
-    * explode band keys → hash-shuffle on (band, key) → pairs within a
-    * bucket → distinct → verify exact Jaccard on the shingle sets.
-    * The bucket join is the only shuffle that grows with data size; at
-    * 100 TB the band key is a uniform 64-bit hash so buckets only skew
-    * when true duplicate clusters exist (which is the work we want).
+    * explode band keys (carrying each doc's shingle set) → hash-shuffle
+    * on (band, key) → pairs within a bucket → exact-Jaccard filter →
+    * distinct. Carrying the shingle arrays through the bucket join
+    * costs `bands`× duplication in that one shuffle but removes the
+    * two join-backs (and the cache) the previous formulation needed to
+    * re-attach shingles to candidate pairs — one wide shuffle beats
+    * two plus a full materialization. Filtering on exact Jaccard
+    * BEFORE the pair-distinct commutes (Jaccard is a pure function of
+    * the pair) and shrinks the distinct's shuffle to true near-dups
+    * only — the same hot-bucket guard as [[simhashNearDups60]]; a pair
+    * colliding in several bands re-verifies per collision, but only
+    * real duplicates collide more than once. The bucket join is the
+    * only shuffle that grows with data size; at 100 TB the band key is
+    * a uniform 64-bit hash so buckets only skew when true duplicate
+    * clusters exist (which is the work we want).
     */
   def minhashPairs(df: DataFrame, id: Column, text: Column,
                    threshold: Double = 0.8, k: Int = 32, bands: Int = 8,
                    w: Int = 3): DataFrame = {
-    val mh = minhashed(df, id, text, k, bands, w).cache()
-    val buckets = mh.select(col("id"),
+    // cache: the frame enters both sides of the self-join (and the
+    // posexplode null-guard filter re-evaluates generator input);
+    // uncached, the k-permutation hashing would run 4× per row.
+    val mh = minhashed(df, id, text, k, bands, w)
+      .select(col("id"), col("shingles"), col("bands")).cache()
+    val buckets = mh.select(col("id"), col("shingles"),
         posexplode(col("bands")).as(Seq("band", "key")))
-    val cand = buckets.as("a")
+    buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    val withSets = cand
-      .join(mh.select(col("id"), col("shingles").as("sh_a")), cand("id_a") === mh("id"))
-      .drop("id")
-      .join(mh.select(col("id"), col("shingles").as("sh_b")), cand("id_b") === mh("id"))
-      .drop("id")
-    withSets
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(array_intersect(col("a.shingles"), col("b.shingles"))).cast(DoubleType) /
+          size(array_union(col("a.shingles"), col("b.shingles"))).cast(DoubleType))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .distinct()
   }
 
   /** Exact all-pairs n-gram Jaccard above a threshold, via an inverted
@@ -184,9 +208,18 @@ object Dedup {
     * Evaluates via the native [[graft.functions.SimHash60Expr]] (one
     * primitive loop, codegen'd); [[simhash60Composed]] keeps the
     * pure-built-in formulation and the spec proves them bit-identical. */
+  /** Null text coalesces to the all-ones fingerprint — the same value
+    * an EMPTY token list produces (zero votes ⇒ every tie-bit set), so
+    * null ≡ empty on both this side and the DuckDB-style oracle
+    * formulation (where a doc with no token rows falls out of the
+    * aggregation and is COALESCEd back in). */
+  val simhashAllOnes60: Long = (1L << 60) - 1
+
   def simhash60(text: Column): Column =
-    graft.functions.SimHash60Expr.simhash60(
-      array_distinct(regexp_extract_all(lower(text), lit("\\S+"), lit(0))))
+    coalesce(
+      graft.functions.SimHash60Expr.simhash60(
+        array_distinct(regexp_extract_all(lower(text), lit("\\S+"), lit(0)))),
+      lit(simhashAllOnes60))
 
   /** The composed-builtin formulation of [[simhash60]] (O(tokens×60)
     * interpreted HOF steps per row — the reference semantics the native
@@ -199,11 +232,13 @@ object Dedup {
       array_repeat(lit(0L), 60),
       (acc, h) => zip_with(acc, sequence(lit(0), lit(59)),
         (c, i) => c + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(59)),
-        (v, i) => when(v >= 0,
-          call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc.bitwiseOR(b))
+    coalesce(
+      aggregate(
+        zip_with(votes, sequence(lit(0), lit(59)),
+          (v, i) => when(v >= 0,
+            call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc.bitwiseOR(b)),
+      lit(simhashAllOnes60)) // null text ≡ empty text, as in simhash60
   }
 
   /** [[simhashBands]] over the portable fingerprint: four 15-bit bands. */
@@ -289,6 +324,15 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // Unconverged labels are silently WRONG (some nodes still carry a
+    // non-minimal component id) — fail loudly rather than let a caller
+    // make dedup decisions on them. Near-dup clusters converge in
+    // O(diameter) rounds; hitting this means an adversarially long
+    // chain — raise maxIter or switch to large-star/small-star.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIter rounds " +
+          s"($changed labels still changing); raise maxIter")
     labels
   }
 

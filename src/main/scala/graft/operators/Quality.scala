@@ -19,12 +19,19 @@ object Quality {
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(c)): _*)
 
   /** Primary-key violation count: rows minus distinct keys (0 = unique).
-    * Null key components count as violations (SQL PKs forbid null). */
+    * Null key components count as violations (SQL PKs forbid null).
+    * One aggregation job, one scan: total rows, null-key rows, and the
+    * exact distinct count of non-null keys fuse into a single pass
+    * (the previous formulation ran three jobs over the table). */
   def pkViolations(df: DataFrame, keys: Seq[String]): Long = {
-    val total = df.count()
-    val nonNull = df.na.drop("any", keys)
-    val distinctKeys = nonNull.select(keys.map(col): _*).distinct().count()
-    (total - nonNull.count()) + (nonNull.count() - distinctKeys)
+    val nullKey = keys.map(c => col(c).isNull).reduce(_ || _)
+    val row = df.select(
+      count(lit(1)).as("total"),
+      coalesce(sum(when(nullKey, 1L).otherwise(0L)), lit(0L)).as("null_rows"),
+      countDistinct(when(!nullKey, struct(keys.map(col): _*))).as("nd"))
+      .head()
+    val (total, nullRows, nd) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    nullRows + (total - nullRows - nd)
   }
 
   /** FK containment: child rows whose non-null key has no parent row.

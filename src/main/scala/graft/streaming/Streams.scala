@@ -91,6 +91,15 @@ object Streams {
     * which sorts by (ts, event_id) and cuts sessions exactly like the
     * lag+cumsum batch formulation (t2), so the two share an oracle.
     *
+    * Single-delivery is a CONTRACT, not an assumption: the state slot
+    * records that a user's group fired, and a second invocation (multi-
+    * batch delivery — e.g. someone setting maxFilesPerTrigger on a
+    * multi-file stage) fails fast instead of silently restarting
+    * session ids per batch. True incremental sessionization would hold
+    * the open session in state and only emit closed ones — but Append
+    * mode can never retract the already-emitted open session, so the
+    * batch-parity contract is the honest shape for this oracle.
+    *
     * The in-function sort holds one user's events in memory — the same
     * per-key bound every keyed-state operator carries; at 100 TB the
     * keyed shuffle spreads users across executors and hot users are the
@@ -108,6 +117,11 @@ object Streams {
       .flatMapGroupsWithState[Long, SessionRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[SessEvent], state: GroupState[Long]) =>
+          if (state.exists) throw new IllegalStateException(
+            s"streamSessionize: user $uid delivered across micro-batches; " +
+              "batch-parity sessionization requires single delivery " +
+              "(AvailableNow over one stage file, no maxFilesPerTrigger)")
+          state.update(1L)
           val sorted = it.toIndexedSeq.sortBy(e => (e.sec, e.event_id))
           val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
           var sessionId = 0L; var prevSec = Long.MinValue
