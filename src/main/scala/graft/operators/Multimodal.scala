@@ -39,20 +39,27 @@ object Multimodal {
         length(col(data)).cast(LongType).as("n_bytes")).as("meta"))
 
   // ---- STUB decoder --------------------------------------------------
-  // Deterministic fake: "width"/"height" from byte statistics, an 8-dim
-  // "feature vector" from rolling byte hashes. A real implementation
-  // would decode payload with an image/audio codec here.
-  private def stubFeatures(id: Long, kind: String, bytes: Array[Byte]): MediaFeatures = {
-    val n = if (bytes == null) 0 else bytes.length
-    var h = 1125899906842597L // fnv-ish rolling hash over payload bytes
+  // Deterministic fake: "width"/"height"/"features" derived from the
+  // portable 60-bit md5 hash of the payload (first 15 hex digits — the
+  // same value any engine's md5() yields, so the DuckDB oracle can
+  // recompute every stubbed column). A real implementation would decode
+  // payload with an image/audio codec here.
+  private def stubFeatures(md: java.security.MessageDigest, id: Long,
+                           kind: String, bytes: Array[Byte]): MediaFeatures = {
+    val b = if (bytes == null) Array.emptyByteArray else bytes
+    md.reset()
+    val digest = md.digest(b)
+    // top 60 bits of the md5 = first 15 hex digits, kept positive
+    var h = 0L
     var i = 0
-    while (i < n) { h = h * 31 + bytes(i); i += 1 }
+    while (i < 8) { h = (h << 8) | (digest(i) & 0xffL); i += 1 }
+    h = h >>> 4
     val feat = Array.tabulate(8) { k =>
-      val hk = h ^ (0x9e3779b97f4a7c15L * (k + 1))
-      (hk % 1000).toFloat / 1000.0f
+      java.lang.Math.floorMod(h ^ (0x9e3779b97f4a7c15L * (k + 1)), 1000L)
+        .toFloat / 1000.0f
     }
-    MediaFeatures(id, kind, n, h, 1 + math.abs(h % 640).toInt,
-      1 + math.abs((h >> 7) % 480).toInt, feat)
+    MediaFeatures(id, kind, b.length, h, 1 + (h % 640).toInt,
+      1 + ((h >> 7) % 480).toInt, feat)
   }
 
   /** Partition-wise batch decode (the `mapInPandas` analog: one iterator
@@ -63,22 +70,30 @@ object Multimodal {
     media.select(col("media_id"), col("kind"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init of the (stubbed) codec happens here
-        it.map { case (id, kind, bytes) => stubFeatures(id, kind, bytes) }
+        // per-partition init of the (stubbed) codec: a real decoder
+        // would load its model / JNI context here, once per partition
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, kind, bytes) => stubFeatures(md, id, kind, bytes) }
       }
   }
 
   /** Aspect-preserving resize metadata: fit (width, height) within
     * maxDim × maxDim, never upscale. Pure column arithmetic over the
     * decoded dims — a real resizer would also transform the pixels; the
-    * geometry (what a pipeline joins/filters on) is exact. */
+    * geometry (what a pipeline joins/filters on) is exact. Rounding is
+    * explicit half-up (`floor(x + 0.5)`) rather than `round()`: engines
+    * disagree on round-half semantics for doubles, and floor over the
+    * same IEEE ops reproduces bit-for-bit everywhere (same reasoning as
+    * [[Similarity.quantizeInt8]]). */
   def resizeMeta(decoded: DataFrame, maxDim: Int = 224): DataFrame = {
     val s = least(lit(1.0d),
       lit(maxDim.toDouble) / greatest(col("width"), col("height")).cast(DoubleType))
     decoded
-      .withColumn("scale", round(s, 6))
-      .withColumn("out_w", greatest(round(col("width") * s).cast(IntegerType), lit(1)))
-      .withColumn("out_h", greatest(round(col("height") * s).cast(IntegerType), lit(1)))
+      .withColumn("scale", floor(s * 1e6d + 0.5d) / 1e6d)
+      .withColumn("out_w",
+        greatest(floor(col("width") * s + 0.5d).cast(IntegerType), lit(1)))
+      .withColumn("out_h",
+        greatest(floor(col("height") * s + 0.5d).cast(IntegerType), lit(1)))
   }
 
   /** "Video" frame sampling: slice the opaque payload into fixed-size
