@@ -111,24 +111,14 @@ object Medallion {
       Seq("fact.reviews", "dim.places", "dim.time"), martTrends))
 
   /** Dependency-ordered full build (replaces the Airflow trigger/sensor
-    * wiring): topological sort, then build+materialize each table. The
-    * ods layer is written day-partitioned (S9). Returns the mart. */
+    * wiring). Tables whose dependencies are satisfied build
+    * CONCURRENTLY ([[Pipelines.runWaves]]) — the same parallelism the
+    * reference gets from Airflow running independent DAG tasks at once;
+    * each table is still one isolated write. The ods layer is written
+    * date-partitioned (S9). Returns the mart. */
   def run(spark: SparkSession, sfDir: String, lakeRoot: String): DataFrame = {
     val ctx = new Ctx(spark, sfDir, lakeRoot)
-    val byName = tables.map(t => t.qualified -> t).toMap
-    val done = scala.collection.mutable.LinkedHashSet.empty[String]
-    def visit(name: String, stack: Set[String]): Unit = {
-      if (stack.contains(name))
-        throw new IllegalStateException(s"dependency cycle at $name")
-      if (!done.contains(name)) {
-        byName(name).deps.foreach(visit(_, stack + name))
-        done += name
-      }
-    }
-    tables.foreach(t => visit(t.qualified, Set.empty))
-    done.foreach { name =>
-      val t = byName(name)
-      val t0 = System.nanoTime()
+    Pipelines.runWaves[Table](tables, _.qualified, _.deps, "medallion") { t =>
       val df = t.build(spark, ctx)
       // Partitioned layers are shuffled on the partition column first so
       // each partition lands in exactly one task → one file per partition
@@ -143,9 +133,6 @@ object Medallion {
       }
       else
         df.write.mode("overwrite").parquet(ctx.path(t.qualified))
-      if (sys.env.contains("GRAFT_TRACE"))
-        System.err.println(
-          f"[medallion] ${t.qualified}: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     ctx.read("mart.trends")
   }

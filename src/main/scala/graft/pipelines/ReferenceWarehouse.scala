@@ -128,27 +128,17 @@ object ReferenceWarehouse {
       c => Gmaps.martReviewTrends(c.read("fact.reviews"),
         c.read("dim.places"), c.read("dim.time"))))
 
-  /** Dependency-ordered full build; returns the mart. Partitioned
-    * layers shuffle on the partition column first (one file per
-    * partition — see [[Medallion.run]] for the 100 TB rationale). */
+  /** Dependency-ordered full build, independent tables building
+    * concurrently per wave ([[Pipelines.runWaves]] — Airflow-style task
+    * parallelism); returns the mart. Partitioned layers shuffle on the
+    * partition column first (one file per partition — see
+    * [[Medallion.run]] for the 100 TB rationale). */
   def run(spark: SparkSession, sources: Map[String, DataFrame],
           lakeRoot: String): DataFrame = {
     requiredSources.foreach(s => require(sources.contains(s),
       s"missing raw source '$s'"))
     val ctx = new Ctx(spark, sources, lakeRoot)
-    val byName = tables.map(t => t.qualified -> t).toMap
-    val done = scala.collection.mutable.LinkedHashSet.empty[String]
-    def visit(name: String, stack: Set[String]): Unit = {
-      if (stack.contains(name))
-        throw new IllegalStateException(s"dependency cycle at $name")
-      if (!done.contains(name)) {
-        byName(name).deps.foreach(visit(_, stack + name))
-        done += name
-      }
-    }
-    tables.foreach(t => visit(t.qualified, Set.empty))
-    done.foreach { name =>
-      val t = byName(name)
+    Pipelines.runWaves[Table](tables, _.qualified, _.deps, "refwh") { t =>
       val df = t.build(ctx)
       if (t.qualified == "ods.gmaps_reviews") {
         val n = spark.sparkContext.defaultParallelism
