@@ -261,7 +261,10 @@ object Dedup {
     * the only data-scaling shuffle. */
   def simhashNearDups60(df: DataFrame, id: Column, text: Column,
                         maxHamming: Int = 3): DataFrame = {
-    val bands = simhashBands60(df, id, text)
+    // cache: the banded frame enters both sides of the self-join and
+    // the generator's null-guard filter; uncached, the per-token
+    // fingerprint hashing would run ~4× per row (see minhashPairs)
+    val bands = simhashBands60(df, id, text).cache()
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key") &&
