@@ -495,6 +495,25 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    "b3_zorder_scan" -> ((s, dir) => {
+      // Z-order clustered layout (Layout.zorderWrite): every output file
+      // owns a compact (user_id, event_id) rectangle, so min/max footer
+      // stats prune scans on EITHER dimension — the lakehouse OPTIMIZE
+      // ZORDER pattern as a plain Spark write. The layout changes which
+      // files a filter reads, never the result — which is the oracle.
+      val path = tmpDir("zorder_events")
+      Layout.zorderWrite(
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value")),
+        col("user_id"), col("event_id"), path, numFiles = 16)
+      s.read.parquet(path)
+        .filter(col("user_id").between(100, 300))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     "b1_bucketed_join" -> ((s, dir) => {
       // co-located join over bucketed tables: the shuffle is paid once at
       // write time; the join itself plans with zero exchanges
@@ -1032,6 +1051,16 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "x4b_ngram_jaccard_dfcut" -> ((s, dir) => {
+      // the 100 TB form of x4: stop-shingles (df > cutoff) dropped from
+      // candidate generation — the postings join's only quadratic skew —
+      // while Jaccard still verifies EXACTLY over the full shingle sets
+      Dedup.ngramJaccardPairsDfCut(
+          t(s, dir, "documents").filter(col("doc_id") < 1000), col("doc_id"),
+          col("text"), threshold = 0.8, maxDocFreq = 50L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "x5_embed_cosine_pairs" -> ((s, dir) => {
       Dedup.cosinePairs(t(s, dir, "embeddings"), col("vec_id"),
           col("embedding"), threshold = 0.40)
@@ -1180,6 +1209,13 @@ object SparkEntry {
         "doc_id", "text", "video")
       Multimodal.frameSample(media, every = 64)
         .orderBy(col("media_id"), col("frame_no"))
+    }),
+
+    "x24_key_skew" -> ((s, dir) => {
+      // shuffle-planning diagnostic: heaviest keys + row share → decides
+      // plain shuffle vs AQE skew-join vs explicit salting (j9)
+      Quality.keySkew(t(s, dir, "events"), "event_type", topN = 5)
+        .orderBy(col("rank"))
     }),
 
     // ---- reference pipeline chains (§3.2) ------------------------------
@@ -1596,6 +1632,12 @@ object SparkEntry {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "b3_zorder_scan" -> """
+      SELECT event_type, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events WHERE user_id BETWEEN 100 AND 300
+      GROUP BY event_type ORDER BY event_type""",
 
     "p14_hash_sample" -> """
       SELECT o_orderkey, o_totalprice FROM orders
@@ -2190,6 +2232,17 @@ object SparkEntry {
             FROM events)))
       GROUP BY user_id, session_id ORDER BY user_id, session_id""",
 
+    "x24_key_skew" -> """
+      SELECT key, n, floor(n / CAST(total AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS share, rank
+      FROM (
+        SELECT event_type AS key, COUNT(*) AS n,
+               SUM(COUNT(*)) OVER () AS total,
+               row_number() OVER (ORDER BY COUNT(*) DESC, event_type ASC)
+                 AS rank
+        FROM events GROUP BY event_type)
+      WHERE rank <= 5 ORDER BY rank""",
+
     "x21_profile" -> """
       SELECT 'o_custkey' AS "column",
              CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -2251,6 +2304,34 @@ object SparkEntry {
                CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
                len(list_distinct(list_concat(a.s, b.s))) AS jaccard
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.8 ORDER BY id_a, id_b""",
+
+    "x4b_ngram_jaccard_dfcut" -> """
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1),
+                      i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [array_to_string(toks, ' ')] END) AS s
+        FROM (SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text),
+                       '\s+', ' ', 'g')), ' ') AS toks
+              FROM documents WHERE doc_id < 1000)),
+      posts AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
+      rare AS (SELECT shingle FROM posts
+               GROUP BY shingle HAVING COUNT(*) <= 50),
+      pruned AS (SELECT p.doc_id, p.shingle
+                 FROM posts p JOIN rare r ON p.shingle = r.shingle),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM pruned a JOIN pruned b
+                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+               len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b)
       WHERE jaccard >= 0.8 ORDER BY id_a, id_b""",
 
     "x8_lang_id" -> """

@@ -164,6 +164,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** [[ngramJaccardPairs]] with the document-frequency cutoff that makes
+    * the inverted index scale: shingles appearing in more than
+    * `maxDocFreq` docs (stop-shingles — boilerplate, templates) are
+    * dropped from CANDIDATE GENERATION, removing the only quadratic
+    * skew the postings join has. Jaccard is still EXACT over the full
+    * shingle sets (candidates re-verify against the untrimmed arrays);
+    * only pairs whose every shared shingle is a stop-shingle are lost,
+    * and those are precisely the pairs boilerplate fabricates. The
+    * candidate pair set collapses through a groupBy before the exact
+    * verify, so each pair scores once. */
+  def ngramJaccardPairsDfCut(df: DataFrame, id: Column, text: Column,
+                             threshold: Double, maxDocFreq: Long,
+                             w: Int = 3): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism * 2
+    val sh = df.repartition(par)
+      .select(id.as("id"), shingles(text, w).as("sh"))
+    val posts = sh.select(col("id"), col("sh"), explode(col("sh")).as("shingle"))
+    val rare = posts.groupBy("shingle")
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
+      .select("shingle")
+    val pruned = posts.join(rare, Seq("shingle"))
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      // every row of a group carries the same arrays (fixed by the ids)
+      .agg(first(col("a.sh")).as("sh_a"), first(col("b.sh")).as("sh_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** 64-bit SimHash of a text column, computed entirely with Catalyst

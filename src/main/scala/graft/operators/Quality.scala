@@ -54,6 +54,28 @@ object Quality {
       notNullCols.map(c =>
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c")): _*)
 
+  /** Key-skew report: the `topN` heaviest values of a key column with
+    * their row share and rank — the diagnostic that decides between a
+    * plain shuffle join, AQE skew handling, and explicit salting
+    * ([[Relational.saltedJoin]]). One aggregation + a tiny top-N window
+    * over the (already reduced) group counts; at 100 TB the groupBy is
+    * the only data-scaling shuffle and the window runs over distinct
+    * keys only. */
+  def keySkew(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(key).as("key"))
+      .agg(count(lit(1)).as("n"))
+    val total = sum(col("n")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy())
+    counts
+      // explicit half-up (cross-engine reproducible, see
+      // Similarity.quantizeInt8)
+      .withColumn("share", floor(col("n") / total * 1e6d + 0.5d) / 1e6d)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("key").asc)))
+      .filter(col("rank") <= topN)
+  }
+
   /** Column profile in long format: one output row per profiled column
     * with null count, exact distinct count, and lexicographic min/max
     * (values stringified so heterogeneous columns share a schema). All

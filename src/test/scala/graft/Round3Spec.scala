@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Layout, Quality}
+
+class Round3Spec extends GraftSuite {
+
+  test("keySkew: heaviest keys, exact shares, deterministic ranks") {
+    import spark.implicits._
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold"))
+      .toDF("k")
+    val out = Quality.keySkew(df, "k", topN = 2).orderBy("rank").collect()
+    assert(out.map(_.getAs[String]("key")).toSeq === Seq("hot", "warm"))
+    assert(out.map(_.getAs[Long]("n")).toSeq === Seq(6L, 3L))
+    assert(out.map(_.getAs[Double]("share")).toSeq === Seq(0.6d, 0.3d))
+  }
+
+  test("ngram DF-cutoff: exact Jaccard, drops only stop-shingle pairs") {
+    import spark.implicits._
+    // a+b near-dup via rare shingles; c+d share ONLY the boilerplate
+    // template every doc carries
+    val boiler = "all rights reserved contact us for details"
+    val docs = Seq(
+      (1L, s"unique alpha beta gamma delta epsilon zeta $boiler"),
+      (2L, s"unique alpha beta gamma delta epsilon eta $boiler"),
+      (3L, s"totally different text one two three $boiler"),
+      (4L, s"another unrelated body four five six $boiler"))
+      .toDF("id", "text")
+    val exact = Dedup.ngramJaccardPairs(docs, col("id"), col("text"),
+      threshold = 0.5).collect()
+    val cut = Dedup.ngramJaccardPairsDfCut(docs, col("id"), col("text"),
+      threshold = 0.5, maxDocFreq = 3).collect()
+    // boilerplate shingles have df=4 > 3 → pruned from candidates, but
+    // the surviving pair's jaccard still counts them (exact over full
+    // sets) — identical scores to the uncut operator
+    assert(exact.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      === cut.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+    assert(cut.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+  }
+
+  test("zValue2 interleaves bits (Morton curve)") {
+    import spark.implicits._
+    val out = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (65535L, 0L))
+      .toDF("a", "b")
+      .select(Layout.zValue2(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // z(a,b): a on even bits, b on odd bits
+    assert(out === Seq(0L, 1L, 2L, 3L, 0x55555555L))
+  }
+
+  test("zorderWrite: each file owns a disjoint compact z-range") {
+    val path = "/root/repo/target/qtmp/test_zorder"
+    val ev = Tables.load(spark, SparkTestBase.sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    Layout.zorderWrite(ev, col("user_id"), col("event_id"), path,
+      numFiles = 4)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    assert(files.size > 1)
+    // per-file (min,max) of the z-value: ranges must not overlap —
+    // that disjointness is exactly what footer-stats pruning exploits
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .select(Layout.zValue2(col("user_id"), col("event_id")).as("z"))
+        .agg(min("z"), max("z")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2)
+      case _ =>
+    }
+    // layout never changes content
+    assert(spark.read.parquet(path).count() === ev.count())
+  }
+}
