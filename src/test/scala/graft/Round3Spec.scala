@@ -38,6 +38,22 @@ class Round3Spec extends GraftSuite {
     assert(cut.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
   }
 
+  test("simhash60: null text ≡ empty text ≡ all-ones fingerprint") {
+    import spark.implicits._
+    val df = Seq((1L, null: String), (2L, ""), (3L, "   "), (4L, "real text"))
+      .toDF("id", "text")
+    val out = df.select(col("id"), Dedup.simhash60(col("text")).as("fp"),
+        Dedup.simhash60Composed(col("text")).as("fp2"))
+      .orderBy("id").collect()
+    val allOnes = (1L << 60) - 1
+    // null / empty / whitespace-only all land on the tie-bits value the
+    // oracles COALESCE to — no null-vs-value divergence possible
+    assert(out.take(3).forall(_.getLong(1) === allOnes))
+    assert(out(3).getLong(1) !== allOnes)
+    // native and composed formulations stay bit-identical on the edges
+    assert(out.forall(r => r.getLong(1) === r.getLong(2)))
+  }
+
   test("zValue2 interleaves bits (Morton curve)") {
     import spark.implicits._
     val out = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (65535L, 0L))
