@@ -42,6 +42,7 @@ object Bench {
     "x18_tfidf_topk",       // text: explode + 2-level agg + window
     "st1_stream_hourly",    // Structured Streaming windowed agg
     "ref1_tripadvisor_chain", // the reference's 9-step cleaning chain
+    "ref2_gmaps_chain",     // nested places → dims → 7×24 pivot matrix
     "e2e_medallion_mart")   // src→ods→dim/fact→mart pipeline
 
   def main(args: Array[String]): Unit = {
