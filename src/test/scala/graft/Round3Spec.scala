@@ -5,6 +5,15 @@ import graft.operators.{Dedup, Layout, Quality}
 
 class Round3Spec extends GraftSuite {
 
+  test("driver contract: queries and oracles are in 1:1 correspondence") {
+    // the gate hash-compares every query against its oracle — a key
+    // present on one side only silently weakens or breaks the gate
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o) === Set.empty, s"queries missing oracles: ${q -- o}")
+    assert((o -- q) === Set.empty, s"orphan oracles: ${o -- q}")
+  }
+
   test("keySkew: heaviest keys, exact shares, deterministic ranks") {
     import spark.implicits._
     val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold"))
