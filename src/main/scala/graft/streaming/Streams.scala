@@ -16,6 +16,20 @@ object Streams {
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
   private def unique(name: String): String = s"${name}_${runSeq.incrementAndGet()}"
 
+  /** Run `body` with the shuffle-partition conf scoped down for a
+    * stateful stream, restoring it afterwards. A streaming aggregation
+    * materializes one state store (+ checkpoint dir, + task commit) per
+    * shuffle partition per micro-batch — at batch-parity scale (one
+    * AvailableNow micro-batch) 8 stores cover the keyspace; the
+    * session-wide 32 just multiplies fixed state-store overhead. On a
+    * real cluster this is the same knob, sized to executor count. */
+  private def withStreamShuffle[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Stream the events parquet as a file source and run an hourly
     * windowed count/sum into an in-memory sink, synchronously
     * (AvailableNow processes the backlog then stops — the batch-parity
@@ -31,12 +45,14 @@ object Streams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("event_type"), col("n_events"),
         col("sum_value").cast("double").as("sum_value"))
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory").queryName(sink)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark, 8) {
+      val q = stream.writeStream
+        .outputMode("complete")
+        .format("memory").queryName(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink)
   }
 
