@@ -29,6 +29,7 @@ object Scratch {
     }
     recallOf(Similarity.lshTopK(q, emb, "vec_id", "embedding", 5, planes = 4, tables = 8), "lsh")
     recallOf(Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5, nlist = 16, nprobe = 4), "ivf nprobe=4")
+    recallOf(Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5, nlist = 16, nprobe = 4, trainIters = 2), "ivf nprobe=4 trained")
     spark.stop()
   }
 }

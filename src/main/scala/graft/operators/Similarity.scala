@@ -146,17 +146,50 @@ object Similarity {
     *    cell id — the only shuffle that scales with corpus size.
     *
     * With nprobe = nlist this degenerates to exact brute force (every
-    * cell probed), which the test suite uses as an equivalence oracle. */
+    * cell probed), which the test suite uses as an equivalence oracle
+    * — a property independent of how the centroids were obtained, so
+    * it also pins the trained-centroid path.
+    *
+    * `trainIters` > 0 runs that many Lloyd (k-means) refinement steps
+    * on the hash-sampled seeds: assign corpus vectors to their nearest
+    * centroid, recompute each cell's elementwise mean. Each step is
+    * one broadcast assignment pass + one (cell, dimension) aggregation
+    * — at 100 TB train on a `sample()` of the corpus instead (the
+    * centroids only need to see the distribution, not every row). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 4,
+              trainIters: Int = 0): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       VectorExprs.norm(col(vecCol)).as("cn"))
-    val cents = c
+    val seeds = c
       .withColumn("__h", xxhash64(col("neighbor_id")))
       .orderBy(col("__h"), col("neighbor_id")).limit(nlist)
       .select(col("neighbor_id").as("cent_id"), col("cv").as("cent_v"),
         col("cn").as("cent_n"))
+    val cents = (1 to trainIters).foldLeft(seeds) { (cur, _) =>
+      val assigned = c.join(broadcast(cur))
+        .groupBy(col("neighbor_id"))
+        .agg(max(struct(
+            (VectorExprs.dot(col("cv"), col("cent_v")) /
+              (col("cn") * col("cent_n"))).as("cos"),
+            col("cent_id"))).getField("cent_id").as("cell"),
+          first(col("cv")).as("cv"))
+      // elementwise mean per cell: explode to (cell, pos, v), average,
+      // reassemble position-sorted — empty cells drop (fewer, denser
+      // cells is fine for a coarse quantizer)
+      assigned
+        .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("cell").as("cent_id"),
+          transform(col("pm"), e => e.getField("m").cast("float"))
+            .as("cent_v"))
+        .withColumn("cent_n", VectorExprs.norm(col("cent_v")))
+    }
     def centCos(v: Column, n: Column): Column =
       VectorExprs.dot(v, col("cent_v")) / (n * col("cent_n"))
     val assigned = c.join(broadcast(cents))

@@ -73,6 +73,21 @@ class Round3Spec extends GraftSuite {
     assert(out === Seq(0L, 1L, 2L, 3L, 0x55555555L))
   }
 
+  test("trained-centroid IVF at nprobe=nlist is still exact") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, SparkTestBase.sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteTopK(q, emb, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // exactness is independent of the coarse quantizer: probing every
+    // cell recovers brute force whether centroids are hash seeds or
+    // Lloyd-refined means
+    val trained = Similarity.ivfTopK(q, emb, "vec_id", "embedding", k = 3,
+        nlist = 8, nprobe = 8, trainIters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(trained === brute)
+  }
+
   test("zorderWrite: each file owns a disjoint compact z-range") {
     val path = "/root/repo/target/qtmp/test_zorder"
     val ev = Tables.load(spark, SparkTestBase.sfDir, "events")
