@@ -1211,6 +1211,26 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_no"))
     }),
 
+    "x26_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: train docs sharing any word 8-gram
+      // with the held-out set (doc_id % 100 == 0 stands in for the
+      // benchmark); inverted-index join, benchmark side broadcast
+      val docs = t(s, dir, "documents")
+      TextOps.contaminationFlags(
+          docs.filter(col("doc_id") % 100 =!= 0),
+          docs.filter(col("doc_id") % 100 === 0),
+          col("doc_id"), col("text"), n = 8)
+        .orderBy(col("train_id"))
+    }),
+
+    "x27_pack_sequences" -> ((s, dir) => {
+      // sequence packing: greedy cumulative-fill token bins per shard
+      // (the concat-and-chunk batching prep for training windows)
+      TextOps.packSequences(t(s, dir, "documents"), col("doc_id"),
+          col("text"), capacity = 512, shards = 8)
+        .orderBy(col("shard"), col("bin"))
+    }),
+
     "x24_key_skew" -> ((s, dir) => {
       // shuffle-planning diagnostic: heaviest keys + row share → decides
       // plain shuffle vs AQE skew-join vs explicit salting (j9)
@@ -2231,6 +2251,41 @@ object SparkEntry {
                      AS prev_sec
             FROM events)))
       GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+
+    "x26_decontaminate" -> """
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) >= 8
+                 THEN list_transform(range(1, len(toks) - 6),
+                      i -> array_to_string(toks[i:i+7], ' '))
+                 ELSE [array_to_string(toks, ' ')] END) AS s
+        FROM (SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text),
+                       '\s+', ' ', 'g')), ' ') AS toks
+              FROM documents)),
+      train AS (SELECT doc_id AS train_id, UNNEST(s) AS gram
+                FROM sh WHERE doc_id % 100 <> 0),
+      bench AS (SELECT DISTINCT doc_id AS bench_id, UNNEST(s) AS gram
+                FROM sh WHERE doc_id % 100 = 0)
+      SELECT t.train_id,
+             COUNT(DISTINCT b.bench_id) AS n_bench_hits,
+             COUNT(*) AS n_gram_hits
+      FROM train t JOIN bench b ON t.gram = b.gram
+      GROUP BY t.train_id ORDER BY t.train_id""",
+
+    "x27_pack_sequences" -> """
+      SELECT shard, bin, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+      FROM (
+        SELECT shard,
+               CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard
+                 ORDER BY id ROWS UNBOUNDED PRECEDING) - n_tokens)
+                 / 512.0) AS BIGINT) AS bin,
+               n_tokens
+        FROM (SELECT doc_id AS id, doc_id % 8 AS shard,
+                     len(regexp_extract_all(text, '\S+')) AS n_tokens
+              FROM documents))
+      GROUP BY shard, bin ORDER BY shard, bin""",
 
     "x24_key_skew" -> """
       SELECT key, n, floor(n / CAST(total AS DOUBLE) * 1e6 + 0.5) / 1e6

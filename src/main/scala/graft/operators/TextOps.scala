@@ -122,6 +122,48 @@ object TextOps {
           split(col("chunk_text"), " ")))
   }
 
+  /** Benchmark decontamination: flag training docs sharing any word
+    * `n`-gram with a held-out benchmark set — the overlap check every
+    * LLM training pipeline runs before a data release. Inverted-index
+    * shape: explode distinct n-grams on both sides, equi-join on the
+    * gram, count distinct benchmark docs hit per training doc. The
+    * gram join is the only data-scaling shuffle; the benchmark side is
+    * tiny by construction (broadcast), so at 100 TB this is one
+    * map-side-joined pass over the corpus. */
+  def contaminationFlags(train: DataFrame, bench: DataFrame,
+                         id: Column, text: Column, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame, as: String) = df
+      .select(id.as(as), explode(Dedup.shingles(text, n)).as("gram"))
+    grams(train, "train_id")
+      .join(broadcast(grams(bench, "bench_id").distinct()), Seq("gram"))
+      .groupBy(col("train_id"))
+      .agg(countDistinct(col("bench_id")).as("n_bench_hits"),
+        count(lit(1)).as("n_gram_hits"))
+  }
+
+  /** Sequence packing: assign documents to fixed-capacity token bins —
+    * the "concat-and-chunk" batching prep for LLM training. Greedy
+    * contiguous fill in id order per shard: a doc starts a new bin when
+    * the running token total would cross `capacity`... approximated by
+    * the classic cumulative-sum bin index (bin = ⌊(cumsum−tok)/cap⌋),
+    * which is deterministic, one window pass, and SQL-portable. Sharded
+    * (`pmod(id, shards)`) so no global window: each shard packs
+    * independently — exactly how a distributed packer works, because
+    * bins never span workers anyway. */
+  def packSequences(df: DataFrame, id: Column, text: Column,
+                    capacity: Int, shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = ColFns.tokenCount(text)
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(id.as("id"), toks.as("n_tokens"))
+      .withColumn("shard", pmod(col("id"), lit(shards)))
+      .withColumn("bin",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / capacity))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+  }
+
   /** Per-document top-k TF-IDF terms.
     *
     * tf = in-document count of the lowercased whitespace token;

@@ -73,6 +73,36 @@ class Round3Spec extends GraftSuite {
     assert(out === Seq(0L, 1L, 2L, 3L, 0x55555555L))
   }
 
+  test("contaminationFlags: only docs sharing an 8-gram are flagged") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val bench = Seq((100L, benchText)).toDF("id", "text")
+    val train = Seq(
+      (1L, s"prefix words then $benchText and a suffix"), // contains 8-grams
+      (2L, "completely unrelated training document with other words here"))
+      .toDF("id", "text")
+    val out = TextOps.contaminationFlags(train, bench,
+      col("id"), col("text"), n = 8).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(out.head.getAs[Long]("n_bench_hits") === 1L)
+  }
+
+  test("packSequences: cumulative fill respects capacity per shard") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // 4 docs in one shard (ids ≡ 0 mod 8), 3 tokens each, capacity 6:
+    // cumsum-tok = 0,3,6,9 → bins 0,0,1,1
+    val docs = Seq(8L, 16L, 24L, 32L)
+      .map(i => (i, "tok tok tok")).toDF("id", "text")
+    val out = TextOps.packSequences(docs, col("id"), col("text"),
+        capacity = 6, shards = 8)
+      .orderBy("bin").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      === Seq((0L, 2L, 6L), (1L, 2L, 6L)))
+    assert(out.forall(_.getLong(0) === 0L)) // all in shard 0
+  }
+
   test("trained-centroid IVF at nprobe=nlist is still exact") {
     import graft.operators.Similarity
     val emb = Tables.load(spark, SparkTestBase.sfDir, "embeddings")
