@@ -1031,6 +1031,25 @@ object SparkEntry {
         .orderBy(col("component"))
     }),
 
+    "x28_multisignal_dedup" -> ((s, dir) => {
+      // multi-signal dedup decision: TEXT near-dup edges (simhash
+      // Hamming ≤ 3) unioned with EMBEDDING near-dup edges (cosine >
+      // 0.40 — semantic dups text hashing can't see), connected
+      // components over the combined evidence, canonical per cluster.
+      // This is the end-to-end shape of a production dedup pass: every
+      // signal contributes edges, the clustering decides once.
+      val textEdges = Dedup.simhashNearDups60(t(s, dir, "documents"),
+        col("doc_id"), col("text"), maxHamming = 3).select("id_a", "id_b")
+      val vecEdges = Dedup.cosinePairs(t(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), threshold = 0.40)
+        .select("id_a", "id_b")
+      val edges = textEdges.union(vecEdges).distinct()
+      Dedup.connectedComponents(edges)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"), min(col("id")).as("canonical_id"))
+        .orderBy(col("component"))
+    }),
+
     "x23_dedup_keep_canonical" -> ((s, dir) => {
       // the pipeline's final cut: drop every cluster member except its
       // canonical (min-id) doc; singleton docs pass through untouched
@@ -2171,6 +2190,56 @@ object SparkEntry {
         SELECT a.id AS id_a, b.id AS id_b
         FROM fp a JOIN fp b ON a.id < b.id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+      sym AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+        UNION
+        SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id)
+      SELECT component, COUNT(*) AS n_members, MIN(id) AS canonical_id
+      FROM (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+      GROUP BY component ORDER BY component""",
+
+    "x28_multisignal_dedup" -> """
+      WITH RECURSIVE docs AS (
+        SELECT doc_id AS id,
+               list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+        FROM documents),
+      h AS (
+        SELECT id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS hv
+        FROM (SELECT id, UNNEST(toks) AS tok FROM docs)),
+      votes AS (
+        SELECT id, i,
+               SUM(CASE WHEN (hv >> CAST(i AS INT)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM h CROSS JOIN (SELECT UNNEST(range(60)) AS i) GROUP BY id, i),
+      fp0 AS (
+        SELECT id, CAST(SUM(CASE WHEN v >= 0
+                 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                 ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY id),
+      fp AS (
+        SELECT d.id,
+               COALESCE(f.simhash, CAST(1152921504606846975 AS BIGINT))
+                 AS simhash
+        FROM docs d LEFT JOIN fp0 f ON d.id = f.id),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM fp a JOIN fp b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        UNION
+        SELECT id_a, id_b FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[]))))
+                   AS cos_sim
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        WHERE cos_sim > 0.40),
       sym AS (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION SELECT id_b, id_a FROM pairs),
