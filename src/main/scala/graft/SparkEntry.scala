@@ -1367,6 +1367,12 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "st7_stream_stream_join" -> ((s, dir) => {
+      // stream ⋈ stream with event-time range (view→click conversion)
+      graft.streaming.Streams.streamStreamJoin(s, dir)
+        .orderBy(col("user_id"))
+    }),
+
     "st4_stream_sessionize" -> ((s, dir) => {
       // custom keyed-state streaming operator (flatMapGroupsWithState);
       // same session semantics as batch t2 → same oracle
@@ -2705,6 +2711,15 @@ object SparkEntry {
 
     "st6_stream_upsert" -> """
       SELECT DISTINCT user_id FROM events ORDER BY user_id""",
+
+    "st7_stream_stream_join" -> """
+      SELECT user_id, COUNT(*) AS n_view_click_pairs FROM (
+        SELECT v.user_id
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON v.user_id = c.user_id
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 24 HOURS)
+      GROUP BY user_id ORDER BY user_id""",
 
     "st5_stream_static_join" -> """
       SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -226,6 +226,43 @@ object Streams {
     spark.read.parquet(path)
   }
 
+  /** Stream-stream inner join: the view→click conversion join, both
+    * sides streams (the shape a real-time attribution pipeline has).
+    * Equality on user_id + an event-time range (click within 24 h of
+    * the view); both sides watermarked so the join state is bounded —
+    * Spark derives each side's state retention from the watermark and
+    * the time-interval condition. Batch-parity via AvailableNow; the
+    * joined pairs land in the sink and the per-user rollup happens on
+    * the materialized result (keeps the stream single-stateful-op). */
+  def streamStreamJoin(spark: SparkSession, sfDir: String,
+                       queryName: String = "graft_stream_ssj"): DataFrame = {
+    val sink = unique(queryName)
+    val views = eventStream(spark, sfDir, "st7_views", "30 days")
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val clicks = eventStream(spark, sfDir, "st7_clicks", "30 days")
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val joined = views.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"))
+      .select(col("user_id"), col("view_id"), col("click_id"))
+    withStreamShuffle(spark, 8) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory").queryName(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(sink)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_view_click_pairs"))
+  }
+
   /** Streaming stateful dedup: first event per user within the watermark
     * horizon (`dropDuplicates` keyed state). Output is projected to the
     * key alone so the result set is order-independent. */
