@@ -495,6 +495,41 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    "j12_full_outer_join" -> ((s, dir) => {
+      // full-outer reconciliation: which keys exist on one side only —
+      // the audit join every warehouse sync needs. Orders aggregate to
+      // key grain first so the outer join is key-to-key.
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .agg(
+          sum(when(col("c_custkey").isNotNull &&
+            col("o_custkey").isNotNull, 1L).otherwise(0L)).as("n_both"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+            .as("n_left_only"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+            .as("n_right_only"))
+    }),
+
+    "j13_nullsafe_join" -> ((s, dir) => {
+      // null-safe equality (<=>): NULL keys match each other instead of
+      // dropping — the semantics a dimension sync with "unknown" keys
+      // needs. Both sides derive nullable keys deterministically.
+      val e = t(s, dir, "events").select(
+        when(col("event_id") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("event_id") % 50).as("k1"))
+      val p = t(s, dir, "part").select(
+        when(col("p_partkey") % 11 === 0, lit(null).cast("long"))
+          .otherwise(col("p_partkey") % 50).as("k2"))
+      e.join(p, col("k1") <=> col("k2"))
+        .groupBy(coalesce(col("k1"), lit(-1L)).as("key"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("key"))
+    }),
+
     "b3_zorder_scan" -> ((s, dir) => {
       // Z-order clustered layout (Layout.zorderWrite): every output file
       // owns a compact (user_id, event_id) rectangle, so min/max footer
@@ -1677,6 +1712,30 @@ object SparkEntry {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "j12_full_outer_join" -> """
+      SELECT
+        CAST(SUM(CASE WHEN c.c_custkey IS NOT NULL
+                       AND o.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_both,
+        CAST(SUM(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_left_only,
+        CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_right_only
+      FROM (SELECT c_custkey FROM customer
+            WHERE c_mktsegment = 'BUILDING') c
+      FULL JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+                 FROM orders GROUP BY o_custkey) o
+        ON c.c_custkey = o.o_custkey""",
+
+    "j13_nullsafe_join" -> """
+      SELECT COALESCE(k1, -1) AS key, COUNT(*) AS n_pairs
+      FROM (SELECT CASE WHEN event_id % 7 = 0 THEN NULL
+                        ELSE event_id % 50 END AS k1 FROM events) e
+      JOIN (SELECT CASE WHEN p_partkey % 11 = 0 THEN NULL
+                        ELSE p_partkey % 50 END AS k2 FROM part) p
+        ON e.k1 IS NOT DISTINCT FROM p.k2
+      GROUP BY COALESCE(k1, -1) ORDER BY key""",
 
     "b3_zorder_scan" -> """
       SELECT event_type, COUNT(*) AS n_events,
