@@ -792,6 +792,24 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    "w8_forward_fill" -> ((s, dir) => {
+      // forward-fill (LOCF): last non-null observation carried forward
+      // per key in event-time order — the gap-repair op for sensor /
+      // metric streams (pandas ffill re-expressed as one keyed window,
+      // ignoreNulls last_value; leading nulls stay null). Gaps are
+      // derived deterministically so the oracle sees the same holes.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("gappy",
+          when(col("event_id") % 5 === 0, lit(null).cast("double"))
+            .otherwise(col("value")))
+        .select(col("event_id"), col("user_id"),
+          last(col("gappy"), ignoreNulls = true).over(w).as("filled"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- set ops (§2.7) ------------------------------------------------
     "u1_union_distinct" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -978,6 +996,28 @@ object SparkEntry {
           "yyyy-MM-dd HH:mm:ss").as("bucket"))
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
         .orderBy(col("bucket"))
+    }),
+
+    "t4_dense_spine" -> ((s, dir) => {
+      // dense hourly spine with zero-fill: a sequence() spine per key
+      // left-joined to observed buckets — the gap-fill every
+      // time-series rollup needs (missing hours must EXIST with 0, not
+      // be silently absent). Spine cardinality = key × hours, tiny next
+      // to the fact side at any scale.
+      val e = t(s, dir, "events")
+        .withColumn("hour", date_trunc("hour", col("ts")))
+      val counts = e.groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n_events"))
+      val spine = e.groupBy(col("event_type"))
+        .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+            .as("hour"))
+      spine.join(counts, Seq("event_type", "hour"), "left")
+        .select(col("event_type"),
+          date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy(col("event_type"), col("bucket"))
     }),
 
     "t2_sessionize" -> ((s, dir) => {
@@ -1942,6 +1982,17 @@ object SparkEntry {
                        ORDER BY o_orderdate, o_orderkey) AS prev
         FROM orders) ORDER BY o_custkey, o_orderkey""",
 
+    "w8_forward_fill" -> """
+      SELECT event_id, user_id,
+             last_value(gappy IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      FROM (SELECT event_id, user_id, ts,
+                   CASE WHEN event_id % 5 = 0 THEN NULL
+                        ELSE value END AS gappy
+            FROM events)
+      ORDER BY event_id""",
+
     "w7_rank_family" -> """
       SELECT o_orderkey, o_orderstatus,
              dense_rank() OVER w AS drank,
@@ -2123,6 +2174,25 @@ object SparkEntry {
              COUNT(*) AS n_events,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1 ORDER BY bucket""",
+
+    "t4_dense_spine" -> """
+      WITH obs AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      bounds AS (
+        SELECT event_type, MIN(hour) AS lo, MAX(hour) AS hi
+        FROM obs GROUP BY 1),
+      spine AS (
+        SELECT event_type,
+               UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+                 CAST(hi AS TIMESTAMP), INTERVAL 1 HOUR)) AS hour
+        FROM bounds)
+      SELECT s.event_type, strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS bucket,
+             CAST(COALESCE(o.n_events, 0) AS BIGINT) AS n_events
+      FROM spine s LEFT JOIN obs o
+        ON s.event_type = o.event_type AND s.hour = CAST(o.hour AS TIMESTAMP)
+      ORDER BY s.event_type, bucket""",
 
     "t2_sessionize" -> """
       SELECT user_id, session_id, COUNT(*) AS n_events,
