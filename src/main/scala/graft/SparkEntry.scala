@@ -306,6 +306,25 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "p16_temperature_sample" -> ((s, dir) => {
+      // temperature (α=0.5) source rebalancing: acceptance rate
+      // (n_min/n)^0.5 per source, md5-deterministic membership —
+      // the LLM data-mixing sample (Sampling.temperatureSample)
+      val docs = t(s, dir, "documents")
+      val kept = Sampling.temperatureSample(docs,
+          col("source"), col("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+        .withColumn("rate", round(sqrt(
+          min(col("n_total")).over(Window.partitionBy()).cast("double") /
+            col("n_total")), 6))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("rate"))
+        .orderBy(col("source"))
+    }),
+
     // ---- dedup (§2.3) --------------------------------------------------
     "d1_dedup_keep_first" -> ((s, dir) => {
       Dedup.keepFirst(t(s, dir, "orders"),
@@ -690,6 +709,22 @@ object SparkEntry {
         ORDER BY returnflag, linestatus""")
     }),
 
+    "a10_histogram" -> ((s, dir) => {
+      // equi-width histogram: one-pass bucket profile of a measure
+      // column (Quality.histogram) — tails clamp into the edge buckets
+      Quality.histogram(t(s, dir, "lineitem"), col("l_extendedprice"),
+          lo = 0.0, hi = 120000.0, nBuckets = 24)
+        .orderBy(col("bucket"))
+    }),
+
+    "a11_zscore_outliers" -> ((s, dir) => {
+      // z-score outlier report per event type: decimal-exact moments,
+      // then |v-mean| > z·sd counted per group (Quality.zscoreOutliers)
+      Quality.zscoreOutliers(t(s, dir, "events"),
+          col("event_type"), col("value"), z = 2.5)
+        .orderBy(col("grp"))
+    }),
+
     // ---- DML-as-rewrite (§2.10) ----------------------------------------
     "m1_update_rewrite" -> ((s, dir) => {
       // UPDATE … SET name WHERE name=… ×N (reference synonym-id repair),
@@ -727,6 +762,27 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("balance"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    "m4_scd2_merge" -> ((s, dir) => {
+      // SCD Type-2 merge (Mutations.scd2Merge): the scale-respecting
+      // alternative to the reference's drop-and-rebuild dims. Dim =
+      // current customer snapshot; batch = every 3rd key, with the
+      // segment changed on every 6th and unseen keys on every 150th.
+      val c = t(s, dir, "customer")
+      val dim = c.select(col("c_custkey"), col("c_mktsegment"),
+        lit("2024-01-01").as("valid_from"),
+        lit(null).cast("string").as("valid_to"),
+        lit(true).as("is_current"))
+      val updates = c.filter(col("c_custkey") % 3 === 0).select(
+        when(col("c_custkey") % 50 === 0, col("c_custkey") + 100000)
+          .otherwise(col("c_custkey")).as("c_custkey"),
+        when(col("c_custkey") % 6 === 0,
+          concat(col("c_mktsegment"), lit("_V2")))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      Mutations.scd2Merge(dim, updates, Seq("c_custkey"),
+          Seq("c_mktsegment"), "2024-06-01")
+        .orderBy(col("c_custkey"), col("valid_from"))
     }),
 
     // ---- windows / sort / top-k (§2.6) ---------------------------------
@@ -1018,6 +1074,26 @@ object SparkEntry {
           date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
           coalesce(col("n_events"), lit(0L)).as("n_events"))
         .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    "t5_ohlc_bars" -> ((s, dir) => {
+      // OHLC time bars: open/high/low/close + volume per (event_type,
+      // hour) — min_by/max_by over a (ts, event_id) struct picks the
+      // first/last observation without a second window pass; ties are
+      // impossible (event_id unique). One hash aggregation, the shape a
+      // 100 TB tick rollup wants (no sort, no window state).
+      val e = t(s, dir, "events")
+        .withColumn("hour", date_trunc("hour", col("ts")))
+        .withColumn("ord", struct(col("ts"), col("event_id")))
+      e.groupBy(col("event_type"),
+          date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("bar"))
+        .agg(min_by(col("value"), col("ord")).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), col("ord")).as("close"),
+          count(lit(1)).as("n_ticks"),
+          dsum(col("value")).as("volume"))
+        .orderBy(col("event_type"), col("bar"))
     }),
 
     "t2_sessionize" -> ((s, dir) => {
@@ -1330,6 +1406,33 @@ object SparkEntry {
       // plain shuffle vs AQE skew-join vs explicit salting (j9)
       Quality.keySkew(t(s, dir, "events"), "event_type", topN = 5)
         .orderBy(col("rank"))
+    }),
+
+    "x25_repetition_ratio" -> ((s, dir) => {
+      // Gopher-style repetition signals: top-word / duplicate-word /
+      // top-bigram fractions per doc (TextOps.repetitionStats) — the
+      // repetitious-content filter after exact dedup
+      TextOps.repetitionStats(t(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .orderBy(col("id"))
+    }),
+
+    "x29_url_canonical" -> ((s, dir) => {
+      // crawl-URL canonicalization + dedup: lowercase scheme/host, drop
+      // fragment + tracking params + trailing slash, then group by the
+      // canonical form keeping the smallest doc id. URLs synthesized
+      // deterministically from doc fields (messy case/params/fragments).
+      val u = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("HTTPS://"), upper(col("source")), lit(".Example.COM/p/"),
+          (col("doc_id") % 37).cast(StringType),
+          when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source=feed&ref="), col("lang"),
+          lit("&id="), (col("doc_id") % 200).cast(StringType),
+          when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+          .as("url"))
+      u.groupBy(TextOps.canonicalUrl(col("url")).as("canonical_url"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical_doc"))
+        .orderBy(col("canonical_url"))
     }),
 
     // ---- reference pipeline chains (§3.2) ------------------------------
@@ -1818,6 +1921,84 @@ object SparkEntry {
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       ORDER BY returnflag, linestatus""",
+
+    "a10_histogram" -> """
+      WITH b AS (
+        SELECT LEAST(GREATEST(CAST(FLOOR((l_extendedprice - 0.0) / 5000.0)
+                 AS BIGINT), 0), 23) AS bucket,
+               l_extendedprice AS v
+        FROM lineitem)
+      SELECT bucket, COUNT(*) AS n, MIN(v) AS min_v, MAX(v) AS max_v,
+             0.0 + bucket * 5000.0 AS bucket_lo
+      FROM b GROUP BY bucket ORDER BY bucket""",
+
+    "a11_zscore_outliers" -> """
+      WITH m AS (
+        SELECT event_type AS grp, COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,2))) AS s1,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) *
+                        CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS s2
+        FROM events GROUP BY event_type),
+      mm AS (
+        SELECT grp, CAST(s1 AS DOUBLE) / n AS mean,
+               sqrt(CAST(s2 AS DOUBLE) / n -
+                    (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sd
+        FROM m)
+      SELECT e.event_type AS grp, COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN abs(e.value - mm.mean) > 2.5 * mm.sd
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             round(ANY_VALUE(mm.mean), 4) AS mean,
+             round(ANY_VALUE(mm.sd), 4) AS sd
+      FROM events e JOIN mm ON e.event_type = mm.grp
+      GROUP BY e.event_type ORDER BY grp""",
+
+    "m4_scd2_merge" -> """
+      WITH dim AS (
+        SELECT c_custkey, c_mktsegment, '2024-01-01' AS valid_from,
+               CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+        FROM customer),
+      upd AS (
+        SELECT CASE WHEN c_custkey % 50 = 0 THEN c_custkey + 100000
+                    ELSE c_custkey END AS c_custkey,
+               CASE WHEN c_custkey % 6 = 0 THEN c_mktsegment || '_V2'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer WHERE c_custkey % 3 = 0),
+      j AS (
+        SELECT d.c_custkey AS dk, d.c_mktsegment AS dseg, d.valid_from,
+               u.c_custkey AS uk, u.c_mktsegment AS useg
+        FROM dim d FULL OUTER JOIN upd u ON d.c_custkey = u.c_custkey)
+      SELECT dk AS c_custkey, dseg AS c_mktsegment, valid_from,
+             CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+      FROM j WHERE dk IS NOT NULL AND (uk IS NULL OR dseg = useg)
+      UNION ALL
+      SELECT dk, dseg, valid_from, '2024-06-01', FALSE
+      FROM j WHERE dk IS NOT NULL AND uk IS NOT NULL AND dseg <> useg
+      UNION ALL
+      SELECT uk, useg, '2024-06-01', NULL, TRUE
+      FROM j WHERE dk IS NOT NULL AND uk IS NOT NULL AND dseg <> useg
+      UNION ALL
+      SELECT uk, useg, '2024-06-01', NULL, TRUE
+      FROM j WHERE dk IS NULL
+      ORDER BY c_custkey, valid_from""",
+
+    "t5_ohlc_bars" -> """
+      WITH e AS (
+        SELECT event_type,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar,
+               value, ts, event_id,
+               row_number() OVER (PARTITION BY event_type,
+                 date_trunc('hour', ts) ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type,
+                 date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC)
+                 AS rn_d
+        FROM events)
+      SELECT event_type, bar,
+             MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+             MAX(value) AS high, MIN(value) AS low,
+             MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+             COUNT(*) AS n_ticks,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+      FROM e GROUP BY event_type, bar ORDER BY event_type, bar""",
 
     "w6_range_frame" -> """
       SELECT o_custkey, o_orderkey,
@@ -2540,6 +2721,90 @@ object SparkEntry {
                x -> abs(x - floor(x * scale + 0.5) / scale))) <= 0.005
                AS err_ok
       FROM q ORDER BY vec_id""",
+
+    "p16_temperature_sample" -> """
+      WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+      r AS (SELECT source, n,
+                   sqrt(CAST((SELECT MIN(n) FROM c) AS DOUBLE) / n) AS rate
+            FROM c),
+      t AS (SELECT source, n, rate,
+                   lpad(lower(to_hex(CAST(floor(rate * 65536.0) AS BIGINT))),
+                        4, '0') AS th
+            FROM r),
+      k AS (SELECT d.source, COUNT(*) AS n_kept
+            FROM documents d JOIN t ON d.source = t.source
+            WHERE t.rate >= 1.0 OR
+                  substr(md5(d.source || '|' || CAST(d.doc_id AS VARCHAR)),
+                         1, 4) < t.th
+            GROUP BY d.source)
+      SELECT t.source, t.n AS n_total, COALESCE(k.n_kept, 0) AS n_kept,
+             round(t.rate, 6) AS rate
+      FROM t LEFT JOIN k USING (source) ORDER BY source""",
+
+    "x25_repetition_ratio" -> """
+      WITH ws AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      tok AS (
+        SELECT doc_id, len(w) AS n_words,
+               [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))] AS bg
+        FROM ws),
+      wstats AS (
+        SELECT doc_id, MAX(c) AS top_word_n,
+               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                 AS dup_word_n
+        FROM (SELECT doc_id, word, COUNT(*) AS c
+              FROM (SELECT doc_id, UNNEST(w) AS word FROM ws) u0
+              GROUP BY doc_id, word) wc
+        GROUP BY doc_id),
+      bstats AS (
+        SELECT doc_id, MAX(c) AS top_bigram_n FROM (
+          SELECT doc_id, bgram, COUNT(*) AS c FROM (
+            SELECT doc_id, UNNEST(bg) AS bgram FROM tok) u1
+          GROUP BY doc_id, bgram) g1
+        GROUP BY doc_id)
+      SELECT t.doc_id AS id, t.n_words,
+             round(CAST(w.top_word_n AS DOUBLE) / t.n_words, 6)
+               AS top_word_frac,
+             round(CAST(w.dup_word_n AS DOUBLE) / t.n_words, 6)
+               AS dup_word_frac,
+             CASE WHEN t.n_words > 1
+                  THEN round(CAST(b.top_bigram_n AS DOUBLE) /
+                             (t.n_words - 1), 6)
+                  ELSE 0.0 END AS top_bigram_frac
+      FROM tok t JOIN wstats w USING (doc_id)
+           LEFT JOIN bstats b USING (doc_id)
+      ORDER BY id""",
+
+    "x29_url_canonical" -> """
+      WITH u AS (
+        SELECT doc_id,
+               'HTTPS://' || upper(source) || '.Example.COM/p/' ||
+               CAST(doc_id % 37 AS VARCHAR) ||
+               CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+               '?utm_source=feed&ref=' || lang || '&id=' ||
+               CAST(doc_id % 200 AS VARCHAR) ||
+               CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+        FROM documents),
+      parts AS (
+        SELECT doc_id, nf,
+               regexp_extract(nf, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS p,
+               list_filter(
+                 string_split(regexp_extract(nf, '\?([^#]*)', 1), '&'),
+                 x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'ref='))
+                      AND x <> '') AS kept
+        FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u) n0),
+      canon AS (
+        SELECT doc_id,
+               lower(regexp_extract(nf, '^([A-Za-z]+://[^/?#]+)', 1)) ||
+               CASE WHEN p = '/' THEN p
+                    ELSE regexp_replace(p, '/$', '') END ||
+               CASE WHEN len(kept) > 0
+                    THEN '?' || array_to_string(kept, '&') ELSE '' END
+                 AS canonical_url
+        FROM parts)
+      SELECT canonical_url, COUNT(*) AS n_dups,
+             MIN(doc_id) AS canonical_doc
+      FROM canon GROUP BY canonical_url ORDER BY canonical_url""",
 
     "x1_dedup_exact" -> """
       SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))

@@ -45,6 +45,72 @@ object Mutations {
   def deleteWhere(df: DataFrame, cond: Column): DataFrame =
     df.filter(!coalesce(cond, lit(false)))
 
+  /** SCD Type-2 merge: fold an update batch into a versioned dimension.
+    *
+    * The reference full-refreshes its dims every run
+    * (`create_dim_attraction_type.py` drops and rebuilds); at 100 TB a
+    * full refresh rewrites the world for a 0.1% delta, so the
+    * scale-respecting shape is the slowly-changing-dimension merge every
+    * warehouse engine ships as `MERGE INTO`: close out changed current
+    * rows, append new versions, insert unseen keys, keep history rows
+    * untouched.
+    *
+    * `dim` carries `keys ++ tracked ++ (validFrom, validTo, isCurrent)`;
+    * `updates` carries `keys ++ tracked` (one row per key). A key's row
+    * is "changed" when any tracked column differs null-safely from the
+    * current version.
+    *
+    * Plan shape: ONE key-grain shuffle join (current slice × updates)
+    * decides changed/unchanged/new; everything else is unions of
+    * projections of the two inputs. Update batches are typically ≪ dim,
+    * so Spark broadcasts the update side and the merge costs one pass
+    * over the dimension — same I/O as the DELETE/INSERT rewrites above,
+    * never a full recompute. */
+  def scd2Merge(dim: DataFrame, updates: DataFrame, keys: Seq[String],
+                tracked: Seq[String], batchDate: String,
+                validFrom: String = "valid_from",
+                validTo: String = "valid_to",
+                isCurrent: String = "is_current"): DataFrame = {
+    val dimCols = keys ++ tracked ++ Seq(validFrom, validTo, isCurrent)
+    val history = dim.filter(!col(isCurrent)).select(dimCols.map(col): _*)
+    val current = dim.filter(col(isCurrent))
+    // null-safe "any tracked column differs"
+    val diff = tracked.map(c => !(col(s"cur.$c") <=> col(s"upd.$c")))
+      .reduce(_ || _)
+    // explicit presence markers: key columns may be legitimately null
+    // under the null-safe join, so side presence can't be read off them
+    val joined = current.withColumn("__cur", lit(true)).as("cur")
+      .join(updates.withColumn("__upd", lit(true)).as("upd"),
+        keys.map(k => col(s"cur.$k") <=> col(s"upd.$k")).reduce(_ && _),
+        "full_outer")
+    val changedOld = joined.filter(
+        col("cur.__cur").isNotNull && col("upd.__upd").isNotNull && diff)
+    // changed keys: close the old version, open the new one
+    val closed = changedOld.select(
+      (keys ++ tracked).map(c => col(s"cur.$c").as(c)) ++ Seq(
+        col(s"cur.$validFrom").as(validFrom),
+        lit(batchDate).as(validTo),
+        lit(false).as(isCurrent)): _*)
+    val reopened = changedOld.select(
+      (keys ++ tracked).map(c => col(s"upd.$c").as(c)) ++ Seq(
+        lit(batchDate).as(validFrom),
+        lit(null).cast("string").as(validTo),
+        lit(true).as(isCurrent)): _*)
+    // unchanged-or-unmatched current rows pass through untouched
+    val kept = joined.filter(col("cur.__cur").isNotNull &&
+        (col("upd.__upd").isNull || !diff))
+      .select(dimCols.map(c => col(s"cur.$c").as(c)): _*)
+    // brand-new keys insert as the first current version
+    val inserted = joined.filter(col("cur.__cur").isNull)
+      .select(
+        (keys ++ tracked).map(c => col(s"upd.$c").as(c)) ++ Seq(
+          lit(batchDate).as(validFrom),
+          lit(null).cast("string").as(validTo),
+          lit(true).as(isCurrent)): _*)
+    history.unionByName(kept).unionByName(closed)
+      .unionByName(reopened).unionByName(inserted)
+  }
+
   /** Atomic overwrite for rewrite cycles (§7.4): materialize to a temp
     * dir, then swap into place, so a failed rewrite never destroys the
     * target. Reruns are idempotent. */

@@ -76,6 +76,50 @@ object Quality {
       .filter(col("rank") <= topN)
   }
 
+  /** Equi-width histogram over a numeric column: `nBuckets` buckets of
+    * width (hi−lo)/nBuckets with the two tails clamped into the edge
+    * buckets. One partial+final hash aggregation — the profile query a
+    * 100 TB column scan answers in a single pass (bucket ids reduce
+    * map-side, so the shuffle carries ≤ nBuckets rows per task). Bucket
+    * arithmetic is plain IEEE double ops, identical across engines. */
+  def histogram(df: DataFrame, value: Column,
+                lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && hi > lo, "need hi > lo and nBuckets > 0")
+    val width = (hi - lo) / nBuckets
+    val bucket = least(greatest(floor((value - lo) / width), lit(0L)),
+      lit(nBuckets - 1L)).cast("long")
+    df.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(value).as("min_v"), max(value).as("max_v"))
+      .withColumn("bucket_lo", lit(lo) + col("bucket") * lit(width))
+  }
+
+  /** Z-score outlier report per group: population mean/stddev from
+    * exact decimal sums (engine-order-independent), then the count of
+    * rows beyond `z` standard deviations. One aggregation to get the
+    * moments per group, one broadcast join back for the flag count —
+    * two passes, both full scans, no row blowup; the standard streaming
+    * data-cleaning shape. */
+  def zscoreOutliers(df: DataFrame, group: Column, value: Column,
+                     z: Double = 2.5): DataFrame = {
+    val moments = df.groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(value.cast("decimal(18,2)")).as("s1"),
+        sum((value.cast("decimal(18,2)") * value.cast("decimal(18,2)"))
+          .cast("decimal(28,4)")).as("s2"))
+      .withColumn("mean", col("s1").cast("double") / col("n"))
+      .withColumn("sd", sqrt(col("s2").cast("double") / col("n")
+        - col("mean") * col("mean")))
+    df.select(group.as("grp"), value.as("v"))
+      .join(broadcast(moments), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(abs(col("v") - col("mean")) > lit(z) * col("sd"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        round(first(col("mean")), 4).as("mean"),
+        round(first(col("sd")), 4).as("sd"))
+  }
+
   /** Column profile in long format: one output row per profiled column
     * with null count, exact distinct count, and lexicographic min/max
     * (values stringified so heterogeneous columns share a schema). All

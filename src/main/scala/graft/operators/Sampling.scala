@@ -29,6 +29,39 @@ object Sampling {
       .isin(nibbles.take(m).map(_.toString): _*))
   }
 
+  /** Temperature (α<1) source rebalancing: the data-mixing sample an
+    * LLM pretraining pipeline draws when one source dwarfs the rest.
+    * Target share per stratum ∝ n^α, realized as the deterministic
+    * acceptance rate `(n_min/n)^(1-α)` — the smallest stratum keeps
+    * everything, heavy strata are down-weighted. Membership is the
+    * md5-uniform rule above at 16-bit granularity: keep a row when the
+    * first 4 md5 hex chars (a uniform in [0, 16^4)) sort below the
+    * stratum's rate threshold, rendered as a 4-char hex string so both
+    * engines compare plain strings. α = 0.5 uses `sqrt` directly
+    * (bit-identical across libm implementations, unlike `pow`).
+    *
+    * Plan: one tiny stratum-count aggregation (broadcast back), then a
+    * per-row codegen'd filter — at 100 TB the rate table is dozens of
+    * rows and the sample is one scan-speed pass. */
+  def temperatureSample(df: DataFrame, stratum: Column, key: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rates = df.groupBy(stratum.as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__nmin", min(col("__n")).over(Window.partitionBy()))
+      .withColumn("__rate",
+        sqrt(col("__nmin").cast("double") / col("__n")))
+      .withColumn("__thresh",
+        lpad(lower(hex(floor(col("__rate") * 65536.0d).cast("long"))),
+          4, "0"))
+    df.withColumn("__stratum", stratum)
+      .join(broadcast(rates), Seq("__stratum"))
+      .filter(col("__rate") >= 1.0d ||
+        substring(md5(concat(col("__stratum").cast("string"), lit("|"),
+          key.cast("string"))), 1, 4) < col("__thresh"))
+      .withColumn("sample_rate", col("__rate"))
+      .drop("__stratum", "__n", "__nmin", "__rate", "__thresh")
+  }
+
   /** Stratified variant: the nibble is drawn from md5(stratum || '|' ||
     * key), so each stratum is sampled at m/16 independently — a skewed
     * stratum cannot starve the others of hash space. */

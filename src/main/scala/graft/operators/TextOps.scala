@@ -164,6 +164,61 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
   }
 
+  /** Gopher-style repetition signals per document: top-word fraction,
+    * duplicate-word fraction (share of tokens whose word occurs ≥2
+    * times), and top-bigram fraction — the repetitious-content filters
+    * a pretraining cleanup runs after exact dedup. Two explode+agg
+    * passes (words, bigrams) keyed by doc id: the shuffle grain is the
+    * document, so the op scales linearly and never holds more than one
+    * document's vocabulary per key. */
+  def repetitionStats(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = df.select(id.as("id"), split(lower(text), " ").as("w"))
+      .withColumn("n_words", size(col("w")))
+      // adjacent-pair bigrams via transform-with-index (no shuffle)
+      .withColumn("bg", expr(
+        "transform(slice(w, 1, size(w) - 1), " +
+          "(x, i) -> concat(x, ' ', element_at(w, i + 2)))"))
+    val wstats = base.select(col("id"), explode(col("w")).as("word"))
+      .groupBy(col("id"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(max(col("c")).as("top_word_n"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_word_n"))
+    val bstats = base.select(col("id"), explode(col("bg")).as("bgram"))
+      .groupBy(col("id"), col("bgram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id")).agg(max(col("c")).as("top_bigram_n"))
+    base.select(col("id"), col("n_words"))
+      .join(wstats, Seq("id"))
+      .join(bstats, Seq("id"), "left")
+      .select(col("id"), col("n_words"),
+        round(col("top_word_n").cast(DoubleType) / col("n_words"), 6)
+          .as("top_word_frac"),
+        round(col("dup_word_n").cast(DoubleType) / col("n_words"), 6)
+          .as("dup_word_frac"),
+        when(col("n_words") > 1,
+          round(col("top_bigram_n").cast(DoubleType) / (col("n_words") - 1), 6))
+          .otherwise(lit(0.0d)).as("top_bigram_frac"))
+  }
+
+  /** URL canonicalization: lowercase scheme+host, drop the fragment,
+    * strip tracking query params (`utm_*`, `ref`), drop a trailing
+    * slash — the normalize step before crawl dedup. Pure per-row
+    * string/array expressions (regexp splits + a higher-order filter),
+    * deliberately lookaround-free so any regex engine agrees. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val schemeHost = lower(regexp_extract(noFrag, "^([A-Za-z]+://[^/?#]+)", 1))
+    val path0 = regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    val path = when(path0 === "/", path0)
+      .otherwise(regexp_replace(path0, "/$", ""))
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val kept = org.apache.spark.sql.functions.filter(
+      split(query, "&"),
+      p => !(p.startsWith("utm_") || p.startsWith("ref=")) && p =!= "")
+    concat(schemeHost, path,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit("")))
+  }
+
   /** Per-document top-k TF-IDF terms.
     *
     * tf = in-document count of the lowercased whitespace token;
