@@ -1435,6 +1435,18 @@ object SparkEntry {
         .orderBy(col("canonical_url"))
     }),
 
+    // ---- graph (beyond parity) -----------------------------------------
+    "g1_pagerank" -> ((s, dir) => {
+      // fixed-iteration PageRank in integer micro-units
+      // (Graph.pagerankMicro): every step is integral arithmetic, so
+      // the result is bit-exact across engines and summation orders —
+      // the dropped division remainders are part of the spec. Link
+      // graph derived deterministically from events (user → bucket).
+      val e = t(s, dir, "events").select(col("user_id").as("src"),
+        (col("event_id") % 150).as("dst"))
+      Graph.pagerankMicro(e, iters = 5).orderBy(col("node"))
+    }),
+
     // ---- reference pipeline chains (§3.2) ------------------------------
     "ref1_tripadvisor_chain" -> ((s, dir) => {
       // the 9-step TripAdvisor src→ods chain (ReferenceOds) over a
@@ -1559,8 +1571,43 @@ object SparkEntry {
     }),
   )
 
+  /** Unrolled-CTE DuckDB oracle for [[Graph.pagerankMicro]]: `iters`
+    * chained iteration CTEs, each the literal integer-arithmetic spec
+    * (`//` = Spark's `div`), so both engines compute identical longs. */
+  private def pagerankOracleSql(iters: Int): String = {
+    def prev(k: Int) = if (k == 1) "r0" else s"it${k - 1}"
+    val header = """
+      WITH edges AS (SELECT DISTINCT user_id AS src, event_id % 150 AS dst
+                     FROM events),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      nn AS (SELECT COUNT(*) AS n FROM nodes),
+      r0 AS (SELECT node, (SELECT 1000000000000 // n FROM nn) AS rank
+             FROM nodes)"""
+    val its = (1 to iters).map { k =>
+      s""",
+      it$k AS (
+        SELECT n.node,
+               (SELECT 150000000000 // n FROM nn)
+               + (85 * (COALESCE(c.in_contrib, 0) +
+                  (SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT)
+                   FROM ${prev(k)} r LEFT JOIN deg d ON r.node = d.src
+                   WHERE d.src IS NULL) // (SELECT n FROM nn))) // 100
+                 AS rank
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node,
+                 CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS in_contrib
+          FROM edges e JOIN ${prev(k)} r ON e.src = r.node
+               JOIN deg d ON e.src = d.src
+          GROUP BY e.dst) c ON n.node = c.node)"""
+    }.mkString
+    header + its + s"\n      SELECT node, rank FROM it$iters ORDER BY node"
+  }
+
   // =======================================================================
   def oracleSql: Map[String, String] = Map(
+
+    "g1_pagerank" -> pagerankOracleSql(5),
 
     "s1_csv_roundtrip" -> """
       SELECT o_orderstatus, COUNT(*) AS n,

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph operators over edge-list DataFrames. Companion to
+  * [[Dedup.connectedComponents]] (min-label propagation): the same
+  * loop-of-joins shape, with `localCheckpoint` truncating the plan each
+  * round so 5 or 50 iterations cost the same per-round work instead of
+  * an exponentially growing lineage.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank in integer micro-units.
+    *
+    * Ranks live as longs in units of 1/`base` (default 1e-12), and every
+    * step — the per-edge contribution `rank div outdeg`, the damping
+    * `85·x div 100`, the dangling-mass redistribution `mass div n` — is
+    * integral division, so the result is bit-identical on any engine and
+    * any summation order (long addition is exact and commutative; the
+    * dropped remainders are part of the spec, not error). Total mass
+    * decays a few micro-units per round, which a ranking consumer never
+    * observes.
+    *
+    * Plan shape per iteration: one equi-join of edges × current ranks on
+    * `src` (ranks ≤ nodes ≪ edges; broadcastable), one `dst`-grain
+    * aggregation — the only data-scaling shuffle — plus a tiny anti-join
+    * aggregate for dangling mass. `localCheckpoint` after each round
+    * keeps the plan flat (the Dedup.connectedComponents OOM lesson,
+    * commit dbebd13).
+    *
+    * Expects `edges(src: long, dst: long)`; duplicates are collapsed
+    * (simple-graph semantics, matching how a link graph is built).
+    */
+  def pagerankMicro(edges: DataFrame, iters: Int = 5,
+                    base: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val outdeg = e.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val nN = nodes.count()
+    val teleport = (base * 15L / 100L) / nN
+    var ranks = nodes.select(col("node"), lit(base / nN).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(outdeg, Seq("src"))
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("rank div outdeg").as("contrib"))
+        .groupBy(col("node"))
+        .agg(sum(col("contrib")).as("in_contrib"))
+      // dangling nodes (no out-edges) spread their mass to everyone
+      val dangling = ranks
+        .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("m"))
+        .head().getLong(0)
+      val dangShare = dangling / nN
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"(85 * (coalesce(in_contrib, 0L) + ${dangShare}L)) div 100"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Graph, Mutations, Quality, Sampling, TextOps}
+
+class Round4Spec extends GraftSuite {
+
+  test("scd2Merge: close/reopen changed keys, insert new, keep the rest") {
+    import spark.implicits._
+    val dim = Seq(
+      (1L, "A", "2024-01-01", null: String, true),   // will change
+      (2L, "B", "2024-01-01", null: String, true),   // unchanged update
+      (3L, "C", "2024-01-01", null: String, true),   // no update at all
+      (1L, "Z", "2023-01-01", "2024-01-01", false))  // history row
+      .toDF("k", "seg", "valid_from", "valid_to", "is_current")
+    val upd = Seq((1L, "A2"), (2L, "B"), (9L, "NEW")).toDF("k", "seg")
+    val out = Mutations.scd2Merge(dim, upd, Seq("k"), Seq("seg"),
+        "2024-06-01")
+      .orderBy("k", "valid_from")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)).getOrElse("-"), r.getBoolean(4)))
+      .toSeq
+    assert(out === Seq(
+      (1L, "Z", "2023-01-01", "2024-01-01", false),  // history untouched
+      (1L, "A", "2024-01-01", "2024-06-01", false),  // closed out
+      (1L, "A2", "2024-06-01", "-", true),           // reopened
+      (2L, "B", "2024-01-01", "-", true),            // unchanged passes
+      (3L, "C", "2024-01-01", "-", true),            // untouched passes
+      (9L, "NEW", "2024-06-01", "-", true)))         // inserted
+  }
+
+  test("scd2Merge: exactly one current row per live key") {
+    import spark.implicits._
+    val dim = Seq((1L, "A", "2024-01-01", null: String, true))
+      .toDF("k", "seg", "valid_from", "valid_to", "is_current")
+    val upd = Seq((1L, "B")).toDF("k", "seg")
+    val out = Mutations.scd2Merge(dim, upd, Seq("k"), Seq("seg"), "2024-06-01")
+    assert(out.filter(col("is_current")).groupBy("k").count()
+      .filter(col("count") > 1).count() === 0L)
+  }
+
+  test("pagerankMicro: mass ≈ conserved, sinks rank below hubs") {
+    import spark.implicits._
+    // star graph: 1..4 all point at 0; 0 points at 1 — node 0 must
+    // dominate, and total mass stays within rounding of 1e12
+    val e = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 1L))
+      .toDF("src", "dst")
+    val r = Graph.pagerankMicro(e, iters = 10).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r(0L) > r(2L) && r(1L) > r(2L)) // hub and its sole target lead
+    assert(r(2L) === r(3L) && r(3L) === r(4L)) // symmetric leaves tie
+    val total = r.values.sum
+    assert(total > 999999000000L && total <= 1000000000000L)
+  }
+
+  test("pagerankMicro: dangling mass is redistributed, not lost") {
+    import spark.implicits._
+    // 0 -> 1, 1 is dangling: without redistribution 1's mass drains
+    val e = Seq((0L, 1L)).toDF("src", "dst")
+    val r = Graph.pagerankMicro(e, iters = 20).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    val total = r.values.sum
+    assert(total > 999999000000L && total <= 1000000000000L)
+    assert(r(1L) > r(0L)) // the pointed-at node outranks the pointer
+  }
+
+  test("histogram: tails clamp into edge buckets, widths exact") {
+    import spark.implicits._
+    val df = Seq(-5.0, 0.0, 9.9, 10.0, 55.0, 99.9, 100.0, 250.0).toDF("v")
+    val out = Quality.histogram(df, col("v"), lo = 0.0, hi = 100.0,
+        nBuckets = 10)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // -5 clamps into bucket 0; 100 and 250 clamp into bucket 9
+    assert(out === Seq((0L, 3L), (1L, 1L), (5L, 1L), (9L, 3L)))
+  }
+
+  test("temperatureSample: smallest stratum keeps everything") {
+    import spark.implicits._
+    val df = (1 to 400).map(i => (i.toLong, if (i <= 20) "rare" else "big"))
+      .toDF("id", "s")
+    val kept = Sampling.temperatureSample(df, col("s"), col("id"))
+    val bySrc = kept.groupBy("s").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(bySrc("rare") === 20L) // rate 1.0 → all kept
+    // heavy stratum downsampled near sqrt(20/380) ≈ 0.23
+    assert(bySrc("big") < 380L && bySrc("big") > 380L / 10)
+    // sample_rate column surfaces the applied rate
+    assert(kept.filter(col("s") === "rare")
+      .select(min("sample_rate")).head().getDouble(0) === 1.0d)
+  }
+
+  test("canonicalUrl: case, fragment, tracking params, trailing slash") {
+    import spark.implicits._
+    val urls = Seq(
+      "HTTPS://WWW.Site.COM/Path/?utm_source=x&id=3&ref=feed#frag",
+      "https://www.site.com/Path?id=3",
+      "http://a.b/",
+      "http://a.b/x?utm_a=1&utm_b=2")
+      .toDF("url")
+    val out = urls.select(TextOps.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out === Seq(
+      "https://www.site.com/Path?id=3",  // host lowered, path case kept
+      "https://www.site.com/Path?id=3",  // identical canonical form
+      "http://a.b/",                     // root slash preserved
+      "http://a.b/x"))                   // all params stripped → no '?'
+  }
+
+  test("repetitionStats: exact fractions on a constructed doc") {
+    import spark.implicits._
+    // "a a a b": top word a=3/4; dup words 3/4; bigrams "a a","a a","a b"
+    // → top bigram 2/3
+    val df = Seq((7L, "a a a b")).toDF("id", "t")
+    val r = TextOps.repetitionStats(df, col("id"), col("t")).head()
+    assert(r.getAs[Int]("n_words") === 4)
+    assert(r.getAs[Double]("top_word_frac") === 0.75d)
+    assert(r.getAs[Double]("dup_word_frac") === 0.75d)
+    assert(r.getAs[Double]("top_bigram_frac") === 0.666667d)
+  }
+
+  test("zscoreOutliers: flags only the far point") {
+    import spark.implicits._
+    val df = (Seq.fill(50)(10.0) ++ Seq.fill(50)(12.0) ++ Seq(1000.0))
+      .map(("g", _)).toDF("t", "v")
+    val r = Quality.zscoreOutliers(df, col("t"), col("v"), z = 2.5).head()
+    assert(r.getAs[Long]("n_rows") === 101L)
+    assert(r.getAs[Long]("n_outliers") === 1L)
+  }
+}
