@@ -1,35 +1,54 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Dev scratchpad (not part of the driver contract). */
+/** Dev scratchpad (not part of the driver contract): time named
+  * SparkEntry queries — `tools/run.sh graft.Scratch <sfDir> q1,q2` —
+  * with the same noop-sink + min-of-2 protocol as Bench. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = args.lift(1).map(_.split(",").toSeq)
+      .getOrElse(Seq("a1_pricing_summary"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.operators.Similarity
-    val emb = Tables.load(spark, sfDir, "embeddings")
-    val q = emb.filter(col("vec_id") < 10)
-    val brute = Similarity.bruteTopK(q, emb, "vec_id", "embedding", k = 5).cache()
-    def recallOf(approx: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val r = brute.as("b").join(approx.as("l"),
-          col("b.query_id") === col("l.query_id") &&
-            col("b.neighbor_id") === col("l.neighbor_id"), "left")
-        .groupBy(col("b.query_id"))
-        .agg((count(col("l.neighbor_id")) / 5.0d).as("recall"))
-      r.agg(avg(col("recall")).as("avg"), min(col("recall")).as("min")).show()
-      println(s"^ $name")
+    SparkEntry.queries("j4_mart_flagship")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save() // warmup
+    def timeOnce(name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      dt
     }
-    recallOf(Similarity.lshTopK(q, emb, "vec_id", "embedding", 5, planes = 4, tables = 8), "lsh")
-    recallOf(Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5, nlist = 16, nprobe = 4), "ivf nprobe=4")
-    recallOf(Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5, nlist = 16, nprobe = 4, trainIters = 2), "ivf nprobe=4 trained")
+    names.foreach {
+      case "recall_x2" =>
+        // LSH candidate recall vs the exact inverted-index pairs — run
+        // after any change to the minhash/band hashing (the x2 oracle
+        // is exact Jaccard, so the LSH must find every pair here)
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.load(spark, sfDir, "documents")
+        val lsh = graft.operators.Dedup
+          .minhashPairs(docs, col("doc_id"), col("text"), 0.8)
+          .select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exact = graft.operators.Dedup
+          .ngramJaccardPairs(docs, col("doc_id"), col("text"), 0.8)
+          .select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(s"recall_x2: lsh=${lsh.size} exact=${exact.size} " +
+          s"missed=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
+      case n =>
+        val a = timeOnce(n); val b = timeOnce(n)
+        println(f"$n%-28s min=${math.min(a, b)}%.3f  (p1=$a%.3f p2=$b%.3f)")
+    }
     spark.stop()
   }
 }

@@ -50,38 +50,40 @@ object Dedup {
     array_distinct(grams)
   }
 
-  /** k-permutation MinHash signature over a shingle array. Each
-    * "permutation" is xxhash64 salted by the permutation index — pure
-    * Catalyst, codegen'd, no UDF. */
-  def minhashSignature(shingleArr: Column, k: Int = 32): Column =
+  /** k-permutation MinHash signature over a PRE-HASHED shingle array
+    * (longs). Each shingle is string-hashed exactly once upstream;
+    * permutation `j` remixes the 64-bit value with a salted long-input
+    * xxhash64 — an 8-byte hash, ~an order of magnitude cheaper than
+    * re-hashing the shingle STRING per permutation (the dominant cost
+    * of the whole pairs path: k×|shingles| hashes per doc). Pure
+    * Catalyst, codegen'd, no UDF; long-hash remixing also sidesteps
+    * ANSI overflow that a multiply-shift universal hash would hit. */
+  def minhashSignature(hashedShingles: Column, k: Int = 32): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingleArr, s => xxhash64(j, s))))
+      j => array_min(transform(hashedShingles, h => xxhash64(j, h))))
 
-  /** LSH band keys: signature split into `bands` bands of `k/bands` rows;
-    * each band hashed to one bucket key. */
-  def lshBandKeys(sig: Column, k: Int = 32, bands: Int = 8): Column = {
+  /** LSH band keys from the same pre-hashed shingle array: band `b`
+    * hashes its `r = k/bands` permutation minima directly
+    * (`xxhash64(b, min_0, …, min_{r-1})` — no JSON serialization),
+    * statically unrolled so each permutation minimum is evaluated in
+    * exactly one band expression. (A signature *column* referenced from
+    * band lambdas would let CollapseProject inline the k-entry
+    * signature into every band — k×bands work per row, measured 8× on
+    * the pairs path; the earlier to_json framing fixed the inlining but
+    * paid a per-row-per-band JSON encode, measured ~2× end-to-end.) */
+  def lshBandKeysDirect(hashedShingles: Column, k: Int = 32,
+                        bands: Int = 8): Column = {
     val r = k / bands
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(b, to_json(struct(slice(sig, b * lit(r) + 1, lit(r))))))
+    array((0 until bands).map { b =>
+      val mins = (b * r until (b + 1) * r).map(j =>
+        array_min(transform(hashedShingles, h => xxhash64(lit(j), h))))
+      xxhash64(lit(b) +: mins: _*)
+    }: _*)
   }
 
-  /** [[lshBandKeys]] computed straight from the shingle array, without
-    * the intermediate signature column. Byte-identical keys (each band
-    * hashes the same `{"col1":[...]}` JSON of the same salted minima),
-    * but each of the k permutation minima is evaluated inside exactly
-    * one band's lambda. Referencing a sig *column* instead would let
-    * CollapseProject inline the whole k-entry signature expression into
-    * every band lambda — k×bands work per row instead of k (measured
-    * 8× on the pairs path). */
-  def lshBandKeysDirect(shingleArr: Column, k: Int = 32, bands: Int = 8): Column = {
-    val r = k / bands
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(b, to_json(struct(
-        transform(sequence(b * lit(r), (b + 1) * lit(r) - 1),
-          j => array_min(transform(shingleArr, s => xxhash64(j, s))))))))
-  }
-
-  /** Per-doc signatures + band keys for `text`; one row per doc. */
+  /** Per-doc shingle sets + LSH band keys for `text`; one row per doc.
+    * Shingles are string-hashed ONCE into `hs`; signature minima and
+    * band keys derive from those longs. */
   def minhashed(df: DataFrame, id: Column, text: Column,
                 k: Int = 32, bands: Int = 8, w: Int = 3): DataFrame = {
     // single-file inputs arrive as one partition; per-doc hashing is the
@@ -89,8 +91,9 @@ object Dedup {
     val par = df.sparkSession.sparkContext.defaultParallelism * 2
     val sh = shingles(text, w)
     df.repartition(par).select(id.as("id"), sh.as("shingles"))
-      .withColumn("sig", minhashSignature(col("shingles"), k))
-      .withColumn("bands", lshBandKeysDirect(col("shingles"), k, bands))
+      .withColumn("hs", transform(col("shingles"), s => xxhash64(s)))
+      .withColumn("bands", lshBandKeysDirect(col("hs"), k, bands))
+      .drop("hs")
   }
 
   /** MinHash/LSH near-duplicate pairs with exact Jaccard verification.
