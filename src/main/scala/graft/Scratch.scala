@@ -45,6 +45,14 @@ object Scratch {
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         println(s"recall_x2: lsh=${lsh.size} exact=${exact.size} " +
           s"missed=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
+      case "st8_debug" =>
+        // count rows per micro-batch to confirm the 2-batch split
+        import org.apache.spark.sql.functions.col
+        val out = graft.streaming.Streams.streamLateDataDrop(spark, sfDir)
+        println("st8 rows=" + out.count())
+        val ev = Tables.load(spark, sfDir, "events")
+        println("a=" + ev.filter(col("event_id") % 3 =!= 0).count() +
+          " b=" + ev.filter(col("event_id") % 3 === 0).count())
       case n =>
         val a = timeOnce(n); val b = timeOnce(n)
         println(f"$n%-28s min=${math.min(a, b)}%.3f  (p1=$a%.3f p2=$b%.3f)")

@@ -325,6 +325,19 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "p17_dictionary_encode" -> ((s, dir) => {
+      // categorical dictionary encoding: dense ids in value order from
+      // a distinct+window over the (tiny) vocabulary, broadcast back —
+      // the feature-encoding step before training; vocab ≪ data at any
+      // scale, so the join-back is map-side
+      val o = t(s, dir, "orders")
+      val vocab = o.select(col("o_orderpriority").as("v")).distinct()
+        .withColumn("v_id", row_number().over(Window.orderBy(col("v"))))
+      o.join(broadcast(vocab), col("o_orderpriority") === col("v"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("v_id"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- dedup (§2.3) --------------------------------------------------
     "d1_dedup_keep_first" -> ((s, dir) => {
       Dedup.keepFirst(t(s, dir, "orders"),
@@ -863,6 +876,24 @@ object SparkEntry {
             .otherwise(col("value")))
         .select(col("event_id"), col("user_id"),
           last(col("gappy"), ignoreNulls = true).over(w).as("filled"))
+        .orderBy(col("event_id"))
+    }),
+
+    "w9_cumulative_distinct" -> ((s, dir) => {
+      // running COUNT(DISTINCT) per key — not directly plannable as a
+      // window in Spark (or most engines); the composable form is a
+      // first-occurrence flag + cumulative sum, two window passes over
+      // the SAME partitioning/ordering (one sort, no extra shuffle)
+      val firstSeen = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val cum = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("first_seen",
+          when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
+        .select(col("event_id"), col("user_id"),
+          sum(col("first_seen")).over(cum).as("types_seen"))
         .orderBy(col("event_id"))
     }),
 
@@ -1435,6 +1466,22 @@ object SparkEntry {
         .orderBy(col("canonical_url"))
     }),
 
+    "x30_char_entropy" -> ((s, dir) => {
+      // character-entropy perplexity proxy (TextOps.charEntropy):
+      // gibberish / encoded-blob detection signal
+      TextOps.charEntropy(t(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .orderBy(col("id"))
+    }),
+
+    "x31_feature_hash" -> ((s, dir) => {
+      // hashing-trick featurization: token → md5-portable bucket,
+      // per-doc counts — no vocabulary build, no broadcast
+      TextOps.featureHash(t(s, dir, "documents"),
+          col("doc_id"), col("text"), buckets = 64)
+        .orderBy(col("id"), col("bucket"))
+    }),
+
     // ---- graph (beyond parity) -----------------------------------------
     "g1_pagerank" -> ((s, dir) => {
       // fixed-iteration PageRank in integer micro-units
@@ -1568,6 +1615,15 @@ object SparkEntry {
       // same session semantics as batch t2 → same oracle
       graft.streaming.Streams.streamSessionize(s, dir)
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    "st8_stream_late_drop" -> ((s, dir) => {
+      // watermark semantics made observable: 2 forced micro-batches,
+      // batch 2 mostly late → dropped from closed windows; append mode
+      // emits exactly the windows the final watermark closed. The
+      // oracle is the same spec in plain SQL.
+      graft.streaming.Streams.streamLateDataDrop(s, dir)
+        .orderBy(col("bucket"), col("event_type"))
     }),
   )
 
@@ -2852,6 +2908,67 @@ object SparkEntry {
       SELECT canonical_url, COUNT(*) AS n_dups,
              MIN(doc_id) AS canonical_doc
       FROM canon GROUP BY canonical_url ORDER BY canonical_url""",
+
+    "w9_cumulative_distinct" -> """
+      SELECT event_id, user_id,
+             CAST(SUM(first_seen) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS types_seen
+      FROM (SELECT event_id, user_id, ts,
+                   CASE WHEN row_number() OVER (
+                          PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) = 1
+                        THEN 1 ELSE 0 END AS first_seen
+            FROM events)
+      ORDER BY event_id""",
+
+    "p17_dictionary_encode" -> """
+      SELECT o_orderkey, o_orderpriority,
+             CAST(dense_rank() OVER (ORDER BY o_orderpriority) AS INT)
+               AS v_id
+      FROM orders ORDER BY o_orderkey""",
+
+    "x30_char_entropy" -> """
+      WITH ch AS (
+        SELECT doc_id AS id, UNNEST(regexp_extract_all(lower(text), '[a-z]'))
+                 AS ch
+        FROM documents),
+      cc AS (SELECT id, ch, COUNT(*) AS c FROM ch GROUP BY id, ch)
+      SELECT id, CAST(SUM(c) AS BIGINT) AS n_letters,
+             round(log2(CAST(SUM(c) AS DOUBLE)) -
+                   SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) /
+                   CAST(SUM(c) AS DOUBLE), 4) AS entropy
+      FROM cc GROUP BY id ORDER BY id""",
+
+    "x31_feature_hash" -> """
+      SELECT doc_id AS id,
+             CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 64
+               AS bucket,
+             COUNT(*) AS n
+      FROM (SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\S+'))
+                     AS tok
+            FROM documents) t0
+      GROUP BY 1, 2 ORDER BY id, bucket""",
+
+    "st8_stream_late_drop" -> """
+      WITH wma AS (SELECT (epoch_ns(MAX(ts)) // 1000000) - 3600000 AS ms
+                   FROM events WHERE event_id % 3 = 1),
+      wmf AS (SELECT (epoch_ns(MAX(ts)) // 1000000) - 3600000 AS ms
+              FROM events),
+      uni AS (
+        SELECT ts, event_type FROM events WHERE event_id % 3 <> 0
+        UNION ALL
+        SELECT e.ts, e.event_type FROM events e, wma
+        WHERE e.event_id % 3 = 0
+          AND (epoch_ns(date_trunc('hour', e.ts)) // 1000000) + 3600000
+              > wma.ms)
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+             event_type, COUNT(*) AS n_events
+      FROM uni, wmf
+      WHERE (epoch_ns(date_trunc('hour', ts)) // 1000000) + 3600000
+            <= wmf.ms
+      GROUP BY 1, 2 ORDER BY bucket, event_type""",
 
     "x1_dedup_exact" -> """
       SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))

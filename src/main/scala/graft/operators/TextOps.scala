@@ -219,6 +219,40 @@ object TextOps {
         .otherwise(lit("")))
   }
 
+  /** Per-document character-level entropy (bits) over the letter
+    * distribution — the cheap perplexity proxy for gibberish/encoded-
+    * blob detection. H = log2(N) − Σ c·log2(c) / N computed from one
+    * explode + two-level agg at document grain; identical formula on
+    * the oracle side so both engines round the same doubles. */
+  def charEntropy(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("id"),
+        explode(regexp_extract_all(lower(text), lit("[a-z]"), lit(0)))
+          .as("ch"))
+      .groupBy(col("id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_letters"),
+        sum(col("c").cast(DoubleType) * log2(col("c").cast(DoubleType)))
+          .as("clogc"))
+      .select(col("id"), col("n_letters"),
+        round(log2(col("n_letters").cast(DoubleType)) -
+          col("clogc") / col("n_letters").cast(DoubleType), 4).as("entropy"))
+
+  /** Feature hashing (the "hashing trick"): token → bucket via the
+    * portable 60-bit md5 hash mod `buckets`, per-doc bucket counts —
+    * the fixed-width sparse featurization that needs no vocabulary
+    * build or broadcast. One explode + one doc-grain aggregation;
+    * collisions are the accepted trade (documented by construction,
+    * identical in any engine that can compute md5). */
+  def featureHash(df: DataFrame, id: Column, text: Column,
+                  buckets: Int = 64): DataFrame =
+    df.select(id.as("id"),
+        explode(regexp_extract_all(lower(text), lit("\\S+"), lit(0)))
+          .as("tok"))
+      .withColumn("bucket", pmod(ColFns.portableHash60(col("tok")),
+        lit(buckets.toLong)))
+      .groupBy(col("id"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
   /** Per-document top-k TF-IDF terms.
     *
     * tf = in-document count of the lowercased whitespace token;

@@ -263,6 +263,72 @@ object Streams {
       .agg(count(lit(1)).as("n_view_click_pairs"))
   }
 
+  /** Watermark late-data semantics, observable: the stream arrives in
+    * THREE forced micro-batches (staged files, `maxFilesPerTrigger=1`,
+    * modification times ordering them). Spark filters late events with
+    * the watermark the PREVIOUS batch planned with and evicts state
+    * with the current one (SPARK-40925's two-watermark model), so a
+    * two-batch stage never drops anything — the third batch is the
+    * first one whose late filter sees a real watermark:
+    *
+    *  - batch A (ids ≡ 1 mod 3, full time range): plans with wm=0;
+    *    advances the watermark to `max(ts_A) − 1 h` =: wmA.
+    *  - batch M (ids ≡ 2 mod 3): late filter still uses 0 → all kept;
+    *    eviction emits windows closed at wmA with A+M counts.
+    *  - batch B (ids ≡ 0 mod 3): late filter uses wmA → every B row
+    *    whose window closed before wmA is DROPPED; eviction (and the
+    *    final no-data batch) emits the remaining windows.
+    *
+    * Emitted result ≡ SQL spec (the st8 oracle): A ∪ M ∪ (B rows whose
+    * window end > wmA), over windows with end ≤ final watermark —
+    * compared at Spark's millisecond watermark precision. */
+  def streamLateDataDrop(spark: SparkSession, sfDir: String,
+                         queryName: String = "graft_stream_late"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sink = unique(queryName)
+    val stage = new java.io.File("/root/repo/target/qtmp/st8_src")
+    org.apache.commons.io.FileUtils.deleteQuietly(stage)
+    stage.mkdirs()
+    val events = graft.Tables.load(spark, sfDir, "events") // ts → micros
+      .select(col("ts"), col("event_id"), col("event_type"))
+    def stageFile(df: org.apache.spark.sql.DataFrame, name: String,
+                  modTime: Long): Unit = {
+      val tmp = new java.io.File(s"/root/repo/target/qtmp/st8_tmp_$name")
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      df.coalesce(1).write.parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(stage, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(modTime)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+    val t0 = System.currentTimeMillis() - 180000
+    stageFile(events.filter(col("event_id") % 3 === 1), "a_batch", t0)
+    stageFile(events.filter(col("event_id") % 3 === 2), "m_batch", t0 + 60000)
+    stageFile(events.filter(col("event_id") % 3 === 0), "z_batch", t0 + 120000)
+    val schema = spark.read.parquet(stage.getAbsolutePath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.getAbsolutePath)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n_events"))
+    withStreamShuffle(spark, 8) {
+      val q = stream.writeStream
+        .outputMode("append")
+        .format("memory").queryName(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.foreach(p => System.err.println(
+        s"[st8] batch=${p.batchId} in=${p.numInputRows} wm=${p.eventTime.get("watermark")}"))
+    }
+    spark.table(sink)
+  }
+
   /** Streaming stateful dedup: first event per user within the watermark
     * horizon (`dropDuplicates` keyed state). Output is projected to the
     * key alone so the result set is order-independent. */

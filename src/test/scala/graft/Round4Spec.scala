@@ -120,6 +120,25 @@ class Round4Spec extends GraftSuite {
     assert(r.getAs[Double]("top_bigram_frac") === 0.666667d)
   }
 
+  test("charEntropy: uniform letters hit log2(k), single letter hits 0") {
+    import spark.implicits._
+    val df = Seq((1L, "abcd"), (2L, "aaaa"), (3L, "aabb")).toDF("id", "t")
+    val out = TextOps.charEntropy(df, col("id"), col("t"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out === Seq((1L, 4L, 2.0), (2L, 4L, 0.0), (3L, 4L, 1.0)))
+  }
+
+  test("featureHash: bucket counts sum to token count, buckets bounded") {
+    import spark.implicits._
+    val df = Seq((1L, "one two three two one one")).toDF("id", "t")
+    val out = TextOps.featureHash(df, col("id"), col("t"), buckets = 8)
+    assert(out.agg(sum("n")).head().getLong(0) === 6L)
+    assert(out.filter(col("bucket") < 0 || col("bucket") >= 8).count() === 0L)
+    // same token always lands in the same bucket → ≤ 3 distinct buckets
+    assert(out.count() <= 3L)
+  }
+
   test("zscoreOutliers: flags only the far point") {
     import spark.implicits._
     val df = (Seq.fill(50)(10.0) ++ Seq.fill(50)(12.0) ++ Seq(1000.0))
