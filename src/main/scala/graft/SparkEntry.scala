@@ -798,6 +798,46 @@ object SparkEntry {
         .orderBy(col("c_custkey"), col("valid_from"))
     }),
 
+    "m5_incremental_agg" -> ((s, dir) => {
+      // incremental materialized-rollup maintenance: the target rollup
+      // and a late-arriving fact slice merge at rollup grain
+      // (Mutations.upsertAggregate) — no history rescan; result ≡ the
+      // full recompute, which is the oracle
+      val o = t(s, dir, "orders")
+        .withColumn("m", month(col("o_orderdate")))
+      def agg(df: DataFrame) = df
+        .groupBy(col("o_orderstatus"), col("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+      val target = agg(o.filter(col("o_orderkey") % 4 =!= 0))
+      val delta = agg(o.filter(col("o_orderkey") % 4 === 0))
+      Mutations.upsertAggregate(target, delta,
+          Seq("o_orderstatus", "m"), Seq("n", "total"))
+        .select(col("o_orderstatus"), col("m"), col("n"),
+          col("total").cast("double").as("total"))
+        .orderBy(col("o_orderstatus"), col("m"))
+    }),
+
+    "s15_snapshot_time_travel" -> ((s, dir) => {
+      // versioned snapshot reads (Lake.writeSnapshot/readSnapshot):
+      // v1 = partial dim, v2 = repaired full dim; reading "as of v1"
+      // after v2 landed returns the old world — time travel from
+      // directory convention + atomic rename alone
+      val lake = new graft.sources.Lake(s, tmpDir("s15_lake"))
+      val n = t(s, dir, "nation")
+      lake.writeSnapshot(n.filter(col("n_nationkey") < 15), "nation_dim")
+      lake.writeSnapshot(
+        Mutations.repairByKey(n, "n_name", "n_name",
+          Map("JAPAN" -> "NIPPON")), "nation_dim")
+      val v1 = lake.readSnapshot("nation_dim", Some(1))
+        .withColumn("version", lit(1))
+      val v2 = lake.readSnapshot("nation_dim") // latest
+        .withColumn("version", lit(2))
+      v1.unionByName(v2)
+        .select(col("version"), col("n_nationkey"), col("n_name"))
+        .orderBy(col("version"), col("n_nationkey"))
+    }),
+
     // ---- windows / sort / top-k (§2.6) ---------------------------------
     "w3_window_topk" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -2908,6 +2948,22 @@ object SparkEntry {
       SELECT canonical_url, COUNT(*) AS n_dups,
              MIN(doc_id) AS canonical_doc
       FROM canon GROUP BY canonical_url ORDER BY canonical_url""",
+
+    "m5_incremental_agg" -> """
+      SELECT o_orderstatus, CAST(month(o_orderdate) AS INT) AS m,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+      FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, m""",
+
+    "s15_snapshot_time_travel" -> """
+      SELECT 1 AS version, n_nationkey, n_name FROM nation
+      WHERE n_nationkey < 15
+      UNION ALL
+      SELECT 2, n_nationkey,
+             CASE WHEN n_name = 'JAPAN' THEN 'NIPPON' ELSE n_name END
+      FROM nation
+      ORDER BY version, n_nationkey""",
 
     "w9_cumulative_distinct" -> """
       SELECT event_id, user_id,

@@ -111,6 +111,22 @@ object Mutations {
       .unionByName(reopened).unionByName(inserted)
   }
 
+  /** Incremental aggregate maintenance: fold a pre-aggregated delta
+    * slice into a materialized additive rollup (counts, sums) without
+    * recomputing history — union + re-aggregate, which is exactly the
+    * partial/final aggregation split Spark itself uses, applied across
+    * materialization boundaries. At 100 TB the target is rollup-grain
+    * (small), the delta is one new partition: the merge costs the
+    * delta's aggregation plus a rollup-sized shuffle, not a rescan of
+    * the fact history. Requires every measure to be additive (sums and
+    * counts compose; averages must be carried as sum+count). */
+  def upsertAggregate(target: DataFrame, delta: DataFrame,
+                      keys: Seq[String], measures: Seq[String]): DataFrame =
+    target.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(measures.head)).as(measures.head),
+        measures.tail.map(m => sum(col(m)).as(m)): _*)
+
   /** Atomic overwrite for rewrite cycles (§7.4): materialize to a temp
     * dir, then swap into place, so a failed rewrite never destroys the
     * target. Reruns are idempotent. */

@@ -57,4 +57,38 @@ final class Lake(spark: SparkSession, root: String) {
   /** Read a dataset (optionally a glob prefix, S7). */
   def read(parts: String*): DataFrame =
     spark.read.parquet(path(parts: _*).toString)
+
+  // ------------------------------------------------- versioned snapshots
+
+  /** Snapshot version dirs live under `<dataset>/v=N`. Writes are
+    * immutable-append (a new N), reads pin a version or take the
+    * latest — the poor-man's time travel every lakehouse table format
+    * provides, expressed with nothing but directory convention +
+    * atomic rename. At scale each version is a plain parquet dataset;
+    * old versions vacuum by deleting their directory. */
+  private def versionsOf(dataset: String): Seq[Int] =
+    list(dataset).map(p => new Path(p).getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toInt).sorted
+
+  /** Write the next snapshot version of `dataset`; returns its number.
+    * Stage-then-rename keeps a concurrent reader from ever listing a
+    * half-written version. */
+  def writeSnapshot(df: DataFrame, dataset: String): Int = {
+    val next = versionsOf(dataset).lastOption.getOrElse(0) + 1
+    val tmp = Seq(dataset, s".v=$next.staging")
+    df.write.mode(SaveMode.Overwrite).parquet(path(tmp: _*).toString)
+    if (!rename(tmp, Seq(dataset, s"v=$next")))
+      throw new java.io.IOException(s"snapshot commit failed: $dataset v=$next")
+    next
+  }
+
+  /** Read `dataset` as of `version` (latest when None) — time travel. */
+  def readSnapshot(dataset: String, version: Option[Int] = None): DataFrame = {
+    val vs = versionsOf(dataset)
+    require(vs.nonEmpty, s"no snapshots under $dataset")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    read(dataset, s"v=$v")
+  }
 }

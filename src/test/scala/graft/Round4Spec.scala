@@ -139,6 +139,35 @@ class Round4Spec extends GraftSuite {
     assert(out.count() <= 3L)
   }
 
+  test("snapshots: versions sequence, pinned reads see the old world") {
+    import spark.implicits._
+    val root = "/root/repo/target/qtmp/test_snap_lake"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val lake = new graft.sources.Lake(spark, root)
+    assert(lake.writeSnapshot(Seq((1, "a")).toDF("k", "v"), "d") === 1)
+    assert(lake.writeSnapshot(Seq((1, "a"), (2, "b")).toDF("k", "v"), "d") === 2)
+    assert(lake.readSnapshot("d", Some(1)).count() === 1L)
+    assert(lake.readSnapshot("d").count() === 2L) // latest
+    intercept[IllegalArgumentException](lake.readSnapshot("d", Some(9)))
+    // no staging dirs left behind after commit
+    assert(lake.list("d").forall(p => new java.io.File(p).getName.startsWith("v=")))
+  }
+
+  test("upsertAggregate: merged rollup equals the full recompute") {
+    import spark.implicits._
+    val full = Seq(("x", 1L, 10L), ("x", 2L, 20L), ("y", 1L, 5L), ("x", 1L, 7L))
+      .toDF("k", "n", "s")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(sum("n").as("n"), sum("s").as("s"))
+    val merged = Mutations.upsertAggregate(
+      agg(full.filter(col("s") >= 10)), agg(full.filter(col("s") < 10)),
+      Seq("k"), Seq("n", "s"))
+    assert(merged.orderBy("k").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      === agg(full).orderBy("k").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   test("zscoreOutliers: flags only the far point") {
     import spark.implicits._
     val df = (Seq.fill(50)(10.0) ++ Seq.fill(50)(12.0) ++ Seq(1000.0))
