@@ -83,32 +83,34 @@ object Mutations {
       .join(updates.withColumn("__upd", lit(true)).as("upd"),
         keys.map(k => col(s"cur.$k") <=> col(s"upd.$k")).reduce(_ && _),
         "full_outer")
-    val changedOld = joined.filter(
-        col("cur.__cur").isNotNull && col("upd.__upd").isNotNull && diff)
-    // changed keys: close the old version, open the new one
-    val closed = changedOld.select(
+    val curP = col("cur.__cur").isNotNull
+    val updP = col("upd.__upd").isNotNull
+    // each joined row emits its 0-2 output rows from ONE projection —
+    // per-branch filters would let Catalyst split the plan into four
+    // separate joins (four scans of the dim; observed in the physical
+    // plan), where this shape keeps exactly one join at any scale
+    def curRow(vt: Column, ic: Column) = struct(
       (keys ++ tracked).map(c => col(s"cur.$c").as(c)) ++ Seq(
-        col(s"cur.$validFrom").as(validFrom),
-        lit(batchDate).as(validTo),
-        lit(false).as(isCurrent)): _*)
-    val reopened = changedOld.select(
+        col(s"cur.$validFrom").as(validFrom), vt.as(validTo),
+        ic.as(isCurrent)): _*)
+    val updRow = struct(
       (keys ++ tracked).map(c => col(s"upd.$c").as(c)) ++ Seq(
         lit(batchDate).as(validFrom),
         lit(null).cast("string").as(validTo),
         lit(true).as(isCurrent)): _*)
-    // unchanged-or-unmatched current rows pass through untouched
-    val kept = joined.filter(col("cur.__cur").isNotNull &&
-        (col("upd.__upd").isNull || !diff))
-      .select(dimCols.map(c => col(s"cur.$c").as(c)): _*)
-    // brand-new keys insert as the first current version
-    val inserted = joined.filter(col("cur.__cur").isNull)
-      .select(
-        (keys ++ tracked).map(c => col(s"upd.$c").as(c)) ++ Seq(
-          lit(batchDate).as(validFrom),
-          lit(null).cast("string").as(validTo),
-          lit(true).as(isCurrent)): _*)
-    history.unionByName(kept).unionByName(closed)
-      .unionByName(reopened).unionByName(inserted)
+    val emitted = joined.select(explode(filter(array(
+        // unchanged-or-unmatched current rows pass through untouched
+        when(curP && (!updP || !diff),
+          curRow(col(s"cur.$validTo"), col(s"cur.$isCurrent"))),
+        // changed keys: close the old version…
+        when(curP && updP && diff, curRow(lit(batchDate), lit(false))),
+        // …and open the new one
+        when(curP && updP && diff, updRow),
+        // brand-new keys insert as the first current version
+        when(!curP, updRow)),
+      r => r.isNotNull)).as("__r"))
+      .select(col("__r.*"))
+    history.unionByName(emitted)
   }
 
   /** Incremental aggregate maintenance: fold a pre-aggregated delta
