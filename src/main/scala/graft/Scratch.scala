@@ -45,6 +45,26 @@ object Scratch {
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         println(s"recall_x2: lsh=${lsh.size} exact=${exact.size} " +
           s"missed=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
+      case "minhash_dbg" =>
+        import spark.implicits._
+        import org.apache.spark.sql.functions.{col, lit, transform, xxhash64}
+        val df = Seq(Tuple1(Seq("a"))).toDF("sh")
+        df.select(
+          graft.functions.MinHashBands64Expr.minhashBands(col("sh"), 2, 2)
+            .as("native"),
+          graft.operators.Dedup.lshBandKeysDirect(
+            transform(col("sh"), s => xxhash64(s)), 2, 2).as("composed"),
+          xxhash64(col("sh").getItem(0)).as("h0"),
+          xxhash64(lit(0), xxhash64(col("sh").getItem(0))).as("m0")
+        ).show(false)
+        import org.apache.spark.sql.catalyst.expressions.XXH64
+        val s0 = org.apache.spark.unsafe.types.UTF8String.fromString("a")
+        val h = XXH64.hashUnsafeBytes(s0.getBaseObject, s0.getBaseOffset,
+          s0.numBytes(), 42L)
+        println("my h0   = " + h)
+        println("my m0   = " + XXH64.hashLong(h, XXH64.hashInt(0, 42L)))
+        println("my key0 = " + XXH64.hashLong(
+          XXH64.hashLong(h, XXH64.hashInt(0, 42L)), XXH64.hashInt(0, 42L)))
       case "st8_debug" =>
         // count rows per micro-batch to confirm the 2-batch split
         import org.apache.spark.sql.functions.col

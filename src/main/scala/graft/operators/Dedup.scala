@@ -82,8 +82,10 @@ object Dedup {
   }
 
   /** Per-doc shingle sets + LSH band keys for `text`; one row per doc.
-    * Shingles are string-hashed ONCE into `hs`; signature minima and
-    * band keys derive from those longs. */
+    * Band keys come from the native one-traversal
+    * [[graft.functions.MinHashBands64Expr]] (bit-identical to
+    * [[lshBandKeysDirect]] over `transform(shingles, xxhash64)` — a
+    * spec pins the equivalence). */
   def minhashed(df: DataFrame, id: Column, text: Column,
                 k: Int = 32, bands: Int = 8, w: Int = 3): DataFrame = {
     // single-file inputs arrive as one partition; per-doc hashing is the
@@ -91,9 +93,9 @@ object Dedup {
     val par = df.sparkSession.sparkContext.defaultParallelism * 2
     val sh = shingles(text, w)
     df.repartition(par).select(id.as("id"), sh.as("shingles"))
-      .withColumn("hs", transform(col("shingles"), s => xxhash64(s)))
-      .withColumn("bands", lshBandKeysDirect(col("hs"), k, bands))
-      .drop("hs")
+      .withColumn("bands",
+        graft.functions.MinHashBands64Expr.minhashBands(
+          col("shingles"), k, bands))
   }
 
   /** MinHash/LSH near-duplicate pairs with exact Jaccard verification.

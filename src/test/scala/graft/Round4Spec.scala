@@ -168,6 +168,29 @@ class Round4Spec extends GraftSuite {
       (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("native minhash bands ≡ composed form, bit for bit") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, SparkTestBase.sfDir, "documents")
+      .limit(200)
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val both = docs.select(col("doc_id"),
+      graft.functions.MinHashBands64Expr.minhashBands(col("sh"), 32, 8)
+        .as("native"),
+      Dedup.lshBandKeysDirect(
+        transform(col("sh"), s => xxhash64(s)), 32, 8).as("composed"))
+    assert(both.filter(not(col("native") === col("composed"))).count() === 0L)
+    // edge cases: empty array and null element match the built-in chain
+    val edge = Seq(Tuple1(Seq.empty[String]), Tuple1(Seq(null: String)),
+      Tuple1(Seq("a", null, "b"))).toDF("sh")
+    val e = edge.select(
+      graft.functions.MinHashBands64Expr.minhashBands(col("sh"), 8, 4)
+        .as("native"),
+      Dedup.lshBandKeysDirect(
+        transform(col("sh"), s => xxhash64(s)), 8, 4).as("composed"))
+    assert(e.filter(not(col("native") === col("composed"))).count() === 0L)
+  }
+
   test("zscoreOutliers: flags only the far point") {
     import spark.implicits._
     val df = (Seq.fill(50)(10.0) ++ Seq.fill(50)(12.0) ++ Seq(1000.0))
