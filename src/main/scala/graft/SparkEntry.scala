@@ -922,16 +922,19 @@ object SparkEntry {
     "w9_cumulative_distinct" -> ((s, dir) => {
       // running COUNT(DISTINCT) per key — not directly plannable as a
       // window in Spark (or most engines); the composable form is a
-      // first-occurrence flag + cumulative sum, two window passes over
-      // the SAME partitioning/ordering (one sort, no extra shuffle)
-      val firstSeen = Window.partitionBy(col("user_id"), col("event_type"))
-        .orderBy(col("ts"), col("event_id"))
+      // first-occurrence flag + cumulative sum. Both windows partition
+      // by user_id alone (first-occurrence via lag over a (type, ts)
+      // sort instead of a per-(user, type) row_number), so the plan
+      // pays ONE exchange and two in-partition sorts, not two shuffles.
+      val typeRuns = Window.partitionBy(col("user_id"))
+        .orderBy(col("event_type"), col("ts"), col("event_id"))
       val cum = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "events")
         .withColumn("first_seen",
-          when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
+          when(!(lag(col("event_type"), 1).over(typeRuns) <=>
+            col("event_type")), 1L).otherwise(0L))
         .select(col("event_id"), col("user_id"),
           sum(col("first_seen")).over(cum).as("types_seen"))
         .orderBy(col("event_id"))
