@@ -1509,6 +1509,19 @@ object SparkEntry {
         .orderBy(col("canonical_url"))
     }),
 
+    "x32_incremental_admit" -> ((s, dir) => {
+      // production dedup shape: a new batch classified against the
+      // standing deduplicated corpus (exact tiers by hash join, near
+      // tiers by LSH bucket join + exact-Jaccard verify) — per-ingest
+      // admission instead of an all-pairs recompute
+      val docs = t(s, dir, "documents")
+      Dedup.admitIncremental(
+          docs.filter(col("doc_id") % 4 =!= 0),
+          docs.filter(col("doc_id") % 4 === 0),
+          col("doc_id"), col("text"))
+        .orderBy(col("id"))
+    }),
+
     "x30_char_entropy" -> ((s, dir) => {
       // character-entropy perplexity proxy (TextOps.charEntropy):
       // gibberish / encoded-blob detection signal
@@ -1523,6 +1536,30 @@ object SparkEntry {
       TextOps.featureHash(t(s, dir, "documents"),
           col("doc_id"), col("text"), buckets = 64)
         .orderBy(col("id"), col("bucket"))
+    }),
+
+    "a12_funnel" -> ((s, dir) => {
+      // ordered-step funnel: first view → first click after it → first
+      // purchase after that, per user. Each step joins the user-grain
+      // frontier (≪ events; AQE broadcasts when it fits) back to one
+      // event-type slice of the fact — the filters push into the scan,
+      // so each pass reads only its step's rows.
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as(("us")))
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val s2 = e.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id"))
+        .filter(col("us") > col("t1"))
+        .groupBy(col("user_id"), col("t1")).agg(min(col("us")).as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter(col("us") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      s1.select(count(lit(1)).as("n_view"))
+        .crossJoin(s2.select(count(lit(1)).as("n_view_click")))
+        .crossJoin(s3.select(count(lit(1)).as("n_full_funnel")))
     }),
 
     // ---- graph (beyond parity) -----------------------------------------
@@ -2968,6 +3005,23 @@ object SparkEntry {
       FROM nation
       ORDER BY version, n_nationkey""",
 
+    "a12_funnel" -> """
+      WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us
+                  FROM events),
+      s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
+             WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, MIN(e.us) AS t2 FROM ev e
+             JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'click' AND e.us > s1.t1
+             GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id FROM ev e
+             JOIN s2 ON e.user_id = s2.user_id
+             WHERE e.event_type = 'purchase' AND e.us > s2.t2
+             GROUP BY e.user_id)
+      SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+             (SELECT COUNT(*) FROM s2) AS n_view_click,
+             (SELECT COUNT(*) FROM s3) AS n_full_funnel""",
+
     "w9_cumulative_distinct" -> """
       SELECT event_id, user_id,
              CAST(SUM(first_seen) OVER (
@@ -2987,6 +3041,42 @@ object SparkEntry {
              CAST(dense_rank() OVER (ORDER BY o_orderpriority) AS INT)
                AS v_id
       FROM orders ORDER BY o_orderkey""",
+
+    "x32_incremental_admit" -> """
+      WITH norm AS (
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
+               list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1),
+                      i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [array_to_string(toks, ' ')] END) AS s
+        FROM (SELECT doc_id, text,
+                     string_split(trim(regexp_replace(lower(text),
+                       '\s+', ' ', 'g')), ' ') AS toks
+              FROM documents)),
+      c AS (SELECT * FROM norm WHERE doc_id % 4 <> 0),
+      b AS (SELECT * FROM norm WHERE doc_id % 4 = 0),
+      ec AS (SELECT DISTINCT b.doc_id FROM b JOIN c ON b.h = c.h),
+      eb AS (SELECT DISTINCT a.doc_id FROM b a
+             JOIN b b2 ON a.h = b2.h AND a.doc_id > b2.doc_id),
+      nc AS (SELECT DISTINCT a.doc_id FROM b a JOIN c ON
+               CAST(len(list_intersect(a.s, c.s)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.s, c.s))) >= 0.8),
+      nb AS (SELECT DISTINCT a.doc_id FROM b a JOIN b b2 ON
+               a.doc_id > b2.doc_id AND
+               CAST(len(list_intersect(a.s, b2.s)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.s, b2.s))) >= 0.8)
+      SELECT b.doc_id AS id,
+             CASE WHEN ec.doc_id IS NOT NULL THEN 'dup_exact_corpus'
+                  WHEN eb.doc_id IS NOT NULL THEN 'dup_exact_batch'
+                  WHEN nc.doc_id IS NOT NULL THEN 'dup_near_corpus'
+                  WHEN nb.doc_id IS NOT NULL THEN 'dup_near_batch'
+                  ELSE 'admitted' END AS status
+      FROM b LEFT JOIN ec ON b.doc_id = ec.doc_id
+             LEFT JOIN eb ON b.doc_id = eb.doc_id
+             LEFT JOIN nc ON b.doc_id = nc.doc_id
+             LEFT JOIN nb ON b.doc_id = nb.doc_id
+      ORDER BY id""",
 
     "x30_char_entropy" -> """
       WITH ch AS (

@@ -139,6 +139,68 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental near-dup admission: classify a NEW batch against an
+    * already-deduplicated corpus — the production shape, where dedup
+    * runs per-ingest against the standing index instead of recomputing
+    * all pairs. Statuses (greedy by id, first match wins):
+    * `dup_exact_corpus`, `dup_exact_batch` (same normalized hash as a
+    * smaller batch id), `dup_near_corpus` (Jaccard ≥ threshold with
+    * any corpus doc), `dup_near_batch` (≥ threshold with a smaller
+    * batch id), else `admitted`.
+    *
+    * Plan shape: hash anti/semi-joins for the exact tiers; the near
+    * tiers are LSH bucket joins (batch bands × corpus bands, batch
+    * self-join) with exact-Jaccard verification — the batch is the
+    * small side throughout, and at scale the corpus band keys are a
+    * standing materialized table, so an ingest costs the batch's
+    * hashing plus bucket-grain joins, never a corpus rescan. */
+  def admitIncremental(corpus: DataFrame, batch: DataFrame,
+                       id: Column, text: Column, threshold: Double = 0.8,
+                       k: Int = 32, bands: Int = 8, w: Int = 3): DataFrame = {
+    def normHash(t: Column) =
+      md5(regexp_replace(trim(lower(t)), "\\s+", " "))
+    val bh = batch.select(id.as("id"), normHash(text).as("h"))
+    val ch = corpus.select(normHash(text).as("h")).distinct()
+    val exactCorpus = bh.join(ch, Seq("h"), "left_semi")
+      .select(col("id")).withColumn("f_ec", lit(true))
+    val exactBatch = bh.as("a")
+      .join(bh.as("b"), col("a.h") === col("b.h") && col("a.id") > col("b.id"),
+        "left_semi")
+      .select(col("a.id").as("id")).withColumn("f_eb", lit(true))
+    val bmh = minhashed(batch, id, text, k, bands, w)
+      .select(col("id"), col("shingles"), col("bands")).cache()
+    val cmh = minhashed(corpus, id, text, k, bands, w)
+    def buckets(mh: DataFrame) = mh.select(col("id"), col("shingles"),
+      posexplode(col("bands")).as(Seq("band", "key")))
+    val jac = (a: Column, b: Column) =>
+      size(array_intersect(a, b)).cast(DoubleType) /
+        size(array_union(a, b)).cast(DoubleType)
+    val nearCorpus = buckets(bmh).as("a")
+      .join(buckets(cmh).as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .filter(jac(col("a.shingles"), col("b.shingles")) >= threshold)
+      .select(col("a.id").as("id")).distinct()
+      .withColumn("f_nc", lit(true))
+    val nearBatch = buckets(bmh).as("a")
+      .join(buckets(bmh).as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") > col("b.id"))
+      .filter(jac(col("a.shingles"), col("b.shingles")) >= threshold)
+      .select(col("a.id").as("id")).distinct()
+      .withColumn("f_nb", lit(true))
+    batch.select(id.as("id"))
+      .join(exactCorpus, Seq("id"), "left")
+      .join(exactBatch, Seq("id"), "left")
+      .join(nearCorpus, Seq("id"), "left")
+      .join(nearBatch, Seq("id"), "left")
+      .select(col("id"),
+        when(col("f_ec"), "dup_exact_corpus")
+          .when(col("f_eb"), "dup_exact_batch")
+          .when(col("f_nc"), "dup_near_corpus")
+          .when(col("f_nb"), "dup_near_batch")
+          .otherwise("admitted").as("status"))
+  }
+
   /** Exact all-pairs n-gram Jaccard above a threshold, via an inverted
     * index: explode shingles → equi-join postings on the shingle →
     * count common shingles per pair → |A∪B| = |A|+|B|−common.
