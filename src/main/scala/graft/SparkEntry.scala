@@ -1574,6 +1574,47 @@ object SparkEntry {
       Graph.pagerankMicro(e, iters = 5).orderBy(col("node"))
     }),
 
+    "g2_triangle_count" -> ((s, dir) => {
+      // triangle count via the ordered wedge join (Graph.triangleCount)
+      // over the same derived link graph as g1
+      val e = t(s, dir, "events").select(col("user_id").as("src"),
+        (col("event_id") % 150).as("dst"))
+      Graph.triangleCount(e)
+    }),
+
+    "j15_scd2_pointintime" -> ((s, dir) => {
+      // the consumption side of m4's SCD2 dim: each fact row joins the
+      // dim VERSION whose validity interval covers its event date
+      // (key equality + date range) — ISO date strings compare
+      // lexicographically, so validity is a plain string range; the
+      // join shuffles on the key alone and versions-per-key is tiny
+      val c = t(s, dir, "customer")
+      val dim = c.select(col("c_custkey"), col("c_mktsegment"),
+        lit("2024-01-01").as("valid_from"),
+        lit(null).cast("string").as("valid_to"),
+        lit(true).as("is_current"))
+      val updates = c.filter(col("c_custkey") % 3 === 0).select(
+        when(col("c_custkey") % 50 === 0, col("c_custkey") + 100000)
+          .otherwise(col("c_custkey")).as("c_custkey"),
+        when(col("c_custkey") % 6 === 0,
+          concat(col("c_mktsegment"), lit("_V2")))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      val scd2 = Mutations.scd2Merge(dim, updates, Seq("c_custkey"),
+        Seq("c_mktsegment"), "2024-06-01")
+      val facts = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"),
+        date_format(date_add(lit("2024-01-01").cast("date"),
+          (col("o_orderkey") % 365).cast("int")), "yyyy-MM-dd").as("d"))
+      facts.join(scd2,
+          facts("o_custkey") === scd2("c_custkey") &&
+            col("d") >= col("valid_from") &&
+            (col("valid_to").isNull || col("d") < col("valid_to")))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // ---- reference pipeline chains (§3.2) ------------------------------
     "ref1_tripadvisor_chain" -> ((s, dir) => {
       // the 9-step TripAdvisor src→ods chain (ReferenceOds) over a
@@ -3021,6 +3062,55 @@ object SparkEntry {
       SELECT (SELECT COUNT(*) FROM s1) AS n_view,
              (SELECT COUNT(*) FROM s2) AS n_view_click,
              (SELECT COUNT(*) FROM s3) AS n_full_funnel""",
+
+    "g2_triangle_count" -> """
+      WITH e AS (
+        SELECT DISTINCT LEAST(user_id, event_id % 150) AS a,
+               GREATEST(user_id, event_id % 150) AS b
+        FROM events WHERE user_id <> event_id % 150)
+      SELECT COUNT(*) AS n_triangles
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+           JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b""",
+
+    "j15_scd2_pointintime" -> """
+      WITH dim AS (
+        SELECT c_custkey, c_mktsegment, '2024-01-01' AS valid_from,
+               CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+        FROM customer),
+      upd AS (
+        SELECT CASE WHEN c_custkey % 50 = 0 THEN c_custkey + 100000
+                    ELSE c_custkey END AS c_custkey,
+               CASE WHEN c_custkey % 6 = 0 THEN c_mktsegment || '_V2'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer WHERE c_custkey % 3 = 0),
+      j AS (
+        SELECT d.c_custkey AS dk, d.c_mktsegment AS dseg, d.valid_from,
+               u.c_custkey AS uk, u.c_mktsegment AS useg
+        FROM dim d FULL OUTER JOIN upd u ON d.c_custkey = u.c_custkey),
+      scd2 AS (
+        SELECT dk AS c_custkey, dseg AS c_mktsegment, valid_from,
+               CAST(NULL AS VARCHAR) AS valid_to
+        FROM j WHERE dk IS NOT NULL AND (uk IS NULL OR dseg = useg)
+        UNION ALL
+        SELECT dk, dseg, valid_from, '2024-06-01'
+        FROM j WHERE dk IS NOT NULL AND uk IS NOT NULL AND dseg <> useg
+        UNION ALL
+        SELECT uk, useg, '2024-06-01', NULL
+        FROM j WHERE dk IS NOT NULL AND uk IS NOT NULL AND dseg <> useg
+        UNION ALL
+        SELECT uk, useg, '2024-06-01', NULL
+        FROM j WHERE dk IS NULL),
+      facts AS (
+        SELECT o_orderkey, o_custkey,
+               strftime(DATE '2024-01-01' +
+                 CAST(o_orderkey % 365 AS INT), '%Y-%m-%d') AS d
+        FROM orders)
+      SELECT s.c_mktsegment, COUNT(*) AS n_orders,
+             COUNT(DISTINCT f.o_custkey) AS n_customers
+      FROM facts f JOIN scd2 s
+        ON f.o_custkey = s.c_custkey AND f.d >= s.valid_from
+           AND (s.valid_to IS NULL OR f.d < s.valid_to)
+      GROUP BY s.c_mktsegment ORDER BY s.c_mktsegment""",
 
     "w9_cumulative_distinct" -> """
       SELECT event_id, user_id,
