@@ -40,6 +40,8 @@ object Bench {
     "x20_simhash_neardups", // simhash bands → Hamming pairs (native expr)
     "x6_ann_brute_topk",    // embedding similarity top-k
     "x18_tfidf_topk",       // text: explode + 2-level agg + window
+    "g1_pagerank",          // iterative joins (integer PageRank, 5 rounds)
+    "x32_incremental_admit", // per-ingest dedup admission vs corpus
     "st1_stream_hourly",    // Structured Streaming windowed agg
     "ref1_tripadvisor_chain", // the reference's 9-step cleaning chain
     "ref2_gmaps_chain",     // nested places → dims → 7×24 pivot matrix

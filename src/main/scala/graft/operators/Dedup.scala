@@ -148,56 +148,57 @@ object Dedup {
     * any corpus doc), `dup_near_batch` (≥ threshold with a smaller
     * batch id), else `admitted`.
     *
-    * Plan shape: hash anti/semi-joins for the exact tiers; the near
-    * tiers are LSH bucket joins (batch bands × corpus bands, batch
-    * self-join) with exact-Jaccard verification — the batch is the
-    * small side throughout, and at scale the corpus band keys are a
-    * standing materialized table, so an ingest costs the batch's
-    * hashing plus bucket-grain joins, never a corpus rescan. */
+    * Plan shape: ONE hash join decides both exact tiers (the right
+    * side unions corpus hashes with smaller-id batch hashes) and ONE
+    * LSH bucket join decides both near tiers (right side unions corpus
+    * bands with batch bands), each reduced to the per-doc best (=
+    * lowest) status priority; the batch is the small side throughout,
+    * and at scale the corpus hash/band columns are a standing
+    * materialized table, so an ingest costs the batch's hashing plus
+    * two bucket-grain joins, never a corpus rescan. */
   def admitIncremental(corpus: DataFrame, batch: DataFrame,
                        id: Column, text: Column, threshold: Double = 0.8,
                        k: Int = 32, bands: Int = 8, w: Int = 3): DataFrame = {
     def normHash(t: Column) =
       md5(regexp_replace(trim(lower(t)), "\\s+", " "))
     val bh = batch.select(id.as("id"), normHash(text).as("h"))
-    val ch = corpus.select(normHash(text).as("h")).distinct()
-    val exactCorpus = bh.join(ch, Seq("h"), "left_semi")
-      .select(col("id")).withColumn("f_ec", lit(true))
-    val exactBatch = bh.as("a")
-      .join(bh.as("b"), col("a.h") === col("b.h") && col("a.id") > col("b.id"),
-        "left_semi")
-      .select(col("a.id").as("id")).withColumn("f_eb", lit(true))
+    // rid = NULL marks a corpus row; a batch row only beats batch rows
+    // with a larger id (greedy-by-id admission)
+    val hashRight = corpus.select(normHash(text).as("h")).distinct()
+      .select(col("h"), lit(null).cast("long").as("rid"),
+        lit(1).as("prio"))
+      .unionByName(bh.select(col("h"), col("id").as("rid"),
+        lit(2).as("prio")))
+    val exactFlags = bh.join(hashRight, Seq("h"))
+      .filter(col("rid").isNull || col("rid") < col("id"))
+      .groupBy(col("id")).agg(min(col("prio")).as("prio"))
     val bmh = minhashed(batch, id, text, k, bands, w)
       .select(col("id"), col("shingles"), col("bands")).cache()
-    val cmh = minhashed(corpus, id, text, k, bands, w)
     def buckets(mh: DataFrame) = mh.select(col("id"), col("shingles"),
       posexplode(col("bands")).as(Seq("band", "key")))
-    val jac = (a: Column, b: Column) =>
-      size(array_intersect(a, b)).cast(DoubleType) /
-        size(array_union(a, b)).cast(DoubleType)
-    val nearCorpus = buckets(bmh).as("a")
-      .join(buckets(cmh).as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
-      .filter(jac(col("a.shingles"), col("b.shingles")) >= threshold)
-      .select(col("a.id").as("id")).distinct()
-      .withColumn("f_nc", lit(true))
-    val nearBatch = buckets(bmh).as("a")
-      .join(buckets(bmh).as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") > col("b.id"))
-      .filter(jac(col("a.shingles"), col("b.shingles")) >= threshold)
-      .select(col("a.id").as("id")).distinct()
-      .withColumn("f_nb", lit(true))
+    val bandRight = buckets(minhashed(corpus, id, text, k, bands, w))
+      .select(col("band"), col("key"), col("shingles").as("rsh"),
+        lit(null).cast("long").as("rid"), lit(3).as("prio"))
+      .unionByName(buckets(bmh)
+        .select(col("band"), col("key"), col("shingles").as("rsh"),
+          col("id").as("rid"), lit(4).as("prio")))
+    val nearFlags = buckets(bmh).as("a")
+      .join(bandRight.as("b"), Seq("band", "key"))
+      .filter((col("rid").isNull || col("rid") < col("a.id")) &&
+        size(array_intersect(col("a.shingles"), col("rsh")))
+          .cast(DoubleType) /
+          size(array_union(col("a.shingles"), col("rsh")))
+            .cast(DoubleType) >= threshold)
+      .groupBy(col("a.id").as("id")).agg(min(col("prio")).as("prio"))
+    val best = exactFlags.unionByName(nearFlags)
+      .groupBy(col("id")).agg(min(col("prio")).as("prio"))
     batch.select(id.as("id"))
-      .join(exactCorpus, Seq("id"), "left")
-      .join(exactBatch, Seq("id"), "left")
-      .join(nearCorpus, Seq("id"), "left")
-      .join(nearBatch, Seq("id"), "left")
+      .join(best, Seq("id"), "left")
       .select(col("id"),
-        when(col("f_ec"), "dup_exact_corpus")
-          .when(col("f_eb"), "dup_exact_batch")
-          .when(col("f_nc"), "dup_near_corpus")
-          .when(col("f_nb"), "dup_near_batch")
+        when(col("prio") === 1, "dup_exact_corpus")
+          .when(col("prio") === 2, "dup_exact_batch")
+          .when(col("prio") === 3, "dup_near_corpus")
+          .when(col("prio") === 4, "dup_near_batch")
           .otherwise("admitted").as("status"))
   }
 
