@@ -1522,6 +1522,27 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "x33_export_manifest" -> ((s, dir) => {
+      // training-data export: deterministic shards written as
+      // partitioned JSONL, then the manifest (docs + token counts per
+      // shard) computed by RE-READING the export — the audit record
+      // covers what actually landed on disk, not what was intended
+      val out = tmpDir("x33_export")
+      t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(8L)).as("shard"),
+          to_json(struct(col("doc_id"), col("text"), col("lang")))
+            .as("value"))
+        .repartition(col("shard"))
+        .write.partitionBy("shard").mode("overwrite").text(out)
+      s.read.text(out)
+        .select(col("shard").cast("long").as("shard"),
+          get_json_object(col("value"), "$.text").as("text"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(ColFns.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        .orderBy(col("shard"))
+    }),
+
     "x30_char_entropy" -> ((s, dir) => {
       // character-entropy perplexity proxy (TextOps.charEntropy):
       // gibberish / encoded-blob detection signal
@@ -1536,6 +1557,22 @@ object SparkEntry {
       TextOps.featureHash(t(s, dir, "documents"),
           col("doc_id"), col("text"), buckets = 64)
         .orderBy(col("id"), col("bucket"))
+    }),
+
+    "a13_retention_cohorts" -> ((s, dir) => {
+      // cohort retention matrix: users bucket by first-activity week,
+      // distinct active users per (cohort week, activity week) — two
+      // user-grain aggregations + one rollup; the classic product-
+      // analytics rollup
+      val e = t(s, dir, "events").select(col("user_id"),
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("wk"))
+        .distinct()
+      val cohort = e.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"))
+      e.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_wk"), col("wk"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_wk"), col("wk"))
     }),
 
     "a12_funnel" -> ((s, dir) => {
@@ -3167,6 +3204,22 @@ object SparkEntry {
              LEFT JOIN nc ON b.doc_id = nc.doc_id
              LEFT JOIN nb ON b.doc_id = nb.doc_id
       ORDER BY id""",
+
+    "a13_retention_cohorts" -> """
+      WITH e AS (
+        SELECT DISTINCT user_id,
+               strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk
+        FROM events),
+      c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id)
+      SELECT c.cohort_wk, e.wk, COUNT(DISTINCT e.user_id) AS n_active
+      FROM e JOIN c ON e.user_id = c.user_id
+      GROUP BY 1, 2 ORDER BY cohort_wk, wk""",
+
+    "x33_export_manifest" -> """
+      SELECT doc_id % 8 AS shard, COUNT(*) AS n_docs,
+             CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY 1 ORDER BY shard""",
 
     "x30_char_entropy" -> """
       WITH ch AS (

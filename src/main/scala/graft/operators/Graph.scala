@@ -71,17 +71,20 @@ object Graph {
         .select(col("dst").as("node"), expr("rank div outdeg").as("contrib"))
         .groupBy(col("node"))
         .agg(sum(col("contrib")).as("in_contrib"))
-      // dangling nodes (no out-edges) spread their mass to everyone
-      val dangling = ranks
+      // dangling nodes (no out-edges) spread their mass to everyone —
+      // carried as a 1-row frame cross-joined into the update, so each
+      // iteration is ONE job (the localCheckpoint), not an extra
+      // driver-side action
+      val dangShare = ranks
         .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0L)).as("m"))
-        .head().getLong(0)
-      val dangShare = dangling / nN
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dang"))
+        .select(expr(s"dang div ${nN}L").as("dang_share"))
       ranks = nodes
         .join(contribs, Seq("node"), "left")
+        .crossJoin(dangShare)
         .select(col("node"),
           (lit(teleport) +
-            expr(s"(85 * (coalesce(in_contrib, 0L) + ${dangShare}L)) div 100"))
+            expr("(85 * (coalesce(in_contrib, 0L) + dang_share)) div 100"))
             .as("rank"))
         .localCheckpoint()
     }
