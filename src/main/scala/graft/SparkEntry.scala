@@ -1652,6 +1652,38 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    "j16_geo_nearest" -> ((s, dir) => {
+      // nearest-attraction geo join (the reference domain is mapped
+      // places): every customer point scans a BROADCAST attraction dim
+      // (brute nearest is the right plan while the dim fits an
+      // executor — the scale path is a geohash/grid-cell bucket join,
+      // same shape as the LSH bucket joins). Coordinates derive
+      // deterministically from keys; win by (distance, id) so ties
+      // resolve identically in any engine.
+      val att = t(s, dir, "part").filter(col("p_partkey") % 20 === 0)
+        .select(col("p_partkey").as("att_id"),
+          (lit(21.9d) + (col("p_partkey") * 37 % 300).cast("double") / 100.0d)
+            .as("alat"),
+          (lit(120.0d) + (col("p_partkey") * 53 % 200).cast("double") / 100.0d)
+            .as("alng"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          (lit(21.9d) + (col("c_custkey") * 41 % 300).cast("double") / 100.0d)
+            .as("clat"),
+          (lit(120.0d) + (col("c_custkey") * 59 % 200).cast("double") / 100.0d)
+            .as("clng"))
+      val w = Window.partitionBy(col("c_custkey"))
+        .orderBy(col("dist"), col("att_id"))
+      cust.crossJoin(broadcast(att))
+        .withColumn("dist", ColFns.haversineKm(col("clat"), col("clng"),
+          col("alat"), col("alng")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c_custkey"), col("att_id").as("nearest_att"),
+          round(col("dist"), 3).as("dist_km"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---- reference pipeline chains (§3.2) ------------------------------
     "ref1_tripadvisor_chain" -> ((s, dir) => {
       // the 9-step TripAdvisor src→ods chain (ReferenceOds) over a
@@ -3099,6 +3131,35 @@ object SparkEntry {
       SELECT (SELECT COUNT(*) FROM s1) AS n_view,
              (SELECT COUNT(*) FROM s2) AS n_view_click,
              (SELECT COUNT(*) FROM s3) AS n_full_funnel""",
+
+    "j16_geo_nearest" -> """
+      WITH att AS (
+        SELECT p_partkey AS att_id,
+               21.9 + CAST(p_partkey * 37 % 300 AS DOUBLE) / 100.0 AS alat,
+               120.0 + CAST(p_partkey * 53 % 200 AS DOUBLE) / 100.0 AS alng
+        FROM part WHERE p_partkey % 20 = 0),
+      cust AS (
+        SELECT c_custkey,
+               21.9 + CAST(c_custkey * 41 % 300 AS DOUBLE) / 100.0 AS clat,
+               120.0 + CAST(c_custkey * 59 % 200 AS DOUBLE) / 100.0 AS clng
+        FROM customer),
+      d AS (
+        SELECT c_custkey, att_id,
+               12742.0176 * asin(sqrt(
+                 sin((alat - clat) * 0.017453292519943295 / 2.0) *
+                 sin((alat - clat) * 0.017453292519943295 / 2.0) +
+                 cos(clat * 0.017453292519943295) *
+                 cos(alat * 0.017453292519943295) *
+                 sin((alng - clng) * 0.017453292519943295 / 2.0) *
+                 sin((alng - clng) * 0.017453292519943295 / 2.0))) AS dist
+        FROM cust, att),
+      r AS (
+        SELECT c_custkey, att_id, dist,
+               row_number() OVER (PARTITION BY c_custkey
+                                  ORDER BY dist, att_id) AS rn
+        FROM d)
+      SELECT c_custkey, att_id AS nearest_att, round(dist, 3) AS dist_km
+      FROM r WHERE rn = 1 ORDER BY c_custkey""",
 
     "g2_triangle_count" -> """
       WITH e AS (

@@ -152,4 +152,18 @@ object ColFns {
     * is sign-free. */
   def portableHash60(c: Column): Column =
     conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+
+  /** Great-circle (haversine) distance in km. The degree→radian factor
+    * is inlined as a literal so an oracle engine writes the SAME
+    * constant (π/180 to full double precision); `sin·sin` instead of
+    * `pow` keeps both engines on the same libm entry points. */
+  def haversineKm(lat1: Column, lng1: Column,
+                  lat2: Column, lng2: Column): Column = {
+    val rad = lit(0.017453292519943295d) // π/180
+    val dlat = (lat2 - lat1) * rad / 2.0d
+    val dlng = (lng2 - lng1) * rad / 2.0d
+    val a = sin(dlat) * sin(dlat) +
+      cos(lat1 * rad) * cos(lat2 * rad) * sin(dlng) * sin(dlng)
+    lit(12742.0176d) * asin(sqrt(a)) // 2 × mean earth radius 6371.0088
+  }
 }
