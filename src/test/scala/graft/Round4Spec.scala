@@ -191,6 +191,17 @@ class Round4Spec extends GraftSuite {
     assert(e.filter(not(col("native") === col("composed"))).count() === 0L)
   }
 
+  test("haversineKm: one degree of latitude ≈ 111.2 km, zero at self") {
+    import spark.implicits._
+    import graft.functions.ColFns
+    val df = Seq((0.0, 0.0, 1.0, 0.0), (25.0, 121.5, 25.0, 121.5))
+      .toDF("lat1", "lng1", "lat2", "lng2")
+    val out = df.select(round(ColFns.haversineKm(col("lat1"), col("lng1"),
+      col("lat2"), col("lng2")), 1).as("km")).collect().map(_.getDouble(0))
+    assert(out(0) === 111.2)
+    assert(out(1) === 0.0)
+  }
+
   test("zscoreOutliers: flags only the far point") {
     import spark.implicits._
     val df = (Seq.fill(50)(10.0) ++ Seq.fill(50)(12.0) ++ Seq(1000.0))
