@@ -1543,6 +1543,27 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
+    "x34_quality_filter" -> ((s, dir) => {
+      // the C4/Gopher-style keep/drop decision, composed from the
+      // pipeline's own signals: token count bounds, stopword floor,
+      // top-word repetition cap — one scan, per-row reasons, plus the
+      // survivor rate per source (what a cleaning run reports)
+      val docs = t(s, dir, "documents")
+      val q = TextOps.qualityFeatures(docs, col("doc_id"), col("text"))
+      val r = TextOps.repetitionStats(docs, col("doc_id"), col("text"))
+      q.join(r.select(col("id"), col("top_word_frac")), Seq("id"))
+        .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
+        .withColumn("verdict",
+          when(col("n_tokens") < 10, "too_short")
+            .when(col("n_tokens") > 5000, "too_long")
+            .when(col("stopword_ratio") < 0.05d, "low_stopword")
+            .when(col("top_word_frac") > 0.2d, "repetitious")
+            .otherwise("keep"))
+        .groupBy(col("source"), col("verdict"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("verdict"))
+    }),
+
     "x30_char_entropy" -> ((s, dir) => {
       // character-entropy perplexity proxy (TextOps.charEntropy):
       // gibberish / encoded-blob detection signal
@@ -3281,6 +3302,43 @@ object SparkEntry {
              CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
                AS n_tokens
       FROM documents GROUP BY 1 ORDER BY shard""",
+
+    "x34_quality_filter" -> """
+      WITH q AS (
+        SELECT doc_id AS id,
+               len(regexp_extract_all(text, '\S+')) AS n_tokens,
+               round(CASE WHEN len(regexp_extract_all(lower(text), '\S+')) = 0
+                 THEN 0.0
+                 ELSE CAST(len(list_filter(
+                        regexp_extract_all(lower(text), '\S+'),
+                        t -> list_contains(['the','a','an','and','or','of',
+                                            'to','in','is','it'], t)))
+                      AS DOUBLE)
+                    / len(regexp_extract_all(lower(text), '\S+'))
+               END, 4) AS stopword_ratio
+        FROM documents),
+      nw AS (SELECT doc_id AS id, len(string_split(lower(text), ' ')) AS nw
+             FROM documents),
+      wc AS (SELECT id, MAX(c) AS topc FROM (
+               SELECT doc_id AS id, word, COUNT(*) AS c FROM (
+                 SELECT doc_id, UNNEST(string_split(lower(text), ' '))
+                        AS word FROM documents) u
+               GROUP BY id, word) g
+             GROUP BY id),
+      tw AS (SELECT nw.id,
+                    round(CAST(wc.topc AS DOUBLE) / nw.nw, 6)
+                      AS top_word_frac
+             FROM nw JOIN wc ON nw.id = wc.id)
+      SELECT d.source,
+             CASE WHEN q.n_tokens < 10 THEN 'too_short'
+                  WHEN q.n_tokens > 5000 THEN 'too_long'
+                  WHEN q.stopword_ratio < 0.05 THEN 'low_stopword'
+                  WHEN tw.top_word_frac > 0.2 THEN 'repetitious'
+                  ELSE 'keep' END AS verdict,
+             COUNT(*) AS n_docs
+      FROM documents d JOIN q ON d.doc_id = q.id
+           JOIN tw ON d.doc_id = tw.id
+      GROUP BY 1, 2 ORDER BY source, verdict""",
 
     "x30_char_entropy" -> """
       WITH ch AS (
