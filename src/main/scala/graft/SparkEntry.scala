@@ -1543,6 +1543,19 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
+    "x35_video_frame_neardups" -> ((s, dir) => {
+      // media near-dup via shared content fingerprints: frame-sample
+      // each "video" (x14 plumbing), then exact Jaccard over the frame
+      // fingerprint SETS (Dedup.setJaccardPairs — the generalized
+      // inverted-index join; no cross product)
+      val media = Multimodal.asMedia(t(s, dir, "documents"),
+        "doc_id", "text", "video")
+      val frames = Multimodal.frameSample(media, every = 64)
+      Dedup.setJaccardPairs(frames, col("media_id"), col("frame_md5"),
+          threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "x34_quality_filter" -> ((s, dir) => {
       // the C4/Gopher-style keep/drop decision, composed from the
       // pipeline's own signals: token count bounds, stopword floor,
@@ -3302,6 +3315,28 @@ object SparkEntry {
              CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
                AS n_tokens
       FROM documents GROUP BY 1 ORDER BY shard""",
+
+    "x35_video_frame_neardups" -> """
+      WITH fr AS (
+        SELECT DISTINCT media_id AS id,
+               md5(substring(txt, CAST(f * 64 + 1 AS BIGINT), 64)) AS e
+        FROM (
+          SELECT doc_id AS media_id, text AS txt,
+                 UNNEST(range(CAST(greatest(ceil(length(text) / 64.0), 1)
+                   AS BIGINT))) AS f
+          FROM documents) t0),
+      sz AS (SELECT id, COUNT(*) AS sz FROM fr GROUP BY id),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+        FROM fr a JOIN fr b ON a.e = b.e AND a.id < b.id
+        GROUP BY a.id, b.id)
+      SELECT p.id_a, p.id_b,
+             round(CAST(p.common AS DOUBLE) /
+                   (sa.sz + sb.sz - p.common), 4) AS jaccard
+      FROM pairs p JOIN sz sa ON p.id_a = sa.id
+           JOIN sz sb ON p.id_b = sb.id
+      WHERE CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) >= 0.5
+      ORDER BY id_a, id_b""",
 
     "x34_quality_filter" -> """
       WITH q AS (

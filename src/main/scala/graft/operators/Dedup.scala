@@ -202,6 +202,30 @@ object Dedup {
           .otherwise("admitted").as("status"))
   }
 
+  /** Exact Jaccard pairs over arbitrary (id, element) postings — the
+    * generalized inverted-index join behind [[ngramJaccardPairs]], for
+    * any set-valued feature: video frame fingerprints, image tile
+    * hashes, n-grams, citation sets. Only pairs sharing ≥ 1 element
+    * ever materialize; one element-key shuffle + one pair-key shuffle,
+    * no cross product. Globally frequent elements are the skew to cap
+    * with a document-frequency cutoff (cf. [[ngramJaccardPairsDfCut]]). */
+  def setJaccardPairs(postings: DataFrame, id: Column, elem: Column,
+                      threshold: Double): DataFrame = {
+    val posts = postings.select(id.as("id"), elem.as("e")).distinct()
+    val sized = posts.join(
+      posts.groupBy(col("id")).agg(count(lit(1)).as("sz")), Seq("id"))
+    sized.as("a")
+      .join(sized.as("b"),
+        col("a.e") === col("b.e") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard", col("common").cast(DoubleType) /
+        (col("sz_a") + col("sz_b") - col("common")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Exact all-pairs n-gram Jaccard above a threshold, via an inverted
     * index: explode shingles → equi-join postings on the shingle →
     * count common shingles per pair → |A∪B| = |A|+|B|−common.
