@@ -777,6 +777,50 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    "s16_schema_evolution" -> ((s, dir) => {
+      // schema evolution across parquet generations: an old partition
+      // (3 columns) and a new one (adds o_orderpriority) read as ONE
+      // dataset via mergeSchema; old rows surface NULL for the new
+      // column — the lakehouse add-column contract without a rewrite
+      val out = tmpDir("s16_evolving")
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.parquet(s"$out/gen=1")
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.parquet(s"$out/gen=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy(col("o_orderpriority").isNull.as("prio_missing"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("prio_missing"))
+    }),
+
+    "s17_bad_records" -> ((s, dir) => {
+      // corrupt-record tolerance: a JSONL drop where every 50th line is
+      // truncated mid-record; PERMISSIVE read surfaces bad lines in
+      // _corrupt_record instead of failing the job — count and carve
+      // out the good rows (the quarantine pattern for raw drops)
+      val stage = tmpDir("s17_jsonl")
+      val lines = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))).as("line"))
+        .select(when(col("o_orderkey") % 50 === 0,
+          substring(col("line"), 1, 12)).otherwise(col("line")).as("value"))
+      lines.coalesce(4).write.mode("overwrite").text(stage)
+      val schema = "o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE, _corrupt_record STRING"
+      s.read.schema(schema).option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(stage)
+        .groupBy(col("_corrupt_record").isNotNull.as("quarantined"))
+        .agg(count(lit(1)).as("n"),
+          dsum(coalesce(col("o_totalprice"), lit(0.0d))).as("total"))
+        .orderBy(col("quarantined"))
+    }),
+
     "m4_scd2_merge" -> ((s, dir) => {
       // SCD Type-2 merge (Mutations.scd2Merge): the scale-respecting
       // alternative to the reference's drop-and-rebuild dims. Dim =
@@ -2278,6 +2322,19 @@ object SparkEntry {
              round(ANY_VALUE(mm.sd), 4) AS sd
       FROM events e JOIN mm ON e.event_type = mm.grp
       GROUP BY e.event_type ORDER BY grp""",
+
+    "s16_schema_evolution" -> """
+      SELECT (o_orderkey % 2 = 0) AS prio_missing, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+      FROM orders GROUP BY 1 ORDER BY prio_missing""",
+
+    "s17_bad_records" -> """
+      SELECT (o_orderkey % 50 = 0) AS quarantined, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN o_orderkey % 50 = 0 THEN CAST(0 AS DECIMAL(18,2))
+                           ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+                  AS DOUBLE) AS total
+      FROM orders GROUP BY 1 ORDER BY quarantined""",
 
     "m4_scd2_merge" -> """
       WITH dim AS (
