@@ -45,7 +45,8 @@ object Bench {
     "st1_stream_hourly",    // Structured Streaming windowed agg
     "ref1_tripadvisor_chain", // the reference's 9-step cleaning chain
     "ref2_gmaps_chain",     // nested places → dims → 7×24 pivot matrix
-    "e2e_medallion_mart")   // src→ods→dim/fact→mart pipeline
+    "e2e_medallion_mart",   // src→ods→dim/fact→mart pipeline
+    "e2e_llm_corpus")       // quality → dedup → rebalance → manifest
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1587,6 +1587,36 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
+    "e2e_llm_corpus" -> ((s, dir) => {
+      // the LLM-corpus pipeline end-to-end, composed from the library:
+      // quality filter (x34 rules) → exact-dedup canonical cut (x1) →
+      // temperature rebalance by source (p16) → corpus manifest. Each
+      // stage is the operator the standalone query gates; the pipeline
+      // is their composition — one lazy plan, no intermediate
+      // materialization.
+      val docs = t(s, dir, "documents")
+      val q = TextOps.qualityFeatures(docs, col("doc_id"), col("text"))
+        .select(col("id"), col("n_tokens"), col("stopword_ratio"))
+      val r = TextOps.repetitionStats(docs, col("doc_id"), col("text"))
+        .select(col("id"), col("top_word_frac"))
+      val kept = docs.select(col("doc_id").as("id"), col("source"),
+          col("text"))
+        .join(q, Seq("id")).join(r, Seq("id"))
+        .filter(col("n_tokens") >= 10 && col("n_tokens") <= 5000 &&
+          col("stopword_ratio") >= 0.05d && col("top_word_frac") <= 0.2d)
+      val canonical = kept
+        .withColumn("h", ColFns.fingerprint(col("text")))
+        .withColumn("keep_id", min(col("id")).over(
+          Window.partitionBy(col("h"))))
+        .filter(col("id") === col("keep_id"))
+      val sampled = Sampling.temperatureSample(canonical,
+        col("source"), col("id"))
+      sampled.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(ColFns.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        .orderBy(col("source"))
+    }),
+
     "x35_video_frame_neardups" -> ((s, dir) => {
       // media near-dup via shared content fingerprints: frame-sample
       // each "video" (x14 plumbing), then exact Jaccard over the frame
@@ -1675,6 +1705,21 @@ object SparkEntry {
       s1.select(count(lit(1)).as("n_view"))
         .crossJoin(s2.select(count(lit(1)).as("n_view_click")))
         .crossJoin(s3.select(count(lit(1)).as("n_full_funnel")))
+    }),
+
+    "r5_array_agg" -> ((s, dir) => {
+      // nested-output construction: per-customer sorted order-key array
+      // (collect_list is order-nondeterministic under shuffle — the
+      // deterministic form is collect + sort_array) plus array stats;
+      // the gmaps nested-places shape in miniature
+      t(s, dir, "orders")
+        .filter(col("o_custkey") <= 100)
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"))
+        .select(col("o_custkey"), col("order_keys"),
+          size(col("order_keys")).as("n_orders"),
+          element_at(col("order_keys"), 1).as("first_key"))
+        .orderBy(col("o_custkey"))
     }),
 
     // ---- graph (beyond parity) -----------------------------------------
@@ -3252,6 +3297,14 @@ object SparkEntry {
       SELECT c_custkey, att_id AS nearest_att, round(dist, 3) AS dist_km
       FROM r WHERE rn = 1 ORDER BY c_custkey""",
 
+    "r5_array_agg" -> """
+      SELECT o_custkey,
+             list_sort(list(o_orderkey)) AS order_keys,
+             CAST(len(list(o_orderkey)) AS INT) AS n_orders,
+             list_sort(list(o_orderkey))[1] AS first_key
+      FROM orders WHERE o_custkey <= 100
+      GROUP BY o_custkey ORDER BY o_custkey""",
+
     "g2_triangle_count" -> """
       WITH e AS (
         SELECT DISTINCT LEAST(user_id, event_id % 150) AS a,
@@ -3372,6 +3425,61 @@ object SparkEntry {
              CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
                AS n_tokens
       FROM documents GROUP BY 1 ORDER BY shard""",
+
+    "e2e_llm_corpus" -> """
+      WITH q AS (
+        SELECT doc_id AS id,
+               len(regexp_extract_all(text, '\S+')) AS n_tokens,
+               round(CASE WHEN len(regexp_extract_all(lower(text), '\S+')) = 0
+                 THEN 0.0
+                 ELSE CAST(len(list_filter(
+                        regexp_extract_all(lower(text), '\S+'),
+                        t -> list_contains(['the','a','an','and','or','of',
+                                            'to','in','is','it'], t)))
+                      AS DOUBLE)
+                    / len(regexp_extract_all(lower(text), '\S+'))
+               END, 4) AS stopword_ratio
+        FROM documents),
+      tw AS (
+        SELECT nw.id, round(CAST(wc.topc AS DOUBLE) / nw.nw, 6)
+                 AS top_word_frac
+        FROM (SELECT doc_id AS id, len(string_split(lower(text), ' ')) AS nw
+              FROM documents) nw
+        JOIN (SELECT id, MAX(c) AS topc FROM (
+                SELECT doc_id AS id, word, COUNT(*) AS c FROM (
+                  SELECT doc_id, UNNEST(string_split(lower(text), ' '))
+                         AS word FROM documents) u
+                GROUP BY id, word) g
+              GROUP BY id) wc ON nw.id = wc.id),
+      kept AS (
+        SELECT d.doc_id AS id, d.source, d.text,
+               md5(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g')) AS h
+        FROM documents d JOIN q ON d.doc_id = q.id
+             JOIN tw ON d.doc_id = tw.id
+        WHERE q.n_tokens >= 10 AND q.n_tokens <= 5000
+          AND q.stopword_ratio >= 0.05 AND tw.top_word_frac <= 0.2),
+      canon AS (
+        SELECT id, source, text FROM (
+          SELECT *, MIN(id) OVER (PARTITION BY h) AS keep_id FROM kept) k
+        WHERE id = keep_id),
+      cnt AS (SELECT source, COUNT(*) AS n FROM canon GROUP BY source),
+      rt AS (SELECT source, n,
+                    sqrt(CAST((SELECT MIN(n) FROM cnt) AS DOUBLE) / n)
+                      AS rate
+             FROM cnt),
+      th AS (SELECT source, rate,
+                    lpad(lower(to_hex(CAST(floor(rate * 65536.0) AS BIGINT))),
+                         4, '0') AS th
+             FROM rt),
+      samp AS (
+        SELECT c.* FROM canon c JOIN th ON c.source = th.source
+        WHERE th.rate >= 1.0 OR
+              substr(md5(c.source || '|' || CAST(c.id AS VARCHAR)), 1, 4)
+              < th.th)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+               AS n_tokens
+      FROM samp GROUP BY source ORDER BY source""",
 
     "x35_video_frame_neardups" -> """
       WITH fr AS (
