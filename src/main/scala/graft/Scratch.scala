@@ -45,6 +45,20 @@ object Scratch {
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         println(s"recall_x2: lsh=${lsh.size} exact=${exact.size} " +
           s"missed=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
+      case "ext_dbg" =>
+        graft.plans.GraftExtensions.registerAll(spark)
+        spark.sql("SELECT graft_simhash60(array('a','b')) AS fp, " +
+          "graft_minhash_bands(array('a b c')) AS bands, " +
+          "graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+          "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dot").show(false)
+        import org.apache.spark.sql.functions.{array_distinct, col, lit, lower, regexp_extract_all, split}
+        import spark.implicits._
+        val d = Seq((1L, "alpha beta gamma")).toDF("id", "text")
+        d.select(graft.operators.Dedup.simhash60(col("text"))).show(false)
+        d.createOrReplaceTempView("dbg_docs")
+        spark.sql("SELECT graft_simhash60(array_distinct(" +
+          "regexp_extract_all(lower(text), '\\\\S+', 0))) AS fp " +
+          "FROM dbg_docs").show(false)
       case "minhash_dbg" =>
         import spark.implicits._
         import org.apache.spark.sql.functions.{col, lit, transform, xxhash64}

@@ -1722,6 +1722,51 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    "f16_sql_native_fns" -> ((s, dir) => {
+      // the SQL-ONLY user's view of the native expressions
+      // (plans/GraftExtensions): simhash fingerprints + minhash-banded
+      // near-dup degree, written entirely in spark.sql against the
+      // registered functions — same operators the DataFrame API uses
+      graft.plans.GraftExtensions.registerAll(s)
+      Tables.createViews(s, dir)
+      s.sql("""
+        WITH toks AS (
+          SELECT doc_id,
+                 split(trim(regexp_replace(lower(text), '\\s+', ' ')), ' ')
+                   AS tk,
+                 array_distinct(regexp_extract_all(lower(text), '\\S+', 0))
+                   AS dtoks
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 coalesce(graft_simhash60(dtoks), 1152921504606846975L)
+                   AS simhash,
+                 array_distinct(transform(
+                   sequence(0, greatest(size(tk) - 3, 0)),
+                   i -> concat_ws(' ', slice(tk, i + 1, 3)))) AS sset
+          FROM toks),
+        b AS (
+          SELECT doc_id, sset, band, key
+          FROM sh LATERAL VIEW posexplode(graft_minhash_bands(sset))
+               t AS band, key),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+          FROM b a JOIN b b2
+            ON a.band = b2.band AND a.key = b2.key
+               AND a.doc_id < b2.doc_id
+          WHERE CAST(size(array_intersect(a.sset, b2.sset)) AS DOUBLE) /
+                CAST(size(array_union(a.sset, b2.sset)) AS DOUBLE) >= 0.8),
+        deg AS (
+          SELECT id, COUNT(*) AS n FROM (
+            SELECT id_a AS id FROM pairs
+            UNION ALL SELECT id_b FROM pairs) u
+          GROUP BY id)
+        SELECT s0.doc_id AS id, s0.simhash,
+               coalesce(d.n, 0L) AS n_neardups
+        FROM sh s0 LEFT JOIN deg d ON s0.doc_id = d.id
+        ORDER BY id""")
+    }),
+
     // ---- graph (beyond parity) -----------------------------------------
     "g1_pagerank" -> ((s, dir) => {
       // fixed-iteration PageRank in integer micro-units
@@ -2848,6 +2893,51 @@ object SparkEntry {
                len(list_distinct(list_concat(a.s, b.s))) AS jaccard
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       WHERE jaccard >= 0.8 ORDER BY id_a, id_b""",
+
+    "f16_sql_native_fns" -> """
+      WITH docs AS (
+        SELECT doc_id AS id,
+               list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+        FROM documents),
+      h AS (
+        SELECT id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS hv
+        FROM (SELECT id, UNNEST(toks) AS tok FROM docs)),
+      votes AS (
+        SELECT id, i,
+               SUM(CASE WHEN (hv >> CAST(i AS INT)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM h CROSS JOIN (SELECT UNNEST(range(60)) AS i) GROUP BY id, i),
+      fp AS (
+        SELECT d.id, COALESCE(f.simhash, CAST(1152921504606846975 AS BIGINT))
+                 AS simhash
+        FROM docs d LEFT JOIN (
+          SELECT id, CAST(SUM(CASE WHEN v >= 0
+                   THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                   ELSE 0 END) AS BIGINT) AS simhash
+          FROM votes GROUP BY id) f ON d.id = f.id),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(tk) >= 3
+                 THEN list_transform(range(1, len(tk) - 1),
+                      i -> array_to_string(tk[i:i+2], ' '))
+                 ELSE [array_to_string(tk, ' ')] END) AS s
+        FROM (SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text),
+                       '\s+', ' ', 'g')), ' ') AS tk
+              FROM documents)),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+      deg AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM (
+          SELECT id_a AS id FROM pairs
+          UNION ALL SELECT id_b FROM pairs) u
+        GROUP BY id)
+      SELECT fp.id, fp.simhash, COALESCE(deg.n, 0) AS n_neardups
+      FROM fp LEFT JOIN deg ON fp.id = deg.id
+      ORDER BY fp.id""",
 
     "x3_simhash_bands" -> """
       WITH docs AS (

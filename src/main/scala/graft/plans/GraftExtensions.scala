@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.functions.{DotProduct, MinHashBands64Expr, SimHash60Expr}
+
+/** The library's SQL surface for its native Catalyst expressions —
+  * `SparkSessionExtensions` so a user session built with
+  * `.withExtensions(GraftExtensions)` (or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`) can call them
+  * from plain SQL, plus [[registerAll]] for sessions the library is
+  * handed after construction (Verify/Bench, notebooks).
+  *
+  * This is rung (c) of the extension ladder the engine uses: compose
+  * built-ins where possible (ColFns), drop to a native codegen
+  * `Expression` where per-row cost dominates (SimHash60Expr,
+  * MinHashBands64Expr, DotProduct), and register those through the
+  * public extension point so the SQL-only user gets the same
+  * operators the DataFrame API has. */
+object GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"graft_minhash_bands: $what must be an integer literal, got $other")
+  }
+
+  /** (name, info, builder) for every exposed native expression. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[SimHash60Expr].getName, "graft_simhash60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash60(tokens: array<string>)")
+        SimHash60Expr(args.head)
+      }),
+    (FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands64Expr].getName,
+        "graft_minhash_bands"),
+      (args: Seq[Expression]) => args match {
+        case Seq(sh) => MinHashBands64Expr(sh, 32, 8)
+        case Seq(sh, k, b) =>
+          MinHashBands64Expr(sh, intLit(k, "k"), intLit(b, "bands"))
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash_bands(shingles[, k, bands])")
+      }),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot(a: array<float>, b: array<float>)")
+        DotProduct(args(0), args(1))
+      }))
+
+  /** Session-build-time path (`.withExtensions(GraftExtensions)`). */
+  override def apply(e: SparkSessionExtensions): Unit =
+    functions.foreach { case (id, info, builder) =>
+      e.injectFunction((id, info, builder))
+    }
+
+  /** Post-construction path: light up the SQL names on an existing
+    * session (idempotent — re-registration replaces the same builder). */
+  def registerAll(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      Bridge.registerFunction(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        id.funcName, info, builder)
+    }
+}

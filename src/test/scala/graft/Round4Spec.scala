@@ -202,6 +202,29 @@ class Round4Spec extends GraftSuite {
     assert(out(1) === 0.0)
   }
 
+  test("GraftExtensions: SQL names evaluate ≡ the DataFrame-API builders") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.registerAll(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_simhash60(array('alpha','beta')) AS fp, " +
+        "graft_minhash_bands(array('a b c', 'b c d'), 16, 4) AS bands, " +
+        "graft_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d").head()
+    val viaApi = Seq(1).toDF("x").select(
+      graft.functions.SimHash60Expr.simhash60(
+        array(lit("alpha"), lit("beta"))).as("fp"),
+      graft.functions.MinHashBands64Expr.minhashBands(
+        array(lit("a b c"), lit("b c d")), 16, 4).as("bands"),
+      graft.functions.VectorExprs.dot(
+        array(lit(1.5f), lit(2.0f)), array(lit(3.0f), lit(0.5f))).as("d"))
+      .head()
+    assert(viaSql.getLong(0) === viaApi.getLong(0))
+    assert(viaSql.getSeq[Long](1) === viaApi.getSeq[Long](1))
+    assert(viaSql.getDouble(2) === viaApi.getDouble(2))
+    // bad arity fails at analysis, not at runtime
+    intercept[Exception](spark.sql("SELECT graft_dot(array(1.0))").head())
+  }
+
   test("zscoreOutliers: flags only the far point") {
     import spark.implicits._
     val df = (Seq.fill(50)(10.0) ++ Seq.fill(50)(12.0) ++ Seq(1000.0))
