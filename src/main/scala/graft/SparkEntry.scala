@@ -1630,6 +1630,18 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "x36_span_dup_coverage" -> ((s, dir) => {
+      // substring-level exact-dedup signal (deduplicate-text-datasets
+      // shape): every 8-word window hashed, spans repeated across ≥2
+      // docs marked, per-doc duplicated-span coverage; the RefinedWeb
+      // "mostly repeated spans" drop rule is a filter on dup_frac
+      Dedup.spanDuplication(t(s, dir, "documents"), col("doc_id"),
+          col("text"), w = 8, minDocs = 2)
+        .withColumn("verdict",
+          when(col("dup_frac") > 0.5d, "drop_span_dup").otherwise("keep"))
+        .orderBy(col("id"))
+    }),
+
     "x34_quality_filter" -> ((s, dir) => {
       // the C4/Gopher-style keep/drop decision, composed from the
       // pipeline's own signals: token count bounds, stopword floor,
@@ -3592,6 +3604,36 @@ object SparkEntry {
            JOIN sz sb ON p.id_b = sb.id
       WHERE CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) >= 0.5
       ORDER BY id_a, id_b""",
+
+    "x36_span_dup_coverage" -> """
+      WITH toks AS (
+        SELECT doc_id AS id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                            ' ') AS t
+        FROM documents),
+      wins AS (
+        SELECT id, len(t) AS n_tokens, i,
+               md5(array_to_string(t[i+1:i+8], ' ')) AS h
+        FROM toks, UNNEST(CASE WHEN len(t) >= 8
+               THEN range(0, len(t) - 8 + 1) ELSE [] END) AS u(i)),
+      dup AS (SELECT h FROM wins GROUP BY h
+              HAVING COUNT(DISTINCT id) >= 2),
+      cov AS (
+        SELECT w.id, COUNT(DISTINCT w.i) AS n_dup_spans,
+               COUNT(DISTINCT p) AS covered_tokens
+        FROM wins w JOIN dup USING (h),
+             UNNEST(range(w.i, w.i + 8)) AS q(p)
+        GROUP BY w.id)
+      SELECT tk.id, len(tk.t) AS n_tokens,
+             COALESCE(c.n_dup_spans, 0) AS n_dup_spans,
+             COALESCE(c.covered_tokens, 0) AS covered_tokens,
+             round(COALESCE(c.covered_tokens, 0)
+                   / CAST(len(tk.t) AS DOUBLE), 4) AS dup_frac,
+             CASE WHEN round(COALESCE(c.covered_tokens, 0)
+                        / CAST(len(tk.t) AS DOUBLE), 4) > 0.5
+                  THEN 'drop_span_dup' ELSE 'keep' END AS verdict
+      FROM toks tk LEFT JOIN cov c ON tk.id = c.id
+      ORDER BY tk.id""",
 
     "x34_quality_filter" -> """
       WITH q AS (

@@ -290,6 +290,63 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Exact repeated-SPAN duplication report — the substring-level dedup
+    * signal document-level hashing misses (a doc can be globally unique
+    * yet 80% boilerplate). Every length-`w` word window (stride 1) is
+    * md5-hashed; a span is *duplicated* when it occurs in ≥ `minDocs`
+    * distinct docs; each doc reports how many of its window positions
+    * are duplicated and what fraction of its tokens any duplicated
+    * window covers (the RefinedWeb-style "drop docs mostly made of
+    * repeated spans" decision is a filter on `dup_frac`).
+    *
+    * Scale shape: windows explode to ~n_tokens rows per doc, but each
+    * row is only (id, position, 16-byte hash) — the span TEXT never
+    * leaves the hashing expression. The global span-frequency groupBy
+    * is the one data-scaling shuffle; the join back to positions is on
+    * the same hash key (co-partitioned). Covered-token counting
+    * re-explodes ONLY duplicated windows into positions (w× on the
+    * duplicated subset, not the corpus) and counts distinct positions —
+    * interval-union arithmetic without sorting. Boilerplate spans are
+    * the natural heavy keys; they reduce map-side in the count and the
+    * dup-set join is hash-grain, so no salting is needed until a single
+    * span's posting list alone exceeds a partition (cap with a
+    * frequency cutoff as in [[ngramJaccardPairsDfCut]] — beyond
+    * `minDocs` the exact count no longer changes the verdict). */
+  def spanDuplication(df: DataFrame, id: Column, text: Column,
+                      w: Int = 8, minDocs: Int = 2): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism * 2
+    val toks = split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
+    val base = df.repartition(par)
+      .select(id.as("id"), toks.as("t"))
+      .withColumn("n_tokens", size(col("t")))
+    // window start positions 0 .. n−w (docs shorter than w have none)
+    val wins = base.select(col("id"), col("n_tokens"),
+        explode(when(col("n_tokens") >= w,
+          sequence(lit(0), col("n_tokens") - w))
+          .otherwise(array().cast("array<int>"))).as("i"),
+        col("t"))
+      .select(col("id"), col("n_tokens"), col("i"),
+        md5(concat_ws(" ", slice(col("t"), col("i") + 1, lit(w)))).as("h"))
+    val dupSpans = wins.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("h"))
+    val covered = wins.join(dupSpans, Seq("h"))
+      .select(col("id"), col("i"),
+        explode(sequence(col("i"), col("i") + w - 1)).as("p"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("i")).as("n_dup_spans"),
+        countDistinct(col("p")).as("covered_tokens"))
+    base.select(col("id"), col("n_tokens"))
+      .join(covered, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("dup_frac",
+        round(col("covered_tokens").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType), 4))
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** 64-bit SimHash of a text column, computed entirely with Catalyst

@@ -57,6 +57,21 @@ class DedupSpec extends GraftSuite {
     assert(b1 === 4)
   }
 
+  test("spanDuplication: shared w-word span covered, unique doc clean") {
+    val df = Seq(
+      (1L, "a b c d e f"),       // shares span "a b c d" with doc 2
+      (2L, "z z a b c d q"),
+      (3L, "p q r s t"),         // no repeated span
+    ).toDF("id", "text")
+    val out = Dedup.spanDuplication(df, col("id"), col("text"),
+        w = 4, minDocs = 2)
+      .select("id", "n_tokens", "n_dup_spans", "covered_tokens", "dup_frac")
+      .as[(Long, Int, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 6, 1L, 4L, 0.6667)))
+    assert(out(1) === ((2L, 7, 1L, 4L, 0.5714)))
+    assert(out(2) === ((3L, 5, 0L, 0L, 0.0)))
+  }
+
   test("cosine similarity basics") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
