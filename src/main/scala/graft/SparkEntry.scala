@@ -325,6 +325,19 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "x37_mixture_plan" -> ((s, dir) => {
+      // data-mixing planner: a weighted token budget split across the
+      // chosen sources, realized as whole epochs + a deterministic
+      // tail sample (Sampling.mixturePlan; temperatureSample PICKS
+      // weights, this SPENDS them)
+      Sampling.mixturePlan(t(s, dir, "documents"), col("source"),
+          graft.functions.ColFns.tokenCount(col("text")),
+          weights = Seq("src0" -> 4d, "src1" -> 3d, "src2" -> 2d,
+            "src3" -> 1d, "src10" -> 2d, "src11" -> 1d),
+          budgetTokens = 1000000L)
+        .orderBy(col("source"))
+    }),
+
     "p17_dictionary_encode" -> ((s, dir) => {
       // categorical dictionary encoding: dense ids in value order from
       // a distinct+window over the (tiny) vocabulary, broadcast back —
@@ -3271,6 +3284,34 @@ object SparkEntry {
       SELECT t.source, t.n AS n_total, COALESCE(k.n_kept, 0) AS n_kept,
              round(t.rate, 6) AS rate
       FROM t LEFT JOIN k USING (source) ORDER BY source""",
+
+    "x37_mixture_plan" -> """
+      WITH stats AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+                 AS corpus_tokens
+        FROM documents GROUP BY source),
+      w AS (SELECT * FROM (VALUES ('src0', 4.0), ('src1', 3.0),
+              ('src2', 2.0), ('src3', 1.0), ('src10', 2.0),
+              ('src11', 1.0)) AS t(source, weight)),
+      j AS (
+        SELECT s.source, s.n_docs, s.corpus_tokens,
+               w.weight / SUM(w.weight) OVER () AS wn
+        FROM stats s JOIN w ON s.source = w.source),
+      p AS (
+        SELECT source, n_docs, corpus_tokens, wn,
+               CAST(floor(1000000.0 * wn + 0.5) AS BIGINT) AS target_tokens
+        FROM j)
+      SELECT source, n_docs, corpus_tokens,
+             round(wn, 4) AS weight_norm, target_tokens,
+             round(CAST(target_tokens AS DOUBLE) / corpus_tokens, 4)
+               AS repeat_factor,
+             CAST(floor(CAST(target_tokens AS DOUBLE) / corpus_tokens)
+               AS BIGINT) AS full_epochs,
+             round(CAST(target_tokens AS DOUBLE) / corpus_tokens
+                   - floor(CAST(target_tokens AS DOUBLE) / corpus_tokens), 4)
+               AS tail_fraction
+      FROM p ORDER BY source""",
 
     "x25_repetition_ratio" -> """
       WITH ws AS (

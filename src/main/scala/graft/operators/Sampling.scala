@@ -62,6 +62,48 @@ object Sampling {
       .drop("__stratum", "__n", "__nmin", "__rate", "__thresh")
   }
 
+  /** Training-mixture plan: given per-source corpus stats, target
+    * mixture weights, and a total token budget, emit each source's
+    * share of the budget and how to realize it — `full_epochs` whole
+    * passes over the source plus a `tail_fraction` deterministic
+    * sample ([[hashSample]]/[[stratifiedHashSample]] realizes the
+    * tail). Sources absent from `weights` are excluded; weights are
+    * normalized over the sources present, so the plan always spends
+    * exactly the budget.
+    *
+    * This is the planning half of data mixing (cf. temperature
+    * sampling, which PICKS weights ∝ n^α): one tiny per-source
+    * aggregation + a broadcast of the weight table; the expensive
+    * realization stays a scan-speed filter. All arithmetic is
+    * IEEE-double with explicit half-up rounding, so a warehouse
+    * engine auditing the plan reproduces it bit-for-bit. */
+  def mixturePlan(df: DataFrame, source: Column, tokens: Column,
+                  weights: Seq[(String, Double)],
+                  budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toDF("source", "weight")
+    val stats = df.select(source.as("source"), tokens.as("__tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("corpus_tokens"))
+    val ratio = col("target_tokens").cast("double") /
+      col("corpus_tokens").cast("double")
+    stats.join(broadcast(w), Seq("source"))
+      .withColumn("weight_norm",
+        col("weight") / sum(col("weight")).over(Window.partitionBy()))
+      .withColumn("target_tokens",
+        floor(lit(budgetTokens.toDouble) * col("weight_norm") + 0.5d)
+          .cast("long"))
+      .withColumn("repeat_factor", round(ratio, 4))
+      .withColumn("full_epochs", floor(ratio).cast("long"))
+      .withColumn("tail_fraction", round(ratio - floor(ratio), 4))
+      .select(col("source"), col("n_docs"), col("corpus_tokens"),
+        round(col("weight_norm"), 4).as("weight_norm"),
+        col("target_tokens"), col("repeat_factor"),
+        col("full_epochs"), col("tail_fraction"))
+  }
+
   /** Stratified variant: the nibble is drawn from md5(stratum || '|' ||
     * key), so each stratum is sampled at m/16 independently — a skewed
     * stratum cannot starve the others of hash space. */

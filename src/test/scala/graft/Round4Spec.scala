@@ -225,6 +225,28 @@ class Round4Spec extends GraftSuite {
     intercept[Exception](spark.sql("SELECT graft_dot(array(1.0))").head())
   }
 
+  test("mixturePlan: normalized weights spend exactly the budget") {
+    import spark.implicits._
+    // src a: 2 docs × 100 tokens; src b: 1 doc × 100; src c excluded
+    val df = Seq(("a", 100), ("a", 100), ("b", 100), ("c", 999))
+      .toDF("source", "tok")
+    val plan = Sampling.mixturePlan(df, col("source"), col("tok"),
+      weights = Seq("a" -> 3d, "b" -> 1d), budgetTokens = 1000L)
+    val rows = plan.orderBy("source").collect()
+    assert(rows.length === 2) // c excluded
+    val a = rows(0); val b = rows(1)
+    assert(a.getAs[Long]("target_tokens") === 750L)
+    assert(b.getAs[Long]("target_tokens") === 250L)
+    // a: 750 over 200 corpus tokens = 3 epochs + 0.75 tail
+    assert(a.getAs[Long]("full_epochs") === 3L)
+    assert(a.getAs[Double]("tail_fraction") === 0.75)
+    // b: 250 over 100 = 2 epochs + 0.5 tail
+    assert(b.getAs[Long]("full_epochs") === 2L)
+    assert(b.getAs[Double]("tail_fraction") === 0.5)
+    // budget fully spent
+    assert(rows.map(_.getAs[Long]("target_tokens")).sum === 1000L)
+  }
+
   test("zscoreOutliers: flags only the far point") {
     import spark.implicits._
     val df = (Seq.fill(50)(10.0) ++ Seq.fill(50)(12.0) ++ Seq(1000.0))
