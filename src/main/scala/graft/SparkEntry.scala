@@ -2008,6 +2008,16 @@ object SparkEntry {
       graft.streaming.Streams.streamLateDataDrop(s, dir)
         .orderBy(col("bucket"), col("event_type"))
     }),
+
+    "st9_stream_neardup_admit" -> ((s, dir) => {
+      // online near-dup admission: docs stream in, each admitted or
+      // dropped against the simhash band cohorts of everything that
+      // arrived before it (flatMapGroupsWithState keyed on the band
+      // bucket). Single-batch AvailableNow = the batch "collides with
+      // any smaller-id doc" spec, which is the oracle.
+      graft.streaming.Streams.streamNearDupAdmit(s, dir)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Unrolled-CTE DuckDB oracle for [[Graph.pagerankMicro]]: `iters`
@@ -3753,6 +3763,38 @@ object SparkEntry {
       WHERE (epoch_ns(date_trunc('hour', ts)) // 1000000) + 3600000
             <= wmf.ms
       GROUP BY 1, 2 ORDER BY bucket, event_type""",
+
+    "st9_stream_neardup_admit" -> """
+      WITH docs AS (
+        SELECT doc_id AS id,
+               list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+        FROM documents),
+      h AS (
+        SELECT id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS hv
+        FROM (SELECT id, UNNEST(toks) AS tok FROM docs)),
+      votes AS (
+        SELECT id, i,
+               SUM(CASE WHEN (hv >> CAST(i AS INT)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM h CROSS JOIN (SELECT UNNEST(range(60)) AS i) GROUP BY id, i),
+      fp0 AS (
+        SELECT id, CAST(SUM(CASE WHEN v >= 0
+                 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                 ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY id),
+      fp AS (
+        SELECT d.id,
+               COALESCE(f.simhash, CAST(1152921504606846975 AS BIGINT))
+                 AS simhash
+        FROM docs d LEFT JOIN fp0 f ON d.id = f.id)
+      -- arrival order = doc_id order in the single-batch run, so the
+      -- streaming admission must equal: dropped iff any smaller-id doc
+      -- is within Hamming distance 3 (banding reaches exactly this set)
+      SELECT f.id AS doc_id,
+             CASE WHEN EXISTS (SELECT 1 FROM fp e WHERE e.id < f.id
+                    AND bit_count(xor(e.simhash, f.simhash)) <= 3)
+                  THEN 'near_dup' ELSE 'admitted' END AS status
+      FROM fp f ORDER BY doc_id""",
 
     "x1_dedup_exact" -> """
       SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))

@@ -346,4 +346,90 @@ object Streams {
     q.awaitTermination()
     spark.table(sink)
   }
+
+  /** One (band, key) posting of a streamed doc's simhash fingerprint. */
+  final case class BandEvent(band: Int, key: Long, doc_id: Long, fp: Long)
+  /** Per-band admission flag emitted by [[streamNearDupAdmit]]. */
+  final case class AdmitFlag(doc_id: Long, band: Int, hit: Boolean)
+
+  /** Streaming near-dup ADMISSION: documents arrive as a stream and
+    * each is admitted or dropped against everything that arrived
+    * before it — the online form of the batch `admitIncremental` /
+    * `simhashNearDups60` decision. Per doc: portable 60-bit simhash →
+    * four 15-bit band postings; state lives per (band, key) bucket as
+    * the list of fingerprints seen in that bucket, so a new doc
+    * compares only against its bucket cohort (never the corpus). By
+    * the pigeonhole argument any pair within Hamming ≤ `maxHamming`=3
+    * shares ≥ 1 band, so bucket-local checks reach exactly the brute-
+    * force pair set. Arrival order is the admission order; within one
+    * micro-batch docs sort by doc_id, so the single-batch AvailableNow
+    * run reproduces the batch oracle ("collides with any smaller-id
+    * doc") while multi-batch delivery stays well-defined
+    * (arrival-order) because the state carries the cohort forward.
+    *
+    * Scale shape: band keys are uniform 15-bit hashes, so state
+    * spreads across the keyed shuffle; a bucket's cohort only grows
+    * when true near-dup clusters exist (which is the signal). A
+    * production deployment bounds state with timeout eviction
+    * (GroupStateTimeout) at the cost of forgetting old cohorts —
+    * admission then becomes approximate, which is the standard
+    * trade. The final per-doc OR over its 4 band verdicts is a batch
+    * aggregation over the materialized sink, keeping the stream
+    * single-stateful-op (same discipline as [[streamStreamJoin]]). */
+  def streamNearDupAdmit(spark: SparkSession, sfDir: String,
+                         maxHamming: Int = 3,
+                         queryName: String = "graft_stream_admit"): DataFrame = {
+    import spark.implicits._
+    val sink = unique(queryName)
+    val stage = new java.io.File("/root/repo/target/qtmp/st9_src")
+    stage.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      java.nio.file.Paths.get(stage.getAbsolutePath, "documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(stage.getAbsolutePath).schema
+    val fp = coalesce(
+      graft.operators.Dedup.simhash60(col("text")),
+      lit(graft.operators.Dedup.simhashAllOnes60))
+    val banded = spark.readStream.schema(schema)
+      .parquet(stage.getAbsolutePath)
+      .select(col("doc_id"), fp.as("fp"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("band").cast("int").as("band"),
+        call_function("shiftrightunsigned", col("fp"), col("band") * 15)
+          .bitwiseAND(lit(0x7FFFL)).as("key"),
+        col("doc_id"), col("fp"))
+      .as[BandEvent]
+    val flags = banded
+      .groupByKey(e => (e.band, e.key))
+      .flatMapGroupsWithState[Seq[(Long, Long)], AdmitFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: (Int, Long), it: Iterator[BandEvent],
+         state: GroupState[Seq[(Long, Long)]]) =>
+          var seen = state.getOption.getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AdmitFlag]
+          it.toIndexedSeq.sortBy(_.doc_id).foreach { e =>
+            val hit = seen.exists { case (_, f) =>
+              java.lang.Long.bitCount(f ^ e.fp) <= maxHamming }
+            out += AdmitFlag(e.doc_id, bucket._1, hit)
+            seen = seen :+ (e.doc_id, e.fp)
+          }
+          state.update(seen)
+          out.iterator
+      }
+    withStreamShuffle(spark, 8) {
+      val q = flags.toDF().writeStream
+        .outputMode("append")
+        .format("memory").queryName(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(sink)
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("hit"), 1).otherwise(0)).as("__anyhit"))
+      .select(col("doc_id"),
+        when(col("__anyhit") === 1, "near_dup")
+          .otherwise("admitted").as("status"))
+  }
 }

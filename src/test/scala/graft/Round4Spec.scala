@@ -225,6 +225,25 @@ class Round4Spec extends GraftSuite {
     intercept[Exception](spark.sql("SELECT graft_dot(array(1.0))").head())
   }
 
+  test("streamNearDupAdmit matches the batch smaller-id Hamming spec") {
+    import spark.implicits._
+    val dir = SparkTestBase.sfDir
+    val docs = Tables.load(spark, dir, "documents")
+    val fps = docs.select(col("doc_id"),
+      coalesce(graft.operators.Dedup.simhash60(col("text")),
+        lit(graft.operators.Dedup.simhashAllOnes60)).as("fp"))
+    val nearIds = fps.as("a").join(fps.as("b"),
+        col("b.doc_id") < col("a.doc_id") &&
+          bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= 3, "leftsemi")
+      .select(col("doc_id")).as[Long].collect().toSet
+    val got = graft.streaming.Streams.streamNearDupAdmit(spark, dir)
+      .as[(Long, String)].collect().toMap
+    assert(got.size.toLong === docs.count())
+    got.foreach { case (id, st) =>
+      assert(st === (if (nearIds(id)) "near_dup" else "admitted"),
+        s"doc $id") }
+  }
+
   test("mixturePlan: normalized weights spend exactly the budget") {
     import spark.implicits._
     // src a: 2 docs × 100 tokens; src b: 1 doc × 100; src c excluded
