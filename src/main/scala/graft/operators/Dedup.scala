@@ -152,10 +152,18 @@ object Dedup {
     * side unions corpus hashes with smaller-id batch hashes) and ONE
     * LSH bucket join decides both near tiers (right side unions corpus
     * bands with batch bands), each reduced to the per-doc best (=
-    * lowest) status priority; the batch is the small side throughout,
-    * and at scale the corpus hash/band columns are a standing
-    * materialized table, so an ingest costs the batch's hashing plus
-    * two bucket-grain joins, never a corpus rescan. */
+    * lowest) status priority. The batch side carries an explicit
+    * `broadcast` hint in both joins, so the corpus NEVER shuffles —
+    * it streams through a broadcast-hash probe in place, which is the
+    * whole point of per-ingest admission (at scale the corpus
+    * hash/band columns are a standing materialized table and this
+    * operator's corpus branch is a scan of it). The corpus bucket
+    * explode uses `posexplode_outer`: band arrays are never empty, so
+    * outer ≡ inner, but the non-outer form triggers
+    * InferFiltersFromGenerate, whose inferred `size(bands) > 0` guard
+    * re-evaluates the whole per-doc minhash expression a second time
+    * once CollapseProject folds it in — measured ~2× on the corpus
+    * branch, the same re-evaluation the batch side's cache absorbs. */
   def admitIncremental(corpus: DataFrame, batch: DataFrame,
                        id: Column, text: Column, threshold: Double = 0.8,
                        k: Int = 32, bands: Int = 8, w: Int = 3): DataFrame = {
@@ -169,20 +177,20 @@ object Dedup {
         lit(1).as("prio"))
       .unionByName(bh.select(col("h"), col("id").as("rid"),
         lit(2).as("prio")))
-    val exactFlags = bh.join(hashRight, Seq("h"))
+    val exactFlags = broadcast(bh).join(hashRight, Seq("h"))
       .filter(col("rid").isNull || col("rid") < col("id"))
       .groupBy(col("id")).agg(min(col("prio")).as("prio"))
     val bmh = minhashed(batch, id, text, k, bands, w)
       .select(col("id"), col("shingles"), col("bands")).cache()
     def buckets(mh: DataFrame) = mh.select(col("id"), col("shingles"),
-      posexplode(col("bands")).as(Seq("band", "key")))
+      posexplode_outer(col("bands")).as(Seq("band", "key")))
     val bandRight = buckets(minhashed(corpus, id, text, k, bands, w))
       .select(col("band"), col("key"), col("shingles").as("rsh"),
         lit(null).cast("long").as("rid"), lit(3).as("prio"))
       .unionByName(buckets(bmh)
         .select(col("band"), col("key"), col("shingles").as("rsh"),
           col("id").as("rid"), lit(4).as("prio")))
-    val nearFlags = buckets(bmh).as("a")
+    val nearFlags = broadcast(buckets(bmh).as("a"))
       .join(bandRight.as("b"), Seq("band", "key"))
       .filter((col("rid").isNull || col("rid") < col("a.id")) &&
         size(array_intersect(col("a.shingles"), col("rsh")))
