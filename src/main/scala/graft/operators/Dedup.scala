@@ -383,8 +383,11 @@ object Dedup {
   def simhashBands(df: DataFrame, id: Column, text: Column): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism * 2
     val base = df.repartition(par).select(id.as("id"), simhash64(text).as("simhash"))
+    // outer: the 4-slice array is never empty, so outer ≡ inner — and
+    // the non-outer form's inferred size()>0 guard would re-evaluate
+    // the fingerprint per row (see admitIncremental)
     base.select(col("id"), col("simhash"),
-      posexplode(transform(sequence(lit(0), lit(3)),
+      posexplode_outer(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftrightunsigned", col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))))
         .as(Seq("band", "band_key")))
   }
@@ -437,7 +440,7 @@ object Dedup {
     val par = df.sparkSession.sparkContext.defaultParallelism * 2
     val base = df.repartition(par).select(id.as("id"), simhash60(text).as("simhash"))
     base.select(col("id"), col("simhash"),
-      posexplode(transform(sequence(lit(0), lit(3)),
+      posexplode_outer(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftrightunsigned", col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))))
         .as(Seq("band", "band_key")))
   }
