@@ -895,6 +895,23 @@ object SparkEntry {
         .orderBy(col("version"), col("n_nationkey"))
     }),
 
+    "m6_snapshot_diff" -> ((s, dir) => {
+      // version-over-version table diff: v1 = partial dim, v2 = full +
+      // repaired; classify keys inserted/deleted/updated via one
+      // hash-payload full-outer join (Mutations.snapshotDiff — ship
+      // the diff downstream, not the table)
+      val lake = new graft.sources.Lake(s, tmpDir("m6_lake"))
+      val n = t(s, dir, "nation")
+      lake.writeSnapshot(n.filter(col("n_nationkey") < 15), "nation_dim")
+      lake.writeSnapshot(
+        Mutations.repairByKey(n, "n_name", "n_name",
+          Map("JAPAN" -> "NIPPON")), "nation_dim")
+      Mutations.snapshotDiff(
+          lake.readSnapshot("nation_dim", Some(1)),
+          lake.readSnapshot("nation_dim"), Seq("n_nationkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // ---- windows / sort / top-k (§2.6) ---------------------------------
     "w3_window_topk" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -3403,6 +3420,24 @@ object SparkEntry {
              CASE WHEN n_name = 'JAPAN' THEN 'NIPPON' ELSE n_name END
       FROM nation
       ORDER BY version, n_nationkey""",
+
+    "m6_snapshot_diff" -> """
+      WITH b AS (SELECT * FROM nation WHERE n_nationkey < 15),
+      a AS (SELECT n_nationkey,
+                   CASE WHEN n_name = 'JAPAN' THEN 'NIPPON'
+                        ELSE n_name END AS n_name,
+                   n_regionkey
+            FROM nation)
+      SELECT COALESCE(b.n_nationkey, a.n_nationkey) AS n_nationkey,
+             CASE WHEN b.n_nationkey IS NULL THEN 'inserted'
+                  WHEN a.n_nationkey IS NULL THEN 'deleted'
+                  WHEN b.n_name <> a.n_name
+                       OR b.n_regionkey <> a.n_regionkey
+                  THEN 'updated' END AS change
+      FROM b FULL OUTER JOIN a ON b.n_nationkey = a.n_nationkey
+      WHERE b.n_nationkey IS NULL OR a.n_nationkey IS NULL
+            OR b.n_name <> a.n_name OR b.n_regionkey <> a.n_regionkey
+      ORDER BY n_nationkey""",
 
     "a12_funnel" -> """
       WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us

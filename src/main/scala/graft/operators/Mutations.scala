@@ -129,6 +129,34 @@ object Mutations {
       .agg(sum(col(measures.head)).as(measures.head),
         measures.tail.map(m => sum(col(m)).as(m)): _*)
 
+  /** Snapshot diff: classify each key as inserted / deleted / updated
+    * between two versions of a keyed table (unchanged keys are
+    * omitted) — the audit query every versioned table
+    * ([[graft.sources.Lake.writeSnapshot]]) owes its consumers, and
+    * the input to incremental downstream refresh (ship the diff, not
+    * the table). Payloads compare via one md5 over the non-key
+    * columns (null-safe, field-separated), so the full-outer join
+    * carries keys + one 16-byte hash per side — never the row bodies.
+    * One key-grain shuffle join; co-partitioned or bucketed versions
+    * ([[graft.operators.Bucketing]]) diff with no exchange at all. */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    require(before.columns.toSeq == after.columns.toSeq,
+      s"schema mismatch: ${before.columns.toSeq} vs ${after.columns.toSeq}")
+    val payload = before.columns.filterNot(keys.contains).toSeq
+    def hashed(df: DataFrame, h: String) =
+      df.select(keys.map(col) :+ md5(concat_ws("\u0001",
+        payload.map(c =>
+          coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(h): _*)
+    hashed(before, "__hb").join(hashed(after, "__ha"), keys, "full_outer")
+      .withColumn("change",
+        when(col("__hb").isNull, "inserted")
+          .when(col("__ha").isNull, "deleted")
+          .when(col("__hb") =!= col("__ha"), "updated"))
+      .filter(col("change").isNotNull)
+      .select(keys.map(col) :+ col("change"): _*)
+  }
+
   /** Atomic overwrite for rewrite cycles (§7.4): materialize to a temp
     * dir, then swap into place, so a failed rewrite never destroys the
     * target. Reruns are idempotent. */

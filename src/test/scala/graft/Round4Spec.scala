@@ -225,6 +225,17 @@ class Round4Spec extends GraftSuite {
     intercept[Exception](spark.sql("SELECT graft_dot(array(1.0))").head())
   }
 
+  test("snapshotDiff: inserted/deleted/updated, unchanged omitted") {
+    import spark.implicits._
+    val before = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("k", "s", "v")
+    val after = Seq((1L, "a", 10), (2L, "B", 20), (4L, "d", 40))
+      .toDF("k", "s", "v")
+    val got = Mutations.snapshotDiff(before, after, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(2L -> "updated", 3L -> "deleted", 4L -> "inserted"))
+  }
+
   test("streamNearDupAdmit matches the batch smaller-id Hamming spec") {
     import spark.implicits._
     val dir = SparkTestBase.sfDir
