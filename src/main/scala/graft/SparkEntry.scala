@@ -1672,6 +1672,24 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "x38_collocations" -> ((s, dir) => {
+      // corpus collocation mining: adjacent-pair lift (the ratio form
+      // of PMI — exact rational arithmetic, engine-portable where log
+      // ulps are not); the phrase-detection pass before tokenizer
+      // training
+      TextOps.collocations(t(s, dir, "documents"), col("doc_id"),
+          col("text"), minCount = 20L)
+        .orderBy(col("bigram"))
+    }),
+
+    "x39_oov_rate" -> ((s, dir) => {
+      // tokenizer-coverage signal: per-doc out-of-vocabulary rate
+      // against the corpus's own deterministic top-30 vocabulary
+      TextOps.oovRate(t(s, dir, "documents"), col("doc_id"),
+          col("text"), vocabSize = 30)
+        .orderBy(col("id"))
+    }),
+
     "x34_quality_filter" -> ((s, dir) => {
       // the C4/Gopher-style keep/drop decision, composed from the
       // pipeline's own signals: token count bounds, stopword floor,
@@ -3720,6 +3738,52 @@ object SparkEntry {
                   THEN 'drop_span_dup' ELSE 'keep' END AS verdict
       FROM toks tk LEFT JOIN cov c ON tk.id = c.id
       ORDER BY tk.id""",
+
+    "x38_collocations" -> """
+      WITH ws AS (
+        SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                 'g')), ' ') AS w
+        FROM documents),
+      uni AS (
+        SELECT tok, COUNT(*) AS n_tok
+        FROM (SELECT UNNEST(w) AS tok FROM ws) GROUP BY tok),
+      tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS n_total FROM uni),
+      bgs AS (
+        SELECT UNNEST([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))])
+          AS bg
+        FROM ws),
+      bi AS (SELECT bg, COUNT(*) AS n_pair FROM bgs GROUP BY bg),
+      btot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS b_total FROM bi)
+      SELECT b.bg AS bigram, b.n_pair,
+             round(CAST(b.n_pair AS DOUBLE) * t.n_total * t.n_total /
+                   (CAST(bt.b_total AS DOUBLE) * u1.n_tok * u2.n_tok), 4)
+               AS lift
+      FROM bi b
+      JOIN uni u1 ON u1.tok = split_part(b.bg, ' ', 1)
+      JOIN uni u2 ON u2.tok = split_part(b.bg, ' ', 2)
+      CROSS JOIN tot t CROSS JOIN btot bt
+      WHERE b.n_pair >= 20
+      ORDER BY bigram""",
+
+    "x39_oov_rate" -> """
+      WITH toks AS (
+        SELECT doc_id AS id,
+               UNNEST(string_split(trim(regexp_replace(lower(text),
+                 '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents),
+      vocab AS (
+        SELECT tok FROM (
+          SELECT tok, COUNT(*) AS n,
+                 row_number() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS r
+          FROM toks GROUP BY tok)
+        WHERE r <= 30)
+      SELECT t.id, COUNT(*) AS n_tokens,
+             CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_oov,
+             round(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+               AS DOUBLE) / COUNT(*), 4) AS oov_rate
+      FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+      GROUP BY t.id ORDER BY t.id""",
 
     "x34_quality_filter" -> """
       WITH q AS (

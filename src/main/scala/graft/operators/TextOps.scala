@@ -204,6 +204,76 @@ object TextOps {
     * slash — the normalize step before crawl dedup. Pure per-row
     * string/array expressions (regexp splits + a higher-order filter),
     * deliberately lookaround-free so any regex engine agrees. */
+  /** Corpus-level collocation mining: adjacent word pairs scored by
+    * LIFT — p(xy) / (p(x)·p(y)) = n_xy·N² / (B·n_x·n_y) — the ratio
+    * form of PMI (PMI = log lift), kept as a ratio because it is pure
+    * rational arithmetic over exact counts: bit-identical in any
+    * engine, where log/ln ulps differ. The phrase-detection pass a
+    * corpus pipeline runs before tokenizer training (word2vec-style
+    * phrase joining uses exactly this statistic).
+    *
+    * Plan: one bigram-grain aggregation (the only data-scaling
+    * shuffle; adjacent pairs reduce map-side), one unigram-grain
+    * aggregation, two joins of the bigram counts against the (vocab-
+    * sized, broadcastable) unigram counts, corpus totals as a
+    * broadcast scalar. `minCount` prunes the hapax tail BEFORE the
+    * joins — at 100 TB that cut is what keeps the bigram table
+    * join-able; raise it with corpus size. */
+  def collocations(df: DataFrame, id: Column, text: Column,
+                   minCount: Long = 5L): DataFrame = {
+    val base = df.select(id.as("id"),
+      split(trim(regexp_replace(lower(text), "\\s+", " ")), " ").as("w"))
+    val uni = base.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+    val totals = uni.agg(sum(col("n_tok")).as("n_total")) // N, one row
+    val bi = base.select(explode(expr(
+        "transform(slice(w, 1, size(w) - 1), " +
+          "(x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"))
+        .as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    val biTotals = bi.agg(sum(col("n_pair")).as("b_total")) // B, one row
+    bi.filter(col("n_pair") >= minCount)
+      .join(broadcast(uni.select(col("tok").as("w1"),
+        col("n_tok").as("n_w1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("tok").as("w2"),
+        col("n_tok").as("n_w2"))), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(biTotals))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("n_pair"),
+        // left-to-right double association, mirrored verbatim in the
+        // oracle SQL (float rounding is association-sensitive); the
+        // denominator leads with a double cast so the long product
+        // can't overflow ANSI arithmetic on a big corpus
+        round(col("n_pair").cast(DoubleType) * col("n_total") * col("n_total") /
+          (col("b_total").cast(DoubleType) * col("n_w1") * col("n_w2")), 4)
+          .as("lift"))
+  }
+
+  /** Out-of-vocabulary rate per doc against the corpus's own top-`k`
+    * tokens (count desc, token asc — a deterministic vocabulary).
+    * The tokenizer-coverage signal: docs with high OOV against the
+    * working vocabulary are noise, code, or another language. One
+    * vocab aggregation (broadcast back), one token-grain pass. */
+  def oovRate(df: DataFrame, id: Column, text: Column,
+              vocabSize: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(id.as("id"),
+        explode(split(trim(regexp_replace(lower(text), "\\s+", " ")), " "))
+          .as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("n").desc, col("tok").asc)))
+      .filter(col("r") <= vocabSize).select(col("tok"), lit(true).as("in_v"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast(DoubleType) / col("n_tokens"), 4))
+  }
+
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val schemeHost = lower(regexp_extract(noFrag, "^([A-Za-z]+://[^/?#]+)", 1))

@@ -225,6 +225,32 @@ class Round4Spec extends GraftSuite {
     intercept[Exception](spark.sql("SELECT graft_dot(array(1.0))").head())
   }
 
+  test("collocations: an always-together pair lifts above independence") {
+    import spark.implicits._
+    // "new york" always adjacent; "a"/"b" independent fillers
+    val df = (1 to 10).map(i => (i.toLong, "new york a b a b a b"))
+      .toDF("id", "text")
+    val out = TextOps.collocations(df, col("id"), col("text"), minCount = 5L)
+      .collect().map(r => r.getAs[String]("bigram") ->
+        (r.getAs[Long]("n_pair"), r.getAs[Double]("lift"))).toMap
+    // p(new york)=10/70 bigrams; p(new)=p(york)=10/80 tokens
+    // lift = (10*80*80)/(70*10*10) ≈ 9.1429
+    assert(out("new york")._1 === 10L)
+    assert(out("new york")._2 === 9.1429)
+    assert(out("a b")._2 < out("new york")._2)
+  }
+
+  test("oovRate: tokens outside the top-k vocab are counted") {
+    import spark.implicits._
+    val df = Seq((1L, "x x x y"), (2L, "x z q")).toDF("id", "text")
+    // vocabSize=1 -> vocab = {x} (count 4); doc1: 1 oov of 4; doc2: 2 of 3
+    val got = TextOps.oovRate(df, col("id"), col("text"), vocabSize = 1)
+      .select("id", "n_tokens", "n_oov", "oov_rate")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 4L, 1L, 0.25)))
+    assert(got(1) === ((2L, 3L, 2L, 0.6667)))
+  }
+
   test("snapshotDiff: inserted/deleted/updated, unchanged omitted") {
     import spark.implicits._
     val before = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
