@@ -1847,6 +1847,16 @@ object SparkEntry {
       Graph.triangleCount(e)
     }),
 
+    "g3_cooccurrence" -> ((s, dir) => {
+      // item co-occurrence graph (recsys / item-embedding prep): pairs
+      // of items sharing users + user-set Jaccard, hot users capped
+      // BEFORE the quadratic per-user join (Graph.cooccurrence)
+      Graph.cooccurrence(t(s, dir, "events"),
+          col("user_id"), col("event_id") % 200,
+          maxUserItems = 500, minSupport = 2L)
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+
     "j15_scd2_pointintime" -> ((s, dir) => {
       // the consumption side of m4's SCD2 dim: each fact row joins the
       // dim VERSION whose validity interval covers its event date
@@ -3519,6 +3529,25 @@ object SparkEntry {
       SELECT COUNT(*) AS n_triangles
       FROM e e1 JOIN e e2 ON e1.b = e2.a
            JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b""",
+
+    "g3_cooccurrence" -> """
+      WITH posts AS (
+        SELECT DISTINCT user_id AS u, event_id % 200 AS i FROM events),
+      kept AS (
+        SELECT p.* FROM posts p JOIN (
+          SELECT u FROM posts GROUP BY u HAVING COUNT(*) <= 500) k
+          USING (u)),
+      iu AS (SELECT i, COUNT(*) AS n_users FROM kept GROUP BY i),
+      pairs AS (
+        SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS co_users
+        FROM kept a JOIN kept b ON a.u = b.u AND a.i < b.i
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      SELECT p.item_a, p.item_b, p.co_users,
+             round(CAST(p.co_users AS DOUBLE) /
+                   (ua.n_users + ub.n_users - p.co_users), 4) AS jaccard
+      FROM pairs p JOIN iu ua ON ua.i = p.item_a
+           JOIN iu ub ON ub.i = p.item_b
+      ORDER BY item_a, item_b""",
 
     "j15_scd2_pointintime" -> """
       WITH dim AS (

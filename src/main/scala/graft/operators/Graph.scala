@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph operators over edge-list DataFrames. Companion to
@@ -50,6 +50,40 @@ object Graph {
     * Expects `edges(src: long, dst: long)`; duplicates are collapsed
     * (simple-graph semantics, matching how a link graph is built).
     */
+  /** Item co-occurrence graph from (user, item) interactions — the
+    * collaborative-filtering / item-embedding prep pass: for every
+    * item pair sharing a user, the co-user count and the Jaccard over
+    * user sets. Pairs materialize through a per-user self-join, which
+    * is quadratic in a USER'S distinct-item count, not in the corpus:
+    * the `maxUserItems` cap drops power users above it BEFORE the
+    * join (their pairs are both the entire cost and the weakest
+    * signal — standard SAR/recsys practice). After the cap, the pair
+    * aggregation is the one data-scaling shuffle; `minSupport` prunes
+    * the pair tail before the per-item stats broadcast back in. */
+  def cooccurrence(interactions: DataFrame, user: Column, item: Column,
+                   maxUserItems: Int = 1000,
+                   minSupport: Long = 2L): DataFrame = {
+    val posts = interactions.select(user.as("u"), item.as("i")).distinct()
+    val kept = posts.join(
+      posts.groupBy(col("u")).agg(count(lit(1)).as("k"))
+        .filter(col("k") <= maxUserItems).select("u"), Seq("u"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.u") === col("b.u") && col("a.i") < col("b.i"))
+      .groupBy(col("a.i").as("item_a"), col("b.i").as("item_b"))
+      .agg(count(lit(1)).as("co_users"))
+      .filter(col("co_users") >= minSupport)
+    val itemUsers = kept.groupBy(col("i")).agg(count(lit(1)).as("n_users"))
+    pairs
+      .join(broadcast(itemUsers.select(col("i").as("item_a"),
+        col("n_users").as("n_a"))), Seq("item_a"))
+      .join(broadcast(itemUsers.select(col("i").as("item_b"),
+        col("n_users").as("n_b"))), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("co_users"),
+        round(col("co_users").cast("double") /
+          (col("n_a") + col("n_b") - col("co_users")), 4).as("jaccard"))
+  }
+
   def pagerankMicro(edges: DataFrame, iters: Int = 5,
                     base: Long = 1000000000000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")

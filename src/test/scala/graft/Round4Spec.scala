@@ -225,6 +225,25 @@ class Round4Spec extends GraftSuite {
     intercept[Exception](spark.sql("SELECT graft_dot(array(1.0))").head())
   }
 
+  test("cooccurrence: co-user counts, jaccard, hot-user cap") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a"), (1L, "b"),             // u1: a,b
+      (2L, "a"), (2L, "b"), (2L, "c"),  // u2: a,b,c
+      (3L, "a"), (3L, "c"),             // u3: a,c
+      (9L, "a"), (9L, "b"), (9L, "c"), (9L, "d")) // u9: hot, capped out
+      .toDF("u", "i")
+    val out = Graph.cooccurrence(df, col("u"), col("i"),
+        maxUserItems = 3, minSupport = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("co_users"), r.getAs[Double]("jaccard"))).toMap
+    // after dropping u9: a:{1,2,3} b:{1,2} c:{2,3}
+    assert(out(("a", "b")) === ((2L, 0.6667))) // 2/(3+2-2)
+    assert(out(("a", "c")) === ((2L, 0.6667)))
+    assert(!out.contains(("b", "c")))          // co=1 < minSupport
+    assert(!out.contains(("a", "d")))          // only via the capped user
+  }
+
   test("collocations: an always-together pair lifts above independence") {
     import spark.implicits._
     // "new york" always adjacent; "a"/"b" independent fillers
