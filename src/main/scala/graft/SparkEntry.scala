@@ -325,6 +325,15 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "p18_three_way_split" -> ((s, dir) => {
+      // deterministic train/val/test split: membership is a pure
+      // function of the key — stable across reruns, engines, corpus
+      // growth (Sampling.threeWaySplit)
+      Sampling.threeWaySplit(t(s, dir, "documents")
+          .select(col("doc_id"), col("source")), col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "x37_mixture_plan" -> ((s, dir) => {
       // data-mixing planner: a weighted token budget split across the
       // chosen sources, realized as whole epochs + a deterministic
@@ -1360,6 +1369,28 @@ object SparkEntry {
         .select(col("id").as("doc_id"))
       docs.select(col("doc_id")).join(drop, Seq("doc_id"), "left_anti")
         .orderBy(col("doc_id"))
+    }),
+
+    "x40_keep_best_quality" -> ((s, dir) => {
+      // canonical election by QUALITY, not min-id: each near-dup
+      // cluster keeps its longest member (ties → smaller id) — the
+      // dedup cut that preserves the best copy instead of the
+      // earliest; one extra window over the (tiny) component table
+      val docs = t(s, dir, "documents")
+      val comps = Dedup.connectedComponents(
+        Dedup.simhashNearDups60(docs, col("doc_id"), col("text"),
+          maxHamming = 3))
+      val ranked = comps.join(
+        docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+      val byComp = Window.partitionBy(col("component"))
+      ranked
+        .withColumn("rn", row_number().over(
+          byComp.orderBy(col("n_chars").desc, col("id").asc)))
+        .withColumn("n_members", count(lit(1)).over(byComp))
+        .filter(col("rn") === 1)
+        .select(col("component"), col("id").as("canonical_id"),
+          col("n_chars").as("canonical_chars"), col("n_members"))
+        .orderBy(col("component"))
     }),
 
     "x4_ngram_jaccard_pairs" -> ((s, dir) => {
@@ -3166,6 +3197,52 @@ object SparkEntry {
       FROM (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
       GROUP BY component ORDER BY component""",
 
+    "x40_keep_best_quality" -> """
+      WITH RECURSIVE docs AS (
+        SELECT doc_id AS id,
+               list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+        FROM documents),
+      h AS (
+        SELECT id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS hv
+        FROM (SELECT id, UNNEST(toks) AS tok FROM docs)),
+      votes AS (
+        SELECT id, i,
+               SUM(CASE WHEN (hv >> CAST(i AS INT)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM h CROSS JOIN (SELECT UNNEST(range(60)) AS i) GROUP BY id, i),
+      fp0 AS (
+        SELECT id, CAST(SUM(CASE WHEN v >= 0
+                 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                 ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY id),
+      fp AS (
+        SELECT d.id,
+               COALESCE(f.simhash, CAST(1152921504606846975 AS BIGINT))
+                 AS simhash
+        FROM docs d LEFT JOIN fp0 f ON d.id = f.id),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM fp a JOIN fp b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+      sym AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+        UNION
+        SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id),
+      comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+      j AS (SELECT c.component, c.id, d.n_chars
+            FROM comp c JOIN documents d ON d.doc_id = c.id)
+      SELECT component, id AS canonical_id, n_chars AS canonical_chars,
+             n_members
+      FROM (SELECT component, id, n_chars,
+                   row_number() OVER (PARTITION BY component
+                     ORDER BY n_chars DESC, id ASC) AS rn,
+                   COUNT(*) OVER (PARTITION BY component) AS n_members
+            FROM j)
+      WHERE rn = 1 ORDER BY component""",
+
     "x23_dedup_keep_canonical" -> """
       WITH RECURSIVE docs AS (
         SELECT doc_id AS id,
@@ -3339,6 +3416,17 @@ object SparkEntry {
       SELECT t.source, t.n AS n_total, COALESCE(k.n_kept, 0) AS n_kept,
              round(t.rate, 6) AS rate
       FROM t LEFT JOIN k USING (source) ORDER BY source""",
+
+    "p18_three_way_split" -> """
+      SELECT doc_id, source,
+             CASE WHEN u < 52428 THEN 'train'
+                  WHEN u < 58982 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, source,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                     1, 4)) AS INT) AS u
+            FROM documents)
+      ORDER BY doc_id""",
 
     "x37_mixture_plan" -> """
       WITH stats AS (

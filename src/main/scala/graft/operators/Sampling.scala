@@ -62,6 +62,26 @@ object Sampling {
       .drop("__stratum", "__n", "__nmin", "__rate", "__thresh")
   }
 
+  /** Deterministic train/val/test assignment: the row's key hashes to
+    * a uniform 16-bit value and the split is a range cut — membership
+    * is a pure function of the key (stable across reruns, engines,
+    * partitionings; a doc never migrates between splits when the
+    * corpus grows, which random splitting cannot promise). Scan-speed
+    * codegen'd expression, no shuffle, no count pass. */
+  def threeWaySplit(df: DataFrame, key: Column,
+                    trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split percentages: $trainPct/$valPct")
+    val trainCut = trainPct * 65536 / 100
+    val valCut = (trainPct + valPct) * 65536 / 100
+    val u = conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
+      .cast("int")
+    df.withColumn("split",
+      when(u < trainCut, "train")
+        .when(u < valCut, "val")
+        .otherwise("test"))
+  }
+
   /** Training-mixture plan: given per-source corpus stats, target
     * mixture weights, and a total token budget, emit each source's
     * share of the budget and how to realize it — `full_epochs` whole

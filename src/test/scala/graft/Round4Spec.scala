@@ -225,6 +225,22 @@ class Round4Spec extends GraftSuite {
     intercept[Exception](spark.sql("SELECT graft_dot(array(1.0))").head())
   }
 
+  test("threeWaySplit: deterministic, stable under corpus growth") {
+    import spark.implicits._
+    val small = (1L to 200L).toDF("k")
+    val big = (1L to 400L).toDF("k")
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      Sampling.threeWaySplit(df, col("k"))
+        .as[(Long, String)].collect().toMap
+    val s1 = splits(small); val s2 = splits(big)
+    // same key -> same split regardless of corpus size
+    (1L to 200L).foreach(k => assert(s1(k) === s2(k)))
+    // all three splits populated, train the plurality
+    val byS = s2.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byS.keySet === Set("train", "val", "test"))
+    assert(byS("train") > byS("val") && byS("train") > byS("test"))
+  }
+
   test("cooccurrence: co-user counts, jaccard, hot-user cap") {
     import spark.implicits._
     val df = Seq(
