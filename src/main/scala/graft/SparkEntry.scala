@@ -1371,6 +1371,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x41_incremental_components" -> ((s, dir) => {
+      // incremental clustering maintenance: day-1 corpus clusters once
+      // (80% of docs), the new day's edges fold into the standing
+      // labels via star-edge propagation — same labels as a full
+      // recompute (the oracle), per-ingest cost
+      val docs = t(s, dir, "documents")
+      val all = Dedup.simhashNearDups60(docs, col("doc_id"), col("text"),
+        maxHamming = 3).select(col("id_a"), col("id_b"))
+      val old = all.filter(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0)
+      val fresh = all.filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+      Dedup.connectedComponentsIncremental(
+          Dedup.connectedComponents(old), fresh)
+        .orderBy(col("id"))
+    }),
+
     "x40_keep_best_quality" -> ((s, dir) => {
       // canonical election by QUALITY, not min-id: each near-dup
       // cluster keeps its longest member (ties → smaller id) — the
@@ -3196,6 +3211,44 @@ object SparkEntry {
       SELECT component, COUNT(*) AS n_members, MIN(id) AS canonical_id
       FROM (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
       GROUP BY component ORDER BY component""",
+
+    "x41_incremental_components" -> """
+      WITH RECURSIVE docs AS (
+        SELECT doc_id AS id,
+               list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+        FROM documents),
+      h AS (
+        SELECT id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS hv
+        FROM (SELECT id, UNNEST(toks) AS tok FROM docs)),
+      votes AS (
+        SELECT id, i,
+               SUM(CASE WHEN (hv >> CAST(i AS INT)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM h CROSS JOIN (SELECT UNNEST(range(60)) AS i) GROUP BY id, i),
+      fp0 AS (
+        SELECT id, CAST(SUM(CASE WHEN v >= 0
+                 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                 ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY id),
+      fp AS (
+        SELECT d.id,
+               COALESCE(f.simhash, CAST(1152921504606846975 AS BIGINT))
+                 AS simhash
+        FROM docs d LEFT JOIN fp0 f ON d.id = f.id),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM fp a JOIN fp b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+      sym AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+        UNION
+        SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id)
+      -- incremental star-edge maintenance must equal the full recompute
+      SELECT id, MIN(r) AS component FROM reach GROUP BY id
+      ORDER BY id""",
 
     "x40_keep_best_quality" -> """
       WITH RECURSIVE docs AS (

@@ -535,6 +535,28 @@ object Dedup {
 
   // ------------------------------------------------------- embedding cosine
 
+  /** Incremental connected-components maintenance: fold NEW edges into
+    * an existing (id, component) labeling without re-clustering the
+    * corpus. The standing labels collapse to star edges (id →
+    * component) — |nodes| edges that already encode every old
+    * connection — so propagation runs over |nodes| + |new| edges
+    * instead of the full historical pair set, and converges in the
+    * few rounds it takes the new edges to glue stars together (old
+    * components are diameter-1 by construction). The labels produced
+    * are the same min-id components a full recompute over
+    * (old pairs ∪ new pairs) yields, because component membership is
+    * invariant under replacing a connected subgraph by its star.
+    * This is the ingest-time shape for [[admitIncremental]] /
+    * streaming admission: per-batch cost scales with the batch and
+    * the component COUNT, never the corpus pair history. */
+  def connectedComponentsIncremental(labels: DataFrame, newPairs: DataFrame,
+                                     maxIter: Int = 20): DataFrame = {
+    val starEdges = labels.filter(col("id") =!= col("component"))
+      .select(col("id").as("id_a"), col("component").as("id_b"))
+    connectedComponents(starEdges.unionByName(
+      newPairs.select(col("id_a"), col("id_b"))), maxIter)
+  }
+
   /** Cosine similarity of two float-array columns (elements upcast to
     * double; left-to-right accumulation, deterministic). */
   def cosine(a: Column, b: Column): Column = {

@@ -57,6 +57,20 @@ class DedupSpec extends GraftSuite {
     assert(b1 === 4)
   }
 
+  test("incremental CC equals full recompute when new edges merge components") {
+    import spark.implicits._
+    val oldPairs = Seq((2L, 5L), (3L, 7L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(oldPairs) // {2,5}->2, {3,7}->3
+    // new edge 5-3 merges both; new node 9 attaches to 7; 1-8 is new
+    val fresh = Seq((5L, 3L), (7L, 9L), (1L, 8L)).toDF("id_a", "id_b")
+    val inc = Dedup.connectedComponentsIncremental(labels, fresh)
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.connectedComponents(oldPairs.unionByName(fresh))
+      .as[(Long, Long)].collect().toMap
+    assert(inc === full)
+    assert(inc(9L) === 2L && inc(7L) === 2L && inc(8L) === 1L)
+  }
+
   test("spanDuplication: shared w-word span covered, unique doc clean") {
     val df = Seq(
       (1L, "a b c d e f"),       // shares span "a b c d" with doc 2
