@@ -1718,6 +1718,17 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "x42_bpe_pair_counts" -> ((s, dir) => {
+      // BPE trainer-prep: frequency-weighted adjacent character-pair
+      // counts over the word table — the statistic every merge round
+      // of tokenizer training maximizes (TextOps.bpeMerges runs the
+      // full greedy loop; spec-pinned)
+      TextOps.bpePairCounts(
+          TextOps.bpeInit(t(s, dir, "documents"), col("text")))
+        .filter(col("pair_count") >= 100)
+        .orderBy(col("lhs"), col("rhs"))
+    }),
+
     "x38_collocations" -> ((s, dir) => {
       // corpus collocation mining: adjacent-pair lift (the ratio form
       // of PMI — exact rational arithmetic, engine-portable where log
@@ -3908,6 +3919,20 @@ object SparkEntry {
                   THEN 'drop_span_dup' ELSE 'keep' END AS verdict
       FROM toks tk LEFT JOIN cov c ON tk.id = c.id
       ORDER BY tk.id""",
+
+    "x42_bpe_pair_counts" -> """
+      WITH words AS (
+        SELECT tok, COUNT(*) AS n FROM (
+          SELECT UNNEST(regexp_extract_all(lower(text), '\S+')) AS tok
+          FROM documents) GROUP BY tok),
+      sy AS (SELECT n, regexp_extract_all(tok, '.') AS cs FROM words),
+      prs AS (
+        SELECT cs[i] AS lhs, cs[i+1] AS rhs,
+               CAST(SUM(n) AS BIGINT) AS pair_count
+        FROM sy, UNNEST(range(1, len(cs))) AS u(i)
+        GROUP BY 1, 2)
+      SELECT lhs, rhs, pair_count FROM prs
+      WHERE pair_count >= 100 ORDER BY lhs, rhs""",
 
     "x38_collocations" -> """
       WITH ws AS (

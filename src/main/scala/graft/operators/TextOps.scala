@@ -274,6 +274,76 @@ object TextOps {
         round(col("n_oov").cast(DoubleType) / col("n_tokens"), 4))
   }
 
+  /** BPE trainer-prep, step 0: the word-grain symbol table — distinct
+    * words with corpus counts, symbols initialized to characters. All
+    * later BPE work happens at this grain (vocab-sized, ≪ corpus):
+    * the one corpus-scale pass is this word count. */
+  def bpeInit(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(
+        regexp_extract_all(lower(text), lit("\\S+"), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("syms",
+        regexp_extract_all(col("word"), lit("."), lit(0)))
+
+  /** Adjacent symbol-pair counts weighted by word frequency — the
+    * statistic each BPE merge round maximizes. One explode + hash
+    * aggregation over the word table. */
+  def bpePairCounts(words: DataFrame): DataFrame =
+    words.select(col("n"), explode(expr(
+        "transform(slice(syms, 1, size(syms) - 1), " +
+          "(x, i) -> struct(x AS lhs, element_at(syms, i + 2) AS rhs))"))
+        .as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("n")).as("pair_count"))
+
+  /** `rounds` byte-pair-encoding merges: per round, the globally most
+    * frequent adjacent symbol pair (ties → lexicographic) merges into
+    * one symbol, greedily left-to-right and non-overlapping within
+    * each word. Returns the merge table — the artifact a BPE
+    * tokenizer trainer produces.
+    *
+    * Scale shape: every round runs on the word-grain symbol table
+    * (vocab-sized), so corpus size only enters through the initial
+    * word count ([[bpeInit]]). The per-round argmax is ONE collected
+    * row (the merge decision is inherently global — same pattern as
+    * the b2 bloom-bytes materialization); the symbol rewrite is a
+    * codegen'd `aggregate` fold, and `localCheckpoint` truncates the
+    * growing lineage each round (the [[Dedup.connectedComponents]]
+    * discipline). */
+  def bpeMerges(df: DataFrame, text: Column, rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = bpeInit(df, text).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = bpePairCounts(words)
+        .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
+        .head()
+      val (l, rr, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((r, l, rr, c))
+      val lC = lit(l); val rC = lit(rr)
+      words = words.withColumn("syms",
+        aggregate(col("syms"),
+          struct(array().cast("array<string>").as("arr"),
+            lit(false).as("just")),
+          (acc, s) => {
+            val arr = acc.getField("arr")
+            val canMerge = !acc.getField("just") && size(arr) > 0 &&
+              element_at(arr, -1) === lC && s === rC
+            when(canMerge, struct(
+              concat(slice(arr, lit(1), size(arr) - 1),
+                array(concat(lC, rC))).as("arr"),
+              lit(true).as("just")))
+              .otherwise(struct(concat(arr, array(s)).as("arr"),
+                lit(false).as("just")))
+          },
+          acc => acc.getField("arr")))
+        .localCheckpoint()
+    }
+    merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
+  }
+
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val schemeHost = lower(regexp_extract(noFrag, "^([A-Za-z]+://[^/?#]+)", 1))

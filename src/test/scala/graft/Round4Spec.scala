@@ -225,6 +225,29 @@ class Round4Spec extends GraftSuite {
     intercept[Exception](spark.sql("SELECT graft_dot(array(1.0))").head())
   }
 
+  test("bpeMerges: greedy non-overlapping merges, hand-computed rounds") {
+    import spark.implicits._
+    // words: ab ×5, abc ×2 → pairs (a,b)=7, (b,c)=2
+    // round 1 merges (a,b); round 2 sees (ab,c)=2
+    val df = Seq((1L, "ab ab ab abc"), (2L, "ab ab abc")).toDF("id", "text")
+    val m = TextOps.bpeMerges(df, col("text"), rounds = 2)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(m(0) === ((1, "a", "b", 7L)))
+    assert(m(1) === ((2, "ab", "c", 2L)))
+  }
+
+  test("bpeMerges: overlapping runs merge left-to-right ('aaa' -> [aa, a])") {
+    import spark.implicits._
+    val df = Seq((1L, "aaa aaa ba")).toDF("id", "text")
+    // pairs: (a,a)=4 (two per 'aaa'), (b,a)=1 -> merge (a,a);
+    // greedy left-to-right: 'aaa' -> [aa, a], so round 2's top pair
+    // is (aa, a)=2
+    val m = TextOps.bpeMerges(df, col("text"), rounds = 2)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(m(0) === ((1, "a", "a", 4L)))
+    assert(m(1) === ((2, "aa", "a", 2L)))
+  }
+
   test("threeWaySplit: deterministic, stable under corpus growth") {
     import spark.implicits._
     val small = (1L to 200L).toDF("k")
