@@ -1211,6 +1211,36 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    "t6_gap_detection" -> ((s, dir) => {
+      // downtime detection: consecutive-event gaps over 10 min per
+      // stream (lag window — the monitoring dual of sessionization:
+      // t2 groups activity, this reports the silences)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts"))
+      t(s, dir, "events").select(col("event_type"), col("ts"))
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("gap_s",
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev")))
+        .filter(col("prev").isNotNull && col("gap_s") > 600)
+        .select(col("event_type"),
+          date_format(col("prev"), "yyyy-MM-dd HH:mm:ss").as("gap_start"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("gap_end"),
+          col("gap_s"))
+        .orderBy(col("event_type"), col("gap_start"))
+    }),
+
+    "f17_accent_fold" -> ((s, dir) => {
+      // latin accent folding + control-strip ahead of dedup hashing
+      // (café/cafe must collide) — explicit translate table, engine-
+      // portable (ColFns.foldAccents)
+      t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          concat(lit("Café "), col("n_name"),
+            lit(" à l'Élysée û")).as("raw"))
+        .withColumn("folded",
+          graft.functions.ColFns.foldAccents(col("raw")))
+        .orderBy(col("n_nationkey"))
+    }),
+
     "t4_dense_spine" -> ((s, dir) => {
       // dense hourly spine with zero-fill: a sequence() spine per key
       // left-joined to observed buckets — the gap-fill every
@@ -2966,6 +2996,31 @@ object SparkEntry {
              COUNT(*) AS n_events,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1 ORDER BY bucket""",
+
+    "t6_gap_detection" -> """
+      WITH o AS (
+        SELECT event_type, ts,
+               lag(ts) OVER (PARTITION BY event_type ORDER BY ts) AS prev
+        FROM events)
+      SELECT event_type,
+             strftime(prev, '%Y-%m-%d %H:%M:%S') AS gap_start,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS gap_end,
+             CAST(epoch_ns(ts) // 1000000000
+                  - epoch_ns(prev) // 1000000000 AS BIGINT) AS gap_s
+      FROM o
+      WHERE prev IS NOT NULL
+        AND epoch_ns(ts) // 1000000000
+            - epoch_ns(prev) // 1000000000 > 600
+      ORDER BY event_type, gap_start""",
+
+    "f17_accent_fold" -> """
+      SELECT n_nationkey,
+             'Café ' || n_name || ' à l''Élysée û' AS raw,
+             translate('Café ' || n_name || ' à l''Élysée û',
+               'àáâãäåÀÁÂÃÄÅçÇèéêëÈÉÊËìíîïÌÍÎÏñÑòóôõöÒÓÔÕÖùúûüÙÚÛÜýÿÝ',
+               'aaaaaaAAAAAAcCeeeeEEEEiiiiIIIInNoooooOOOOOuuuuUUUUyyY')
+               AS folded
+      FROM nation ORDER BY n_nationkey""",
 
     "t4_dense_spine" -> """
       WITH obs AS (

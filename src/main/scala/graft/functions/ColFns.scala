@@ -110,6 +110,21 @@ object ColFns {
 
   // ---- text analysis (LLM-pipeline surface; BASELINE.json north star) ----
 
+  /** Latin accent folding + control-char strip — the text
+    * normalization pass ahead of dedup hashing and tokenizer
+    * training (café/cafe must collide). An explicit `translate`
+    * table (both engines ship translate with identical semantics)
+    * rather than locale-sensitive Normalizer calls: deterministic,
+    * codegen'd, engine-portable. Covers the Latin-1 supplement
+    * letters; extend the table, not the mechanism, for more. */
+  private val accented =
+    "àáâãäåÀÁÂÃÄÅçÇèéêëÈÉÊËìíîïÌÍÎÏñÑòóôõöÒÓÔÕÖùúûüÙÚÛÜýÿÝ"
+  private val folded =
+    "aaaaaaAAAAAAcCeeeeEEEEiiiiIIIInNoooooOOOOOuuuuUUUUyyY"
+  def foldAccents(text: Column): Column =
+    translate(regexp_replace(text, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""),
+      accented, folded)
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\S+"), lit(0)))

@@ -100,6 +100,16 @@ class ColFnsSpec extends GraftSuite {
     Option(df.collect()(0).getString(0))
   }
 
+  test("foldAccents: accents fold, control chars strip, ASCII untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = Seq("Café à l'Élysée", "plain ASCII-42", "naïvefaçade")
+      .toDF("s")
+      .select(graft.functions.ColFns.foldAccents(col("s")))
+      .as[String].collect().toSeq
+    assert(got === Seq("Cafe a l'Elysee", "plain ASCII-42", "naivefacade"))
+  }
+
   test("fbDate: reference normalization.py branch vectors") {
     assert(fb("3天", "2024-05-10") === Some("2024-05-07"))        // N天
     assert(fb("5分鐘", "2024-05-10") === Some("2024-05-10"))      // 分鐘 → ref
