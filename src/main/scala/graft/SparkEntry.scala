@@ -2125,6 +2125,14 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "st10_stream_left_join" -> ((s, dir) => {
+      // left-OUTER stream-stream join: unmatched views emit with null
+      // click only after the watermark proves no future match can
+      // arrive — the emission rule itself is the oracle spec
+      graft.streaming.Streams.streamStreamLeftJoin(s, dir)
+        .orderBy(col("user_id"))
+    }),
+
     "st4_stream_sessionize" -> ((s, dir) => {
       // custom keyed-state streaming operator (flatMapGroupsWithState);
       // same session semantics as batch t2 → same oracle
@@ -4444,6 +4452,31 @@ object SparkEntry {
 
     "st6_stream_upsert" -> """
       SELECT DISTINCT user_id FROM events ORDER BY user_id""",
+
+    "st10_stream_left_join" -> """
+      WITH v AS (SELECT user_id, event_id AS view_id, ts AS vts
+                 FROM events WHERE event_type = 'view'),
+      c AS (SELECT user_id, event_id AS click_id, ts AS cts
+            FROM events WHERE event_type = 'click'),
+      wm AS (SELECT least(
+               (SELECT MAX(epoch_ns(vts) // 1000000) FROM v),
+               (SELECT MAX(epoch_ns(cts) // 1000000) FROM c))
+             - 3600000 AS w_ms),
+      m AS (SELECT v.user_id, 1 AS pair, 0 AS unm
+            FROM v JOIN c ON v.user_id = c.user_id
+             AND c.cts >= v.vts
+             AND c.cts <= v.vts + INTERVAL 24 HOURS),
+      u AS (SELECT v.user_id, 0 AS pair, 1 AS unm
+            FROM v, wm
+            WHERE NOT EXISTS (
+                    SELECT 1 FROM c WHERE c.user_id = v.user_id
+                      AND c.cts >= v.vts
+                      AND c.cts <= v.vts + INTERVAL 24 HOURS)
+              AND epoch_ns(v.vts) // 1000000 + 86400000 < wm.w_ms)
+      SELECT user_id, CAST(SUM(pair) AS BIGINT) AS n_pairs,
+             CAST(SUM(unm) AS BIGINT) AS n_expired_unmatched
+      FROM (SELECT * FROM m UNION ALL SELECT * FROM u)
+      GROUP BY user_id ORDER BY user_id""",
 
     "st7_stream_stream_join" -> """
       SELECT user_id, COUNT(*) AS n_view_click_pairs FROM (

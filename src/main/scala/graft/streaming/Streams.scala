@@ -347,6 +347,49 @@ object Streams {
     spark.table(sink)
   }
 
+  /** Left-OUTER stream-stream join: st7's view→click attribution with
+    * the unmatched views kept — Spark emits a null-joined left row
+    * only once the watermark proves no future click can match it
+    * (view_ts + 24 h < global watermark); left rows younger than that
+    * are still open state when an AvailableNow run stops, so they are
+    * in the checkpoint, not the sink. The oracle encodes exactly that
+    * spec: matched pairs ∪ unmatched views older than
+    * min(max(view_ts), max(click_ts)) − 1 h − 24 h, at Spark's
+    * millisecond watermark precision (the st8 discipline). Both
+    * sides' state stays bounded by the watermark + interval, same as
+    * the inner form. */
+  def streamStreamLeftJoin(spark: SparkSession, sfDir: String,
+                           queryName: String = "graft_stream_sslj"): DataFrame = {
+    val sink = unique(queryName)
+    val views = eventStream(spark, sfDir, "st10_views", "1 hour")
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val clicks = eventStream(spark, sfDir, "st10_clicks", "1 hour")
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val joined = views.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"),
+      "left_outer")
+      .select(col("user_id"), col("view_id"), col("click_id"))
+    withStreamShuffle(spark, 8) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory").queryName(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(sink)
+      .groupBy(col("user_id"))
+      .agg(count(col("click_id")).as("n_pairs"),
+        sum(when(col("click_id").isNull, 1L).otherwise(0L))
+          .as("n_expired_unmatched"))
+  }
+
   /** One (band, key) posting of a streamed doc's simhash fingerprint. */
   final case class BandEvent(band: Int, key: Long, doc_id: Long, fp: Long)
   /** Per-band admission flag emitted by [[streamNearDupAdmit]]. */
