@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Mutations, Sampling}
+
+/** Property-style randomized vectors (fixed seed, deterministic reruns)
+  * for the operators whose contracts are algebraic identities:
+  * incremental CC ≡ full recompute under ANY edge split, snapshotDiff
+  * is empty on identical inputs and total on disjoint ones, and
+  * threeWaySplit partitions every row into exactly one split. */
+class GraphPropertySpec extends GraftSuite {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(1234)
+
+  test("incremental CC == full CC over random graphs and random splits") {
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val nEdges = 20 + rnd.nextInt(60)
+      val edges = Seq.fill(nEdges) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a < b) (a, b) else (b, a)
+      }.filter(e => e._1 != e._2).distinct
+      val (oldE, newE) = edges.partition(_ => rnd.nextBoolean())
+      if (oldE.nonEmpty && newE.nonEmpty) {
+        val oldDf = oldE.toDF("id_a", "id_b")
+        val newDf = newE.toDF("id_a", "id_b")
+        val full = Dedup.connectedComponents(oldDf.unionByName(newDf))
+          .as[(Long, Long)].collect().toMap
+        val inc = Dedup.connectedComponentsIncremental(
+          Dedup.connectedComponents(oldDf), newDf)
+          .as[(Long, Long)].collect().toMap
+        assert(inc === full, s"trial $trial: $oldE ++ $newE")
+      }
+    }
+  }
+
+  test("snapshotDiff: empty on identical, total on disjoint key sets") {
+    val df = (1L to 50L).map(k => (k, s"v$k", k * 2)).toDF("k", "s", "v")
+    assert(Mutations.snapshotDiff(df, df, Seq("k")).count() === 0L)
+    val other = (51L to 80L).map(k => (k, s"v$k", k * 2)).toDF("k", "s", "v")
+    val d = Mutations.snapshotDiff(df, other, Seq("k"))
+      .groupBy("change").count().as[(String, Long)].collect().toMap
+    assert(d === Map("deleted" -> 50L, "inserted" -> 30L))
+  }
+
+  test("threeWaySplit: every row lands in exactly one split") {
+    val df = (1L to 500L).toDF("k")
+    val out = Sampling.threeWaySplit(df, col("k"))
+    assert(out.count() === 500L)
+    assert(out.filter(!col("split").isin("train", "val", "test"))
+      .count() === 0L)
+    // fractions roughly honored (md5-uniform: generous bounds)
+    val tr = out.filter(col("split") === "train").count()
+    assert(tr > 350 && tr < 450, s"train=$tr of 500")
+  }
+}
