@@ -1672,6 +1672,26 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "e2e_incremental_ingest" -> ((s, dir) => {
+      // the production ingest loop end-to-end: classify the new day's
+      // batch against the standing corpus (x32's admission), then the
+      // ingest audit — per-status counts + corpus size before/after
+      // (v2 = v1 + admitted). ONE lazy plan; the corpus never shuffles
+      // (batch broadcast both tiers).
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+      val counts = Dedup.admitIncremental(corpus, batch,
+          col("doc_id"), col("text"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+      counts
+        .crossJoin(broadcast(corpus.agg(count(lit(1)).as("corpus_v1"))))
+        .withColumn("corpus_v2", col("corpus_v1") +
+          sum(when(col("status") === "admitted", col("n_docs"))
+            .otherwise(0L)).over(Window.partitionBy()))
+        .orderBy(col("status"))
+    }),
+
     "x33_export_manifest" -> ((s, dir) => {
       // training-data export: deterministic shards written as
       // partitioned JSONL, then the manifest (docs + token counts per
@@ -3859,6 +3879,49 @@ object SparkEntry {
              LEFT JOIN nc ON b.doc_id = nc.doc_id
              LEFT JOIN nb ON b.doc_id = nb.doc_id
       ORDER BY id""",
+
+    "e2e_incremental_ingest" -> """
+      WITH norm AS (
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
+               list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1),
+                      i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [array_to_string(toks, ' ')] END) AS s
+        FROM (SELECT doc_id, text,
+                     string_split(trim(regexp_replace(lower(text),
+                       '\s+', ' ', 'g')), ' ') AS toks
+              FROM documents)),
+      c AS (SELECT * FROM norm WHERE doc_id % 4 <> 0),
+      b AS (SELECT * FROM norm WHERE doc_id % 4 = 0),
+      ec AS (SELECT DISTINCT b.doc_id FROM b JOIN c ON b.h = c.h),
+      eb AS (SELECT DISTINCT a.doc_id FROM b a
+             JOIN b b2 ON a.h = b2.h AND a.doc_id > b2.doc_id),
+      nc AS (SELECT DISTINCT a.doc_id FROM b a JOIN c ON
+               CAST(len(list_intersect(a.s, c.s)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.s, c.s))) >= 0.8),
+      nb AS (SELECT DISTINCT a.doc_id FROM b a JOIN b b2 ON
+               a.doc_id > b2.doc_id AND
+               CAST(len(list_intersect(a.s, b2.s)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.s, b2.s))) >= 0.8),
+      st AS (
+        SELECT b.doc_id AS id,
+               CASE WHEN ec.doc_id IS NOT NULL THEN 'dup_exact_corpus'
+                    WHEN eb.doc_id IS NOT NULL THEN 'dup_exact_batch'
+                    WHEN nc.doc_id IS NOT NULL THEN 'dup_near_corpus'
+                    WHEN nb.doc_id IS NOT NULL THEN 'dup_near_batch'
+                    ELSE 'admitted' END AS status
+        FROM b LEFT JOIN ec ON b.doc_id = ec.doc_id
+               LEFT JOIN eb ON b.doc_id = eb.doc_id
+               LEFT JOIN nc ON b.doc_id = nc.doc_id
+               LEFT JOIN nb ON b.doc_id = nb.doc_id),
+      g AS (SELECT status, COUNT(*) AS n_docs FROM st GROUP BY status)
+      SELECT status, n_docs,
+             (SELECT COUNT(*) FROM c) AS corpus_v1,
+             CAST((SELECT COUNT(*) FROM c)
+             + (SELECT COALESCE(SUM(n_docs), 0) FROM g
+                WHERE status = 'admitted') AS BIGINT) AS corpus_v2
+      FROM g ORDER BY status""",
 
     "a13_retention_cohorts" -> """
       WITH e AS (
