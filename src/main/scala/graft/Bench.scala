@@ -38,6 +38,7 @@ object Bench {
     "r1_unpivot_melt",      // unpivot (4× row fan-out)
     "x2_minhash_lsh_pairs", // MinHash+LSH near-dup (shuffle-heavy)
     "x20_simhash_neardups", // simhash bands → Hamming pairs (native expr)
+    "x36_span_dup_coverage", // repeated-span dedup (window-hash shuffle)
     "x6_ann_brute_topk",    // embedding similarity top-k
     "x18_tfidf_topk",       // text: explode + 2-level agg + window
     "g1_pagerank",          // iterative joins (integer PageRank, 5 rounds)

@@ -335,18 +335,33 @@ object Dedup {
         col("t"))
       .select(col("id"), col("n_tokens"), col("i"),
         md5(concat_ws(" ", slice(col("t"), col("i") + 1, lit(w)))).as("h"))
-    val dupSpans = wins.groupBy(col("h"))
-      .agg(countDistinct(col("id")).as("ndocs"))
-      .filter(col("ndocs") >= minDocs)
-      .select(col("h"))
-    val covered = wins.join(dupSpans, Seq("h"))
-      .select(col("id"), col("i"),
-        explode(sequence(col("i"), col("i") + w - 1)).as("p"))
+    // minDocs=2 (the common case): "shared by ≥2 docs" is
+    // min(id)≠max(id) over the span's window partition — ONE shuffle
+    // of the window rows, no aggregate+join-back (which would
+    // re-evaluate the per-window md5 hashing on the join probe side;
+    // the x2/minhashPairs lesson). Stricter thresholds pay the exact
+    // distinct-doc aggregate + semi-join.
+    val dupWins = (if (minDocs <= 2) {
+      val wh = Window.partitionBy(col("h"))
+      wins
+        .withColumn("lo", min(col("id")).over(wh))
+        .withColumn("hi", max(col("id")).over(wh))
+        .filter(col("lo") =!= col("hi"))
+    } else {
+      val dupSpans = wins.groupBy(col("h"))
+        .agg(countDistinct(col("id")).as("ndocs"))
+        .filter(col("ndocs") >= minDocs)
+        .select(col("h"))
+      wins.join(dupSpans, Seq("h"))
+    }).select(col("id"), col("i"))
+    val spanCounts = dupWins.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup_spans"))
+    val covered = dupWins
+      .select(col("id"), explode(sequence(col("i"), col("i") + w - 1)).as("p"))
       .groupBy(col("id"))
-      .agg(countDistinct(col("i")).as("n_dup_spans"),
-        countDistinct(col("p")).as("covered_tokens"))
+      .agg(countDistinct(col("p")).as("covered_tokens"))
     base.select(col("id"), col("n_tokens"))
-      .join(covered, Seq("id"), "left")
+      .join(spanCounts.join(covered, Seq("id")), Seq("id"), "left")
       .select(col("id"), col("n_tokens"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
