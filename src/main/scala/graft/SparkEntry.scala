@@ -672,6 +672,34 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "a15_cms_heavy_hitters" -> ((s, dir) => {
+      // Count-Min-Sketch frequency estimates (mergeable sketch, fixed
+      // seed): ONE sketch aggregation over the stream of keys, then
+      // driver-side point lookups for the candidate heavy hitters (the
+      // b2 bloom-bytes pattern — materializing the sketch is the
+      // point). Oracle-checked contract, a4-style: exact count + the
+      // CMS guarantee (estimate never undercounts, overcount ≤ ε·N) —
+      // deterministic on fixed data + fixed seed.
+      import s.implicits._
+      val e = t(s, dir, "events").select(col("event_type"))
+      val bytes = e.agg(
+          expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("s"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      val totalN = e.count()
+      val bound = math.ceil(0.001 * totalN).toLong
+      val rows = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("exact_n")).collect()
+        .map { r =>
+          val k = r.getString(0); val x = r.getLong(1)
+          val est = cms.estimateCount(k)
+          (k, x, est >= x && est <= x + bound)
+        }.toSeq
+      rows.toDF("event_type", "exact_n", "within_bound")
+        .orderBy(col("event_type"))
+    }),
+
     "a5_stats_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -3094,6 +3122,10 @@ object SparkEntry {
     "a4_hll_approx_distinct" -> """
       SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
              TRUE AS within_5pct
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "a15_cms_heavy_hitters" -> """
+      SELECT event_type, COUNT(*) AS exact_n, TRUE AS within_bound
       FROM events GROUP BY event_type ORDER BY event_type""",
 
     "x2_minhash_lsh_pairs" -> """
