@@ -1633,6 +1633,18 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_no"))
     }),
 
+    "x43_decontaminate_strip" -> ((s, dir) => {
+      // surgical decontamination: strip every token covered by a
+      // benchmark 8-gram instead of dropping the doc (x26 flags, this
+      // repairs); same held-out split as x26
+      val docs = t(s, dir, "documents")
+      TextOps.decontaminateStrip(
+          docs.filter(col("doc_id") % 100 =!= 0),
+          docs.filter(col("doc_id") % 100 === 0),
+          col("doc_id"), col("text"), n = 8)
+        .orderBy(col("id"))
+    }),
+
     "x26_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: train docs sharing any word 8-gram
       // with the held-out set (doc_id % 100 == 0 stands in for the
@@ -3491,6 +3503,44 @@ object SparkEntry {
                      AS prev_sec
             FROM events)))
       GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+
+    "x43_decontaminate_strip" -> """
+      WITH tr AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text),
+                 '\s+', ' ', 'g')), ' ') AS t
+        FROM documents WHERE doc_id % 100 <> 0),
+      be AS (
+        SELECT string_split(trim(regexp_replace(lower(text),
+                 '\s+', ' ', 'g')), ' ') AS t
+        FROM documents WHERE doc_id % 100 = 0),
+      bgrams AS (
+        SELECT DISTINCT md5(array_to_string(t[i+1:i+8], ' ')) AS h
+        FROM be, UNNEST(range(0, greatest(len(t) - 8, 0) + 1)) AS u(i)),
+      wins AS (
+        SELECT doc_id, i, md5(array_to_string(t[i+1:i+8], ' ')) AS h
+        FROM tr, UNNEST(CASE WHEN len(t) >= 8
+               THEN range(0, len(t) - 8 + 1) ELSE [] END) AS u(i)),
+      cov AS (
+        SELECT DISTINCT w.doc_id, p
+        FROM wins w JOIN bgrams b USING (h),
+             UNNEST(range(w.i + 1, w.i + 9)) AS q(p)),
+      tokens AS (
+        SELECT doc_id, t[p] AS tok, p
+        FROM tr, UNNEST(range(1, len(t) + 1)) AS z(p)),
+      kept AS (
+        SELECT tk.doc_id, tk.tok, tk.p
+        FROM tokens tk LEFT JOIN cov c
+          ON c.doc_id = tk.doc_id AND c.p = tk.p
+        WHERE c.p IS NULL),
+      agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_after,
+               string_agg(tok, ' ' ORDER BY p) AS txt
+        FROM kept GROUP BY doc_id)
+      SELECT tr.doc_id AS id, len(tr.t) AS n_tokens,
+             COALESCE(a.n_after, 0) AS n_tokens_after,
+             COALESCE(a.txt, '') AS clean_text
+      FROM tr LEFT JOIN agg a ON a.doc_id = tr.doc_id
+      ORDER BY id""",
 
     "x26_decontaminate" -> """
       WITH sh AS (

@@ -141,6 +141,50 @@ object TextOps {
         count(lit(1)).as("n_gram_hits"))
   }
 
+  /** Span-level decontamination: REMOVE every token covered by a word
+    * n-gram that appears in the benchmark set, keep the rest — the
+    * surgical alternative to dropping whole contaminated docs
+    * ([[contaminationFlags]] flags, this strips). Benchmark n-grams
+    * broadcast as md5 hashes (16 bytes per gram, never the text);
+    * train windows carry (id, position, hash) only; covered token
+    * positions come from exploding just the MATCHED windows; the
+    * reassembly is one position-ordered aggregation per doc. The
+    * window hashing is the only corpus-scale pass. */
+  def decontaminateStrip(train: DataFrame, bench: DataFrame,
+                         id: Column, text: Column, n: Int = 8): DataFrame = {
+    val toks = split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
+    val benchSpans = bench
+      .select(explode(Dedup.shingles(text, n)).as("gram"))
+      .select(md5(col("gram")).as("h")).distinct()
+    val base = train.select(id.as("id"), toks.as("t"))
+      .withColumn("n_tokens", size(col("t")))
+    val wins = base.select(col("id"),
+        explode(when(col("n_tokens") >= n,
+          sequence(lit(0), col("n_tokens") - n))
+          .otherwise(array().cast("array<int>"))).as("i"),
+        col("t"))
+      .select(col("id"), col("i"),
+        md5(concat_ws(" ", slice(col("t"), col("i") + 1, lit(n)))).as("h"))
+    val covered = wins.join(broadcast(benchSpans), Seq("h"))
+      .select(col("id"),
+        explode(sequence(col("i") + 1, col("i") + n)).as("p"))
+      .distinct()
+    val tokens = base.select(col("id"),
+        posexplode_outer(col("t")).as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + 1).as("p"), col("tok"))
+    val kept = tokens.join(covered, Seq("id", "p"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens_after"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"))
+    base.select(col("id"), col("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_tokens_after"), lit(0L)).as("n_tokens_after"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Sequence packing: assign documents to fixed-capacity token bins —
     * the "concat-and-chunk" batching prep for LLM training. Greedy
     * contiguous fill in id order per shard: a doc starts a new bin when

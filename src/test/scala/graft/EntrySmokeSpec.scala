@@ -15,6 +15,11 @@ class EntrySmokeSpec extends GraftSuite {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+  test("every query has an oracle (no rows-only entries)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracleSql: $missing")
+  }
+
   test("w3 top-k: at most 3 rows per customer, ranks 1..3") {
     val df = SparkEntry.queries("w3_window_topk")(spark, SparkTestBase.sfDir)
     val bad = df.groupBy("o_custkey").agg(count(lit(1)).as("n"),

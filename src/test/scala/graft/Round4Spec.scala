@@ -225,6 +225,18 @@ class Round4Spec extends GraftSuite {
     intercept[Exception](spark.sql("SELECT graft_dot(array(1.0))").head())
   }
 
+  test("decontaminateStrip: benchmark span removed, rest reassembled") {
+    import spark.implicits._
+    val train = Seq((1L, "x a b c d y"), (2L, "p q r s t")).toDF("id", "text")
+    val bench = Seq((9L, "a b c d")).toDF("id", "text")
+    val got = TextOps.decontaminateStrip(train, bench,
+        col("id"), col("text"), n = 4)
+      .select("id", "n_tokens", "n_tokens_after", "clean_text")
+      .as[(Long, Int, Long, String)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 6, 2L, "x y")))
+    assert(got(1) === ((2L, 5, 5L, "p q r s t")))
+  }
+
   test("bpeMerges: greedy non-overlapping merges, hand-computed rounds") {
     import spark.implicits._
     // words: ab ×5, abc ×2 → pairs (a,b)=7, (b,c)=2
