@@ -325,6 +325,15 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "p19_fixed_k_per_stratum" -> ((s, dir) => {
+      // exactly-k deterministic draw per source (hash-priority rank —
+      // the "100 examples per source" sample, engine-stable)
+      Sampling.fixedKPerStratum(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          col("source"), col("doc_id"), k = 10)
+        .orderBy(col("source"), col("rk"))
+    }),
+
     "p18_three_way_split" -> ((s, dir) => {
       // deterministic train/val/test split: membership is a pure
       // function of the key — stable across reruns, engines, corpus
@@ -740,6 +749,23 @@ object SparkEntry {
           round(expr("percentile(l_quantity, 0.75)"), 2).as("p75"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    "a16_above_group_p90" -> ((s, dir) => {
+      // QUALIFY-style filter: orders strictly above their status
+      // group's p90 price — the group threshold broadcasts back from
+      // a tiny aggregate (2-pass but group-grain; a windowed
+      // percentile would sort the whole fact per group for the same
+      // answer)
+      val o = t(s, dir, "orders")
+      val thr = o.groupBy(col("o_orderstatus"))
+        .agg(round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+      o.join(broadcast(thr), Seq("o_orderstatus"))
+        .filter(col("o_totalprice") > col("p90"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_above"), first(col("p90")).as("p90"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("o_orderstatus"))
     }),
 
     "a8b_approx_percentiles" -> ((s, dir) => {
@@ -1239,6 +1265,32 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    "t7_interval_merge" -> ((s, dir) => {
+      // gaps-and-islands: each event opens a 10-min presence interval;
+      // overlapping intervals merge into islands (classic interval
+      // union — one keyed window pass, no self-join). Reports per-user
+      // island count and total covered seconds.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("st"))
+      val iv = t(s, dir, "events")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("st"))
+        .distinct()
+        .withColumn("en", col("st") + 600)
+      val isl = iv
+        .withColumn("max_prev_en",
+          max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("brk",
+          when(col("max_prev_en").isNull ||
+            col("st") > col("max_prev_en"), 1L).otherwise(0L))
+        .withColumn("island", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      isl.groupBy(col("user_id"), col("island"))
+        .agg(min(col("st")).as("ist"), max(col("en")).as("ien"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("ien") - col("ist")).as("covered_s"))
+        .orderBy(col("user_id"))
+    }),
+
     "t6_gap_detection" -> ((s, dir) => {
       // downtime detection: consecutive-event gaps over 10 min per
       // stream (lag window — the monitoring dual of sessionization:
@@ -1442,6 +1494,24 @@ object SparkEntry {
       Dedup.connectedComponentsIncremental(
           Dedup.connectedComponents(old), fresh)
         .orderBy(col("id"))
+    }),
+
+    "x44_cluster_centroids" -> ((s, dir) => {
+      // per-cluster embedding centroids with fixed-point accumulation
+      // (explicit half-up ×1e7 → exact long sums — order-independent
+      // and engine-identical where float summation is neither): the
+      // IVF-training / semantic-dedup reduction, grouped by label
+      val e = t(s, dir, "embeddings")
+      val q = floor(col("v").cast(DoubleType) * 1e7d + 0.5d).cast("long")
+      e.select(col("label").as("cluster"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("q", q)
+        .groupBy(col("cluster"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
+        .select(col("cluster"), col("dim"),
+          round(col("s").cast(DoubleType) / (col("n") * 1e7d), 5)
+            .as("centroid"))
+        .orderBy(col("cluster"), col("dim"))
     }),
 
     "x40_keep_best_quality" -> ((s, dir) => {
@@ -2602,6 +2672,17 @@ object SparkEntry {
              COUNT(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "a16_above_group_p90" -> """
+      WITH thr AS (
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+        FROM orders GROUP BY o_orderstatus)
+      SELECT o.o_orderstatus, COUNT(*) AS n_above,
+             MAX(t.p90) AS p90, MAX(o.o_totalprice) AS max_price
+      FROM orders o JOIN thr t USING (o_orderstatus)
+      WHERE o.o_totalprice > t.p90
+      GROUP BY o.o_orderstatus ORDER BY o_orderstatus""",
+
     "a8b_approx_percentiles" -> """
       SELECT l_returnflag,
              round(quantile_cont(l_quantity, 0.5), 2) AS exact_p50,
@@ -3065,6 +3146,36 @@ object SparkEntry {
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1 ORDER BY bucket""",
 
+    "t7_interval_merge" -> """
+      WITH iv AS (
+        SELECT DISTINCT user_id,
+               epoch_ns(ts) // 1000000000 AS st
+        FROM events),
+      iv2 AS (SELECT user_id, st, st + 600 AS en FROM iv),
+      mk AS (
+        SELECT user_id, st, en,
+               MAX(en) OVER (PARTITION BY user_id ORDER BY st
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS max_prev_en
+        FROM iv2),
+      br AS (
+        SELECT user_id, st, en,
+               CASE WHEN max_prev_en IS NULL OR st > max_prev_en
+                    THEN 1 ELSE 0 END AS brk
+        FROM mk),
+      isl AS (
+        SELECT user_id, st, en,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY st
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS island
+        FROM br),
+      g AS (
+        SELECT user_id, island, MIN(st) AS ist, MAX(en) AS ien
+        FROM isl GROUP BY user_id, island)
+      SELECT user_id, COUNT(*) AS n_islands,
+             CAST(SUM(ien - ist) AS BIGINT) AS covered_s
+      FROM g GROUP BY user_id ORDER BY user_id""",
+
     "t6_gap_detection" -> """
       WITH o AS (
         SELECT event_type, ts,
@@ -3388,6 +3499,17 @@ object SparkEntry {
       SELECT id, MIN(r) AS component FROM reach GROUP BY id
       ORDER BY id""",
 
+    "x44_cluster_centroids" -> """
+      WITH ex AS (
+        SELECT label AS cluster, CAST(i - 1 AS INT) AS dim,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e7 + 0.5)
+                 AS BIGINT) AS q
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i))
+      SELECT cluster, dim,
+             round(CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1e7), 5)
+               AS centroid
+      FROM ex GROUP BY cluster, dim ORDER BY cluster, dim""",
+
     "x40_keep_best_quality" -> """
       WITH RECURSIVE docs AS (
         SELECT doc_id AS id,
@@ -3645,6 +3767,15 @@ object SparkEntry {
       SELECT t.source, t.n AS n_total, COALESCE(k.n_kept, 0) AS n_kept,
              round(t.rate, 6) AS rate
       FROM t LEFT JOIN k USING (source) ORDER BY source""",
+
+    "p19_fixed_k_per_stratum" -> """
+      SELECT doc_id, source, rk FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+                 AS rk
+        FROM documents)
+      WHERE rk <= 10 ORDER BY source, rk""",
 
     "p18_three_way_split" -> """
       SELECT doc_id, source,

@@ -62,6 +62,21 @@ object Sampling {
       .drop("__stratum", "__n", "__nmin", "__rate", "__thresh")
   }
 
+  /** Exactly-k deterministic sample per stratum: rows rank by their
+    * md5 priority within the stratum and the top `k` survive — the
+    * "100 examples per source" draw, stable across engines, reruns,
+    * and partitionings (a hash-priority reservoir without the
+    * randomness). One keyed window; at scale pre-filter with
+    * [[hashSample]] at a loose rate first so the sort ranks a small
+    * superset instead of the full stratum. */
+  def fixedKPerStratum(df: DataFrame, stratum: Column, key: Column,
+                       k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratum)
+      .orderBy(md5(key.cast("string")).asc, key.asc)
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Deterministic train/val/test assignment: the row's key hashes to
     * a uniform 16-bit value and the split is a range cut — membership
     * is a pure function of the key (stable across reruns, engines,

@@ -45,6 +45,17 @@ class GraphPropertySpec extends GraftSuite {
     assert(d === Map("deleted" -> 50L, "inserted" -> 30L))
   }
 
+  test("fixedKPerStratum: exactly k per stratum, deterministic draw") {
+    val df = (1L to 300L).map(k => (s"s${k % 3}", k)).toDF("src", "k")
+    val a = Sampling.fixedKPerStratum(df, col("src"), col("k"), 7)
+    val counts = a.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(counts === Map("s0" -> 7L, "s1" -> 7L, "s2" -> 7L))
+    val b = Sampling.fixedKPerStratum(
+      df.repartition(13), col("src"), col("k"), 7)
+    assert(a.select("src", "k").as[(String, Long)].collect().toSet ===
+      b.select("src", "k").as[(String, Long)].collect().toSet)
+  }
+
   test("threeWaySplit: every row lands in exactly one split") {
     val df = (1L to 500L).toDF("k")
     val out = Sampling.threeWaySplit(df, col("k"))
