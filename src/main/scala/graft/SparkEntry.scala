@@ -1496,6 +1496,38 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "x45_kmeans_step" -> ((s, dir) => {
+      // one exact-arithmetic Lloyd iteration: vectors quantize to
+      // ×1e7 longs, L2² distances are exact integer sums (argmin can
+      // never flip on float ulps — ties break by centroid id), new
+      // centroids re-accumulate fixed-point (x44). Seeds = the first
+      // k vectors. Broadcast centroids × one scan: the canonical
+      // distributed k-means step, made engine-reproducible.
+      val e = t(s, dir, "embeddings")
+      val qv = e.select(col("vec_id"),
+        transform(col("embedding"),
+          v => floor(v.cast(DoubleType) * 1e7d + 0.5d).cast("long"))
+          .as("qv"))
+      val cents = qv.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("qv").as("cv"))
+      val best = qv.crossJoin(broadcast(cents))
+        .withColumn("d2", aggregate(
+          zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("d2").asc, col("cid").asc)))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid"), col("qv"))
+      best.select(col("cid"), posexplode(col("qv")).as(Seq("dim", "q")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(count(lit(1)).as("n_members"), sum(col("q")).as("s"))
+        .select(col("cid"), col("dim"), col("n_members"),
+          round(col("s").cast(DoubleType) / (col("n_members") * 1e7d), 5)
+            .as("centroid"))
+        .orderBy(col("cid"), col("dim"))
+    }),
+
     "x44_cluster_centroids" -> ((s, dir) => {
       // per-cluster embedding centroids with fixed-point accumulation
       // (explicit half-up ×1e7 → exact long sums — order-independent
@@ -3498,6 +3530,35 @@ object SparkEntry {
       -- incremental star-edge maintenance must equal the full recompute
       SELECT id, MIN(r) AS component FROM reach GROUP BY id
       ORDER BY id""",
+
+    "x45_kmeans_step" -> """
+      WITH qv AS (
+        SELECT vec_id,
+               list_transform(embedding, v ->
+                 CAST(floor(CAST(v AS DOUBLE) * 1e7 + 0.5) AS BIGINT))
+                 AS qv
+        FROM embeddings),
+      c AS (SELECT vec_id AS cid, qv AS cv FROM qv WHERE vec_id < 8),
+      d AS (
+        SELECT q.vec_id, c.cid, q.qv,
+               CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                 i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))
+                 AS BIGINT) AS d2
+        FROM qv q CROSS JOIN c),
+      best AS (
+        SELECT vec_id, cid, qv FROM (
+          SELECT vec_id, cid, qv,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rk
+          FROM d)
+        WHERE rk = 1),
+      ex AS (
+        SELECT cid, CAST(i - 1 AS INT) AS dim, qv[i] AS q
+        FROM best, UNNEST(range(1, len(qv) + 1)) AS u(i))
+      SELECT cid, dim, COUNT(*) AS n_members,
+             round(CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1e7), 5)
+               AS centroid
+      FROM ex GROUP BY cid, dim ORDER BY cid, dim""",
 
     "x44_cluster_centroids" -> """
       WITH ex AS (
