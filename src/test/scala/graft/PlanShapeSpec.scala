@@ -1,0 +1,68 @@
+package graft
+
+/** Physical-plan shape regression guards — the `.explain` audits that
+  * keep the 100 TB story true, as executable assertions: small dims
+  * must broadcast (not sort-merge), filters and projections must reach
+  * the parquet scan, and bucketed joins must plan with zero exchanges.
+  * Asserting on `sparkPlan` (the pre-AQE physical plan) keeps the
+  * checks deterministic under adaptive execution. */
+class PlanShapeSpec extends GraftSuite {
+
+  private val dir = SparkTestBase.sfDir
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan.toString
+
+  test("j4 flagship: dims broadcast, no sort-merge join") {
+    val p = plan("j4_mart_flagship")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"), p.take(500))
+  }
+
+  test("p5 projection+filter: predicate pushed to the parquet scan") {
+    val p = plan("p5_project_filter")
+    assert(p.contains("PushedFilters: ["), p.take(800))
+    assert(p.contains("IsNotNull") || p.contains("GreaterThan"), p.take(800))
+  }
+
+  test("p5 projection+filter: scan reads a pruned schema, not all columns") {
+    val df = SparkEntry.queries("p5_project_filter")(spark, dir)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    // lineitem has 16 columns; the projection needs a strict subset
+    assert(scans.forall(_.requiredSchema.fields.length < 16),
+      scans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(";"))
+  }
+
+  test("b1 bucketed join: zero exchanges in the join plan") {
+    // at spec scale the dims fit the broadcast threshold, which would
+    // hide the bucketing property — force a shuffle-class join
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    val p = try plan("b1_bucketed_join") finally spark.conf.set(key, prev)
+    // one Exchange is legal for the final tiny groupBy; the JOIN itself
+    // must not shuffle either side: no exchange may appear below the join
+    val joinIdx = p.indexOf("SortMergeJoin") match {
+      case -1 => p.indexOf("ShuffledHashJoin")
+      case i => i
+    }
+    assert(joinIdx >= 0, "expected a shuffle-class join over bucketed scans")
+    val below = p.substring(joinIdx)
+    assert(!below.contains("Exchange hashpartitioning"),
+      below.take(800))
+  }
+
+  test("x32 admission: batch broadcasts in both tiers") {
+    val p = plan("x32_incremental_admit")
+    val n = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(n >= 2, s"expected >=2 broadcast joins, saw $n")
+  }
+
+  test("j8 lookup join: dim broadcast") {
+    val p = plan("j8_lookup_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+  }
+}
