@@ -751,6 +751,28 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    "a17_event_pattern" -> ((s, dir) => {
+      // CEP-lite sequence matching: each user's event history becomes
+      // an ordered letter string (v/c/p/s/e) and MATCH_RECOGNIZE-style
+      // patterns are plain regex counts over it — here view→clicks*→
+      // purchase conversions. One keyed aggregation; the per-user
+      // string is session-history-sized, the same per-key bound every
+      // sequence operator carries.
+      val e = t(s, dir, "events")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+          col("event_id"), substring(col("event_type"), 1, 1).as("l"))
+      e.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          concat_ws("", transform(
+            sort_array(collect_list(
+              struct(col("sec"), col("event_id"), col("l")))),
+            s => s.getField("l"))).as("seq"))
+        .select(col("user_id"), col("n_events"),
+          size(regexp_extract_all(col("seq"), lit("vc*p"), lit(0)))
+            .as("n_conversions"))
+        .orderBy(col("user_id"))
+    }),
+
     "a16_above_group_p90" -> ((s, dir) => {
       // QUALIFY-style filter: orders strictly above their status
       // group's p90 price — the group threshold broadcasts back from
@@ -2703,6 +2725,20 @@ object SparkEntry {
              round(quantile_cont(l_quantity, 0.75), 2) AS p75,
              COUNT(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "a17_event_pattern" -> """
+      WITH e AS (
+        SELECT user_id, epoch_ns(ts) // 1000000000 AS sec, event_id,
+               substring(event_type, 1, 1) AS l
+        FROM events),
+      sq AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               string_agg(l, '' ORDER BY sec, event_id) AS seq
+        FROM e GROUP BY user_id)
+      SELECT user_id, n_events,
+             CAST(len(regexp_extract_all(seq, 'vc*p')) AS INT)
+               AS n_conversions
+      FROM sq ORDER BY user_id""",
 
     "a16_above_group_p90" -> """
       WITH thr AS (
