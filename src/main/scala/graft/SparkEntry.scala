@@ -980,6 +980,33 @@ object SparkEntry {
         .orderBy(col("version"), col("n_nationkey"))
     }),
 
+    "s18_dynamic_partition_overwrite" -> ((s, dir) => {
+      // the daily-backfill write: partitionOverwriteMode=dynamic
+      // replaces ONLY the partitions present in the incoming frame
+      // (here: the earliest day, rewritten without its error rows) —
+      // static overwrite would nuke every other day with it
+      val lakeDir = tmpDir("s18_lake")
+      val e = t(s, dir, "events").select(col("event_id"),
+        col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      e.write.partitionBy("day").mode("overwrite").parquet(lakeDir)
+      val day0 = e.agg(min(col("day"))).head().getString(0)
+      val fixed = e.filter(col("day") === day0 &&
+        col("event_type") =!= "error")
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "dynamic")
+      try fixed.write.partitionBy("day").mode("overwrite").parquet(lakeDir)
+      finally s.conf.set(key, prev)
+      // partition-column type inference reads day= back as DATE; the
+      // contract (and the oracle) speak ISO strings
+      s.read.parquet(lakeDir)
+        .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_errors"))
+        .orderBy(col("day"))
+    }),
+
     "m6_snapshot_diff" -> ((s, dir) => {
       // version-over-version table diff: v1 = partial dim, v2 = full +
       // repaired; classify keys inserted/deleted/updated via one
@@ -1610,6 +1637,39 @@ object SparkEntry {
     "x5_embed_cosine_pairs" -> ((s, dir) => {
       Dedup.cosinePairs(t(s, dir, "embeddings"), col("vec_id"),
           col("embedding"), threshold = 0.40)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "x46_blocked_cosine_pairs" -> ((s, dir) => {
+      // x5's documented scale path made concrete: embeddings block
+      // into centroid cells (the x45 exact integer argmin) and the
+      // O(n²) cosine verify runs WITHIN cells only — pair space
+      // divides by the cell count; cross-cell near-dups are the
+      // recall trade every blocked/IVF scheme makes
+      val e = t(s, dir, "embeddings")
+      val qv = e.select(col("vec_id"), col("embedding"),
+        transform(col("embedding"),
+          v => floor(v.cast(DoubleType) * 1e7d + 0.5d).cast("long"))
+          .as("qv"))
+      val cents = qv.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("qv").as("cv"))
+      val cells = qv.crossJoin(broadcast(cents))
+        .withColumn("d2", aggregate(
+          zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("d2").asc, col("cid").asc)))
+        .filter(col("rk") === 1)
+        .select(col("cid"), col("vec_id"), col("embedding"))
+      cells.as("a")
+        .join(cells.as("b"), col("a.cid") === col("b.cid") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos_sim",
+          Dedup.cosine(col("a.embedding"), col("b.embedding")))
+        .filter(col("cos_sim") > 0.40)
+        .select(col("a.cid").as("cell"), col("a.vec_id").as("id_a"),
+          col("b.vec_id").as("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -3994,6 +4054,18 @@ object SparkEntry {
       FROM nation
       ORDER BY version, n_nationkey""",
 
+    "s18_dynamic_partition_overwrite" -> """
+      WITH e AS (
+        SELECT event_id, event_type, strftime(ts, '%Y-%m-%d') AS day
+        FROM events),
+      d0 AS (SELECT MIN(day) AS d FROM e)
+      SELECT day, COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_errors
+      FROM e, d0
+      WHERE NOT (day = d0.d AND event_type = 'error')
+      GROUP BY day ORDER BY day""",
+
     "m6_snapshot_diff" -> """
       WITH b AS (SELECT * FROM nation WHERE n_nationkey < 15),
       a AS (SELECT n_nationkey,
@@ -4646,6 +4718,40 @@ object SparkEntry {
                                           CAST(b.embedding AS DOUBLE[]))))
                  AS cos_sim
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      WHERE cos_sim > 0.40 ORDER BY id_a, id_b""",
+
+    "x46_blocked_cosine_pairs" -> """
+      WITH qv AS (
+        SELECT vec_id, embedding,
+               list_transform(embedding, v ->
+                 CAST(floor(CAST(v AS DOUBLE) * 1e7 + 0.5) AS BIGINT))
+                 AS qv
+        FROM embeddings),
+      c AS (SELECT vec_id AS cid, qv AS cv FROM qv WHERE vec_id < 8),
+      d AS (
+        SELECT q.vec_id, q.embedding, c.cid,
+               CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                 i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))
+                 AS BIGINT) AS d2
+        FROM qv q CROSS JOIN c),
+      cells AS (
+        SELECT cid, vec_id, embedding FROM (
+          SELECT cid, vec_id, embedding,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rk
+          FROM d)
+        WHERE rk = 1)
+      SELECT cell, id_a, id_b, round(cos_sim, 4) AS cos_sim FROM (
+        SELECT a.cid AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[]))))
+                 AS cos_sim
+        FROM cells a JOIN cells b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id)
       WHERE cos_sim > 0.40 ORDER BY id_a, id_b""",
 
     "x6_ann_brute_topk" -> """
