@@ -1145,7 +1145,39 @@ object SparkEntry {
       c.except(su).orderBy(col("nationkey"))
     }),
 
+    "u4_union_evolved" -> ((s, dir) => {
+      // schema-drift union: an old extract (no balance column) unions
+      // with the new one — allowMissingColumns null-fills the gap
+      // (the generation-merge read every evolving pipeline does)
+      val old = t(s, dir, "customer")
+        .filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"))
+      val neu = t(s, dir, "customer")
+        .filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      old.unionByName(neu, allowMissingColumns = true)
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---- reshape (§2.8) ------------------------------------------------
+    "r6_pivot_multi_measure" -> ((s, dir) => {
+      // multi-measure pivot: count AND decimal-exact value sum per
+      // pivoted event type in one pass (Spark emits type_n / type_sum
+      // column pairs)
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = t(s, dir, "events")
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .groupBy(col("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("sv"))
+      p.select(col("day") +: types.flatMap(ty => Seq(
+          coalesce(col(s"${ty}_n"), lit(0L)).as(s"${ty}_n"),
+          coalesce(col(s"${ty}_sv").cast(DoubleType), lit(0.0d))
+            .as(s"${ty}_sv"))): _*)
+        .orderBy(col("day"))
+    }),
+
     "r1_unpivot_melt" -> ((s, dir) => {
       Reshape.melt(t(s, dir, "lineitem"),
           ids = Seq("l_orderkey", "l_linenumber"),
@@ -3114,6 +3146,37 @@ object SparkEntry {
     "u3_except" -> """
       SELECT DISTINCT c_nationkey AS nationkey FROM customer
       EXCEPT SELECT DISTINCT s_nationkey FROM supplier ORDER BY nationkey""",
+
+    "u4_union_evolved" -> """
+      SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+      FROM customer WHERE c_custkey % 2 = 0
+      UNION ALL
+      SELECT c_custkey, c_name, c_acctbal
+      FROM customer WHERE c_custkey % 2 = 1
+      ORDER BY c_custkey""",
+
+    "r6_pivot_multi_measure" -> """
+      WITH e AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events)
+      SELECT day,
+        COUNT(*) FILTER (WHERE event_type='click') AS click_n,
+        CAST(COALESCE(SUM(v) FILTER (WHERE event_type='click'), 0)
+          AS DOUBLE) AS click_sv,
+        COUNT(*) FILTER (WHERE event_type='error') AS error_n,
+        CAST(COALESCE(SUM(v) FILTER (WHERE event_type='error'), 0)
+          AS DOUBLE) AS error_sv,
+        COUNT(*) FILTER (WHERE event_type='purchase') AS purchase_n,
+        CAST(COALESCE(SUM(v) FILTER (WHERE event_type='purchase'), 0)
+          AS DOUBLE) AS purchase_sv,
+        COUNT(*) FILTER (WHERE event_type='signup') AS signup_n,
+        CAST(COALESCE(SUM(v) FILTER (WHERE event_type='signup'), 0)
+          AS DOUBLE) AS signup_sv,
+        COUNT(*) FILTER (WHERE event_type='view') AS view_n,
+        CAST(COALESCE(SUM(v) FILTER (WHERE event_type='view'), 0)
+          AS DOUBLE) AS view_sv
+      FROM e GROUP BY day ORDER BY day""",
 
     "r1_unpivot_melt" -> """
       SELECT l_orderkey, l_linenumber, measure, value FROM (
