@@ -696,8 +696,8 @@ object SparkEntry {
         .head().getAs[Array[Byte]](0)
       val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(bytes))
-      val totalN = e.count()
-      val bound = math.ceil(0.001 * totalN).toLong
+      // N comes from the sketch itself — no extra scan
+      val bound = math.ceil(0.001 * cms.totalCount()).toLong
       val rows = e.groupBy(col("event_type"))
         .agg(count(lit(1)).as("exact_n")).collect()
         .map { r =>
@@ -1584,22 +1584,9 @@ object SparkEntry {
       // centroids re-accumulate fixed-point (x44). Seeds = the first
       // k vectors. Broadcast centroids × one scan: the canonical
       // distributed k-means step, made engine-reproducible.
-      val e = t(s, dir, "embeddings")
-      val qv = e.select(col("vec_id"),
-        transform(col("embedding"),
-          v => floor(v.cast(DoubleType) * 1e7d + 0.5d).cast("long"))
-          .as("qv"))
-      val cents = qv.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("qv").as("cv"))
-      val best = qv.crossJoin(broadcast(cents))
-        .withColumn("d2", aggregate(
-          zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(col("d2").asc, col("cid").asc)))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("cid"), col("qv"))
+      val best = Similarity.assignCells(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8)
+        .withColumn("qv", Similarity.quantize1e7(col("embedding")))
       best.select(col("cid"), posexplode(col("qv")).as(Seq("dim", "q")))
         .groupBy(col("cid"), col("dim"))
         .agg(count(lit(1)).as("n_members"), sum(col("q")).as("s"))
@@ -1678,22 +1665,8 @@ object SparkEntry {
       // O(n²) cosine verify runs WITHIN cells only — pair space
       // divides by the cell count; cross-cell near-dups are the
       // recall trade every blocked/IVF scheme makes
-      val e = t(s, dir, "embeddings")
-      val qv = e.select(col("vec_id"), col("embedding"),
-        transform(col("embedding"),
-          v => floor(v.cast(DoubleType) * 1e7d + 0.5d).cast("long"))
-          .as("qv"))
-      val cents = qv.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("qv").as("cv"))
-      val cells = qv.crossJoin(broadcast(cents))
-        .withColumn("d2", aggregate(
-          zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(col("d2").asc, col("cid").asc)))
-        .filter(col("rk") === 1)
-        .select(col("cid"), col("vec_id"), col("embedding"))
+      val cells = Similarity.assignCells(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8)
       cells.as("a")
         .join(cells.as("b"), col("a.cid") === col("b.cid") &&
           col("a.vec_id") < col("b.vec_id"))

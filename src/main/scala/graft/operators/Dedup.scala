@@ -322,6 +322,8 @@ object Dedup {
     * `minDocs` the exact count no longer changes the verdict). */
   def spanDuplication(df: DataFrame, id: Column, text: Column,
                       w: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2,
+      s"minDocs must be >= 2 (cross-doc duplication), got $minDocs")
     val par = df.sparkSession.sparkContext.defaultParallelism * 2
     val toks = split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
     val base = df.repartition(par)
@@ -568,8 +570,16 @@ object Dedup {
                                      maxIter: Int = 20): DataFrame = {
     val starEdges = labels.filter(col("id") =!= col("component"))
       .select(col("id").as("id_a"), col("component").as("id_b"))
-    connectedComponents(starEdges.unionByName(
+    val merged = connectedComponents(starEdges.unionByName(
       newPairs.select(col("id_a"), col("id_b"))), maxIter)
+    // singleton components label themselves and produce no star edge;
+    // any of them untouched by the new edges must pass through, or a
+    // maintained corpus labeling would lose rows every ingest
+    val untouchedSingletons = labels
+      .filter(col("id") === col("component"))
+      .join(merged, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    merged.unionByName(untouchedSingletons)
   }
 
   /** Cosine similarity of two float-array columns (elements upcast to

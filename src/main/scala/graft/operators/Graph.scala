@@ -29,27 +29,6 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
-  /** Fixed-iteration PageRank in integer micro-units.
-    *
-    * Ranks live as longs in units of 1/`base` (default 1e-12), and every
-    * step — the per-edge contribution `rank div outdeg`, the damping
-    * `85·x div 100`, the dangling-mass redistribution `mass div n` — is
-    * integral division, so the result is bit-identical on any engine and
-    * any summation order (long addition is exact and commutative; the
-    * dropped remainders are part of the spec, not error). Total mass
-    * decays a few micro-units per round, which a ranking consumer never
-    * observes.
-    *
-    * Plan shape per iteration: one equi-join of edges × current ranks on
-    * `src` (ranks ≤ nodes ≪ edges; broadcastable), one `dst`-grain
-    * aggregation — the only data-scaling shuffle — plus a tiny anti-join
-    * aggregate for dangling mass. `localCheckpoint` after each round
-    * keeps the plan flat (the Dedup.connectedComponents OOM lesson,
-    * commit dbebd13).
-    *
-    * Expects `edges(src: long, dst: long)`; duplicates are collapsed
-    * (simple-graph semantics, matching how a link graph is built).
-    */
   /** Item co-occurrence graph from (user, item) interactions — the
     * collaborative-filtering / item-embedding prep pass: for every
     * item pair sharing a user, the co-user count and the Jaccard over
@@ -84,6 +63,27 @@ object Graph {
           (col("n_a") + col("n_b") - col("co_users")), 4).as("jaccard"))
   }
 
+  /** Fixed-iteration PageRank in integer micro-units.
+    *
+    * Ranks live as longs in units of 1/`base` (default 1e-12), and every
+    * step — the per-edge contribution `rank div outdeg`, the damping
+    * `85·x div 100`, the dangling-mass redistribution `mass div n` — is
+    * integral division, so the result is bit-identical on any engine and
+    * any summation order (long addition is exact and commutative; the
+    * dropped remainders are part of the spec, not error). Total mass
+    * decays a few micro-units per round, which a ranking consumer never
+    * observes.
+    *
+    * Plan shape per iteration: one equi-join of edges × current ranks on
+    * `src` (ranks ≤ nodes ≪ edges; broadcastable), one `dst`-grain
+    * aggregation — the only data-scaling shuffle — plus a tiny anti-join
+    * aggregate for dangling mass. `localCheckpoint` after each round
+    * keeps the plan flat (the Dedup.connectedComponents OOM lesson,
+    * commit dbebd13).
+    *
+    * Expects `edges(src: long, dst: long)`; duplicates are collapsed
+    * (simple-graph semantics, matching how a link graph is built).
+    */
   def pagerankMicro(edges: DataFrame, iters: Int = 5,
                     base: Long = 1000000000000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")

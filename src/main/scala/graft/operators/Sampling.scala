@@ -103,8 +103,11 @@ object Sampling {
     * passes over the source plus a `tail_fraction` deterministic
     * sample ([[hashSample]]/[[stratifiedHashSample]] realizes the
     * tail). Sources absent from `weights` are excluded; weights are
-    * normalized over the sources present, so the plan always spends
-    * exactly the budget.
+    * normalized over the sources present. Per-source `target_tokens`
+    * round half-up independently, so the plan total can differ from
+    * the budget by up to ±(sources/2) tokens — exact-division weight
+    * sets spend it exactly; use largest-remainder apportionment if a
+    * consumer needs the sum pinned.
     *
     * This is the planning half of data mixing (cf. temperature
     * sampling, which PICKS weights ∝ n^α): one tiny per-source

@@ -116,6 +116,36 @@ object Similarity {
     * (explicit half-up so any engine reproduces it bit-for-bit —
     * `round()` rounding modes differ across engines). Returns
     * (q: array<int>, scale: double); dequantize ≈ q/scale. */
+  /** Fixed-point (×1e7, half-up) quantization of a float vector to
+    * longs — the shared exactness primitive behind [[assignCells]],
+    * the x44 centroid means, and the x45 Lloyd step: integer sums and
+    * L2² distances can never drift by float ulps across engines. */
+  def quantize1e7(vec: Column): Column =
+    transform(vec, v => floor(v.cast("double") * 1e7d + 0.5d).cast("long"))
+
+  /** Exact-arithmetic centroid-cell assignment: vectors and the k seed
+    * centroids (the first `k` ids) quantize to ×1e7 longs; L2²
+    * distances are exact integer sums, so the argmin is deterministic
+    * (ties break by centroid id). Broadcast centroids × one scan.
+    * Returns (cid, `idName`, `vecName`) — input columns pass through. */
+  def assignCells(df: DataFrame, idName: String, vecName: String,
+                  k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qv = df.select(col(idName), col(vecName),
+      quantize1e7(col(vecName)).as("__qv"))
+    val cents = qv.filter(col(idName) < k)
+      .select(col(idName).as("cid"), col("__qv").as("__cv"))
+    qv.crossJoin(broadcast(cents))
+      .withColumn("__d2", aggregate(
+        zip_with(col("__qv"), col("__cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(idName))
+          .orderBy(col("__d2").asc, col("cid").asc)))
+      .filter(col("__rk") === 1)
+      .select(col("cid"), col(idName), col(vecName))
+  }
+
   def quantizeInt8(vec: Column): Column = {
     val absMax = array_max(transform(vec, v => abs(v.cast(DoubleType))))
     val scale = when(absMax === 0.0d, lit(1.0d)).otherwise(lit(127.0d) / absMax)

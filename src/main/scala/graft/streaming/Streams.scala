@@ -431,9 +431,8 @@ object Streams {
       java.nio.file.Paths.get(stage.getAbsolutePath, "documents.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val schema = spark.read.parquet(stage.getAbsolutePath).schema
-    val fp = coalesce(
-      graft.operators.Dedup.simhash60(col("text")),
-      lit(graft.operators.Dedup.simhashAllOnes60))
+    // simhash60 already coalesces null text to the all-ones fingerprint
+    val fp = graft.operators.Dedup.simhash60(col("text"))
     val banded = spark.readStream.schema(schema)
       .parquet(stage.getAbsolutePath)
       .select(col("doc_id"), fp.as("fp"),

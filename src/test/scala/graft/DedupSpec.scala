@@ -71,6 +71,18 @@ class DedupSpec extends GraftSuite {
     assert(inc(9L) === 2L && inc(7L) === 2L && inc(8L) === 1L)
   }
 
+  test("incremental CC keeps untouched singleton labels, merges touched ones") {
+    import spark.implicits._
+    // corpus labeling with singletons (42->42, 43->43) alongside a
+    // cluster {2,5}; a new edge touches 43 but not 42
+    val labels = Seq((2L, 2L), (5L, 2L), (42L, 42L), (43L, 43L))
+      .toDF("id", "component")
+    val fresh = Seq((43L, 5L)).toDF("id_a", "id_b")
+    val inc = Dedup.connectedComponentsIncremental(labels, fresh)
+      .as[(Long, Long)].collect().toMap
+    assert(inc === Map(2L -> 2L, 5L -> 2L, 43L -> 2L, 42L -> 42L))
+  }
+
   test("spanDuplication: shared w-word span covered, unique doc clean") {
     val df = Seq(
       (1L, "a b c d e f"),       // shares span "a b c d" with doc 2

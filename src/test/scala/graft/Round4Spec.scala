@@ -337,8 +337,7 @@ class Round4Spec extends GraftSuite {
     val dir = SparkTestBase.sfDir
     val docs = Tables.load(spark, dir, "documents")
     val fps = docs.select(col("doc_id"),
-      coalesce(graft.operators.Dedup.simhash60(col("text")),
-        lit(graft.operators.Dedup.simhashAllOnes60)).as("fp"))
+      graft.operators.Dedup.simhash60(col("text")).as("fp"))
     val nearIds = fps.as("a").join(fps.as("b"),
         col("b.doc_id") < col("a.doc_id") &&
           bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= 3, "leftsemi")
