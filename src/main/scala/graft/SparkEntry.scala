@@ -1665,13 +1665,20 @@ object SparkEntry {
       // O(n²) cosine verify runs WITHIN cells only — pair space
       // divides by the cell count; cross-cell near-dups are the
       // recall trade every blocked/IVF scheme makes
+      // norms once per row, native codegen'd dot per pair (the
+      // cosinePairs discipline — the composed-HOF cosine is ~25×
+      // slower across a cell's quadratic pair space)
       val cells = Similarity.assignCells(t(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 8)
+          "vec_id", "embedding", k = 8)
+        .withColumn("nrm",
+          graft.functions.VectorExprs.norm(col("embedding")))
       cells.as("a")
         .join(cells.as("b"), col("a.cid") === col("b.cid") &&
           col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos_sim",
-          Dedup.cosine(col("a.embedding"), col("b.embedding")))
+          graft.functions.VectorExprs.dot(
+            col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm")))
         .filter(col("cos_sim") > 0.40)
         .select(col("a.cid").as("cell"), col("a.vec_id").as("id_a"),
           col("b.vec_id").as("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
