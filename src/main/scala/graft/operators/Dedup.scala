@@ -251,7 +251,10 @@ object Dedup {
     val sh = df.repartition(par)
       .select(id.as("id"), shingles(text, w).as("sh"))
       .withColumn("sz", size(col("sh")))
-    val posts = sh.select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
+    // outer: shingle arrays are never empty, and plain explode's
+    // inferred size()>0 guard re-evaluates the shingle hashing per row
+    val posts = sh.select(col("id"), col("sz"),
+      explode_outer(col("sh")).as("shingle"))
     posts.as("a")
       .join(posts.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -280,7 +283,8 @@ object Dedup {
     val par = df.sparkSession.sparkContext.defaultParallelism * 2
     val sh = df.repartition(par)
       .select(id.as("id"), shingles(text, w).as("sh"))
-    val posts = sh.select(col("id"), col("sh"), explode(col("sh")).as("shingle"))
+    val posts = sh.select(col("id"), col("sh"),
+      explode_outer(col("sh")).as("shingle")) // outer: see ngramJaccardPairs
     val rare = posts.groupBy("shingle")
       .agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
       .select("shingle")

@@ -96,7 +96,9 @@ object Similarity {
     def sketch(df: DataFrame, id: String, vec: String, n: String) = df
       .select(col(idCol).as(id), col(vecCol).as(vec),
         VectorExprs.norm(col(vecCol)).as(n),
-        posexplode(transform(sequence(lit(0), lit(tables - 1)),
+        // outer: `tables`-length array is never empty; the non-outer
+        // form's inferred guard would re-run every table's projection
+        posexplode_outer(transform(sequence(lit(0), lit(tables - 1)),
           t => tableBucket(col(vecCol), t, planes)))
           .as(Seq("table", "bucket")))
     val q = sketch(queries, "query_id", "qv", "qn")
@@ -110,12 +112,6 @@ object Similarity {
     scoreAndRank(scored, k)
   }
 
-  /** Per-vector symmetric int8 quantization — the memory/IO scale lever
-    * for 100 TB embedding stores (4× smaller than float32, dot products
-    * stay SIMD-friendly). scale = 127/max|x|; q_i = floor(x_i·scale+0.5)
-    * (explicit half-up so any engine reproduces it bit-for-bit —
-    * `round()` rounding modes differ across engines). Returns
-    * (q: array<int>, scale: double); dequantize ≈ q/scale. */
   /** Fixed-point (×1e7, half-up) quantization of a float vector to
     * longs — the shared exactness primitive behind [[assignCells]],
     * the x44 centroid means, and the x45 Lloyd step: integer sums and
@@ -146,6 +142,12 @@ object Similarity {
       .select(col("cid"), col(idName), col(vecName))
   }
 
+  /** Per-vector symmetric int8 quantization — the memory/IO scale lever
+    * for 100 TB embedding stores (4× smaller than float32, dot products
+    * stay SIMD-friendly). scale = 127/max|x|; q_i = floor(x_i·scale+0.5)
+    * (explicit half-up so any engine reproduces it bit-for-bit —
+    * `round()` rounding modes differ across engines). Returns
+    * (q: array<int>, scale: double); dequantize ≈ q/scale. */
   def quantizeInt8(vec: Column): Column = {
     val absMax = array_max(transform(vec, v => abs(v.cast(DoubleType))))
     val scale = when(absMax === 0.0d, lit(1.0d)).otherwise(lit(127.0d) / absMax)

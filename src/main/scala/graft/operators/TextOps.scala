@@ -132,13 +132,24 @@ object TextOps {
     * map-side-joined pass over the corpus. */
   def contaminationFlags(train: DataFrame, bench: DataFrame,
                          id: Column, text: Column, n: Int = 8): DataFrame = {
+    // outer: shingles() never yields an empty array (short docs emit
+    // the whole-token gram), and non-outer explode's inferred size()>0
+    // guard re-evaluates the shingle expression per row (the
+    // admitIncremental lesson); null grams fall out of the equi-join
     def grams(df: DataFrame, as: String) = df
-      .select(id.as(as), explode(Dedup.shingles(text, n)).as("gram"))
+      .select(id.as(as), explode_outer(Dedup.shingles(text, n)).as("gram"))
+    // two-level aggregation instead of count + countDistinct in one
+    // agg: the combined form doubles every matched row through Expand,
+    // and a separate-aggs join would run the index join twice — the
+    // pair-grain rollup gets both numbers in ONE pass (distinct bench
+    // ids = count of pair groups, gram hits = sum of their sizes)
     grams(train, "train_id")
       .join(broadcast(grams(bench, "bench_id").distinct()), Seq("gram"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("c"))
       .groupBy(col("train_id"))
-      .agg(countDistinct(col("bench_id")).as("n_bench_hits"),
-        count(lit(1)).as("n_gram_hits"))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        sum(col("c")).as("n_gram_hits"))
   }
 
   /** Span-level decontamination: REMOVE every token covered by a word
@@ -154,7 +165,7 @@ object TextOps {
                          id: Column, text: Column, n: Int = 8): DataFrame = {
     val toks = split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
     val benchSpans = bench
-      .select(explode(Dedup.shingles(text, n)).as("gram"))
+      .select(explode_outer(Dedup.shingles(text, n)).as("gram"))
       .select(md5(col("gram")).as("h")).distinct()
     val base = train.select(id.as("id"), toks.as("t"))
       .withColumn("n_tokens", size(col("t")))
