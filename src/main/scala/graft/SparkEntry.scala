@@ -671,9 +671,13 @@ object SparkEntry {
       // exact count plus "approx landed within 5%" (HLL++ rsd default
       // 0.05) — deterministic on fixed data, and exactly what a pipeline
       // asserting sketch quality would check.
+      // rsd = 0.02 (not the 0.05 default): the default sketch lands
+      // 6.7% off at sf0.1 — outside its own 5% contract on that draw —
+      // while 0.02 measures ≤0.4% at every tested SF, keeping the
+      // contract honest across scales (probed, not assumed)
       t(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users")) <=
@@ -771,6 +775,28 @@ object SparkEntry {
           size(regexp_extract_all(col("seq"), lit("vc*p"), lit(0)))
             .as("n_conversions"))
         .orderBy(col("user_id"))
+    }),
+
+    "a18_mad_outliers" -> ((s, dir) => {
+      // robust outlier counts: median absolute deviation per group
+      // (two exact-percentile passes — immune to the outliers that
+      // inflate a z-score's stddev; cf. a11). Group medians broadcast
+      // back both times; exact percentile keeps the oracle bit-equal.
+      val o = t(s, dir, "orders")
+      val med = o.groupBy(col("o_orderstatus"))
+        .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+      val dev = o.join(broadcast(med), Seq("o_orderstatus"))
+        .withColumn("adev", abs(col("o_totalprice") - col("med")))
+      val mad = dev.groupBy(col("o_orderstatus"))
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), Seq("o_orderstatus"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(first(col("med")), 2).as("median"),
+          round(first(col("mad")), 2).as("mad"),
+          sum(when(col("adev") > lit(3.0d) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy(col("o_orderstatus"))
     }),
 
     "a16_above_group_p90" -> ((s, dir) => {
@@ -2013,6 +2039,18 @@ object SparkEntry {
           TextOps.bpeInit(t(s, dir, "documents"), col("text")))
         .filter(col("pair_count") >= 100)
         .orderBy(col("lhs"), col("rhs"))
+    }),
+
+    "x47_lang_confusion" -> ((s, dir) => {
+      // metadata-vs-content governance check: declared `lang` column
+      // against the content-derived id (x8's heuristic) as a
+      // confusion matrix — the audit a multilingual corpus release
+      // publishes
+      t(s, dir, "documents")
+        .groupBy(col("lang").as("declared"),
+          TextOps.langId(col("text")).as("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("declared"), col("predicted"))
     }),
 
     "x38_collocations" -> ((s, dir) => {
@@ -4713,6 +4751,47 @@ object SparkEntry {
             '\b(el|los|las|una|y)\b')) AS es
         FROM documents)
       ORDER BY doc_id""",
+
+    "x47_lang_confusion" -> """
+      SELECT lang AS declared,
+        CASE WHEN cjk > 0 THEN 'zh'
+             WHEN es > greatest(en, de, fr) THEN 'es'
+             WHEN fr > greatest(en, de) THEN 'fr'
+             WHEN de > en THEN 'de'
+             ELSE 'en' END AS predicted,
+        COUNT(*) AS n_docs
+      FROM (
+        SELECT lang,
+          len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk,
+          len(regexp_extract_all(lower(text),
+            '\b(the|and|of|is|to)\b')) AS en,
+          len(regexp_extract_all(lower(text),
+            '\b(der|die|und|das|nicht)\b')) AS de,
+          len(regexp_extract_all(lower(text),
+            '\b(le|la|et|les|des)\b')) AS fr,
+          len(regexp_extract_all(lower(text),
+            '\b(el|los|las|una|y)\b')) AS es
+        FROM documents)
+      GROUP BY 1, 2 ORDER BY declared, predicted""",
+
+    "a18_mad_outliers" -> """
+      WITH med AS (
+        SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med
+        FROM orders GROUP BY 1),
+      dev AS (
+        SELECT o.o_orderstatus, m.med,
+               abs(o.o_totalprice - m.med) AS adev
+        FROM orders o JOIN med m USING (o_orderstatus)),
+      mad AS (
+        SELECT o_orderstatus, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY 1)
+      SELECT d.o_orderstatus, COUNT(*) AS n_rows,
+             round(MAX(d.med), 2) AS median,
+             round(MAX(md.mad), 2) AS mad,
+             CAST(SUM(CASE WHEN d.adev > 3.0 * md.mad THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_outliers
+      FROM dev d JOIN mad md USING (o_orderstatus)
+      GROUP BY d.o_orderstatus ORDER BY o_orderstatus""",
 
     "x9_quality_score" -> """
       SELECT id, n_chars, n_tokens, mean_token_len, punct_ratio,
