@@ -2041,6 +2041,35 @@ object SparkEntry {
         .orderBy(col("lhs"), col("rhs"))
     }),
 
+    "x48_quality_weighted_sample" -> ((s, dir) => {
+      // quality-weighted selection (DCLM-style reweighting): each doc
+      // accepts with probability = its composite quality score, via
+      // the md5-uniform membership rule — deterministic and
+      // auditable, unlike rand()-based sampling. Per-source report:
+      // kept counts + fixed-point mean quality of all vs kept (the
+      // uplift the reweighting buys).
+      val docs = t(s, dir, "documents")
+      val q = TextOps.qualityFeatures(docs, col("doc_id"), col("text"))
+        .select(col("id"), col("quality_score"))
+      val u = conv(substring(md5(col("id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+      val qfx = floor(col("quality_score") * 1e4d + 0.5d).cast("long")
+      docs.select(col("doc_id").as("id"), col("source"))
+        .join(q, Seq("id"))
+        .withColumn("kept", u < floor(col("quality_score") * 65536.0d))
+        .withColumn("qfx", qfx)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          round(sum(col("qfx")).cast(DoubleType) /
+            (count(lit(1)) * 1e4d), 4).as("avg_q_all"),
+          round(sum(when(col("kept"), col("qfx")).otherwise(0L))
+            .cast(DoubleType) /
+            (sum(when(col("kept"), 1L).otherwise(0L)) * 1e4d), 4)
+            .as("avg_q_kept"))
+        .orderBy(col("source"))
+    }),
+
     "x47_lang_confusion" -> ((s, dir) => {
       // metadata-vs-content governance check: declared `lang` column
       // against the content-derived id (x8's heuristic) as a
@@ -4751,6 +4780,45 @@ object SparkEntry {
             '\b(el|los|las|una|y)\b')) AS es
         FROM documents)
       ORDER BY doc_id""",
+
+    "x48_quality_weighted_sample" -> """
+      WITH q AS (
+        SELECT id, source,
+               round(least(1.0, n_tokens / 100.0) * 0.4
+                 + (1.0 - least(1.0, punct_ratio * 5.0)) * 0.3
+                 + least(1.0, stopword_ratio * 4.0) * 0.3, 4) AS qs
+        FROM (
+          SELECT doc_id AS id, source,
+                 len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                 round(CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                        AS DOUBLE) / length(text) END, 4) AS punct_ratio,
+                 round(CASE WHEN len(regexp_extract_all(lower(text),
+                     '\S+')) = 0
+                   THEN 0.0
+                   ELSE CAST(len(list_filter(
+                          regexp_extract_all(lower(text), '\S+'),
+                          t -> list_contains(['the','a','an','and','or','of',
+                                              'to','in','is','it'], t)))
+                        AS DOUBLE)
+                      / len(regexp_extract_all(lower(text), '\S+'))
+                 END, 4) AS stopword_ratio
+          FROM documents)),
+      k AS (
+        SELECT source, qs,
+               CAST(('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 4))
+                 AS INT) < floor(qs * 65536.0) AS kept,
+               CAST(floor(qs * 1e4 + 0.5) AS BIGINT) AS qfx
+        FROM q)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             round(CAST(SUM(qfx) AS DOUBLE) / (COUNT(*) * 1e4), 4)
+               AS avg_q_all,
+             round(CAST(SUM(CASE WHEN kept THEN qfx ELSE 0 END) AS DOUBLE)
+                   / (SUM(CASE WHEN kept THEN 1 ELSE 0 END) * 1e4), 4)
+               AS avg_q_kept
+      FROM k GROUP BY source ORDER BY source""",
 
     "x47_lang_confusion" -> """
       SELECT lang AS declared,
