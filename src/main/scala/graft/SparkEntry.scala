@@ -2472,6 +2472,14 @@ object SparkEntry {
         .orderBy(col("bucket"), col("event_type"))
     }),
 
+    "st11_stream_incremental_rollup" -> ((s, dir) => {
+      // streaming m5: each micro-batch folds into a materialized
+      // additive rollup (foreachBatch + upsertAggregate); final state
+      // is batching-invariant, which is the oracle
+      graft.streaming.Streams.streamIncrementalRollup(s, dir)
+        .orderBy(col("event_type"))
+    }),
+
     "st9_stream_neardup_admit" -> ((s, dir) => {
       // online near-dup admission: docs stream in, each admitted or
       // dropped against the simhash band cohorts of everything that
@@ -4675,6 +4683,11 @@ object SparkEntry {
       WHERE (epoch_ns(date_trunc('hour', ts)) // 1000000) + 3600000
             <= wmf.ms
       GROUP BY 1, 2 ORDER BY bucket, event_type""",
+
+    "st11_stream_incremental_rollup" -> """
+      SELECT event_type, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type""",
 
     "st9_stream_neardup_admit" -> """
       WITH docs AS (

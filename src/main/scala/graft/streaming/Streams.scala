@@ -390,6 +390,49 @@ object Streams {
           .as("n_expired_unmatched"))
   }
 
+  /** foreachBatch incremental AGGREGATE maintenance: each micro-batch
+    * pre-aggregates to rollup grain and folds into a materialized
+    * additive rollup via [[graft.operators.Mutations.upsertAggregate]]
+    * — the streaming form of m5, and the standing-dashboard shape (the
+    * rollup is always query-ready; history is never rescanned). The
+    * final table equals the batch aggregate regardless of how the
+    * stream was batched, which is what the oracle checks (the st6
+    * batching-invariance discipline). */
+  def streamIncrementalRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = new java.io.File("/root/repo/target/qtmp/st11_target")
+    org.apache.commons.io.FileUtils.deleteQuietly(target)
+    val path = target.getAbsolutePath
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_events",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sum_value",
+          org.apache.spark.sql.types.DecimalType(18, 2)))))
+      .write.mode("overwrite").parquet(path)
+    val q = eventStream(spark, sfDir, "st11_src", "365 days")
+      .select(col("event_type"), col("value"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = batch.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+        val merged = graft.operators.Mutations.upsertAggregate(
+          batch.sparkSession.read.parquet(path), delta,
+          Seq("event_type"), Seq("n_events", "sum_value"))
+        graft.operators.Mutations.overwriteAtomic(merged, path)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(path)
+      .select(col("event_type"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"))
+  }
+
   /** One (band, key) posting of a streamed doc's simhash fingerprint. */
   final case class BandEvent(band: Int, key: Long, doc_id: Long, fp: Long)
   /** Per-band admission flag emitted by [[streamNearDupAdmit]]. */
