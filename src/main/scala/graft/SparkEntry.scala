@@ -2041,6 +2041,15 @@ object SparkEntry {
         .orderBy(col("lhs"), col("rhs"))
     }),
 
+    "x49_intradoc_dedup" -> ((s, dir) => {
+      // within-doc repeated-block removal (CCNet-style): drop every
+      // 8-token block that already appeared earlier in the same doc —
+      // pure per-row array expressions, scan-speed, no shuffle
+      TextOps.intraDocDedup(t(s, dir, "documents"), col("doc_id"),
+          col("text"), w = 8)
+        .orderBy(col("id"))
+    }),
+
     "x48_quality_weighted_sample" -> ((s, dir) => {
       // quality-weighted selection (DCLM-style reweighting): each doc
       // accepts with probability = its composite quality score, via
@@ -4793,6 +4802,28 @@ object SparkEntry {
             '\b(el|los|las|una|y)\b')) AS es
         FROM documents)
       ORDER BY doc_id""",
+
+    "x49_intradoc_dedup" -> """
+      WITH tk AS (
+        SELECT doc_id AS id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                 'g')), ' ') AS t
+        FROM documents),
+      bl AS (
+        SELECT id, CAST(ceil(len(t) / 8.0) AS INT) AS nb,
+               list_transform(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT)),
+                 b -> array_to_string(t[b*8+1 : b*8+8], ' ')) AS bl
+        FROM tk),
+      k AS (
+        SELECT id, nb, bl,
+               list_filter(range(1, nb + 1),
+                 i -> list_position(bl, bl[i]) = i) AS keep_idx
+        FROM bl WHERE nb >= 1)
+      SELECT id, nb AS n_blocks,
+             CAST(nb - len(keep_idx) AS INT) AS n_dup_blocks,
+             array_to_string(list_transform(keep_idx, i -> bl[i]), ' ')
+               AS clean_text
+      FROM k ORDER BY id""",
 
     "x48_quality_weighted_sample" -> """
       WITH q AS (

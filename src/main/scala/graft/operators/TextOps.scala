@@ -152,6 +152,37 @@ object TextOps {
         sum(col("c")).as("n_gram_hits"))
   }
 
+  /** WITHIN-doc repeated-block removal (CCNet-style): the text splits
+    * into non-overlapping `w`-token blocks and every block whose
+    * content already appeared earlier in the SAME doc is dropped —
+    * the intra-doc complement of [[graft.operators.Dedup.spanDuplication]]
+    * (cross-doc) and [[decontaminateStrip]] (benchmark overlap).
+    * First-occurrence keeping is expressed positionally
+    * (`array_position(blocks, blocks[i]) == i`), not via
+    * `array_distinct`, so the oracle can state the identical rule
+    * without relying on any engine's distinct-ordering guarantee.
+    * Entirely per-row array expressions: shuffle-free, scan-speed —
+    * the blocks-per-doc count is small, so the positional lookup's
+    * quadratic term is bounded per row, not per corpus. */
+  def intraDocDedup(df: DataFrame, id: Column, text: Column,
+                    w: Int = 8): DataFrame = {
+    val toks = split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
+    val base = df.select(id.as("id"), toks.as("t"))
+      .withColumn("nb",
+        ceil(size(col("t")).cast(DoubleType) / w).cast("int"))
+    val blocks = transform(sequence(lit(0), col("nb") - 1),
+      b => concat_ws(" ", slice(col("t"), b * w + 1, lit(w))))
+    base.filter(col("nb") >= 1)
+      .withColumn("bl", blocks)
+      .withColumn("keep_idx",
+        filter(sequence(lit(1), col("nb")),
+          i => array_position(col("bl"), element_at(col("bl"), i)) === i))
+      .select(col("id"), col("nb").as("n_blocks"),
+        (col("nb") - size(col("keep_idx"))).as("n_dup_blocks"),
+        concat_ws(" ", transform(col("keep_idx"),
+          i => element_at(col("bl"), i))).as("clean_text"))
+  }
+
   /** Span-level decontamination: REMOVE every token covered by a word
     * n-gram that appears in the benchmark set, keep the rest — the
     * surgical alternative to dropping whole contaminated docs

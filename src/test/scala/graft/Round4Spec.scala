@@ -225,6 +225,17 @@ class Round4Spec extends GraftSuite {
     intercept[Exception](spark.sql("SELECT graft_dot(array(1.0))").head())
   }
 
+  test("intraDocDedup: repeated block dropped, first kept, order stable") {
+    import spark.implicits._
+    // w=2 blocks: [a b][c d][a b][e] -> third block duplicates first
+    val df = Seq((1L, "a b c d a b e"), (2L, "x y z")).toDF("id", "text")
+    val got = TextOps.intraDocDedup(df, col("id"), col("text"), w = 2)
+      .select("id", "n_blocks", "n_dup_blocks", "clean_text")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 4, 1, "a b c d e")))
+    assert(got(1) === ((2L, 2, 0, "x y z")))
+  }
+
   test("decontaminateStrip: benchmark span removed, rest reassembled") {
     import spark.implicits._
     val train = Seq((1L, "x a b c d y"), (2L, "p q r s t")).toDF("id", "text")
