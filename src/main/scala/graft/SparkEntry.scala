@@ -2041,6 +2041,35 @@ object SparkEntry {
         .orderBy(col("lhs"), col("rhs"))
     }),
 
+    "x50_dedup_audit" -> ((s, dir) => {
+      // the corpus dedup dashboard: one row per signal tier — exact
+      // content dups, simhash near-dup members, span-duplication
+      // flags, intra-doc repetition — each the aggregate of an
+      // already-oracled operator; the single pane a data-quality
+      // review reads before a release
+      val docs = t(s, dir, "documents")
+      def row(sig: String, df: DataFrame) =
+        df.select(lit(sig).as("signal"), col("n").cast("long").as("n_docs"))
+      val exact = docs.agg((count(lit(1)) - countDistinct(
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))))
+        .as("n"))
+      val near = Dedup.simhashNearDups60(docs, col("doc_id"), col("text"),
+          maxHamming = 3)
+        .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .agg(countDistinct(col("id")).as("n"))
+      val span = Dedup.spanDuplication(docs, col("doc_id"), col("text"),
+          w = 8, minDocs = 2)
+        .filter(col("dup_frac") > 0.5d).agg(count(lit(1)).as("n"))
+      val intra = TextOps.intraDocDedup(docs, col("doc_id"), col("text"),
+          w = 8)
+        .filter(col("n_dup_blocks") > 0).agg(count(lit(1)).as("n"))
+      row("exact_dup_docs", exact)
+        .unionByName(row("near_dup_members", near))
+        .unionByName(row("span_flagged_docs", span))
+        .unionByName(row("intradoc_affected", intra))
+        .orderBy(col("signal"))
+    }),
+
     "x49_intradoc_dedup" -> ((s, dir) => {
       // within-doc repeated-block removal (CCNet-style): drop every
       // 8-token block that already appeared earlier in the same doc —
@@ -4802,6 +4831,83 @@ object SparkEntry {
             '\b(el|los|las|una|y)\b')) AS es
         FROM documents)
       ORDER BY doc_id""",
+
+    "x50_dedup_audit" -> """
+      WITH docs AS (
+        SELECT doc_id AS id,
+               list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+        FROM documents),
+      h AS (
+        SELECT id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS hv
+        FROM (SELECT id, UNNEST(toks) AS tok FROM docs)),
+      votes AS (
+        SELECT id, i,
+               SUM(CASE WHEN (hv >> CAST(i AS INT)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM h CROSS JOIN (SELECT UNNEST(range(60)) AS i) GROUP BY id, i),
+      fp0 AS (
+        SELECT id, CAST(SUM(CASE WHEN v >= 0
+                 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                 ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY id),
+      fp AS (
+        SELECT d.id,
+               COALESCE(f.simhash, CAST(1152921504606846975 AS BIGINT))
+                 AS simhash
+        FROM docs d LEFT JOIN fp0 f ON d.id = f.id),
+      nearm AS (
+        SELECT CAST(COUNT(DISTINCT m) AS BIGINT) AS n FROM (
+          SELECT id_a AS m FROM (
+            SELECT a.id AS id_a, b.id AS id_b FROM fp a JOIN fp b
+            ON a.id < b.id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3) p0
+          UNION SELECT id_b FROM (
+            SELECT a.id AS id_a, b.id AS id_b FROM fp a JOIN fp b
+            ON a.id < b.id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3) p1)),
+      exact AS (
+        SELECT CAST(COUNT(*) - COUNT(DISTINCT
+          md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')))
+          AS BIGINT) AS n
+        FROM documents),
+      tk AS (
+        SELECT doc_id AS sid,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                 'g')), ' ') AS t
+        FROM documents),
+      wins AS (
+        SELECT sid, len(t) AS n_tokens, i,
+               md5(array_to_string(t[i+1:i+8], ' ')) AS hh
+        FROM tk, UNNEST(CASE WHEN len(t) >= 8
+               THEN range(0, len(t) - 8 + 1) ELSE [] END) AS u(i)),
+      dup AS (SELECT hh FROM wins GROUP BY hh
+              HAVING COUNT(DISTINCT sid) >= 2),
+      cov AS (
+        SELECT w.sid, COUNT(DISTINCT p) AS covered
+        FROM wins w JOIN dup USING (hh),
+             UNNEST(range(w.i, w.i + 8)) AS q(p)
+        GROUP BY w.sid),
+      spanf AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM tk LEFT JOIN cov ON cov.sid = tk.sid
+        WHERE round(COALESCE(cov.covered, 0)
+              / CAST(len(tk.t) AS DOUBLE), 4) > 0.5),
+      ibl AS (
+        SELECT sid, CAST(ceil(len(t) / 8.0) AS INT) AS nb,
+               list_transform(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT)),
+                 b -> array_to_string(t[b*8+1 : b*8+8], ' ')) AS bl
+        FROM tk),
+      intra AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+          SELECT sid, nb - len(list_filter(range(1, nb + 1),
+            i -> list_position(bl, bl[i]) = i)) AS ndup
+          FROM ibl WHERE nb >= 1)
+        WHERE ndup > 0)
+      SELECT 'exact_dup_docs' AS signal, n AS n_docs FROM exact
+      UNION ALL SELECT 'near_dup_members', n FROM nearm
+      UNION ALL SELECT 'span_flagged_docs', n FROM spanf
+      UNION ALL SELECT 'intradoc_affected', n FROM intra
+      ORDER BY signal""",
 
     "x49_intradoc_dedup" -> """
       WITH tk AS (
