@@ -1415,6 +1415,20 @@ object SparkEntry {
         .orderBy(col("event_type"), col("gap_start"))
     }),
 
+    "f18_normalize_text" -> ((s, dir) => {
+      // the composed normalization ingest applies unconditionally:
+      // lowercase → accent fold → whitespace collapse → trim
+      // (idempotent, property-tested); here over synthesized messy
+      // strings
+      t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          concat(lit("  CAFÉ  "), col("n_name"), lit("   à  CÔTÉ "))
+            .as("raw"))
+        .withColumn("norm",
+          graft.functions.ColFns.normalizeText(col("raw")))
+        .orderBy(col("n_nationkey"))
+    }),
+
     "f17_accent_fold" -> ((s, dir) => {
       // latin accent folding + control-strip ahead of dedup hashing
       // (café/cafe must collide) — explicit translate table, engine-
@@ -3475,6 +3489,16 @@ object SparkEntry {
         AND epoch_ns(ts) // 1000000000
             - epoch_ns(prev) // 1000000000 > 600
       ORDER BY event_type, gap_start""",
+
+    "f18_normalize_text" -> """
+      SELECT n_nationkey,
+             '  CAFÉ  ' || n_name || '   à  CÔTÉ ' AS raw,
+             trim(regexp_replace(translate(
+               lower('  CAFÉ  ' || n_name || '   à  CÔTÉ '),
+               'àáâãäåÀÁÂÃÄÅçÇèéêëÈÉÊËìíîïÌÍÎÏñÑòóôõöÒÓÔÕÖùúûüÙÚÛÜýÿÝ',
+               'aaaaaaAAAAAAcCeeeeEEEEiiiiIIIInNoooooOOOOOuuuuUUUUyyY'),
+               '\s+', ' ', 'g')) AS norm
+      FROM nation ORDER BY n_nationkey""",
 
     "f17_accent_fold" -> """
       SELECT n_nationkey,

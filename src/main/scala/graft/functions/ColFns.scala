@@ -125,6 +125,15 @@ object ColFns {
     translate(regexp_replace(text, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""),
       accented, folded)
 
+  /** Full text normalization for dedup keys and tokenizer input:
+    * lowercase → accent fold + control strip ([[foldAccents]]) →
+    * whitespace collapse → trim. Idempotent (normalize ∘ normalize =
+    * normalize, property-tested), so re-normalizing already-clean
+    * data is safe — the invariant that lets ingest stages apply it
+    * unconditionally. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(foldAccents(lower(text)), "\\s+", " "))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\S+"), lit(0)))

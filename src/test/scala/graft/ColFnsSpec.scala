@@ -110,6 +110,24 @@ class ColFnsSpec extends GraftSuite {
     assert(got === Seq("Cafe a l'Elysee", "plain ASCII-42", "naivefacade"))
   }
 
+  test("normalizeText: idempotent over messy inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val messy = Seq("  CAFÉ   du   Père  ", "plain", "", "À   LA  carte",
+      "tabs\tand\nnewlines  collapse")
+    val df = messy.toDF("s")
+      .select(graft.functions.ColFns.normalizeText(col("s")).as("n1"))
+      .select(col("n1"),
+        graft.functions.ColFns.normalizeText(col("n1")).as("n2"))
+    df.collect().foreach(r =>
+      assert(r.getString(0) === r.getString(1), r.getString(0)))
+    val got = messy.toDF("s")
+      .select(graft.functions.ColFns.normalizeText(col("s")))
+      .as[String].collect().toSeq
+    assert(got(0) === "cafe du pere" && got(3) === "a la carte")
+    assert(got(4) === "tabs and newlines collapse")
+  }
+
   test("fbDate: reference normalization.py branch vectors") {
     assert(fb("3天", "2024-05-10") === Some("2024-05-07"))        // N天
     assert(fb("5分鐘", "2024-05-10") === Some("2024-05-10"))      // 分鐘 → ref
