@@ -47,7 +47,8 @@ object Bench {
     "ref1_tripadvisor_chain", // the reference's 9-step cleaning chain
     "ref2_gmaps_chain",     // nested places → dims → 7×24 pivot matrix
     "e2e_medallion_mart",   // src→ods→dim/fact→mart pipeline
-    "e2e_llm_corpus")       // quality → dedup → rebalance → manifest
+    "e2e_llm_corpus",       // quality → dedup → rebalance → manifest
+    "e2e_incremental_ingest") // per-ingest admission audit (corpus never shuffles)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
