@@ -777,6 +777,27 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "a20_pareto_abc" -> ((s, dir) => {
+      // Pareto / ABC concentration: customers ranked by exact decimal
+      // revenue, cumulative share cut at 50%/80% — one fact-side agg,
+      // then windows over the already-reduced customer grain (the
+      // global sort costs |customers|, not |orders|, at any scale)
+      val rev = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      val byRev = Window.orderBy(col("rev").desc, col("o_custkey").asc)
+      rev
+        .withColumn("cum", sum(col("rev")).over(
+          byRev.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("share", col("cum").cast(DoubleType) /
+          sum(col("rev")).over(Window.partitionBy()).cast(DoubleType))
+        .withColumn("abc", when(col("share") <= 0.5d, "A")
+          .when(col("share") <= 0.8d, "B").otherwise("C"))
+        .groupBy(col("abc"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("rev")).cast(DoubleType).as("revenue"))
+        .orderBy(col("abc"))
+    }),
+
     "a18_mad_outliers" -> ((s, dir) => {
       // robust outlier counts: median absolute deviation per group
       // (two exact-percentile passes — immune to the outliers that
@@ -5015,6 +5036,27 @@ object SparkEntry {
             '\b(el|los|las|una|y)\b')) AS es
         FROM documents)
       GROUP BY 1, 2 ORDER BY declared, predicted""",
+
+    "a20_pareto_abc" -> """
+      WITH rev AS (
+        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1),
+      r AS (
+        SELECT o_custkey, rev,
+               SUM(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(rev) OVER () AS tot
+        FROM rev),
+      c AS (
+        SELECT rev,
+               CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.5
+                    THEN 'A'
+                    WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8
+                    THEN 'B' ELSE 'C' END AS abc
+        FROM r)
+      SELECT abc, COUNT(*) AS n_customers,
+             CAST(SUM(rev) AS DOUBLE) AS revenue
+      FROM c GROUP BY abc ORDER BY abc""",
 
     "a18_mad_outliers" -> """
       WITH med AS (
