@@ -2253,15 +2253,20 @@ object SparkEntry {
     "r5_array_agg" -> ((s, dir) => {
       // nested-output construction: per-customer sorted order-key array
       // (collect_list is order-nondeterministic under shuffle — the
-      // deterministic form is collect + sort_array) plus array stats;
-      // the gmaps nested-places shape in miniature
+      // deterministic form is collect + sort_array) plus array stats.
+      // The array itself is emitted as a canonical comma-joined string:
+      // top-level array columns are unsortable by generic row-sorting
+      // harnesses (and by many BI sinks), so nested shapes stay internal
+      // and the output surface is scalar — see OracleCoverageSpec's
+      // no-top-level-array invariant.
       t(s, dir, "orders")
         .filter(col("o_custkey") <= 100)
         .groupBy(col("o_custkey"))
-        .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"))
-        .select(col("o_custkey"), col("order_keys"),
-          size(col("order_keys")).as("n_orders"),
-          element_at(col("order_keys"), 1).as("first_key"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("ks"))
+        .select(col("o_custkey"),
+          array_join(col("ks"), ",").as("order_keys"),
+          size(col("ks")).as("n_orders"),
+          element_at(col("ks"), 1).as("first_key"))
         .orderBy(col("o_custkey"))
     }),
 
@@ -2377,10 +2382,11 @@ object SparkEntry {
       // nearest-attraction geo join (the reference domain is mapped
       // places): every customer point scans a BROADCAST attraction dim
       // (brute nearest is the right plan while the dim fits an
-      // executor — the scale path is a geohash/grid-cell bucket join,
-      // same shape as the LSH bucket joins). Coordinates derive
-      // deterministically from keys; win by (distance, id) so ties
-      // resolve identically in any engine.
+      // executor — the scale path is the grid-cell bucket join in
+      // operators/GeoJoin, exercised as j16b below on the same data
+      // and oracle). Coordinates derive deterministically from keys;
+      // win by (distance, id) so ties resolve identically in any
+      // engine.
       val att = t(s, dir, "part").filter(col("p_partkey") % 20 === 0)
         .select(col("p_partkey").as("att_id"),
           (lit(21.9d) + (col("p_partkey") * 37 % 300).cast("double") / 100.0d)
@@ -2402,6 +2408,34 @@ object SparkEntry {
         .filter(col("rn") === 1)
         .select(col("c_custkey"), col("att_id").as("nearest_att"),
           round(col("dist"), 3).as("dist_km"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "j16b_geo_nearest_grid" -> ((s, dir) => {
+      // the SCALE path for j16: grid-cell blocked nearest-neighbor
+      // join (operators/GeoJoin) — right side registers in 3×3
+      // neighbor cells, left probes its own cell, exact-distance
+      // re-verify with a brute fallback for points beyond the
+      // provable radius. Same inputs and oracle as j16, so the
+      // blocked plan is pinned to the brute result.
+      val att = t(s, dir, "part").filter(col("p_partkey") % 20 === 0)
+        .select(col("p_partkey").as("att_id"),
+          (lit(21.9d) + (col("p_partkey") * 37 % 300).cast("double") / 100.0d)
+            .as("alat"),
+          (lit(120.0d) + (col("p_partkey") * 53 % 200).cast("double") / 100.0d)
+            .as("alng"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          (lit(21.9d) + (col("c_custkey") * 41 % 300).cast("double") / 100.0d)
+            .as("clat"),
+          (lit(120.0d) + (col("c_custkey") * 59 % 200).cast("double") / 100.0d)
+            .as("clng"))
+      graft.operators.GeoJoin.nearest(
+          cust, "c_custkey", "clat", "clng",
+          att, "att_id", "alat", "alng",
+          cellDeg = 0.5, maxAbsLatDeg = 25.0)
+        .select(col("c_custkey"), col("nearest_id").as("nearest_att"),
+          round(col("dist_km"), 3).as("dist_km"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -4331,9 +4365,39 @@ object SparkEntry {
       SELECT c_custkey, att_id AS nearest_att, round(dist, 3) AS dist_km
       FROM r WHERE rn = 1 ORDER BY c_custkey""",
 
+    // the blocked grid join must equal the brute join — same oracle
+    "j16b_geo_nearest_grid" -> """
+      WITH att AS (
+        SELECT p_partkey AS att_id,
+               21.9 + CAST(p_partkey * 37 % 300 AS DOUBLE) / 100.0 AS alat,
+               120.0 + CAST(p_partkey * 53 % 200 AS DOUBLE) / 100.0 AS alng
+        FROM part WHERE p_partkey % 20 = 0),
+      cust AS (
+        SELECT c_custkey,
+               21.9 + CAST(c_custkey * 41 % 300 AS DOUBLE) / 100.0 AS clat,
+               120.0 + CAST(c_custkey * 59 % 200 AS DOUBLE) / 100.0 AS clng
+        FROM customer),
+      d AS (
+        SELECT c_custkey, att_id,
+               12742.0176 * asin(sqrt(
+                 sin((alat - clat) * 0.017453292519943295 / 2.0) *
+                 sin((alat - clat) * 0.017453292519943295 / 2.0) +
+                 cos(clat * 0.017453292519943295) *
+                 cos(alat * 0.017453292519943295) *
+                 sin((alng - clng) * 0.017453292519943295 / 2.0) *
+                 sin((alng - clng) * 0.017453292519943295 / 2.0))) AS dist
+        FROM cust, att),
+      r AS (
+        SELECT c_custkey, att_id, dist,
+               row_number() OVER (PARTITION BY c_custkey
+                                  ORDER BY dist, att_id) AS rn
+        FROM d)
+      SELECT c_custkey, att_id AS nearest_att, round(dist, 3) AS dist_km
+      FROM r WHERE rn = 1 ORDER BY c_custkey""",
+
     "r5_array_agg" -> """
       SELECT o_custkey,
-             list_sort(list(o_orderkey)) AS order_keys,
+             array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
              CAST(len(list(o_orderkey)) AS INT) AS n_orders,
              list_sort(list(o_orderkey))[1] AS first_key
       FROM orders WHERE o_custkey <= 100

@@ -20,6 +20,25 @@ class EntrySmokeSpec extends GraftSuite {
     assert(missing.isEmpty, s"queries without oracleSql: $missing")
   }
 
+  test("no query output carries a top-level array/map column") {
+    // the driver's checker sorts result rows by every column with a
+    // generic lexsort — array/map cells are unhashable there, so a
+    // nested top-level column turns a green query into a harness error
+    // (r5_array_agg, round 3). Nested shapes stay internal; outputs
+    // emit them canonicalized (array_join / to_json).
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, f) =>
+        val bad = f(spark, SparkTestBase.sfDir).schema.fields.collect {
+          case fld if fld.dataType.isInstanceOf[ArrayType] ||
+                      fld.dataType.isInstanceOf[MapType] => fld.name
+        }
+        if (bad.isEmpty) None else Some(s"$name(${bad.mkString(",")})")
+    }
+    assert(offenders.isEmpty,
+      s"top-level array/map output columns: ${offenders.mkString("; ")}")
+  }
+
   test("w3 top-k: at most 3 rows per customer, ranks 1..3") {
     val df = SparkEntry.queries("w3_window_topk")(spark, SparkTestBase.sfDir)
     val bad = df.groupBy("o_custkey").agg(count(lit(1)).as("n"),
