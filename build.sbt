@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The container's locale is POSIX, under which the JVM's JNI-layer
+// filename encoding (sun.jnu.encoding) is ASCII — java.io silently
+// fails to resolve any path with non-ASCII characters (e.g. the
+// reference's real fb_scraper blobs). -Dsun.jnu.encoding is ignored on
+// JDK 17 (fixed at VM init from the locale), so the fix is the locale
+// itself on the forked JVMs.
+Test / envVars += "LC_ALL" -> "C.UTF-8"
+run / envVars += "LC_ALL" -> "C.UTF-8"
 // The bench/verify driver contract needs the forked main's stdout
 // verbatim: sbt's default LoggedOutput re-frames every forked line as
 // "[info] ..." which defeats the driver's JSON-line parser

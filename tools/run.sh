@@ -12,6 +12,10 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
          java.base/sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens $p=ALL-UNNAMED"
 done
+# POSIX locale makes the JVM's JNI filename encoding ASCII and breaks
+# non-ASCII paths (the reference's real blobs); JDK 17 ignores
+# -Dsun.jnu.encoding, so set the locale itself.
+export LC_ALL=C.UTF-8
 exec java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-8g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "$CLS" "$@"
