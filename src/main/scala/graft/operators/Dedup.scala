@@ -152,12 +152,17 @@ object Dedup {
     * side unions corpus hashes with smaller-id batch hashes) and ONE
     * LSH bucket join decides both near tiers (right side unions corpus
     * bands with batch bands), each reduced to the per-doc best (=
-    * lowest) status priority. The batch side carries an explicit
-    * `broadcast` hint in both joins, so the corpus NEVER shuffles —
-    * it streams through a broadcast-hash probe in place, which is the
-    * whole point of per-ingest admission (at scale the corpus
-    * hash/band columns are a standing materialized table and this
-    * operator's corpus branch is a scan of it). The corpus bucket
+    * lowest) status priority. When the batch is small enough (row
+    * count ≤ `broadcastMaxRows`; the broadcast payload is the
+    * band-exploded batch — batch×bands rows with shingle arrays,
+    * bounded by Spark's 8 GB broadcast cap and driver memory) the
+    * batch side carries an explicit `broadcast` hint in both joins,
+    * so the corpus NEVER shuffles — it streams through a
+    * broadcast-hash probe in place, which is the whole point of
+    * per-ingest admission (at scale the corpus hash/band columns are
+    * a standing materialized table and this operator's corpus branch
+    * is a scan of it). An oversized batch falls back to plain shuffle
+    * joins instead of failing the ingest at the broadcast cap. The corpus bucket
     * explode uses `posexplode_outer`: band arrays are never empty, so
     * outer ≡ inner, but the non-outer form triggers
     * InferFiltersFromGenerate, whose inferred `size(bands) > 0` guard
@@ -166,9 +171,18 @@ object Dedup {
     * branch, the same re-evaluation the batch side's cache absorbs. */
   def admitIncremental(corpus: DataFrame, batch: DataFrame,
                        id: Column, text: Column, threshold: Double = 0.8,
-                       k: Int = 32, bands: Int = 8, w: Int = 3): DataFrame = {
+                       k: Int = 32, bands: Int = 8, w: Int = 3,
+                       broadcastMaxRows: Long = 2000000L): DataFrame = {
     def normHash(t: Column) =
       md5(regexp_replace(trim(lower(t)), "\\s+", " "))
+    // one cheap count gates the broadcast hint: an ingest batch is
+    // normally ≪ broadcastMaxRows and takes the zero-corpus-shuffle
+    // path; a pathological giant batch degrades to shuffle joins
+    // rather than dying at the 8 GB broadcast hard cap
+    val hint: DataFrame => DataFrame =
+      if (batch.select(id).limit((broadcastMaxRows + 1).toInt).count()
+            <= broadcastMaxRows) df => broadcast(df)
+      else df => df
     val bh = batch.select(id.as("id"), normHash(text).as("h"))
     // rid = NULL marks a corpus row; a batch row only beats batch rows
     // with a larger id (greedy-by-id admission)
@@ -177,7 +191,7 @@ object Dedup {
         lit(1).as("prio"))
       .unionByName(bh.select(col("h"), col("id").as("rid"),
         lit(2).as("prio")))
-    val exactFlags = broadcast(bh).join(hashRight, Seq("h"))
+    val exactFlags = hint(bh).join(hashRight, Seq("h"))
       .filter(col("rid").isNull || col("rid") < col("id"))
       .groupBy(col("id")).agg(min(col("prio")).as("prio"))
     val bmh = minhashed(batch, id, text, k, bands, w)
@@ -190,7 +204,7 @@ object Dedup {
       .unionByName(buckets(bmh)
         .select(col("band"), col("key"), col("shingles").as("rsh"),
           col("id").as("rid"), lit(4).as("prio")))
-    val nearFlags = broadcast(buckets(bmh).as("a"))
+    val nearFlags = hint(buckets(bmh).as("a"))
       .join(bandRight.as("b"), Seq("band", "key"))
       .filter((col("rid").isNull || col("rid") < col("a.id")) &&
         size(array_intersect(col("a.shingles"), col("rsh")))
@@ -560,6 +574,78 @@ object Dedup {
         s"connectedComponents: not converged after $maxIter rounds " +
           s"($changed labels still changing); raise maxIter")
     labels
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the adversarial-diameter fallback named in
+    * [[connectedComponents]]'s docs. Min-label propagation needs
+    * O(diameter) rounds: a 10M-node chain means 10M shuffles. The
+    * star operations contract paths aggressively instead — every
+    * round rewires each node toward its neighborhood minimum — and
+    * converge in O(log² n) rounds on ANY graph shape, each round
+    * being the same two primitives (groupBy-min + join) as one
+    * min-label round. Near-dup clusters are shallow, so the simple
+    * propagation wins there; pathological chain graphs (long URL
+    * redirect chains, linked-list-shaped similarity) are where this
+    * one earns its keep.
+    *
+    * Both operate on the canonical undirected edge set (u < v):
+    *  - large-star: each center connects its STRICTLY LARGER
+    *    neighbors to the neighborhood min (never grows the edge set
+    *    beyond 2|E|, per the paper's Lemma 1);
+    *  - small-star: each center connects its smaller-or-equal
+    *    neighbors AND itself to the neighborhood min.
+    * The fixpoint is a star per component centered at the component
+    * min; labels read directly off the final edges. Output matches
+    * [[connectedComponents]] row-for-row: (id, component), one row
+    * per node appearing in any input pair. */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val canon = (a: Column, b: Column) =>
+      Seq(least(a, b).as("u"), greatest(a, b).as("v"))
+    val allNodes = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct().localCheckpoint(true)
+    var edges = pairs.select(canon(col("id_a"), col("id_b")): _*)
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u").as("c"), col("v").as("n"))
+        .union(e.select(col("v").as("c"), col("u").as("n")))
+      val m = sym.groupBy("c").agg(min(col("n")).as("__mn"))
+        .select(col("c"), least(col("c"), col("__mn")).as("m"))
+      sym.join(m, Seq("c")).filter(col("n") > col("c"))
+        .select(canon(col("n"), col("m")): _*)
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // center = larger endpoint; neighbors = its smaller neighbors
+      val m = e.groupBy(col("v").as("c")).agg(min(col("u")).as("m"))
+      e.select(col("v").as("c"), col("u").as("n")).join(m, Seq("c"))
+        .select(col("n").as("w"), col("m"))
+        .union(m.select(col("c").as("w"), col("m")))
+        .filter(col("w") =!= col("m"))
+        .select(canon(col("w"), col("m")): _*).distinct()
+    }
+
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
+      iter += 1
+    }
+    if (!converged && iter >= maxIter)
+      throw new IllegalStateException(
+        s"connectedComponentsStar: not converged after $maxIter rounds")
+    // fixpoint edges are (m, w) stars in canonical form: w -> m, plus
+    // self labels for component minima and for isolated self-pair nodes
+    allNodes
+      .join(edges.select(col("v").as("id"), col("u").as("__comp")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("__comp"), col("id")).as("component"))
   }
 
   // ------------------------------------------------------- embedding cosine

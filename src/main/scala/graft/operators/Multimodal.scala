@@ -5,12 +5,18 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
-  * columns + typed metadata, with partition-wise batch "decode" /
+  * columns + typed metadata, with partition-wise batch decode /
   * feature-extraction. The Spark-side shape (schema, batching,
-  * partitioning) is real; the codec itself is a STUB — this container has
-  * no image/audio libraries, so [[decodeStub]] derives deterministic fake
-  * features from the bytes. Swap `stubFeatures` for a real decoder (JNI /
-  * FFmpeg / ImageIO) without touching the plumbing.
+  * partitioning) is real, and so is image decoding: [[decode]] probes
+  * real width/height from PNG/JPEG/GIF/BMP payloads with the JDK's
+  * ImageIO (header-only, no raster decode). Payloads that are not a
+  * decodable image — and the audio/video kinds, which have no JDK
+  * codec — fall back to deterministic md5-derived dimensions, and the
+  * 8-float feature vector is always an md5 fingerprint (no embedding
+  * model ships in a JDK); both are reproducible by any engine with
+  * md5(), which is what the oracle contract checks. Swap
+  * `fingerprintFeatures` for a model-backed extractor (JNI / FFmpeg /
+  * ONNX) without touching the plumbing.
   */
 object Multimodal {
 
@@ -38,13 +44,13 @@ object Multimodal {
       struct(lit("synthetic").as("source"),
         length(col(data)).cast(LongType).as("n_bytes")).as("meta"))
 
-  // ---- STUB decoder --------------------------------------------------
-  // Deterministic fake: "width"/"height"/"features" derived from the
-  // portable 60-bit md5 hash of the payload (first 15 hex digits — the
-  // same value any engine's md5() yields, so the DuckDB oracle can
-  // recompute every stubbed column). A real implementation would decode
-  // payload with an image/audio codec here.
-  private def stubFeatures(md: java.security.MessageDigest, id: Long,
+  // ---- fingerprint fallback ------------------------------------------
+  // Deterministic features derived from the portable 60-bit md5 hash of
+  // the payload (first 15 hex digits — the same value any engine's
+  // md5() yields, so the DuckDB oracle can recompute every derived
+  // column). Used for dimensions only when the payload is not a
+  // decodable image; always used for the feature vector.
+  private def fingerprintFeatures(md: java.security.MessageDigest, id: Long,
                            kind: String, bytes: Array[Byte]): MediaFeatures = {
     val b = if (bytes == null) Array.emptyByteArray else bytes
     md.reset()
@@ -62,18 +68,49 @@ object Multimodal {
       1 + ((h >> 7) % 480).toInt, feat)
   }
 
-  /** Partition-wise batch decode (the `mapInPandas` analog: one iterator
-    * per partition, so a real codec could amortize per-batch init —
-    * model load, JNI context — across rows). */
-  def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+  /** Real image dimensions from the payload header via the JDK's
+    * ImageIO: format sniff + header read only (`reader.getWidth(0)`
+    * never decodes the raster), so probing is cheap even for large
+    * blobs. None when no installed reader recognizes the bytes. */
+  private def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
+          finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Partition-wise batch decode (the `mapInPandas` analog: one
+    * iterator per partition, so per-batch init — digest instance,
+    * codec registry, a real model's JNI context — amortizes across
+    * rows). `image` payloads that ImageIO recognizes get their REAL
+    * width/height; everything else keeps the md5-derived fallback. */
+  def decode(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select(col("media_id"), col("kind"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init of the (stubbed) codec: a real decoder
-        // would load its model / JNI context here, once per partition
+        // per-partition codec init: one digest; ImageIO's reader
+        // registry is JVM-wide and thread-safe
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, kind, bytes) => stubFeatures(md, id, kind, bytes) }
+        it.map { case (id, kind, bytes) =>
+          val f = fingerprintFeatures(md, id, kind, bytes)
+          if (kind == "image")
+            imageDims(bytes) match {
+              case Some((w, h)) => f.copy(width = w, height = h)
+              case None => f
+            }
+          else f
+        }
       }
   }
 

@@ -134,9 +134,11 @@ object Mutations {
     * omitted) — the audit query every versioned table
     * ([[graft.sources.Lake.writeSnapshot]]) owes its consumers, and
     * the input to incremental downstream refresh (ship the diff, not
-    * the table). Payloads compare via one md5 over the non-key
-    * columns (null-safe, field-separated), so the full-outer join
-    * carries keys + one 16-byte hash per side — never the row bodies.
+    * the table). Payloads compare via one md5 over the JSON encoding
+    * of the non-key struct — unambiguous framing (quoted strings,
+    * explicit nulls), so no payload value can collide with a field
+    * separator or null sentinel — and the full-outer join carries
+    * keys + one 16-byte hash per side, never the row bodies.
     * One key-grain shuffle join; co-partitioned or bucketed versions
     * ([[graft.operators.Bucketing]]) diff with no exchange at all. */
   def snapshotDiff(before: DataFrame, after: DataFrame,
@@ -145,9 +147,8 @@ object Mutations {
       s"schema mismatch: ${before.columns.toSeq} vs ${after.columns.toSeq}")
     val payload = before.columns.filterNot(keys.contains).toSeq
     def hashed(df: DataFrame, h: String) =
-      df.select(keys.map(col) :+ md5(concat_ws("\u0001",
-        payload.map(c =>
-          coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(h): _*)
+      df.select(keys.map(col) :+
+        md5(to_json(struct(payload.map(col): _*))).as(h): _*)
     hashed(before, "__hb").join(hashed(after, "__ha"), keys, "full_outer")
       .withColumn("change",
         when(col("__hb").isNull, "inserted")

@@ -344,14 +344,16 @@ object TextOps {
     * vocab aggregation (broadcast back), one token-grain pass. */
   def oovRate(df: DataFrame, id: Column, text: Column,
               vocabSize: Int = 100): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = df.select(id.as("id"),
         explode(split(trim(regexp_replace(lower(text), "\\s+", " ")), " "))
           .as("tok"))
+    // top-k via orderBy+limit, which Spark plans as
+    // TakeOrderedAndProject (per-partition heaps + a k-row driver
+    // merge) — an unpartitioned rank window here would funnel every
+    // distinct token of the corpus through one partition's sort
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-      .withColumn("r", row_number().over(
-        Window.orderBy(col("n").desc, col("tok").asc)))
-      .filter(col("r") <= vocabSize).select(col("tok"), lit(true).as("in_v"))
+      .orderBy(col("n").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok"), lit(true).as("in_v"))
     toks.join(broadcast(vocab), Seq("tok"), "left")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"),
@@ -402,10 +404,17 @@ object TextOps {
     var words = bpeInit(df, text).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
-    for (r <- 1 to rounds) {
-      val top = bpePairCounts(words)
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      // headOption, not head(): once every pair has merged (short
+      // words, small corpora) the pair table is empty and the loop
+      // returns the merges found so far instead of throwing
+      val topOpt = bpePairCounts(words)
         .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
-        .head()
+        .limit(1).collect().headOption
+      if (topOpt.isEmpty) { exhausted = true }
+      else {
+      val top = topOpt.get
       val (l, rr, c) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((r, l, rr, c))
       val lC = lit(l); val rC = lit(rr)
@@ -426,6 +435,7 @@ object TextOps {
           },
           acc => acc.getField("arr")))
         .localCheckpoint()
+      }
     }
     merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
   }

@@ -36,6 +36,36 @@ class GraphPropertySpec extends GraftSuite {
     }
   }
 
+  test("large-star/small-star CC == min-label CC over random graphs") {
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val nEdges = 20 + rnd.nextInt(60)
+      val edges = Seq.fill(nEdges) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a < b) (a, b) else (b, a)
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val df = edges.toDF("id_a", "id_b")
+        val minLabel = Dedup.connectedComponents(df)
+          .as[(Long, Long)].collect().toMap
+        val star = Dedup.connectedComponentsStar(df)
+          .as[(Long, Long)].collect().toMap
+        assert(star === minLabel, s"trial $trial: $edges")
+      }
+    }
+  }
+
+  test("star CC converges on the adversarial chain min-label is slow on") {
+    // a 200-node path has diameter 199: min-label would need ~200
+    // rounds (its default guard throws); star CC contracts it in
+    // O(log^2 n) rounds within the default guard
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponentsStar(chain)
+      .as[(Long, Long)].collect()
+    assert(labels.length === 200)
+    assert(labels.forall(_._2 === 0L))
+  }
+
   test("snapshotDiff: empty on identical, total on disjoint key sets") {
     val df = (1L to 50L).map(k => (k, s"v$k", k * 2)).toDF("k", "s", "v")
     assert(Mutations.snapshotDiff(df, df, Seq("k")).count() === 0L)

@@ -58,12 +58,12 @@ class OperatorsSpec extends GraftSuite {
     assert(out === Seq((1, 1L), (2, 3L)))
   }
 
-  test("Multimodal stub decode is deterministic and partition-batched") {
+  test("Multimodal fallback decode is deterministic and partition-batched") {
     val media = Multimodal.asMedia(
       Seq((1L, "abc"), (2L, "defg")).toDF("id", "data"), "id", "data", "image")
     assert(media.columns === Array("media_id", "kind", "payload", "meta"))
-    val f1 = Multimodal.decodeStub(spark, media).collect().sortBy(_.media_id)
-    val f2 = Multimodal.decodeStub(spark, media).collect().sortBy(_.media_id)
+    val f1 = Multimodal.decode(spark, media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.decode(spark, media).collect().sortBy(_.media_id)
     assert(f1.map(_.feat_hash).toSeq === f2.map(_.feat_hash).toSeq)
     assert(f1(0).n_bytes === 3 && f1(1).n_bytes === 4)
     assert(f1(0).feature.length === 8)
