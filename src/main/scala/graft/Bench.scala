@@ -17,12 +17,15 @@ import org.apache.spark.sql.SparkSession
   * (count() would let Catalyst prune most of the work). One untimed
   * warmup query amortizes JVM/codegen startup out of the numbers.
   *
-  * Each query is timed twice and the minimum reported: the host is a
-  * shared micro-VM with episodic multi-second pauses (observed: >90%
-  * idle CPU while a sub-second query "takes" 30 s), and min-of-2 keeps
-  * one unlucky pause from poisoning a query's number. CPU cost stays
-  * bounded (~2× a single pass) and the min is still honest work — the
-  * full pipeline runs both times.
+  * Each query is timed FOUR times and the minimum reported: the host
+  * is a shared micro-VM with episodic multi-second pauses (observed:
+  * >90% idle CPU while a sub-second query "takes" 30 s), and min-of-2
+  * proved too noisy for round-over-round comparison — round 3 showed
+  * ±30-45% swings on queries whose plans had not changed (j5/j10/r1),
+  * and a separate min-of-2 vs steady-state measurement of x32 showed
+  * 4.0 s vs 1.25 s from under-warming alone. Min-of-4 runs the full
+  * pipeline every pass, so the min is still honest work, and the
+  * reported `n` lets the driver see the sampling discipline.
   */
 object Bench {
 
@@ -89,15 +92,15 @@ object Bench {
       } finally spark.catalog.clearCache() // no cross-query cache leaks
     }
 
-    val pass1 = headline.map(n => n -> timeOnce(n)).toMap
-    val pass2 = headline.map(n => n -> timeOnce(n)).toMap
-    // Episodic multi-second host pauses sometimes hit BOTH timed passes
+    val nPasses = 4
+    val passes = (1 to nPasses).map(_ => headline.map(n => n -> timeOnce(n)).toMap)
+    // Episodic multi-second host pauses can still hit every timed pass
     // of one query (observed: a 1.7 s join reporting 55 s). Any query
     // whose best sample is still over 8 s — several × the slowest
     // steady-state query in this set — re-measures up to twice more; a
     // genuinely slow query just spends two passes confirming its number.
     val results = headline.map { n =>
-      var samples = Seq(pass1(n), pass2(n)).filter(_ >= 0)
+      var samples = passes.map(_(n)).filter(_ >= 0)
       var retries = 0
       while ((samples.isEmpty || samples.min > 8.0) && retries < 2) {
         samples = samples ++ Seq(timeOnce(n)).filter(_ >= 0)
@@ -111,7 +114,7 @@ object Bench {
     // Stop Spark BEFORE printing so no shutdown log line can land after
     // the JSON — the driver parses the last stdout line.
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$nPasses,"queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

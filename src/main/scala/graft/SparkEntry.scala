@@ -204,6 +204,43 @@ object SparkEntry {
         .orderBy(col("r_regionkey"))
     }),
 
+    "s19_lake_ops" -> ((s, dir) => {
+      // S11 list + S12 rename + S10 exists + F15 config under ONE
+      // oracle: a config-named dataset is snapshot-written twice (v=1
+      // full, v=2 filtered), versions listed, v=2 archived away by
+      // rename, and the read-back (latest is v=1 again) carries the
+      // listed/exists facts as literal columns DuckDB recomputes from
+      // the region table alone.
+      import graft.sources.{EngineConfig, Lake}
+      val root = tmpDir("s19_lake")
+      val lake = new Lake(s, root)
+      val conf = EngineConfig.Branch.of(
+        "env" -> EngineConfig.Leaf("prod"),
+        "dataset" -> EngineConfig.Leaf("ENV_GRAFT_S19_DATASET"))
+      val resolved = EngineConfig.resolveEnv(conf,
+          Map("GRAFT_S19_DATASET" -> "region_dim").get)
+        .asInstanceOf[EngineConfig.Branch]
+      val base = resolved("dataset").asInstanceOf[EngineConfig.Leaf].value
+      val ds = EngineConfig.tableNameWithEnv(base,
+        EngineConfig.envSuffix(resolved, _ => None)) // region_dim-prod
+      val region = t(s, dir, "region")
+      lake.writeSnapshot(region.coalesce(1), ds)                    // v=1
+      lake.writeSnapshot(
+        region.filter(col("r_regionkey") < 3).coalesce(1), ds)      // v=2
+      val nVersions = lake.list(ds)
+        .map(p => new org.apache.hadoop.fs.Path(p).getName)
+        .count(_.startsWith("v="))                                  // S11
+      lake.rename(Seq(ds, "v=2"), Seq("archive", ds, "v=2"))        // S12
+      val archived =
+        lake.exists("archive", ds, "v=2") && !lake.exists(ds, "v=2")
+      lake.readSnapshot(ds)                            // latest = v=1
+        .select(col("r_regionkey"), col("r_name"))
+        .withColumn("dataset", lit(ds))
+        .withColumn("n_versions_listed", lit(nVersions))
+        .withColumn("v2_archived", lit(archived))
+        .orderBy(col("r_regionkey"))
+    }),
+
     // ---- projections / filters (§2.2) ----------------------------------
     "p1_drop_columns" -> ((s, dir) => {
       Relational.dropCols(t(s, dir, "lineitem"),
@@ -1862,11 +1899,13 @@ object SparkEntry {
 
     // ---- LLM-pipeline: multimodal plumbing (x12) -----------------------
     "x12_multimodal_decode" -> ((s, dir) => {
-      // the mapPartitions batch decode (per-partition codec init) with
-      // md5-derived stub features the DuckDB oracle recomputes
+      // the mapPartitions batch decode (per-partition codec init;
+      // real ImageIO header probe for actual image payloads) — the
+      // synthetic utf-8 payloads here take the md5-derived fallback
+      // the DuckDB oracle recomputes
       val media = Multimodal.asMedia(t(s, dir, "events"),
         "event_id", "props", "image")
-      Multimodal.decodeStub(s, media).toDF()
+      Multimodal.decode(s, media).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes").cast("long"),
           col("feat_hash"), col("width").cast("long"),
           col("height").cast("long"))
@@ -1876,7 +1915,7 @@ object SparkEntry {
     "x13_media_resize" -> ((s, dir) => {
       val media = Multimodal.asMedia(t(s, dir, "events"),
         "event_id", "props", "image")
-      Multimodal.resizeMeta(Multimodal.decodeStub(s, media).toDF())
+      Multimodal.resizeMeta(Multimodal.decode(s, media).toDF())
         .select(col("media_id"), col("width").cast("long"),
           col("height").cast("long"), col("out_w").cast("long"),
           col("out_h").cast("long"), col("scale"))
@@ -2668,6 +2707,13 @@ object SparkEntry {
 
     "s10_idempotent_guard" -> """
       SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    "s19_lake_ops" -> """
+      SELECT r_regionkey, r_name,
+             'region_dim-prod' AS dataset,
+             2 AS n_versions_listed,
+             TRUE AS v2_archived
+      FROM region ORDER BY r_regionkey""",
 
     "p1_drop_columns" -> """
       SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
