@@ -1628,6 +1628,20 @@ object SparkEntry {
         .orderBy(col("component"))
     }),
 
+    "x51_cc_star" -> ((s, dir) => {
+      // the SAME clustering as x22 computed by the large-star/small-
+      // star algorithm (Dedup.connectedComponentsStar) — identical
+      // oracle, so the O(log^2 n) adversarial-diameter path is pinned
+      // to the min-label result on driver data, not just in specs
+      val pairs = Dedup.simhashNearDups60(t(s, dir, "documents"),
+        col("doc_id"), col("text"), maxHamming = 3)
+      Dedup.connectedComponentsStar(pairs)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("id")).as("canonical_id"))
+        .orderBy(col("component"))
+    }),
+
     "x28_multisignal_dedup" -> ((s, dir) => {
       // multi-signal dedup decision: TEXT near-dup edges (simhash
       // Hamming ≤ 3) unioned with EMBEDDING near-dup edges (cosine >
@@ -3783,6 +3797,45 @@ object SparkEntry {
       ORDER BY id_a, id_b""",
 
     "x22_neardup_components" -> """
+      WITH RECURSIVE docs AS (
+        SELECT doc_id AS id,
+               list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+        FROM documents),
+      h AS (
+        SELECT id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS hv
+        FROM (SELECT id, UNNEST(toks) AS tok FROM docs)),
+      votes AS (
+        SELECT id, i,
+               SUM(CASE WHEN (hv >> CAST(i AS INT)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM h CROSS JOIN (SELECT UNNEST(range(60)) AS i) GROUP BY id, i),
+      fp0 AS (
+        SELECT id, CAST(SUM(CASE WHEN v >= 0
+                 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                 ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY id),
+      fp AS (
+        SELECT d.id,
+               COALESCE(f.simhash, CAST(1152921504606846975 AS BIGINT))
+                 AS simhash
+        FROM docs d LEFT JOIN fp0 f ON d.id = f.id),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM fp a JOIN fp b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+      sym AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+        UNION
+        SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id)
+      SELECT component, COUNT(*) AS n_members, MIN(id) AS canonical_id
+      FROM (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+      GROUP BY component ORDER BY component""",
+
+    // star CC must equal min-label CC -- same oracle as x22
+    "x51_cc_star" -> """
       WITH RECURSIVE docs AS (
         SELECT doc_id AS id,
                list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks

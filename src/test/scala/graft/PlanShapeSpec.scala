@@ -65,4 +65,18 @@ class PlanShapeSpec extends GraftSuite {
     val p = plan("j8_lookup_join")
     assert(p.contains("BroadcastHashJoin"), p.take(500))
   }
+
+  test("j16b grid geo join: cell-key equi-join on the hit path, probe side never exploded") {
+    val p = plan("j16b_geo_nearest_grid")
+    // the grid pass must plan as an equi-join on (gx, gy) — broadcast
+    // or shuffle class depending on the exploded dim's size — with the
+    // ×9 Generate (explode) on the RIGHT/dim subtree only; the brute
+    // crossJoin may appear solely in the fallback branch for misses
+    assert(p.contains("gx") && p.contains("gy"), p.take(800))
+    val generates = "Generate explode".r.findAllIn(p).length
+    assert(generates >= 1, s"expected the dim-side 3x3 explode: ${p.take(500)}")
+    // the per-left argmin is an aggregate (partial + final), not a window
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      p.take(800))
+  }
 }
