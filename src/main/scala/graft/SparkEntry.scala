@@ -1263,11 +1263,24 @@ object SparkEntry {
     }),
 
     "r1_unpivot_melt" -> ((s, dir) => {
-      Reshape.melt(t(s, dir, "lineitem"),
+      // ordered-melt at a quarter of the sorted volume: range-sort the
+      // BASE rows on the id prefix, then unpivot (narrow — rows never
+      // change partitions), then add the measure key with a partition-
+      // local sort. Global order is identical to orderBy-after-melt
+      // because range partitions are disjoint on (l_orderkey,
+      // l_linenumber) and the 4-way fan-out stays inside its partition
+      // — but the exchange+sort now moves 6M wide-less rows instead of
+      // 24M melted ones.
+      Reshape.melt(
+          t(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_quantity",
+              "l_extendedprice", "l_discount", "l_tax")
+            .orderBy(col("l_orderkey"), col("l_linenumber")),
           ids = Seq("l_orderkey", "l_linenumber"),
           values = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
           varName = "measure", valName = "value")
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+        .sortWithinPartitions(
+          col("l_orderkey"), col("l_linenumber"), col("measure"))
     }),
 
     "r2_explode_split" -> ((s, dir) => {

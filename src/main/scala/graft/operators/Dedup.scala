@@ -175,14 +175,6 @@ object Dedup {
                        broadcastMaxRows: Long = 2000000L): DataFrame = {
     def normHash(t: Column) =
       md5(regexp_replace(trim(lower(t)), "\\s+", " "))
-    // one cheap count gates the broadcast hint: an ingest batch is
-    // normally ≪ broadcastMaxRows and takes the zero-corpus-shuffle
-    // path; a pathological giant batch degrades to shuffle joins
-    // rather than dying at the 8 GB broadcast hard cap
-    val hint: DataFrame => DataFrame =
-      if (batch.select(id).limit((broadcastMaxRows + 1).toInt).count()
-            <= broadcastMaxRows) df => broadcast(df)
-      else df => df
     val bh = batch.select(id.as("id"), normHash(text).as("h"))
     // rid = NULL marks a corpus row; a batch row only beats batch rows
     // with a larger id (greedy-by-id admission)
@@ -191,11 +183,19 @@ object Dedup {
         lit(1).as("prio"))
       .unionByName(bh.select(col("h"), col("id").as("rid"),
         lit(2).as("prio")))
+    val bmh = minhashed(batch, id, text, k, bands, w)
+      .select(col("id"), col("shingles"), col("bands")).cache()
+    // the broadcast gate counts the CACHED minhashed batch — the count
+    // materializes the cache both joins reuse, so gating is free. An
+    // ingest batch is normally ≪ broadcastMaxRows and takes the
+    // zero-corpus-shuffle path; a pathological giant batch degrades to
+    // plain shuffle joins rather than dying at the 8 GB broadcast cap
+    val hint: DataFrame => DataFrame =
+      if (bmh.count() <= broadcastMaxRows) df => broadcast(df)
+      else df => df
     val exactFlags = hint(bh).join(hashRight, Seq("h"))
       .filter(col("rid").isNull || col("rid") < col("id"))
       .groupBy(col("id")).agg(min(col("prio")).as("prio"))
-    val bmh = minhashed(batch, id, text, k, bands, w)
-      .select(col("id"), col("shingles"), col("bands")).cache()
     def buckets(mh: DataFrame) = mh.select(col("id"), col("shingles"),
       posexplode_outer(col("bands")).as(Seq("band", "key")))
     val bandRight = buckets(minhashed(corpus, id, text, k, bands, w))

@@ -18,7 +18,7 @@ object Relational {
   /** Drop columns whose *name* matches a regex (reference `^Unnamed`
     * drop, `tripadvisor/d_tripadvisor_src_to_ods.py:45-48`). */
   def dropColsRegex(df: DataFrame, pattern: String): DataFrame =
-    df.select(df.columns.filterNot(_.matches(pattern)).map(col): _*)
+    df.select(df.columns.filterNot(_.matches(pattern)).toIndexedSeq.map(col): _*)
 
   /** Bulk rename (reference zh→en maps,
     * `tripadvisor/d_tripadvisor_src_to_ods.py:51-63`). */

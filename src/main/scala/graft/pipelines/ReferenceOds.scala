@@ -106,7 +106,7 @@ object ReferenceOds {
     val attractionCols =
       raw.columns.filterNot(_ == "_rid").drop(2)       // iloc[[0], 2:]
     val row0: Row = raw.filter(col("_rid") === 0)
-      .select(attractionCols.map(col): _*).head()
+      .select(attractionCols.toIndexedSeq.map(col): _*).head()
     val pairs = attractionCols.zipWithIndex.map { case (zh, i) =>
       Row(zh, row0.getString(i))
     }
