@@ -1655,6 +1655,39 @@ object SparkEntry {
         .orderBy(col("component"))
     }),
 
+    "x52_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+      // 2303.09540): cluster embeddings into cells (x45's exact
+      // integer argmin), score cosine pairs WITHIN cells only (the
+      // x46 blocked pair space — O(n²) divides by the cell count),
+      // connect pairs above threshold into components, keep one
+      // representative per component (min id). Singletons are their
+      // own component and are kept. Output is the full per-vector
+      // dedup decision table a corpus cut consumes downstream.
+      val cells = Similarity.assignCells(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8)
+        .withColumn("nrm",
+          graft.functions.VectorExprs.norm(col("embedding")))
+      val pairs = cells.as("a")
+        .join(cells.as("b"), col("a.cid") === col("b.cid") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos_sim",
+          graft.functions.VectorExprs.dot(
+            col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm")))
+        .filter(col("cos_sim") > 0.40)
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      val comps = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "vec_id")
+      t(s, dir, "embeddings").select(col("vec_id"))
+        .join(comps, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("component"))
+        .withColumn("keep",
+          (col("vec_id") === col("component")).cast("int"))
+        .orderBy(col("vec_id"))
+    }),
+
     "x28_multisignal_dedup" -> ((s, dir) => {
       // multi-signal dedup decision: TEXT near-dup edges (simhash
       // Hamming ≤ 3) unioned with EMBEDDING near-dup edges (cosine >
@@ -3885,6 +3918,53 @@ object SparkEntry {
       SELECT component, COUNT(*) AS n_members, MIN(id) AS canonical_id
       FROM (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
       GROUP BY component ORDER BY component""",
+
+    "x52_semantic_dedup" -> """
+      WITH RECURSIVE qv AS (
+        SELECT vec_id, embedding,
+               list_transform(embedding, v ->
+                 CAST(floor(CAST(v AS DOUBLE) * 1e7 + 0.5) AS BIGINT))
+                 AS qv
+        FROM embeddings),
+      c AS (SELECT vec_id AS cid, qv AS cv FROM qv WHERE vec_id < 8),
+      d AS (
+        SELECT q.vec_id, q.embedding, c.cid,
+               CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                 i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))
+                 AS BIGINT) AS d2
+        FROM qv q CROSS JOIN c),
+      cells AS (
+        SELECT cid, vec_id, embedding FROM (
+          SELECT cid, vec_id, embedding,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rk
+          FROM d)
+        WHERE rk = 1),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM cells a JOIN cells b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(a.embedding AS DOUBLE[])))
+                 * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))))
+              > 0.40),
+      sym AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+        UNION
+        SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id),
+      comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+      SELECT e.vec_id,
+             COALESCE(cp.component, e.vec_id) AS component,
+             CAST(CASE WHEN e.vec_id = COALESCE(cp.component, e.vec_id)
+                  THEN 1 ELSE 0 END AS INT) AS keep
+      FROM embeddings e LEFT JOIN comp cp ON e.vec_id = cp.id
+      ORDER BY vec_id""",
 
     "x28_multisignal_dedup" -> """
       WITH RECURSIVE docs AS (

@@ -74,10 +74,12 @@ object Graph {
     * decays a few micro-units per round, which a ranking consumer never
     * observes.
     *
-    * Plan shape per iteration: one equi-join of edges × current ranks on
-    * `src` (ranks ≤ nodes ≪ edges; broadcastable), one `dst`-grain
-    * aggregation — the only data-scaling shuffle — plus a tiny anti-join
-    * aggregate for dangling mass. `localCheckpoint` after each round
+    * Plan shape per iteration: one equi-join of degree-annotated edges ×
+    * current ranks on `src` (ranks ≤ nodes ≪ edges; broadcastable), one
+    * `dst`-grain aggregation — the only data-scaling shuffle — plus a
+    * tiny semi-join aggregate against the precomputed dangling-node set
+    * for the redistributed mass. The degree join and the dangling set
+    * are loop-invariant and hoisted. `localCheckpoint` after each round
     * keeps the plan flat (the Dedup.connectedComponents OOM lesson,
     * commit dbebd13).
     *
@@ -92,25 +94,29 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
-    val outdeg = e.groupBy(col("src"))
-      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    // outdeg is loop-invariant, so attach it to the edges ONCE — each
+    // iteration then joins only (edges+outdeg) × ranks instead of
+    // re-running the degree join every round
+    val eDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .join(e, Seq("src")).localCheckpoint()
+    // the dangling-node set (no out-edges) is likewise invariant
+    val dangling = nodes.join(eDeg.select(col("src").as("node")),
+        Seq("node"), "left_anti").localCheckpoint()
     val nN = nodes.count()
     val teleport = (base * 15L / 100L) / nN
     var ranks = nodes.select(col("node"), lit(base / nN).as("rank"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val contribs = e
-        .join(outdeg, Seq("src"))
+      val contribs = eDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), expr("rank div outdeg").as("contrib"))
         .groupBy(col("node"))
         .agg(sum(col("contrib")).as("in_contrib"))
-      // dangling nodes (no out-edges) spread their mass to everyone —
-      // carried as a 1-row frame cross-joined into the update, so each
-      // iteration is ONE job (the localCheckpoint), not an extra
-      // driver-side action
+      // dangling nodes spread their mass to everyone — carried as a
+      // 1-row frame cross-joined into the update, so each iteration is
+      // ONE job (the localCheckpoint), not an extra driver-side action
       val dangShare = ranks
-        .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
+        .join(dangling, Seq("node"), "left_semi")
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dang"))
         .select(expr(s"dang div ${nN}L").as("dang_share"))
       ranks = nodes
