@@ -79,4 +79,24 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
       p.take(800))
   }
+
+  test("x52 pair generation: within-cell hash equi-join, no cartesian pair space") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    // the SemDeDup candidate join (cells ⋈ cells ON cid) must plan as a
+    // hash-class equi-join on the cell id — the O(n²)/cells pair space —
+    // never a cartesian product; the only nested-loop joins allowed are
+    // assignCells' 8-row centroid broadcasts (one per join side)
+    val cells = Similarity.assignCells(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", k = 8)
+      .withColumn("nrm", graft.functions.VectorExprs.norm(col("embedding")))
+    val pairs = cells.as("a").join(cells.as("b"),
+      col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+    val p = pairs.queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(800))
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 2, s"unexpected nested-loop joins beyond the centroid broadcasts: $bnl")
+  }
 }
