@@ -241,6 +241,37 @@ object SparkEntry {
         .orderBy(col("r_regionkey"))
     }),
 
+    "s20_compact_small_files" -> ((s, dir) => {
+      // Small-file compaction: fragment customer into 64 tiny files
+      // (the shape a streaming writer leaves), compact to size-targeted
+      // files via Lake.compact (coalesce — no shuffle — staged + atomic
+      // rename), then prove content survival under the oracle plus the
+      // file-count collapse as a boolean the oracle asserts.
+      import graft.sources.Lake
+      val root = tmpDir("s20_compact")
+      val lake = new Lake(s, root)
+      t(s, dir, "customer").repartition(64)
+        .write.mode("overwrite").parquet(lake.path("cust").toString)
+      val (before, after) = lake.compact(64L << 20, "cust")
+      lake.read("cust")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("balance"))
+        .withColumn("files_collapsed", lit(before > after))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "s21_orc_roundtrip" -> ((s, dir) => {
+      // ORC write/read round-trip — the second columnar format Spark
+      // ships natively (a lake ingesting external ORC drops needs no
+      // extra code); schema carried by the format itself.
+      val out = tmpDir("s21_orc")
+      t(s, dir, "orders").write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ---- projections / filters (§2.2) ----------------------------------
     "p1_drop_columns" -> ((s, dir) => {
       Relational.dropCols(t(s, dir, "lineitem"),
@@ -1890,6 +1921,67 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "x53_pq_ann_topk" -> ((s, dir) => {
+      // Product quantization (8 subspaces × 16 codewords over the 64-d
+      // embeddings = 8 codes/vector, 32× smaller than float32), one
+      // Lloyd refinement step, ADC shortlist-50 → exact rerank (the
+      // standard two-stage PQ pipeline). Like x7/x15 the codebooks
+      // aren't SQL-expressible, so the gate is the recall contract vs
+      // the exact L2 top-k (measured macro recall 0.64 at sf0.01,
+      // 0.82 at sf0.001; bound 0.5).
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val pq = Similarity.pqTopK(q, emb, "vec_id", "embedding",
+        k = 5, m = 8, ksub = 16, trainIters = 1, rerank = 50)
+      val exact = Similarity.bruteTopKL2(q, emb, "vec_id", "embedding", 5)
+      exact.as("b").join(pq.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id"), "left")
+        .groupBy(col("b.query_id"))
+        .agg((count(col("l.neighbor_id")).cast("double") / lit(5.0d))
+          .as("recall"))
+        .agg(count(lit(1)).as("n_queries"),
+          (avg(col("recall")) >= lit(0.5d)).as("recall_ge_05"))
+    }),
+
+    "x53b_pq_exact" -> ((s, dir) => {
+      // the SAME PQ machinery with ksub = |corpus| (every subvector its
+      // own codeword) → ADC sums are exact integer L2², so encode /
+      // distance-table / ADC-join are hash-checked against the DuckDB
+      // brute-force fixed-point oracle (the x15b pattern).
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5, m = 8,
+          ksub = emb.count().toInt, trainIters = 0)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "x54_random_projection" -> ((s, dir) => {
+      // Johnson–Lindenstrauss ±1 projection 64-d → 32-d — the cheap
+      // dimension cut before any downstream similarity op (halves
+      // every shuffle/broadcast byte). The contract asserts what JL
+      // actually guarantees — distance preservation, not top-k order:
+      // mean |cos_sketch − cos_full| over the query×corpus pairs ≤
+      // 0.25 (measured 0.137–0.141 at sf0.01/0.001; theory ~1/√32).
+      import graft.functions.VectorExprs
+      val emb = t(s, dir, "embeddings")
+      val proj = emb.select(col("vec_id"), col("embedding"),
+        Similarity.randomProject(col("embedding"), 32).as("pv"))
+      val qp = proj.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("pv").as("qp"))
+      proj.join(broadcast(qp), col("qid") =!= col("vec_id"))
+        .select(abs(
+          VectorExprs.dot(col("qe"), col("embedding")) /
+            (VectorExprs.norm(col("qe")) *
+              VectorExprs.norm(col("embedding"))) -
+          VectorExprs.dot(col("qp"), col("pv")) /
+            (VectorExprs.norm(col("qp")) * VectorExprs.norm(col("pv"))))
+          .as("e"))
+        .agg(count(lit(1)).as("n_pairs"),
+          (avg(col("e")) <= lit(0.25d)).as("cos_err_le_025"))
+    }),
+
     "x21_profile" -> ((s, dir) => {
       // one-pass column profiling (nulls / exact distinct / lex min-max)
       Quality.profile(t(s, dir, "orders"),
@@ -2774,6 +2866,17 @@ object SparkEntry {
              2 AS n_versions_listed,
              TRUE AS v2_archived
       FROM region ORDER BY r_regionkey""",
+
+    "s20_compact_small_files" -> """
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance,
+             TRUE AS files_collapsed
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "s21_orc_roundtrip" -> """
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "p1_drop_columns" -> """
       SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
@@ -5561,6 +5664,34 @@ object SparkEntry {
         FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
         JOIN embeddings c ON q.vec_id <> c.vec_id)
       WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "x53_pq_ann_topk" -> """
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ge_05
+      FROM embeddings WHERE vec_id < 10""",
+
+    "x53b_pq_exact" -> """
+      WITH qv AS (
+        SELECT vec_id,
+               list_transform(embedding, v ->
+                 CAST(floor(CAST(v AS DOUBLE) * 1e7 + 0.5) AS BIGINT))
+                 AS qv
+        FROM embeddings),
+      d AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                 i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i])))
+                 AS BIGINT) AS approx_d2
+        FROM (SELECT * FROM qv WHERE vec_id < 10) q
+        JOIN qv c ON q.vec_id <> c.vec_id)
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, approx_d2
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank FROM d)
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "x54_random_projection" -> """
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, TRUE AS cos_err_le_025
+      FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+      JOIN embeddings c ON q.vec_id <> c.vec_id""",
 
     "e2e_medallion_mart" -> """
       SELECT c_mktsegment AS segment,

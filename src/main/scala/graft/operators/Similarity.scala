@@ -164,6 +164,176 @@ object Similarity {
       (x, q) => abs(x.cast(DoubleType) -
         q.cast(DoubleType) / quant.getField("scale"))))
 
+  /** Per-subspace quantized subvectors of a ×1e7 fixed-point vector:
+    * array of (sub, sv) structs, sub s covering dimensions
+    * [floor(s·D/m), floor((s+1)·D/m)). Integer bounds work for any D,
+    * divisible by `m` or not. */
+  private def subvecs(qvec: Column, m: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), s => {
+      val d = size(qvec)
+      val st = floor(s.cast(DoubleType) * d / m).cast(IntegerType)
+      val en = floor((s + lit(1)).cast(DoubleType) * d / m).cast(IntegerType)
+      struct(s.as("sub"), slice(qvec, st + 1, en - st).as("sv"))
+    })
+
+  /** Exact integer L2² between two equal-length long vectors. */
+  private def intL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Product-quantization (PQ) ANN — the compression scale path
+    * (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011). Where IVF prunes which vectors are scored,
+    * PQ shrinks what a score costs: each vector is stored as `m`
+    * byte-sized codes (here m subspace codewords of a ksub-entry
+    * codebook), so a 100 TB float32 embedding store becomes ~100/16 TB
+    * of codes, and scan-side scoring never touches the original
+    * vectors — asymmetric distance (ADC) sums m table lookups.
+    *
+    * All arithmetic is ×1e7 fixed-point integer ([[quantize1e7]], the
+    * x44/x45 primitive), so assignment argmins and ADC sums are exact
+    * and deterministic — no float drift across partitionings/engines.
+    *
+    *  - Codebooks: per subspace, the subvectors of the `ksub` corpus
+    *    rows with smallest xxhash64(id) (deterministic seed sample);
+    *    `trainIters` Lloyd steps refine them with integer centroid
+    *    means (half-up), each step one broadcast assign + one
+    *    (sub, code, dim) aggregation. At 100 TB train on a sample —
+    *    codebooks only need the distribution.
+    *  - Encode: one broadcast codebook pass over the corpus; argmin
+    *    integer L2² per (row, sub), ties → lowest code. The encoded
+    *    table (id, sub, code) is the only corpus-sized state.
+    *  - Search (ADC): per-query distance tables (query, sub, code,
+    *    d2) — |q|·m·ksub rows, broadcast — hash-joined to the encoded
+    *    corpus on (sub, code); one (query, neighbor) sum-aggregation
+    *    ranks by approximate L2².
+    *
+    * With ksub ≥ |corpus| every subvector is its own codeword, ADC
+    * degenerates to EXACT integer L2² and the result is hash-checked
+    * against a DuckDB brute-force oracle (x53b, the x15b pattern) —
+    * pinning encode/table/ADC machinery independent of training.
+    * The approximate operating point is gated on a recall contract vs
+    * exact L2 top-k (x53, the x7/x15 pattern). */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             m: Int = 8, ksub: Int = 16,
+             trainIters: Int = 0, rerank: Int = 0): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantize1e7(col(vecCol)).as("__qv"))
+    // --- codebooks: (sub, code, cbv) ---------------------------------
+    val seedW = Window.orderBy(col("__h"), col("neighbor_id"))
+    val seeds = c.withColumn("__h", xxhash64(col("neighbor_id")))
+      .orderBy(col("__h"), col("neighbor_id")).limit(ksub)
+      // global window is fine: ≤ ksub rows survive the limit
+      .withColumn("code", row_number().over(seedW) - 1)
+      .select(col("code"), explode(subvecs(col("__qv"), m)).as("s"))
+      .select(col("s.sub").as("sub"), col("code"), col("s.sv").as("cbv"))
+    val corpusSub = c
+      .select(col("neighbor_id"), explode(subvecs(col("__qv"), m)).as("s"))
+      .select(col("neighbor_id"), col("s.sub").as("sub"),
+        col("s.sv").as("sv"))
+    val codebook = (1 to trainIters).foldLeft(seeds) { (cb, _) =>
+      // assign every (row, sub) to its nearest codeword, then integer
+      // mean per (sub, code, dim); empty codewords drop (fewer, denser
+      // cells — fine for a quantizer, same stance as ivfTopK training)
+      corpusSub.join(broadcast(cb), Seq("sub"))
+        .groupBy(col("neighbor_id"), col("sub"))
+        .agg(min(struct(intL2(col("sv"), col("cbv")).as("d2"),
+            col("code"), col("sv"))).as("best"))
+        .select(col("sub"), col("best.code").as("code"),
+          posexplode(col("best.sv")).as(Seq("dim", "v")))
+        .groupBy(col("sub"), col("code"), col("dim"))
+        .agg(floor(sum(col("v")).cast(DoubleType) / count(lit(1)) + 0.5d)
+          .cast(LongType).as("mv"))
+        .groupBy(col("sub"), col("code"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("mv"))))
+          .as("dm"))
+        .select(col("sub"), col("code"),
+          transform(col("dm"), e => e.getField("mv")).as("cbv"))
+    }
+    // --- encode: (neighbor_id, sub, code) ----------------------------
+    val encoded = corpusSub.join(broadcast(codebook), Seq("sub"))
+      .groupBy(col("neighbor_id"), col("sub"))
+      .agg(min(struct(intL2(col("sv"), col("cbv")).as("d2"), col("code")))
+        .getField("code").as("code"))
+    // --- per-query ADC distance tables: (query_id, sub, code, d2) ----
+    val qSub = queries
+      .select(col(idCol).as("query_id"),
+        explode(subvecs(quantize1e7(col(vecCol)), m)).as("s"))
+      .select(col("query_id"), col("s.sub").as("sub"), col("s.sv").as("qsv"))
+    val dtable = qSub.join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        intL2(col("qsv"), col("cbv")).as("d2"))
+    // --- ADC scoring: one sum-aggregation over table-lookup partials -
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2").asc, col("neighbor_id").asc)
+    val adc = encoded.join(broadcast(dtable), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2")).as("approx_d2"))
+      .withColumn("rank", row_number().over(w))
+    if (rerank <= 0)
+      adc.filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("approx_d2"))
+    else {
+      // standard two-stage ADC+rerank: the code-only scan shortlists
+      // `rerank` candidates per query, then ONLY those |q|·rerank rows
+      // fetch their full vectors for an exact integer-L2² re-score —
+      // at 100 TB the exact pass touches a vanishing fraction of the
+      // store while recall approaches exact search.
+      val qv = queries.select(col(idCol).as("query_id"),
+        quantize1e7(col(vecCol)).as("__rqv"))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("exact_d2").asc, col("neighbor_id").asc)
+      adc.filter(col("rank") <= rerank)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(c, Seq("neighbor_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .withColumn("exact_d2", intL2(col("__rqv"), col("__qv")))
+        .withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("exact_d2").as("approx_d2"))
+    }
+  }
+
+  /** Exact fixed-point L2² top-k (ascending distance, ties → ascending
+    * id) — the ground truth PQ approximates; same broadcast-queries ×
+    * one-corpus-scan shape as [[bruteTopK]]. */
+  def bruteTopKL2(queries: DataFrame, corpus: DataFrame,
+                  idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      quantize1e7(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantize1e7(col(vecCol)).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2").asc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_d2", intL2(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("approx_d2"))
+  }
+
+  /** Johnson–Lindenstrauss random projection to `dOut` dimensions with
+    * the deterministic ±1 hyperplane family ([[coef]] — xxhash64, no
+    * driver randomness): y_j = Σ_i x_i·coef(j,i) / √dOut. Distances are
+    * preserved within (1±ε) w.h.p. for dOut = O(log n / ε²) — the
+    * cheap pre-LSH / pre-clustering dimension cut when D is large
+    * (e.g. 4096-d embeddings → 64-d sketches = 64× less shuffle and
+    * broadcast bytes on every downstream similarity op). One
+    * projection is a per-row map — no shuffle; at 100 TB it rides the
+    * ingest scan. */
+  def randomProject(vec: Column, dOut: Int): Column =
+    transform(sequence(lit(0), lit(dOut - 1)), j =>
+      (aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast(DoubleType) * coef(j, i)),
+        lit(0.0d), (acc, v) => acc + v)
+        / sqrt(lit(dOut.toDouble))).cast(FloatType))
+
   /** IVF (inverted-file) ANN — the other classic scale path: a coarse
     * quantizer splits the corpus into `nlist` cells; each query probes
     * only its `nprobe` nearest cells.

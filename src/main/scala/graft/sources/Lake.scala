@@ -58,6 +58,49 @@ final class Lake(spark: SparkSession, root: String) {
   def read(parts: String*): DataFrame =
     spark.read.parquet(path(parts: _*).toString)
 
+  /** Count the data files currently under a dataset directory
+    * (recursive, excluding _SUCCESS/checksum markers). */
+  def dataFileCount(parts: String*): Int = {
+    val p = path(parts: _*); val f = fs(p)
+    if (!f.exists(p)) 0
+    else {
+      val it = f.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        val s = it.next()
+        if (!s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".")) n += 1
+      }
+      n
+    }
+  }
+
+  /** Small-file compaction — THE steady-state lake maintenance op: a
+    * streaming/incremental writer leaves thousands of KB-sized files
+    * per partition, and every downstream scan then pays one task +
+    * one object-store GET per file. Rewrites the dataset into
+    * ceil(bytes / targetBytes) files (size-based, so the same call
+    * works at any scale), staged to a temp dir and atomically renamed
+    * in — a concurrent reader sees the old fileset or the new one,
+    * never a mix. Returns (filesBefore, filesAfter). */
+  def compact(targetBytes: Long, parts: String*): (Int, Int) = {
+    val p = path(parts: _*); val f = fs(p)
+    require(f.exists(p), s"compact: no dataset at $p")
+    val before = dataFileCount(parts: _*)
+    val bytes = f.getContentSummary(p).getLength
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = parts.init :+ (".compact." + parts.last)
+    // coalesce, not repartition: no shuffle — tasks just concatenate
+    // input splits, which is all compaction needs
+    read(parts: _*).coalesce(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(path(tmp: _*).toString)
+    val bak = parts.init :+ (".pre-compact." + parts.last)
+    if (!rename(parts, bak) || !rename(tmp, parts))
+      throw new java.io.IOException(s"compact commit failed: $p")
+    delete(bak: _*)
+    (before, dataFileCount(parts: _*))
+  }
+
   // ------------------------------------------------- versioned snapshots
 
   /** Snapshot version dirs live under `<dataset>/v=N`. Writes are

@@ -42,6 +42,23 @@ class LakeSpec extends GraftSuite {
     lake.delete("processed") // second delete: no throw
   }
 
+  test("compact collapses a fragmented dataset without changing content") {
+    val lake = new Lake(spark, root)
+    lake.delete("frag")
+    val df = Tables.load(spark, SparkTestBase.sfDir, "customer")
+    df.repartition(16).write.mode("overwrite")
+      .parquet(lake.path("frag").toString)
+    assert(lake.dataFileCount("frag") >= 16)
+    val (before, after) = lake.compact(64L << 20, "frag")
+    assert(before >= 16 && after === 1)
+    val back = lake.read("frag")
+    assert(back.count() === df.count())
+    assert(back.exceptAll(df).count() === 0)
+    // no stray staging/backup dirs survive the commit
+    assert(lake.list().map(_.split('/').last).forall(n => !n.startsWith(".")))
+    lake.delete("frag")
+  }
+
   test("date-prefixed layout doubles as a partition column on read") {
     val lake = new Lake(spark, root)
     lake.delete("events")
