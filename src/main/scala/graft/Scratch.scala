@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev scratchpad (not part of the driver contract): time named
+  * SparkEntry queries — `tools/run.sh graft.Scratch <sfDir> q1,q2` —
+  * with the same noop-sink + min-of-2 protocol as Bench. */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = args.lift(1).map(_.split(",").toSeq)
+      .getOrElse(Seq("a1_pricing_summary"))
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries("j4_mart_flagship")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save() // warmup
+    def timeOnce(name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      dt
+    }
+    names.foreach {
+      case "recall_x2" =>
+        // LSH candidate recall vs the exact inverted-index pairs — run
+        // after any change to the minhash/band hashing (the x2 oracle
+        // is exact Jaccard, so the LSH must find every pair here)
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.load(spark, sfDir, "documents")
+        val lsh = graft.operators.Dedup
+          .minhashPairs(docs, col("doc_id"), col("text"), 0.8)
+          .select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exact = graft.operators.Dedup
+          .ngramJaccardPairs(docs, col("doc_id"), col("text"), 0.8)
+          .select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(s"recall_x2: lsh=${lsh.size} exact=${exact.size} " +
+          s"missed=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
+      case "ext_dbg" =>
+        graft.plans.GraftExtensions.registerAll(spark)
+        spark.sql("SELECT graft_simhash60(array('a','b')) AS fp, " +
+          "graft_minhash_bands(array('a b c')) AS bands, " +
+          "graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+          "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dot").show(false)
+        import org.apache.spark.sql.functions.{array_distinct, col, lit, lower, regexp_extract_all, split}
+        import spark.implicits._
+        val d = Seq((1L, "alpha beta gamma")).toDF("id", "text")
+        d.select(graft.operators.Dedup.simhash60(col("text"))).show(false)
+        d.createOrReplaceTempView("dbg_docs")
+        spark.sql("SELECT graft_simhash60(array_distinct(" +
+          "regexp_extract_all(lower(text), '\\\\S+', 0))) AS fp " +
+          "FROM dbg_docs").show(false)
+      case "minhash_dbg" =>
+        import spark.implicits._
+        import org.apache.spark.sql.functions.{col, lit, transform, xxhash64}
+        val df = Seq(Tuple1(Seq("a"))).toDF("sh")
+        df.select(
+          graft.functions.MinHashBands64Expr.minhashBands(col("sh"), 2, 2)
+            .as("native"),
+          graft.operators.Dedup.lshBandKeysDirect(
+            transform(col("sh"), s => xxhash64(s)), 2, 2).as("composed"),
+          xxhash64(col("sh").getItem(0)).as("h0"),
+          xxhash64(lit(0), xxhash64(col("sh").getItem(0))).as("m0")
+        ).show(false)
+        import org.apache.spark.sql.catalyst.expressions.XXH64
+        val s0 = org.apache.spark.unsafe.types.UTF8String.fromString("a")
+        val h = XXH64.hashUnsafeBytes(s0.getBaseObject, s0.getBaseOffset,
+          s0.numBytes(), 42L)
+        println("my h0   = " + h)
+        println("my m0   = " + XXH64.hashLong(h, XXH64.hashInt(0, 42L)))
+        println("my key0 = " + XXH64.hashLong(
+          XXH64.hashLong(h, XXH64.hashInt(0, 42L)), XXH64.hashInt(0, 42L)))
+      case "st8_debug" =>
+        // count rows per micro-batch to confirm the 2-batch split
+        import org.apache.spark.sql.functions.col
+        val out = graft.streaming.Streams.streamLateDataDrop(spark, sfDir)
+        println("st8 rows=" + out.count())
+        val ev = Tables.load(spark, sfDir, "events")
+        println("a=" + ev.filter(col("event_id") % 3 =!= 0).count() +
+          " b=" + ev.filter(col("event_id") % 3 === 0).count())
+      case n =>
+        val a = timeOnce(n); val b = timeOnce(n)
+        println(f"$n%-28s min=${math.min(a, b)}%.3f  (p1=$a%.3f p2=$b%.3f)")
+    }
+    spark.stop()
+  }
+}
