@@ -1982,6 +1982,24 @@ object SparkEntry {
           (avg(col("e")) <= lit(0.25d)).as("cos_err_le_025"))
     }),
 
+    "x55_bm25_search" -> ((s, dir) => {
+      // BM25 ranked retrieval over the corpus for a 3-term probe query
+      // — scores only the probe's postings (filter before aggregate),
+      // top-k via TakeOrderedAndProject; rounded-then-ranked so tie
+      // order is engine-identical
+      TextOps.bm25Search(t(s, dir, "documents"), col("doc_id"),
+        col("text"), Seq("hash", "vector", "spark"), k = 10)
+    }),
+
+    "x56_sorted_neighborhood" -> ((s, dir) => {
+      // sorted-neighborhood candidate pairs (w=3) over part names,
+      // verified by exact Levenshtein <= 4 — the sort-based third
+      // blocking family next to LSH bands and postings joins
+      Dedup.sortedNeighborhoodPairs(t(s, dir, "part"),
+          col("p_partkey"), col("p_name"), w = 3, maxDist = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "x21_profile" -> ((s, dir) => {
       // one-pass column profiling (nulls / exact distinct / lex min-max)
       Quality.profile(t(s, dir, "orders"),
@@ -5692,6 +5710,44 @@ object SparkEntry {
       SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, TRUE AS cos_err_le_025
       FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
       JOIN embeddings c ON q.vec_id <> c.vec_id""",
+
+    "x55_bm25_search" -> """
+      WITH tokens AS (
+        SELECT doc_id AS id,
+               UNNEST(regexp_extract_all(lower(text), '\S+')) AS term
+        FROM documents),
+      dl AS (SELECT id, COUNT(*) AS dl FROM tokens GROUP BY id),
+      ad AS (SELECT AVG(dl) AS avgdl FROM dl),
+      nn AS (SELECT COUNT(*) AS n FROM documents),
+      qtf AS (SELECT id, term, COUNT(*) AS tf FROM tokens
+              WHERE term IN ('hash', 'vector', 'spark')
+              GROUP BY id, term),
+      qdf AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY term)
+      SELECT id,
+             round(SUM(idf * tf * 2.2 /
+               (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25,
+             COUNT(*) AS n_terms_matched
+      FROM (SELECT q.id, q.tf, d.df, l.dl, a.avgdl,
+                   ln(1 + (n.n - d.df + 0.5) / (d.df + 0.5)) AS idf
+            FROM qtf q JOIN qdf d USING (term) JOIN dl l USING (id)
+            CROSS JOIN ad a CROSS JOIN nn n)
+      GROUP BY id ORDER BY bm25 DESC, id ASC LIMIT 10""",
+
+    "x56_sorted_neighborhood" -> """
+      WITH s AS (SELECT p_partkey AS id, p_name AS k,
+                        substring(p_name, 1, 1) AS blk FROM part),
+      l AS (SELECT id, k,
+              lead(id, 1) OVER w AS n1id, lead(k, 1) OVER w AS n1k,
+              lead(id, 2) OVER w AS n2id, lead(k, 2) OVER w AS n2k
+            FROM s WINDOW w AS (PARTITION BY blk ORDER BY k, id)),
+      pairs AS (
+        SELECT id AS id_a, n1id AS id_b, levenshtein(k, n1k) AS dist
+        FROM l WHERE n1id IS NOT NULL
+        UNION ALL
+        SELECT id, n2id, levenshtein(k, n2k)
+        FROM l WHERE n2id IS NOT NULL)
+      SELECT id_a, id_b, CAST(dist AS INT) AS dist FROM pairs
+      WHERE dist <= 4 ORDER BY id_a, id_b""",
 
     "e2e_medallion_mart" -> """
       SELECT c_mktsegment AS segment,

@@ -712,4 +712,35 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("cos_sim"), 4).as("cos_sim"))
   }
+
+  /** Sorted-neighborhood method (Hernández & Stolfo, SIGMOD'95) — the
+    * third candidate-generation family next to hash blocking (LSH
+    * bands, IVF cells) and inverted-index postings: sort records by a
+    * key, compare each record only to its `w − 1` successors in sort
+    * order. Candidates here are verified with exact Levenshtein (both
+    * engines ship it), pairs over `maxDist` dropped.
+    *
+    * Scale shape: the sort is windowed WITHIN a coarse block (the
+    * key's first character here — any prefix/soundex works), so the
+    * plan is one hash shuffle on the block + an in-partition sort —
+    * never a global single-partition window. Block-boundary pairs are
+    * the replicate-w−1-edge-rows trick at ingest; with a prefix block
+    * the boundary rows share no key prefix, so the loss is the pairs
+    * a coarser block would also miss. `lead(i)` over the sorted block
+    * generates the w−1 successor pairs without a self-join. */
+  def sortedNeighborhoodPairs(df: DataFrame, id: Column, key: Column,
+                              w: Int = 3, maxDist: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = df.select(id.as("id"), key.as("k"),
+      substring(key, 1, 1).as("blk"))
+    val win = Window.partitionBy(col("blk")).orderBy(col("k"), col("id"))
+    s.withColumn("nbrs", array((1 until w).map(i =>
+        struct(lead(col("id"), i).over(win).as("nid"),
+          lead(col("k"), i).over(win).as("nk"))): _*))
+      .select(col("id"), col("k"), explode(col("nbrs")).as("nb"))
+      .filter(col("nb.nid").isNotNull)
+      .withColumn("dist", levenshtein(col("k"), col("nb.nk")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id").as("id_a"), col("nb.nid").as("id_b"), col("dist"))
+  }
 }

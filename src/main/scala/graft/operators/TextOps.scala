@@ -517,4 +517,50 @@ object TextOps {
       .select(col("id"), col("rank"), col("term"),
         round(col("score"), 4).as("tfidf"))
   }
+
+  /** BM25 ranked retrieval (Robertson/Sparck Jones; the Lucene
+    * `(1 + ln)` idf form, always positive) — the quality-retrieval /
+    * decontamination-lookup primitive a corpus pipeline runs to find
+    * the documents most relevant to a probe query.
+    *
+    * score(d) = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) /
+    *            (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Scale shape: tf and df are computed only for the query's terms —
+    * the token explode is filtered BEFORE its aggregation, so the
+    * per-query cost is a scan plus two tiny aggregations; the
+    * doc-length table (dl, avgdl) is query-independent and cached /
+    * materialized once per corpus in practice. No windows over the
+    * corpus: top-k is one TakeOrderedAndProject. */
+  def bm25Search(df: DataFrame, id: Column, text: Column,
+                 queryTerms: Seq[String], k: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val n = df.count() // scalar constant, one cheap count pass
+    val tokens = df.select(id.as("id"),
+      explode(regexp_extract_all(lower(text), lit("\\S+"), lit(0)))
+        .as("term"))
+    val dl = tokens.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    // avgdl over docs that have tokens (UNNEST drops empty docs in
+    // the oracle identically); 1-row aggregate joined broadcast-style
+    val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
+    val qtf = tokens.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val qdf = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    qtf.join(broadcast(qdf), Seq("term"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(avgdl))
+      .withColumn("idf",
+        log(lit(1.0d) + (lit(n.toDouble) - col("df") + 0.5d) /
+          (col("df") + 0.5d)))
+      .withColumn("part",
+        col("idf") * col("tf") * (lit(k1) + 1.0d) /
+          (col("tf") + lit(k1) *
+            (lit(1.0d - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("id"))
+      .agg(round(sum(col("part")), 4).as("bm25"),
+        count(lit(1)).as("n_terms_matched"))
+      .orderBy(col("bm25").desc, col("id").asc)
+      .limit(k)
+  }
 }

@@ -70,6 +70,38 @@ class Round6Spec extends GraftSuite {
     assert(p1.exceptAll(p2).count() === 0)
   }
 
+  test("TextOps.bm25Search ranks higher-tf shorter docs first") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "spark spark spark hash"),          // tf(spark)=3, short
+      (2L, "spark is a tool " * 10 + "spark"), // tf(spark)=11 but long
+      (3L, "hash only here"),
+      (4L, "nothing relevant at all")).toDF("doc_id", "text")
+    val out = TextOps.bm25Search(docs, $"doc_id", $"text",
+      Seq("spark", "hash"), k = 3).collect()
+    assert(out.length === 3)                 // doc 4 matches nothing
+    assert(out.map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    val top = out.head
+    assert(top.getLong(0) === 1L)            // dense short doc wins
+    assert(top.getLong(2) === 2L)            // matched both terms
+  }
+
+  test("Dedup.sortedNeighborhoodPairs finds adjacent near-dups only") {
+    import graft.operators.Dedup
+    val recs = Seq(
+      (1L, "alpha centauri"), (2L, "alpha centauri"),  // exact dup
+      (3L, "alpha centaurix"),                         // 1 edit from 2
+      (4L, "beta orionis"),                            // other block
+      (5L, "zeta reticuli")).toDF("id", "name")
+    val pairs = Dedup.sortedNeighborhoodPairs(recs, $"id", $"name",
+        w = 3, maxDist = 2)
+      .orderBy($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // within the 'a' block sort order is 1,2,3: pairs (1,2,0) (1,3,1)
+    // (2,3,1); 'b'/'z' blocks are singletons → no cross-block pairs
+    assert(pairs.toSeq === Seq((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)))
+  }
+
   test("randomProject preserves cosine within JL tolerance on real data") {
     import graft.functions.VectorExprs
     val emb = Tables.load(spark, SparkTestBase.sfDir, "embeddings")
