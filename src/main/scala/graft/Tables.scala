@@ -15,21 +15,35 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read one table. `events.ts` is nanosecond-precision INT64 in the
-    * parquet footer, which Spark only reads via the nanosAsLong legacy
-    * conf; we convert back to a proper timestamp column (microsecond
-    * truncation — the driver's DuckDB oracle sees identical values for
-    * every derived date/hour/minute expression).
+  /** Read one table. `events.ts` has shipped in two physical forms
+    * across driver testdata generations — nanosecond-precision INT64
+    * (readable only as a long via the nanosAsLong legacy conf) and
+    * plain `timestamp[us]` (read natively as TIMESTAMP_NTZ) — so the
+    * normalization is schema-driven, not hardcoded: whatever the
+    * footer says, callers always see one session-zone (UTC) timestamp
+    * column with microsecond values identical to what the driver's
+    * DuckDB oracle derives for every date/hour/minute expression.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/events.parquet")
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      raw.withColumn("ts", normalizeTs(raw, "ts"))
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
   }
+
+  /** Normalize an event-time column to session-zone TimestampType
+    * regardless of the physical form it was written in (INT64 nanos →
+    * micros truncation; TIMESTAMP_NTZ → session-zone cast, identity
+    * under the UTC sessions every entrypoint builds). */
+  def normalizeTs(df: DataFrame, colName: String): org.apache.spark.sql.Column =
+    df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr(s"$colName div 1000"))
+      case _ => col(colName).cast("timestamp")
+    }
 
   /** Register every table as a temp view (SURVEY §2 S7/S15/S16: external
     * table over a blob glob + SQL over it). */

@@ -68,9 +68,9 @@ object Streams {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       java.nio.file.Paths.get(stage.getAbsolutePath, "events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val schema = spark.read.parquet(stage.getAbsolutePath).schema
-    spark.readStream.schema(schema).parquet(stage.getAbsolutePath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val staged = spark.read.parquet(stage.getAbsolutePath)
+    spark.readStream.schema(staged.schema).parquet(stage.getAbsolutePath)
+      .withColumn("ts", graft.Tables.normalizeTs(staged, "ts"))
       .withWatermark("ts", watermark)
   }
 
