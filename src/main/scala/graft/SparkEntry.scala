@@ -2000,6 +2000,49 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "x57_winnowing_pairs" -> ((s, dir) => {
+      // MOSS winnowing (SIGMOD'03): windowed-min k-gram fingerprints
+      // (k=3, w=4, density ~2/(w+1)) + inverted-index postings join
+      // with the x4b stop-fingerprint DF cutoff — the POSITIONAL
+      // near-dup family next to MinHash (set) and SimHash (bitwise)
+      TextOps.winnowingPairs(t(s, dir, "documents"), col("doc_id"),
+          col("text"), k = 3, w = 4, minOverlap = 0.5, maxDocFreq = 100L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "x58_leakage_safe_split" -> ((s, dir) => {
+      // cluster-grain train/val/test split: every exact-dup cluster
+      // inherits ONE split (the eval-contamination guard); the 1-row
+      // audit aggregate pins max splits-per-cluster at 1 in the output
+      val sp = Sampling.leakageSafeSplit(t(s, dir, "documents"),
+        col("text"))
+      val leak = sp.groupBy(col("cluster_fp"))
+        .agg(countDistinct(col("split")).as("ns"))
+        .agg(max(col("ns")).as("max_splits_per_cluster"))
+      sp.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_fp")).as("n_clusters"))
+        .crossJoin(leak) // 1-row scalar audit (the funnel idiom)
+        .orderBy(col("split"))
+    }),
+
+    "x59_label_disagreement" -> ((s, dir) => {
+      // kNN label-noise audit over the labeled embeddings: exact
+      // fixed-point L2 top-5 at audit scale (cross-engine bit-exact;
+      // ivfTopK/pqTopK are the stated candidate path at 100 TB),
+      // majority-vote per vector, per-label disagreement rates
+      val emb = t(s, dir, "embeddings")
+      val nn = Similarity.bruteTopKL2(emb, emb, "vec_id", "embedding",
+        k = 5)
+      Similarity.labelDisagreement(nn, emb, "vec_id", "label")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("disagree"), 1L).otherwise(0L)).as("n_disagree"))
+        .withColumn("disagree_rate",
+          round(col("n_disagree").cast(DoubleType) / col("n_vecs"), 4))
+        .orderBy(col("label"))
+    }),
+
     "x21_profile" -> ((s, dir) => {
       // one-pass column profiling (nulls / exact distinct / lex min-max)
       Quality.profile(t(s, dir, "orders"),
@@ -5748,6 +5791,102 @@ object SparkEntry {
         FROM l WHERE n2id IS NOT NULL)
       SELECT id_a, id_b, CAST(dist AS INT) AS dist FROM pairs
       WHERE dist <= 4 ORDER BY id_a, id_b""",
+
+    "x57_winnowing_pairs" -> """
+      WITH tk AS (
+        SELECT doc_id AS id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                 'g')), ' ') AS t
+        FROM documents),
+      g AS (
+        SELECT id, greatest(len(t) - 2, 1) AS ng,
+               UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS pos, t
+        FROM tk),
+      h AS (
+        SELECT id, ng, pos,
+               CAST(('0x' || substring(md5(array_to_string(
+                 t[pos:pos+2], ' ')), 1, 15)) AS BIGINT) AS h
+        FROM g),
+      wm AS (
+        SELECT id, ng, pos,
+               min(h) OVER (PARTITION BY id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM h),
+      fps AS (SELECT DISTINCT id, fp FROM wm
+              WHERE pos <= greatest(ng - 3, 1)),
+      cnt AS (SELECT id, COUNT(*) AS nfp FROM fps GROUP BY id),
+      rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 100),
+      posts AS (SELECT f.id, f.fp FROM fps f JOIN rare USING (fp)),
+      pr AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared
+        FROM posts a JOIN posts b ON a.fp = b.fp AND a.id < b.id
+        GROUP BY a.id, b.id)
+      SELECT id_a, id_b, shared,
+             round(CAST(shared AS DOUBLE) / least(ca.nfp, cb.nfp), 4)
+               AS overlap
+      FROM pr JOIN cnt ca ON ca.id = pr.id_a
+              JOIN cnt cb ON cb.id = pr.id_b
+      WHERE CAST(shared AS DOUBLE) / least(ca.nfp, cb.nfp) >= 0.5
+      ORDER BY id_a, id_b""",
+
+    "x58_leakage_safe_split" -> """
+      WITH sp AS (
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                 AS cluster_fp,
+               CASE WHEN CAST(('0x' || substring(md5(md5(regexp_replace(
+                        trim(lower(text)), '\s+', ' ', 'g'))), 1, 4))
+                        AS BIGINT) < 52428 THEN 'train'
+                    WHEN CAST(('0x' || substring(md5(md5(regexp_replace(
+                        trim(lower(text)), '\s+', ' ', 'g'))), 1, 4))
+                        AS BIGINT) < 58982 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents),
+      leak AS (
+        SELECT MAX(ns) AS max_splits_per_cluster FROM (
+          SELECT cluster_fp, COUNT(DISTINCT split) AS ns
+          FROM sp GROUP BY cluster_fp))
+      SELECT split, COUNT(*) AS n_docs,
+             COUNT(DISTINCT cluster_fp) AS n_clusters,
+             max_splits_per_cluster
+      FROM sp CROSS JOIN leak
+      GROUP BY split, max_splits_per_cluster ORDER BY split""",
+
+    "x59_label_disagreement" -> """
+      WITH qv AS (
+        SELECT vec_id, label,
+               list_transform(embedding, v ->
+                 CAST(floor(CAST(v AS DOUBLE) * 1e7 + 0.5) AS BIGINT))
+                 AS qv
+        FROM embeddings),
+      nn AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY CAST(list_sum(list_transform(
+                     range(1, len(q.qv) + 1),
+                     i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i])))
+                     AS BIGINT) ASC, c.vec_id ASC) AS rank
+          FROM qv q JOIN qv c ON q.vec_id <> c.vec_id)
+        WHERE rank <= 5),
+      maj AS (
+        SELECT query_id, label AS maj_label FROM (
+          SELECT v.query_id, v.label,
+                 row_number() OVER (PARTITION BY v.query_id
+                   ORDER BY v.votes DESC, v.label ASC) AS rk
+          FROM (SELECT n.query_id, c.label, COUNT(*) AS votes
+                FROM nn n JOIN qv c ON n.neighbor_id = c.vec_id
+                GROUP BY n.query_id, c.label) v)
+        WHERE rk = 1),
+      per AS (
+        SELECT e.vec_id, e.label, m.maj_label
+        FROM qv e JOIN maj m ON e.vec_id = m.query_id)
+      SELECT label, COUNT(*) AS n_vecs,
+             CAST(SUM(CASE WHEN label <> maj_label THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_disagree,
+             round(CAST(SUM(CASE WHEN label <> maj_label THEN 1 ELSE 0
+               END) AS DOUBLE) / COUNT(*), 4) AS disagree_rate
+      FROM per GROUP BY label ORDER BY label""",
 
     "e2e_medallion_mart" -> """
       SELECT c_mktsegment AS segment,

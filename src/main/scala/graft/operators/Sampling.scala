@@ -97,6 +97,28 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Leakage-safe train/val/test split: assign the split at the
+    * duplicate-CLUSTER grain, not the row grain. A plain row-keyed
+    * split ([[threeWaySplit]] on the doc id) puts byte-identical
+    * near-copies of one document on both sides of the train/test
+    * fence — the classic eval-contamination bug. Keying the split hash
+    * on the content fingerprint instead makes every exact duplicate
+    * inherit one split by construction; near-dup clusters compose the
+    * same way by passing a canonical cluster label (e.g. the
+    * connected-component label from Dedup.connectedComponents) as
+    * `clusterKey`.
+    *
+    * Adds `cluster_fp` (the split key) and `split`. Same scan-speed
+    * shape as [[threeWaySplit]]: per-row md5, no shuffle, no count
+    * pass — the split of a row never depends on any other row. */
+  def leakageSafeSplit(df: DataFrame, text: Column,
+                       clusterKey: Option[Column] = None,
+                       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val fp = clusterKey.getOrElse(graft.functions.ColFns.fingerprint(text))
+    threeWaySplit(df.withColumn("cluster_fp", fp.cast("string")),
+      col("cluster_fp"), trainPct, valPct)
+  }
+
   /** Training-mixture plan: given per-source corpus stats, target
     * mixture weights, and a total token budget, emit each source's
     * share of the budget and how to realize it — `full_epochs` whole

@@ -68,6 +68,39 @@ object Similarity {
     scoreAndRank(scored, k)
   }
 
+  /** kNN label-disagreement audit (label-noise / mislabeled-example
+    * detection, cf. confident learning): for each vector, take its
+    * top-k neighbors' majority label; a vector whose own label differs
+    * from the local majority is flagged as a likely annotation error —
+    * the embedding-space sanity check a labeled training set runs
+    * before fine-tuning.
+    *
+    * Consumes ANY (query_id, neighbor_id) top-k table, so it composes
+    * with the whole ANN stack: [[bruteTopK]] as the exact diagnostic at
+    * audit scale, [[ivfTopK]]/[[pqTopK]] as the 100 TB candidate path —
+    * the audit itself is two hash aggregations on (query, label), never
+    * quadratic. Majority ties break by ascending label for
+    * determinism. Returns one row per query: (id, label, maj_label,
+    * maj_votes, disagree). */
+  def labelDisagreement(topk: DataFrame, labeled: DataFrame,
+                        idCol: String, labelCol: String): DataFrame = {
+    val lab = labeled.select(col(idCol).as("__nid"), col(labelCol).as("__nlab"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("__nlab").asc)
+    val maj = topk
+      .join(lab, col("neighbor_id") === col("__nid"))
+      .groupBy(col("query_id"), col("__nlab"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("query_id"), col("__nlab").as("maj_label"),
+        col("votes").as("maj_votes"))
+    labeled.select(col(idCol).as("id"), col(labelCol).as("label"))
+      .join(maj, col("id") === col("query_id"))
+      .select(col("id"), col("label"), col("maj_label"), col("maj_votes"),
+        (col("label") =!= col("maj_label")).as("disagree"))
+  }
+
   /** Sign-sketch bucket for LSH table `t` (each table uses a disjoint
     * slice of the hyperplane family: planes t*b .. t*b+b-1). */
   private def tableBucket(vec: Column, t: Column, planes: Int): Column =

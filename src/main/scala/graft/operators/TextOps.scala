@@ -80,6 +80,78 @@ object TextOps {
       ColFns.portableHash60(norm).as("fp60"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS algorithm): hash every token `k`-gram, slide a window of `w`
+    * consecutive gram hashes, keep each window's MINIMUM hash. The kept
+    * set is a deterministic ~2/(w+1)-density sample of the gram hashes
+    * with the winnowing guarantee: any shared run of w+k-1 tokens
+    * between two docs contributes at least one SHARED fingerprint —
+    * the positional near-dup signal MinHash (set-level, order-blind)
+    * cannot give.
+    *
+    * Shape: gram rows are (id, pos, hash) only — text never enters the
+    * window shuffle (the x36 span discipline); one hash-partition per
+    * doc id, frame min over w rows, distinct. Hashes are
+    * [[ColFns.portableHash60]] so any engine with md5() re-derives the
+    * identical fingerprint set.
+    *
+    * Returns (id, fp) distinct rows. Windows are anchored at positions
+    * 1..max(G-w+1, 1) of the G = max(|toks|-k+1, 1) grams, so a doc
+    * shorter than w+k-1 tokens still yields exactly one fingerprint
+    * (the min over all its grams). */
+  def winnowingFingerprints(df: DataFrame, id: Column, text: Column,
+                            k: Int = 3, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, "k and w must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
+    val grams = df
+      .select(id.as("id"), toks.as("__t"))
+      .withColumn("__ng", greatest(size(col("__t")) - (k - 1), lit(1)))
+      .select(col("id"), col("__ng"),
+        explode(transform(sequence(lit(1), col("__ng")), i =>
+          struct(i.as("pos"),
+            ColFns.portableHash60(concat_ws(" ", slice(col("__t"), i, lit(k))))
+              .as("h")))).as("g"))
+      .select(col("id"), col("__ng"), col("g.pos").as("pos"),
+        col("g.h").as("h"))
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("fp", min(col("h")).over(win))
+      .filter(col("pos") <= greatest(col("__ng") - (w - 1), lit(1)))
+      .select(col("id"), col("fp")).distinct()
+  }
+
+  /** Document pairs sharing winnowing fingerprints: postings equi-join
+    * on the fingerprint (inverted index — only pairs sharing ≥1
+    * fingerprint ever materialize), count shared per pair, overlap =
+    * shared / min(|fps_a|, |fps_b|). Fingerprints in more than
+    * `maxDocFreq` docs are dropped from candidate generation (the x4b
+    * stop-shingle discipline — boilerplate fingerprints are the only
+    * quadratic skew the postings join has). */
+  def winnowingPairs(df: DataFrame, id: Column, text: Column,
+                     k: Int = 3, w: Int = 4, minOverlap: Double = 0.5,
+                     maxDocFreq: Long = 100L): DataFrame = {
+    val fps = winnowingFingerprints(df, id, text, k, w)
+    val cnt = fps.groupBy(col("id")).agg(count(lit(1)).as("nfp"))
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("dfreq")).filter(col("dfreq") <= maxDocFreq)
+      .select("fp")
+    val posts = fps.join(rare, Seq("fp"))
+    posts.as("a")
+      .join(posts.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(cnt.select(col("id").as("id_a"), col("nfp").as("nfp_a")), "id_a")
+      .join(cnt.select(col("id").as("id_b"), col("nfp").as("nfp_b")), "id_b")
+      .withColumn("overlap", col("shared").cast(DoubleType) /
+        least(col("nfp_a"), col("nfp_b")).cast(DoubleType))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("id_a"), col("id_b"), col("shared"),
+        round(col("overlap"), 4).as("overlap"))
+  }
+
   /** PII patterns kept deliberately portable (no lookarounds) so the
     * same regex runs in any RE2/PCRE-ish engine a pipeline audits with. */
   val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Sampling, Similarity, TextOps}
+
+/** Round-7 additions: winnowing fingerprints (x57), leakage-safe
+  * splits (x58), kNN label-disagreement audit (x59). */
+class Round7Spec extends GraftSuite {
+  import spark.implicits._
+
+  // ---------------------------------------------------------- winnowing
+
+  test("winnowing guarantee: a shared w+k-1 token run yields a shared fingerprint") {
+    // k=3, w=4 → any shared window of 6 consecutive tokens must
+    // contribute at least one common fingerprint (SIGMOD'03 Thm. 2)
+    val shared = "alpha bravo charlie delta echo foxtrot"
+    val docs = Seq(
+      (1L, s"one two three $shared nine ten eleven twelve"),
+      (2L, s"aaa bbb ccc ddd $shared zzz yyy")).toDF("id", "text")
+    val fps = TextOps.winnowingFingerprints(docs, $"id", $"text")
+    val common = fps.filter($"id" === 1L).select("fp")
+      .intersect(fps.filter($"id" === 2L).select("fp"))
+    assert(common.count() >= 1)
+  }
+
+  test("winnowing density: fingerprints ≪ grams, short doc gets exactly one") {
+    val long = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, "just three tokens")).toDF("id", "text")
+    val fps = TextOps.winnowingFingerprints(docs, $"id", $"text")
+    val nLong = fps.filter($"id" === 1L).count()
+    // 198 grams, window 4 → expected ~2/(w+1) = 40% density; allow wide
+    // margins but pin that it is a strict sample, not all grams
+    assert(nLong > 20 && nLong < 150, s"density off: $nLong of 198 grams")
+    // 3 tokens → 1 gram → exactly one fingerprint
+    assert(fps.filter($"id" === 2L).count() === 1)
+  }
+
+  test("winnowingPairs finds the plagiarized pair and not the disjoint one") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra trailing tokens"), // near-copy of 1
+      (3L, (100 to 140).map(i => s"q$i").mkString(" "))).toDF("id", "text")
+    val pairs = TextOps.winnowingPairs(docs, $"id", $"text").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    val overlap = pairs.head.getDouble(3)
+    assert(overlap > 0.9, s"near-copy overlap should be ~1.0, got $overlap")
+  }
+
+  test("winnowingPairs plan: postings equi-join, no cartesian product") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("id", "text")
+    val plan = TextOps.winnowingPairs(docs, $"id", $"text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"winnowing pair generation must stay an equi-join:\n$plan")
+  }
+
+  // ------------------------------------------------- leakage-safe split
+
+  test("leakageSafeSplit: exact duplicates always land in one split") {
+    val docs = (1L to 300L).map { i =>
+      // 100 clusters of 3 byte-identical copies each
+      (i, s"document body number ${i % 100} with shared content")
+    }.toDF("doc_id", "text")
+    val sp = Sampling.leakageSafeSplit(docs, $"text")
+    val fractured = sp.groupBy("cluster_fp")
+      .agg(countDistinct("split").as("ns")).filter($"ns" > 1).count()
+    assert(fractured === 0)
+    // all three splits materialize over 100 clusters
+    assert(sp.select("split").distinct().count() === 3)
+  }
+
+  test("leakageSafeSplit honors an explicit cluster key (near-dup composition)") {
+    val docs = Seq(
+      (1L, "some text a", 7L), (2L, "some text b", 7L), // one CC label
+      (3L, "other text", 9L)).toDF("doc_id", "text", "cc")
+    val sp = Sampling.leakageSafeSplit(docs, $"text", Some($"cc"))
+    val splits = sp.filter($"cc" === 7L).select("split").distinct().count()
+    assert(splits === 1)
+  }
+
+  // --------------------------------------------- kNN label disagreement
+
+  test("labelDisagreement flags the mislabeled vector, keeps the clean ones") {
+    // 5 vectors near (1,0), labeled A except vec 4 labeled B; one far
+    // vector at (0,1) labeled B. vec 4's neighbors are all A ⇒ flagged.
+    val emb = Seq(
+      (0L, Array(1.00f, 0.01f), "A"), (1L, Array(1.00f, 0.02f), "A"),
+      (2L, Array(0.99f, 0.00f), "A"), (3L, Array(0.98f, 0.01f), "A"),
+      (4L, Array(1.00f, 0.00f), "B"), // mislabeled
+      (5L, Array(0.00f, 1.00f), "B")).toDF("vec_id", "embedding", "label")
+    val nn = Similarity.bruteTopKL2(emb, emb, "vec_id", "embedding", k = 3)
+    val audit = Similarity.labelDisagreement(nn, emb, "vec_id", "label")
+    val flagged = audit.filter($"disagree").select("id")
+      .as[Long].collect().toSet
+    assert(flagged.contains(4L), "mislabeled vector must be flagged")
+    assert(!flagged.contains(0L) && !flagged.contains(1L))
+  }
+
+  test("labelDisagreement majority ties break by ascending label") {
+    // vec 0's top-2 neighbors split 1-1 between labels B and C ⇒ the
+    // deterministic majority is B (ascending label order)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), "A"),
+      (1L, Array(0.9f, 0.1f), "C"),
+      (2L, Array(0.9f, -0.1f), "B")).toDF("vec_id", "embedding", "label")
+    val nn = Similarity.bruteTopKL2(emb, emb, "vec_id", "embedding", k = 2)
+    val maj = Similarity.labelDisagreement(nn, emb, "vec_id", "label")
+      .filter($"id" === 0L).select("maj_label").as[String].head()
+    assert(maj === "B")
+  }
+}
