@@ -2043,6 +2043,24 @@ object SparkEntry {
         .orderBy(col("label"))
     }),
 
+    "x60_unigram_logprob" -> ((s, dir) => {
+      // KenLM-lite statistical quality: corpus-trained add-one unigram
+      // LM, docs scored by mean token log-prob — vocab stays a
+      // distributed hash join, never a driver table
+      TextOps.unigramLogProb(t(s, dir, "documents"), col("doc_id"),
+          col("text"))
+        .orderBy(col("id"))
+    }),
+
+    "x61_source_drift" -> ((s, dir) => {
+      // per-source KL(source ‖ corpus) over the global top-50 tokens —
+      // the mixture-drift monitor; top-k is TakeOrderedAndProject, the
+      // KL state is (sources × 50) rows
+      TextOps.sourceTokenDrift(t(s, dir, "documents"), col("source"),
+          col("text"))
+        .orderBy(col("source"))
+    }),
+
     "x21_profile" -> ((s, dir) => {
       // one-pass column profiling (nulls / exact distinct / lex min-max)
       Quality.profile(t(s, dir, "orders"),
@@ -5828,6 +5846,43 @@ object SparkEntry {
               JOIN cnt cb ON cb.id = pr.id_b
       WHERE CAST(shared AS DOUBLE) / least(ca.nfp, cb.nfp) >= 0.5
       ORDER BY id_a, id_b""",
+
+    "x60_unigram_logprob" -> """
+      WITH tokens AS (
+        SELECT doc_id AS id,
+               UNNEST(regexp_extract_all(lower(text), '\S+')) AS tok
+        FROM documents),
+      vocab AS (SELECT tok, COUNT(*) AS cnt FROM tokens GROUP BY tok),
+      tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS vsize FROM vocab),
+      logp AS (SELECT tok, ln((cnt + 1.0) / (total + vsize)) AS logp
+               FROM vocab CROSS JOIN tot)
+      SELECT id, COUNT(*) AS n_toks, round(AVG(logp), 4) AS avg_logp
+      FROM tokens JOIN logp USING (tok)
+      GROUP BY id ORDER BY id""",
+
+    "x61_source_drift" -> """
+      WITH tokens AS (
+        SELECT source, UNNEST(regexp_extract_all(lower(text), '\S+'))
+          AS tok
+        FROM documents),
+      top AS (SELECT tok, COUNT(*) AS gcnt FROM tokens GROUP BY tok
+              ORDER BY gcnt DESC, tok ASC LIMIT 50),
+      gt AS (SELECT SUM(gcnt) AS gtotal FROM top),
+      sc AS (SELECT source, tok, COUNT(*) AS scnt FROM tokens
+             WHERE tok IN (SELECT tok FROM top) GROUP BY source, tok),
+      grid AS (
+        SELECT s.source, t.tok, t.gcnt, COALESCE(sc.scnt, 0) AS scnt
+        FROM (SELECT DISTINCT source FROM sc) s
+        CROSS JOIN top t
+        LEFT JOIN sc ON sc.source = s.source AND sc.tok = t.tok),
+      st AS (SELECT source, SUM(scnt) AS stotal FROM grid GROUP BY source)
+      SELECT source, round(SUM(p * ln(p / q)), 4) AS kl_divergence,
+             CAST(MAX(stotal) AS BIGINT) AS n_top_tokens
+      FROM (
+        SELECT g.source, (g.scnt + 1.0) / (st.stotal + 50) AS p,
+               CAST(g.gcnt AS DOUBLE) / gt.gtotal AS q, st.stotal
+        FROM grid g JOIN st USING (source) CROSS JOIN gt)
+      GROUP BY source ORDER BY source""",
 
     "x58_leakage_safe_split" -> """
       WITH sp AS (

@@ -152,6 +152,73 @@ object TextOps {
         round(col("overlap"), 4).as("overlap"))
   }
 
+  /** Unigram language-model scoring (KenLM-lite): train add-one-smoothed
+    * token log-probabilities on the corpus itself, then score each doc
+    * by its mean token log-prob — the cheap statistical-quality signal
+    * (gibberish, boilerplate, wrong-language text all score far below
+    * the corpus mode) a pipeline runs before paying for a neural
+    * perplexity pass.
+    *
+    * Shape: one token-count aggregation (the vocab), one hash join of
+    * token rows against it (keyed by token — skewed tokens like "the"
+    * are handled by AQE; the joined payload is one double), one doc
+    * aggregation. Nothing is driver-side: the vocab stays distributed,
+    * so a 10M-type vocabulary at 100 TB never funnels anywhere.
+    * ln() and round(…,4) keep the scores engine-reproducible. */
+  def unigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tokens = df.select(id.as("id"),
+      explode(regexp_extract_all(lower(text), lit("\\S+"), lit(0)))
+        .as("tok"))
+    val vocab = tokens.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val totals = vocab.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("vsize"))
+    val logp = vocab.crossJoin(broadcast(totals)) // 1-row scalar totals
+      .withColumn("logp",
+        log((col("cnt") + 1.0d) /
+          (col("total") + col("vsize")).cast(DoubleType)))
+      .select(col("tok"), col("logp"))
+    tokens.join(logp, Seq("tok"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_toks"),
+        round(avg(col("logp")), 4).as("avg_logp"))
+  }
+
+  /** Per-source token-distribution drift: KL(source ‖ corpus) over the
+    * global top-`vocabSize` tokens — the mixture-monitoring statistic
+    * that catches one source's vocabulary wandering away from the
+    * blend (scrape drift, template floods, language creep). Restricting
+    * to the corpus top-k makes the statistic robust (every source has
+    * mass there after add-one smoothing) and keeps the joined state
+    * tiny: top-k via TakeOrderedAndProject, then one (source × k)
+    * aggregation — no full-vocab shuffle survives the limit. */
+  def sourceTokenDrift(df: DataFrame, source: Column, text: Column,
+                       vocabSize: Int = 50): DataFrame = {
+    val tokens = df.select(source.as("source"),
+      explode(regexp_extract_all(lower(text), lit("\\S+"), lit(0)))
+        .as("tok"))
+    val top = tokens.groupBy(col("tok")).agg(count(lit(1)).as("gcnt"))
+      .orderBy(col("gcnt").desc, col("tok").asc).limit(vocabSize)
+    val gTotal = top.agg(sum(col("gcnt")).as("gtotal"))
+    val srcCnt = tokens.join(broadcast(top.select("tok")), Seq("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("scnt"))
+    // dense (source × top-token) grid so absent tokens still smooth
+    val grid = srcCnt.select(col("source")).distinct()
+      .crossJoin(top.select(col("tok"), col("gcnt")))
+      .join(srcCnt, Seq("source", "tok"), "left")
+      .na.fill(0L, Seq("scnt"))
+    val sTotal = grid.groupBy(col("source"))
+      .agg(sum(col("scnt")).as("stotal"))
+    grid.join(sTotal, Seq("source")).crossJoin(broadcast(gTotal))
+      .withColumn("p", (col("scnt") + 1.0d) /
+        (col("stotal") + lit(vocabSize)).cast(DoubleType))
+      .withColumn("q", col("gcnt").cast(DoubleType) / col("gtotal"))
+      .groupBy(col("source"))
+      .agg(round(sum(col("p") * log(col("p") / col("q"))), 4)
+        .as("kl_divergence"),
+        max(col("stotal")).as("n_top_tokens"))
+  }
+
   /** PII patterns kept deliberately portable (no lookarounds) so the
     * same regex runs in any RE2/PCRE-ish engine a pipeline audits with. */
   val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

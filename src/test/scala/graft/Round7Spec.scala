@@ -79,6 +79,35 @@ class Round7Spec extends GraftSuite {
     assert(splits === 1)
   }
 
+  // ----------------------------------------------- corpus statistics
+
+  test("unigramLogProb: common-token docs outscore rare-token docs") {
+    val common = "the the the cat sat on the mat"
+    val docs = Seq(
+      (1L, common), (2L, common), (3L, common), (4L, common),
+      (5L, "zyx wvu tsr qpo nml")).toDF("doc_id", "text")
+    val scored = TextOps.unigramLogProb(docs, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored(1L) > scored(5L),
+      s"gibberish must score below the corpus mode: $scored")
+    val n = TextOps.unigramLogProb(docs, $"doc_id", $"text")
+      .filter($"id" === 1L).select("n_toks").as[Long].head()
+    assert(n === 8)
+  }
+
+  test("sourceTokenDrift: divergent source has the higher KL") {
+    val typical = "alpha beta gamma delta epsilon"
+    // typical dominates the blend, so the corpus distribution ≈ the
+    // typical source and only the weird source diverges from it
+    val rows = (1 to 50).map(i => (s"src_typical", s"$typical run$i")) ++
+      (1 to 5).map(i => (s"src_weird", s"qqq www eee rrr ttt odd$i"))
+    val docs = rows.toDF("source", "text")
+    val kl = TextOps.sourceTokenDrift(docs, $"source", $"text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(kl("src_weird") > kl("src_typical"),
+      s"drifted source must carry the larger KL: $kl")
+  }
+
   // --------------------------------------------- kNN label disagreement
 
   test("labelDisagreement flags the mislabeled vector, keeps the clean ones") {
