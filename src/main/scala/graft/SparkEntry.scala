@@ -2061,6 +2061,37 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "x62_integrity_report" -> ((s, dir) => {
+      // post-build star-schema validation: the reference's init.sql
+      // PK/FK/NOT NULL/CHECK constraints reduced to one unioned
+      // violation-count report (SURVEY §1.1); each check is its own
+      // anti-join/aggregate subtree, parallelized by the planner
+      val (li, ord) = (t(s, dir, "lineitem"), t(s, dir, "orders"))
+      val (cust, nat) = (t(s, dir, "customer"), t(s, dir, "nation"))
+      Quality.integrityReport(Seq(
+        ("fk_lineitem_orders", "lineitem",
+          Quality.fkOrphans(li, "l_orderkey", ord, "o_orderkey")),
+        ("fk_orders_customer", "orders",
+          Quality.fkOrphans(ord, "o_custkey", cust, "c_custkey")),
+        ("fk_customer_nation", "customer",
+          Quality.fkOrphans(cust, "c_nationkey", nat, "n_nationkey")),
+        ("fk_supplier_nation", "supplier",
+          Quality.fkOrphans(t(s, dir, "supplier"), "s_nationkey",
+            nat, "n_nationkey")),
+        ("pk_dup_orders", "orders",
+          Quality.duplicateKeys(ord, Seq("o_orderkey"))),
+        ("pk_dup_part", "part",
+          Quality.duplicateKeys(t(s, dir, "part"), Seq("p_partkey"))),
+        ("notnull_o_orderdate", "orders",
+          ord.filter(col("o_orderdate").isNull)),
+        ("check_price_cap_300k", "orders", // fires: data-dependent count
+          ord.filter(!coalesce(col("o_totalprice") <= 300000.0d,
+            lit(false)))),
+        ("check_l_quantity_pos", "lineitem",
+          li.filter(!coalesce(col("l_quantity") > 0.0d, lit(false))))))
+        .orderBy(col("check_name"))
+    }),
+
     "x21_profile" -> ((s, dir) => {
       // one-pass column profiling (nulls / exact distinct / lex min-max)
       Quality.profile(t(s, dir, "orders"),
@@ -5846,6 +5877,43 @@ object SparkEntry {
               JOIN cnt cb ON cb.id = pr.id_b
       WHERE CAST(shared AS DOUBLE) / least(ca.nfp, cb.nfp) >= 0.5
       ORDER BY id_a, id_b""",
+
+    "x62_integrity_report" -> """
+      SELECT 'check_l_quantity_pos' AS check_name, 'lineitem' AS table_name,
+             (SELECT COUNT(*) FROM lineitem
+              WHERE NOT COALESCE(l_quantity > 0.0, FALSE)) AS n_violations
+      UNION ALL
+      SELECT 'check_price_cap_300k', 'orders',
+             (SELECT COUNT(*) FROM orders
+              WHERE NOT COALESCE(o_totalprice <= 300000.0, FALSE))
+      UNION ALL
+      SELECT 'fk_customer_nation', 'customer',
+             (SELECT COUNT(*) FROM customer WHERE c_nationkey IS NOT NULL
+              AND c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+      UNION ALL
+      SELECT 'fk_lineitem_orders', 'lineitem',
+             (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+              AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      UNION ALL
+      SELECT 'fk_orders_customer', 'orders',
+             (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+      UNION ALL
+      SELECT 'fk_supplier_nation', 'supplier',
+             (SELECT COUNT(*) FROM supplier WHERE s_nationkey IS NOT NULL
+              AND s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+      UNION ALL
+      SELECT 'notnull_o_orderdate', 'orders',
+             (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL)
+      UNION ALL
+      SELECT 'pk_dup_orders', 'orders',
+             (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+              GROUP BY o_orderkey HAVING COUNT(*) > 1))
+      UNION ALL
+      SELECT 'pk_dup_part', 'part',
+             (SELECT COUNT(*) FROM (SELECT p_partkey FROM part
+              GROUP BY p_partkey HAVING COUNT(*) > 1))
+      ORDER BY check_name""",
 
     "x60_unigram_logprob" -> """
       WITH tokens AS (

@@ -54,6 +54,31 @@ object Quality {
       notNullCols.map(c =>
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c")): _*)
 
+  /** Star-schema integrity report: evaluate a set of named violation
+    * sets lazily and union their counts into one (check_name, table_name,
+    * n_violations) table — the post-build validation run the
+    * reference's MySQL DDL constraints reduce to (SURVEY §1.1,
+    * `sql/init.sql`). Each entry is (check name, table name, DataFrame
+    * whose ROWS are the violations — e.g. [[fkOrphans]] output, a
+    * duplicate-key set, a failed-predicate filter).
+    *
+    * The union of per-check 1-row aggregates stays one Spark job;
+    * each check is its own scan/join subtree, so the planner
+    * parallelizes them and nothing funnels through the driver. */
+  def integrityReport(checks: Seq[(String, String, DataFrame)]): DataFrame =
+    checks.map { case (name, tbl, viol) =>
+      viol.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), lit(tbl).as("table_name"),
+          col("n_violations"))
+    }.reduce(_ unionAll _)
+
+  /** Duplicate-key rows as a SET (for [[integrityReport]]): one row per
+    * key value that appears more than once (null components included —
+    * SQL PKs forbid null). */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
+
   /** Key-skew report: the `topN` heaviest values of a key column with
     * their row share and rank — the diagnostic that decides between a
     * plain shuffle join, AQE skew handling, and explicit salting

@@ -79,6 +79,23 @@ class Round7Spec extends GraftSuite {
     assert(splits === 1)
   }
 
+  // ------------------------------------------------- integrity report
+
+  test("integrityReport counts orphans, dup keys, and check violations") {
+    import graft.operators.Quality
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val fact = Seq((10L, 1L), (11L, 2L), (12L, 99L)).toDF("fid", "dim_id")
+    val dups = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "v")
+    val rep = Quality.integrityReport(Seq(
+      ("fk_fact_dim", "fact", Quality.fkOrphans(fact, "dim_id", dim, "id")),
+      ("pk_dup", "dups", Quality.duplicateKeys(dups, Seq("k"))),
+      ("check_fid_small", "fact",
+        fact.filter(!coalesce($"fid" < 12L, lit(false))))))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rep === Map("fk_fact_dim" -> 1L, "pk_dup" -> 1L,
+      "check_fid_small" -> 1L))
+  }
+
   // ----------------------------------------------- corpus statistics
 
   test("unigramLogProb: common-token docs outscore rare-token docs") {
