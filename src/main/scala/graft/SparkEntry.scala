@@ -2646,6 +2646,15 @@ object SparkEntry {
         .orderBy(col("item_a"), col("item_b"))
     }),
 
+    "g4_label_propagation" -> ((s, dir) => {
+      // deterministic synchronous label-propagation communities
+      // (mode-of-neighbors, ties ascending) over the same derived
+      // link graph as g1 — 3 fixed rounds, engine-replayable
+      val e = t(s, dir, "events").select(col("user_id").as("src"),
+        (col("event_id") % 150).as("dst"))
+      Graph.labelPropagation(e, iters = 3).orderBy(col("node"))
+    }),
+
     "j15_scd2_pointintime" -> ((s, dir) => {
       // the consumption side of m4's SCD2 dim: each fact row joins the
       // dim VERSION whose validity interval covers its event date
@@ -2932,10 +2941,40 @@ object SparkEntry {
     header + its + s"\n      SELECT node, rank FROM it$iters ORDER BY node"
   }
 
+  private def labelPropOracleSql(iters: Int): String = {
+    def prev(k: Int) = if (k == 1) "l0" else s"lp${k - 1}"
+    val header = """
+      WITH e0 AS (SELECT DISTINCT user_id AS src, event_id % 150 AS dst
+                  FROM events),
+      sym AS (SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM e0
+                UNION ALL SELECT dst, src FROM e0)
+              WHERE src <> dst),
+      nodes AS (SELECT DISTINCT src AS node FROM sym),
+      l0 AS (SELECT node, node AS label FROM nodes)"""
+    val its = (1 to iters).map { k =>
+      s""",
+      lp$k AS (
+        SELECT p.node, COALESCE(m.new_label, p.label) AS label
+        FROM ${prev(k)} p LEFT JOIN (
+          SELECT dst AS node, label AS new_label FROM (
+            SELECT s.dst, r.label, COUNT(*) AS cnt,
+                   row_number() OVER (PARTITION BY s.dst
+                     ORDER BY COUNT(*) DESC, r.label ASC) AS rk
+            FROM sym s JOIN ${prev(k)} r ON s.src = r.node
+            GROUP BY s.dst, r.label)
+          WHERE rk = 1) m ON p.node = m.node)"""
+    }.mkString
+    header + its +
+      s"\n      SELECT node, label AS community FROM lp$iters ORDER BY node"
+  }
+
   // =======================================================================
   def oracleSql: Map[String, String] = Map(
 
     "g1_pagerank" -> pagerankOracleSql(5),
+
+    "g4_label_propagation" -> labelPropOracleSql(3),
 
     "s1_csv_roundtrip" -> """
       SELECT o_orderstatus, COUNT(*) AS n,

@@ -29,6 +29,46 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007, made deterministic): labels start as the node id; each
+    * round every node adopts the MODE of its neighbors' labels, ties
+    * broken by ascending label, isolated nodes keep their own. Fixed
+    * `iters` synchronous rounds — no convergence test, no randomness —
+    * so the result is a pure function of the edge list and any engine
+    * replays it exactly.
+    *
+    * Per round: one labels×edges hash join, one (node, label)-grain
+    * aggregation, one per-node top-1 window over ALREADY-REDUCED label
+    * counts (bounded by distinct neighbor labels, not degree), and a
+    * left join back to carry isolated nodes. `localCheckpoint` truncates
+    * lineage per round (the [[pagerankMicro]] discipline). Undirected:
+    * the edge list is symmetrized internally. */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    val nodes = sym.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("dst"))
+        .orderBy(col("cnt").desc, col("label").asc)
+      val maj = sym
+        .join(labels, sym("src") === labels("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("dst").as("node"), col("label").as("new_label"))
+      labels = labels.join(maj, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
+
   /** Item co-occurrence graph from (user, item) interactions — the
     * collaborative-filtering / item-embedding prep pass: for every
     * item pair sharing a user, the co-user count and the Jaccard over

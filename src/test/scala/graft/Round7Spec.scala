@@ -79,6 +79,23 @@ class Round7Spec extends GraftSuite {
     assert(splits === 1)
   }
 
+  // ------------------------------------------- label-propagation (g4)
+
+  test("labelPropagation separates two bridged cliques into two communities") {
+    import graft.operators.Graph
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), // clique A
+      (10L, 11L), (10L, 12L), (11L, 12L), // clique B
+      (3L, 10L)) // bridge
+      .toDF("src", "dst")
+    val com = Graph.labelPropagation(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(com(1L) === com(2L) && com(2L) === com(3L))
+    assert(com(10L) === com(11L) && com(11L) === com(12L))
+    assert(com(1L) !== com(10L),
+      s"bridged cliques must keep distinct communities: $com")
+  }
+
   // ------------------------------------------------- integrity report
 
   test("integrityReport counts orphans, dup keys, and check violations") {
