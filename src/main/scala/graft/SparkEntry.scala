@@ -357,6 +357,16 @@ object SparkEntry {
         .orderBy(col("batch"))
     }),
 
+    "p20_global_rownum" -> ((s, dir) => {
+      // scale-correct global row numbering: range exchange +
+      // per-partition window + prefix-sum offsets over ≤32 metadata
+      // rows — never the single-partition ORDER BY window p13's ntile
+      // pays (documented there as the bench-scale concession)
+      Layout.globalRowNumber(t(s, dir, "orders"), col("o_orderkey"))
+        .select(col("o_orderkey"), col("row_num"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "p14_hash_sample" -> ((s, dir) => {
       // deterministic hash sample (m/16 of rows, pure function of the key
       // — reproducible across engines, cluster sizes, and reruns)
@@ -3085,6 +3095,11 @@ object SparkEntry {
       SELECT batch, COUNT(*) AS n, MIN(o_orderkey) AS first_key FROM (
         SELECT o_orderkey, ntile(20) OVER (ORDER BY o_orderkey) AS batch
         FROM orders) GROUP BY batch ORDER BY batch""",
+
+    "p20_global_rownum" -> """
+      SELECT o_orderkey,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS row_num
+      FROM orders ORDER BY o_orderkey""",
 
     "d1_dedup_keep_first" -> """
       SELECT o_custkey, o_orderstatus, o_orderkey FROM (

@@ -19,6 +19,50 @@ import org.apache.spark.sql.types._
   */
 object Layout {
 
+  /** Contiguous global row numbers (0-based, ordered by `key`) WITHOUT
+    * a global single-partition window — the scale-correct form of
+    * `row_number() OVER (ORDER BY key)`. Three steps: range-partition
+    * by the key (Spark samples boundaries, so partitions are
+    * order-contiguous), compute each partition's row count and its
+    * exclusive prefix-sum offset (a window over ≤ numPartitions
+    * metadata rows — the ONLY single-partition step, and it touches
+    * dozens of rows, not data), then per-partition row_number + offset
+    * via a broadcast join. The data shuffles once (the range exchange);
+    * at 100 TB this is a sort-scale job where the naive global window
+    * is a one-executor wall.
+    *
+    * `key` must be a total order (unique) for a deterministic
+    * numbering; equal keys stay in one partition (range partitioning
+    * guarantees it) and break ties arbitrarily.
+    *
+    * The partition id is pinned by a `localCheckpoint` BEFORE being
+    * read twice: `spark_partition_id()` is non-deterministic, and the
+    * offsets subtree and the numbering subtree would otherwise each
+    * re-evaluate it under their own (AQE-replanned) physical layout —
+    * observed to disagree. The checkpoint costs one materialization
+    * pass (executor storage); at extreme scale the storage-free
+    * alternative is the RDD `zipWithIndex` formulation of the same
+    * count-and-offset algorithm. */
+  def globalRowNumber(df: DataFrame, key: Column, nParts: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = if (nParts > 0) nParts
+            else df.sparkSession.sparkContext.defaultParallelism
+    val parts = df.repartitionByRange(n, key)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = parts.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    val w = Window.partitionBy(col("__pid")).orderBy(key)
+    parts.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("row_num",
+        row_number().over(w).cast(LongType) + col("__offset") - 1L)
+      .drop("__pid", "__offset")
+  }
+
   /** Morton (Z-order) bit-interleave of two columns clamped to
     * `bits`-bit unsigned range: result bit 2i = bit i of `a`, bit
     * 2i+1 = bit i of `b`. Pure Catalyst fold over bit positions —

@@ -79,6 +79,22 @@ class Round7Spec extends GraftSuite {
     assert(splits === 1)
   }
 
+  // ------------------------------------------ global row number (p20)
+
+  test("globalRowNumber: contiguous 0..n-1 in key order, via range exchange") {
+    import graft.operators.Layout
+    val df = Seq(30L, 10L, 50L, 20L, 40L).toDF("k")
+    val out = Layout.globalRowNumber(df, $"k", nParts = 3)
+      .orderBy($"k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((10L, 0L), (20L, 1L), (30L, 2L),
+      (40L, 3L), (50L, 4L)))
+    // larger shuffled input: numbering is the rank in sorted order
+    val big = scala.util.Random.shuffle((0L until 500L).toList).toDF("k")
+    val nums = Layout.globalRowNumber(big, $"k", nParts = 7)
+      .orderBy($"k").select("row_num").as[Long].collect()
+    assert(nums.toSeq === (0L until 500L))
+  }
+
   // ------------------------------------------- label-propagation (g4)
 
   test("labelPropagation separates two bridged cliques into two communities") {
