@@ -2907,6 +2907,14 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "st12_stream_quality_monitor" -> ((s, dir) => {
+      // streaming x62: each micro-batch appends its integrityReport
+      // counts to a ledger; additive counts make the summed ledger
+      // equal the batch report however the stream was batched
+      graft.streaming.Streams.streamQualityMonitor(s, dir)
+        .orderBy(col("check_name"))
+    }),
+
     "st9_stream_neardup_admit" -> ((s, dir) => {
       // online near-dup admission: docs stream in, each admitted or
       // dropped against the simhash band cohorts of everything that
@@ -5294,6 +5302,19 @@ object SparkEntry {
       SELECT event_type, COUNT(*) AS n_events,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "st12_stream_quality_monitor" -> """
+      SELECT 'check_allowed_types' AS check_name, 'events' AS table_name,
+             (SELECT COUNT(*) FROM events WHERE event_type NOT IN
+              ('click', 'purchase', 'signup', 'view')) AS n_violations
+      UNION ALL
+      SELECT 'check_value_cap_100', 'events',
+             (SELECT COUNT(*) FROM events
+              WHERE NOT COALESCE(value <= 100.0, FALSE))
+      UNION ALL
+      SELECT 'notnull_props', 'events',
+             (SELECT COUNT(*) FROM events WHERE props IS NULL)
+      ORDER BY check_name""",
 
     "st9_stream_neardup_admit" -> """
       WITH docs AS (

@@ -433,6 +433,47 @@ object Streams {
         col("sum_value").cast("double").as("sum_value"))
   }
 
+  /** Streaming data-quality monitor: every micro-batch runs the same
+    * [[graft.operators.Quality.integrityReport]] check set a batch
+    * build would run post-hoc, and appends the per-batch violation
+    * counts to a ledger — the standing DQ dashboard that catches a
+    * poisoned upstream drop WITHIN the batch that delivered it instead
+    * of at the next nightly audit. Violation counts are additive, so
+    * the summed ledger equals the batch report over the full table
+    * regardless of how the stream was batched (the st6/st11
+    * batching-invariance discipline — exactly what the oracle checks).
+    * Scale shape: per batch this is the x62 plan (parallel
+    * filter-aggregate subtrees); the ledger append is a few rows. */
+  def streamQualityMonitor(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Quality
+    val target = new java.io.File("/root/repo/target/qtmp/st12_target")
+    org.apache.commons.io.FileUtils.deleteQuietly(target)
+    target.mkdirs()
+    val path = target.getAbsolutePath
+    val allowed = Seq("click", "purchase", "signup", "view")
+    val q = eventStream(spark, sfDir, "st12_src", "365 days")
+      .select(col("event_type"), col("value"), col("props"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Quality.integrityReport(Seq(
+          ("check_value_cap_100", "events",
+            batch.filter(!coalesce(col("value") <= 100.0d, lit(false)))),
+          ("check_allowed_types", "events",
+            batch.filter(!col("event_type").isin(allowed.map(x => x: Any): _*))),
+          ("notnull_props", "events",
+            batch.filter(col("props").isNull))))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(path)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(path)
+      .groupBy(col("check_name"), col("table_name"))
+      .agg(sum(col("n_violations")).as("n_violations"))
+  }
+
   /** One (band, key) posting of a streamed doc's simhash fingerprint. */
   final case class BandEvent(band: Int, key: Long, doc_id: Long, fp: Long)
   /** Per-band admission flag emitted by [[streamNearDupAdmit]]. */
