@@ -2102,6 +2102,24 @@ object SparkEntry {
         .orderBy(col("check_name"))
     }),
 
+    "x63_threshold_sweep" -> ((s, dir) => {
+      // dedup-threshold tuning table: ONE pass of exact-Jaccard
+      // candidates at a low floor, bucketed into 0.05 score bands with
+      // cumulative pair counts from the top — the operating threshold
+      // is read off one tiny table instead of re-running the pair scan
+      // per candidate threshold. The cumulative window runs over ~14
+      // bucket rows (metadata, not data).
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        col("doc_id"), col("text"), threshold = 0.3)
+      val w = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pairs
+        .withColumn("bucket", floor(col("jaccard") * 20.0d) / 20.0d)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+        .withColumn("n_pairs_ge", sum(col("n_pairs")).over(w))
+        .orderBy(col("bucket").desc)
+    }),
+
     "x21_profile" -> ((s, dir) => {
       // one-pass column profiling (nulls / exact distinct / lex min-max)
       Quality.profile(t(s, dir, "orders"),
@@ -2656,6 +2674,28 @@ object SparkEntry {
         .orderBy(col("item_a"), col("item_b"))
     }),
 
+    "m7_cdc_apply" -> ((s, dir) => {
+      // CDC op-log replay: I ops for every order, U (+10.00, exact
+      // decimal) for keys %4, D for keys %7; last-writer-wins per key
+      // by sequence — one keyed window over the log (Mutations.cdcApply)
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"))
+      val ins = o.select(col("o_orderkey").as("k"), lit("I").as("op"),
+        lit(1L).as("seq"), col("o_totalprice").as("price"))
+      val upd = o.filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey").as("k"), lit("U").as("op"),
+          lit(2L).as("seq"),
+          (col("o_totalprice").cast("decimal(18,2)") + 10.00)
+            .cast(DoubleType).as("price"))
+      val del = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("k"), lit("D").as("op"),
+          lit(3L).as("seq"), lit(0.0d).as("price"))
+      Mutations.cdcApply(ins.unionAll(upd).unionAll(del),
+          Seq("k"), "op", Seq(col("seq")))
+        .select(col("k"), col("op"), col("price"))
+        .orderBy(col("k"))
+    }),
+
     "g4_label_propagation" -> ((s, dir) => {
       // deterministic synchronous label-propagation communities
       // (mode-of-neighbors, ties ascending) over the same derived
@@ -2993,6 +3033,22 @@ object SparkEntry {
     "g1_pagerank" -> pagerankOracleSql(5),
 
     "g4_label_propagation" -> labelPropOracleSql(3),
+
+    "m7_cdc_apply" -> """
+      WITH log AS (
+        SELECT o_orderkey AS k, 'I' AS op, 1 AS seq, o_totalprice AS price
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'U', 2,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 10.00 AS DOUBLE)
+        FROM orders WHERE o_orderkey % 4 = 0
+        UNION ALL
+        SELECT o_orderkey, 'D', 3, 0.0
+        FROM orders WHERE o_orderkey % 7 = 0),
+      r AS (SELECT *, row_number() OVER (PARTITION BY k
+              ORDER BY seq DESC) AS rk FROM log)
+      SELECT k, op, price FROM r WHERE rk = 1 AND op <> 'D'
+      ORDER BY k""",
 
     "s1_csv_roundtrip" -> """
       SELECT o_orderstatus, COUNT(*) AS n,
@@ -5989,6 +6045,33 @@ object SparkEntry {
              (SELECT COUNT(*) FROM (SELECT p_partkey FROM part
               GROUP BY p_partkey HAVING COUNT(*) > 1))
       ORDER BY check_name""",
+
+    "x63_threshold_sweep" -> """
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1),
+                      i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [array_to_string(toks, ' ')] END) AS s
+        FROM (SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text),
+                       '\s+', ' ', 'g')), ' ') AS toks
+              FROM documents)),
+      pr AS (
+        SELECT round(jaccard, 4) AS jaccard FROM (
+          SELECT CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.3),
+      bk AS (
+        SELECT floor(jaccard * 20.0) / 20.0 AS bucket,
+               COUNT(*) AS n_pairs
+        FROM pr GROUP BY 1)
+      SELECT bucket, n_pairs,
+             CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_pairs_ge
+      FROM bk ORDER BY bucket DESC""",
 
     "x60_unigram_logprob" -> """
       WITH tokens AS (

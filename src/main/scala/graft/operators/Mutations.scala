@@ -141,6 +141,28 @@ object Mutations {
     * keys + one 16-byte hash per side, never the row bodies.
     * One key-grain shuffle join; co-partitioned or bucketed versions
     * ([[graft.operators.Bucketing]]) diff with no exchange at all. */
+  /** CDC op-log apply (Debezium/binlog-style): materialize current
+    * table state from an insert/update/delete operation log by
+    * last-writer-wins per key. Op rows carry (`keys`..., `opCol` ∈
+    * {I,U,D}, ordering columns...); for each key the latest op by
+    * `ordering` (e.g. ts + a sequence tiebreak — make it total, or
+    * concurrent writers are nondeterministic by construction) decides:
+    * D ⇒ the key is gone, I/U ⇒ its payload is the state.
+    *
+    * One window over the op log partitioned by key — the log shuffles
+    * once on the key, rank-1 rows project out. The streaming sibling
+    * is st6's upsert; this is the batch replay that bootstraps or
+    * audits it. */
+  def cdcApply(opLog: DataFrame, keys: Seq[String], opCol: String,
+               ordering: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ordering.map(_.desc): _*)
+    opLog.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1 && col(opCol) =!= "D")
+      .drop("__rk")
+  }
+
   def snapshotDiff(before: DataFrame, after: DataFrame,
                    keys: Seq[String]): DataFrame = {
     require(before.columns.toSeq == after.columns.toSeq,

@@ -79,6 +79,21 @@ class Round7Spec extends GraftSuite {
     assert(splits === 1)
   }
 
+  // ------------------------------------------------- CDC apply (m7)
+
+  test("cdcApply: last-writer-wins, deletes remove, reinsert revives") {
+    import graft.operators.Mutations
+    val log = Seq(
+      (1L, "I", 1L, "a"), (1L, "U", 2L, "a2"), // update wins
+      (2L, "I", 1L, "b"), (2L, "D", 2L, "-"), // deleted
+      (3L, "I", 1L, "c"), (3L, "D", 2L, "-"), (3L, "I", 3L, "c2"), // revived
+      (4L, "I", 1L, "d")) // plain insert
+      .toDF("k", "op", "seq", "v")
+    val state = Mutations.cdcApply(log, Seq("k"), "op", Seq($"seq"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(state === Map(1L -> "a2", 3L -> "c2", 4L -> "d"))
+  }
+
   // ------------------------------------------ global row number (p20)
 
   test("globalRowNumber: contiguous 0..n-1 in key order, via range exchange") {
