@@ -2120,6 +2120,30 @@ object SparkEntry {
         .orderBy(col("bucket").desc)
     }),
 
+    "x64_dedup_token_savings" -> ((s, dir) => {
+      // the dedup report's headline number: token-weighted savings per
+      // source if only the canonical (min-id) doc of each exact-dup
+      // cluster is kept. One fingerprint window + one source-grain
+      // aggregation — no join-back of text
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.functions.ColFns.fingerprint(col("text")).as("fp"),
+          graft.functions.ColFns.tokenCount(col("text")).as("n_toks"))
+      val w = Window.partitionBy(col("fp"))
+      val flagged = d.withColumn("canonical_id", min(col("doc_id")).over(w))
+        .withColumn("removed", col("doc_id") =!= col("canonical_id"))
+      flagged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed_docs"),
+          sum(col("n_toks")).as("total_tokens"),
+          sum(when(col("removed"), col("n_toks")).otherwise(0L))
+            .as("removed_tokens"))
+        .withColumn("savings_pct",
+          round(col("removed_tokens").cast(DoubleType) /
+            col("total_tokens") * 100.0d, 2))
+        .orderBy(col("source"))
+    }),
+
     "x21_profile" -> ((s, dir) => {
       // one-pass column profiling (nulls / exact distinct / lex min-max)
       Quality.profile(t(s, dir, "orders"),
@@ -6045,6 +6069,27 @@ object SparkEntry {
              (SELECT COUNT(*) FROM (SELECT p_partkey FROM part
               GROUP BY p_partkey HAVING COUNT(*) > 1))
       ORDER BY check_name""",
+
+    "x64_dedup_token_savings" -> """
+      WITH d AS (
+        SELECT doc_id, source,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                 AS fp,
+               len(regexp_extract_all(text, '\S+')) AS n_toks
+        FROM documents),
+      f AS (
+        SELECT source, n_toks,
+               doc_id <> MIN(doc_id) OVER (PARTITION BY fp) AS removed
+        FROM d)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN removed THEN n_toks ELSE 0 END) AS BIGINT)
+               AS removed_tokens,
+             round(CAST(SUM(CASE WHEN removed THEN n_toks ELSE 0 END)
+               AS DOUBLE) / SUM(n_toks) * 100.0, 2) AS savings_pct
+      FROM f GROUP BY source ORDER BY source""",
 
     "x63_threshold_sweep" -> """
       WITH sh AS (
