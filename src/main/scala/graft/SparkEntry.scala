@@ -2698,6 +2698,25 @@ object SparkEntry {
         .orderBy(col("item_a"), col("item_b"))
     }),
 
+    "j17_nearest_join" -> ((s, dir) => {
+      // nearest as-of: each click attached to the user's closest
+      // purchase in EITHER direction — both window frames in one
+      // shuffle (AsofJoin.nearest); ties prefer backward, equal-time
+      // states resolve by event id, so output is deterministic
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      AsofJoin.nearest(clicks, "user_id", "ts",
+          purchases, "user_id", "p_ts",
+          payload = Seq("p_event_id"), tiebreak = "p_event_id")
+        .select(col("event_id"), col("user_id"),
+          col("p_event_id").as("nearest_purchase_id"), col("delta_us"))
+        .orderBy(col("event_id"))
+    }),
+
     "m7_cdc_apply" -> ((s, dir) => {
       // CDC op-log replay: I ops for every order, U (+10.00, exact
       // decimal) for keys %4, D for keys %7; last-writer-wins per key
@@ -3057,6 +3076,26 @@ object SparkEntry {
     "g1_pagerank" -> pagerankOracleSql(5),
 
     "g4_label_propagation" -> labelPropOracleSql(3),
+
+    "j17_nearest_join" -> """
+      WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'click'),
+      purch AS (
+        SELECT event_id AS p_event_id, user_id, ts AS p_ts FROM events
+        WHERE event_type = 'purchase')
+      SELECT c.event_id, c.user_id,
+             n.p_event_id AS nearest_purchase_id, n.delta_us
+      FROM clicks c LEFT JOIN LATERAL (
+        SELECT p.p_event_id,
+               epoch_us(p.p_ts) - epoch_us(c.ts) AS delta_us
+        FROM purch p WHERE p.user_id = c.user_id
+        ORDER BY abs(epoch_us(p.p_ts) - epoch_us(c.ts)) ASC,
+                 (epoch_us(p.p_ts) > epoch_us(c.ts)) ASC,
+                 CASE WHEN epoch_us(p.p_ts) <= epoch_us(c.ts)
+                      THEN -p.p_event_id ELSE p.p_event_id END ASC
+        LIMIT 1) n ON TRUE
+      ORDER BY c.event_id""",
 
     "m7_cdc_apply" -> """
       WITH log AS (

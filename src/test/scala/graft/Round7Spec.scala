@@ -79,6 +79,41 @@ class Round7Spec extends GraftSuite {
     assert(splits === 1)
   }
 
+  // --------------------------------------------- nearest as-of (j17)
+
+  test("AsofJoin.nearest picks the closer side, ties prefer backward") {
+    import graft.operators.AsofJoin
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val probes = Seq((1L, 1L, ts(100)), (2L, 1L, ts(205)), (3L, 2L, ts(50)))
+      .toDF("event_id", "user_id", "ts")
+    val states = Seq((10L, 1L, ts(90)), (11L, 1L, ts(210)), (12L, 3L, ts(0)))
+      .toDF("p_event_id", "user_id", "p_ts")
+    val out = AsofJoin.nearest(probes, "user_id", "ts",
+        states, "user_id", "p_ts", Seq("p_event_id"), "p_event_id")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_ => r.getLong(3)), Option(r.get(4)))).toMap
+    // probe 1 at t=100: prev at 90 (d=10) vs next at 210 (d=110) → prev
+    assert(out(1L)._1 === Some(10L))
+    // probe 2 at t=205: prev at 90 (d=115) vs next at 210 (d=5) → next
+    assert(out(2L)._1 === Some(11L))
+    // probe 3: user 2 has no states → null payload and delta
+    assert(out(3L)._1 === None && out(3L)._2 === None)
+  }
+
+  test("AsofJoin.nearest: equidistant prev/next resolves backward") {
+    import graft.operators.AsofJoin
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val probes = Seq((1L, 1L, ts(100))).toDF("event_id", "user_id", "ts")
+    val states = Seq((10L, 1L, ts(95)), (11L, 1L, ts(105)))
+      .toDF("p_event_id", "user_id", "p_ts")
+    val r = AsofJoin.nearest(probes, "user_id", "ts",
+        states, "user_id", "p_ts", Seq("p_event_id"), "p_event_id")
+      .collect().head
+    assert(r.getLong(3) === 10L && r.getLong(4) === -5000000L)
+  }
+
   // ------------------------------------------------- CDC apply (m7)
 
   test("cdcApply: last-writer-wins, deletes remove, reinsert revives") {
