@@ -2144,6 +2144,15 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "x65_cross_source_leakage" -> ((s, dir) => {
+      // which sources copy from each other: distinct 5-gram hash
+      // postings, one self-join on the hash, |sources|²-bounded output
+      // — the source-pairwise decontamination audit
+      TextOps.crossSourceLeakage(t(s, dir, "documents"), col("source"),
+          col("text"), n = 5)
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     "x21_profile" -> ((s, dir) => {
       // one-pass column profiling (nulls / exact distinct / lex min-max)
       Quality.profile(t(s, dir, "orders"),
@@ -6108,6 +6117,31 @@ object SparkEntry {
              (SELECT COUNT(*) FROM (SELECT p_partkey FROM part
               GROUP BY p_partkey HAVING COUNT(*) > 1))
       ORDER BY check_name""",
+
+    "x65_cross_source_leakage" -> """
+      WITH tk AS (
+        SELECT source,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                 'g')), ' ') AS t
+        FROM documents),
+      posts AS (
+        SELECT DISTINCT source,
+               CAST(('0x' || substring(md5(array_to_string(
+                 t[i:i+4], ' ')), 1, 15)) AS BIGINT) AS g
+        FROM tk, UNNEST(range(1, greatest(len(t) - 4, 0) + 1)) AS u(i)),
+      sz AS (SELECT source, COUNT(*) AS ng FROM posts GROUP BY source),
+      pr AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS shared_grams
+        FROM posts a JOIN posts b
+          ON a.g = b.g AND a.source < b.source
+        GROUP BY a.source, b.source)
+      SELECT source_a, source_b, shared_grams,
+             round(CAST(shared_grams AS DOUBLE) /
+               least(sa.ng, sb.ng), 4) AS leak_share
+      FROM pr JOIN sz sa ON sa.source = pr.source_a
+              JOIN sz sb ON sb.source = pr.source_b
+      ORDER BY source_a, source_b""",
 
     "x64_dedup_token_savings" -> """
       WITH d AS (

@@ -219,6 +219,48 @@ object TextOps {
         max(col("stotal")).as("n_top_tokens"))
   }
 
+  /** Cross-source leakage matrix: for every source pair, the number of
+    * distinct token `n`-grams they share and that count normalized by
+    * the smaller source's gram vocabulary — the source-pairwise form of
+    * benchmark decontamination (x26), answering "which corpora copy
+    * from each other" before a mixture treats them as independent.
+    *
+    * Shape: distinct (source, gram-hash) postings (grams travel as
+    * portable 60-bit hashes, never strings), one postings self-join on
+    * the hash — a gram's pair fan-out is bounded by the SOURCE count,
+    * not the corpus —, and a (source × source) aggregation whose result
+    * is at most |sources|² rows. Docs shorter than n tokens contribute
+    * nothing (mirrors the empty gram range). */
+  def crossSourceLeakage(df: DataFrame, source: Column, text: Column,
+                         n: Int = 5): DataFrame = {
+    require(n > 0, "n must be positive")
+    val toks = split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
+    val posts = df
+      .select(source.as("source"), toks.as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col("source"),
+        explode_outer(transform(
+          sequence(lit(1), size(col("__t")) - (n - 1)),
+          i => ColFns.portableHash60(
+            concat_ws(" ", slice(col("__t"), i, lit(n)))))).as("g"))
+      .distinct()
+    val sizes = posts.groupBy(col("source"))
+      .agg(count(lit(1)).as("ng"))
+    posts.as("a")
+      .join(posts.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(sizes.select(col("source").as("source_a"), col("ng").as("ng_a")),
+        "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("ng").as("ng_b")),
+        "source_b")
+      .withColumn("leak_share", round(col("shared_grams").cast(DoubleType) /
+        least(col("ng_a"), col("ng_b")).cast(DoubleType), 4))
+      .select(col("source_a"), col("source_b"), col("shared_grams"),
+        col("leak_share"))
+  }
+
   /** PII patterns kept deliberately portable (no lookarounds) so the
     * same regex runs in any RE2/PCRE-ish engine a pipeline audits with. */
   val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

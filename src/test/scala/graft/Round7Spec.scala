@@ -79,6 +79,22 @@ class Round7Spec extends GraftSuite {
     assert(splits === 1)
   }
 
+  // ------------------------------------------ cross-source leakage
+
+  test("crossSourceLeakage finds the copied span, not independent text") {
+    val shared = "one two three four five six seven"
+    val docs = Seq(
+      ("sA", s"$shared alpha beta"),
+      ("sB", s"gamma delta $shared"), // copies the span from sA
+      ("sC", "totally different words here with nothing shared at all"))
+      .toDF("source", "text")
+    val m = TextOps.crossSourceLeakage(docs, $"source", $"text", n = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(m.contains(("sA", "sB")) && m(("sA", "sB")) >= 3)
+    assert(!m.contains(("sA", "sC")) && !m.contains(("sB", "sC")))
+  }
+
   // --------------------------------------------- nearest as-of (j17)
 
   test("AsofJoin.nearest picks the closer side, ties prefer backward") {
