@@ -99,4 +99,23 @@ class PlanShapeSpec extends GraftSuite {
     val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
     assert(bnl <= 2, s"unexpected nested-loop joins beyond the centroid broadcasts: $bnl")
   }
+
+  test("j17 nearest as-of: both window directions share ONE keyed shuffle") {
+    // exchanges only exist post-EnsureRequirements → executedPlan (the
+    // initial AQE plan), not the bare sparkPlan the other tests read
+    val p = SparkEntry.queries("j17_nearest_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the union+window formulation must not shuffle per frame: exactly
+    // one hash exchange on the key feeds every Window node (the final
+    // rangepartitioning exchange is the output ORDER BY)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 keyed exchange, saw $hashEx:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p.take(600))
+  }
+
+  test("x65 cross-source leakage: postings equi-join, no cartesian") {
+    val p = plan("x65_cross_source_leakage")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
 }
