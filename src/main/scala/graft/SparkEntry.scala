@@ -821,6 +821,30 @@ object SparkEntry {
         .orderBy(col("status"), col("priority"))
     }),
 
+    "a21_winsorize" -> ((s, dir) => {
+      // robust-range winsorization: p01/p99 bounds from ONE tiny
+      // aggregation (rounded to 2dp so both engines clamp at the
+      // identical constant — interpolated percentiles differ in ulps),
+      // broadcast back as the scalar crossJoin idiom, then a
+      // scan-speed clamp; output is the clipping audit row
+      val li = t(s, dir, "lineitem")
+      val bounds = li.agg(
+        round(expr("percentile(l_extendedprice, 0.01)"), 2).as("lo"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("hi"))
+      val clipped = least(greatest(col("l_extendedprice"), col("lo")),
+        col("hi"))
+      li.crossJoin(broadcast(bounds))
+        .agg(
+          sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L))
+            .as("n_clipped_low"),
+          sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L))
+            .as("n_clipped_high"),
+          round(min(clipped), 2).as("min_v"),
+          round(max(clipped), 2).as("max_v"),
+          round(sum(clipped.cast("decimal(18,2)")).cast(DoubleType) /
+            count(lit(1)), 2).as("mean_v"))
+    }),
+
     "a8_percentiles" -> ((s, dir) => {
       // exact interpolated percentiles (quantile_cont semantics)
       t(s, dir, "lineitem")
@@ -3480,6 +3504,23 @@ object SparkEntry {
       WHERE substring(md5(o_orderstatus || '|' ||
               CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "a21_winsorize" -> """
+      WITH b AS (
+        SELECT round(quantile_cont(l_extendedprice, 0.01), 2) AS lo,
+               round(quantile_cont(l_extendedprice, 0.99), 2) AS hi
+        FROM lineitem)
+      SELECT CAST(SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clipped_low,
+             CAST(SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clipped_high,
+             round(MIN(least(greatest(l_extendedprice, lo), hi)), 2)
+               AS min_v,
+             round(MAX(least(greatest(l_extendedprice, lo), hi)), 2)
+               AS max_v,
+             round(CAST(SUM(CAST(least(greatest(l_extendedprice, lo), hi)
+               AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2) AS mean_v
+      FROM lineitem CROSS JOIN b""",
 
     "a8_percentiles" -> """
       SELECT l_returnflag,

@@ -96,4 +96,33 @@ class GraphPropertySpec extends GraftSuite {
     val tr = out.filter(col("split") === "train").count()
     assert(tr > 350 && tr < 450, s"train=$tr of 500")
   }
+
+  test("labelPropagation: total assignment, community ⊆ component") {
+    import graft.operators.Graph
+    for (trial <- 1 to 3) {
+      val n = 20 + rnd.nextInt(30)
+      val edges = Seq.fill(15 + rnd.nextInt(40)) {
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src", "dst")
+        val com = Graph.labelPropagation(df, iters = 4)
+          .as[(Long, Long)].collect().toMap
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // every node gets exactly one community label
+        assert(com.keySet === nodes.toSet, s"trial $trial")
+        // communities never span connected components: two nodes with
+        // the same label must share a CC label (propagation can only
+        // carry labels along edges)
+        val cc = Dedup.connectedComponents(df.select(
+            col("src").as("id_a"), col("dst").as("id_b")))
+          .as[(Long, Long)].collect().toMap
+        com.groupBy(_._2).values.foreach { members =>
+          val comps = members.keySet.map(cc)
+          assert(comps.size === 1,
+            s"trial $trial: community spans components $comps")
+        }
+      }
+    }
+  }
 }
