@@ -354,7 +354,14 @@ object Dedup {
           .otherwise(array().cast("array<int>"))).as("i"),
         col("t"))
       .select(col("id"), col("n_tokens"), col("i"),
-        md5(concat_ws(" ", slice(col("t"), col("i") + 1, lit(w)))).as("h"))
+        // span key is INTERNAL (never output): xxhash64 long beats an
+        // md5 string — ~2× cheaper to compute and the window shuffle
+        // carries 8-byte keys instead of 32-char strings. Collision
+        // odds over 10^9 windows are ~1e-2 per corpus... per PAIR they
+        // are 2^-64; a collision merely merges two span groups, and at
+        // bench scale (10^6 windows) the odds are ~1e-7.
+        xxhash64(concat_ws(" ", slice(col("t"), col("i") + 1, lit(w))))
+          .as("h"))
     // minDocs=2 (the common case): "shared by ≥2 docs" is
     // min(id)≠max(id) over the span's window partition — ONE shuffle
     // of the window rows, no aggregate+join-back (which would
