@@ -266,9 +266,14 @@ object Dedup {
       .select(id.as("id"), shingles(text, w).as("sh"))
       .withColumn("sz", size(col("sh")))
     // outer: shingle arrays are never empty, and plain explode's
-    // inferred size()>0 guard re-evaluates the shingle hashing per row
+    // inferred size()>0 guard re-evaluates the shingle hashing per row.
+    // The postings key is INTERNAL (jaccard counts matches, shingle
+    // text is never output) — join on the 8-byte xxhash64 instead of
+    // the shingle string so the postings shuffle carries longs
+    // (per-pair collision odds 2^-64; the x36 argument).
     val posts = sh.select(col("id"), col("sz"),
-      explode_outer(col("sh")).as("shingle"))
+        explode_outer(col("sh")).as("__s"))
+      .select(col("id"), col("sz"), xxhash64(col("__s")).as("shingle"))
     posts.as("a")
       .join(posts.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -298,7 +303,9 @@ object Dedup {
     val sh = df.repartition(par)
       .select(id.as("id"), shingles(text, w).as("sh"))
     val posts = sh.select(col("id"), col("sh"),
-      explode_outer(col("sh")).as("shingle")) // outer: see ngramJaccardPairs
+        explode_outer(col("sh")).as("__s")) // outer: see ngramJaccardPairs
+      .select(col("id"), col("sh"),
+        xxhash64(col("__s")).as("shingle")) // hashed key: see ngramJaccardPairs
     val rare = posts.groupBy("shingle")
       .agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
       .select("shingle")
