@@ -2206,6 +2206,24 @@ object SparkEntry {
           round(col("tp").cast(DoubleType) / col("n_truth"), 4))
     }),
 
+    "x67_balanced_shards" -> ((s, dir) => {
+      // token-balanced export sharding: rank docs by size (desc, id
+      // tiebreak) with the scale-correct global numbering (p20's range
+      // exchange — no single-partition window), then round-robin the
+      // rank across 8 shards — the LPT-style interleave that keeps
+      // shard token totals within a doc of each other without any
+      // sequential greedy loop
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.ColFns.tokenCount(col("text")).as("n_toks"))
+      Layout.globalRowNumber(d,
+          struct((-col("n_toks")).as("negtok"), col("doc_id").as("id")))
+        .withColumn("shard", col("row_num") % 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("shard_tokens"))
+        .orderBy(col("shard"))
+    }),
+
     "x21_profile" -> ((s, dir) => {
       // one-pass column profiling (nulls / exact distinct / lex min-max)
       Quality.profile(t(s, dir, "orders"),
@@ -6187,6 +6205,18 @@ object SparkEntry {
              (SELECT COUNT(*) FROM (SELECT p_partkey FROM part
               GROUP BY p_partkey HAVING COUNT(*) > 1))
       ORDER BY check_name""",
+
+    "x67_balanced_shards" -> """
+      WITH d AS (
+        SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_toks
+        FROM documents),
+      r AS (
+        SELECT doc_id, n_toks,
+               row_number() OVER (ORDER BY -n_toks, doc_id) - 1 AS rn
+        FROM d)
+      SELECT rn % 8 AS shard, COUNT(*) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS shard_tokens
+      FROM r GROUP BY shard ORDER BY shard""",
 
     "x66_dedup_pr_eval" -> """
       WITH docs AS (
