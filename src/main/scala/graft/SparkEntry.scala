@@ -2224,6 +2224,22 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
+    "x68_kfold_split" -> ((s, dir) => {
+      // leakage-safe 5-fold CV assignment: folds keyed on the dup-
+      // cluster fingerprint (x58 generalized); audit column pins
+      // max folds-per-cluster at 1
+      val sp = Sampling.kFoldSplit(t(s, dir, "documents"), col("text"),
+        k = 5)
+      val leak = sp.groupBy(col("cluster_fp"))
+        .agg(countDistinct(col("fold")).as("nf"))
+        .agg(max(col("nf")).as("max_folds_per_cluster"))
+      sp.groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_fp")).as("n_clusters"))
+        .crossJoin(leak) // 1-row scalar audit (the funnel idiom)
+        .orderBy(col("fold"))
+    }),
+
     "x21_profile" -> ((s, dir) => {
       // one-pass column profiling (nulls / exact distinct / lex min-max)
       Quality.profile(t(s, dir, "orders"),
@@ -6205,6 +6221,25 @@ object SparkEntry {
              (SELECT COUNT(*) FROM (SELECT p_partkey FROM part
               GROUP BY p_partkey HAVING COUNT(*) > 1))
       ORDER BY check_name""",
+
+    "x68_kfold_split" -> """
+      WITH sp AS (
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                 AS cluster_fp,
+               CAST(('0x' || substring(md5(md5(regexp_replace(
+                 trim(lower(text)), '\s+', ' ', 'g'))), 1, 8))
+                 AS BIGINT) % 5 AS fold
+        FROM documents),
+      leak AS (
+        SELECT MAX(nf) AS max_folds_per_cluster FROM (
+          SELECT cluster_fp, COUNT(DISTINCT fold) AS nf
+          FROM sp GROUP BY cluster_fp))
+      SELECT fold, COUNT(*) AS n_docs,
+             COUNT(DISTINCT cluster_fp) AS n_clusters,
+             max_folds_per_cluster
+      FROM sp CROSS JOIN leak
+      GROUP BY fold, max_folds_per_cluster ORDER BY fold""",
 
     "x67_balanced_shards" -> """
       WITH d AS (

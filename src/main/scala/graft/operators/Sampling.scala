@@ -119,6 +119,22 @@ object Sampling {
       col("cluster_fp"), trainPct, valPct)
   }
 
+  /** Leakage-safe k-fold assignment (cross-validation folds): fold =
+    * md5-uniform bucket of the duplicate-cluster fingerprint modulo
+    * `k`, so exact-dup clusters never straddle folds (the
+    * [[leakageSafeSplit]] guarantee, generalized from 3 named splits
+    * to k numbered folds). Near-dup composition: pass the CC label as
+    * `clusterKey`. Scan-speed, shuffle-free, reproducible anywhere. */
+  def kFoldSplit(df: DataFrame, text: Column,
+                 k: Int, clusterKey: Option[Column] = None): DataFrame = {
+    require(k >= 2, s"need k >= 2 folds, got $k")
+    val fp = clusterKey.getOrElse(graft.functions.ColFns.fingerprint(text))
+    df.withColumn("cluster_fp", fp.cast("string"))
+      .withColumn("fold",
+        pmod(conv(substring(md5(col("cluster_fp")), 1, 8), 16, 10)
+          .cast("long"), lit(k.toLong)))
+  }
+
   /** Training-mixture plan: given per-source corpus stats, target
     * mixture weights, and a total token budget, emit each source's
     * share of the budget and how to realize it — `full_epochs` whole

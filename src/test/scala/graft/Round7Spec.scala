@@ -224,6 +224,17 @@ class Round7Spec extends GraftSuite {
       s"drifted source must carry the larger KL: $kl")
   }
 
+  test("kFoldSplit: clusters stay within one fold, all folds populated") {
+    val docs = (1L to 400L).map(i =>
+      (i, s"cv document body ${i % 80} shared")).toDF("doc_id", "text")
+    val sp = Sampling.kFoldSplit(docs, $"text", k = 5)
+    val fractured = sp.groupBy("cluster_fp")
+      .agg(countDistinct("fold").as("nf")).filter($"nf" > 1).count()
+    assert(fractured === 0)
+    assert(sp.select("fold").distinct().count() === 5)
+    assert(sp.filter($"fold" < 0 || $"fold" > 4).count() === 0)
+  }
+
   // --------------------------------------------- kNN label disagreement
 
   test("labelDisagreement flags the mislabeled vector, keeps the clean ones") {
