@@ -98,7 +98,8 @@ object Bench {
     // of one query (observed: a 1.7 s join reporting 55 s). Any query
     // whose best sample is still over 8 s — several × the slowest
     // steady-state query in this set — re-measures up to twice more; a
-    // genuinely slow query just spends two passes confirming its number.
+    // genuinely slow query spends its four passes plus at most two
+    // retries confirming its number.
     val results = headline.map { n =>
       var samples = passes.map(_(n)).filter(_ >= 0)
       var retries = 0

@@ -49,7 +49,7 @@ object SparkEntry {
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
   private def tmpDir(name: String): String = {
-    val d = new java.io.File(s"/root/repo/target/qtmp/$name")
+    val d = new java.io.File(s"target/qtmp/$name")
     org.apache.commons.io.FileUtils.deleteQuietly(d)
     d.mkdirs()
     d.getAbsolutePath
@@ -2824,7 +2824,12 @@ object SparkEntry {
       val upd = o.filter(col("o_orderkey") % 4 === 0)
         .select(col("o_orderkey").as("k"), lit("U").as("op"),
           lit(2L).as("seq"),
-          (col("o_totalprice").cast("decimal(18,2)") + 10.00)
+          // decimal + decimal literal: a bare 10.00 double would
+          // coerce the whole sum to DoubleType and double-round,
+          // diverging from the oracle's exact decimal addition by an
+          // ulp near binade boundaries
+          (col("o_totalprice").cast("decimal(18,2)") +
+            lit(BigDecimal("10.00")).cast("decimal(18,2)"))
             .cast(DoubleType).as("price"))
       val del = o.filter(col("o_orderkey") % 7 === 0)
         .select(col("o_orderkey").as("k"), lit("D").as("op"),

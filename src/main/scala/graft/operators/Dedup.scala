@@ -186,12 +186,17 @@ object Dedup {
     val bmh = minhashed(batch, id, text, k, bands, w)
       .select(col("id"), col("shingles"), col("bands")).cache()
     // the broadcast gate counts the CACHED minhashed batch — the count
-    // materializes the cache both joins reuse, so gating is free. An
-    // ingest batch is normally ≪ broadcastMaxRows and takes the
-    // zero-corpus-shuffle path; a pathological giant batch degrades to
-    // plain shuffle joins rather than dying at the 8 GB broadcast cap
+    // materializes the cache both joins reuse, so gating is free. The
+    // gated quantity is the EXPLODED broadcast payload (docs × bands
+    // band rows, each carrying the doc's shingle array — that is what
+    // nearFlags actually broadcasts), not the batch row count: a batch
+    // of long documents can pass a row-count gate and still blow the
+    // 8 GB broadcast cap. Size broadcastMaxRows for the corpus's doc
+    // length distribution (default assumes ~KB-scale shingle arrays).
+    // An oversized batch degrades to plain shuffle joins rather than
+    // dying mid-ingest at the broadcast cap.
     val hint: DataFrame => DataFrame =
-      if (bmh.count() <= broadcastMaxRows) df => broadcast(df)
+      if (bmh.count() * bands <= broadcastMaxRows) df => broadcast(df)
       else df => df
     val exactFlags = hint(bh).join(hashRight, Seq("h"))
       .filter(col("rid").isNull || col("rid") < col("id"))

@@ -129,18 +129,6 @@ object Mutations {
       .agg(sum(col(measures.head)).as(measures.head),
         measures.tail.map(m => sum(col(m)).as(m)): _*)
 
-  /** Snapshot diff: classify each key as inserted / deleted / updated
-    * between two versions of a keyed table (unchanged keys are
-    * omitted) — the audit query every versioned table
-    * ([[graft.sources.Lake.writeSnapshot]]) owes its consumers, and
-    * the input to incremental downstream refresh (ship the diff, not
-    * the table). Payloads compare via one md5 over the JSON encoding
-    * of the non-key struct — unambiguous framing (quoted strings,
-    * explicit nulls), so no payload value can collide with a field
-    * separator or null sentinel — and the full-outer join carries
-    * keys + one 16-byte hash per side, never the row bodies.
-    * One key-grain shuffle join; co-partitioned or bucketed versions
-    * ([[graft.operators.Bucketing]]) diff with no exchange at all. */
   /** CDC op-log apply (Debezium/binlog-style): materialize current
     * table state from an insert/update/delete operation log by
     * last-writer-wins per key. Op rows carry (`keys`..., `opCol` ∈
@@ -163,6 +151,20 @@ object Mutations {
       .drop("__rk")
   }
 
+  /** Snapshot diff: classify each key as inserted / deleted / updated
+    * between two versions of a keyed table (unchanged keys are
+    * omitted) — the audit query every versioned table
+    * ([[graft.sources.Lake.writeSnapshot]]) owes its consumers, and
+    * the input to incremental downstream refresh (ship the diff, not
+    * the table). Payloads compare via one md5 over the JSON encoding
+    * of the non-key struct — unambiguous framing: strings are quoted
+    * and null fields are OMITTED from the JSON, and since the field
+    * set is fixed by the schema, omission itself is injective — so no
+    * payload value can collide with a field separator or null
+    * sentinel. The full-outer join carries keys + one 16-byte hash
+    * per side, never the row bodies. One key-grain shuffle join;
+    * co-partitioned or bucketed versions
+    * ([[graft.operators.Bucketing]]) diff with no exchange at all. */
   def snapshotDiff(before: DataFrame, after: DataFrame,
                    keys: Seq[String]): DataFrame = {
     require(before.columns.toSeq == after.columns.toSeq,

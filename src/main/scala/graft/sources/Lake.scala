@@ -80,9 +80,16 @@ final class Lake(spark: SparkSession, root: String) {
     * per partition, and every downstream scan then pays one task +
     * one object-store GET per file. Rewrites the dataset into
     * ceil(bytes / targetBytes) files (size-based, so the same call
-    * works at any scale), staged to a temp dir and atomically renamed
-    * in — a concurrent reader sees the old fileset or the new one,
-    * never a mix. Returns (filesBefore, filesAfter). */
+    * works at any scale), staged to a temp dir and swapped in by two
+    * renames. A reader never sees a MIX of old and new files, but the
+    * swap is two renames, not one: in the instant between them the
+    * dataset path is absent, so a racing reader can observe
+    * FileNotFound and should retry (single-writer maintenance windows
+    * are the intended deployment; table formats exist precisely to
+    * close this gap with a metadata pointer). If the second rename
+    * fails the backup is restored in place, so no failure mode strands
+    * the data under the backup name. Returns (filesBefore,
+    * filesAfter). */
   def compact(targetBytes: Long, parts: String*): (Int, Int) = {
     val p = path(parts: _*); val f = fs(p)
     require(f.exists(p), s"compact: no dataset at $p")
@@ -95,8 +102,14 @@ final class Lake(spark: SparkSession, root: String) {
     read(parts: _*).coalesce(nOut)
       .write.mode(SaveMode.Overwrite).parquet(path(tmp: _*).toString)
     val bak = parts.init :+ (".pre-compact." + parts.last)
-    if (!rename(parts, bak) || !rename(tmp, parts))
+    if (!rename(parts, bak))
       throw new java.io.IOException(s"compact commit failed: $p")
+    if (!rename(tmp, parts)) {
+      // restore the live data before failing — a crash here is the one
+      // window that needs manual repair; a rename FAILURE is not
+      rename(bak, parts)
+      throw new java.io.IOException(s"compact commit failed: $p")
+    }
     delete(bak: _*)
     (before, dataFileCount(parts: _*))
   }

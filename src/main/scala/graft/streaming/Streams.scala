@@ -62,7 +62,7 @@ object Streams {
   private def eventStream(spark: SparkSession, sfDir: String,
                           stageName: String, watermark: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stage = new java.io.File(s"/root/repo/target/qtmp/$stageName")
+    val stage = new java.io.File(s"target/qtmp/$stageName")
     stage.mkdirs()
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
@@ -200,7 +200,7 @@ object Streams {
     * final target is the distinct user set regardless of how the stream
     * was batched, which is what the oracle checks. */
   def streamUpsertUsers(spark: SparkSession, sfDir: String): DataFrame = {
-    val target = new java.io.File("/root/repo/target/qtmp/st6_target")
+    val target = new java.io.File("target/qtmp/st6_target")
     org.apache.commons.io.FileUtils.deleteQuietly(target)
     val path = target.getAbsolutePath
     // seed an empty target with the right schema
@@ -286,14 +286,14 @@ object Streams {
                          queryName: String = "graft_stream_late"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sink = unique(queryName)
-    val stage = new java.io.File("/root/repo/target/qtmp/st8_src")
+    val stage = new java.io.File("target/qtmp/st8_src")
     org.apache.commons.io.FileUtils.deleteQuietly(stage)
     stage.mkdirs()
     val events = graft.Tables.load(spark, sfDir, "events") // ts → micros
       .select(col("ts"), col("event_id"), col("event_type"))
     def stageFile(df: org.apache.spark.sql.DataFrame, name: String,
                   modTime: Long): Unit = {
-      val tmp = new java.io.File(s"/root/repo/target/qtmp/st8_tmp_$name")
+      val tmp = new java.io.File(s"target/qtmp/st8_tmp_$name")
       org.apache.commons.io.FileUtils.deleteQuietly(tmp)
       df.coalesce(1).write.parquet(tmp.getAbsolutePath)
       val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
@@ -399,7 +399,7 @@ object Streams {
     * stream was batched, which is what the oracle checks (the st6
     * batching-invariance discipline). */
   def streamIncrementalRollup(spark: SparkSession, sfDir: String): DataFrame = {
-    val target = new java.io.File("/root/repo/target/qtmp/st11_target")
+    val target = new java.io.File("target/qtmp/st11_target")
     org.apache.commons.io.FileUtils.deleteQuietly(target)
     val path = target.getAbsolutePath
     spark.createDataFrame(
@@ -446,7 +446,7 @@ object Streams {
     * filter-aggregate subtrees); the ledger append is a few rows. */
   def streamQualityMonitor(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.Quality
-    val target = new java.io.File("/root/repo/target/qtmp/st12_target")
+    val target = new java.io.File("target/qtmp/st12_target")
     org.apache.commons.io.FileUtils.deleteQuietly(target)
     target.mkdirs()
     val path = target.getAbsolutePath
@@ -508,7 +508,7 @@ object Streams {
                          queryName: String = "graft_stream_admit"): DataFrame = {
     import spark.implicits._
     val sink = unique(queryName)
-    val stage = new java.io.File("/root/repo/target/qtmp/st9_src")
+    val stage = new java.io.File("target/qtmp/st9_src")
     stage.mkdirs()
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
