@@ -2840,6 +2840,30 @@ object SparkEntry {
         .orderBy(col("k"))
     }),
 
+    "m8_sketch_rollup" -> ((s, dir) => {
+      // mergeable-sketch incremental maintenance: per-slice HLL
+      // sketches of distinct users (the state a standing rollup
+      // PERSISTS — DataSketches HLL, Spark's hll_sketch_agg) merged
+      // with hll_union_agg instead of rescanning history; the
+      // distinct-count dual of m5's additive sums, where plain counts
+      // don't merge but sketches do. Gated on the exact distinct with
+      // the a4 tolerance-contract pattern (within 5%; HLL lgk=12 is
+      // near-exact at this cardinality)
+      val ev = t(s, dir, "events")
+        .withColumn("slice", dayofmonth(col("ts")) % 2)
+      val perSlice = ev.groupBy(col("event_type"), col("slice"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val merged = perSlice.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      exact.join(merged, Seq("event_type"))
+        .select(col("event_type"), col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct")).cast(DoubleType) /
+            col("exact_distinct") <= 0.05d).as("est_within_5pct"))
+        .orderBy(col("event_type"))
+    }),
+
     "g4_label_propagation" -> ((s, dir) => {
       // deterministic synchronous label-propagation communities
       // (mode-of-neighbors, ties ascending) over the same derived
@@ -3197,6 +3221,12 @@ object SparkEntry {
                       THEN -p.p_event_id ELSE p.p_event_id END ASC
         LIMIT 1) n ON TRUE
       ORDER BY c.event_id""",
+
+    "m8_sketch_rollup" -> """
+      SELECT event_type,
+             COUNT(DISTINCT user_id) AS exact_distinct,
+             TRUE AS est_within_5pct
+      FROM events GROUP BY event_type ORDER BY event_type""",
 
     "m7_cdc_apply" -> """
       WITH log AS (
