@@ -2132,7 +2132,10 @@ object SparkEntry {
       // cumulative pair counts from the top — the operating threshold
       // is read off one tiny table instead of re-running the pair scan
       // per candidate threshold. The cumulative window runs over ~14
-      // bucket rows (metadata, not data).
+      // bucket rows (metadata, not data). A lower floor widens the
+      // candidate pair space; at 100 TB run the sweep through
+      // ngramJaccardPairsDfCut (x4b) so stop-shingles can't go
+      // quadratic at the loose end.
       val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
         col("doc_id"), col("text"), threshold = 0.3)
       val w = Window.orderBy(col("bucket").desc)
