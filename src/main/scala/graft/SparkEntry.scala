@@ -3126,6 +3126,14 @@ object SparkEntry {
         .orderBy(col("check_name"))
     }),
 
+    "st13_stream_sketch_rollup" -> ((s, dir) => {
+      // streaming m8: each micro-batch's HLL folds into the standing
+      // sketch ledger via hll_union_agg — batching-invariant by sketch
+      // algebra, gated on the exact distinct (5% contract)
+      graft.streaming.Streams.streamSketchRollup(s, dir)
+        .orderBy(col("event_type"))
+    }),
+
     "st9_stream_neardup_admit" -> ((s, dir) => {
       // online near-dup admission: docs stream in, each admitted or
       // dropped against the simhash band cohorts of everything that
@@ -5585,6 +5593,12 @@ object SparkEntry {
       SELECT 'notnull_props', 'events',
              (SELECT COUNT(*) FROM events WHERE props IS NULL)
       ORDER BY check_name""",
+
+    "st13_stream_sketch_rollup" -> """
+      SELECT event_type,
+             COUNT(DISTINCT user_id) AS exact_distinct,
+             TRUE AS est_within_5pct
+      FROM events GROUP BY event_type ORDER BY event_type""",
 
     "st9_stream_neardup_admit" -> """
       WITH docs AS (

@@ -474,6 +474,55 @@ object Streams {
       .agg(sum(col("n_violations")).as("n_violations"))
   }
 
+  /** Streaming mergeable-sketch maintenance — the distinct-count dual
+    * of [[streamIncrementalRollup]] (additive sums merge; distinct
+    * counts DON'T, so the materialized state is a DataSketches HLL
+    * sketch per key, not a number): each micro-batch sketches its own
+    * rows (`hll_sketch_agg`) and folds into the standing ledger with
+    * `hll_union_agg` — history is never rescanned, and the merged
+    * estimate equals the one-shot sketch of all data regardless of
+    * batching (sketch union is associative/commutative). Output joins
+    * the exact distinct with the a4-style 5% contract flag. */
+  def streamSketchRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = new java.io.File("target/qtmp/st13_target")
+    org.apache.commons.io.FileUtils.deleteQuietly(target)
+    val path = target.getAbsolutePath
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("sk",
+          org.apache.spark.sql.types.BinaryType))))
+      .write.mode("overwrite").parquet(path)
+    val q = eventStream(spark, sfDir, "st13_src", "365 days")
+      .select(col("event_type"), col("user_id"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = batch.groupBy(col("event_type"))
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        val merged = batch.sparkSession.read.parquet(path)
+          .unionByName(delta)
+          .groupBy(col("event_type"))
+          .agg(expr("hll_union_agg(sk)").as("sk"))
+        graft.operators.Mutations.overwriteAtomic(merged, path)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val est = spark.read.parquet(path)
+      .select(col("event_type"), expr("hll_sketch_estimate(sk)").as("est"))
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      .join(est, Seq("event_type"))
+      .select(col("event_type"), col("exact_distinct"),
+        (abs(col("est") - col("exact_distinct"))
+          .cast("double") / col("exact_distinct") <= 0.05d)
+          .as("est_within_5pct"))
+  }
+
   /** One (band, key) posting of a streamed doc's simhash fingerprint. */
   final case class BandEvent(band: Int, key: Long, doc_id: Long, fp: Long)
   /** Per-band admission flag emitted by [[streamNearDupAdmit]]. */
