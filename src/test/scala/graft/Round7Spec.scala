@@ -79,6 +79,68 @@ class Round7Spec extends GraftSuite {
     assert(splits === 1)
   }
 
+  // ------------------------------------- sketch ledger (m8/st13 algebra)
+
+  test("sketch ledger: 3 real micro-batches union to the one-shot sketch") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    // stage 3 separate files so maxFilesPerTrigger=1 forces three
+    // genuine micro-batches — the batching-invariance claim of
+    // m8/st13 exercised with real multi-batch delivery, not the
+    // single-batch AvailableNow degenerate
+    val stage = new java.io.File("target/qtmp/r7_sketch_src")
+    org.apache.commons.io.FileUtils.deleteQuietly(stage); stage.mkdirs()
+    val ev = Tables.load(spark, SparkTestBase.sfDir, "events")
+      .select(col("event_type"), col("user_id"))
+    (0 until 3).foreach { i =>
+      val tmp = new java.io.File(s"target/qtmp/r7_sketch_tmp_$i")
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      ev.filter($"user_id" % 3 === i).coalesce(1)
+        .write.parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(stage, s"slice_$i.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+    val target = new java.io.File("target/qtmp/r7_sketch_target")
+    org.apache.commons.io.FileUtils.deleteQuietly(target)
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("sk",
+          org.apache.spark.sql.types.BinaryType))))
+      .write.mode("overwrite").parquet(target.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.getAbsolutePath)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        nBatches.incrementAndGet()
+        val delta = batch.groupBy(col("event_type"))
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        val merged = batch.sparkSession.read
+          .parquet(target.getAbsolutePath)
+          .unionByName(delta).groupBy(col("event_type"))
+          .agg(expr("hll_union_agg(sk)").as("sk"))
+        graft.operators.Mutations.overwriteAtomic(merged,
+          target.getAbsolutePath)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(nBatches.get() === 3, s"expected 3 micro-batches, got $nBatches")
+    val ledger = spark.read.parquet(target.getAbsolutePath)
+      .select(col("event_type"), expr("hll_sketch_estimate(sk)").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = ev.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ledger === oneShot,
+      s"multi-batch union must equal one-shot sketch: $ledger vs $oneShot")
+  }
+
   // ------------------------------------------ cross-source leakage
 
   test("crossSourceLeakage finds the copied span, not independent text") {
