@@ -821,6 +821,43 @@ object SparkEntry {
         .orderBy(col("status"), col("priority"))
     }),
 
+    "a22_correlation" -> ((s, dir) => {
+      // Pearson correlations between lineitem measures, from exact
+      // decimal moment sums (order-independent across any partitioning
+      // — the zscoreOutliers discipline) with the final arithmetic in
+      // doubles rounded at 4; one aggregation pass computes all three
+      // pairs' moments simultaneously
+      def d(c: String) = col(c).cast("decimal(18,2)")
+      def dd(a: Column, b: Column) = (a * b).cast("decimal(30,4)")
+      val m = t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n"),
+        sum(d("l_quantity")).as("sq"), sum(d("l_extendedprice")).as("sp"),
+        sum(d("l_discount")).as("sd"),
+        sum(dd(d("l_quantity"), d("l_quantity"))).as("sqq"),
+        sum(dd(d("l_extendedprice"), d("l_extendedprice"))).as("spp"),
+        sum(dd(d("l_discount"), d("l_discount"))).as("sdd"),
+        sum(dd(d("l_quantity"), d("l_extendedprice"))).as("sqp"),
+        sum(dd(d("l_quantity"), d("l_discount"))).as("sqd"),
+        sum(dd(d("l_extendedprice"), d("l_discount"))).as("spd"))
+      def corr(n: Column, sx: Column, sy: Column, sxx: Column,
+               syy: Column, sxy: Column) = {
+        val num = sxy.cast(DoubleType) -
+          sx.cast(DoubleType) * sy.cast(DoubleType) / n
+        val dx = sxx.cast(DoubleType) -
+          sx.cast(DoubleType) * sx.cast(DoubleType) / n
+        val dy = syy.cast(DoubleType) -
+          sy.cast(DoubleType) * sy.cast(DoubleType) / n
+        round(num / sqrt(dx * dy), 4)
+      }
+      m.select(
+        corr(col("n"), col("sq"), col("sp"), col("sqq"), col("spp"),
+          col("sqp")).as("corr_qty_price"),
+        corr(col("n"), col("sq"), col("sd"), col("sqq"), col("sdd"),
+          col("sqd")).as("corr_qty_disc"),
+        corr(col("n"), col("sp"), col("sd"), col("spp"), col("sdd"),
+          col("spd")).as("corr_price_disc"))
+    }),
+
     "a21_winsorize" -> ((s, dir) => {
       // robust-range winsorization: p01/p99 bounds from ONE tiny
       // aggregation (rounded to 2dp so both engines clamp at the
@@ -2243,6 +2280,23 @@ object SparkEntry {
         .orderBy(col("fold"))
     }),
 
+    "x69_k_anonymity" -> ((s, dir) => {
+      // k-anonymity audit (privacy family, next to x16's PII scrub):
+      // group sizes over the quasi-identifier tuple; rows in groups
+      // smaller than k are re-identifiable. One hash aggregation over
+      // the QI key + one tiny rollup of the group-size table
+      val k = 5L
+      val groups = t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("sz"))
+      groups.agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("sz") < k, 1L).otherwise(0L)).as("n_groups_below_k"),
+        sum(when(col("sz") < k, col("sz")).otherwise(0L))
+          .as("n_rows_at_risk"),
+        min(col("sz")).as("min_group_size"))
+    }),
+
     "x21_profile" -> ((s, dir) => {
       // one-pass column profiling (nulls / exact distinct / lex min-max)
       Quality.profile(t(s, dir, "orders"),
@@ -3613,6 +3667,64 @@ object SparkEntry {
       WHERE substring(md5(o_orderstatus || '|' ||
               CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "x69_k_anonymity" -> """
+      WITH g AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
+        FROM customer GROUP BY c_nationkey, c_mktsegment)
+      SELECT COUNT(*) AS n_groups,
+             CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_groups_below_k,
+             CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk,
+             MIN(sz) AS min_group_size
+      FROM g""",
+
+    "a22_correlation" -> """
+      WITH m AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+               SUM(CAST(l_discount AS DECIMAL(18,2))) AS sd,
+               SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+                 CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4)))
+                 AS sqq,
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4)))
+                 AS spp,
+               SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) *
+                 CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(30,4)))
+                 AS sdd,
+               SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+                 CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4)))
+                 AS sqp,
+               SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+                 CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(30,4)))
+                 AS sqd,
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(30,4)))
+                 AS spd
+        FROM lineitem)
+      SELECT
+        round((CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) *
+          CAST(sp AS DOUBLE) / n) /
+          sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) *
+            CAST(sq AS DOUBLE) / n) *
+            (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) *
+            CAST(sp AS DOUBLE) / n)), 4) AS corr_qty_price,
+        round((CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) *
+          CAST(sd AS DOUBLE) / n) /
+          sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) *
+            CAST(sq AS DOUBLE) / n) *
+            (CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) *
+            CAST(sd AS DOUBLE) / n)), 4) AS corr_qty_disc,
+        round((CAST(spd AS DOUBLE) - CAST(sp AS DOUBLE) *
+          CAST(sd AS DOUBLE) / n) /
+          sqrt((CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) *
+            CAST(sp AS DOUBLE) / n) *
+            (CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) *
+            CAST(sd AS DOUBLE) / n)), 4) AS corr_price_disc
+      FROM m""",
 
     "a21_winsorize" -> """
       WITH b AS (
