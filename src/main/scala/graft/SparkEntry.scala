@@ -24,9 +24,10 @@ import graft.operators._
   * hash-checked via the exact degenerate variant x15b), and streaming
   * queries share their batch formulations' oracles.
   *
-  * TOLERANCE-CONTRACT queries (driver triage note): a4, a8b, x7 and
-  * x15 oracle a boolean bound (sketch within tolerance / recall above
-  * bound) that is TRUE on this fixed data with deliberate margin. A
+  * TOLERANCE-CONTRACT queries (driver triage note): a4, a8b, x7, x15,
+  * m8 and st13 oracle a boolean bound (sketch within tolerance /
+  * recall above bound) that is TRUE on this fixed data with
+  * deliberate margin. A
   * future hash failure on exactly these queries means tolerance drift
   * (e.g. a Spark upgrade changing HLL++/GK/ANN internals), NOT data
   * corruption — re-measure and re-margin the bound before suspecting
@@ -2916,8 +2917,8 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("exact_distinct"))
       exact.join(merged, Seq("event_type"))
         .select(col("event_type"), col("exact_distinct"),
-          (abs(col("est") - col("exact_distinct")).cast(DoubleType) /
-            col("exact_distinct") <= 0.05d).as("est_within_5pct"))
+          Mutations.toleranceFlag(col("exact_distinct"), col("est"),
+            0.05).as("est_within_5pct"))
         .orderBy(col("event_type"))
     }),
 

@@ -129,6 +129,24 @@ object Mutations {
       .agg(sum(col(measures.head)).as(measures.head),
         measures.tail.map(m => sum(col(m)).as(m)): _*)
 
+  /** Seed an empty parquet ledger with the given schema — the starting
+    * state of every incremental-maintenance target (m5/st11 additive
+    * rollups, st13 sketch ledger). One place instead of per-site
+    * createDataFrame(emptyRDD) boilerplate. */
+  def seedEmptyLedger(spark: org.apache.spark.sql.SparkSession,
+                      path: String,
+                      schema: org.apache.spark.sql.types.StructType): Unit =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** The a4-style tolerance flag: TRUE when `est` is within `tol`
+    * relative error of `exact`. Shared by every sketch-estimate
+    * contract (m8, st13) so the tolerance and flag semantics can't
+    * drift between the batch and streaming twins. */
+  def toleranceFlag(exact: Column, est: Column, tol: Double): Column =
+    abs(est - exact).cast("double") / exact <= tol
+
   /** CDC op-log apply (Debezium/binlog-style): materialize current
     * table state from an insert/update/delete operation log by
     * last-writer-wins per key. Op rows carry (`keys`..., `opCol` ∈
