@@ -2871,6 +2871,35 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "er1_entity_resolution" -> ((s, dir) => {
+      // end-to-end entity resolution: SNM blocked candidates verified
+      // by edit distance (the x56 tier) → connected components
+      // (transitive closure of the match relation) → survivorship
+      // election per entity cluster (longest name, then lexicographic,
+      // then min id) — blocking, clustering, and election composed
+      // into the master-data pipeline
+      val part = t(s, dir, "part")
+      val pairs = Dedup.sortedNeighborhoodPairs(part, col("p_partkey"),
+        col("p_name"), w = 3, maxDist = 4)
+      // sorted-neighborhood match graphs are CHAINS (adjacent names
+      // link transitively), the adversarial-diameter case min-label
+      // propagation converges slowly on — exactly what the
+      // large-star/small-star variant (x51) exists for
+      val comps = Dedup.connectedComponentsStar(
+        pairs.select(col("id_a"), col("id_b")))
+      val named = comps.join(
+        part.select(col("p_partkey").as("id"), col("p_name")), Seq("id"))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(length(col("p_name")).desc, col("p_name").asc,
+          col("id").asc)
+      named.withColumn("rk", row_number().over(w))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rk") === 1, col("p_name"))).as("survivor_name"),
+          max(when(col("rk") === 1, col("id"))).as("survivor_id"))
+        .orderBy(col("component"))
+    }),
+
     "m7_cdc_apply" -> ((s, dir) => {
       // CDC op-log replay: I ops for every order, U (+10.00, exact
       // decimal) for keys %4, D for keys %7; last-writer-wins per key
@@ -3293,6 +3322,40 @@ object SparkEntry {
              COUNT(DISTINCT user_id) AS exact_distinct,
              TRUE AS est_within_5pct
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "er1_entity_resolution" -> """
+      WITH RECURSIVE s AS (
+        SELECT p_partkey AS id, p_name AS k,
+               substring(p_name, 1, 1) AS blk FROM part),
+      l AS (SELECT id, k,
+              lead(id, 1) OVER w AS n1id, lead(k, 1) OVER w AS n1k,
+              lead(id, 2) OVER w AS n2id, lead(k, 2) OVER w AS n2k
+            FROM s WINDOW w AS (PARTITION BY blk ORDER BY k, id)),
+      pairs AS (
+        SELECT id AS id_a, n1id AS id_b FROM l
+        WHERE n1id IS NOT NULL AND levenshtein(k, n1k) <= 4
+        UNION ALL
+        SELECT id, n2id FROM l
+        WHERE n2id IS NOT NULL AND levenshtein(k, n2k) <= 4),
+      sym AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+        UNION
+        SELECT s2.dst, r.r FROM reach r JOIN sym s2 ON s2.src = r.id),
+      comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+      named AS (
+        SELECT c.component, c.id, p.p_name
+        FROM comp c JOIN part p ON p.p_partkey = c.id),
+      rk AS (
+        SELECT *, row_number() OVER (PARTITION BY component
+          ORDER BY length(p_name) DESC, p_name ASC, id ASC) AS rk
+        FROM named)
+      SELECT component, COUNT(*) AS n_members,
+             MAX(CASE WHEN rk = 1 THEN p_name END) AS survivor_name,
+             MAX(CASE WHEN rk = 1 THEN id END) AS survivor_id
+      FROM rk GROUP BY component ORDER BY component""",
 
     "m7_cdc_apply" -> """
       WITH log AS (
