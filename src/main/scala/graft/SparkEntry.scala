@@ -1212,6 +1212,48 @@ object SparkEntry {
     }),
 
     // ---- windows / sort / top-k (§2.6) ---------------------------------
+    "w10_ewma" -> ((s, dir) => {
+      // exponential smoothing (zero-seeded EWMA, α=0.1) per user over
+      // event time, via the closed form ewma_t = α·r^t·Σ(x_k/r^k)
+      // (r = 1−α): ONE ordered running window sum instead of a
+      // sequential recurrence Spark can't express. Running sums
+      // evaluate sequentially in frame order, so both engines add the
+      // same doubles in the same order. r^t does NOT go through
+      // libm pow — Java's and DuckDB's pow differ in the final ulp,
+      // which flipped two rounded rows — it joins from [[ewmaPowers]],
+      // the same driver-computed double literals the generated oracle
+      // embeds (the pagerankOracleSql discipline); the broadcast side
+      // is ewmaMaxT rows.
+      val alpha = 0.1d
+      val pw = s.createDataFrame(ewmaPowers).toDF("t", "p")
+      val byT = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("t", row_number().over(byT))
+        .join(broadcast(pw), Seq("t")) // t > ewmaMaxT would truncate; raise it
+        // the running sum goes through DECIMAL: DuckDB windows sum via
+        // a segment TREE (different FP addition order), so double sums
+        // diverge in ulps — the repo's decimal-aggregation gotcha
+        // applied to window frames
+        .withColumn("s",
+          sum((col("value") / col("p")).cast("decimal(38,12)")).over(run)
+            .cast(DoubleType))
+        // quantize at 8dp BEFORE the 4dp round: Spark rounds the
+        // double's exact binary value (BigDecimal HALF_UP), DuckDB the
+        // shortest decimal repr — a product an ulp from x.xxxx5 flips
+        // between them; the intermediate decimal cast resolves the
+        // boundary identically on both sides
+        .select(col("user_id"), col("event_id"),
+          round((lit(alpha) * col("p") * col("s")).cast("decimal(20,8)"),
+            4).cast(DoubleType).as("ewma"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     "w3_window_topk" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -3262,6 +3304,41 @@ object SparkEntry {
     header + its + s"\n      SELECT node, rank FROM it$iters ORDER BY node"
   }
 
+  /** Shared r^t table for w10 (r = 0.9, t = 1..ewmaMaxT): computed ONCE
+    * on the driver and embedded as literals in BOTH the Spark plan and
+    * the generated oracle SQL, so no engine's libm pow (which differ in
+    * the final ulp) enters the arithmetic. Double.toString round-trips
+    * exactly, so both engines parse the identical doubles. 512 covers
+    * per-user series far beyond bench scale; longer series should
+    * re-index t per chunk anyway (the power underflows). */
+  private val ewmaMaxT = 512
+  private lazy val ewmaPowers: Seq[(Int, Double)] =
+    (1 to ewmaMaxT).map(t => t -> math.pow(0.9d, t))
+
+  private def ewmaOracleSql: String = {
+    val rows = ewmaPowers
+      .map { case (t, p) => s"($t, ${java.lang.Double.toString(p)})" }
+      .mkString(", ")
+    s"""
+      WITH pw(t, p) AS (VALUES $rows),
+      e AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS t
+        FROM events WHERE event_type = 'purchase'),
+      s AS (
+        SELECT e.user_id, e.event_id, pw.p,
+               CAST(SUM(CAST(e.value / pw.p AS DECIMAL(38,12)))
+                 OVER (PARTITION BY e.user_id
+                 ORDER BY e.t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS DOUBLE) AS s
+        FROM e JOIN pw ON pw.t = e.t)
+      SELECT user_id, event_id,
+             CAST(round(CAST(0.1 * p * s AS DECIMAL(20,8)), 4) AS DOUBLE)
+               AS ewma
+      FROM s ORDER BY user_id, event_id"""
+  }
+
   private def labelPropOracleSql(iters: Int): String = {
     def prev(k: Int) = if (k == 1) "l0" else s"lp${k - 1}"
     val header = """
@@ -3731,6 +3808,8 @@ object SparkEntry {
       WHERE substring(md5(o_orderstatus || '|' ||
               CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "w10_ewma" -> ewmaOracleSql,
 
     "x69_k_anonymity" -> """
       WITH g AS (
