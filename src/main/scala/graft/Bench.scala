@@ -53,6 +53,26 @@ object Bench {
     "e2e_llm_corpus",       // quality → dedup → rebalance → manifest
     "e2e_incremental_ingest") // per-ingest admission audit (corpus never shuffles)
 
+  /** Second pinned set: the LLM-data-pipeline heavy hitters (round-3 judge
+    * ask). The 21-query `headline` set above predates these operators and is
+    * kept untouched for round-over-round continuity; this set gives perf
+    * visibility to the machinery that had none (a regression in ~200 of the
+    * 221 verify queries was invisible to BENCH_r*.json). x36 appears in both
+    * sets on purpose — it is the bridge query that lets the two sets be
+    * cross-calibrated against host-noise drift between the two timed blocks.
+    */
+  val llm10: Seq[String] = Seq(
+    "er1_entity_resolution",   // SNM blocking → verify → star CC → survivorship
+    "x52_semantic_dedup",      // k-means cells + within-cell pairs (SemDeDup)
+    "x53_pq_ann_topk",         // PQ codebooks + ADC shortlist + exact rerank
+    "x55_bm25_search",         // postings tf/df joins, ranked retrieval
+    "x56_sorted_neighborhood", // sort-key window dedup
+    "x57_winnowing_pairs",     // winnowing fingerprint dedup
+    "x65_cross_source_leakage",// cross-source postings leakage sweep
+    "x66_dedup_pr_eval",       // sketch-vs-truth P/R eval
+    "m8_sketch_rollup",        // HLL sketch ledger rollup
+    "x36_span_dup_coverage")   // bridge query shared with `headline`
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -65,20 +85,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-
-    // warmup: one untimed pass over the WHOLE headline set. A single
-    // warmup query only warms the JVM generally; each query's own
-    // generated code (shuffle writers, codegen'd expression classes)
-    // JITs on first execution — measured 2-4× on the expression-heavy
-    // queries (x2's first run is ~2.5× its steady state). Steady-state
-    // cost is what a long-running cluster job pays, so that's what we
-    // time; the two timed passes below still do the full work.
-    headline.foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      finally spark.catalog.clearCache()
-    }
 
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
@@ -93,29 +99,58 @@ object Bench {
     }
 
     val nPasses = 4
-    val passes = (1 to nPasses).map(_ => headline.map(n => n -> timeOnce(n)).toMap)
-    // Episodic multi-second host pauses can still hit every timed pass
-    // of one query (observed: a 1.7 s join reporting 55 s). Any query
-    // whose best sample is still over 8 s — several × the slowest
-    // steady-state query in this set — re-measures up to twice more; a
-    // genuinely slow query spends its four passes plus at most two
-    // retries confirming its number.
-    val results = headline.map { n =>
-      var samples = passes.map(_(n)).filter(_ >= 0)
-      var retries = 0
-      while ((samples.isEmpty || samples.min > 8.0) && retries < 2) {
-        samples = samples ++ Seq(timeOnce(n)).filter(_ >= 0)
-        retries += 1
+
+    /** Warm a set untimed, then min-of-`nPasses` each query.
+      *
+      * Warmup is one untimed pass over the WHOLE set: a single warmup
+      * query only warms the JVM generally; each query's own generated
+      * code (shuffle writers, codegen'd expression classes) JITs on
+      * first execution — measured 2-4× on the expression-heavy queries
+      * (x2's first run is ~2.5× its steady state). Steady-state cost is
+      * what a long-running cluster job pays, so that's what we time.
+      *
+      * Episodic multi-second host pauses can still hit every timed pass
+      * of one query (observed: a 1.7 s join reporting 55 s). Any query
+      * whose best sample is still over 8 s — several × the slowest
+      * steady-state query in these sets — re-measures up to twice more;
+      * a genuinely slow query spends its four passes plus at most two
+      * retries confirming its number.
+      */
+    def benchSet(set: Seq[String]): Seq[(String, Double)] = {
+      set.foreach { n =>
+        try SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        finally spark.catalog.clearCache()
       }
-      n -> (if (samples.isEmpty) -1.0 else samples.min)
+      val passes = (1 to nPasses).map(_ => set.map(n => n -> timeOnce(n)).toMap)
+      set.map { n =>
+        var samples = passes.map(_(n)).filter(_ >= 0)
+        var retries = 0
+        while ((samples.isEmpty || samples.min > 8.0) && retries < 2) {
+          samples = samples ++ Seq(timeOnce(n)).filter(_ >= 0)
+          retries += 1
+        }
+        n -> (if (samples.isEmpty) -1.0 else samples.min)
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
+
+    def toJson(results: Seq[(String, Double)]): String =
+      results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+        .mkString("{", ",", "}")
+
+    val results = benchSet(headline)
+    val resultsLlm = benchSet(llm10)
+    val qs = toJson(results)
+    val qsLlm = toJson(resultsLlm)
+    // `value` stays the HEADLINE total only — the pinned 21-set number the
+    // driver has tracked since round 1; the llm10 total gets its own key.
     val total = results.map(_._2).filter(_ >= 0).sum
+    val totalLlm = resultsLlm.map(_._2).filter(_ >= 0).sum
     // Stop Spark BEFORE printing so no shutdown log line can land after
     // the JSON — the driver parses the last stdout line.
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$nPasses,"queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$nPasses,"queries":$qs,"value_llm":$totalLlm%.3f,"queries_llm":$qsLlm,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -79,6 +79,27 @@ object Scratch {
         println("my m0   = " + XXH64.hashLong(h, XXH64.hashInt(0, 42L)))
         println("my key0 = " + XXH64.hashLong(
           XXH64.hashLong(h, XXH64.hashInt(0, 42L)), XXH64.hashInt(0, 42L)))
+      case "pq_recall" =>
+        // sweep PQ operating points: macro recall@5 vs exact L2 top-k
+        import org.apache.spark.sql.functions.{avg, col, count, lit}
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        val exact = graft.operators.Similarity
+          .bruteTopKL2(q, emb, "vec_id", "embedding", 5)
+        for (ti <- Seq(1, 2, 3); rr <- Seq(50, 100, 200)) {
+          val pq = graft.operators.Similarity.pqTopK(q, emb, "vec_id",
+            "embedding", k = 5, m = 8, ksub = 16,
+            trainIters = ti, rerank = rr)
+          val r = exact.as("b").join(pq.as("l"),
+              col("b.query_id") === col("l.query_id") &&
+                col("b.neighbor_id") === col("l.neighbor_id"), "left")
+            .groupBy(col("b.query_id"))
+            .agg((count(col("l.neighbor_id")).cast("double") / lit(5.0d))
+              .as("recall"))
+            .agg(avg(col("recall")).as("macro"))
+            .collect()(0).getDouble(0)
+          println(f"pq_recall ti=$ti rr=$rr macro=$r%.3f")
+        }
       case "st8_debug" =>
         // count rows per micro-batch to confirm the 2-batch split
         import org.apache.spark.sql.functions.col

@@ -152,10 +152,12 @@ object Dedup {
     * side unions corpus hashes with smaller-id batch hashes) and ONE
     * LSH bucket join decides both near tiers (right side unions corpus
     * bands with batch bands), each reduced to the per-doc best (=
-    * lowest) status priority. When the batch is small enough (row
-    * count ≤ `broadcastMaxRows`; the broadcast payload is the
-    * band-exploded batch — batch×bands rows with shingle arrays,
-    * bounded by Spark's 8 GB broadcast cap and driver memory) the
+    * lowest) status priority. When the batch is small enough
+    * (batch rows × `bands` ≤ `broadcastMaxBandRows` — the gated
+    * quantity is the BAND-EXPLODED broadcast payload, batch×bands
+    * rows each carrying the doc's shingle array, since that is what
+    * the join actually ships; bounded by Spark's 8 GB broadcast cap
+    * and driver memory) the
     * batch side carries an explicit `broadcast` hint in both joins,
     * so the corpus NEVER shuffles — it streams through a
     * broadcast-hash probe in place, which is the whole point of
@@ -172,7 +174,7 @@ object Dedup {
   def admitIncremental(corpus: DataFrame, batch: DataFrame,
                        id: Column, text: Column, threshold: Double = 0.8,
                        k: Int = 32, bands: Int = 8, w: Int = 3,
-                       broadcastMaxRows: Long = 2000000L): DataFrame = {
+                       broadcastMaxBandRows: Long = 2000000L): DataFrame = {
     def normHash(t: Column) =
       md5(regexp_replace(trim(lower(t)), "\\s+", " "))
     val bh = batch.select(id.as("id"), normHash(text).as("h"))
@@ -191,12 +193,12 @@ object Dedup {
     // band rows, each carrying the doc's shingle array — that is what
     // nearFlags actually broadcasts), not the batch row count: a batch
     // of long documents can pass a row-count gate and still blow the
-    // 8 GB broadcast cap. Size broadcastMaxRows for the corpus's doc
+    // 8 GB broadcast cap. Size broadcastMaxBandRows for the corpus's doc
     // length distribution (default assumes ~KB-scale shingle arrays).
     // An oversized batch degrades to plain shuffle joins rather than
     // dying mid-ingest at the broadcast cap.
     val hint: DataFrame => DataFrame =
-      if (bmh.count() * bands <= broadcastMaxRows) df => broadcast(df)
+      if (bmh.count() * bands <= broadcastMaxBandRows) df => broadcast(df)
       else df => df
     val exactFlags = hint(bh).join(hashRight, Seq("h"))
       .filter(col("rid").isNull || col("rid") < col("id"))
@@ -667,6 +669,26 @@ object Dedup {
       .select(col("id"), coalesce(col("__comp"), col("id")).as("component"))
   }
 
+  /** [[connectedComponents]] with automatic degradation to
+    * [[connectedComponentsStar]]: min-label propagation wins on the
+    * shallow star-shaped clusters near-dup matching actually produces
+    * (converges in a couple of rounds), but throws at its iteration cap
+    * on adversarial diameters. Callers that can meet ANY graph shape —
+    * the dedup query family, where one linked-list-shaped similarity
+    * chain in the pairs would otherwise kill the whole job — route
+    * here: on cap-hit the ORIGINAL pairs re-run through the O(log² n)
+    * star algorithm (the aborted propagation's partial labels are
+    * discarded; they may be non-minimal). Worst case pays maxIter
+    * propagation rounds before degrading — set `maxIter` low enough
+    * that the probe is cheap relative to a star run. */
+  def connectedComponentsAuto(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    try connectedComponents(pairs, maxIter)
+    catch {
+      case e: IllegalStateException if e.getMessage != null &&
+          e.getMessage.startsWith("connectedComponents: not converged") =>
+        connectedComponentsStar(pairs)
+    }
+
   // ------------------------------------------------------- embedding cosine
 
   /** Incremental connected-components maintenance: fold NEW edges into
@@ -687,7 +709,10 @@ object Dedup {
                                      maxIter: Int = 20): DataFrame = {
     val starEdges = labels.filter(col("id") =!= col("component"))
       .select(col("id").as("id_a"), col("component").as("id_b"))
-    val merged = connectedComponents(starEdges.unionByName(
+    // auto-variant: old components are diameter-1 stars, but the NEW
+    // edges can arrive in any shape (a chain of ingests gluing stars
+    // into a long path) — degrade to star CC instead of throwing
+    val merged = connectedComponentsAuto(starEdges.unionByName(
       newPairs.select(col("id_a"), col("id_b"))), maxIter)
     // singleton components label themselves and produce no star edge;
     // any of them untouched by the new edges must pass through, or a

@@ -32,9 +32,16 @@ import graft.functions.ColFns
   * Tune `cellDeg` so a typical cell holds a handful of right points;
   * the fallback set is then empty or tiny.
   *
-  * Limitations: no antimeridian wrap (cells don't join across ±180°)
-  * and `maxAbsLatDeg` must bound the data's |latitude| (the km-per-
-  * degree-longitude lower bound degenerates toward the poles).
+  * Longitude cells are MODULAR: the axis is divided into
+  * `nLng = floor(360/cellDeg)` uniform cells of width `360/nLng`
+  * (≥ cellDeg, dividing 360 exactly so the seam cell is never
+  * narrower than the others), and neighbor offsets wrap with `pmod` —
+  * the 3×3 neighborhood joins across ±180°, so a probe at lng 179.9°
+  * sees candidates at −179.9°. Haversine itself is periodic in Δlng,
+  * so the verify distance needs no special-casing.
+  *
+  * Limitation: `maxAbsLatDeg` must bound the data's |latitude| (the
+  * km-per-degree-longitude lower bound degenerates toward the poles).
   */
 object GeoJoin {
 
@@ -45,11 +52,21 @@ object GeoJoin {
     * @param cellDeg       grid cell width in degrees (both axes)
     * @param maxAbsLatDeg  upper bound on |lat| across BOTH inputs;
     *                      used only for the provable-radius km bound
+    * @param exactFallback when false, SKIP the brute re-resolve pass:
+    *                      only grid-resolved rows return and far/lonely
+    *                      left points silently drop. A diagnostic seam
+    *                      so tests can prove the blocked path alone
+    *                      finds the true neighbor (the exact fallback
+    *                      would mask a broken cell mapping — e.g. a
+    *                      non-wrapping antimeridian seam — as a silent
+    *                      full-brute slowdown). Production callers keep
+    *                      the default.
     */
   def nearest(left: DataFrame, lid: String, llat: String, llng: String,
               right: DataFrame, rid: String, rlat: String, rlng: String,
               cellDeg: Double = 0.5,
-              maxAbsLatDeg: Double = 66.0): DataFrame = {
+              maxAbsLatDeg: Double = 66.0,
+              exactFallback: Boolean = true): DataFrame = {
     require(cellDeg > 0, "cellDeg must be positive")
     require(maxAbsLatDeg < 90.0, "maxAbsLatDeg must be < 90")
     val l = left.select(col(lid).as("__lid"),
@@ -69,17 +86,31 @@ object GeoJoin {
 
     val cx = (c: org.apache.spark.sql.Column) =>
       floor(c / cellDeg).cast("long")
-    val offsets = for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy)
+    // modular longitude axis: nLng uniform cells of width 360/nLng
+    // (≥ cellDeg, dividing 360 exactly, so the safe-radius bound below
+    // holds for every cell including the one at the seam); lng = +180
+    // lands on index nLng and pmod-wraps to 0, i.e. the same meridian
+    // as −180
+    val nLng = math.max(1L, math.floor(360.0 / cellDeg).toLong)
+    val lngCell = 360.0 / nLng
+    val cyBase = (c: org.apache.spark.sql.Column) =>
+      floor((c + lit(180.0d)) / lngCell).cast("long")
+    val cy = (c: org.apache.spark.sql.Column, dy: Int) =>
+      pmod(cyBase(c) + dy, lit(nLng))
+    // with < 3 longitude cells the wrapped ±1 offsets collide; shrink
+    // the offset set so a right point never registers twice in one cell
+    val dys = if (nLng >= 3) -1 to 1 else if (nLng == 2) 0 to 1 else 0 to 0
+    val offsets = for (dx <- -1 to 1; dy <- dys) yield (dx, dy)
     val rCells = r.select(col("*"), explode(array(offsets.map {
         case (dx, dy) => struct(
           (cx(col("__rlat")) + dx).as("gx"),
-          (cx(col("__rlng")) + dy).as("gy"))
+          cy(col("__rlng"), dy).as("gy"))
       }: _*)).as("g"))
       .select(col("__rid"), col("__rlat"), col("__rlng"),
         col("g.gx").as("gx"), col("g.gy").as("gy"))
     val lCells = l
       .withColumn("gx", cx(col("__llat")))
-      .withColumn("gy", cx(col("__llng")))
+      .withColumn("gy", cy(col("__llng"), 0))
 
     val best = lCells.join(rCells, Seq("gx", "gy"))
       .withColumn("__d", ColFns.haversineKm(col("__llat"), col("__llng"),
@@ -93,16 +124,19 @@ object GeoJoin {
     // misses — no candidate in the 3×3 block, or a candidate beyond
     // the provable radius — re-resolve exactly against the full right
     // side; with a density-tuned cellDeg this set is empty or tiny
-    val missed = l.join(hit.select("__lid"), Seq("__lid"), "left_anti")
-    val brute = missed.crossJoin(broadcast(r))
-      .withColumn("__d", ColFns.haversineKm(col("__llat"), col("__llng"),
-        col("__rlat"), col("__rlng")))
-      .groupBy(col("__lid"))
-      .agg(min(struct(col("__d"), col("__rid"))).as("b"))
-      .select(col("__lid"), col("b.__d").as("__d"),
-        col("b.__rid").as("__rid"))
+    val resolved = if (!exactFallback) hit else {
+      val missed = l.join(hit.select("__lid"), Seq("__lid"), "left_anti")
+      val brute = missed.crossJoin(broadcast(r))
+        .withColumn("__d", ColFns.haversineKm(col("__llat"), col("__llng"),
+          col("__rlat"), col("__rlng")))
+        .groupBy(col("__lid"))
+        .agg(min(struct(col("__d"), col("__rid"))).as("b"))
+        .select(col("__lid"), col("b.__d").as("__d"),
+          col("b.__rid").as("__rid"))
+      hit.unionByName(brute)
+    }
 
-    hit.unionByName(brute)
+    resolved
       .select(col("__lid").as(lid), col("__rid").as("nearest_id"),
         col("__d").as("dist_km"))
   }

@@ -65,12 +65,16 @@ object Quality {
     * The union of per-check 1-row aggregates stays one Spark job;
     * each check is its own scan/join subtree, so the planner
     * parallelizes them and nothing funnels through the driver. */
-  def integrityReport(checks: Seq[(String, String, DataFrame)]): DataFrame =
+  def integrityReport(checks: Seq[(String, String, DataFrame)]): DataFrame = {
+    require(checks.nonEmpty,
+      "integrityReport: empty check list — pass at least one " +
+        "(check_name, table_name, violations) entry")
     checks.map { case (name, tbl, viol) =>
       viol.agg(count(lit(1)).as("n_violations"))
         .select(lit(name).as("check_name"), lit(tbl).as("table_name"),
           col("n_violations"))
     }.reduce(_ unionAll _)
+  }
 
   /** Duplicate-key rows as a SET (for [[integrityReport]]): one row per
     * key value that appears more than once (null components included —

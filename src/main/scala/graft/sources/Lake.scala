@@ -87,9 +87,10 @@ final class Lake(spark: SparkSession, root: String) {
     * FileNotFound and should retry (single-writer maintenance windows
     * are the intended deployment; table formats exist precisely to
     * close this gap with a metadata pointer). If the second rename
-    * fails the backup is restored in place, so no failure mode strands
-    * the data under the backup name. Returns (filesBefore,
-    * filesAfter). */
+    * FAILS the backup is restored in place; if that restore rename
+    * itself also fails (or the process dies mid-swap), the data
+    * survives under the backup name and the thrown exception carries
+    * that path for manual repair. Returns (filesBefore, filesAfter). */
   def compact(targetBytes: Long, parts: String*): (Int, Int) = {
     val p = path(parts: _*); val f = fs(p)
     require(f.exists(p), s"compact: no dataset at $p")
@@ -106,8 +107,13 @@ final class Lake(spark: SparkSession, root: String) {
       throw new java.io.IOException(s"compact commit failed: $p")
     if (!rename(tmp, parts)) {
       // restore the live data before failing — a crash here is the one
-      // window that needs manual repair; a rename FAILURE is not
-      rename(bak, parts)
+      // window that needs manual repair; a rename FAILURE is not.
+      // The restore's OWN result is checked too: if it also fails, say
+      // exactly where the data lives instead of pretending it is back
+      if (!rename(bak, parts))
+        throw new java.io.IOException(
+          s"compact commit failed AND restore failed: data is intact " +
+            s"under backup path ${path(bak: _*)}; rename it back to $p")
       throw new java.io.IOException(s"compact commit failed: $p")
     }
     delete(bak: _*)

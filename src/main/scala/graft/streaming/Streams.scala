@@ -484,7 +484,14 @@ object Streams {
     * HIP to the composite estimator, so at high cardinality the ledger
     * and a one-shot sketch can differ by a few counts. Hence the
     * contract is the a4-style 5% tolerance flag against the exact
-    * distinct, not estimate equality. */
+    * distinct, not estimate equality.
+    *
+    * Ledger durability: each batch swaps the ledger via
+    * [[graft.operators.Mutations.overwriteAtomic]] (backup-rename
+    * swap — a crash mid-swap leaves the ledger intact under the
+    * `__bak` path, never lost). Single-writer per ledger path is
+    * assumed, which foreachBatch guarantees within one query; a real
+    * multi-writer deployment needs a table format's commit protocol. */
   def streamSketchRollup(spark: SparkSession, sfDir: String): DataFrame = {
     val target = new java.io.File("target/qtmp/st13_target")
     org.apache.commons.io.FileUtils.deleteQuietly(target)

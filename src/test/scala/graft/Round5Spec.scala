@@ -78,7 +78,7 @@ class Round5Spec extends GraftSuite {
       .toDF("doc_id", "text")
     def statuses(maxRows: Long) =
       Dedup.admitIncremental(corpus, batch, col("doc_id"), col("text"),
-          broadcastMaxRows = maxRows)
+          broadcastMaxBandRows = maxRows)
         .as[(Long, String)].collect().toMap
     val broadcastPath = statuses(Long.MaxValue)
     val shufflePath = statuses(0L) // forces the fallback
