@@ -273,6 +273,48 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    "s22_config_layering" -> ((s, dir) => {
+      // F15 under its own oracle: a three-layer EngineConfig resolution
+      // — in-tree DEFAULT literals < the config file's `env` leaf <
+      // env-style overrides — run through the full load pipeline
+      // (resolveEnv → envSuffix → addEnvSuffix) and flattened to
+      // dotted key/value rows. The oracle independently states every
+      // expected resolved value, so any layering regression (wrong
+      // precedence, suffix applied to an ENV_ escape, path not
+      // re-rooted) flips the hash. Layer evidence in one table:
+      //  - region: its env var is UNSET → the default literal survives
+      //  - project: resolved from the override map (env beats file)
+      //  - env_suffix: "stg" from ENV_SUBFIX (env beats the file's
+      //    "dev", which itself beats the empty default)
+      //  - tables/blobs: suffixed + re-rooted; the resolved-exempt
+      //    ENV_GRAFT_TABLE leaf stays unsuffixed
+      import graft.sources.EngineConfig
+      import graft.sources.EngineConfig.{Branch, Leaf}
+      val conf = Branch.of(
+        "env" -> Leaf("dev"), // the config FILE's deploy env
+        "project" -> Leaf("ENV_GRAFT_PROJECT"),
+        "region" -> Leaf("ENV_GRAFT_REGION"),
+        "warehouse" -> Branch.of(
+          "table" -> Branch.of(
+            "ods" -> Leaf("ods_attractions"),
+            "dim" -> Leaf("dim_city"),
+            "secret" -> Leaf("ENV_GRAFT_TABLE")),
+          "blob" -> Branch.of(
+            "gmaps" -> Branch.of(
+              "prefix" -> Leaf("gmaps"),
+              "src" -> Leaf("src/places.json"),
+              "ods" -> Leaf("ods/places.parquet")))))
+      // the env layer, injected (not sys.env — deterministic anywhere)
+      val overrides: String => Option[String] = Map(
+        "ENV_SUBFIX" -> "stg",      // the reference's literal spelling
+        "GRAFT_PROJECT" -> "proj-stg").get
+      val loaded = EngineConfig.load(conf, overrides)
+      val rows = EngineConfig.flatten(loaded) :+
+        ("env_suffix" -> EngineConfig.envSuffix(loaded, overrides))
+      import s.implicits._
+      rows.toDF("conf_key", "conf_value").orderBy(col("conf_key"))
+    }),
+
     // ---- projections / filters (§2.2) ----------------------------------
     "p1_drop_columns" -> ((s, dir) => {
       Relational.dropCols(t(s, dir, "lineitem"),
@@ -3520,6 +3562,26 @@ object SparkEntry {
       SELECT o_orderpriority, COUNT(*) AS n,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // the oracle states every layered value INDEPENDENTLY of the Scala
+    // resolution code: default-literal survival (region), env-override
+    // resolution (project), env>file suffix precedence (env_suffix =
+    // stg, not dev), table/blob suffixing + path re-rooting, and the
+    // ENV_-escape suffix exemption (warehouse.table.secret)
+    "s22_config_layering" -> """
+      SELECT * FROM (VALUES
+        ('env', 'dev'),
+        ('env_suffix', 'stg'),
+        ('project', 'proj-stg'),
+        ('region', 'ENV_GRAFT_REGION'),
+        ('warehouse.blob.gmaps.ods', 'gmaps-stg/ods/places.parquet'),
+        ('warehouse.blob.gmaps.prefix', 'gmaps-stg'),
+        ('warehouse.blob.gmaps.src', 'gmaps-stg/src/places.json'),
+        ('warehouse.table.dim', 'dim_city-stg'),
+        ('warehouse.table.ods', 'ods_attractions-stg'),
+        ('warehouse.table.secret', 'ENV_GRAFT_TABLE'))
+        AS t(conf_key, conf_value)
+      ORDER BY conf_key""",
 
     "p1_drop_columns" -> """
       SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,

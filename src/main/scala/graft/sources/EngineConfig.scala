@@ -99,6 +99,18 @@ object EngineConfig {
     })
   }
 
+  /** Flatten a tree to dotted-key/value pairs in stable (insertion)
+    * order — the audit/export view of a resolved configuration, and
+    * the shape the s22 oracle checks the whole layering pipeline
+    * through. */
+  def flatten(conf: Branch, prefix: String = ""): Seq[(String, String)] =
+    conf.children.toSeq.flatMap {
+      case (k, Leaf(v)) =>
+        Seq((if (prefix.isEmpty) k else s"$prefix.$k") -> v)
+      case (k, b: Branch) =>
+        flatten(b, if (prefix.isEmpty) k else s"$prefix.$k")
+    }
+
   /** Dotted-path getter: `get(conf, "warehouse.table.ods")`. */
   def get(conf: Branch, path: String): Option[String] = {
     val parts = path.split('.')

@@ -99,6 +99,65 @@ class Round8Spec extends GraftSuite {
     assert(rollup.head.getLong(2) === 0L)
   }
 
+  test("streaming crash-resume: restart from checkpoint equals uninterrupted run") {
+    import java.io.File
+    import org.apache.commons.io.FileUtils
+    import graft.streaming.Streams
+    val base = s"target/qtmp/st_resume_${System.nanoTime()}"
+    def dirOf(n: String) = { val f = new File(s"$base/$n"); f.mkdirs(); f }
+    // events split into three staged drop files (the multi-day ingest)
+    val ev = Tables.load(spark, SparkTestBase.sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val stageU = dirOf("u_stage"); val stageI = dirOf("i_stage")
+    def stage(to: File, part: Int, name: String): Unit =
+      ev.filter(pmod(col("event_id"), lit(3)) === part)
+        .select(col("event_type"), col("value"))
+        .coalesce(1).write.mode("append").parquet(to.getAbsolutePath)
+    (0 to 2).foreach(k => stage(stageU, k, s"f$k"))
+    stage(stageI, 0, "f0")
+
+    def ledger(p: String) = spark.read.parquet(p)
+      .select(col("event_type"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"))
+
+    // uninterrupted reference: all three files, one pass
+    val ledU = s"$base/u_ledger"
+    Streams.incrementalRollupPass(spark, stageU.getAbsolutePath,
+      ledU, s"$base/u_ckpt")
+
+    // interrupted run: pass 1 sees only file 0, then the query "dies"
+    // (checkpoint + ledger retained), files 1-2 land, pass 2 RESUMES
+    val ledI = s"$base/i_ledger"
+    Streams.incrementalRollupPass(spark, stageI.getAbsolutePath,
+      ledI, s"$base/i_ckpt")
+    val afterKill = ledger(ledI).agg(sum(col("n_events"))).head().getLong(0)
+    val file0Rows = ev.filter(pmod(col("event_id"), lit(3)) === 0).count()
+    assert(afterKill === file0Rows, "pass 1 must have folded file 0 only")
+    (1 to 2).foreach(k => stage(stageI, k, s"f$k"))
+    Streams.incrementalRollupPass(spark, stageI.getAbsolutePath,
+      ledI, s"$base/i_ckpt")
+
+    // resumed final state ≡ uninterrupted ≡ the batch truth
+    val truth = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+    assert(ledger(ledI).exceptAll(ledger(ledU)).count() === 0L)
+    assert(ledger(ledU).exceptAll(ledger(ledI)).count() === 0L)
+    assert(ledger(ledI).exceptAll(truth).count() === 0L)
+    assert(truth.exceptAll(ledger(ledI)).count() === 0L)
+
+    // exactly-once through the ledger: force a FULL REPLAY (same
+    // ledger, fresh checkpoint — every file re-delivered as batches
+    // 0..2). The __last_batch guard must skip them all; without it
+    // this would double every count.
+    Streams.incrementalRollupPass(spark, stageI.getAbsolutePath,
+      ledI, s"$base/i_ckpt_replay")
+    assert(ledger(ledI).exceptAll(truth).count() === 0L)
+    assert(truth.exceptAll(ledger(ledI)).count() === 0L)
+    FileUtils.deleteQuietly(new File(base))
+  }
+
   test("connectedComponentsAuto: shallow graphs still take the propagation path") {
     import spark.implicits._
     // two stars + a singleton pair — converges well inside maxIter, so
