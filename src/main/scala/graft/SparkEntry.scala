@@ -2527,6 +2527,91 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    "x74_theta_overlap" -> ((s, dir) => {
+      // sketch-tier contamination screen: per-source theta sketches of
+      // 5-gram hashes (exactly x65's gram semantics), pairwise
+      // |A∩B| via set-op estimates over the 20 serialized sketches —
+      // KBs of state instead of x65's postings self-join. At 100 TB
+      // the sketches ride the ingest scan (one agg shuffle on source),
+      // pairs are |sources|², and history never rescans. Gated on the
+      // exact x65 counts with the a4/m8 tolerance pattern (theta
+      // lgk=14 is exact-mode at this gram cardinality; at estimation
+      // scale the 5% bound is ~5σ for lgk=14's ~0.8% RSE).
+      import graft.functions.SketchFns
+      val toks = split(trim(regexp_replace(lower(col("text")),
+        "\\s+", " ")), " ")
+      val grams = t(s, dir, "documents")
+        .select(col("source"), toks.as("__t"))
+        .filter(size(col("__t")) >= 5)
+        .select(col("source"),
+          explode(transform(sequence(lit(1), size(col("__t")) - 4),
+            i => ColFns.portableHash60(
+              concat_ws(" ", slice(col("__t"), i, lit(5)))))).as("g"))
+      val sk = grams.groupBy(col("source"))
+        .agg(SketchFns.thetaAgg(col("g"), 14).as("sk"))
+      val est = sk.as("a").join(sk.as("b"),
+          col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"),
+          col("b.source").as("source_b"),
+          SketchFns.thetaIntersectEstimate(col("a.sk"), col("b.sk"))
+            .as("est"))
+      val posts = grams.distinct()
+      val exact = posts.as("x").join(posts.as("y"),
+          col("x.g") === col("y.g") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("source_a"),
+          col("y.source").as("source_b"))
+        .agg(count(lit(1)).as("shared_grams"))
+      est.join(exact, Seq("source_a", "source_b"), "left")
+        .withColumn("shared_grams",
+          coalesce(col("shared_grams"), lit(0L)))
+        .select(col("source_a"), col("source_b"), col("shared_grams"),
+          ((col("shared_grams") === 0 && col("est") === 0.0d) ||
+            Mutations.toleranceFlag(col("shared_grams"), col("est"), 0.05))
+            .as("est_within_5pct"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    "x75_theta_novelty" -> ((s, dir) => {
+      // novelty curve per ingest batch — "how much NEW content does
+      // each crawl snapshot add" (the metric that decides when more
+      // crawling stops paying for itself). Batches are doc_id mod 3;
+      // per-batch theta sketches of gram hashes PERSIST as the ledger
+      // state; novel(b) = |sk_b \ ∪(prior sketches)| via
+      // graft_theta_union_agg + a-not-b — per-batch cost is one scan
+      // of THAT batch, never a history rescan (m5/m8's ledger
+      // discipline for set state). Exact dual: first-seen-batch =
+      // min(batch) per gram, one agg. The per-batch sketches here
+      // exceed exact mode at union time, so this query exercises real
+      // estimation; 5% bound ≈ 6σ at lgk=14.
+      import graft.functions.SketchFns
+      val toks = split(trim(regexp_replace(lower(col("text")),
+        "\\s+", " ")), " ")
+      val grams = t(s, dir, "documents")
+        .select((col("doc_id") % 3).as("batch"), toks.as("__t"))
+        .filter(size(col("__t")) >= 5)
+        .select(col("batch"),
+          explode(transform(sequence(lit(1), size(col("__t")) - 4),
+            i => ColFns.portableHash60(
+              concat_ws(" ", slice(col("__t"), i, lit(5)))))).as("g"))
+      val sk = grams.groupBy(col("batch"))
+        .agg(SketchFns.thetaAgg(col("g"), 14).as("sk"))
+      val prior = sk.as("b").join(sk.as("p"), col("p.batch") < col("b.batch"))
+        .groupBy(col("b.batch").as("batch"))
+        .agg(SketchFns.thetaUnionAgg(col("p.sk"), 14).as("prior_sk"))
+      val est = sk.join(prior, Seq("batch"), "left")
+        .select(col("batch"),
+          when(col("prior_sk").isNull, SketchFns.thetaEstimate(col("sk")))
+            .otherwise(SketchFns.thetaAnotBEstimate(col("sk"),
+              col("prior_sk"))).as("est"))
+      val exact = grams.groupBy(col("g")).agg(min(col("batch")).as("batch"))
+        .groupBy(col("batch")).agg(count(lit(1)).as("n_novel"))
+      est.join(exact, Seq("batch"))
+        .select(col("batch"), col("n_novel"),
+          Mutations.toleranceFlag(col("n_novel"), col("est"), 0.05)
+            .as("est_within_5pct"))
+        .orderBy(col("batch"))
+    }),
+
     "x21_profile" -> ((s, dir) => {
       // one-pass column profiling (nulls / exact distinct / lex min-max)
       Quality.profile(t(s, dir, "orders"),
@@ -3178,6 +3263,41 @@ object SparkEntry {
           Mutations.toleranceFlag(col("exact_distinct"), col("est"),
             0.05).as("est_within_5pct"))
         .orderBy(col("event_type"))
+    }),
+
+    "m9_kll_ledger" -> ((s, dir) => {
+      // m8's quantile dual: per-day KLL sketches of order totalprice
+      // (the state a standing latency/price/length-distribution ledger
+      // PERSISTS — graft_kll_agg), merged on demand with
+      // graft_kll_merge_agg into any date range instead of re-sorting
+      // history. percentile_approx answers once and discards its
+      // state; this keeps it mergeable (KLL merge bounds are proven,
+      // unlike GK merges). Contract is on RANK, where KLL's guarantee
+      // actually lives: the exact rank of each estimated quantile
+      // value must be within 0.02 of q (k=400 ⇒ ~0.9% rank error at
+      // 99% conf — deliberate margin, the a4 pattern).
+      import graft.functions.SketchFns
+      val o = t(s, dir, "orders")
+        .select(col("o_orderdate"),
+          col("o_totalprice").cast(DoubleType).as("v"))
+      val daily = o.groupBy(col("o_orderdate"))
+        .agg(SketchFns.kllAgg(col("v"), 400).as("sk"))
+      val merged = daily.agg(
+        SketchFns.kllMergeAgg(col("sk"), 400).as("sk"),
+        count(lit(1)).as("n_slices"))
+      val est = merged.select(col("n_slices"),
+        explode(array(Seq(0.5d, 0.9d, 0.99d).map(q =>
+          struct(lit(q).as("q"),
+            SketchFns.kllQuantile(col("sk"), lit(q)).as("est_v"))): _*))
+          .as("r"))
+        .select(col("n_slices"), col("r.q").as("q"), col("r.est_v"))
+      o.crossJoin(broadcast(est))
+        .groupBy(col("q"), col("n_slices"))
+        .agg((sum(when(col("v") <= col("est_v"), 1L).otherwise(0L))
+          .cast(DoubleType) / count(lit(1))).as("rank"))
+        .select(col("q"), col("n_slices"),
+          (abs(col("rank") - col("q")) <= lit(0.02d)).as("rank_err_ok"))
+        .orderBy(col("q"))
     }),
 
     "g4_label_propagation" -> ((s, dir) => {
@@ -4084,6 +4204,55 @@ object SparkEntry {
              MIN(ts) AS min_ts, MAX(ts) AS max_ts
       FROM ev CROSS JOIN b
       GROUP BY 1 ORDER BY split""",
+
+    "x74_theta_overlap" -> """
+      WITH tk AS (
+        SELECT source, string_split(trim(regexp_replace(lower(text),
+          '\s+', ' ', 'g')), ' ') AS t
+        FROM documents),
+      posts AS (
+        SELECT DISTINCT source,
+               CAST(('0x' || substring(md5(array_to_string(
+                 t[i:i+4], ' ')), 1, 15)) AS BIGINT) AS g
+        FROM tk, UNNEST(range(1, greatest(len(t) - 4, 0) + 1)) AS u(i)),
+      srcs AS (SELECT DISTINCT source FROM posts),
+      pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b
+        FROM srcs a JOIN srcs b ON a.source < b.source),
+      pr AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS shared_grams
+        FROM posts a JOIN posts b
+          ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT p.source_a, p.source_b,
+             COALESCE(pr.shared_grams, CAST(0 AS BIGINT)) AS shared_grams,
+             TRUE AS est_within_5pct
+      FROM pairs p LEFT JOIN pr
+        ON pr.source_a = p.source_a AND pr.source_b = p.source_b
+      ORDER BY p.source_a, p.source_b""",
+
+    "x75_theta_novelty" -> """
+      WITH tk AS (
+        SELECT doc_id % 3 AS batch,
+               string_split(trim(regexp_replace(lower(text),
+                 '\s+', ' ', 'g')), ' ') AS t
+        FROM documents),
+      grams AS (
+        SELECT batch,
+               CAST(('0x' || substring(md5(array_to_string(
+                 t[i:i+4], ' ')), 1, 15)) AS BIGINT) AS g
+        FROM tk, UNNEST(range(1, greatest(len(t) - 4, 0) + 1)) AS u(i)),
+      fs AS (SELECT g, MIN(batch) AS batch FROM grams GROUP BY g)
+      SELECT batch, COUNT(*) AS n_novel, TRUE AS est_within_5pct
+      FROM fs GROUP BY batch ORDER BY batch""",
+
+    "m9_kll_ledger" -> """
+      WITH d AS (SELECT COUNT(DISTINCT o_orderdate) AS n_slices
+                 FROM orders)
+      SELECT CAST(q AS DOUBLE) AS q, n_slices, TRUE AS rank_err_ok
+      FROM (VALUES (0.5), (0.9), (0.99)) AS t(q) CROSS JOIN d
+      ORDER BY q""",
 
     "a22_correlation" -> """
       WITH m AS (

@@ -5,8 +5,10 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftbridge.Bridge
 
-import graft.functions.{DeflateRatioExpr, DotProduct, MinHashBands64Expr,
-  NfcNormalizeExpr, SimHash60Expr}
+import graft.functions.{DeflateRatioExpr, DotProduct, KllDoublesAgg,
+  KllMergeAgg, KllQuantileExpr, KllRankExpr, MinHashBands64Expr,
+  NfcNormalizeExpr, SimHash60Expr, ThetaEstimate, ThetaSetEstimate,
+  ThetaSketchAgg, ThetaUnionAgg}
 
 /** The library's SQL surface for its native Catalyst expressions —
   * `SparkSessionExtensions` so a user session built with
@@ -26,7 +28,7 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
-      s"graft_minhash_bands: $what must be an integer literal, got $other")
+      s"$what must be an integer literal, got $other")
   }
 
   /** (name, info, builder) for every exposed native expression. */
@@ -66,6 +68,76 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_deflate_ratio(s: string)")
         DeflateRatioExpr(args.head)
+      }),
+    // sketch aggregates return the AggregateFunction directly — the
+    // analyzer wraps resolved AggregateFunctions in AggregateExpression
+    // (same contract as Spark's own hll_sketch_agg registry row)
+    (FunctionIdentifier("graft_theta_agg"),
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "graft_theta_agg"),
+      (args: Seq[Expression]) => args match {
+        case Seq(key) => ThetaSketchAgg(key)
+        case Seq(key, lgk) =>
+          ThetaSketchAgg(key, intLit(lgk, "lgNomEntries"))
+        case _ => throw new IllegalArgumentException(
+          "graft_theta_agg(key[, lgNomEntries])")
+      }),
+    (FunctionIdentifier("graft_theta_union_agg"),
+      new ExpressionInfo(classOf[ThetaUnionAgg].getName,
+        "graft_theta_union_agg"),
+      (args: Seq[Expression]) => args match {
+        case Seq(sk) => ThetaUnionAgg(sk)
+        case Seq(sk, lgk) => ThetaUnionAgg(sk, intLit(lgk, "lgNomEntries"))
+        case _ => throw new IllegalArgumentException(
+          "graft_theta_union_agg(sketch[, lgNomEntries])")
+      }),
+    (FunctionIdentifier("graft_theta_estimate"),
+      new ExpressionInfo(classOf[ThetaEstimate].getName,
+        "graft_theta_estimate"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_theta_estimate(sketch)")
+        ThetaEstimate(args.head)
+      }),
+    (FunctionIdentifier("graft_theta_intersect_est"),
+      new ExpressionInfo(classOf[ThetaSetEstimate].getName,
+        "graft_theta_intersect_est"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_theta_intersect_est(a, b)")
+        ThetaSetEstimate(args(0), args(1), intersect = true)
+      }),
+    (FunctionIdentifier("graft_theta_anotb_est"),
+      new ExpressionInfo(classOf[ThetaSetEstimate].getName,
+        "graft_theta_anotb_est"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_theta_anotb_est(a, b)")
+        ThetaSetEstimate(args(0), args(1), intersect = false)
+      }),
+    (FunctionIdentifier("graft_kll_agg"),
+      new ExpressionInfo(classOf[KllDoublesAgg].getName, "graft_kll_agg"),
+      (args: Seq[Expression]) => args match {
+        case Seq(x) => KllDoublesAgg(x)
+        case Seq(x, k) => KllDoublesAgg(x, intLit(k, "k"))
+        case _ => throw new IllegalArgumentException("graft_kll_agg(x[, k])")
+      }),
+    (FunctionIdentifier("graft_kll_merge_agg"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "graft_kll_merge_agg"),
+      (args: Seq[Expression]) => args match {
+        case Seq(sk) => KllMergeAgg(sk)
+        case Seq(sk, k) => KllMergeAgg(sk, intLit(k, "k"))
+        case _ => throw new IllegalArgumentException(
+          "graft_kll_merge_agg(sketch[, k])")
+      }),
+    (FunctionIdentifier("graft_kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantileExpr].getName,
+        "graft_kll_quantile"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_kll_quantile(sketch, q)")
+        KllQuantileExpr(args(0), args(1))
+      }),
+    (FunctionIdentifier("graft_kll_rank"),
+      new ExpressionInfo(classOf[KllRankExpr].getName, "graft_kll_rank"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_kll_rank(sketch, v)")
+        KllRankExpr(args(0), args(1))
       }))
 
   /** Session-build-time path (`.withExtensions(GraftExtensions)`). */

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.SketchFns
+
+/** Round-10 additions: theta set-operation sketches + KLL quantile
+  * ledger state (SketchExprs).
+  */
+class Round10Spec extends GraftSuite {
+
+  test("theta agg: partition-invariant, exact-mode estimates, set ops") {
+    import spark.implicits._
+    // 0..999 keys, in two deliberately different partitionings — the
+    // mergeable-state contract is that buffer merges are associative
+    // and commutative, so the sketch bytes' ESTIMATES must agree
+    val a = (0L until 1000L).toDF("k").repartition(1)
+    val b = (0L until 1000L).toDF("k").repartition(8)
+    val ea = a.agg(SketchFns.thetaEstimate(
+      SketchFns.thetaAgg(col("k"))).as("e")).first().getDouble(0)
+    val eb = b.agg(SketchFns.thetaEstimate(
+      SketchFns.thetaAgg(col("k"))).as("e")).first().getDouble(0)
+    assert(ea === 1000.0d && eb === 1000.0d,
+      s"exact-mode theta must be exact: $ea / $eb")
+
+    // set algebra vs known truth: A = 0..999, B = 500..1499
+    val bdf = (500L until 1500L).toDF("k")
+    val skA = a.agg(SketchFns.thetaAgg(col("k")).as("s"))
+      .withColumnRenamed("s", "sa")
+    val skB = bdf.agg(SketchFns.thetaAgg(col("k")).as("s"))
+      .withColumnRenamed("s", "sb")
+    val r = skA.crossJoin(skB).select(
+      SketchFns.thetaIntersectEstimate(col("sa"), col("sb")).as("i"),
+      SketchFns.thetaAnotBEstimate(col("sa"), col("sb")).as("d")).first()
+    assert(r.getDouble(0) === 500.0d, s"|A∩B| = ${r.getDouble(0)}")
+    assert(r.getDouble(1) === 500.0d, s"|A\\B| = ${r.getDouble(1)}")
+  }
+
+  test("theta union agg: per-slice sketches roll up to the direct sketch") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i % 7, i)).toDF("slice", "k")
+    val direct = df.agg(SketchFns.thetaEstimate(
+      SketchFns.thetaAgg(col("k"))).as("e")).first().getDouble(0)
+    val rolled = df.groupBy(col("slice"))
+      .agg(SketchFns.thetaAgg(col("k")).as("sk"))
+      .agg(SketchFns.thetaEstimate(
+        SketchFns.thetaUnionAgg(col("sk"))).as("e")).first().getDouble(0)
+    assert(direct === rolled,
+      s"ledger rollup must equal direct agg: $direct vs $rolled")
+  }
+
+  test("theta estimation mode: error within published bounds at 100k keys") {
+    import spark.implicits._
+    // beyond nominal entries (lgk=12 → 4096) the sketch estimates;
+    // RSE ≈ 1/sqrt(k) ≈ 1.6%, so 5% is ≈3σ — the margin the x74/x75
+    // tolerance contracts rely on
+    val n = 100000L
+    val est = (0L until n).toDF("k").repartition(8)
+      .agg(SketchFns.thetaEstimate(
+        SketchFns.thetaAgg(col("k"), 12)).as("e")).first().getDouble(0)
+    assert(math.abs(est - n) / n <= 0.05, s"theta est $est vs $n")
+  }
+
+  test("kll: rank/quantile duality and slice-merge vs direct") {
+    import spark.implicits._
+    val df = (1 to 10000).map(i => (i % 13, i.toDouble)).toDF("slice", "v")
+    // direct sketch: median of 1..10000 must land within 2% rank
+    val sk = df.agg(SketchFns.kllAgg(col("v"), 400).as("sk"))
+    val med = sk.select(SketchFns.kllQuantile(col("sk"), lit(0.5d)))
+      .first().getDouble(0)
+    assert(math.abs(med - 5000.0d) <= 200.0d, s"median est $med")
+    // rank duality: rank(quantile(q)) ≈ q
+    val rk = sk.select(SketchFns.kllRank(col("sk"), lit(med)))
+      .first().getDouble(0)
+    assert(math.abs(rk - 0.5d) <= 0.02d, s"rank(median) = $rk")
+    // ledger path: per-slice sketches merged ≈ direct (same bound)
+    val merged = df.groupBy(col("slice"))
+      .agg(SketchFns.kllAgg(col("v"), 400).as("sk"))
+      .agg(SketchFns.kllMergeAgg(col("sk")).as("sk"))
+    val med2 = merged.select(SketchFns.kllQuantile(col("sk"), lit(0.5d)))
+      .first().getDouble(0)
+    assert(math.abs(med2 - 5000.0d) <= 200.0d, s"merged median est $med2")
+  }
+
+  test("sketch SQL surface: graft_theta_* / graft_kll_* registered") {
+    graft.plans.GraftExtensions.registerAll(spark)
+    import spark.implicits._
+    (0L until 100L).toDF("k").createOrReplaceTempView("sk_t")
+    val row = spark.sql(
+      """SELECT graft_theta_estimate(graft_theta_agg(k)) AS d,
+               graft_kll_quantile(graft_kll_agg(CAST(k AS DOUBLE)), 0.5d)
+                 AS m
+        FROM sk_t""").first()
+    assert(row.getDouble(0) === 100.0d)
+    assert(row.getDouble(1) >= 49.0d && row.getDouble(1) <= 51.0d)
+    // string keys hash identically whether they arrive as UTF8String
+    // bytes (column path) or java String (DataSketches update(String))
+    val s1 = spark.sql(
+      "SELECT graft_theta_estimate(graft_theta_agg(CAST(k AS STRING))) " +
+        "FROM sk_t").first().getDouble(0)
+    assert(s1 === 100.0d)
+  }
+}
