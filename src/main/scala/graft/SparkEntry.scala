@@ -315,6 +315,24 @@ object SparkEntry {
       rows.toDF("conf_key", "conf_value").orderBy(col("conf_key"))
     }),
 
+    "s23_orc_roundtrip" -> ((s, dir) => {
+      // ORC sink/source parity (S-surface beyond the reference's
+      // CSV/parquet/JSONL): columnar-with-stats like parquet, so the
+      // same pushdown/pruning discipline applies — the roundtrip
+      // aggregate is the oracle. zlib pinned (ORC's default codec is
+      // config-dependent across Spark versions).
+      val out = tmpDir("s23_orc")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        .write.mode("overwrite").option("compression", "zlib").orc(out)
+      s.read.orc(out)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- projections / filters (§2.2) ----------------------------------
     "p1_drop_columns" -> ((s, dir) => {
       Relational.dropCols(t(s, dir, "lineitem"),
@@ -3827,6 +3845,14 @@ object SparkEntry {
         ('warehouse.table.secret', 'ENV_GRAFT_TABLE'))
         AS t(conf_key, conf_value)
       ORDER BY conf_key""",
+
+    "s23_orc_roundtrip" -> """
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "p1_drop_columns" -> """
       SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
