@@ -3585,6 +3585,16 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "st14_stream_theta_novelty" -> ((s, dir) => {
+      // streaming x75: per-batch theta sketches fold into a standing
+      // keyed ledger; the novelty curve is computed from ledger state
+      // alone. Per-key sketch union is micro-batch-invariant, so this
+      // shares x75's exact oracle (the st13↔m8 relationship, for set
+      // algebra instead of distinct counts)
+      graft.streaming.Streams.streamThetaNovelty(s, dir)
+        .orderBy(col("batch"))
+    }),
+
     "st9_stream_neardup_admit" -> ((s, dir) => {
       // online near-dup admission: docs stream in, each admitted or
       // dropped against the simhash band cohorts of everything that
@@ -6313,6 +6323,21 @@ object SparkEntry {
              COUNT(DISTINCT user_id) AS exact_distinct,
              TRUE AS est_within_5pct
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "st14_stream_theta_novelty" -> """
+      WITH tk AS (
+        SELECT doc_id % 3 AS batch,
+               string_split(trim(regexp_replace(lower(text),
+                 '\s+', ' ', 'g')), ' ') AS t
+        FROM documents),
+      grams AS (
+        SELECT batch,
+               CAST(('0x' || substring(md5(array_to_string(
+                 t[i:i+4], ' ')), 1, 15)) AS BIGINT) AS g
+        FROM tk, UNNEST(range(1, greatest(len(t) - 4, 0) + 1)) AS u(i)),
+      fs AS (SELECT g, MIN(batch) AS batch FROM grams GROUP BY g)
+      SELECT batch, COUNT(*) AS n_novel, TRUE AS est_within_5pct
+      FROM fs GROUP BY batch ORDER BY batch""",
 
     "st9_stream_neardup_admit" -> """
       WITH docs AS (

@@ -587,6 +587,83 @@ object Streams {
           col("exact_distinct"), col("est"), 0.05).as("est_within_5pct"))
   }
 
+  /** Streaming x75: per-ingest-batch theta sketches maintained as a
+    * parquet ledger keyed by batch id (st13's shape with theta state),
+    * novelty curve computed FROM the ledger afterwards. The ledger
+    * merge is per-key sketch union, so the result is micro-batch-
+    * boundary-invariant by sketch algebra — however the file source
+    * slices the stream, the final ledger equals x75's batch sketches,
+    * which is what lets this query share x75's exact oracle. A
+    * production deployment keeps exactly this ledger standing and
+    * answers "how much new content did snapshot N add" without ever
+    * rescanning history. */
+  def streamThetaNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.SketchFns
+    val target = new java.io.File("target/qtmp/st14_target")
+    org.apache.commons.io.FileUtils.deleteQuietly(target)
+    val path = target.getAbsolutePath
+    graft.operators.Mutations.seedEmptyLedger(spark, path,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("batch",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sk",
+          org.apache.spark.sql.types.BinaryType))))
+    val stage = new java.io.File("target/qtmp/st14_src")
+    stage.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      java.nio.file.Paths.get(stage.getAbsolutePath, "documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(stage.getAbsolutePath).schema
+    val toks = split(trim(regexp_replace(lower(col("text")),
+      "\\s+", " ")), " ")
+    val q = spark.readStream.schema(schema)
+      .parquet(stage.getAbsolutePath)
+      .select((col("doc_id") % 3).as("batch"), toks.as("__t"))
+      .filter(size(col("__t")) >= 5)
+      .select(col("batch"),
+        explode(transform(sequence(lit(1), size(col("__t")) - 4),
+          i => graft.functions.ColFns.portableHash60(
+            concat_ws(" ", slice(col("__t"), i, lit(5)))))).as("g"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = batch.groupBy(col("batch"))
+          .agg(SketchFns.thetaAgg(col("g"), 14).as("sk"))
+        val merged = batch.sparkSession.read.parquet(path)
+          .unionByName(delta)
+          .groupBy(col("batch"))
+          .agg(SketchFns.thetaUnionAgg(col("sk"), 14).as("sk"))
+        graft.operators.Mutations.overwriteAtomic(merged, path)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // novelty from the LEDGER alone (x75's prior-union + a-not-b)
+    val sk = spark.read.parquet(path)
+    val prior = sk.as("b").join(sk.as("p"), col("p.batch") < col("b.batch"))
+      .groupBy(col("b.batch").as("batch"))
+      .agg(SketchFns.thetaUnionAgg(col("p.sk"), 14).as("prior_sk"))
+    val est = sk.join(prior, Seq("batch"), "left")
+      .select(col("batch"),
+        when(col("prior_sk").isNull, SketchFns.thetaEstimate(col("sk")))
+          .otherwise(SketchFns.thetaAnotBEstimate(col("sk"),
+            col("prior_sk"))).as("est"))
+    val grams = graft.Tables.load(spark, sfDir, "documents")
+      .select((col("doc_id") % 3).as("batch"), toks.as("__t"))
+      .filter(size(col("__t")) >= 5)
+      .select(col("batch"),
+        explode(transform(sequence(lit(1), size(col("__t")) - 4),
+          i => graft.functions.ColFns.portableHash60(
+            concat_ws(" ", slice(col("__t"), i, lit(5)))))).as("g"))
+    val exact = grams.groupBy(col("g")).agg(min(col("batch")).as("batch"))
+      .groupBy(col("batch")).agg(count(lit(1)).as("n_novel"))
+    est.join(exact, Seq("batch"))
+      .select(col("batch"), col("n_novel"),
+        graft.operators.Mutations.toleranceFlag(col("n_novel"),
+          col("est"), 0.05).as("est_within_5pct"))
+  }
+
   /** One (band, key) posting of a streamed doc's simhash fingerprint. */
   final case class BandEvent(band: Int, key: Long, doc_id: Long, fp: Long)
   /** Per-band admission flag emitted by [[streamNearDupAdmit]]. */
