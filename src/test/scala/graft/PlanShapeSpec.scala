@@ -137,6 +137,24 @@ class PlanShapeSpec extends GraftSuite {
       p.take(800))
   }
 
+  test("x74 theta overlap: partial sketch agg, no cartesian on the gram path") {
+    val p = plan("x74_theta_overlap")
+    // the 100 TB property: rows combine into sketches map-side, so the
+    // agg exchange moves KB-sized binaries, not gram rows — theta aggs
+    // must plan as ObjectHashAggregate with a partial_ mode present
+    assert(p.contains("ObjectHashAggregate"), p.take(900))
+    assert(p.contains("partial_graft_theta_agg"), p.take(900))
+    // gram-cardinality joins must be equi-joins; the only nested-loop
+    // join allowed is the 20-row sketch-pair self-join
+    assert(!p.contains("CartesianProduct"), p.take(900))
+  }
+
+  test("m9 kll ledger: partial sketch agg in the daily slice pass") {
+    val p = plan("m9_kll_ledger")
+    assert(p.contains("ObjectHashAggregate"), p.take(900))
+    assert(p.contains("partial_graft_kll_agg"), p.take(900))
+  }
+
   test("f17 nfc-normalize: native expression stays inside WholeStageCodegen") {
     val df = SparkEntry.queries("f17_nfc_normalize")(spark, dir)
     df.collect() // AQE finalizes codegen stages only at execution
