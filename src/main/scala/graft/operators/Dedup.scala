@@ -624,9 +624,14 @@ object Dedup {
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     val canon = (a: Column, b: Column) =>
       Seq(least(a, b).as("u"), greatest(a, b).as("v"))
-    val allNodes = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct().localCheckpoint(true)
-    var edges = pairs.select(canon(col("id_a"), col("id_b")): _*)
+    // truncate the INPUT lineage once: allNodes and the canonical edge
+    // seed both derive from `pairs`, which is typically an expensive
+    // candidate-generation plan (er1: SNM window + edit distance) —
+    // without this it executes twice before the loop even starts
+    val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val allNodes = p0.select(col("id_a").as("id"))
+      .union(p0.select(col("id_b").as("id"))).distinct()
+    var edges = p0.select(canon(col("id_a"), col("id_b")): _*)
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
 
     def largeStar(e: DataFrame): DataFrame = {
@@ -634,9 +639,12 @@ object Dedup {
         .union(e.select(col("v").as("c"), col("u").as("n")))
       val m = sym.groupBy("c").agg(min(col("n")).as("__mn"))
         .select(col("c"), least(col("c"), col("__mn")).as("m"))
+      // no trailing distinct: small-star's aggregates are duplicate-
+      // insensitive (min) and its own final distinct dedups — one
+      // fewer exchange per round
       sym.join(m, Seq("c")).filter(col("n") > col("c"))
         .select(canon(col("n"), col("m")): _*)
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
     }
 
     def smallStar(e: DataFrame): DataFrame = {
@@ -650,12 +658,17 @@ object Dedup {
     }
 
     var iter = 0
-    var converged = edges.isEmpty
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      converged = next.count() == edges.count() &&
-        next.except(edges).isEmpty
+      // the count rides the checkpointed partitions (cheap job); the
+      // provable set-equality check runs only when counts match —
+      // i.e. at most once per convergence in practice
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.except(edges).isEmpty
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
     if (!converged && iter >= maxIter)
