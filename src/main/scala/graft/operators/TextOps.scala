@@ -132,7 +132,12 @@ object TextOps {
   def winnowingPairs(df: DataFrame, id: Column, text: Column,
                      k: Int = 3, w: Int = 4, minOverlap: Double = 0.5,
                      maxDocFreq: Long = 100L): DataFrame = {
+    // the fingerprint set feeds four plan branches (per-doc counts,
+    // doc-frequency cutoff, both postings sides) — truncate its
+    // lineage once so the k-gram explode + window-min runs once, not
+    // four times (the star-CC input discipline)
     val fps = winnowingFingerprints(df, id, text, k, w)
+      .localCheckpoint(true)
     val cnt = fps.groupBy(col("id")).agg(count(lit(1)).as("nfp"))
     val rare = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("dfreq")).filter(col("dfreq") <= maxDocFreq)
