@@ -132,7 +132,9 @@ object ScaleRehearsal {
     "x52_semantic_dedup",     // k-means cells + within-cell pairs
     "x53_pq_ann_topk",        // PQ train + ADC + rerank
     "x55_bm25_search",        // postings tf/df joins
-    "m8_sketch_rollup")       // HLL ledger rollup
+    "m8_sketch_rollup",       // HLL ledger rollup
+    "x75_theta_novelty",      // theta ledger — true estimation mode at sf1
+    "m9_kll_ledger")          // KLL quantile ledger merge
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1338,6 +1338,29 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("rank"))
     }),
 
+    "w11_topk_agg" -> ((s, dir) => {
+      // w3's grouped top-k via the bounded-heap aggregate
+      // (graft_topk_agg) instead of a window sort: per-group state is
+      // ≤k values, partial-combines map-side, so the exchange moves
+      // |groups|·k rows — not the whole fact table (the scale
+      // difference the window form can't avoid). Direction and
+      // tie-break ride the struct ordering: (price, -orderkey) =
+      // price desc then orderkey asc, w3's exact semantics — and the
+      // oracle IS w3's oracle, so both formulations must agree
+      // row-for-row
+      import graft.functions.TopKAgg
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(TopKAgg.topK(struct(col("o_totalprice"),
+          (-col("o_orderkey")).as("neg_key"), col("o_orderkey")), 3)
+          .as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("i", "r")))
+        .select(col("o_custkey"), (col("i") + 1).cast(IntegerType).as("rank"),
+          col("r.o_orderkey").as("o_orderkey"),
+          col("r.o_totalprice").as("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rank"))
+    }),
+
     "w4_running_sum" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -2552,9 +2575,14 @@ object SparkEntry {
       // KBs of state instead of x65's postings self-join. At 100 TB
       // the sketches ride the ingest scan (one agg shuffle on source),
       // pairs are |sources|², and history never rescans. Gated on the
-      // exact x65 counts with the a4/m8 tolerance pattern (theta
-      // lgk=14 is exact-mode at this gram cardinality; at estimation
-      // scale the 5% bound is ~5σ for lgk=14's ~0.8% RSE).
+      // exact x65 counts with the a4/m8 tolerance pattern. Operating
+      // envelope stated honestly: lgk=14 is exact-mode at this gram
+      // cardinality (≤16384/source), so the flag is deterministic
+      // here; in estimation mode intersection error scales as
+      // ~1/√(overlap·θ) — far worse than the sketch's own 0.8% RSE
+      // when the overlap is a small fraction of the union — so a
+      // production deployment sizes lgk so that overlap·θ ≳ 1600
+      // (5% at ~2σ) for the smallest overlap it must resolve.
       import graft.functions.SketchFns
       val toks = split(trim(regexp_replace(lower(col("text")),
         "\\s+", " ")), " ")
@@ -4628,6 +4656,14 @@ object SparkEntry {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "w3_window_topk" -> """
+      SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey)
+                 AS rank
+        FROM orders) WHERE rank <= 3 ORDER BY o_custkey, rank""",
+
+    "w11_topk_agg" -> """
       SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
                row_number() OVER (PARTITION BY o_custkey

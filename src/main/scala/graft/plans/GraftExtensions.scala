@@ -8,7 +8,7 @@ import org.apache.spark.sql.graftbridge.Bridge
 import graft.functions.{DeflateRatioExpr, DotProduct, KllDoublesAgg,
   KllMergeAgg, KllQuantileExpr, KllRankExpr, MinHashBands64Expr,
   NfcNormalizeExpr, SimHash60Expr, ThetaEstimate, ThetaSetEstimate,
-  ThetaSketchAgg, ThetaUnionAgg}
+  ThetaSketchAgg, ThetaUnionAgg, TopKAgg}
 
 /** The library's SQL surface for its native Catalyst expressions —
   * `SparkSessionExtensions` so a user session built with
@@ -138,6 +138,12 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_kll_rank(sketch, v)")
         KllRankExpr(args(0), args(1))
+      }),
+    (FunctionIdentifier("graft_topk_agg"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_topk_agg(expr, k)")
+        TopKAgg(args(0), intLit(args(1), "k"))
       }))
 
   /** Session-build-time path (`.withExtensions(GraftExtensions)`). */

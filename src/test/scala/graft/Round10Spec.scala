@@ -81,6 +81,50 @@ class Round10Spec extends GraftSuite {
     assert(math.abs(med2 - 5000.0d) <= 200.0d, s"merged median est $med2")
   }
 
+  test("topk agg: equals the window formulation, survives spill fallback") {
+    import spark.implicits._
+    import graft.functions.TopKAgg
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 5000).map(i => (i % 97, (i * 37 % 1001).toDouble, i.toLong))
+      .toDF("grp", "score", "id").repartition(8)
+    def viaAgg() = df.groupBy(col("grp"))
+      .agg(TopKAgg.topK(struct(col("score"), -col("id"), col("id")), 5)
+        .as("top"))
+      .select(col("grp"), posexplode(col("top")).as(Seq("i", "r")))
+      .select(col("grp"), col("i"), col("r.id"), col("r.score"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("score").desc, col("id"))
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("grp"), (col("rn") - 1).cast("int").as("i"),
+        col("id"), col("score"))
+    assert(viaAgg().except(viaWindow).isEmpty &&
+      viaWindow.except(viaAgg()).isEmpty)
+    // force the sort-based fallback so the serialize/deserialize spill
+    // path actually executes (buffers cross the boundary as bytes)
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "2")
+    try assert(viaAgg().except(viaWindow).isEmpty &&
+      viaWindow.except(viaAgg()).isEmpty)
+    finally spark.conf.set(key, prev)
+  }
+
+  test("topk agg: SQL surface + partial aggregation in the plan") {
+    graft.plans.GraftExtensions.registerAll(spark)
+    import spark.implicits._
+    (1 to 100).map(i => (i % 3, i)).toDF("g", "v")
+      .createOrReplaceTempView("tk_t")
+    val rows = spark.sql(
+      """SELECT g, graft_topk_agg(v, 2) AS top FROM tk_t
+        GROUP BY g ORDER BY g""").collect()
+    assert(rows.length === 3)
+    assert(rows(0).getSeq[Int](1) === Seq(99, 96))
+    val p = spark.sql("SELECT g, graft_topk_agg(v, 2) FROM tk_t GROUP BY g")
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("partial_graft_topk_agg"), p.take(600))
+  }
+
   test("sketch SQL surface: graft_theta_* / graft_kll_* registered") {
     graft.plans.GraftExtensions.registerAll(spark)
     import spark.implicits._
