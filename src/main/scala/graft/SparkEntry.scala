@@ -473,6 +473,18 @@ object SparkEntry {
         .orderBy(col("source"), col("rk"))
     }),
 
+    "p21_weighted_reservoir" -> ((s, dir) => {
+      // exactly-5 weighted draw per priority class, inclusion odds ∝
+      // order value (Efraimidis-Spirakis priorities over deterministic
+      // hash-u; one bounded-heap agg via graft_topk_agg — no
+      // per-stratum sort, no RNG). The full formula is replayed by
+      // the oracle, so the draw itself is hash-checked
+      Sampling.weightedReservoir(t(s, dir, "orders"),
+          col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"), k = 5)
+        .orderBy(col("stratum"), col("rk"))
+    }),
+
     "p18_three_way_split" -> ((s, dir) => {
       // deterministic train/val/test split: membership is a pure
       // function of the key — stable across reruns, engines, corpus
@@ -4193,6 +4205,21 @@ object SparkEntry {
       WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
               IN ('0', '1', '2', '3')
       ORDER BY o_orderkey""",
+
+    "p21_weighted_reservoir" -> """
+      WITH t AS (
+        SELECT o_orderpriority AS stratum, o_orderkey AS key,
+               round(ln((CAST(('0x' || substring(md5(
+                   CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                 / 1152921504606846976.0) / o_totalprice, 12) AS p
+        FROM orders),
+      r AS (
+        SELECT stratum, key,
+               row_number() OVER (PARTITION BY stratum
+                                  ORDER BY p DESC, key) AS rk
+        FROM t)
+      SELECT stratum, rk, key FROM r WHERE rk <= 5
+      ORDER BY stratum, rk""",
 
     "p15_stratified_sample" -> """
       SELECT o_orderstatus, COUNT(*) AS n FROM orders

@@ -191,4 +191,35 @@ object Sampling {
         key.cast("string"))), 1, 1)
         .isin(nibbles.take(m).map(_.toString): _*))
   }
+
+  /** Deterministic weighted reservoir: exactly-k draw per stratum with
+    * inclusion probability proportional to `weight` (Efraimidis &
+    * Spirakis, IPL 2006 — item survives iff its key u^(1/w) ranks
+    * top-k, equivalently ln(u)/w, the log form both engines compute
+    * identically). u ∈ (0,1] is a pure function of the row key
+    * (portableHash60 / 2^60 — the division is by a power of two, so
+    * it is EXACT), which buys the house sampling guarantees:
+    * reproducible across engines/reruns/partitionings, and auditable
+    * per row. The priority is rounded to 12 decimals so both engines
+    * rank identical keys (libm ln differs in the last ulp; the
+    * rounding is 4 orders of magnitude coarser than that and 8 finer
+    * than any real priority gap).
+    *
+    * Shape: ONE bounded-heap aggregation ([[graft.functions.TopKAgg]]
+    * — ≤k rows of state per stratum, partial map-side combine), not
+    * the per-stratum full sort the `ORDER BY random()` idiom pays.
+    * The weighted complement to [[fixedKPerStratum]]'s uniform draw. */
+  def weightedReservoir(df: DataFrame, stratum: Column, key: Column,
+                        weight: Column, k: Int): DataFrame = {
+    val u = (graft.functions.ColFns.portableHash60(key) + lit(1L))
+      .cast("double") / lit(1152921504606846976.0d) // 2^60
+    val priority = round(log(u) / weight.cast("double"), 12)
+    df.groupBy(stratum.as("stratum"))
+      .agg(graft.functions.TopKAgg.topK(
+        struct(priority.as("p"), (-key).as("nk"), key.as("key")), k)
+        .as("top"))
+      .select(col("stratum"), posexplode(col("top")).as(Seq("i", "r")))
+      .select(col("stratum"), (col("i") + 1).cast("int").as("rk"),
+        col("r.key").as("key"))
+  }
 }
