@@ -2154,6 +2154,30 @@ object SparkEntry {
       annRecallContract(ivf, q, emb, bound = 0.4, flag = "recall_ge_04")
     }),
 
+    "x76_ivf_incremental" -> ((s, dir) => {
+      // incremental ANN index maintenance: centroids train on the
+      // standing 90% of the corpus; the newest 10% is admitted by
+      // ASSIGNMENT ONLY (one broadcast argmax over just the batch —
+      // Similarity.ivfAssign), then search runs over the accreted
+      // index. The x32/x41 incremental discipline applied to vectors:
+      // per-ingest cost is O(|batch|), no retrain, no corpus rescan.
+      // Incremental-assign ≡ full-rebuild-assign per row (proven
+      // exactly in Round10Spec); here the driver gates the recall
+      // contract vs brute over the FULL corpus (x15's bound)
+      val emb = t(s, dir, "embeddings")
+      val historic = emb.filter(col("vec_id") % 10 =!= 0)
+      val batch = emb.filter(col("vec_id") % 10 === 0)
+      val cents = Similarity.ivfTrain(historic, "vec_id", "embedding",
+        nlist = 16)
+      val index = Similarity.ivfAssign(historic, "vec_id", "embedding",
+        cents).unionByName(
+        Similarity.ivfAssign(batch, "vec_id", "embedding", cents))
+      val q = emb.filter(col("vec_id") < 10)
+      val ivf = Similarity.ivfSearchAssigned(q, "vec_id", "embedding",
+        index, cents, k = 5, nprobe = 4)
+      annRecallContract(ivf, q, emb, bound = 0.4, flag = "recall_ge_04")
+    }),
+
     "x15b_ann_ivf_exact" -> ((s, dir) => {
       // the SAME IVF operator at nprobe=nlist: every cell probed →
       // provably exact → shares the brute-force DuckDB oracle, so the
@@ -6886,6 +6910,10 @@ object SparkEntry {
       FROM embeddings WHERE vec_id < 10""",
 
     "x15_ann_ivf_topk" -> """
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ge_04
+      FROM embeddings WHERE vec_id < 10""",
+
+    "x76_ivf_incremental" -> """
       SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ge_04
       FROM embeddings WHERE vec_id < 10""",
 

@@ -452,14 +452,31 @@ object Similarity {
               idCol: String, vecCol: String, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
               trainIters: Int = 0): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+    val cents = ivfTrain(corpus, idCol, vecCol, nlist, trainIters)
+    val assigned = ivfAssign(corpus, idCol, vecCol, cents)
+    ivfSearchAssigned(queries, idCol, vecCol, assigned, cents, k, nprobe)
+  }
+
+  private def ivfPrep(corpus: DataFrame, idCol: String,
+                      vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       VectorExprs.norm(col(vecCol)).as("cn"))
+
+  private def centCos(v: Column, n: Column): Column =
+    VectorExprs.dot(v, col("cent_v")) / (n * col("cent_n"))
+
+  /** Train the coarse quantizer: `nlist` hash-sampled seed vectors +
+    * `trainIters` Lloyd steps. Returns (cent_id, cent_v, cent_n) —
+    * the persistable index STATE ([[ivfAssign]] consumes it). */
+  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
+               nlist: Int = 16, trainIters: Int = 0): DataFrame = {
+    val c = ivfPrep(corpus, idCol, vecCol)
     val seeds = c
       .withColumn("__h", xxhash64(col("neighbor_id")))
       .orderBy(col("__h"), col("neighbor_id")).limit(nlist)
       .select(col("neighbor_id").as("cent_id"), col("cv").as("cent_v"),
         col("cn").as("cent_n"))
-    val cents = (1 to trainIters).foldLeft(seeds) { (cur, _) =>
+    (1 to trainIters).foldLeft(seeds) { (cur, _) =>
       val assigned = c.join(broadcast(cur))
         .groupBy(col("neighbor_id"))
         .agg(max(struct(
@@ -482,13 +499,27 @@ object Similarity {
             .as("cent_v"))
         .withColumn("cent_n", VectorExprs.norm(col("cent_v")))
     }
-    def centCos(v: Column, n: Column): Column =
-      VectorExprs.dot(v, col("cent_v")) / (n * col("cent_n"))
-    val assigned = c.join(broadcast(cents))
+  }
+
+  /** Assign vectors to FIXED centroids — the index-INSERT step: one
+    * broadcast argmax pass over exactly the rows being inserted, so
+    * admitting a new batch into a standing IVF index costs O(|batch|),
+    * never a corpus rescan or retrain (the x32/x41 incremental
+    * discipline, for vectors). Returns (cell, neighbor_id, cv, cn). */
+  def ivfAssign(batch: DataFrame, idCol: String, vecCol: String,
+                cents: DataFrame): DataFrame =
+    ivfPrep(batch, idCol, vecCol).join(broadcast(cents))
       .groupBy(col("neighbor_id"))
       .agg(max(struct(centCos(col("cv"), col("cn")).as("cos"),
           col("cent_id"))).getField("cent_id").as("cell"),
         first(col("cv")).as("cv"), first(col("cn")).as("cn"))
+
+  /** Probe-and-score over a pre-assigned corpus (the standing index
+    * table). Split from [[ivfTopK]] so assignment state persists and
+    * accretes across ingest batches. */
+  def ivfSearchAssigned(queries: DataFrame, idCol: String, vecCol: String,
+                        assigned: DataFrame, cents: DataFrame,
+                        k: Int, nprobe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       VectorExprs.norm(col(vecCol)).as("qn"))
     val probeW = Window.partitionBy(col("query_id"))

@@ -125,6 +125,37 @@ class Round10Spec extends GraftSuite {
     assert(p.contains("partial_graft_topk_agg"), p.take(600))
   }
 
+  test("ivf incremental: batch-wise assign equals full rebuild exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, SparkTestBase.sfDir, "embeddings")
+    val historic = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val cents = Similarity.ivfTrain(historic, "vec_id", "embedding",
+      nlist = 8).localCheckpoint(true)
+    // assignment is a per-row pure function of (vector, centroids), so
+    // admitting a batch incrementally must equal rebuilding from
+    // scratch — not approximately: row-for-row
+    val incremental = Similarity
+      .ivfAssign(historic, "vec_id", "embedding", cents)
+      .unionByName(Similarity.ivfAssign(batch, "vec_id", "embedding", cents))
+      .select(col("neighbor_id"), col("cell"))
+    val rebuilt = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      .select(col("neighbor_id"), col("cell"))
+    assert(incremental.except(rebuilt).isEmpty &&
+      rebuilt.except(incremental).isEmpty)
+    // and the searched top-k over the accreted index matches too
+    val q = emb.filter(col("vec_id") < 5)
+    val a = Similarity.ivfSearchAssigned(q, "vec_id", "embedding",
+      Similarity.ivfAssign(emb, "vec_id", "embedding", cents), cents,
+      k = 3, nprobe = 2)
+    val b = Similarity.ivfSearchAssigned(q, "vec_id", "embedding",
+      Similarity.ivfAssign(historic, "vec_id", "embedding", cents)
+        .unionByName(Similarity.ivfAssign(batch, "vec_id", "embedding",
+          cents)), cents, k = 3, nprobe = 2)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
   test("sketch SQL surface: graft_theta_* / graft_kll_* registered") {
     graft.plans.GraftExtensions.registerAll(spark)
     import spark.implicits._
