@@ -2694,6 +2694,25 @@ object SparkEntry {
         .orderBy(col("batch"))
     }),
 
+    "f19_jaro_winkler" -> ((s, dir) => {
+      // native Jaro-Winkler (graft_jaro_winkler) scored over er1's SNM
+      // neighbor pairs — the ER similarity Spark lacks (levenshtein is
+      // a distance; MDM name matching wants prefix-weighted
+      // similarity). Semantics pinned to DuckDB's
+      // jaro_winkler_similarity (bit-exact on a 500-pair fuzz), so
+      // this is a FULL hash oracle for the native expression
+      val w = Window.partitionBy(col("blk")).orderBy(col("nm"), col("id"))
+      t(s, dir, "part")
+        .select(col("p_partkey").as("id"), col("p_name").as("nm"),
+          substring(col("p_name"), 1, 1).as("blk"))
+        .withColumn("nm2", lead(col("nm"), 1).over(w))
+        .filter(col("nm2").isNotNull)
+        .select(col("id"),
+          round(graft.functions.JaroWinklerExpr.jaroWinkler(
+            col("nm"), col("nm2")), 4).as("jw"))
+        .orderBy(col("id"))
+    }),
+
     "x21_profile" -> ((s, dir) => {
       // one-pass column profiling (nulls / exact distinct / lex min-max)
       Quality.profile(t(s, dir, "orders"),
@@ -4368,6 +4387,15 @@ object SparkEntry {
       SELECT CAST(q AS DOUBLE) AS q, n_slices, TRUE AS rank_err_ok
       FROM (VALUES (0.5), (0.9), (0.99)) AS t(q) CROSS JOIN d
       ORDER BY q""",
+
+    "f19_jaro_winkler" -> """
+      WITH s AS (
+        SELECT p_partkey AS id, p_name AS nm,
+               substring(p_name, 1, 1) AS blk FROM part),
+      l AS (SELECT id, nm, lead(nm, 1) OVER (PARTITION BY blk
+              ORDER BY nm, id) AS nm2 FROM s)
+      SELECT id, round(jaro_winkler_similarity(nm, nm2), 4) AS jw
+      FROM l WHERE nm2 IS NOT NULL ORDER BY id""",
 
     "a22_correlation" -> """
       WITH m AS (

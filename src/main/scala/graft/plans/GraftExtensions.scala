@@ -5,10 +5,10 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftbridge.Bridge
 
-import graft.functions.{DeflateRatioExpr, DotProduct, KllDoublesAgg,
-  KllMergeAgg, KllQuantileExpr, KllRankExpr, MinHashBands64Expr,
-  NfcNormalizeExpr, SimHash60Expr, ThetaEstimate, ThetaSetEstimate,
-  ThetaSketchAgg, ThetaUnionAgg, TopKAgg}
+import graft.functions.{DeflateRatioExpr, DotProduct, JaroWinklerExpr,
+  KllDoublesAgg, KllMergeAgg, KllQuantileExpr, KllRankExpr,
+  MinHashBands64Expr, NfcNormalizeExpr, SimHash60Expr, ThetaEstimate,
+  ThetaSetEstimate, ThetaSketchAgg, ThetaUnionAgg, TopKAgg}
 
 /** The library's SQL surface for its native Catalyst expressions —
   * `SparkSessionExtensions` so a user session built with
@@ -144,6 +144,13 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_topk_agg(expr, k)")
         TopKAgg(args(0), intLit(args(1), "k"))
+      }),
+    (FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName,
+        "graft_jaro_winkler"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_jaro_winkler(a, b)")
+        JaroWinklerExpr(args(0), args(1))
       }))
 
   /** Session-build-time path (`.withExtensions(GraftExtensions)`). */

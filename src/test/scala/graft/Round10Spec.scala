@@ -156,6 +156,25 @@ class Round10Spec extends GraftSuite {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("jaro-winkler: textbook values, edge cases, SQL surface") {
+    import graft.functions.JaroWinklerExpr
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def jw(a: String, b: String): Double =
+      JaroWinklerExpr.compute(u(a), u(b))
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111d) < 1e-15)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84d) < 1e-15)
+    assert(jw("abc", "abc") === 1.0d)
+    assert(jw("", "") === 0.0d)      // DuckDB's convention, pinned
+    assert(jw("a", "") === 0.0d)
+    assert(jw("abc", "bca") === 0.0d) // window 0 → no matches
+    // boost only above the 0.7 jaro threshold
+    assert(math.abs(jw("abcdefgh", "abcxxxxx") - 0.5833333333333334d) < 1e-15)
+    graft.plans.GraftExtensions.registerAll(spark)
+    val got = spark.sql("SELECT graft_jaro_winkler('martha','marhta') AS s")
+      .first().getDouble(0)
+    assert(math.abs(got - 0.9611111111111111d) < 1e-15)
+  }
+
   test("sketch SQL surface: graft_theta_* / graft_kll_* registered") {
     graft.plans.GraftExtensions.registerAll(spark)
     import spark.implicits._
