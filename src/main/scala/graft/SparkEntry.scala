@@ -2713,6 +2713,44 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "x77_zipf_fit" -> ((s, dir) => {
+      // Zipf exponent of the token distribution: natural text fits
+      // ln(freq) ≈ c − s·ln(rank) with s ≈ 1; hard deviation flags
+      // templated/synthetic/boilerplate corpora — the corpus-LEVEL
+      // health check next to per-doc quality (x9) and drift (x60).
+      // OLS over the top-200 tokens in log-log space; regression term
+      // sums ride DECIMAL (a22's moment discipline) with ln terms
+      // rounded to 12 decimals first, so both engines add identical
+      // values in any order. The window ranks ≤200 rows (explicitly
+      // tiny after the distributed TakeOrdered — not a global window
+      // over the vocab). On the driver corpus this measures −0.18
+      // over a 31-token vocabulary — i.e. the check CORRECTLY flags
+      // the synthetic generator's text as non-Zipfian, which is
+      // precisely the signal it exists to produce.
+      val toks = t(s, dir, "documents").select(
+        explode(regexp_extract_all(lower(col("text")),
+          lit("\\S+"), lit(0))).as("tok"))
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc).limit(200)
+      val w = Window.orderBy(col("cnt").desc, col("tok").asc)
+      val d = (c: Column) => c.cast("decimal(28,12)")
+      val sums = top.withColumn("rank", row_number().over(w))
+        .withColumn("xr", round(log(col("rank").cast(DoubleType)), 12))
+        .withColumn("yr", round(log(col("cnt").cast(DoubleType)), 12))
+        .agg(count(lit(1)).as("n"),
+          sum(d(col("xr"))).cast(DoubleType).as("sx"),
+          sum(d(col("yr"))).cast(DoubleType).as("sy"),
+          sum(d(round(col("xr") * col("xr"), 12))).cast(DoubleType)
+            .as("sxx"),
+          sum(d(round(col("xr") * col("yr"), 12))).cast(DoubleType)
+            .as("sxy"))
+      sums.select(col("n").as("n_ranked"),
+        round((col("n").cast(DoubleType) * col("sxy") -
+            col("sx") * col("sy")) /
+          (col("n").cast(DoubleType) * col("sxx") -
+            col("sx") * col("sx")), 6).as("zipf_slope"))
+    }),
+
     "x21_profile" -> ((s, dir) => {
       // one-pass column profiling (nulls / exact distinct / lex min-max)
       Quality.profile(t(s, dir, "orders"),
@@ -4396,6 +4434,34 @@ object SparkEntry {
               ORDER BY nm, id) AS nm2 FROM s)
       SELECT id, round(jaro_winkler_similarity(nm, nm2), 4) AS jw
       FROM l WHERE nm2 IS NOT NULL ORDER BY id""",
+
+    "x77_zipf_fit" -> """
+      WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        FROM documents),
+      top AS (
+        SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+        ORDER BY cnt DESC, tok LIMIT 200),
+      r AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+        FROM top),
+      t2 AS (
+        SELECT round(ln(CAST(rank AS DOUBLE)), 12) AS xr,
+               round(ln(CAST(cnt AS DOUBLE)), 12) AS yr FROM r),
+      s AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(xr AS DECIMAL(28,12))) AS sx,
+               SUM(CAST(yr AS DECIMAL(28,12))) AS sy,
+               SUM(CAST(round(xr * xr, 12) AS DECIMAL(28,12))) AS sxx,
+               SUM(CAST(round(xr * yr, 12) AS DECIMAL(28,12))) AS sxy
+        FROM t2)
+      SELECT n AS n_ranked,
+             round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                   (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+               AS zipf_slope
+      FROM s""",
 
     "a22_correlation" -> """
       WITH m AS (
