@@ -3706,6 +3706,14 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "st15_stream_kll_ledger" -> ((s, dir) => {
+      // streaming m9: micro-batch KLL sketches fold into the per-day
+      // quantile ledger; KLL merge associativity makes the state
+      // batching-invariant, so the rank contract (and oracle) is m9's
+      graft.streaming.Streams.streamKllLedger(s, dir)
+        .orderBy(col("q"))
+    }),
+
     "st14_stream_theta_novelty" -> ((s, dir) => {
       // streaming x75: per-batch theta sketches fold into a standing
       // keyed ledger; the novelty curve is computed from ledger state
@@ -6504,6 +6512,13 @@ object SparkEntry {
              COUNT(DISTINCT user_id) AS exact_distinct,
              TRUE AS est_within_5pct
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "st15_stream_kll_ledger" -> """
+      WITH d AS (SELECT COUNT(DISTINCT o_orderdate) AS n_slices
+                 FROM orders)
+      SELECT CAST(q AS DOUBLE) AS q, n_slices, TRUE AS rank_err_ok
+      FROM (VALUES (0.5), (0.9), (0.99)) AS t(q) CROSS JOIN d
+      ORDER BY q""",
 
     "st14_stream_theta_novelty" -> """
       WITH tk AS (

@@ -664,6 +664,68 @@ object Streams {
           col("est"), 0.05).as("est_within_5pct"))
   }
 
+  /** Streaming m9: per-micro-batch KLL sketches of order totalprice
+    * fold into a per-day parquet ledger (st13's shape with quantile
+    * state). KLL merge is associative with proven rank-error bounds,
+    * so the final ledger state is micro-batch-boundary-invariant and
+    * the post-ledger rank contract is m9's — any date-range quantile
+    * query then reads ledger rows, never history. */
+  def streamKllLedger(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.SketchFns
+    val target = new java.io.File("target/qtmp/st15_target")
+    org.apache.commons.io.FileUtils.deleteQuietly(target)
+    val path = target.getAbsolutePath
+    graft.operators.Mutations.seedEmptyLedger(spark, path,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("d",
+          org.apache.spark.sql.types.DateType),
+        org.apache.spark.sql.types.StructField("sk",
+          org.apache.spark.sql.types.BinaryType))))
+    val stage = new java.io.File("target/qtmp/st15_src")
+    stage.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/orders.parquet"),
+      java.nio.file.Paths.get(stage.getAbsolutePath, "orders.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(stage.getAbsolutePath).schema
+    val q = spark.readStream.schema(schema)
+      .parquet(stage.getAbsolutePath)
+      .select(col("o_orderdate").cast("date").as("d"),
+        col("o_totalprice").cast("double").as("v"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = batch.groupBy(col("d"))
+          .agg(SketchFns.kllAgg(col("v"), 400).as("sk"))
+        val merged = batch.sparkSession.read.parquet(path)
+          .unionByName(delta)
+          .groupBy(col("d"))
+          .agg(SketchFns.kllMergeAgg(col("sk"), 400).as("sk"))
+        graft.operators.Mutations.overwriteAtomic(merged, path)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // m9's rank contract, answered FROM the ledger
+    val merged = spark.read.parquet(path).agg(
+      SketchFns.kllMergeAgg(col("sk"), 400).as("sk"),
+      count(lit(1)).as("n_slices"))
+    val est = merged.select(col("n_slices"),
+      explode(array(Seq(0.5d, 0.9d, 0.99d).map(p =>
+        struct(lit(p).as("q"),
+          SketchFns.kllQuantile(col("sk"), lit(p)).as("est_v"))): _*))
+        .as("r"))
+      .select(col("n_slices"), col("r.q").as("q"), col("r.est_v"))
+    graft.Tables.load(spark, sfDir, "orders")
+      .select(col("o_totalprice").cast("double").as("v"))
+      .crossJoin(broadcast(est))
+      .groupBy(col("q"), col("n_slices"))
+      .agg((sum(when(col("v") <= col("est_v"), 1L).otherwise(0L))
+        .cast("double") / count(lit(1))).as("rank"))
+      .select(col("q"), col("n_slices"),
+        (abs(col("rank") - col("q")) <= lit(0.02d)).as("rank_err_ok"))
+  }
+
   /** One (band, key) posting of a streamed doc's simhash fingerprint. */
   final case class BandEvent(band: Int, key: Long, doc_id: Long, fp: Long)
   /** Per-band admission flag emitted by [[streamNearDupAdmit]]. */
