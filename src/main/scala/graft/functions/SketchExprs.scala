@@ -63,6 +63,11 @@ object SketchFns {
   def thetaAnotBEstimate(a: Array[Byte], b: Array[Byte]): Double =
     SetOperation.builder().buildANotB().aNotB(heap(a), heap(b)).getEstimate
 
+  def thetaBound(bytes: Array[Byte], numStdDev: Int, upper: Boolean): Double = {
+    val sk = heap(bytes)
+    if (upper) sk.getUpperBound(numStdDev) else sk.getLowerBound(numStdDev)
+  }
+
   def kllQuantile(bytes: Array[Byte], q: Double): Double = {
     val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
     if (sk.isEmpty) Double.NaN
@@ -90,6 +95,15 @@ object SketchFns {
 
   def thetaEstimate(sketch: Column): Column =
     Bridge.toCol(ThetaEstimate(Bridge.toExpr(sketch)))
+
+  /** Lower/upper confidence bound at `numStdDev` ∈ {1,2,3} — the
+    * error bar that turns any sketch estimate into an auditable
+    * interval (exact-mode sketches collapse it to the estimate). */
+  def thetaLowerBound(sketch: Column, numStdDev: Int = 2): Column =
+    Bridge.toCol(ThetaBound(Bridge.toExpr(sketch), numStdDev, upper = false))
+
+  def thetaUpperBound(sketch: Column, numStdDev: Int = 2): Column =
+    Bridge.toCol(ThetaBound(Bridge.toExpr(sketch), numStdDev, upper = true))
 
   def thetaIntersectEstimate(a: Column, b: Column): Column =
     Bridge.toCol(ThetaSetEstimate(Bridge.toExpr(a), Bridge.toExpr(b),
@@ -237,6 +251,36 @@ case class ThetaEstimate(child: Expression) extends UnaryExpression {
       c => s"graft.functions.SketchFns.thetaEstimate($c)")
 
   override protected def withNewChildInternal(c: Expression): ThetaEstimate =
+    copy(child = c)
+}
+
+/** `graft_theta_lb(sketch, nsd)` / `graft_theta_ub(sketch, nsd)` —
+  * confidence bounds on a sketch's distinct estimate. */
+case class ThetaBound(child: Expression, numStdDev: Int, upper: Boolean)
+    extends UnaryExpression {
+
+  require(numStdDev >= 1 && numStdDev <= 3,
+    s"numStdDev must be 1..3, got $numStdDev")
+
+  override def prettyName: String =
+    if (upper) "graft_theta_ub" else "graft_theta_lb"
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs binary sketch, got $dt")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchFns.thetaBound(input.asInstanceOf[Array[Byte]], numStdDev, upper)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchFns.thetaBound($c, $numStdDev, $upper)")
+
+  override protected def withNewChildInternal(c: Expression): ThetaBound =
     copy(child = c)
 }
 

@@ -7,8 +7,8 @@ import org.apache.spark.sql.graftbridge.Bridge
 
 import graft.functions.{DeflateRatioExpr, DotProduct, JaroWinklerExpr,
   KllDoublesAgg, KllMergeAgg, KllQuantileExpr, KllRankExpr,
-  MinHashBands64Expr, NfcNormalizeExpr, SimHash60Expr, ThetaEstimate,
-  ThetaSetEstimate, ThetaSketchAgg, ThetaUnionAgg, TopKAgg}
+  MinHashBands64Expr, NfcNormalizeExpr, SimHash60Expr, ThetaBound,
+  ThetaEstimate, ThetaSetEstimate, ThetaSketchAgg, ThetaUnionAgg, TopKAgg}
 
 /** The library's SQL surface for its native Catalyst expressions —
   * `SparkSessionExtensions` so a user session built with
@@ -96,6 +96,18 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_theta_estimate(sketch)")
         ThetaEstimate(args.head)
+      }),
+    (FunctionIdentifier("graft_theta_lb"),
+      new ExpressionInfo(classOf[ThetaBound].getName, "graft_theta_lb"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_theta_lb(sketch, numStdDev)")
+        ThetaBound(args(0), intLit(args(1), "numStdDev"), upper = false)
+      }),
+    (FunctionIdentifier("graft_theta_ub"),
+      new ExpressionInfo(classOf[ThetaBound].getName, "graft_theta_ub"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_theta_ub(sketch, numStdDev)")
+        ThetaBound(args(0), intLit(args(1), "numStdDev"), upper = true)
       }),
     (FunctionIdentifier("graft_theta_intersect_est"),
       new ExpressionInfo(classOf[ThetaSetEstimate].getName,

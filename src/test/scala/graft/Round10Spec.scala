@@ -60,6 +60,27 @@ class Round10Spec extends GraftSuite {
     assert(math.abs(est - n) / n <= 0.05, s"theta est $est vs $n")
   }
 
+  test("theta bounds: lb <= est <= ub; exact mode collapses the interval") {
+    import spark.implicits._
+    // exact mode: interval collapses to the (exact) estimate
+    val small = (0L until 500L).toDF("k")
+      .agg(SketchFns.thetaAgg(col("k")).as("sk"))
+      .select(SketchFns.thetaLowerBound(col("sk")).as("lb"),
+        SketchFns.thetaEstimate(col("sk")).as("est"),
+        SketchFns.thetaUpperBound(col("sk")).as("ub")).first()
+    assert(small.getDouble(0) === 500.0d && small.getDouble(1) === 500.0d &&
+      small.getDouble(2) === 500.0d)
+    // estimation mode: strict interval containing the truth at 2σ
+    val big = (0L until 100000L).toDF("k").repartition(8)
+      .agg(SketchFns.thetaAgg(col("k"), 12).as("sk"))
+      .select(SketchFns.thetaLowerBound(col("sk")).as("lb"),
+        SketchFns.thetaEstimate(col("sk")).as("est"),
+        SketchFns.thetaUpperBound(col("sk")).as("ub")).first()
+    assert(big.getDouble(0) < big.getDouble(1) &&
+      big.getDouble(1) < big.getDouble(2))
+    assert(big.getDouble(0) <= 100000.0d && 100000.0d <= big.getDouble(2))
+  }
+
   test("kll: rank/quantile duality and slice-merge vs direct") {
     import spark.implicits._
     val df = (1 to 10000).map(i => (i % 13, i.toDouble)).toDF("slice", "v")
