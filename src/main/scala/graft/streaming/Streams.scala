@@ -670,7 +670,8 @@ object Streams {
     * so the final ledger state is micro-batch-boundary-invariant and
     * the post-ledger rank contract is m9's — any date-range quantile
     * query then reads ledger rows, never history. */
-  def streamKllLedger(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamKllLedger(spark: SparkSession, sfDir: String,
+                      splitFiles: Int = 1): DataFrame = {
     import graft.functions.SketchFns
     val target = new java.io.File("target/qtmp/st15_target")
     org.apache.commons.io.FileUtils.deleteQuietly(target)
@@ -681,15 +682,32 @@ object Streams {
           org.apache.spark.sql.types.DateType),
         org.apache.spark.sql.types.StructField("sk",
           org.apache.spark.sql.types.BinaryType))))
+    // splitFiles > 1: stage the source as that many files and feed one
+    // per trigger — the spec's multi-micro-batch proof that ledger
+    // state is batching-invariant (KLL merge associativity), not an
+    // artifact of single-batch AvailableNow delivery
     val stage = new java.io.File("target/qtmp/st15_src")
+    org.apache.commons.io.FileUtils.deleteQuietly(stage)
     stage.mkdirs()
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/orders.parquet"),
-      java.nio.file.Paths.get(stage.getAbsolutePath, "orders.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val schema = spark.read.parquet(stage.getAbsolutePath).schema
-    val q = spark.readStream.schema(schema)
-      .parquet(stage.getAbsolutePath)
+    if (splitFiles <= 1)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/orders.parquet"),
+        java.nio.file.Paths.get(stage.getAbsolutePath, "orders.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else {
+      val src = spark.read.parquet(s"$sfDir/orders.parquet")
+      (0 until splitFiles).foreach { i =>
+        src.filter(col("o_orderkey") % splitFiles === i).coalesce(1)
+          .write.mode("overwrite")
+          .parquet(new java.io.File(stage, s"part$i").getAbsolutePath)
+      }
+    }
+    val schema = spark.read.parquet(s"$sfDir/orders.parquet").schema
+    val reader = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+    val src = if (splitFiles <= 1) reader.parquet(stage.getAbsolutePath)
+      else reader.parquet(stage.getAbsolutePath + "/part*")
+    val q = src
       .select(col("o_orderdate").cast("date").as("d"),
         col("o_totalprice").cast("double").as("v"))
       .writeStream

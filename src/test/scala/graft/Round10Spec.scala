@@ -196,6 +196,19 @@ class Round10Spec extends GraftSuite {
     assert(math.abs(got - 0.9611111111111111d) < 1e-15)
   }
 
+  test("st15 ledger: 3-micro-batch delivery equals single-batch (invariance)") {
+    // the batching-invariance claim tested on the REAL multi-batch
+    // path (maxFilesPerTrigger=1 over 3 staged files), not just by
+    // sketch-algebra argument
+    val one = graft.streaming.Streams
+      .streamKllLedger(spark, SparkTestBase.sfDir).orderBy("q").collect()
+    val three = graft.streaming.Streams
+      .streamKllLedger(spark, SparkTestBase.sfDir, splitFiles = 3)
+      .orderBy("q").collect()
+    assert(one.map(_.toString).toSeq === three.map(_.toString).toSeq)
+    assert(three.forall(_.getBoolean(2)), three.mkString(";"))
+  }
+
   test("sketch SQL surface: graft_theta_* / graft_kll_* registered") {
     graft.plans.GraftExtensions.registerAll(spark)
     import spark.implicits._
