@@ -261,10 +261,17 @@ object Similarity {
       .withColumn("code", row_number().over(seedW) - 1)
       .select(col("code"), explode(subvecs(col("__qv"), m)).as("s"))
       .select(col("s.sub").as("sub"), col("code"), col("s.sv").as("cbv"))
-    val corpusSub = c
+    val corpusSub0 = c
       .select(col("neighbor_id"), explode(subvecs(col("__qv"), m)).as("s"))
       .select(col("neighbor_id"), col("s.sub").as("sub"),
         col("s.sv").as("sv"))
+    // trained paths consume the exploded subvectors trainIters+1 times
+    // (each Lloyd assignment + the final encode) — truncate the
+    // lineage once so quantize+explode runs once (the winnowing/
+    // star-CC input discipline); untrained single-consumer path skips
+    // the materialization
+    val corpusSub =
+      if (trainIters > 0) corpusSub0.localCheckpoint(true) else corpusSub0
     val codebook = (1 to trainIters).foldLeft(seeds) { (cb, _) =>
       // assign every (row, sub) to its nearest codeword, then integer
       // mean per (sub, code, dim); empty codewords drop (fewer, denser
