@@ -249,6 +249,9 @@ object TextOps {
           i => ColFns.portableHash60(
             concat_ws(" ", slice(col("__t"), i, lit(n)))))).as("g"))
       .distinct()
+      // three consumers (sizes, both join sides): compute the gram
+      // explode + distinct once (the winnowing discipline)
+      .localCheckpoint(true)
     val sizes = posts.groupBy(col("source"))
       .agg(count(lit(1)).as("ng"))
     posts.as("a")
