@@ -709,6 +709,29 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    "j20_interval_overlap" -> ((s, dir) => {
+      // key-scoped interval-overlap self-join: pairs of the SAME
+      // customer's order windows ([orderdate, +6d]) that overlap —
+      // the concurrent-sessions / double-booking shape. The key
+      // equality carries the join (one shuffle on custkey, per-key
+      // groups are small); the overlap predicate is a post-join
+      // filter, never a cross product. Date windows ride yyyy-MM-dd
+      // strings (lexicographic = chronological) per the j15 idiom
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("lo"),
+        date_format(date_add(col("o_orderdate").cast(DateType), 6),
+          "yyyy-MM-dd").as("hi"))
+      o.as("a").join(o.as("b"),
+          col("a.o_custkey") === col("b.o_custkey") &&
+            col("a.o_orderkey") < col("b.o_orderkey") &&
+            col("a.lo") <= col("b.hi") && col("b.lo") <= col("a.hi"))
+        .groupBy(col("a.o_custkey").as("o_custkey"))
+        .agg(count(lit(1)).as("n_overlapping_pairs"),
+          min(least(col("a.lo"), col("b.lo"))).as("first_overlap_start"))
+        .orderBy(col("o_custkey"))
+    }),
+
     "j12_full_outer_join" -> ((s, dir) => {
       // full-outer reconciliation: which keys exist on one side only —
       // the audit join every warehouse sync needs. Orders aggregate to
@@ -4258,6 +4281,20 @@ object SparkEntry {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "j20_interval_overlap" -> """
+      WITH o AS (
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS lo,
+               strftime(o_orderdate + INTERVAL 6 DAY, '%Y-%m-%d') AS hi
+        FROM orders)
+      SELECT a.o_custkey,
+             COUNT(*) AS n_overlapping_pairs,
+             MIN(least(a.lo, b.lo)) AS first_overlap_start
+      FROM o a JOIN o b
+        ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+       AND a.lo <= b.hi AND b.lo <= a.hi
+      GROUP BY a.o_custkey ORDER BY a.o_custkey""",
 
     "j12_full_outer_join" -> """
       SELECT
