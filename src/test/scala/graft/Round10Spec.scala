@@ -209,6 +209,48 @@ class Round10Spec extends GraftSuite {
     assert(three.forall(_.getBoolean(2)), three.mkString(";"))
   }
 
+  test("jaro-winkler properties: symmetric, bounded, reflexive (seeded bulk)") {
+    import graft.functions.JaroWinklerExpr
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val rnd = new scala.util.Random(42)
+    val al = "abcdef gh"
+    def rs(): String =
+      (0 until rnd.nextInt(15)).map(_ => al(rnd.nextInt(al.length))).mkString
+    (1 to 2000).foreach { _ =>
+      val (a, b) = (rs(), rs())
+      val ab = JaroWinklerExpr.compute(u(a), u(b))
+      val ba = JaroWinklerExpr.compute(u(b), u(a))
+      assert(ab === ba, s"asymmetric on <$a>/<$b>: $ab vs $ba")
+      assert(ab >= 0.0d && ab <= 1.0d, s"out of range on <$a>/<$b>: $ab")
+      if (a.nonEmpty)
+        assert(JaroWinklerExpr.compute(u(a), u(a)) === 1.0d)
+    }
+  }
+
+  test("topk agg property: equals sort-take over seeded random groups") {
+    import spark.implicits._
+    import graft.functions.TopKAgg
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 3000).map(_ =>
+      (rnd.nextInt(40), rnd.nextInt(500).toLong, rnd.nextLong()))
+    val df = rows.toDF("g", "v", "id").repartition(16)
+    val got = df.groupBy(col("g"))
+      .agg(TopKAgg.topK(struct(col("v"), col("id")), 4).as("top"))
+      .select(col("g"), col("top")).collect()
+      .map(r => r.getInt(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x =>
+          (x.getLong(0), x.getLong(1))))
+      .toMap
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(t => (t._2, t._3)).sorted(
+        Ordering.Tuple2[Long, Long].reverse).take(4)
+    }
+    assert(got.keySet === want.keySet)
+    want.foreach { case (g, exp) =>
+      assert(got(g) === exp, s"group $g: ${got(g)} vs $exp")
+    }
+  }
+
   test("sketch SQL surface: graft_theta_* / graft_kll_* registered") {
     graft.plans.GraftExtensions.registerAll(spark)
     import spark.implicits._
