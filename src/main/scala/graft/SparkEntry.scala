@@ -2736,6 +2736,33 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "x78_benford_audit" -> ((s, dir) => {
+      // Benford first-digit audit: natural multi-scale amounts follow
+      // P(d) = log10(1 + 1/d); strong deviation flags fabricated or
+      // truncated numerics — the numeric-column cousin of x77's
+      // token-distribution check. One aggregation over first digits;
+      // the chi-square statistic is driver-free arithmetic on the
+      // 9-row digit table. Expected probabilities are written as
+      // log(10, …) in BOTH engines so the constants agree bit-for-bit
+      val digits = t(s, dir, "orders")
+        .select(substring(col("o_totalprice").cast("string"), 1, 1)
+          .cast(IntegerType).as("d"))
+        .filter(col("d").between(1, 9))
+        .groupBy(col("d")).agg(count(lit(1)).as("observed"))
+      val total = digits.agg(sum(col("observed")).as("n"))
+      digits.crossJoin(broadcast(total)) // 1-row scalar idiom (a15/x72)
+        .withColumn("expected_p",
+          round(log(10.0d, lit(1.0d) + lit(1.0d) / col("d")), 6))
+        .withColumn("observed_p",
+          round(col("observed").cast(DoubleType) /
+            col("n").cast(DoubleType), 6))
+        .withColumn("abs_dev",
+          round(abs(col("observed_p") - col("expected_p")), 6))
+        .select(col("d"), col("observed"), col("expected_p"),
+          col("observed_p"), col("abs_dev"))
+        .orderBy(col("d"))
+    }),
+
     "x77_zipf_fit" -> ((s, dir) => {
       // Zipf exponent of the token distribution: natural text fits
       // ln(freq) ≈ c − s·ln(rank) with s ≈ 1; hard deviation flags
@@ -4479,6 +4506,24 @@ object SparkEntry {
               ORDER BY nm, id) AS nm2 FROM s)
       SELECT id, round(jaro_winkler_similarity(nm, nm2), 4) AS jw
       FROM l WHERE nm2 IS NOT NULL ORDER BY id""",
+
+    "x78_benford_audit" -> """
+      WITH digits AS (
+        SELECT CAST(substring(CAST(o_totalprice AS VARCHAR), 1, 1)
+                 AS INTEGER) AS d,
+               COUNT(*) AS observed
+        FROM orders
+        WHERE CAST(substring(CAST(o_totalprice AS VARCHAR), 1, 1)
+                AS INTEGER) BETWEEN 1 AND 9
+        GROUP BY 1),
+      t AS (SELECT SUM(observed) AS n FROM digits)
+      SELECT d, observed,
+             round(log(10.0, 1.0 + 1.0 / d), 6) AS expected_p,
+             round(CAST(observed AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS observed_p,
+             round(abs(round(CAST(observed AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               - round(log(10.0, 1.0 + 1.0 / d), 6)), 6) AS abs_dev
+      FROM digits CROSS JOIN t ORDER BY d""",
 
     "x77_zipf_fit" -> """
       WITH toks AS (
