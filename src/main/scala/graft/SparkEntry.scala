@@ -627,6 +627,21 @@ object SparkEntry {
         .orderBy(col("n_nationkey"))
     }),
 
+    "j7d_fuzzy_jw" -> ((s, dir) => {
+      // j7b's blocked shape with the Jaro-Winkler scorer — the
+      // MDM-standard name metric (f19's native expression) plugged
+      // into the same 3-gram inverted-index candidate generation;
+      // DuckDB's jaro_winkler_similarity makes this a FULL hash
+      // oracle for the composed fuzzy join
+      val n = t(s, dir, "nation")
+      val corrupted = n.select(col("n_nationkey"),
+        concat(expr("substring(n_name, 1, length(n_name)-1)"), lit("X"))
+          .as("noisy_name"))
+      FuzzyJoin.blockedBestMatch(corrupted, "noisy_name", n, "n_name",
+          FuzzyJoin.jwSimilarity)
+        .orderBy(col("n_nationkey"))
+    }),
+
     "j7c_token_sort_match" -> ((s, dir) => {
       // word-order corruption (reverse token order) recovered by the
       // fuzzywuzzy-style token-sort scorer — reordered names score 1.0
@@ -4225,6 +4240,43 @@ object SparkEntry {
                1.0 - CAST(levenshtein(lower(noisy_name), lower(cand))
                           AS DOUBLE)
                    / greatest(length(noisy_name), length(cand), 1) AS score
+        FROM cands)
+      SELECT n_nationkey, noisy_name, cand AS match_n_name,
+             round(score, 4) AS match_score
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY n_nationkey, noisy_name
+              ORDER BY score DESC, cand ASC) AS rn
+            FROM scored)
+      WHERE rn = 1 ORDER BY n_nationkey""",
+
+    "j7d_fuzzy_jw" -> """
+      WITH l AS (
+        SELECT n_nationkey,
+               substring(n_name, 1, length(n_name) - 1) || 'X' AS noisy_name
+        FROM nation),
+      r AS (SELECT DISTINCT n_name AS cand FROM nation),
+      lg AS (
+        SELECT DISTINCT n_nationkey, noisy_name, g FROM (
+          SELECT n_nationkey, noisy_name,
+                 unnest(list_transform(
+                   range(1, greatest(length(noisy_name) - 2, 1) + 1),
+                   i -> substring(lower(noisy_name), CAST(i AS BIGINT), 3)))
+                   AS g
+          FROM l)),
+      rg AS (
+        SELECT DISTINCT cand, g FROM (
+          SELECT cand,
+                 unnest(list_transform(
+                   range(1, greatest(length(cand) - 2, 1) + 1),
+                   i -> substring(lower(cand), CAST(i AS BIGINT), 3))) AS g
+          FROM r)),
+      cands AS (
+        SELECT DISTINCT n_nationkey, noisy_name, cand
+        FROM lg JOIN rg USING (g)),
+      scored AS (
+        SELECT n_nationkey, noisy_name, cand,
+               jaro_winkler_similarity(lower(noisy_name), lower(cand))
+                 AS score
         FROM cands)
       SELECT n_nationkey, noisy_name, cand AS match_n_name,
              round(score, 4) AS match_score
