@@ -395,6 +395,10 @@ object Dedup {
         .select(col("h"))
       wins.join(dupSpans, Seq("h"))
     }).select(col("id"), col("i"))
+      // two consumers (span counts, coverage) — truncate so the
+      // window-explode + per-window hashing runs once (the winnowing
+      // discipline); the surviving (id, i) rows are tiny
+      .localCheckpoint(true)
     val spanCounts = dupWins.groupBy(col("id"))
       .agg(count(lit(1)).as("n_dup_spans"))
     val covered = dupWins
