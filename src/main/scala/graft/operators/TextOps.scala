@@ -694,6 +694,9 @@ object TextOps {
           .as("term"))
     val tf = tokens.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      // two consumers (document frequencies + the score join) — run
+      // the token explode + tf aggregation once
+      .localCheckpoint(true)
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id"))
