@@ -1972,6 +1972,8 @@ object SparkEntry {
           "vec_id", "embedding", k = k)
         .withColumn("nrm",
           graft.functions.VectorExprs.norm(col("embedding")))
+        // both sides of the within-cell self-join — one assignment pass
+        .localCheckpoint(true)
       val pairs = cells.as("a")
         .join(cells.as("b"), col("a.cid") === col("b.cid") &&
           col("a.vec_id") < col("b.vec_id"))
