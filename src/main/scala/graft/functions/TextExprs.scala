@@ -139,7 +139,13 @@ object DeflateRatioExpr {
   * and 0.0 when either string is empty — including both-empty).
   * Arithmetic is the same small rational sums in IEEE double in the
   * same order, so equality survives round(·, 4) oracles with ulps to
-  * spare. */
+  * spare.
+  *
+  * Character model: UTF-16 code units (String.charAt). Identical to
+  * codepoint-based implementations for all BMP text; strings with
+  * surrogate pairs (emoji, rare CJK extensions) may count lengths
+  * differently than a codepoint engine — normalize such data before
+  * ER matching (which name-matching pipelines do anyway). */
 case class JaroWinklerExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
