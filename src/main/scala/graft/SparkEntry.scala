@@ -2354,6 +2354,30 @@ object SparkEntry {
         .orderBy(col("label"))
     }),
 
+    "x79_ccnet_buckets" -> ((s, dir) => {
+      // CCNet-style LM-score partitioning (Wenzek et al., LREC 2020):
+      // docs scored by the corpus-trained unigram LM (x60's scorer),
+      // split head/middle/tail by score terciles, per-bucket audit
+      // stats — the classic keep-head/sample-middle/drop-tail corpus
+      // cut. ntile runs over DOC rows (tiny vs token rows); at
+      // 100 TB the thresholds come from approx_percentile of the
+      // score histogram instead of a global window (the p13 note).
+      // mean_logp is sum/count over the already-rounded scores
+      // through DECIMAL — engine-order-free.
+      val scored = TextOps.unigramLogProb(t(s, dir, "documents"),
+        col("doc_id"), col("text"))
+      val w = Window.orderBy(col("avg_logp").desc, col("id").asc)
+      scored.withColumn("bucket",
+          element_at(array(lit("head"), lit("middle"), lit("tail")),
+            ntile(3).over(w)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          round(sum(col("avg_logp").cast("decimal(18,4)"))
+            .cast(DoubleType) / count(lit(1)), 4).as("mean_logp"))
+        .orderBy(col("bucket"))
+    }),
+
     "x60_unigram_logprob" -> ((s, dir) => {
       // KenLM-lite statistical quality: corpus-trained add-one unigram
       // LM, docs scored by mean token log-prob — vocab stays a
@@ -7512,6 +7536,27 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS BIGINT) AS n_pairs_ge
       FROM bk ORDER BY bucket DESC""",
+
+    "x79_ccnet_buckets" -> """
+      WITH tokens AS (
+        SELECT doc_id AS id,
+               UNNEST(regexp_extract_all(lower(text), '\S+')) AS tok
+        FROM documents),
+      vocab AS (SELECT tok, COUNT(*) AS cnt FROM tokens GROUP BY tok),
+      tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS vsize FROM vocab),
+      logp AS (SELECT tok, ln((cnt + 1.0) / (total + vsize)) AS logp
+               FROM vocab CROSS JOIN tot),
+      scored AS (
+        SELECT id, COUNT(*) AS n_toks, round(AVG(logp), 4) AS avg_logp
+        FROM tokens JOIN logp USING (tok) GROUP BY id),
+      b AS (SELECT *, ntile(3) OVER (ORDER BY avg_logp DESC, id) AS nb
+            FROM scored)
+      SELECT CASE nb WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+             COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+             round(CAST(SUM(CAST(avg_logp AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*), 4) AS mean_logp
+      FROM b GROUP BY 1 ORDER BY bucket""",
 
     "x60_unigram_logprob" -> """
       WITH tokens AS (
