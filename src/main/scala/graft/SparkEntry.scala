@@ -418,6 +418,30 @@ object SparkEntry {
         .orderBy(col("batch"))
     }),
 
+    "p22_small_file_control" -> ((s, dir) => {
+      // the small-file problem controlled at WRITE time:
+      // maxRecordsPerFile rolls output files at a fixed row budget.
+      // One writer task here makes the file count an exact function
+      // of the row count (ceil(n/1000)) so the oracle can assert it;
+      // at 100 TB the same option bounds per-task file sizes across
+      // many writer tasks (count then depends on partitioning — the
+      // s9/Lake.compact notes cover that regime)
+      val out = tmpDir("p22_files")
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .repartition(1).write.mode("overwrite")
+        .option("maxRecordsPerFile", 1000).parquet(out)
+      val back = s.read.parquet(out)
+        .withColumn("__f", input_file_name()) // project first: the
+      // nondeterministic fn can't sit inside an aggregate argument
+      back.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("__f")).as("n_files"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("files_ok", col("n_files") ===
+          ceil(col("n_rows") / lit(1000.0d)).cast(LongType))
+        .select(col("n_rows"), col("n_files"), col("sum_price"),
+          col("files_ok"))
+    }),
+
     "p20_global_rownum" -> ((s, dir) => {
       // scale-correct global row numbering: range exchange +
       // per-partition window + prefix-sum offsets over ≤32 metadata
@@ -930,6 +954,24 @@ object SparkEntry {
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("n"), col("total"))
         .orderBy(col("status"), col("priority"))
+    }),
+
+    "a23_grouped_mode" -> ((s, dir) => {
+      // exact mode per group (most-frequent value, ties to the LARGER
+      // value — encoded structurally in max(struct(cnt, val)), no
+      // window): two hash aggregations, both map-side combined; the
+      // common "dominant category per entity" rollup without sorting
+      // any group
+      val e = t(s, dir, "events")
+        .select((col("user_id") % 10).as("cohort"), col("event_type"))
+      e.groupBy(col("cohort"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("cohort"))
+        .agg(max(struct(col("cnt"), col("event_type"))).as("m"),
+          sum(col("cnt")).as("n_events"))
+        .select(col("cohort"), col("m.event_type").as("mode_event"),
+          col("m.cnt").as("mode_n"), col("n_events"))
+        .orderBy(col("cohort"))
     }),
 
     "a22_correlation" -> ((s, dir) => {
@@ -4143,6 +4185,16 @@ object SparkEntry {
         SELECT o_orderkey, ntile(20) OVER (ORDER BY o_orderkey) AS batch
         FROM orders) GROUP BY batch ORDER BY batch""",
 
+    "p22_small_file_control" -> """
+      WITH t AS (
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM orders)
+      SELECT n_rows, CAST(ceil(n_rows / 1000.0) AS BIGINT) AS n_files,
+             sum_price, TRUE AS files_ok
+      FROM t""",
+
     "p20_global_rownum" -> """
       SELECT o_orderkey,
              row_number() OVER (ORDER BY o_orderkey) - 1 AS row_num
@@ -4630,6 +4682,21 @@ object SparkEntry {
                     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
                AS zipf_slope
       FROM s""",
+
+    "a23_grouped_mode" -> """
+      WITH c AS (
+        SELECT user_id % 10 AS cohort, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT cohort, event_type, cnt,
+               SUM(cnt) OVER (PARTITION BY cohort) AS n_events,
+               row_number() OVER (PARTITION BY cohort
+                                  ORDER BY cnt DESC, event_type DESC)
+                 AS rn
+        FROM c)
+      SELECT cohort, event_type AS mode_event, cnt AS mode_n,
+             CAST(n_events AS BIGINT) AS n_events
+      FROM r WHERE rn = 1 ORDER BY cohort""",
 
     "a22_correlation" -> """
       WITH m AS (
