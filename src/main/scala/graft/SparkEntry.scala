@@ -2759,6 +2759,37 @@ object SparkEntry {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    "x80_dedup_preflight" -> ((s, dir) => {
+      // pre-flight dedup cost model: per source, what would gram-level
+      // dedup save — total grams vs distinct grams as a duplication
+      // factor. The theta estimate is the PLANNING number (one pass
+      // riding the ingest scan, no distinct shuffle needed at scale);
+      // the exact distinct here is the a4-pattern gate on it. x64
+      // audits savings AFTER dedup ran; this prices them before
+      // paying for it.
+      import graft.functions.SketchFns
+      val toks = split(trim(regexp_replace(lower(col("text")),
+        "\\s+", " ")), " ")
+      val grams = t(s, dir, "documents")
+        .select(col("source"), toks.as("__t"))
+        .filter(size(col("__t")) >= 5)
+        .select(col("source"),
+          explode(transform(sequence(lit(1), size(col("__t")) - 4),
+            i => ColFns.portableHash60(
+              concat_ws(" ", slice(col("__t"), i, lit(5)))))).as("g"))
+      grams.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("g")).as("n_distinct"),
+          SketchFns.thetaEstimate(SketchFns.thetaAgg(col("g"), 14))
+            .as("est"))
+        .select(col("source"), col("n_grams"), col("n_distinct"),
+          round(col("n_grams").cast(DoubleType) /
+            col("n_distinct").cast(DoubleType), 4).as("dup_factor"),
+          Mutations.toleranceFlag(col("n_distinct"), col("est"), 0.05)
+            .as("est_within_5pct"))
+        .orderBy(col("source"))
+    }),
+
     "x75_theta_novelty" -> ((s, dir) => {
       // novelty curve per ingest batch — "how much NEW content does
       // each crawl snapshot add" (the metric that decides when more
@@ -4605,6 +4636,23 @@ object SparkEntry {
       FROM pairs p LEFT JOIN pr
         ON pr.source_a = p.source_a AND pr.source_b = p.source_b
       ORDER BY p.source_a, p.source_b""",
+
+    "x80_dedup_preflight" -> """
+      WITH tk AS (
+        SELECT source, string_split(trim(regexp_replace(lower(text),
+          '\s+', ' ', 'g')), ' ') AS t
+        FROM documents),
+      grams AS (
+        SELECT source,
+               CAST(('0x' || substring(md5(array_to_string(
+                 t[i:i+4], ' ')), 1, 15)) AS BIGINT) AS g
+        FROM tk, UNNEST(range(1, greatest(len(t) - 4, 0) + 1)) AS u(i))
+      SELECT source, COUNT(*) AS n_grams,
+             COUNT(DISTINCT g) AS n_distinct,
+             round(CAST(COUNT(*) AS DOUBLE) /
+               CAST(COUNT(DISTINCT g) AS DOUBLE), 4) AS dup_factor,
+             TRUE AS est_within_5pct
+      FROM grams GROUP BY source ORDER BY source""",
 
     "x75_theta_novelty" -> """
       WITH tk AS (
