@@ -3870,6 +3870,15 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "st16_stream_topk" -> ((s, dir) => {
+      // w11's bounded-heap top-k as a STREAMING aggregation — the
+      // heap state rides the state store via the aggregate's spill
+      // format; AvailableNow + complete mode reproduces the batch
+      // result, so this shares w3/w11's oracle
+      graft.streaming.Streams.streamTopK(s, dir)
+        .orderBy(col("o_custkey"), col("rank"))
+    }),
+
     "st15_stream_kll_ledger" -> ((s, dir) => {
       // streaming m9: micro-batch KLL sketches fold into the per-day
       // quantile ledger; KLL merge associativity makes the state
@@ -6787,6 +6796,14 @@ object SparkEntry {
              COUNT(DISTINCT user_id) AS exact_distinct,
              TRUE AS est_within_5pct
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "st16_stream_topk" -> """
+      SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey)
+                 AS rank
+        FROM orders) WHERE rank <= 3 ORDER BY o_custkey, rank""",
 
     "st15_stream_kll_ledger" -> """
       WITH d AS (SELECT COUNT(DISTINCT o_orderdate) AS n_slices

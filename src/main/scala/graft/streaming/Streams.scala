@@ -744,6 +744,46 @@ object Streams {
         (abs(col("rank") - col("q")) <= lit(0.02d)).as("rank_err_ok"))
   }
 
+  /** Streaming grouped top-k: w11's bounded-heap aggregate
+    * (graft.functions.TopKAgg) running INSIDE a streaming aggregation
+    * — per-group heap state serializes into the state store through
+    * the aggregate's own spill format, so the top-k survives across
+    * micro-batches with k-bounded state per key (the streaming form
+    * of the |groups|·k shuffle argument). Complete-mode memory sink,
+    * AvailableNow; shares w3/w11's oracle. */
+  def streamTopK(spark: SparkSession, sfDir: String,
+                 queryName: String = "graft_stream_topk"): DataFrame = {
+    import graft.functions.TopKAgg
+    val sink = unique(queryName)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = new java.io.File("target/qtmp/st16_src")
+    stage.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/orders.parquet"),
+      java.nio.file.Paths.get(stage.getAbsolutePath, "orders.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(stage.getAbsolutePath).schema
+    val agg = spark.readStream.schema(schema)
+      .parquet(stage.getAbsolutePath)
+      .groupBy(col("o_custkey"))
+      .agg(TopKAgg.topK(struct(col("o_totalprice"),
+        (-col("o_orderkey")).as("neg_key"), col("o_orderkey")), 3)
+        .as("top"))
+    withStreamShuffle(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory").queryName(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(sink)
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("i", "r")))
+      .select(col("o_custkey"), (col("i") + 1).cast("int").as("rank"),
+        col("r.o_orderkey").as("o_orderkey"),
+        col("r.o_totalprice").as("o_totalprice"))
+  }
+
   /** One (band, key) posting of a streamed doc's simhash fingerprint. */
   final case class BandEvent(band: Int, key: Long, doc_id: Long, fp: Long)
   /** Per-band admission flag emitted by [[streamNearDupAdmit]]. */
