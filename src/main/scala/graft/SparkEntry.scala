@@ -1936,6 +1936,27 @@ object SparkEntry {
         .orderBy(col("content_hash"))
     }),
 
+    "x81_softdedup_weights" -> ((s, dir) => {
+      // duplication-aware loss weighting — the KEEP-but-downweight
+      // alternative to dropping duplicates (soft dedup): every doc in
+      // an exact-dup cluster of size n trains at weight 1/n, so the
+      // cluster contributes one document's worth of gradient without
+      // the hard cut losing its (possibly best) copy. One hash
+      // aggregation + a broadcast-sized join back on the hash; total
+      // corpus weight = number of distinct contents, asserted by the
+      // oracle
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          ColFns.fingerprint(col("text")).as("content_hash"))
+      val sizes = docs.groupBy(col("content_hash"))
+        .agg(count(lit(1)).as("n_dups"))
+      docs.join(sizes, Seq("content_hash"))
+        .select(col("doc_id"),
+          col("n_dups"),
+          round(lit(1.0d) / col("n_dups"), 6).as("weight"))
+        .orderBy(col("doc_id"))
+    }),
+
     "x2_minhash_lsh_pairs" -> ((s, dir) => {
       // MinHash+LSH candidate gen (no SQL oracle: LSH banding) with
       // exact-Jaccard verification
@@ -6864,6 +6885,18 @@ object SparkEntry {
                AS content_hash,
              MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
       FROM documents GROUP BY 1 ORDER BY content_hash""",
+
+    "x81_softdedup_weights" -> """
+      WITH h AS (
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                 AS content_hash
+        FROM documents),
+      s AS (SELECT content_hash, COUNT(*) AS n_dups FROM h
+            GROUP BY content_hash)
+      SELECT doc_id, n_dups, round(1.0 / n_dups, 6) AS weight
+      FROM h JOIN s USING (content_hash)
+      ORDER BY doc_id""",
 
     "x4_ngram_jaccard_pairs" -> """
       WITH sh AS (
