@@ -2943,6 +2943,78 @@ object SparkEntry {
         .orderBy(col("column"))
     }),
 
+    "x82_ann_tuning_curve" -> ((s, dir) => {
+      // IVF operating-point sweep: recall@5 vs brute for nprobe ∈
+      // {1,2,4,8,16} from ONE trained+assigned index — the tuning
+      // curve that prices the recall/cost trade before a deployment
+      // picks its point (x15 fixes one point; this sweeps the knob).
+      // Contracts, not values: recall is non-decreasing in nprobe
+      // (probing more cells only grows each query's candidate set)
+      // and nprobe = nlist is provably exact (x15b's argument), so
+      // the curve must end at 1.0.
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val cents = Similarity.ivfTrain(emb, "vec_id", "embedding",
+        nlist = 16).localCheckpoint(true)
+      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
+        cents).localCheckpoint(true)
+      val brute = Similarity.bruteTopK(q, emb, "vec_id", "embedding",
+        k = 5).localCheckpoint(true)
+      val points = Seq(1, 2, 4, 8, 16).map { np =>
+        val r = Similarity.ivfSearchAssigned(q, "vec_id", "embedding",
+          assigned, cents, k = 5, nprobe = np)
+        brute.as("b").join(r.as("l"),
+            col("b.query_id") === col("l.query_id") &&
+              col("b.neighbor_id") === col("l.neighbor_id"), "left")
+          .agg((count(col("l.neighbor_id")).cast(DoubleType) /
+            count(lit(1))).as("recall"))
+          .select(lit(np).as("nprobe"), col("recall"))
+      }.reduce(_ unionByName _)
+      val w = Window.orderBy(col("nprobe")) // 5 rows — explicitly tiny
+      points
+        .withColumn("prev", lag(col("recall"), 1).over(w))
+        .select(col("nprobe"),
+          ((col("prev").isNull || col("recall") >= col("prev")) &&
+            (col("nprobe") =!= 16 || col("recall") === 1.0d)).as("ok"))
+        .orderBy(col("nprobe"))
+    }),
+
+    "x83_embed_norm_screen" -> ((s, dir) => {
+      // embedding sanity screen: vector-norm distribution + per-vector
+      // z-score flags — the cheap pre-index gate that catches broken
+      // encoders (all-zero vectors, exploding norms, truncated dims)
+      // before they poison an ANN index or a cosine threshold. Pure
+      // column arithmetic; moments ride DECIMAL (a22 discipline) so
+      // mean/std agree across engines
+      val d = (c: Column) => c.cast("decimal(28,8)")
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        round(sqrt(aggregate(col("embedding"), lit(0.0d),
+          (acc, v) => acc + v.cast(DoubleType) * v.cast(DoubleType))), 6)
+          .as("nrm"),
+        size(col("embedding")).as("dim"))
+      val stats = e.agg(count(lit(1)).as("n"),
+        sum(d(col("nrm"))).cast(DoubleType).as("s1"),
+        sum(d(round(col("nrm") * col("nrm"), 8))).cast(DoubleType)
+          .as("s2"),
+        countDistinct(col("dim")).as("n_dims"))
+      e.crossJoin(broadcast(stats)) // 1-row scalar idiom
+        .withColumn("mean", col("s1") / col("n"))
+        .withColumn("std", sqrt(col("s2") / col("n") -
+          (col("s1") / col("n")) * (col("s1") / col("n"))))
+        .select(col("vec_id"), col("nrm"),
+          // unit-normalized corpora (this one) have std = 0 — the
+          // degenerate-but-healthy case; z pins to 0 rather than
+          // dividing by zero, and nothing is an outlier
+          when(col("std") === 0.0d, lit(0.0d))
+            .otherwise(round((col("nrm") - col("mean")) / col("std"), 4))
+            .as("z"),
+          (col("std") > 0.0d &&
+            abs(col("nrm") - col("mean")) > lit(3.0d) * col("std"))
+            .as("is_outlier"),
+          (col("n_dims") === 1).as("dims_consistent"))
+        .orderBy(col("vec_id"))
+    }),
+
     "x19_embed_quantize" -> ((s, dir) => {
       // int8 embedding quantization: per-vector scale + max dequant
       // error; the quantized ints themselves are oracle-checked via
@@ -6086,6 +6158,36 @@ object SparkEntry {
              MIN(o_orderstatus), MAX(o_orderstatus)
       FROM orders
       ORDER BY "column"""",
+
+    "x82_ann_tuning_curve" -> """
+      SELECT nprobe, TRUE AS ok
+      FROM (VALUES (1), (2), (4), (8), (16)) AS t(nprobe)
+      ORDER BY nprobe""",
+
+    "x83_embed_norm_screen" -> """
+      WITH e AS (
+        SELECT vec_id,
+               round(sqrt(list_sum(list_transform(embedding,
+                 v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 6)
+                 AS nrm,
+               len(embedding) AS dim
+        FROM embeddings),
+      s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(nrm AS DECIMAL(28,8))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(round(nrm * nrm, 8) AS DECIMAL(28,8)))
+                 AS DOUBLE) AS s2,
+               COUNT(DISTINCT dim) AS n_dims
+        FROM e)
+      SELECT vec_id, nrm,
+             CASE WHEN sqrt(s2 / n - (s1 / n) * (s1 / n)) = 0 THEN 0.0
+                  ELSE round((nrm - s1 / n) /
+                    sqrt(s2 / n - (s1 / n) * (s1 / n)), 4) END AS z,
+             sqrt(s2 / n - (s1 / n) * (s1 / n)) > 0 AND
+               abs(nrm - s1 / n) >
+                 3.0 * sqrt(s2 / n - (s1 / n) * (s1 / n)) AS is_outlier,
+             n_dims = 1 AS dims_consistent
+      FROM e CROSS JOIN s ORDER BY vec_id""",
 
     "x19_embed_quantize" -> """
       WITH q AS (
