@@ -315,6 +315,33 @@ object SparkEntry {
       rows.toDF("conf_key", "conf_value").orderBy(col("conf_key"))
     }),
 
+    "s24_partition_evolution" -> ((s, dir) => {
+      // partition-scheme evolution: a month-partitioned table rewritten
+      // year-partitioned (the maintenance a lake runs when a scheme
+      // stops matching query grain — too many small partitions is the
+      // usual trigger). Both layouts repartition on the partition
+      // column before writing (one task owns each output dir — the s9
+      // file-count rule); the audit proves rows and content survive
+      // and counts both schemes' partition cardinalities.
+      val outA = tmpDir("s24_monthly")
+      val outB = tmpDir("s24_yearly")
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("mth"),
+        date_format(col("o_orderdate"), "yyyy").as("yr"))
+      src.repartition(col("mth")).write.mode("overwrite")
+        .partitionBy("mth").parquet(outA)
+      val monthly = s.read.parquet(outA)
+      monthly.repartition(col("yr")).write.mode("overwrite")
+        .partitionBy("yr").parquet(outB)
+      s.read.parquet(outB).agg(
+          count(lit(1)).as("n_rows"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          countDistinct(col("mth")).as("n_months"),
+          countDistinct(col("yr")).as("n_years"))
+        .orderBy(col("n_rows"))
+    }),
+
     "s23_orc_roundtrip" -> ((s, dir) => {
       // ORC sink/source parity (S-surface beyond the reference's
       // CSV/parquet/JSONL): columnar-with-stats like parquet, so the
@@ -4250,6 +4277,14 @@ object SparkEntry {
         ('warehouse.table.secret', 'ENV_GRAFT_TABLE'))
         AS t(conf_key, conf_value)
       ORDER BY conf_key""",
+
+    "s24_partition_evolution" -> """
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+             COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS n_months,
+             COUNT(DISTINCT strftime(o_orderdate, '%Y')) AS n_years
+      FROM orders""",
 
     "s23_orc_roundtrip" -> """
       SELECT l_returnflag, COUNT(*) AS n,
