@@ -73,6 +73,20 @@ object Bench {
     "m8_sketch_rollup",        // HLL sketch ledger rollup
     "x36_span_dup_coverage")   // bridge query shared with `headline`
 
+  /** Third pinned set: the round-4 additions (same rationale as llm10 —
+    * perf visibility for new machinery; both prior sets stay untouched
+    * for continuity). x36 again bridges for cross-set calibration. */
+  val r4new: Seq[String] = Seq(
+    "x74_theta_overlap",    // theta sketches + pairwise set-op estimates
+    "x75_theta_novelty",    // cumulative-prior union + a-not-b ledger
+    "m9_kll_ledger",        // per-day KLL merge + rank contract
+    "w11_topk_agg",         // bounded-heap grouped top-k
+    "p21_weighted_reservoir", // ES priorities over the heap agg
+    "x76_ivf_incremental",  // train/assign split + accreted-index search
+    "x80_dedup_preflight",  // sketch-priced duplication factor
+    "x82_ann_tuning_curve", // 5-point nprobe sweep from one index
+    "x36_span_dup_coverage") // bridge query shared with both sets
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -141,16 +155,19 @@ object Bench {
 
     val results = benchSet(headline)
     val resultsLlm = benchSet(llm10)
+    val resultsR4 = benchSet(r4new)
     val qs = toJson(results)
     val qsLlm = toJson(resultsLlm)
+    val qsR4 = toJson(resultsR4)
     // `value` stays the HEADLINE total only — the pinned 21-set number the
-    // driver has tracked since round 1; the llm10 total gets its own key.
+    // driver has tracked since round 1; each later set gets its own key.
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalLlm = resultsLlm.map(_._2).filter(_ >= 0).sum
+    val totalR4 = resultsR4.map(_._2).filter(_ >= 0).sum
     // Stop Spark BEFORE printing so no shutdown log line can land after
     // the JSON — the driver parses the last stdout line.
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$nPasses,"queries":$qs,"value_llm":$totalLlm%.3f,"queries_llm":$qsLlm,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$nPasses,"queries":$qs,"value_llm":$totalLlm%.3f,"queries_llm":$qsLlm,"value_r4":$totalR4%.3f,"queries_r4":$qsR4,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }
