@@ -2807,6 +2807,37 @@ object SparkEntry {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    "x85_source_quantiles" -> ((s, dir) => {
+      // per-source length-distribution quantiles from GROUPED KLL
+      // state (one sketch column per source — m9's ledger discipline
+      // at group grain): the mixture-planning input "how long are
+      // this source's documents" without per-group sorts. Rank
+      // contract bound 0.08: at 25 docs/source the discretization
+      // floor alone is 1/25 both ways (±0.04); at corpus scale that
+      // vanishes and KLL's ~0.9% (k=400) dominates — the bound covers
+      // both regimes with margin.
+      import graft.functions.SketchFns
+      val v = t(s, dir, "documents")
+        .select(col("source"), col("n_chars").cast(DoubleType).as("v"))
+      val sk = v.groupBy(col("source"))
+        .agg(SketchFns.kllAgg(col("v"), 400).as("sk"),
+          count(lit(1)).as("n_docs"))
+      val est = sk.select(col("source"), col("n_docs"),
+        SketchFns.kllQuantile(col("sk"), lit(0.5d)).as("p50"),
+        SketchFns.kllQuantile(col("sk"), lit(0.9d)).as("p90"))
+      v.join(broadcast(est), Seq("source"))
+        .groupBy(col("source"), col("n_docs"))
+        .agg(
+          (sum(when(col("v") <= col("p50"), 1L).otherwise(0L))
+            .cast(DoubleType) / count(lit(1))).as("r50"),
+          (sum(when(col("v") <= col("p90"), 1L).otherwise(0L))
+            .cast(DoubleType) / count(lit(1))).as("r90"))
+        .select(col("source"), col("n_docs"),
+          (abs(col("r50") - 0.5d) <= 0.08d).as("p50_rank_ok"),
+          (abs(col("r90") - 0.9d) <= 0.08d).as("p90_rank_ok"))
+        .orderBy(col("source"))
+    }),
+
     "x80_dedup_preflight" -> ((s, dir) => {
       // pre-flight dedup cost model: per source, what would gram-level
       // dedup save — total grams vs distinct grams as a duplication
@@ -4773,6 +4804,11 @@ object SparkEntry {
       FROM pairs p LEFT JOIN pr
         ON pr.source_a = p.source_a AND pr.source_b = p.source_b
       ORDER BY p.source_a, p.source_b""",
+
+    "x85_source_quantiles" -> """
+      SELECT source, COUNT(*) AS n_docs,
+             TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+      FROM documents GROUP BY source ORDER BY source""",
 
     "x80_dedup_preflight" -> """
       WITH tk AS (
