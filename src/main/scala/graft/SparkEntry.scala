@@ -2910,6 +2910,35 @@ object SparkEntry {
         .orderBy(col("batch"))
     }),
 
+    "f20_approx_distinct_rule" -> ((s, dir) => {
+      // the injected optimizer rule (rung c): with
+      // spark.graft.approxDistinct=true, COUNT(DISTINCT x) rewrites
+      // to a theta estimate IN THE OPTIMIZER — same user code, one
+      // conf flip. The flag is read at optimization time, so the
+      // approximate branch materializes (a15-style scalar probe)
+      // while the flag is on; `rule_fired` pins that the rewrite
+      // actually happened by checking the executed plan, and the
+      // estimate gates on the exact count (a4 pattern; exact-mode
+      // theta at this cardinality)
+      graft.plans.ApproxDistinctRule.install(s)
+      val key = graft.plans.ApproxDistinctRule.flagKey
+      val events = t(s, dir, "events")
+      val (est, fired) = {
+        s.conf.set(key, "true")
+        try {
+          val df = events.agg(countDistinct(col("user_id")).as("est"))
+          val v = df.collect()(0).getLong(0)
+          (v, df.queryExecution.executedPlan.toString
+            .contains("graft_theta_agg"))
+        } finally s.conf.set(key, "false")
+      }
+      events.agg(countDistinct(col("user_id")).as("exact_distinct"))
+        .select(col("exact_distinct"),
+          Mutations.toleranceFlag(col("exact_distinct"), lit(est), 0.05)
+            .as("est_within_5pct"),
+          lit(fired).as("rule_fired"))
+    }),
+
     "f19_jaro_winkler" -> ((s, dir) => {
       // native Jaro-Winkler (graft_jaro_winkler) scored over er1's SNM
       // neighbor pairs — the ER similarity Spark lacks (levenshtein is
@@ -4848,6 +4877,11 @@ object SparkEntry {
       SELECT CAST(q AS DOUBLE) AS q, n_slices, TRUE AS rank_err_ok
       FROM (VALUES (0.5), (0.9), (0.99)) AS t(q) CROSS JOIN d
       ORDER BY q""",
+
+    "f20_approx_distinct_rule" -> """
+      SELECT COUNT(DISTINCT user_id) AS exact_distinct,
+             TRUE AS est_within_5pct, TRUE AS rule_fired
+      FROM events""",
 
     "f19_jaro_winkler" -> """
       WITH s AS (

@@ -166,10 +166,14 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
   /** Session-build-time path (`.withExtensions(GraftExtensions)`). */
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     functions.foreach { case (id, info, builder) =>
       e.injectFunction((id, info, builder))
     }
+    // rung (c): the opt-in approximate-distinct optimizer rule —
+    // dormant until spark.graft.approxDistinct=true
+    e.injectOptimizerRule(_ => ApproxDistinctRule)
+  }
 
   /** Post-construction path: light up the SQL names on an existing
     * session (idempotent — re-registration replaces the same builder). */

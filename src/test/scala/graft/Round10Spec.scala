@@ -251,6 +251,36 @@ class Round10Spec extends GraftSuite {
     }
   }
 
+  test("approx-distinct rule: dormant off, fires on, scoped to 1-col counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    graft.plans.ApproxDistinctRule.install(spark)
+    val key = graft.plans.ApproxDistinctRule.flagKey
+    val df = (1 to 1000).map(i => (i % 37, i % 5)).toDF("a", "b")
+    def planOf(q: org.apache.spark.sql.DataFrame) =
+      q.queryExecution.executedPlan.toString
+    // default: exact, no rewrite
+    val exactQ = df.agg(countDistinct(col("a")).as("d"))
+    assert(!planOf(exactQ).contains("graft_theta_agg"))
+    assert(exactQ.first().getLong(0) === 37L)
+    spark.conf.set(key, "true")
+    try {
+      val approxQ = df.agg(countDistinct(col("a")).as("d"))
+      assert(planOf(approxQ).contains("graft_theta_agg"),
+        planOf(approxQ).take(500))
+      // exact-mode sketch at this cardinality: same answer, new plan
+      assert(approxQ.first().getLong(0) === 37L)
+      // multi-column distinct is out of scope — stays exact
+      val multi = df.agg(countDistinct(col("a"), col("b")).as("d"))
+      assert(!planOf(multi).contains("graft_theta_agg"))
+      // grouped form rewrites too
+      val grouped = df.groupBy(col("b"))
+        .agg(countDistinct(col("a")).as("d"))
+      assert(planOf(grouped).contains("graft_theta_agg"))
+      assert(grouped.orderBy(col("b")).collect().forall(_.getLong(1) > 0))
+    } finally spark.conf.set(key, "false")
+  }
+
   test("sketch SQL surface: graft_theta_* / graft_kll_* registered") {
     graft.plans.GraftExtensions.registerAll(spark)
     import spark.implicits._
