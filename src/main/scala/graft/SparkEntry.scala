@@ -3125,6 +3125,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x86_quality_curriculum" -> ((s, dir) => {
+      // curriculum phasing by quality: docs ranked by x9's quality
+      // score, token budget split into thirds along that order — the
+      // train-on-best-first schedule (phase 1 = highest-quality third
+      // of TOKENS, not docs). Cumulative token sums ride one window
+      // over doc rows; at corpus scale the prefix sum goes
+      // range-partitioned (p20's count-and-offset pattern). Score
+      // ties break by doc_id so both engines phase identically.
+      val q = TextOps.qualityFeatures(t(s, dir, "documents"),
+        col("doc_id"), col("text"))
+      val w = Window.orderBy(col("quality_score").desc, col("id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = q.agg(sum(col("n_tokens")).as("total_tokens"))
+      q.withColumn("cum", sum(col("n_tokens")).over(w))
+        .crossJoin(broadcast(tot)) // 1-row scalar idiom
+        .withColumn("phase",
+          when(col("cum") * 3 <= col("total_tokens"), 1)
+            .when(col("cum") * 3 <= col("total_tokens") * 2, 2)
+            .otherwise(3))
+        .groupBy(col("phase"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          min(col("quality_score")).as("min_score"),
+          max(col("quality_score")).as("max_score"))
+        .orderBy(col("phase"))
+    }),
+
     "x9_quality_score" -> ((s, dir) => {
       TextOps.qualityFeatures(t(s, dir, "documents"), col("doc_id"), col("text"))
         .orderBy(col("id"))
@@ -7371,6 +7398,45 @@ object SparkEntry {
                AS BIGINT) AS n_outliers
       FROM dev d JOIN mad md USING (o_orderstatus)
       GROUP BY d.o_orderstatus ORDER BY o_orderstatus""",
+
+    "x86_quality_curriculum" -> """
+      WITH f AS (
+        SELECT doc_id AS id,
+               len(regexp_extract_all(text, '\S+')) AS n_tokens,
+               round(CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                      AS DOUBLE) / length(text) END, 4) AS punct_ratio,
+               round(CASE WHEN len(regexp_extract_all(lower(text), '\S+')) = 0
+                 THEN 0.0
+                 ELSE CAST(len(list_filter(
+                        regexp_extract_all(lower(text), '\S+'),
+                        t -> list_contains(['the','a','an','and','or','of',
+                                            'to','in','is','it'], t)))
+                      AS DOUBLE)
+                    / len(regexp_extract_all(lower(text), '\S+'))
+               END, 4) AS stopword_ratio
+        FROM documents),
+      q AS (
+        SELECT id, n_tokens,
+               round(least(1.0, n_tokens / 100.0) * 0.4
+                 + (1.0 - least(1.0, punct_ratio * 5.0)) * 0.3
+                 + least(1.0, stopword_ratio * 4.0) * 0.3, 4)
+                 AS quality_score
+        FROM f),
+      c AS (
+        SELECT *,
+               SUM(n_tokens) OVER (ORDER BY quality_score DESC, id
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(n_tokens) OVER () AS total_tokens
+        FROM q)
+      SELECT CASE WHEN cum * 3 <= total_tokens THEN 1
+                  WHEN cum * 3 <= total_tokens * 2 THEN 2
+                  ELSE 3 END AS phase,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             MIN(quality_score) AS min_score,
+             MAX(quality_score) AS max_score
+      FROM c GROUP BY 1 ORDER BY phase""",
 
     "x9_quality_score" -> """
       SELECT id, n_chars, n_tokens, mean_token_len, punct_ratio,
