@@ -134,7 +134,9 @@ object ScaleRehearsal {
     "x55_bm25_search",        // postings tf/df joins
     "m8_sketch_rollup",       // HLL ledger rollup
     "x75_theta_novelty",      // theta ledger — true estimation mode at sf1
-    "m9_kll_ledger")          // KLL quantile ledger merge
+    "m9_kll_ledger",          // KLL quantile ledger merge
+    "x57_winnowing_pairs",    // winnowing fingerprints (llm set, r4 ask)
+    "x66_dedup_pr_eval")      // sketch-vs-truth P/R eval (llm set, r4 ask)
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

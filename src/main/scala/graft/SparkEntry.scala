@@ -437,9 +437,16 @@ object SparkEntry {
     }),
 
     "p13_batch_ntile" -> ((s, dir) => {
-      val w = Window.orderBy(col("o_orderkey"))
-      t(s, dir, "orders")
-        .withColumn("batch", ntile(20).over(w))
+      // exact ntile(20) semantics WITHOUT the single-partition ORDER BY
+      // window: p20's range-exchange global numbering + the closed-form
+      // remainder-first bucket function (Layout.ntileFromRowNum). The
+      // only global window left touches ≤32 partition-offset rows.
+      val numbered = Layout.globalRowNumber(t(s, dir, "orders"),
+        col("o_orderkey"))
+      val tot = numbered.agg(count(lit(1)).as("__total"))
+      numbered.crossJoin(broadcast(tot)) // 1-row scalar idiom
+        .withColumn("batch",
+          Layout.ntileFromRowNum(col("row_num"), col("__total"), 20))
         .groupBy(col("batch"))
         .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("first_key"))
         .orderBy(col("batch"))
@@ -2449,17 +2456,20 @@ object SparkEntry {
       // docs scored by the corpus-trained unigram LM (x60's scorer),
       // split head/middle/tail by score terciles, per-bucket audit
       // stats — the classic keep-head/sample-middle/drop-tail corpus
-      // cut. ntile runs over DOC rows (tiny vs token rows); at
-      // 100 TB the thresholds come from approx_percentile of the
-      // score histogram instead of a global window (the p13 note).
-      // mean_logp is sum/count over the already-rounded scores
+      // cut. mean_logp is sum/count over the already-rounded scores
       // through DECIMAL — engine-order-free.
       val scored = TextOps.unigramLogProb(t(s, dir, "documents"),
         col("doc_id"), col("text"))
-      val w = Window.orderBy(col("avg_logp").desc, col("id").asc)
-      scored.withColumn("bucket",
+      // ntile(3) over (avg_logp DESC, id) via the range-exchange global
+      // numbering — struct(-score, id) ascending IS that sort order, the
+      // same key encoding x67 uses; no data-grain global window remains
+      val numbered = Layout.globalRowNumber(scored,
+        struct((-col("avg_logp")).as("negp"), col("id").as("id")))
+      val tot = numbered.agg(count(lit(1)).as("__total"))
+      numbered.crossJoin(broadcast(tot)) // 1-row scalar idiom
+        .withColumn("bucket",
           element_at(array(lit("head"), lit("middle"), lit("tail")),
-            ntile(3).over(w)))
+            Layout.ntileFromRowNum(col("row_num"), col("__total"), 3)))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_toks")).as("n_tokens"),
@@ -2765,14 +2775,19 @@ object SparkEntry {
       // KBs of state instead of x65's postings self-join. At 100 TB
       // the sketches ride the ingest scan (one agg shuffle on source),
       // pairs are |sources|², and history never rescans. Gated on the
-      // exact x65 counts with the a4/m8 tolerance pattern. Operating
-      // envelope stated honestly: lgk=14 is exact-mode at this gram
-      // cardinality (≤16384/source), so the flag is deterministic
-      // here; in estimation mode intersection error scales as
-      // ~1/√(overlap·θ) — far worse than the sketch's own 0.8% RSE
-      // when the overlap is a small fraction of the union — so a
-      // production deployment sizes lgk so that overlap·θ ≳ 1600
-      // (5% at ~2σ) for the smallest overlap it must resolve.
+      // exact x65 counts with the a4/m8 tolerance pattern.
+      //
+      // lgk is SIZED, not hardcoded (the round-4 sf1 rehearsal showed
+      // hardcoded 14 silently breaking the 5% contract at 10×): an
+      // x80-style preflight estimates the largest per-source gram
+      // cardinality, and SketchFns.lgkFor turns the measured
+      // overlap·θ ≳ (σ/ε)² envelope into the lgk that resolves
+      // overlaps down to 1600 grams at 5%/2σ. At this corpus the
+      // preflight lands in the exact-mode region (k ≥ n, flag
+      // deterministic); at 10×–1000× the same call scales lgk with
+      // the data instead of failing quietly. The preflight collect is
+      // a 1-row scalar probe (a15 idiom); at 100 TB it reads the x80
+      // preflight ledger instead of re-scanning grams.
       import graft.functions.SketchFns
       val toks = split(trim(regexp_replace(lower(col("text")),
         "\\s+", " ")), " ")
@@ -2783,8 +2798,13 @@ object SparkEntry {
           explode(transform(sequence(lit(1), size(col("__t")) - 4),
             i => ColFns.portableHash60(
               concat_ws(" ", slice(col("__t"), i, lit(5)))))).as("g"))
+      val nMax = grams.groupBy(col("source"))
+        .agg(approx_count_distinct(col("g")).as("nd"))
+        .agg(max(col("nd")).as("m")).collect()(0).getLong(0)
+      val lgk = SketchFns.lgkFor(minOverlap = 1600,
+        maxDistinct = math.ceil(nMax * 1.05).toLong) // pad HLL's ~2% err
       val sk = grams.groupBy(col("source"))
-        .agg(SketchFns.thetaAgg(col("g"), 14).as("sk"))
+        .agg(SketchFns.thetaAgg(col("g"), lgk).as("sk"))
       val est = sk.as("a").join(sk.as("b"),
           col("a.source") < col("b.source"))
         .select(col("a.source").as("source_a"),
@@ -2919,19 +2939,23 @@ object SparkEntry {
       // while the flag is on; `rule_fired` pins that the rewrite
       // actually happened by checking the executed plan, and the
       // estimate gates on the exact count (a4 pattern; exact-mode
-      // theta at this cardinality)
-      graft.plans.ApproxDistinctRule.install(s)
+      // theta at this cardinality).
+      // The probe runs on a CLONED session (newSession: own conf +
+      // optimizer, shared context) so the session-global flag flip
+      // can never leak into a query optimized concurrently on `s` —
+      // the flag is on only inside the clone, for the clone
       val key = graft.plans.ApproxDistinctRule.flagKey
-      val events = t(s, dir, "events")
       val (est, fired) = {
-        s.conf.set(key, "true")
-        try {
-          val df = events.agg(countDistinct(col("user_id")).as("est"))
-          val v = df.collect()(0).getLong(0)
-          (v, df.queryExecution.executedPlan.toString
-            .contains("graft_theta_agg"))
-        } finally s.conf.set(key, "false")
+        val probe = s.newSession()
+        graft.plans.ApproxDistinctRule.install(probe)
+        probe.conf.set(key, "true")
+        val df = t(probe, dir, "events")
+          .agg(countDistinct(col("user_id")).as("est"))
+        val v = df.collect()(0).getLong(0)
+        (v, df.queryExecution.executedPlan.toString
+          .contains("graft_theta_agg"))
       }
+      val events = t(s, dir, "events")
       events.agg(countDistinct(col("user_id")).as("exact_distinct"))
         .select(col("exact_distinct"),
           Mutations.toleranceFlag(col("exact_distinct"), lit(est), 0.05)
@@ -3086,8 +3110,13 @@ object SparkEntry {
         countDistinct(col("dim")).as("n_dims"))
       e.crossJoin(broadcast(stats)) // 1-row scalar idiom
         .withColumn("mean", col("s1") / col("n"))
-        .withColumn("std", sqrt(col("s2") / col("n") -
-          (col("s1") / col("n")) * (col("s1") / col("n"))))
+        // greatest(...,0): on the degenerate all-equal-norm corpus FP
+        // rounding can push s2/n - mean² a hair negative, and sqrt of
+        // that is NaN — which the std===0 guard below would MISS (Spark
+        // orders NaN above every double, so std > 0 holds). Clamp;
+        // the DuckDB oracle mirrors the clamp
+        .withColumn("std", sqrt(greatest(col("s2") / col("n") -
+          (col("s1") / col("n")) * (col("s1") / col("n")), lit(0.0d))))
         .select(col("vec_id"), col("nrm"),
           // unit-normalized corpora (this one) have std = 0 — the
           // degenerate-but-healthy case; z pins to 0 rather than
@@ -3129,16 +3158,16 @@ object SparkEntry {
       // curriculum phasing by quality: docs ranked by x9's quality
       // score, token budget split into thirds along that order — the
       // train-on-best-first schedule (phase 1 = highest-quality third
-      // of TOKENS, not docs). Cumulative token sums ride one window
-      // over doc rows; at corpus scale the prefix sum goes
-      // range-partitioned (p20's count-and-offset pattern). Score
-      // ties break by doc_id so both engines phase identically.
+      // of TOKENS, not docs). The cumulative token sum rides the
+      // range-partitioned count-and-offset prefix (Layout.
+      // globalPrefixSum) — one range exchange plus ≤32 metadata
+      // offset rows, never a single-partition window over doc rows.
+      // Score ties break by doc_id so both engines phase identically.
       val q = TextOps.qualityFeatures(t(s, dir, "documents"),
         col("doc_id"), col("text"))
-      val w = Window.orderBy(col("quality_score").desc, col("id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = q.agg(sum(col("n_tokens")).as("total_tokens"))
-      q.withColumn("cum", sum(col("n_tokens")).over(w))
+      Layout.globalPrefixSum(q, col("n_tokens"),
+          struct((-col("quality_score")).as("negq"), col("id").as("id")))
         .crossJoin(broadcast(tot)) // 1-row scalar idiom
         .withColumn("phase",
           when(col("cum") * 3 <= col("total_tokens"), 1)
@@ -4078,10 +4107,11 @@ object SparkEntry {
     }),
 
     "st16_stream_topk" -> ((s, dir) => {
-      // w11's bounded-heap top-k as a STREAMING aggregation — the
-      // heap state rides the state store via the aggregate's spill
-      // format; AvailableNow + complete mode reproduces the batch
-      // result, so this shares w3/w11's oracle
+      // w11's bounded-heap top-k folding into a parquet LEDGER of
+      // ≤ k rows per group (st11/st15 foreachBatch-upsert discipline
+      // — update-grain state, no complete-mode re-emission, no
+      // driver-side buffer); top-k re-aggregation is associative so
+      // the ledger is batching-invariant and shares w3/w11's oracle
       graft.streaming.Streams.streamTopK(s, dir)
         .orderBy(col("o_custkey"), col("rank"))
     }),
@@ -6310,16 +6340,19 @@ object SparkEntry {
                CAST(SUM(CAST(round(nrm * nrm, 8) AS DECIMAL(28,8)))
                  AS DOUBLE) AS s2,
                COUNT(DISTINCT dim) AS n_dims
-        FROM e)
+        FROM e),
+      v AS (
+        -- greatest(...,0) mirrors the Spark-side clamp: FP rounding on
+        -- an all-equal-norm corpus can make the variance a tiny
+        -- negative, and sqrt of that is NaN/error
+        SELECT *, sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0))
+          AS std FROM s)
       SELECT vec_id, nrm,
-             CASE WHEN sqrt(s2 / n - (s1 / n) * (s1 / n)) = 0 THEN 0.0
-                  ELSE round((nrm - s1 / n) /
-                    sqrt(s2 / n - (s1 / n) * (s1 / n)), 4) END AS z,
-             sqrt(s2 / n - (s1 / n) * (s1 / n)) > 0 AND
-               abs(nrm - s1 / n) >
-                 3.0 * sqrt(s2 / n - (s1 / n) * (s1 / n)) AS is_outlier,
+             CASE WHEN std = 0 THEN 0.0
+                  ELSE round((nrm - s1 / n) / std, 4) END AS z,
+             std > 0 AND abs(nrm - s1 / n) > 3.0 * std AS is_outlier,
              n_dims = 1 AS dims_consistent
-      FROM e CROSS JOIN s ORDER BY vec_id""",
+      FROM e CROSS JOIN v ORDER BY vec_id""",
 
     "x19_embed_quantize" -> """
       WITH q AS (

@@ -15,7 +15,7 @@ object ColFns {
   def md5Key(c: Column): Column = md5(c.cast(StringType))
 
   /** Chinese relative-date resolution — reference `convertDate` TEMP
-    * FUNCTION, `airflow/dags/d_gmaps_reviews_src_to_ods.py:51-62`.
+    * FUNCTION, `airflow/dags/gmaps/d_gmaps_reviews_src_to_ods.py:51-62`.
     *
     * "N分鐘前/小時前/天前/週前" resolve by timestamp arithmetic against the
     * extraction time; "N個月前/年前" resolve by *calendar* arithmetic on the

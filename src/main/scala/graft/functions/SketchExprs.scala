@@ -80,6 +80,31 @@ object SketchFns {
     else sk.getRank(v, QuantileSearchCriteria.INCLUSIVE)
   }
 
+  /** The SCALE.md theta sizing rule as code: the smallest lgk whose
+    * nominal entry count resolves an intersection of `minOverlap`
+    * distinct keys to `relErr` relative error at `numStdDev` σ, when
+    * the largest sketched set holds `maxDistinct` keys.
+    *
+    * Derivation (measured at the sf1 rehearsal, SCALE.md "Contract
+    * flags at sf1"): intersection relative error ≈ numStdDev /
+    * √(overlap·θ) with θ ≈ k/n for the larger set, so the bound needs
+    * overlap·θ ≥ (numStdDev/relErr)² — the "o·θ ≳ 1600" rule at the
+    * 5%/2σ defaults — i.e. k ≥ (numStdDev/relErr)²·n/overlap. When
+    * that k reaches n the sketch is exact-mode and error is zero, so
+    * the formula degrades gracefully for small sets. Feed `maxDistinct`
+    * from an x80-style preflight estimate (pad HLL's own ~2% error
+    * before calling). Result clamped to DataSketches' valid lgk range.
+    */
+  def lgkFor(minOverlap: Long, maxDistinct: Long, relErr: Double = 0.05,
+             numStdDev: Int = 2): Int = {
+    require(minOverlap > 0, s"minOverlap must be positive: $minOverlap")
+    require(maxDistinct > 0, s"maxDistinct must be positive: $maxDistinct")
+    require(relErr > 0.0 && relErr < 1.0, s"relErr out of (0,1): $relErr")
+    val needK = math.pow(numStdDev / relErr, 2) * maxDistinct / minOverlap
+    val lgk = math.ceil(math.log(math.max(needK, 16.0)) / math.log(2.0)).toInt
+    math.min(math.max(lgk, 5), 26)
+  }
+
   // ---- DataFrame API surface ----
 
   /** Aggregate raw keys into a serialized theta sketch (binary). */

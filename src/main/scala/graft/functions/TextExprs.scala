@@ -17,9 +17,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * U+00E9 and as 'e'+U+0301 are the same user-visible string but
   * different shingle sets, so un-normalized corpora under-deduplicate
   * exactly on the multilingual slices where near-dup detection matters
-  * most (the reference's zh-TW sources are full of fullwidth/composed
-  * variants — `etl/utils/udfs.py` normalizes per-field by hand; this
-  * is the engine-level form). Spark has no normalization built-in, so
+  * most. The reference's zh-TW pipeline normalizes per-field by hand —
+  * fb_scraper/normalization.py:7-66 rewrites each scraped date string
+  * case-by-case — rather than canonicalizing text once at the engine
+  * level; this expression is that engine-level form for Unicode
+  * composition. Spark has no normalization built-in, so
   * this is extension-ladder rung (b): a scalar `Expression` with
   * `doGenCode`, not a UDF. NFC (composition) matches DuckDB's
   * `nfc_normalize`, which is what lets the oracle hash-check the
@@ -100,6 +102,14 @@ case class DeflateRatioExpr(child: Expression) extends UnaryExpression {
 
 object DeflateRatioExpr {
 
+  // Lifecycle note: the per-thread Deflater holds native zlib memory
+  // that is only reclaimed when the THREAD dies (ThreadLocal offers no
+  // close hook; Deflater's Cleaner runs at GC of the Java object, which
+  // the ThreadLocal pins while the thread lives). Executor task-thread
+  // pools are long-lived and bounded, so steady state is
+  // O(pool size × ~256 KB) — acceptable. Under heavy thread churn
+  // (repeated short-lived sessions in one JVM) prefer a pooled
+  // Deflater with explicit end().
   private val deflater = new ThreadLocal[Deflater] {
     override def initialValue(): Deflater = new Deflater(6)
   }

@@ -63,6 +63,65 @@ object Layout {
       .drop("__pid", "__offset")
   }
 
+  /** Exact SQL `ntile(k)` semantics from a 0-based global row number
+    * and the total row count — the scale-safe replacement for
+    * `ntile(k) OVER (ORDER BY …)`, which plans as a single-partition
+    * window over every data row. Standard ntile hands the remainder to
+    * the FIRST buckets: with n = q·k + m, buckets 1..m hold q+1 rows
+    * and buckets m+1..k hold q. (The tempting `floor(r·k/n)+1`
+    * equi-width formula is NOT ntile — it spreads the remainder, e.g.
+    * n=10, k=4 gives 3,2,3,2 instead of ntile's 3,3,2,2.)
+    *
+    * Pair with [[globalRowNumber]]: one range exchange + metadata
+    * offsets instead of the one-executor sort wall. Requires n ≥ k for
+    * parity with SQL ntile (below that, ntile numbers rows 1..n while
+    * any closed formula over k buckets cannot). */
+  def ntileFromRowNum(rowNum: Column, total: Column, k: Int): Column = {
+    require(k >= 1, s"k out of range: $k")
+    val r = rowNum.cast(LongType)
+    val n = total.cast(LongType)
+    // Column./ is DOUBLE division — every quotient here must be the
+    // integer one, so floor+cast each
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast(LongType)
+    val q = idiv(n, lit(k.toLong))  // base bucket size
+    val m = n % k                   // first m buckets get q+1 rows
+    val headRows = m * (q + 1L)
+    // greatest(q,1): the otherwise-branch divisor is only reached when
+    // q >= 1, but it must never be a literal 0 even in dead branches
+    (when(r < headRows, idiv(r, q + 1L))
+      .otherwise(m + idiv(r - headRows, greatest(q, lit(1L)))) + 1L)
+      .cast(IntegerType)
+  }
+
+  /** Inclusive global prefix sum of `value` ordered by `key` WITHOUT a
+    * single-partition window — `SUM(value) OVER (ORDER BY key ROWS
+    * UNBOUNDED PRECEDING)` in the same count-and-offset shape as
+    * [[globalRowNumber]]: range-partition on the key, per-partition
+    * running sum, plus each partition's exclusive total-offset computed
+    * over ≤ numPartitions metadata rows and broadcast back. Adds column
+    * `cum` (LongType). Same key contract and `localCheckpoint`
+    * partition-id pinning as globalRowNumber. */
+  def globalPrefixSum(df: DataFrame, value: Column, key: Column,
+                      nParts: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = if (nParts > 0) nParts
+            else df.sparkSession.sparkContext.defaultParallelism
+    val parts = df.repartitionByRange(n, key)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = parts.groupBy(col("__pid"))
+      .agg(sum(value.cast(LongType)).as("__s"))
+      .withColumn("__offset",
+        coalesce(sum(col("__s")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    val w = Window.partitionBy(col("__pid")).orderBy(key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("cum", sum(value.cast(LongType)).over(w) + col("__offset"))
+      .drop("__pid", "__offset")
+  }
+
   /** Morton (Z-order) bit-interleave of two columns clamped to
     * `bits`-bit unsigned range: result bit 2i = bit i of `a`, bit
     * 2i+1 = bit i of `b`. Pure Catalyst fold over bit positions —

@@ -208,13 +208,19 @@ object Sampling {
     * Shape: ONE bounded-heap aggregation ([[graft.functions.TopKAgg]]
     * — ≤k rows of state per stratum, partial map-side combine), not
     * the per-stratum full sort the `ORDER BY random()` idiom pays.
-    * The weighted complement to [[fixedKPerStratum]]'s uniform draw. */
+    * The weighted complement to [[fixedKPerStratum]]'s uniform draw.
+    *
+    * Precondition: `weight` must be strictly positive. Zero gives
+    * ln(u)/0 = -Inf and a negative weight FLIPS the priority sign, so
+    * such rows would deterministically outrank every valid row; rows
+    * with weight ≤ 0 (or NULL) are excluded from the draw up front. */
   def weightedReservoir(df: DataFrame, stratum: Column, key: Column,
                         weight: Column, k: Int): DataFrame = {
     val u = (graft.functions.ColFns.portableHash60(key) + lit(1L))
       .cast("double") / lit(1152921504606846976.0d) // 2^60
     val priority = round(log(u) / weight.cast("double"), 12)
-    df.groupBy(stratum.as("stratum"))
+    df.filter(weight.cast("double") > 0.0d)
+      .groupBy(stratum.as("stratum"))
       .agg(graft.functions.TopKAgg.topK(
         struct(priority.as("p"), (-key).as("nk"), key.as("key")), k)
         .as("top"))

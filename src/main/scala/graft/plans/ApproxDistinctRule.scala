@@ -43,7 +43,11 @@ object ApproxDistinctRule extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!conf.getConfString(flagKey, "false").toBoolean) plan
+    // lenient parse: a typo'd flag value ("1", "yes", " True") must
+    // degrade to exact mode, not crash the optimizer for every query
+    // in the session
+    if (!conf.getConfString(flagKey, "false").trim
+          .equalsIgnoreCase("true")) plan
     else plan.transform {
       case agg: Aggregate =>
         agg.transformExpressions {

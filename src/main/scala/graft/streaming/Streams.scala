@@ -744,40 +744,77 @@ object Streams {
         (abs(col("rank") - col("q")) <= lit(0.02d)).as("rank_err_ok"))
   }
 
-  /** Streaming grouped top-k: w11's bounded-heap aggregate
-    * (graft.functions.TopKAgg) running INSIDE a streaming aggregation
-    * — per-group heap state serializes into the state store through
-    * the aggregate's own spill format, so the top-k survives across
-    * micro-batches with k-bounded state per key (the streaming form
-    * of the |groups|·k shuffle argument). Complete-mode memory sink,
-    * AvailableNow; shares w3/w11's oracle. */
+  /** Streaming grouped top-k as a LEDGER (st11/st15 discipline,
+    * replacing the round-4 complete-mode memory sink that re-emitted
+    * every group each micro-batch and buffered the whole result on
+    * the driver): each micro-batch folds into a parquet ledger of
+    * ≤ k ROWS PER GROUP via foreachBatch — the upsert re-aggregates
+    * ledger ∪ delta through the same bounded-heap TopKAgg, which is
+    * associative (top-k(top-k(L) ∪ B) = top-k(L ∪ B)), so ledger
+    * state is micro-batch-boundary-invariant. Update-grain state, no
+    * driver-side result buffer; the final answer is a scan of
+    * |groups|·k ledger rows. Inside every micro-batch the partial
+    * aggregation still moves k-bounded heap state through the
+    * exchange via TopKAgg's spill serializer. `splitFiles` stages the
+    * source as N files fed one per trigger — the multi-micro-batch
+    * proof (st15's pattern). Shares w3/w11's oracle. */
   def streamTopK(spark: SparkSession, sfDir: String,
-                 queryName: String = "graft_stream_topk"): DataFrame = {
+                 splitFiles: Int = 1): DataFrame = {
     import graft.functions.TopKAgg
-    val sink = unique(queryName)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val heapStruct = struct(col("o_totalprice"),
+      (-col("o_orderkey")).as("neg_key"), col("o_orderkey"))
+    val ledgerCols = Seq(col("o_custkey"), col("o_totalprice"),
+      col("o_orderkey"))
+    val target = new java.io.File("target/qtmp/st16_target")
+    org.apache.commons.io.FileUtils.deleteQuietly(target)
+    val path = target.getAbsolutePath
     val stage = new java.io.File("target/qtmp/st16_src")
+    org.apache.commons.io.FileUtils.deleteQuietly(stage)
     stage.mkdirs()
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/orders.parquet"),
-      java.nio.file.Paths.get(stage.getAbsolutePath, "orders.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val schema = spark.read.parquet(stage.getAbsolutePath).schema
-    val agg = spark.readStream.schema(schema)
-      .parquet(stage.getAbsolutePath)
-      .groupBy(col("o_custkey"))
-      .agg(TopKAgg.topK(struct(col("o_totalprice"),
-        (-col("o_orderkey")).as("neg_key"), col("o_orderkey")), 3)
-        .as("top"))
-    withStreamShuffle(spark, 8) {
-      val q = agg.writeStream
-        .outputMode("complete")
-        .format("memory").queryName(sink)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+    if (splitFiles <= 1)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/orders.parquet"),
+        java.nio.file.Paths.get(stage.getAbsolutePath, "orders.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else {
+      val src = spark.read.parquet(s"$sfDir/orders.parquet")
+      (0 until splitFiles).foreach { i =>
+        src.filter(col("o_orderkey") % splitFiles === i).coalesce(1)
+          .write.mode("overwrite")
+          .parquet(new java.io.File(stage, s"part$i").getAbsolutePath)
+      }
     }
-    spark.table(sink)
+    val schema = spark.read.parquet(s"$sfDir/orders.parquet").schema
+    graft.operators.Mutations.seedEmptyLedger(spark, path,
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .select(ledgerCols: _*).schema)
+    val reader = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+    val src = if (splitFiles <= 1) reader.parquet(stage.getAbsolutePath)
+      else reader.parquet(stage.getAbsolutePath + "/part*")
+    val q = src
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val merged = batch.sparkSession.read.parquet(path)
+          .unionByName(batch.select(ledgerCols: _*))
+          .groupBy(col("o_custkey"))
+          .agg(TopKAgg.topK(heapStruct, 3).as("top"))
+          .select(col("o_custkey"), explode(col("top")).as("e"))
+          .select(col("o_custkey"), col("e.o_totalprice"),
+            col("e.o_orderkey"))
+        graft.operators.Mutations.overwriteAtomic(merged, path)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // ranks FROM the ledger alone (≤ k rows per group; the re-agg just
+    // orders each group's k survivors)
+    spark.read.parquet(path)
+      .groupBy(col("o_custkey"))
+      .agg(TopKAgg.topK(heapStruct, 3).as("top"))
       .select(col("o_custkey"), posexplode(col("top")).as(Seq("i", "r")))
       .select(col("o_custkey"), (col("i") + 1).cast("int").as("rank"),
         col("r.o_orderkey").as("o_orderkey"),

@@ -155,6 +155,30 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("partial_graft_kll_agg"), p.take(900))
   }
 
+  test("p13/x79/x86: no single-partition window over data-grain rows") {
+    // the round-4 verdict's perf_weak trio: each formerly ran
+    // ntile/cumsum as `Window.orderBy(...)` with no PARTITION BY — a
+    // one-executor sort wall at corpus scale. All three now route
+    // through Layout's range-exchange count-and-offset machinery, whose
+    // ONLY unpartitioned window runs over the ≤numPartitions metadata
+    // offset rows (directly above the per-partition aggregate). The
+    // guard: every WindowExec with an empty partitionSpec must have an
+    // aggregate somewhere below it; a data-grain global window reads
+    // straight off a scan/exchange and fails.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    for (q <- Seq("p13_batch_ntile", "x79_ccnet_buckets",
+                  "x86_quality_curriculum")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
+      val bad = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+            w.child.collect { case a: BaseAggregateExec => a }.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$q plans a data-grain global window:\n${bad.mkString("\n").take(900)}")
+    }
+  }
+
   test("f17 nfc-normalize: native expression stays inside WholeStageCodegen") {
     val df = SparkEntry.queries("f17_nfc_normalize")(spark, dir)
     df.collect() // AQE finalizes codegen stages only at execution

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+
+/** Round-5 additions: scale-safe global-window replacements (ntile /
+  * prefix-sum parity with the single-partition SQL forms they replace),
+  * plus behavior pins asked for by the round-4 verdict. */
+class Round11Spec extends GraftSuite {
+
+  test("ntileFromRowNum: exact SQL ntile parity incl. remainder cases") {
+    import spark.implicits._
+    // sweep sizes that exercise the remainder-first property the naive
+    // floor(r*k/n) formula gets wrong (e.g. n=10,k=4 -> 3,3,2,2) plus
+    // exact-division and n >> k shapes
+    for ((n, k) <- Seq((10, 4), (10, 3), (11, 3), (500, 3), (15000, 20),
+                       (7, 7), (97, 13))) {
+      val df = (0 until n).toDF("v")
+      val want = df.withColumn("t", ntile(k).over(Window.orderBy($"v")))
+      val got = Layout.globalRowNumber(df, $"v", nParts = 3)
+        .withColumn("t2", Layout.ntileFromRowNum($"row_num", lit(n), k))
+      val diff = want.join(got, "v")
+        .filter($"t" =!= $"t2").count()
+      assert(diff == 0L, s"n=$n k=$k: $diff rows disagree with ntile")
+    }
+  }
+
+  test("globalPrefixSum: parity with the single-partition running sum") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i, (i * 37 % 101).toLong))
+      .toDF("k", "v")
+    val w = Window.orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cum", sum($"v").over(w))
+      .select($"k", $"cum".as("want"))
+    val got = Layout.globalPrefixSum(df, $"v", $"k", nParts = 5)
+      .select($"k", $"cum".as("got"))
+    assert(want.join(got, "k").filter($"want" =!= $"got").count() == 0L)
+  }
+
+  test("lgkFor: auto-sized lgk holds the 5% intersection bound where lgk=14 fails") {
+    // sf0.1-scale gram cardinalities: two sets of 2M distinct keys
+    // sharing 5k. At lgk=14, θ ≈ 16384/2M ≈ 0.008 so overlap·θ ≈ 41
+    // ≪ 1600 — the regime the sf1 rehearsal measured failing (this
+    // deterministic draw realizes 11% error). lgkFor must pick the lgk
+    // that restores overlap·θ ≥ (2/0.05)² = 1600: here 20 (k=1M, still
+    // estimation mode at θ≈0.5, overlap·θ ≈ 2600; realized err 2.0%).
+    import graft.functions.SketchFns
+    import spark.implicits._
+    val n = 2000000L
+    val overlap = 5000L
+    val a = spark.range(n).select($"id")
+    val b = spark.range(n - overlap, 2L * n - 2L * overlap).select($"id")
+    def interEst(lgk: Int): Double = {
+      val sa = a.agg(SketchFns.thetaAgg($"id", lgk).as("s"))
+      val sb = b.agg(SketchFns.thetaAgg($"id", lgk).as("s"))
+      sa.crossJoin(sb.withColumnRenamed("s", "s2"))
+        .select(SketchFns.thetaIntersectEstimate($"s", $"s2").as("e"))
+        .collect()(0).getDouble(0)
+    }
+    val autoLgk = SketchFns.lgkFor(minOverlap = overlap, maxDistinct = n)
+    assert(autoLgk > 14, s"expected lgk above 14 for n=$n o=$overlap, got $autoLgk")
+    val errAuto = math.abs(interEst(autoLgk) - overlap) / overlap
+    val err14 = math.abs(interEst(14) - overlap) / overlap
+    assert(errAuto <= 0.05, f"auto lgk=$autoLgk err=$errAuto%.4f breaks the 5%% bound")
+    assert(err14 > 0.05, f"lgk=14 err=$err14%.4f unexpectedly holds — test loses its teeth")
+    // and the exact-mode degenerate case: k >= n when the overlap
+    // demand is looser than the set size
+    assert(SketchFns.lgkFor(1600, 10000) == 14)
+    assert((1L << SketchFns.lgkFor(1600, 10000)) >= 10000)
+  }
+
+  test("st16 ledger: multi-micro-batch delivery equals the batch top-k") {
+    import spark.implicits._
+    // 3 micro-batches through the foreachBatch ledger upsert must land
+    // exactly on the single-pass window truth — the associativity
+    // claim (top-k(top-k(L) ∪ B) = top-k(L ∪ B)) made executable
+    val got = graft.streaming.Streams.streamTopK(spark,
+      SparkTestBase.sfDir, splitFiles = 3)
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val want = graft.Tables.load(spark, SparkTestBase.sfDir, "orders")
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"o_custkey", $"rank".cast("int").as("rank"),
+        $"o_orderkey", $"o_totalprice")
+    assert(got.exceptAll(want).count() == 0L &&
+      want.exceptAll(got).count() == 0L)
+  }
+
+  test("ApproxDistinctRule: mixed COUNT(DISTINCT x), SUM(y) rewrites the distinct and ONLY the distinct") {
+    // behavior pin (round-4 verdict ask): in a mixed aggregate the
+    // rule swaps the distinct count for the theta estimate while the
+    // plain SUM stays exact — and at this cardinality the exact-mode
+    // sketch makes the whole row equal the rule-off truth
+    val probe = spark.newSession()
+    graft.plans.ApproxDistinctRule.install(probe)
+    import org.apache.spark.sql.functions._
+    val base = probe.range(0, 1000)
+      .select((col("id") % 10).as("g"), (col("id") % 7).as("x"),
+        col("id").as("y"))
+    def run() = base.groupBy(col("g"))
+      .agg(countDistinct(col("x")).as("nd"), sum(col("y")).as("s"))
+      .orderBy(col("g"))
+    val exact = run().collect().map(_.toSeq)
+    probe.conf.set(graft.plans.ApproxDistinctRule.flagKey, "true")
+    try {
+      val df = run()
+      assert(df.collect().map(_.toSeq).toSeq == exact.toSeq)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("graft_theta_agg"), p.take(600))
+      assert(p.contains("sum("), p.take(600))
+    } finally probe.conf.set(graft.plans.ApproxDistinctRule.flagKey, "false")
+  }
+
+  test("ApproxDistinctRule: malformed flag values degrade to exact mode, not a crash") {
+    val probe = spark.newSession()
+    graft.plans.ApproxDistinctRule.install(probe)
+    import org.apache.spark.sql.functions._
+    for (v <- Seq("1", "yes", " True ", "TRUE")) {
+      probe.conf.set(graft.plans.ApproxDistinctRule.flagKey, v)
+      try {
+        val df = probe.range(0, 100).select((col("id") % 5).as("x"))
+          .agg(countDistinct(col("x")).as("nd"))
+        assert(df.collect()(0).getLong(0) == 5L, s"flag=$v")
+        val fired = df.queryExecution.executedPlan.toString
+          .contains("graft_theta_agg")
+        // only a case-insensitive trimmed "true" may fire the rewrite
+        assert(fired == v.trim.equalsIgnoreCase("true"), s"flag=$v fired=$fired")
+      } finally probe.conf.set(graft.plans.ApproxDistinctRule.flagKey, "false")
+    }
+  }
+
+  test("globalPrefixSum: composite desc-struct key matches DESC window order") {
+    import spark.implicits._
+    // the x86 key shape: struct(-score, id) ascending == (score DESC, id)
+    val df = Seq((1, 5.0, 10L), (2, 5.0, 20L), (3, 7.0, 30L),
+                 (4, 1.0, 40L), (5, 7.0, 50L)).toDF("id", "score", "v")
+    val w = Window.orderBy($"score".desc, $"id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cum", sum($"v").over(w))
+      .select($"id", $"cum".as("want"))
+    val got = Layout.globalPrefixSum(df, $"v",
+        struct((-$"score").as("n"), $"id".as("i")), nParts = 2)
+      .select($"id", $"cum".as("got"))
+    assert(want.join(got, "id").filter($"want" =!= $"got").count() == 0L)
+  }
+}
