@@ -2364,6 +2364,48 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "x88_ivfpq_topk" -> ((s, dir) => {
+      // IVF+PQ composed (FAISS-style IVFPQ): coarse cells prune the
+      // scan, PQ codes quantize the RESIDUAL vec − centroid — the
+      // production 100 TB vector-index layout. Gate = recall contract
+      // vs exact L2 top-k (the x53 pattern). Operating point chosen by
+      // a recorded sweep: (nprobe, rerank, pqIters) ∈ {8,12}×{100,200}
+      // ×{1,2} measures 0.82–0.94; (12, 200, 1) gives 0.94 at BOTH
+      // sf0.001 and sf0.01, so the 0.8 bound carries real margin
+      // (nprobe=8/rerank=100 passed at exactly 0.80–0.82 — too thin).
+      // nprobe/nlist = 75% is a tiny-corpus artifact (16 cells × ~30
+      // vectors); at real scale nlist grows with the corpus and the
+      // probed fraction drops to a few percent while rerank stays
+      // O(|q|·200).
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val ann = Similarity.ivfpqTopK(q, emb, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 12, m = 8, ksub = 16,
+        coarseIters = 1, pqIters = 1, rerank = 200)
+      val exact = Similarity.bruteTopKL2(q, emb, "vec_id", "embedding", 5)
+      exact.as("b").join(ann.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id"), "left")
+        .groupBy(col("b.query_id"))
+        .agg((count(col("l.neighbor_id")).cast("double") / lit(5.0d))
+          .as("recall"))
+        .agg(count(lit(1)).as("n_queries"),
+          (avg(col("recall")) >= lit(0.8d)).as("recall_ge_08"))
+    }),
+
+    "x88b_ivfpq_exact" -> ((s, dir) => {
+      // the SAME IVFPQ machinery in its degenerate config — every cell
+      // probed (nprobe = nlist) and ksub = |corpus| (every residual its
+      // own codeword): integer residual arithmetic cancels the centroid
+      // exactly, so assign/residual/encode/ADC are hash-checked against
+      // the same DuckDB fixed-point brute oracle as x53b
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfpqTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5, nlist = 4, nprobe = 4,
+          m = 8, ksub = emb.count().toInt)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "x54_random_projection" -> ((s, dir) => {
       // Johnson–Lindenstrauss ±1 projection 64-d → 32-d — the cheap
       // dimension cut before any downstream similarity op (halves
@@ -2546,6 +2588,37 @@ object SparkEntry {
         .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
         .withColumn("n_pairs_ge", sum(col("n_pairs")).over(w))
         .orderBy(col("bucket").desc)
+    }),
+
+    "x87_lsh_plan" -> ((s, dir) => {
+      // LSH banding planned, not guessed (the lgkFor discipline for
+      // MinHash): for each candidate dedup threshold, Dedup.bandsFor
+      // picks the sharpest (bands, rows-per-band) split of the 32-hash
+      // budget whose S-curve recall at the threshold still clears
+      // 0.95 — recall-first because candidate generation + exact
+      // verify makes false positives cheap and false negatives
+      // unrecoverable. The emitted table is the audit: recall at the
+      // threshold, collision probability 0.2 below it (the verify-load
+      // proxy), and the recall_ok contract. The oracle REPLAYS the
+      // whole selection in SQL over the divisor pairs of 32, so a
+      // planner regression (not just a curve-math typo) breaks the row
+      // hash. Pure planning table — 5 rows, no data scan; x2/er1 run
+      // the (8,4) this planner reproduces at 0.8.
+      val plans = Seq(0.5d, 0.6d, 0.7d, 0.8d, 0.9d).map { th =>
+        val (b, r) = Dedup.bandsFor(th, k = 32, minRecall = 0.95)
+        (th, b, r)
+      }
+      s.createDataFrame(plans)
+        .toDF("threshold", "bands", "rows_per_band")
+        .withColumn("recall_at_t", round(lit(1.0d) -
+          pow(lit(1.0d) - pow(col("threshold"), col("rows_per_band")),
+            col("bands")), 4))
+        .withColumn("p_below", round(lit(1.0d) -
+          pow(lit(1.0d) - pow(col("threshold") - 0.2d,
+            col("rows_per_band")), col("bands")), 4))
+        .withColumn("recall_ok",
+          col("recall_at_t") >= 0.95d || col("rows_per_band") === 1)
+        .orderBy(col("threshold"))
     }),
 
     "x64_dedup_token_savings" -> ((s, dir) => {
@@ -7729,6 +7802,29 @@ object SparkEntry {
               ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank FROM d)
       WHERE rank <= 5 ORDER BY query_id, rank""",
 
+    "x88_ivfpq_topk" -> """
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ge_08
+      FROM embeddings WHERE vec_id < 10""",
+
+    "x88b_ivfpq_exact" -> """
+      WITH qv AS (
+        SELECT vec_id,
+               list_transform(embedding, v ->
+                 CAST(floor(CAST(v AS DOUBLE) * 1e7 + 0.5) AS BIGINT))
+                 AS qv
+        FROM embeddings),
+      d AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                 i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i])))
+                 AS BIGINT) AS approx_d2
+        FROM (SELECT * FROM qv WHERE vec_id < 10) q
+        JOIN qv c ON q.vec_id <> c.vec_id)
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, approx_d2
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank FROM d)
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+
     "x54_random_projection" -> """
       SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, TRUE AS cos_err_le_025
       FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
@@ -7980,6 +8076,32 @@ object SparkEntry {
              round(CAST(SUM(CASE WHEN removed THEN n_toks ELSE 0 END)
                AS DOUBLE) / SUM(n_toks) * 100.0, 2) AS savings_pct
       FROM f GROUP BY source ORDER BY source""",
+
+    "x87_lsh_plan" -> """
+      WITH th(threshold) AS (
+        SELECT CAST(t AS DOUBLE)
+        FROM (VALUES (0.5),(0.6),(0.7),(0.8),(0.9)) AS v(t)),
+      pairs AS (
+        SELECT threshold, CAST(32 // r AS INT) AS bands,
+               CAST(r AS INT) AS rows_per_band,
+               1.0 - POWER(1.0 - POWER(threshold, r), 32 // r) AS rec
+        FROM th CROSS JOIN (VALUES (1),(2),(4),(8),(16),(32)) AS d(r)),
+      pick AS (
+        -- recall-first selection: among divisor pairs clearing 0.95
+        -- recall take the largest rows_per_band (sharpest curve);
+        -- if none clears, fall back to rows_per_band = 1
+        SELECT *, row_number() OVER (PARTITION BY threshold
+          ORDER BY (rec >= 0.95) DESC,
+                   CASE WHEN rec >= 0.95 THEN rows_per_band
+                        ELSE -rows_per_band END DESC) AS rn
+        FROM pairs)
+      SELECT threshold, bands, rows_per_band,
+             round(rec, 4) AS recall_at_t,
+             round(1.0 - POWER(1.0 -
+               POWER(threshold - 0.2, rows_per_band), bands), 4)
+               AS p_below,
+             rec >= 0.95 OR rows_per_band = 1 AS recall_ok
+      FROM pick WHERE rn = 1 ORDER BY threshold""",
 
     "x63_threshold_sweep" -> """
       WITH sh AS (

@@ -62,6 +62,35 @@ object Dedup {
     transform(sequence(lit(0), lit(k - 1)),
       j => array_min(transform(hashedShingles, h => xxhash64(j, h))))
 
+  /** LSH band planning as code — the [[graft.functions.SketchFns.lgkFor]]
+    * discipline applied to MinHash banding: given a signature budget of
+    * `k` hashes and a target Jaccard `threshold`, choose (bands b,
+    * rows-per-band r) with b·r = k. The collision S-curve is
+    * P(candidate | sim s) = 1 − (1 − s^r)^b; because this engine's LSH
+    * is candidate-generation + exact verify (false positives are
+    * verified away, false NEGATIVES are unrecoverable), the planner is
+    * RECALL-FIRST: among divisor pairs of k it picks the LARGEST r —
+    * the sharpest curve, fewest sub-threshold collisions to verify —
+    * whose recall at the threshold still clears `minRecall`. Falls
+    * back to r = 1 (recall 1 − (1−s)^k, the max achievable) when no
+    * pair clears it. Returns (bands, rowsPerBand).
+    *
+    * The default (0.8, 32, 0.95) reproduces the hand-tuned (8, 4) the
+    * pairs path has always used — P(0.8) ≈ 0.986 with the next-sharper
+    * pair (4, 8) at 0.52, the spec-pinned cliff that makes banding
+    * choices worth planning rather than guessing. */
+  def bandsFor(threshold: Double, k: Int = 32,
+               minRecall: Double = 0.95): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0, s"threshold: $threshold")
+    require(k >= 1, s"k: $k")
+    require(minRecall > 0.0 && minRecall < 1.0, s"minRecall: $minRecall")
+    def recall(b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(threshold, r), b)
+    val pairs = (1 to k).filter(k % _ == 0).map(r => (k / r, r))
+    pairs.filter { case (b, r) => recall(b, r) >= minRecall }
+      .sortBy(-_._2).headOption.getOrElse((k, 1))
+  }
+
   /** LSH band keys from the same pre-hashed shingle array: band `b`
     * hashes its `r = k/bands` permutation minima directly
     * (`xxhash64(b, min_0, …, min_{r-1})` — no JSON serialization),

@@ -272,25 +272,7 @@ object Similarity {
     // the materialization
     val corpusSub =
       if (trainIters > 0) corpusSub0.localCheckpoint(true) else corpusSub0
-    val codebook = (1 to trainIters).foldLeft(seeds) { (cb, _) =>
-      // assign every (row, sub) to its nearest codeword, then integer
-      // mean per (sub, code, dim); empty codewords drop (fewer, denser
-      // cells — fine for a quantizer, same stance as ivfTopK training)
-      corpusSub.join(broadcast(cb), Seq("sub"))
-        .groupBy(col("neighbor_id"), col("sub"))
-        .agg(min(struct(intL2(col("sv"), col("cbv")).as("d2"),
-            col("code"), col("sv"))).as("best"))
-        .select(col("sub"), col("best.code").as("code"),
-          posexplode(col("best.sv")).as(Seq("dim", "v")))
-        .groupBy(col("sub"), col("code"), col("dim"))
-        .agg(floor(sum(col("v")).cast(DoubleType) / count(lit(1)) + 0.5d)
-          .cast(LongType).as("mv"))
-        .groupBy(col("sub"), col("code"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("mv"))))
-          .as("dm"))
-        .select(col("sub"), col("code"),
-          transform(col("dm"), e => e.getField("mv")).as("cbv"))
-    }
+    val codebook = pqRefine(corpusSub, seeds, trainIters)
     // --- encode: (neighbor_id, sub, code) ----------------------------
     val encoded = corpusSub.join(broadcast(codebook), Seq("sub"))
       .groupBy(col("neighbor_id"), col("sub"))
@@ -322,6 +304,138 @@ object Similarity {
       // fetch their full vectors for an exact integer-L2² re-score —
       // at 100 TB the exact pass touches a vanishing fraction of the
       // store while recall approaches exact search.
+      val qv = queries.select(col(idCol).as("query_id"),
+        quantize1e7(col(vecCol)).as("__rqv"))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("exact_d2").asc, col("neighbor_id").asc)
+      adc.filter(col("rank") <= rerank)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(c, Seq("neighbor_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .withColumn("exact_d2", intL2(col("__rqv"), col("__qv")))
+        .withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("exact_d2").as("approx_d2"))
+    }
+  }
+
+  /** `iters` Lloyd refinement steps of a PQ codebook over exploded
+    * subvectors (neighbor_id, sub, sv): assign every (row, sub) to its
+    * nearest codeword, then integer mean per (sub, code, dim); empty
+    * codewords drop (fewer, denser cells — fine for a quantizer, same
+    * stance as ivfTopK training). Shared by [[pqTopK]] (raw vectors)
+    * and [[ivfpqTopK]] (cell residuals). */
+  private def pqRefine(corpusSub: DataFrame, seeds: DataFrame,
+                       iters: Int): DataFrame =
+    (1 to iters).foldLeft(seeds) { (cb, _) =>
+      corpusSub.join(broadcast(cb), Seq("sub"))
+        .groupBy(col("neighbor_id"), col("sub"))
+        .agg(min(struct(intL2(col("sv"), col("cbv")).as("d2"),
+            col("code"), col("sv"))).as("best"))
+        .select(col("sub"), col("best.code").as("code"),
+          posexplode(col("best.sv")).as(Seq("dim", "v")))
+        .groupBy(col("sub"), col("code"), col("dim"))
+        .agg(floor(sum(col("v")).cast(DoubleType) / count(lit(1)) + 0.5d)
+          .cast(LongType).as("mv"))
+        .groupBy(col("sub"), col("code"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("mv"))))
+          .as("dm"))
+        .select(col("sub"), col("code"),
+          transform(col("dm"), e => e.getField("mv")).as("cbv"))
+    }
+
+  /** IVF+PQ composed — the index structure 100 TB vector stores
+    * actually deploy (Jégou et al., TPAMI 2011 §IV; FAISS `IVFPQ`):
+    * [[ivfTopK]]'s coarse quantizer prunes WHICH vectors are scored
+    * (nprobe of nlist cells) while PQ codes shrink what each score
+    * COSTS — and the codes quantize the RESIDUAL vec − centroid, which
+    * is the composition's whole point: residuals concentrate near 0,
+    * so the same (m, ksub) code budget spends its resolution on the
+    * within-cell geometry instead of re-encoding the coarse position
+    * the cell id already carries.
+    *
+    * All arithmetic is ×1e7 fixed-point ([[quantize1e7]]); residuals
+    * subtract INTEGER centroid from integer vector, so
+    * ‖q₁ₑ₇ − c₁ₑ₇ − (x₁ₑ₇ − c₁ₑ₇)‖² = ‖q₁ₑ₇ − x₁ₑ₇‖² holds exactly
+    * and the degenerate config (nprobe = nlist, ksub ≥ |corpus|,
+    * x88b) hash-checks against the same DuckDB brute-force oracle as
+    * x53b — pinning assign/residual/encode/ADC independent of
+    * training. Search builds PER-(query, probed-cell) ADC tables from
+    * the query's residual against that cell (|q|·nprobe·m·ksub
+    * broadcast rows), hash-joins them to the encoded corpus on
+    * (cell, sub, code), and sum-aggregates — one shuffle that scales
+    * with the PROBED fraction of the corpus, not the corpus. Optional
+    * exact rerank as in [[pqTopK]]. */
+  def ivfpqTopK(queries: DataFrame, corpus: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 16,
+                coarseIters: Int = 0, pqIters: Int = 0,
+                rerank: Int = 0): DataFrame = {
+    val cents = ivfTrain(corpus, idCol, vecCol, nlist, coarseIters)
+    val centQ = cents.select(col("cent_id").as("cell"),
+      quantize1e7(col("cent_v")).as("cent_q"))
+    val assigned = ivfAssign(corpus, idCol, vecCol, cents)
+    val resid = assigned.join(broadcast(centQ), Seq("cell"))
+      .select(col("cell"), col("neighbor_id"),
+        zip_with(quantize1e7(col("cv")), col("cent_q"),
+          (a, b) => a - b).as("__rv"))
+    val residSub0 = resid
+      .select(col("cell"), col("neighbor_id"),
+        explode(subvecs(col("__rv"), m)).as("s"))
+      .select(col("cell"), col("neighbor_id"), col("s.sub").as("sub"),
+        col("s.sv").as("sv"))
+    // trained paths consume the exploded residuals pqIters+1 times —
+    // same lineage-truncation discipline as pqTopK
+    val residSub =
+      if (pqIters > 0) residSub0.localCheckpoint(true) else residSub0
+    val seedW = Window.orderBy(col("__h"), col("neighbor_id"))
+    val seeds = resid.withColumn("__h", xxhash64(col("neighbor_id")))
+      .orderBy(col("__h"), col("neighbor_id")).limit(ksub)
+      .withColumn("code", row_number().over(seedW) - 1)
+      .select(col("code"), explode(subvecs(col("__rv"), m)).as("s"))
+      .select(col("s.sub").as("sub"), col("code"), col("s.sv").as("cbv"))
+    val codebook = pqRefine(residSub.drop("cell"), seeds, pqIters)
+    // encoded index state: (cell, neighbor_id, sub, code)
+    val encoded = residSub.join(broadcast(codebook), Seq("sub"))
+      .groupBy(col("cell"), col("neighbor_id"), col("sub"))
+      .agg(min(struct(intL2(col("sv"), col("cbv")).as("d2"), col("code")))
+        .getField("code").as("code"))
+    // probe: top-nprobe cells per query by centroid cosine (ivf rule)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VectorExprs.norm(col(vecCol)).as("qn"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("probe_cos").desc, col("cent_id").asc)
+    val probes = q.join(broadcast(cents))
+      .withColumn("probe_cos", centCos(col("qv"), col("qn")))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+    // per-(query, cell) residual ADC tables
+    val dtable = probes.join(broadcast(centQ), Seq("cell"))
+      .select(col("query_id"), col("cell"),
+        explode(subvecs(zip_with(quantize1e7(col("qv")), col("cent_q"),
+          (a, b) => a - b), m)).as("s"))
+      .select(col("query_id"), col("cell"), col("s.sub").as("sub"),
+        col("s.sv").as("qsv"))
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("cell"), col("sub"), col("code"),
+        intL2(col("qsv"), col("cbv")).as("d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2").asc, col("neighbor_id").asc)
+    val adc = encoded.join(broadcast(dtable), Seq("cell", "sub", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2")).as("approx_d2"))
+      .withColumn("rank", row_number().over(w))
+    if (rerank <= 0)
+      adc.filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("approx_d2"))
+    else {
+      val c = corpus.select(col(idCol).as("neighbor_id"),
+        quantize1e7(col(vecCol)).as("__qv"))
       val qv = queries.select(col(idCol).as("query_id"),
         quantize1e7(col(vecCol)).as("__rqv"))
       val w2 = Window.partitionBy(col("query_id"))

@@ -132,6 +132,43 @@ class Round11Spec extends GraftSuite {
     }
   }
 
+  test("bandsFor: recall-first band planning pins the hand-tuned defaults") {
+    import graft.operators.Dedup
+    // the pairs path has always run (8 bands, 4 rows) at threshold 0.8
+    // with k=32 — the planner must reproduce it, and the neighboring
+    // thresholds must move as the S-curve math says
+    assert(Dedup.bandsFor(0.8, 32) == (8, 4))
+    assert(Dedup.bandsFor(0.95, 32) == (4, 8)) // sharper curve affordable
+    assert(Dedup.bandsFor(0.5, 32) == (16, 2)) // loose threshold needs wider
+    assert(Dedup.bandsFor(0.05, 32) == (32, 1)) // nothing clears: fallback
+    // the recall contract itself: every planned pair clears 0.95 when
+    // any divisor pair can
+    for (t <- Seq(0.5, 0.6, 0.7, 0.8, 0.9, 0.95)) {
+      val (b, r) = Dedup.bandsFor(t, 32)
+      val rec = 1.0 - math.pow(1.0 - math.pow(t, r), b)
+      assert(rec >= 0.95, f"t=$t (b=$b,r=$r) recall=$rec%.4f")
+    }
+    // and the cliff the planner exists to avoid: the next-sharper pair
+    // at 0.8 would silently halve candidate recall
+    val cliff = 1.0 - math.pow(1.0 - math.pow(0.8, 8), 4)
+    assert(cliff < 0.6, f"expected the (4,8) cliff, got $cliff%.4f")
+  }
+
+  test("ivfpqTopK degenerate config equals exact fixed-point L2 top-k") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    // nprobe = nlist (every cell probed) + ksub = |corpus| (every
+    // residual its own codeword): integer residuals cancel the
+    // centroid exactly, so IVFPQ must reproduce brute L2 bit-for-bit
+    val emb = Tables.load(spark, SparkTestBase.sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val got = Similarity.ivfpqTopK(q, emb, "vec_id", "embedding",
+      k = 5, nlist = 4, nprobe = 4, m = 8, ksub = emb.count().toInt)
+    val want = Similarity.bruteTopKL2(q, emb, "vec_id", "embedding", 5)
+    assert(got.exceptAll(want).count() == 0L &&
+      want.exceptAll(got).count() == 0L)
+  }
+
   test("globalPrefixSum: composite desc-struct key matches DESC window order") {
     import spark.implicits._
     // the x86 key shape: struct(-score, id) ascending == (score DESC, id)
