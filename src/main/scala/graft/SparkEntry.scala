@@ -2851,19 +2851,32 @@ object SparkEntry {
       // exact x65 counts with the a4/m8 tolerance pattern.
       //
       // lgk is SIZED, not hardcoded (the round-4 sf1 rehearsal showed
-      // hardcoded 14 silently breaking the 5% contract at 10×): an
-      // x80-style preflight estimates the largest per-source gram
-      // cardinality, and SketchFns.lgkFor turns the measured
-      // overlap·θ ≳ (σ/ε)² envelope into the lgk that resolves
-      // overlaps down to 1600 grams at 5%/2σ. At this corpus the
-      // preflight lands in the exact-mode region (k ≥ n, flag
-      // deterministic); at 10×–1000× the same call scales lgk with
-      // the data instead of failing quietly. The preflight collect is
-      // a 1-row scalar probe (a15 idiom); at 100 TB it reads the x80
-      // preflight ledger instead of re-scanning grams.
+      // hardcoded 14 silently breaking the 5% contract at 10×):
+      // SketchFns.lgkFor turns the measured overlap·θ ≳ (σ/ε)²
+      // envelope into the lgk that resolves overlaps down to 1600
+      // grams at 5%/2σ. The preflight feeding it is a doc-grain TOKEN
+      // count (Σ tokens−4 per source = total 5-grams, an upper bound
+      // on DISTINCT grams — always safe, since a larger maxDistinct
+      // only raises lgk): one cheap scan with no gram explode and no
+      // distinct machinery — the first preflight draft paid a second
+      // gram-explode + approx_count_distinct pass, measured +61% on
+      // the whole query. The bound overshoots on dup-heavy corpora
+      // (distinct ≪ total), costing at most sketch-memory headroom;
+      // the precise distinct form is the standing x80 ledger, which a
+      // production deployment reads instead of any rescan. The
+      // preflight collect is a 1-row scalar probe (a15 idiom). Upper
+      // bound ≥ distinct also means the oracle-scale run is always
+      // exact-mode (k ≥ n), keeping the flag deterministic.
       import graft.functions.SketchFns
       val toks = split(trim(regexp_replace(lower(col("text")),
         "\\s+", " ")), " ")
+      val nMaxUpper = t(s, dir, "documents")
+        .select(col("source"), (size(toks) - 4).as("ng"))
+        .filter(col("ng") > 0)
+        .groupBy(col("source")).agg(sum(col("ng")).as("ng"))
+        .agg(max(col("ng")).as("m")).collect()(0).getLong(0)
+      val lgk = SketchFns.lgkFor(minOverlap = 1600,
+        maxDistinct = nMaxUpper)
       val grams = t(s, dir, "documents")
         .select(col("source"), toks.as("__t"))
         .filter(size(col("__t")) >= 5)
@@ -2871,11 +2884,6 @@ object SparkEntry {
           explode(transform(sequence(lit(1), size(col("__t")) - 4),
             i => ColFns.portableHash60(
               concat_ws(" ", slice(col("__t"), i, lit(5)))))).as("g"))
-      val nMax = grams.groupBy(col("source"))
-        .agg(approx_count_distinct(col("g")).as("nd"))
-        .agg(max(col("nd")).as("m")).collect()(0).getLong(0)
-      val lgk = SketchFns.lgkFor(minOverlap = 1600,
-        maxDistinct = math.ceil(nMax * 1.05).toLong) // pad HLL's ~2% err
       val sk = grams.groupBy(col("source"))
         .agg(SketchFns.thetaAgg(col("g"), lgk).as("sk"))
       val est = sk.as("a").join(sk.as("b"),
@@ -2898,6 +2906,40 @@ object SparkEntry {
             Mutations.toleranceFlag(col("shared_grams"), col("est"), 0.05))
             .as("est_within_5pct"))
         .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    "x89_freq_items_ledger" -> ((s, dir) => {
+      // heavy-hitter tier of the sketch family (theta = distinct,
+      // KLL = distribution, this = WHICH items dominate): per-source
+      // Misra-Gries token sketches (KBs riding the ingest agg) merge
+      // into a corpus sketch; "what dominates" reads the ledger, never
+      // re-scans text. Oracle strategy: frequent-items ESTIMATES after
+      // a purge depend on merge order (not fixed under Spark's shuffle
+      // races), but the lb ≤ true ≤ ub guarantee holds for ANY order —
+      // so the gate probes the exactly-computed top-5 tokens against
+      // the merged sketch's deterministic bounds (the FreqExprs
+      // scaladoc spells out the discipline; the exact-regime hash
+      // equivalence is spec-pinned in Round11Spec)
+      import graft.functions.FreqFns
+      val toks = split(trim(regexp_replace(lower(col("text")),
+        "\\s+", " ")), " ")
+      val tok = t(s, dir, "documents")
+        .select(col("source"), explode(toks).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val perSource = tok.groupBy(col("source"))
+        .agg(FreqFns.freqAgg(col("tok"), 1024).as("sk"))
+      val merged = perSource
+        .agg(FreqFns.freqMergeAgg(col("sk"), 1024).as("sk"),
+          count(lit(1)).as("n_sources"))
+      val top = tok.groupBy(col("tok"))
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("tok").asc).limit(5)
+      top.crossJoin(broadcast(merged)) // 1-row scalar idiom
+        .select(col("tok").as("token"), col("exact_n"), col("n_sources"),
+          (FreqFns.freqLowerBound(col("sk"), col("tok")) <= col("exact_n")
+            && col("exact_n") <= FreqFns.freqUpperBound(col("sk"),
+              col("tok"))).as("bounds_ok"))
+        .orderBy(col("token"))
     }),
 
     "x85_source_quantiles" -> ((s, dir) => {
@@ -4963,6 +5005,18 @@ object SparkEntry {
       FROM pairs p LEFT JOIN pr
         ON pr.source_a = p.source_a AND pr.source_b = p.source_b
       ORDER BY p.source_a, p.source_b""",
+
+    "x89_freq_items_ledger" -> """
+      WITH tokens AS (
+        SELECT UNNEST(regexp_extract_all(lower(text), '\S+')) AS tok
+        FROM documents),
+      top AS (
+        SELECT tok AS token, COUNT(*) AS exact_n
+        FROM tokens GROUP BY tok
+        ORDER BY exact_n DESC, token ASC LIMIT 5),
+      s AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents)
+      SELECT token, exact_n, n_sources, TRUE AS bounds_ok
+      FROM top CROSS JOIN s ORDER BY token""",
 
     "x85_source_quantiles" -> """
       SELECT source, COUNT(*) AS n_docs,

@@ -169,6 +169,42 @@ class Round11Spec extends GraftSuite {
       want.exceptAll(got).count() == 0L)
   }
 
+  test("freq sketch: exact-regime estimates equal exact counts; lossy bounds always contain them") {
+    import graft.functions.FreqFns
+    import spark.implicits._
+    // skewed synthetic stream: token t_i appears i times (1..60)
+    val rows = (1 to 60).flatMap(i => Seq.fill(i)(f"t$i%03d")).toDF("tok")
+    val exact = rows.groupBy($"tok").agg(count(lit(1)).as("n"))
+    // exact regime: map size comfortably above 60 distinct items —
+    // no purge ever, so estimate == exact for EVERY item
+    val skBig = rows.agg(FreqFns.freqAgg($"tok", 256).as("sk"))
+    val exactCheck = exact.crossJoin(skBig)
+      .filter(FreqFns.freqEstimate($"sk", $"tok") =!= $"n").count()
+    assert(exactCheck == 0L)
+    // lossy regime: map size 16 forces purges; raw estimates may drift
+    // but the deterministic guarantee lb <= true <= ub must hold for
+    // every item regardless of merge order
+    val skSmall = rows.agg(FreqFns.freqAgg($"tok", 16).as("sk"))
+    val boundsViol = exact.crossJoin(skSmall)
+      .filter(!(FreqFns.freqLowerBound($"sk", $"tok") <= $"n" &&
+        $"n" <= FreqFns.freqUpperBound($"sk", $"tok"))).count()
+    assert(boundsViol == 0L)
+    // and the small sketch really did purge (the test has teeth)
+    val someLoose = exact.crossJoin(skSmall)
+      .filter(FreqFns.freqUpperBound($"sk", $"tok") >
+        FreqFns.freqLowerBound($"sk", $"tok")).count()
+    assert(someLoose > 0L)
+    // merge path: two half-streams merged == useful bounds too
+    val a = rows.filter(xxhash64($"tok") % 2 === 0)
+      .agg(FreqFns.freqAgg($"tok", 256).as("sk"))
+    val b = rows.filter(xxhash64($"tok") % 2 =!= 0)
+      .agg(FreqFns.freqAgg($"tok", 256).as("sk"))
+    val m = a.unionByName(b).agg(FreqFns.freqMergeAgg($"sk", 256).as("sk"))
+    val mergeCheck = exact.crossJoin(m)
+      .filter(FreqFns.freqEstimate($"sk", $"tok") =!= $"n").count()
+    assert(mergeCheck == 0L)
+  }
+
   test("globalPrefixSum: composite desc-struct key matches DESC window order") {
     import spark.implicits._
     // the x86 key shape: struct(-score, id) ascending == (score DESC, id)
