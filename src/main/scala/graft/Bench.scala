@@ -87,6 +87,18 @@ object Bench {
     "x82_ann_tuning_curve", // 5-point nprobe sweep from one index
     "x36_span_dup_coverage") // bridge query shared with both sets
 
+  /** Fourth pinned set: the round-5 additions and rewrites (same
+    * rationale and discipline as llm10/r4new; prior sets stay
+    * untouched). x36 bridges again for cross-set calibration. */
+  val r5new: Seq[String] = Seq(
+    "p13_batch_ntile",       // range-exchange exact ntile (rewritten)
+    "x79_ccnet_buckets",     // terciles on global numbering (rewritten)
+    "x86_quality_curriculum", // globalPrefixSum cumsum (rewritten)
+    "x88_ivfpq_topk",        // IVFPQ: coarse cells + residual PQ + rerank
+    "x89_freq_items_ledger", // heavy-hitter sketch ledger
+    "st16_stream_topk",      // streaming top-k ledger (rewritten)
+    "x36_span_dup_coverage") // bridge query shared with all sets
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -156,18 +168,21 @@ object Bench {
     val results = benchSet(headline)
     val resultsLlm = benchSet(llm10)
     val resultsR4 = benchSet(r4new)
+    val resultsR5 = benchSet(r5new)
     val qs = toJson(results)
     val qsLlm = toJson(resultsLlm)
     val qsR4 = toJson(resultsR4)
+    val qsR5 = toJson(resultsR5)
     // `value` stays the HEADLINE total only — the pinned 21-set number the
     // driver has tracked since round 1; each later set gets its own key.
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalLlm = resultsLlm.map(_._2).filter(_ >= 0).sum
     val totalR4 = resultsR4.map(_._2).filter(_ >= 0).sum
+    val totalR5 = resultsR5.map(_._2).filter(_ >= 0).sum
     // Stop Spark BEFORE printing so no shutdown log line can land after
     // the JSON — the driver parses the last stdout line.
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$nPasses,"queries":$qs,"value_llm":$totalLlm%.3f,"queries_llm":$qsLlm,"value_r4":$totalR4%.3f,"queries_r4":$qsR4,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$nPasses,"queries":$qs,"value_llm":$totalLlm%.3f,"queries_llm":$qsLlm,"value_r4":$totalR4%.3f,"queries_r4":$qsR4,"value_r5":$totalR5%.3f,"queries_r5":$qsR5,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -4231,6 +4231,14 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("rank"))
     }),
 
+    "st17_stream_freq_ledger" -> ((s, dir) => {
+      // streaming x89: micro-batch heavy-hitter sketches fold into the
+      // per-source ledger; Misra-Gries bounds hold under ANY batching
+      // and merge order, so the post-ledger contract is x89's
+      graft.streaming.Streams.streamFreqLedger(s, dir)
+        .orderBy(col("token"))
+    }),
+
     "st15_stream_kll_ledger" -> ((s, dir) => {
       // streaming m9: micro-batch KLL sketches fold into the per-day
       // quantile ledger; KLL merge associativity makes the state
@@ -7219,6 +7227,18 @@ object SparkEntry {
                                   ORDER BY o_totalprice DESC, o_orderkey)
                  AS rank
         FROM orders) WHERE rank <= 3 ORDER BY o_custkey, rank""",
+
+    "st17_stream_freq_ledger" -> """
+      WITH tokens AS (
+        SELECT UNNEST(regexp_extract_all(lower(text), '\S+')) AS tok
+        FROM documents),
+      top AS (
+        SELECT tok AS token, COUNT(*) AS exact_n
+        FROM tokens GROUP BY tok
+        ORDER BY exact_n DESC, token ASC LIMIT 5),
+      s AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents)
+      SELECT token, exact_n, n_sources, TRUE AS bounds_ok
+      FROM top CROSS JOIN s ORDER BY token""",
 
     "st15_stream_kll_ledger" -> """
       WITH d AS (SELECT COUNT(DISTINCT o_orderdate) AS n_slices

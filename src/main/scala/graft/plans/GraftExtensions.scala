@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftbridge.Bridge
 
-import graft.functions.{DeflateRatioExpr, DotProduct, JaroWinklerExpr,
+import graft.functions.{DeflateRatioExpr, DotProduct, FreqBoundExpr,
+  FreqItemsAgg, FreqMergeAgg, JaroWinklerExpr,
   KllDoublesAgg, KllMergeAgg, KllQuantileExpr, KllRankExpr,
   MinHashBands64Expr, NfcNormalizeExpr, SimHash60Expr, ThetaBound,
   ThetaEstimate, ThetaSetEstimate, ThetaSketchAgg, ThetaUnionAgg, TopKAgg}
@@ -150,6 +151,42 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_kll_rank(sketch, v)")
         KllRankExpr(args(0), args(1))
+      }),
+    (FunctionIdentifier("graft_freq_agg"),
+      new ExpressionInfo(classOf[FreqItemsAgg].getName, "graft_freq_agg"),
+      (args: Seq[Expression]) => args match {
+        case Seq(item) => FreqItemsAgg(item)
+        case Seq(item, m) => FreqItemsAgg(item, intLit(m, "maxMapSize"))
+        case _ => throw new IllegalArgumentException(
+          "graft_freq_agg(item[, maxMapSize])")
+      }),
+    (FunctionIdentifier("graft_freq_merge_agg"),
+      new ExpressionInfo(classOf[FreqMergeAgg].getName,
+        "graft_freq_merge_agg"),
+      (args: Seq[Expression]) => args match {
+        case Seq(sk) => FreqMergeAgg(sk)
+        case Seq(sk, m) => FreqMergeAgg(sk, intLit(m, "maxMapSize"))
+        case _ => throw new IllegalArgumentException(
+          "graft_freq_merge_agg(sketch[, maxMapSize])")
+      }),
+    (FunctionIdentifier("graft_freq_lb"),
+      new ExpressionInfo(classOf[FreqBoundExpr].getName, "graft_freq_lb"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_freq_lb(sketch, item)")
+        FreqBoundExpr(args(0), args(1), 0)
+      }),
+    (FunctionIdentifier("graft_freq_estimate"),
+      new ExpressionInfo(classOf[FreqBoundExpr].getName,
+        "graft_freq_estimate"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_freq_estimate(sketch, item)")
+        FreqBoundExpr(args(0), args(1), 1)
+      }),
+    (FunctionIdentifier("graft_freq_ub"),
+      new ExpressionInfo(classOf[FreqBoundExpr].getName, "graft_freq_ub"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_freq_ub(sketch, item)")
+        FreqBoundExpr(args(0), args(1), 2)
       }),
     (FunctionIdentifier("graft_topk_agg"),
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk_agg"),

@@ -821,6 +821,87 @@ object Streams {
         col("r.o_totalprice").as("o_totalprice"))
   }
 
+  /** Streaming x89: per-micro-batch frequent-items token sketches fold
+    * into a per-source parquet ledger (st13/st15 discipline for the
+    * heavy-hitter tier). The upsert merges delta sketches into ledger
+    * sketches with the sketch's own merge; the Misra-Gries
+    * lb ≤ true ≤ ub guarantee holds for ANY stream split and merge
+    * order, so ledger state is contract-stable under batching even
+    * where raw estimates are not — which is exactly why the final
+    * answer (x89's shape) gates on bounds, not estimates. `splitFiles`
+    * stages the source as N files fed one per trigger (st15's
+    * multi-micro-batch proof pattern). */
+  def streamFreqLedger(spark: SparkSession, sfDir: String,
+                       splitFiles: Int = 1): DataFrame = {
+    import graft.functions.FreqFns
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val toks = split(trim(regexp_replace(lower(col("text")),
+      "\\s+", " ")), " ")
+    val target = new java.io.File("target/qtmp/st17_target")
+    org.apache.commons.io.FileUtils.deleteQuietly(target)
+    val path = target.getAbsolutePath
+    graft.operators.Mutations.seedEmptyLedger(spark, path,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("sk",
+          org.apache.spark.sql.types.BinaryType))))
+    val stage = new java.io.File("target/qtmp/st17_src")
+    org.apache.commons.io.FileUtils.deleteQuietly(stage)
+    stage.mkdirs()
+    if (splitFiles <= 1)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+        java.nio.file.Paths.get(stage.getAbsolutePath, "documents.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else {
+      val src = spark.read.parquet(s"$sfDir/documents.parquet")
+      (0 until splitFiles).foreach { i =>
+        src.filter(col("doc_id") % splitFiles === i).coalesce(1)
+          .write.mode("overwrite")
+          .parquet(new java.io.File(stage, s"part$i").getAbsolutePath)
+      }
+    }
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val reader = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+    val src = if (splitFiles <= 1) reader.parquet(stage.getAbsolutePath)
+      else reader.parquet(stage.getAbsolutePath + "/part*")
+    val q = src
+      .select(col("source"), explode(toks).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = batch.groupBy(col("source"))
+          .agg(FreqFns.freqAgg(col("tok"), 1024).as("sk"))
+        val merged = batch.sparkSession.read.parquet(path)
+          .unionByName(delta)
+          .groupBy(col("source"))
+          .agg(FreqFns.freqMergeAgg(col("sk"), 1024).as("sk"))
+        graft.operators.Mutations.overwriteAtomic(merged, path)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // x89's contract, answered FROM the ledger: merged corpus sketch
+    // bounds must contain the exactly-computed top-5 token counts
+    val merged = spark.read.parquet(path)
+      .agg(FreqFns.freqMergeAgg(col("sk"), 1024).as("sk"),
+        count(lit(1)).as("n_sources"))
+    val tok = graft.Tables.load(spark, sfDir, "documents")
+      .select(explode(toks).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val top = tok.groupBy(col("tok"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok").asc).limit(5)
+    top.crossJoin(broadcast(merged)) // 1-row scalar idiom
+      .select(col("tok").as("token"), col("exact_n"), col("n_sources"),
+        (FreqFns.freqLowerBound(col("sk"), col("tok")) <= col("exact_n")
+          && col("exact_n") <= FreqFns.freqUpperBound(col("sk"),
+            col("tok"))).as("bounds_ok"))
+  }
+
   /** One (band, key) posting of a streamed doc's simhash fingerprint. */
   final case class BandEvent(band: Int, key: Long, doc_id: Long, fp: Long)
   /** Per-band admission flag emitted by [[streamNearDupAdmit]]. */

@@ -205,6 +205,32 @@ class Round11Spec extends GraftSuite {
     assert(mergeCheck == 0L)
   }
 
+  test("st17 freq ledger: multi-micro-batch bounds still contain exact counts") {
+    import spark.implicits._
+    // 3 micro-batches through the foreachBatch sketch-merge upsert:
+    // estimates may drift with batching, the bounds contract may NOT
+    val got = graft.streaming.Streams.streamFreqLedger(spark,
+      SparkTestBase.sfDir, splitFiles = 3)
+    val rows = got.collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[Boolean]("bounds_ok")),
+      rows.mkString("\n"))
+  }
+
+  test("freq sketch SQL surface: graft_freq_* callable from plain SQL") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.registerAll(spark)
+    (1 to 30).flatMap(i => Seq.fill(i)(f"w$i%02d")).toDF("tok")
+      .createOrReplaceTempView("r11_freq_toks")
+    val row = spark.sql("""
+      WITH sk AS (SELECT graft_freq_agg(tok, 256) AS s FROM r11_freq_toks)
+      SELECT graft_freq_estimate(s, 'w30') AS est,
+             graft_freq_lb(s, 'w30') <= 30 AND
+             30 <= graft_freq_ub(s, 'w30') AS ok
+      FROM sk""").collect()(0)
+    assert(row.getLong(0) == 30L && row.getBoolean(1))
+  }
+
   test("globalPrefixSum: composite desc-struct key matches DESC window order") {
     import spark.implicits._
     // the x86 key shape: struct(-score, id) ascending == (score DESC, id)
