@@ -136,7 +136,9 @@ object ScaleRehearsal {
     "x75_theta_novelty",      // theta ledger — true estimation mode at sf1
     "m9_kll_ledger",          // KLL quantile ledger merge
     "x57_winnowing_pairs",    // winnowing fingerprints (llm set, r4 ask)
-    "x66_dedup_pr_eval")      // sketch-vs-truth P/R eval (llm set, r4 ask)
+    "x66_dedup_pr_eval",      // sketch-vs-truth P/R eval (llm set, r4 ask)
+    "x88_ivfpq_topk",         // IVFPQ train+encode+ADC+rerank (round 5)
+    "x89_freq_items_ledger")  // heavy-hitter sketch ledger (round 5)
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

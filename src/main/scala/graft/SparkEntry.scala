@@ -2529,6 +2529,16 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "x90_bigram_logprob" -> ((s, dir) => {
+      // KenLM-lite order 2: bigram conditionals score word ORDER where
+      // x60's unigram scores word choice — the second tier of the
+      // statistical quality-filter stack. Bigrams come from array-
+      // local adjacency (no doc-grain window shuffle)
+      TextOps.bigramLogProb(t(s, dir, "documents"), col("doc_id"),
+          col("text"))
+        .orderBy(col("id"))
+    }),
+
     "x61_source_drift" -> ((s, dir) => {
       // per-source KL(source ‖ corpus) over the global top-50 tokens —
       // the mixture-drift monitor; top-k is TakeOrderedAndProject, the
@@ -8224,6 +8234,29 @@ object SparkEntry {
              round(CAST(SUM(CAST(avg_logp AS DECIMAL(18,4))) AS DOUBLE)
                / COUNT(*), 4) AS mean_logp
       FROM b GROUP BY 1 ORDER BY bucket""",
+
+    "x90_bigram_logprob" -> """
+      WITH toks AS (
+        SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS t
+        FROM documents),
+      tokens AS (
+        SELECT id, UNNEST(t) AS tok, generate_subscripts(t, 1) AS pos
+        FROM toks),
+      bigrams AS (
+        SELECT id, w1, w2 FROM (
+          SELECT id, tok AS w1,
+                 lead(tok) OVER (PARTITION BY id ORDER BY pos) AS w2
+          FROM tokens)
+        WHERE w2 IS NOT NULL),
+      uni AS (SELECT tok AS w1, COUNT(*) AS c1 FROM tokens GROUP BY 1),
+      v AS (SELECT COUNT(DISTINCT tok) AS v FROM tokens),
+      bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY 1, 2),
+      logp AS (
+        SELECT w1, w2, ln((c12 + 1.0) / (c1 + v)) AS logp
+        FROM bi JOIN uni USING (w1) CROSS JOIN v)
+      SELECT id, COUNT(*) AS n_bigrams, round(AVG(logp), 4) AS avg_logp2
+      FROM bigrams JOIN logp USING (w1, w2)
+      GROUP BY id ORDER BY id""",
 
     "x60_unigram_logprob" -> """
       WITH tokens AS (

@@ -188,6 +188,49 @@ object TextOps {
         round(avg(col("logp")), 4).as("avg_logp"))
   }
 
+  /** Bigram add-one LM scoring — the context-aware step up from
+    * [[unigramLogProb]] (KenLM-lite, order 2): docs scored by the mean
+    * ln p(w₂|w₁) of their adjacent token pairs, with
+    * p(w₂|w₁) = (c(w₁,w₂)+1) / (c(w₁)+V). A unigram LM scores word
+    * CHOICE; the bigram conditional scores word ORDER, which is what
+    * separates fluent text from shuffled-bag spam with a plausible
+    * vocabulary (quality-filter stacks run both: CCNet/Wenzek for the
+    * unigram tier, KenLM n-gram perplexity for this one).
+    *
+    * Scale shape: bigram pairs come from ARRAY-local adjacency
+    * (zip_with over the token array — no per-doc window, no doc-grain
+    * sort shuffle), then the same distributed-count + hash-join-back
+    * discipline as unigramLogProb: bigram and unigram count tables
+    * stay distributed, the only broadcast is the 1-row vocab size.
+    * Docs with < 2 tokens have no bigrams and drop out (they carry no
+    * order signal). ln() and round(…,4) keep scores
+    * engine-reproducible. */
+  def bigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val arr = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+    val docs = df.select(id.as("id"), arr.as("__t"))
+    val tokens = docs.select(col("id"), explode(col("__t")).as("tok"))
+    val bigrams = docs.filter(size(col("__t")) >= 2)
+      .select(col("id"), explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = tokens.groupBy(col("tok").as("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val vsize = tokens.agg(countDistinct(col("tok")).as("v"))
+    val bi = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val logp = bi.join(uni, Seq("w1"))
+      .crossJoin(broadcast(vsize)) // 1-row scalar vocab size
+      .withColumn("logp", log((col("c12") + 1.0d) /
+        (col("c1") + col("v")).cast(DoubleType)))
+      .select(col("w1"), col("w2"), col("logp"))
+    bigrams.join(logp, Seq("w1", "w2"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("logp")), 4).as("avg_logp2"))
+  }
+
   /** Per-source token-distribution drift: KL(source ‖ corpus) over the
     * global top-`vocabSize` tokens — the mixture-monitoring statistic
     * that catches one source's vocabulary wandering away from the

@@ -231,6 +231,23 @@ class Round11Spec extends GraftSuite {
     assert(row.getLong(0) == 30L && row.getBoolean(1))
   }
 
+  test("bigramLogProb: hand-computed add-one conditionals on a tiny doc") {
+    import graft.operators.TextOps
+    import spark.implicits._
+    // corpus = "a b a b" + "x": tokens a,b,a,b,x -> c(a)=c(b)=2, V=3
+    // (the 1-token doc contributes no bigrams but DOES feed the LM's
+    // vocabulary); bigrams (a,b)x2, (b,a)x1;
+    // p(b|a)=(2+1)/(2+3), p(a|b)=(1+1)/(2+3)
+    val df = Seq((1L, "a b a b"), (2L, "x")).toDF("doc_id", "text")
+    val out = TextOps.bigramLogProb(df, $"doc_id", $"text").collect()
+    assert(out.length == 1) // the 1-token doc has no order signal
+    val r = out.head
+    assert(r.getAs[Long]("id") == 1L && r.getAs[Long]("n_bigrams") == 3L)
+    val want = BigDecimal((2 * math.log(3.0 / 5) + math.log(2.0 / 5)) / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("avg_logp2") == want)
+  }
+
   test("globalPrefixSum: composite desc-struct key matches DESC window order") {
     import spark.implicits._
     // the x86 key shape: struct(-score, id) ascending == (score DESC, id)
