@@ -3306,6 +3306,15 @@ object SparkEntry {
         .orderBy(col("phase"))
     }),
 
+    "x91_gopher_rules" -> ((s, dir) => {
+      // the published Gopher heuristic bundle (Rae et al. 2021 App. A)
+      // as one doc-grain flag table — the concrete rule set most
+      // corpus pipelines start from, full hash oracle per rule
+      TextOps.gopherRules(t(s, dir, "documents"), col("doc_id"),
+          col("text"))
+        .orderBy(col("id"))
+    }),
+
     "x9_quality_score" -> ((s, dir) => {
       TextOps.qualityFeatures(t(s, dir, "documents"), col("doc_id"), col("text"))
         .orderBy(col("id"))
@@ -8234,6 +8243,50 @@ object SparkEntry {
              round(CAST(SUM(CAST(avg_logp AS DECIMAL(18,4))) AS DOUBLE)
                / COUNT(*), 4) AS mean_logp
       FROM b GROUP BY 1 ORDER BY bucket""",
+
+    "x91_gopher_rules" -> """
+      WITH d AS (
+        SELECT doc_id AS id, text,
+               list_filter(regexp_extract_all(lower(text), '\S+'),
+                 x -> len(x) > 0) AS w,
+               list_filter(list_transform(string_split(text, chr(10)),
+                 l -> trim(l)), l -> len(l) > 0) AS lines
+        FROM documents),
+      m AS (
+        SELECT id, len(w) AS nw, len(lines) AS nl,
+               CAST(length(regexp_replace(text, '\s+', '', 'g'))
+                 AS DOUBLE) AS nonws,
+               length(text) - length(replace(text, '#', '')) AS nhash,
+               (length(text) -
+                 length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3
+                 AS nell,
+               len(list_filter(lines,
+                 l -> regexp_matches(l, '^[-*•]'))) AS nbullet,
+               len(list_filter(lines,
+                 l -> regexp_matches(l, '(\.\.\.|…)$'))) AS nellline,
+               len(list_filter(w,
+                 x -> regexp_matches(x, '[a-z]'))) AS nalpha,
+               len(list_filter(['the','be','to','of','and','that',
+                 'have','with'], s -> list_contains(w, s))) AS stophits
+        FROM d)
+      SELECT id, CAST(nw AS INT) AS n_words,
+             nw >= 50 AND nw <= 100000 AS r1_wordcount,
+             nw > 0 AND nonws / nw >= 3.0 AND nonws / nw <= 10.0
+               AS r2_wordlen,
+             nw > 0 AND (nhash + nell) / nw <= 0.1 AS r3_symbols,
+             nl = 0 OR CAST(nbullet AS DOUBLE) / nl < 0.9 AS r4_bullets,
+             nl = 0 OR CAST(nellline AS DOUBLE) / nl < 0.3
+               AS r5_ellipsis,
+             nw > 0 AND CAST(nalpha AS DOUBLE) / nw >= 0.8 AS r6_alpha,
+             stophits >= 2 AS r7_stopwords,
+             (nw >= 50 AND nw <= 100000) AND
+             (nw > 0 AND nonws / nw >= 3.0 AND nonws / nw <= 10.0) AND
+             (nw > 0 AND (nhash + nell) / nw <= 0.1) AND
+             (nl = 0 OR CAST(nbullet AS DOUBLE) / nl < 0.9) AND
+             (nl = 0 OR CAST(nellline AS DOUBLE) / nl < 0.3) AND
+             (nw > 0 AND CAST(nalpha AS DOUBLE) / nw >= 0.8) AND
+             stophits >= 2 AS pass
+      FROM m ORDER BY id""",
 
     "x90_bigram_logprob" -> """
       WITH toks AS (

@@ -64,6 +64,54 @@ object TextOps {
           + least(lit(1.0d), col("stopword_ratio") * 4.0d) * 0.3d, 4))
   }
 
+  /** The Gopher quality-rule bundle (Rae et al., "Scaling Language
+    * Models: ... Gopher", 2021, Appendix A — the published heuristic
+    * set most corpus pipelines start from), per doc as one flag per
+    * rule plus the conjunction:
+    *  r1 word count ∈ [50, 100k]; r2 mean word length ∈ [3, 10];
+    *  r3 (hash + ellipsis) to word ratio ≤ 0.1; r4 < 90% of lines
+    *  bullet-led; r5 < 30% of lines ellipsis-terminated; r6 ≥ 80% of
+    *  words contain an alphabetic char; r7 ≥ 2 distinct hits from the
+    *  8-word stopword probe list.
+    * Pure column arithmetic — every ratio is a single division on both
+    * engines so the flags hash-match; zero-word/zero-line docs guard
+    * to false/true per the rule's direction rather than dividing. */
+  def gopherRules(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val w0 = split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
+    val w = filter(w0, x => length(x) > 0)
+    val nw = size(w)
+    val nwD = nw.cast(DoubleType)
+    val meanLen = length(regexp_replace(text, "\\s+", ""))
+      .cast(DoubleType) / nwD
+    val nHash = length(text) - length(translate(text, "#", ""))
+    val nEll = (length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val nl = size(lines)
+    val bulletFrac = size(filter(lines, l => l.rlike("^[-*•]")))
+      .cast(DoubleType) / nl.cast(DoubleType)
+    val ellFrac = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$")))
+      .cast(DoubleType) / nl.cast(DoubleType)
+    val alphaFrac = size(filter(w, x => x.rlike("[a-z]")))
+      .cast(DoubleType) / nwD
+    val probes = array(Seq("the", "be", "to", "of", "and", "that",
+      "have", "with").map(lit): _*)
+    val stopHits = size(filter(probes, s => array_contains(w, s)))
+    df.select(id.as("id"), nw.as("n_words"),
+      (nw >= 50 && nw <= 100000).as("r1_wordcount"),
+      (nw > 0 && meanLen >= 3.0d && meanLen <= 10.0d).as("r2_wordlen"),
+      (nw > 0 && (nHash + nEll).cast(DoubleType) / nwD <= 0.1d)
+        .as("r3_symbols"),
+      (nl === 0 || bulletFrac < 0.9d).as("r4_bullets"),
+      (nl === 0 || ellFrac < 0.3d).as("r5_ellipsis"),
+      (nw > 0 && alphaFrac >= 0.8d).as("r6_alpha"),
+      (stopHits >= 2).as("r7_stopwords"))
+      .withColumn("pass", col("r1_wordcount") && col("r2_wordlen") &&
+        col("r3_symbols") && col("r4_bullets") && col("r5_ellipsis") &&
+        col("r6_alpha") && col("r7_stopwords"))
+  }
+
   /** Token counts, whitespace + BPE-ish. */
   def tokenCounts(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("id"),

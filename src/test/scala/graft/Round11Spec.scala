@@ -248,6 +248,26 @@ class Round11Spec extends GraftSuite {
     assert(r.getAs[Double]("avg_logp2") == want)
   }
 
+  test("gopherRules: rule-by-rule flags on crafted docs") {
+    import graft.operators.TextOps
+    import spark.implicits._
+    val good = "the be to of and that have with " + Seq.fill(50)("word").mkString(" ")
+    val tooShort = "the be just a few words here"
+    val numeric = Seq.fill(60)("12345").mkString(" ")
+    val bullets = Seq.fill(10)("- item in a list").mkString("\n")
+    val df = Seq((1L, good), (2L, tooShort), (3L, numeric),
+      (4L, bullets)).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(df, $"doc_id", $"text")
+      .orderBy($"id").collect()
+    val byId = out.map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(1L).getAs[Boolean]("pass"))
+    assert(!byId(2L).getAs[Boolean]("r1_wordcount") &&
+      byId(2L).getAs[Boolean]("r7_stopwords"))
+    assert(!byId(3L).getAs[Boolean]("r6_alpha") &&
+      !byId(3L).getAs[Boolean]("r7_stopwords"))
+    assert(!byId(4L).getAs[Boolean]("r4_bullets"))
+  }
+
   test("globalPrefixSum: composite desc-struct key matches DESC window order") {
     import spark.implicits._
     // the x86 key shape: struct(-score, id) ascending == (score DESC, id)
