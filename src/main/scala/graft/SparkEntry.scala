@@ -2393,6 +2393,40 @@ object SparkEntry {
           (avg(col("recall")) >= lit(0.8d)).as("recall_ge_08"))
     }),
 
+    "x92_ivfpq_incremental" -> ((s, dir) => {
+      // incremental IVFPQ maintenance (x76's discipline for the
+      // composed index): the index DEFINITION — centroids + residual
+      // codebook, a few KB — trains on the standing 90%; the newest
+      // 10% is admitted by ENCODE ONLY (one broadcast assign + one
+      // codebook argmin over just the batch, O(|batch|·m) — no
+      // retrain, no corpus rescan); search runs over the accreted
+      // code table with exact rerank. Same measured operating point
+      // and recall gate as x88, vs exact L2 over the FULL corpus.
+      val emb = t(s, dir, "embeddings")
+      val historic = emb.filter(col("vec_id") % 10 =!= 0)
+      val batch = emb.filter(col("vec_id") % 10 === 0)
+      val (cents, cb) = Similarity.ivfpqTrain(historic, "vec_id",
+        "embedding", nlist = 16, m = 8, ksub = 16,
+        coarseIters = 1, pqIters = 1)
+      val index = Similarity.ivfpqEncode(historic, "vec_id", "embedding",
+          cents, cb)
+        .unionByName(Similarity.ivfpqEncode(batch, "vec_id", "embedding",
+          cents, cb))
+      val q = emb.filter(col("vec_id") < 10)
+      val ann = Similarity.ivfpqSearchEncoded(q, "vec_id", "embedding",
+        index, cents, cb, k = 5, nprobe = 12, rerank = 200,
+        rerankSource = Some(emb))
+      val exact = Similarity.bruteTopKL2(q, emb, "vec_id", "embedding", 5)
+      exact.as("b").join(ann.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id"), "left")
+        .groupBy(col("b.query_id"))
+        .agg((count(col("l.neighbor_id")).cast("double") / lit(5.0d))
+          .as("recall"))
+        .agg(count(lit(1)).as("n_queries"),
+          (avg(col("recall")) >= lit(0.8d)).as("recall_ge_08"))
+    }),
+
     "x88b_ivfpq_exact" -> ((s, dir) => {
       // the SAME IVFPQ machinery in its degenerate config — every cell
       // probed (nprobe = nlist) and ksub = |corpus| (every residual its
@@ -7896,6 +7930,10 @@ object SparkEntry {
       WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "x88_ivfpq_topk" -> """
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ge_08
+      FROM embeddings WHERE vec_id < 10""",
+
+    "x92_ivfpq_incremental" -> """
       SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ge_08
       FROM embeddings WHERE vec_id < 10""",
 

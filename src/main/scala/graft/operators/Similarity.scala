@@ -373,20 +373,42 @@ object Similarity {
                 m: Int = 8, ksub: Int = 16,
                 coarseIters: Int = 0, pqIters: Int = 0,
                 rerank: Int = 0): DataFrame = {
-    val cents = ivfTrain(corpus, idCol, vecCol, nlist, coarseIters)
+    val (cents, codebook) = ivfpqTrain(corpus, idCol, vecCol,
+      nlist, m, ksub, coarseIters, pqIters)
+    val encoded = ivfpqEncode(corpus, idCol, vecCol, cents, codebook, m)
+    ivfpqSearchEncoded(queries, idCol, vecCol, encoded, cents, codebook,
+      k, nprobe, m, rerank, if (rerank > 0) Some(corpus) else None)
+  }
+
+  /** Integer residuals (cell, neighbor_id, __rv) of `batch` against
+    * fixed centroids: assign by centroid cosine, subtract the
+    * fixed-point centroid elementwise. */
+  private def ivfpqResiduals(batch: DataFrame, idCol: String,
+                             vecCol: String, cents: DataFrame): DataFrame = {
     val centQ = cents.select(col("cent_id").as("cell"),
       quantize1e7(col("cent_v")).as("cent_q"))
-    val assigned = ivfAssign(corpus, idCol, vecCol, cents)
-    val resid = assigned.join(broadcast(centQ), Seq("cell"))
+    ivfAssign(batch, idCol, vecCol, cents)
+      .join(broadcast(centQ), Seq("cell"))
       .select(col("cell"), col("neighbor_id"),
         zip_with(quantize1e7(col("cv")), col("cent_q"),
           (a, b) => a - b).as("__rv"))
+  }
+
+  /** Train the IVFPQ index DEFINITION — (centroids, residual
+    * codebook), the persistable state [[ivfpqEncode]] and
+    * [[ivfpqSearchEncoded]] consume. At 100 TB train on a sample; the
+    * definition is a few KB however big the corpus. */
+  def ivfpqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+                 nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+                 coarseIters: Int = 0, pqIters: Int = 0)
+      : (DataFrame, DataFrame) = {
+    val cents = ivfTrain(corpus, idCol, vecCol, nlist, coarseIters)
+    val resid = ivfpqResiduals(corpus, idCol, vecCol, cents)
     val residSub0 = resid
-      .select(col("cell"), col("neighbor_id"),
-        explode(subvecs(col("__rv"), m)).as("s"))
-      .select(col("cell"), col("neighbor_id"), col("s.sub").as("sub"),
+      .select(col("neighbor_id"), explode(subvecs(col("__rv"), m)).as("s"))
+      .select(col("neighbor_id"), col("s.sub").as("sub"),
         col("s.sv").as("sv"))
-    // trained paths consume the exploded residuals pqIters+1 times —
+    // trained paths consume the exploded residuals pqIters times —
     // same lineage-truncation discipline as pqTopK
     val residSub =
       if (pqIters > 0) residSub0.localCheckpoint(true) else residSub0
@@ -396,12 +418,42 @@ object Similarity {
       .withColumn("code", row_number().over(seedW) - 1)
       .select(col("code"), explode(subvecs(col("__rv"), m)).as("s"))
       .select(col("s.sub").as("sub"), col("code"), col("s.sv").as("cbv"))
-    val codebook = pqRefine(residSub.drop("cell"), seeds, pqIters)
-    // encoded index state: (cell, neighbor_id, sub, code)
-    val encoded = residSub.join(broadcast(codebook), Seq("sub"))
+    (cents, pqRefine(residSub, seeds, pqIters))
+  }
+
+  /** Encode a batch against a FIXED index definition — the
+    * index-INSERT step (x76's ivfAssign discipline for IVFPQ):
+    * one broadcast assign + one broadcast codebook argmin over
+    * exactly the rows being inserted, so admitting a batch into a
+    * standing IVFPQ index costs O(|batch|·m) — no retrain, no corpus
+    * rescan. Returns the index STATE rows (cell, neighbor_id, sub,
+    * code), which persist and accrete across ingests. */
+  def ivfpqEncode(batch: DataFrame, idCol: String, vecCol: String,
+                  cents: DataFrame, codebook: DataFrame,
+                  m: Int = 8): DataFrame =
+    ivfpqResiduals(batch, idCol, vecCol, cents)
+      .select(col("cell"), col("neighbor_id"),
+        explode(subvecs(col("__rv"), m)).as("s"))
+      .select(col("cell"), col("neighbor_id"), col("s.sub").as("sub"),
+        col("s.sv").as("sv"))
+      .join(broadcast(codebook), Seq("sub"))
       .groupBy(col("cell"), col("neighbor_id"), col("sub"))
       .agg(min(struct(intL2(col("sv"), col("cbv")).as("d2"), col("code")))
         .getField("code").as("code"))
+
+  /** Probe-and-ADC-score over pre-encoded index state (the standing
+    * table [[ivfpqEncode]] accretes). Split from [[ivfpqTopK]] so
+    * state persists across ingest batches; `rerankSource` supplies
+    * original vectors when `rerank` > 0. */
+  def ivfpqSearchEncoded(queries: DataFrame, idCol: String,
+                         vecCol: String, encoded: DataFrame,
+                         cents: DataFrame, codebook: DataFrame,
+                         k: Int, nprobe: Int, m: Int = 8,
+                         rerank: Int = 0,
+                         rerankSource: Option[DataFrame] = None)
+      : DataFrame = {
+    val centQ = cents.select(col("cent_id").as("cell"),
+      quantize1e7(col("cent_v")).as("cent_q"))
     // probe: top-nprobe cells per query by centroid cosine (ivf rule)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       VectorExprs.norm(col(vecCol)).as("qn"))
@@ -434,7 +486,9 @@ object Similarity {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           col("approx_d2"))
     else {
-      val c = corpus.select(col(idCol).as("neighbor_id"),
+      val src = rerankSource.getOrElse(throw new IllegalArgumentException(
+        "rerank > 0 needs rerankSource (the original vectors)"))
+      val c = src.select(col(idCol).as("neighbor_id"),
         quantize1e7(col(vecCol)).as("__qv"))
       val qv = queries.select(col(idCol).as("query_id"),
         quantize1e7(col(vecCol)).as("__rqv"))

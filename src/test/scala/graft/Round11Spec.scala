@@ -268,6 +268,78 @@ class Round11Spec extends GraftSuite {
     assert(!byId(4L).getAs[Boolean]("r4_bullets"))
   }
 
+  test("ntileFromRowNum property: random (n, k) pairs agree with window ntile") {
+    import spark.implicits._
+    // seeded random draws (DatePropertySpec discipline): sizes with
+    // remainders in every residue class, k spanning tiny to near-n
+    val rnd = new scala.util.Random(11)
+    val cases = Seq.fill(20) {
+      val k = 2 + rnd.nextInt(30)
+      val n = k + rnd.nextInt(380) // n >= k, the documented domain
+      (n, k)
+    }
+    for ((n, k) <- cases) {
+      val df = (0 until n).toDF("v")
+      val want = df.withColumn("t", ntile(k).over(Window.orderBy($"v")))
+      val got = Layout.globalRowNumber(df, $"v", nParts = 3)
+        .withColumn("t2", Layout.ntileFromRowNum($"row_num", lit(n), k))
+      val diff = want.join(got, "v").filter($"t" =!= $"t2").count()
+      assert(diff == 0L, s"n=$n k=$k: $diff rows disagree")
+    }
+  }
+
+  test("bandsFor/lgkFor properties: sizing rules hold across random inputs") {
+    import graft.operators.Dedup
+    import graft.functions.SketchFns
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val k = Seq(16, 32, 64, 128)(rnd.nextInt(4))
+      val t = 0.05 + rnd.nextDouble() * 0.93
+      val (b, r) = Dedup.bandsFor(t, k)
+      def recall(bb: Int, rr: Int) =
+        1.0 - math.pow(1.0 - math.pow(t, rr), bb)
+      assert(b * r == k, s"budget not fully used: t=$t k=$k -> ($b,$r)")
+      assert(recall(b, r) >= 0.95 || r == 1,
+        s"unqualified non-fallback pick: t=$t k=$k -> ($b,$r)")
+      // maximality: no sharper divisor pair also qualifies
+      val sharper = (r + 1 to k).filter(k % _ == 0)
+        .filter(rr => recall(k / rr, rr) >= 0.95)
+      assert(sharper.isEmpty, s"t=$t k=$k picked r=$r but $sharper qualify")
+    }
+    for (_ <- 1 to 200) {
+      val n = 1L + rnd.nextLong(1L << 40)
+      val o = 1L + rnd.nextLong(n)
+      val lgk = SketchFns.lgkFor(o, n)
+      assert(lgk >= 5 && lgk <= 26)
+      // away from the clamps, k covers the need and overshoots < 2x
+      val needK = math.pow(2 / 0.05, 2) * n / o
+      if (needK >= 32 && needK <= math.pow(2, 26)) {
+        assert((1L << lgk).toDouble >= needK, s"n=$n o=$o lgk=$lgk")
+        assert((1L << lgk).toDouble < 2 * needK, s"n=$n o=$o lgk=$lgk")
+      }
+    }
+  }
+
+  test("ivfpqEncode: incremental batch encode equals full-corpus encode") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    // encode is per-row against FIXED index state, so admitting in two
+    // batches must produce exactly the code rows a one-shot encode
+    // does — the invariant that makes O(|batch|) ingest sound
+    val emb = Tables.load(spark, SparkTestBase.sfDir, "embeddings")
+    val (cents, cb) = Similarity.ivfpqTrain(emb, "vec_id", "embedding",
+      nlist = 4, m = 4, ksub = 8)
+    val full = Similarity.ivfpqEncode(emb, "vec_id", "embedding",
+      cents, cb, m = 4)
+    val inc = Similarity.ivfpqEncode(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", cents, cb, m = 4)
+      .unionByName(Similarity.ivfpqEncode(
+        emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+        cents, cb, m = 4))
+    assert(full.exceptAll(inc).count() == 0L &&
+      inc.exceptAll(full).count() == 0L)
+  }
+
   test("globalPrefixSum: composite desc-struct key matches DESC window order") {
     import spark.implicits._
     // the x86 key shape: struct(-score, id) ascending == (score DESC, id)
