@@ -2972,9 +2972,15 @@ object SparkEntry {
         .filter(length(col("tok")) > 0)
       val perSource = tok.groupBy(col("source"))
         .agg(FreqFns.freqAgg(col("tok"), 1024).as("sk"))
+      // n_sources from the DOCS table (countDistinct — both engines
+      // agree even for token-less or NULL sources; counting ledger
+      // rows instead would silently diverge from the oracle on a
+      // source whose docs are all whitespace)
+      val nSrc = t(s, dir, "documents")
+        .agg(countDistinct(col("source")).as("n_sources"))
       val merged = perSource
-        .agg(FreqFns.freqMergeAgg(col("sk"), 1024).as("sk"),
-          count(lit(1)).as("n_sources"))
+        .agg(FreqFns.freqMergeAgg(col("sk"), 1024).as("sk"))
+        .crossJoin(broadcast(nSrc)) // 1-row scalar idiom
       val top = tok.groupBy(col("tok"))
         .agg(count(lit(1)).as("exact_n"))
         .orderBy(col("exact_n").desc, col("tok").asc).limit(5)
@@ -4956,7 +4962,9 @@ object SparkEntry {
                round(ln((CAST(('0x' || substring(md5(
                    CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
                  / 1152921504606846976.0) / o_totalprice, 12) AS p
-        FROM orders),
+        FROM orders
+        -- mirrors the operator's weight > 0 precondition filter
+        WHERE o_totalprice > 0),
       r AS (
         SELECT stratum, key,
                row_number() OVER (PARTITION BY stratum

@@ -287,23 +287,37 @@ object Similarity {
       .select(col("query_id"), col("sub"), col("code"),
         intL2(col("qsv"), col("cbv")).as("d2"))
     // --- ADC scoring: one sum-aggregation over table-lookup partials -
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_d2").asc, col("neighbor_id").asc)
     val adc = encoded.join(broadcast(dtable), Seq("sub", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("d2")).as("approx_d2"))
-      .withColumn("rank", row_number().over(w))
+    rankAndRerank(adc, queries, idCol, vecCol, k, rerank, Some(corpus))
+  }
+
+  /** Shared tail of [[pqTopK]] and [[ivfpqSearchEncoded]]: rank
+    * (query_id, neighbor_id, approx_d2) ADC scores per query; when
+    * `rerank` > 0 run the standard two-stage refinement — the
+    * code-only scan shortlists `rerank` candidates per query, then
+    * ONLY those |q|·rerank rows fetch their full vectors (from
+    * `rerankSource`) for an exact integer-L2² re-score. At 100 TB the
+    * exact pass touches a vanishing fraction of the store while
+    * recall approaches exact search. */
+  private def rankAndRerank(adc0: DataFrame, queries: DataFrame,
+                            idCol: String, vecCol: String,
+                            k: Int, rerank: Int,
+                            rerankSource: Option[DataFrame]): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2").asc, col("neighbor_id").asc)
+    val adc = adc0.withColumn("rank", row_number().over(w))
     if (rerank <= 0)
       adc.filter(col("rank") <= k)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           col("approx_d2"))
     else {
-      // standard two-stage ADC+rerank: the code-only scan shortlists
-      // `rerank` candidates per query, then ONLY those |q|·rerank rows
-      // fetch their full vectors for an exact integer-L2² re-score —
-      // at 100 TB the exact pass touches a vanishing fraction of the
-      // store while recall approaches exact search.
+      val src = rerankSource.getOrElse(throw new IllegalArgumentException(
+        "rerank > 0 needs rerankSource (the original vectors)"))
+      val c = src.select(col(idCol).as("neighbor_id"),
+        quantize1e7(col(vecCol)).as("__qv"))
       val qv = queries.select(col(idCol).as("query_id"),
         quantize1e7(col(vecCol)).as("__rqv"))
       val w2 = Window.partitionBy(col("query_id"))
@@ -403,15 +417,19 @@ object Similarity {
                  coarseIters: Int = 0, pqIters: Int = 0)
       : (DataFrame, DataFrame) = {
     val cents = ivfTrain(corpus, idCol, vecCol, nlist, coarseIters)
-    val resid = ivfpqResiduals(corpus, idCol, vecCol, cents)
-    val residSub0 = resid
+    // trained paths consume the RESIDUALS (the full-corpus assign +
+    // subtract pass) once for the seed draw plus pqIters refine
+    // passes — truncate that lineage ONCE at the residual grain, so
+    // neither the seed subtree nor any Lloyd step re-runs the assign
+    // (re-exploding subvectors from the checkpoint is cheap; the
+    // assign is not). Untrained path consumes residuals once (seeds)
+    // and skips the materialization.
+    val resid0 = ivfpqResiduals(corpus, idCol, vecCol, cents)
+    val resid = if (pqIters > 0) resid0.localCheckpoint(true) else resid0
+    val residSub = resid
       .select(col("neighbor_id"), explode(subvecs(col("__rv"), m)).as("s"))
       .select(col("neighbor_id"), col("s.sub").as("sub"),
         col("s.sv").as("sv"))
-    // trained paths consume the exploded residuals pqIters times —
-    // same lineage-truncation discipline as pqTopK
-    val residSub =
-      if (pqIters > 0) residSub0.localCheckpoint(true) else residSub0
     val seedW = Window.orderBy(col("__h"), col("neighbor_id"))
     val seeds = resid.withColumn("__h", xxhash64(col("neighbor_id")))
       .orderBy(col("__h"), col("neighbor_id")).limit(ksub)
@@ -474,36 +492,11 @@ object Similarity {
       .join(broadcast(codebook), Seq("sub"))
       .select(col("query_id"), col("cell"), col("sub"), col("code"),
         intL2(col("qsv"), col("cbv")).as("d2"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_d2").asc, col("neighbor_id").asc)
     val adc = encoded.join(broadcast(dtable), Seq("cell", "sub", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("d2")).as("approx_d2"))
-      .withColumn("rank", row_number().over(w))
-    if (rerank <= 0)
-      adc.filter(col("rank") <= k)
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          col("approx_d2"))
-    else {
-      val src = rerankSource.getOrElse(throw new IllegalArgumentException(
-        "rerank > 0 needs rerankSource (the original vectors)"))
-      val c = src.select(col(idCol).as("neighbor_id"),
-        quantize1e7(col(vecCol)).as("__qv"))
-      val qv = queries.select(col(idCol).as("query_id"),
-        quantize1e7(col(vecCol)).as("__rqv"))
-      val w2 = Window.partitionBy(col("query_id"))
-        .orderBy(col("exact_d2").asc, col("neighbor_id").asc)
-      adc.filter(col("rank") <= rerank)
-        .select(col("query_id"), col("neighbor_id"))
-        .join(c, Seq("neighbor_id"))
-        .join(broadcast(qv), Seq("query_id"))
-        .withColumn("exact_d2", intL2(col("__rqv"), col("__qv")))
-        .withColumn("rank", row_number().over(w2))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          col("exact_d2").as("approx_d2"))
-    }
+    rankAndRerank(adc, queries, idCol, vecCol, k, rerank, rerankSource)
   }
 
   /** Exact fixed-point L2² top-k (ascending distance, ties → ascending

@@ -664,6 +664,39 @@ object Streams {
           col("est"), 0.05).as("est_within_5pct"))
   }
 
+  /** Stage `<sfDir>/<table>.parquet` under `target/qtmp/<stageName>`
+    * as one file (`splitFiles` ≤ 1) or that many modulo-of-`keyCol`
+    * split files, and return the file stream reading it one file per
+    * trigger — the multi-micro-batch proof pattern the ledger streams
+    * (st15/st16/st17) share: N files ⇒ N micro-batches, so a spec can
+    * assert ledger state is batching-invariant. */
+  private def stagedFileStream(spark: SparkSession, sfDir: String,
+                               table: String, keyCol: String,
+                               stageName: String,
+                               splitFiles: Int): DataFrame = {
+    val stage = new java.io.File(s"target/qtmp/$stageName")
+    org.apache.commons.io.FileUtils.deleteQuietly(stage)
+    stage.mkdirs()
+    if (splitFiles <= 1)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/$table.parquet"),
+        java.nio.file.Paths.get(stage.getAbsolutePath, s"$table.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else {
+      val src = spark.read.parquet(s"$sfDir/$table.parquet")
+      (0 until splitFiles).foreach { i =>
+        src.filter(col(keyCol) % splitFiles === i).coalesce(1)
+          .write.mode("overwrite")
+          .parquet(new java.io.File(stage, s"part$i").getAbsolutePath)
+      }
+    }
+    val schema = spark.read.parquet(s"$sfDir/$table.parquet").schema
+    val reader = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+    if (splitFiles <= 1) reader.parquet(stage.getAbsolutePath)
+    else reader.parquet(stage.getAbsolutePath + "/part*")
+  }
+
   /** Streaming m9: per-micro-batch KLL sketches of order totalprice
     * fold into a per-day parquet ledger (st13's shape with quantile
     * state). KLL merge is associative with proven rank-error bounds,
@@ -682,32 +715,11 @@ object Streams {
           org.apache.spark.sql.types.DateType),
         org.apache.spark.sql.types.StructField("sk",
           org.apache.spark.sql.types.BinaryType))))
-    // splitFiles > 1: stage the source as that many files and feed one
-    // per trigger — the spec's multi-micro-batch proof that ledger
+    // splitFiles > 1: the spec's multi-micro-batch proof that ledger
     // state is batching-invariant (KLL merge associativity), not an
     // artifact of single-batch AvailableNow delivery
-    val stage = new java.io.File("target/qtmp/st15_src")
-    org.apache.commons.io.FileUtils.deleteQuietly(stage)
-    stage.mkdirs()
-    if (splitFiles <= 1)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$sfDir/orders.parquet"),
-        java.nio.file.Paths.get(stage.getAbsolutePath, "orders.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    else {
-      val src = spark.read.parquet(s"$sfDir/orders.parquet")
-      (0 until splitFiles).foreach { i =>
-        src.filter(col("o_orderkey") % splitFiles === i).coalesce(1)
-          .write.mode("overwrite")
-          .parquet(new java.io.File(stage, s"part$i").getAbsolutePath)
-      }
-    }
-    val schema = spark.read.parquet(s"$sfDir/orders.parquet").schema
-    val reader = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-    val src = if (splitFiles <= 1) reader.parquet(stage.getAbsolutePath)
-      else reader.parquet(stage.getAbsolutePath + "/part*")
-    val q = src
+    val q = stagedFileStream(spark, sfDir, "orders", "o_orderkey",
+        "st15_src", splitFiles)
       .select(col("o_orderdate").cast("date").as("d"),
         col("o_totalprice").cast("double").as("v"))
       .writeStream
@@ -769,32 +781,11 @@ object Streams {
     val target = new java.io.File("target/qtmp/st16_target")
     org.apache.commons.io.FileUtils.deleteQuietly(target)
     val path = target.getAbsolutePath
-    val stage = new java.io.File("target/qtmp/st16_src")
-    org.apache.commons.io.FileUtils.deleteQuietly(stage)
-    stage.mkdirs()
-    if (splitFiles <= 1)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$sfDir/orders.parquet"),
-        java.nio.file.Paths.get(stage.getAbsolutePath, "orders.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    else {
-      val src = spark.read.parquet(s"$sfDir/orders.parquet")
-      (0 until splitFiles).foreach { i =>
-        src.filter(col("o_orderkey") % splitFiles === i).coalesce(1)
-          .write.mode("overwrite")
-          .parquet(new java.io.File(stage, s"part$i").getAbsolutePath)
-      }
-    }
-    val schema = spark.read.parquet(s"$sfDir/orders.parquet").schema
     graft.operators.Mutations.seedEmptyLedger(spark, path,
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      spark.read.parquet(s"$sfDir/orders.parquet")
         .select(ledgerCols: _*).schema)
-    val reader = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-    val src = if (splitFiles <= 1) reader.parquet(stage.getAbsolutePath)
-      else reader.parquet(stage.getAbsolutePath + "/part*")
-    val q = src
+    val q = stagedFileStream(spark, sfDir, "orders", "o_orderkey",
+        "st16_src", splitFiles)
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -846,28 +837,8 @@ object Streams {
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("sk",
           org.apache.spark.sql.types.BinaryType))))
-    val stage = new java.io.File("target/qtmp/st17_src")
-    org.apache.commons.io.FileUtils.deleteQuietly(stage)
-    stage.mkdirs()
-    if (splitFiles <= 1)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
-        java.nio.file.Paths.get(stage.getAbsolutePath, "documents.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    else {
-      val src = spark.read.parquet(s"$sfDir/documents.parquet")
-      (0 until splitFiles).foreach { i =>
-        src.filter(col("doc_id") % splitFiles === i).coalesce(1)
-          .write.mode("overwrite")
-          .parquet(new java.io.File(stage, s"part$i").getAbsolutePath)
-      }
-    }
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    val reader = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-    val src = if (splitFiles <= 1) reader.parquet(stage.getAbsolutePath)
-      else reader.parquet(stage.getAbsolutePath + "/part*")
-    val q = src
+    val q = stagedFileStream(spark, sfDir, "documents", "doc_id",
+        "st17_src", splitFiles)
       .select(col("source"), explode(toks).as("tok"))
       .filter(length(col("tok")) > 0)
       .writeStream
@@ -885,10 +856,15 @@ object Streams {
       .start()
     q.awaitTermination()
     // x89's contract, answered FROM the ledger: merged corpus sketch
-    // bounds must contain the exactly-computed top-5 token counts
+    // bounds must contain the exactly-computed top-5 token counts.
+    // n_sources from the docs table (countDistinct) — x89's oracle
+    // alignment note: ledger-row counting diverges on token-less
+    // sources
+    val nSrc = graft.Tables.load(spark, sfDir, "documents")
+      .agg(countDistinct(col("source")).as("n_sources"))
     val merged = spark.read.parquet(path)
-      .agg(FreqFns.freqMergeAgg(col("sk"), 1024).as("sk"),
-        count(lit(1)).as("n_sources"))
+      .agg(FreqFns.freqMergeAgg(col("sk"), 1024).as("sk"))
+      .crossJoin(broadcast(nSrc)) // 1-row scalar idiom
     val tok = graft.Tables.load(spark, sfDir, "documents")
       .select(explode(toks).as("tok"))
       .filter(length(col("tok")) > 0)

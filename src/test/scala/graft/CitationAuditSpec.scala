@@ -25,8 +25,11 @@ class CitationAuditSpec extends AnyFunSuite {
 
   private def walk(root: Path): Seq[Path] =
     if (!Files.exists(root)) Seq.empty
-    else Files.walk(root).iterator().asScala.filter(Files.isRegularFile(_))
-      .toSeq
+    else {
+      val s = Files.walk(root)
+      try s.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+      finally s.close()
+    }
 
   test("every path:line citation in main sources resolves to a real file+line") {
     val refFiles = walk(Paths.get("/root/reference"))
@@ -36,13 +39,19 @@ class CitationAuditSpec extends AnyFunSuite {
         s.contains("/spark-warehouse/")
     }
     val candidates = refFiles ++ repoFiles
+    // byte-level newline count: immune to encoding (Files.lines throws
+    // on invalid UTF-8), and an UNREADABLE file counts as 0 lines so a
+    // citation into it FAILS rather than silently resolving — the
+    // fail-open Long.MaxValue fallback would defeat the spec's purpose
     val lineCount = scala.collection.mutable.Map.empty[Path, Long]
     def linesOf(p: Path): Long = lineCount.getOrElseUpdate(p,
-      try Files.lines(p).count() catch { case _: Exception => Long.MaxValue })
+      try {
+        val bytes = Files.readAllBytes(p)
+        1L + bytes.count(_ == '\n'.toByte)
+      } catch { case _: Exception => 0L })
 
     val srcRoot = Paths.get("/root/repo/src/main/scala")
-    val sources = Files.walk(srcRoot).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala")).toSeq
+    val sources = walk(srcRoot).filter(_.toString.endsWith(".scala"))
     assert(sources.nonEmpty)
 
     val dangling = sources.flatMap { src =>
