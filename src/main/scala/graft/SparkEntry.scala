@@ -440,13 +440,13 @@ object SparkEntry {
       // exact ntile(20) semantics WITHOUT the single-partition ORDER BY
       // window: p20's range-exchange global numbering + the closed-form
       // remainder-first bucket function (Layout.ntileFromRowNum). The
-      // only global window left touches ≤32 partition-offset rows.
-      val numbered = Layout.globalRowNumber(t(s, dir, "orders"),
-        col("o_orderkey"))
-      val tot = numbered.agg(count(lit(1)).as("__total"))
-      numbered.crossJoin(broadcast(tot)) // 1-row scalar idiom
+      // only global windows left touch ≤32 partition-offset rows —
+      // including the row total, which rides the same metadata window
+      // (keepTotal) instead of a second pass over the data.
+      Layout.globalRowNumber(t(s, dir, "orders"),
+          col("o_orderkey"), keepTotal = true)
         .withColumn("batch",
-          Layout.ntileFromRowNum(col("row_num"), col("__total"), 20))
+          Layout.ntileFromRowNum(col("row_num"), col("total"), 20))
         .groupBy(col("batch"))
         .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("first_key"))
         .orderBy(col("batch"))
@@ -2538,14 +2538,14 @@ object SparkEntry {
         col("doc_id"), col("text"))
       // ntile(3) over (avg_logp DESC, id) via the range-exchange global
       // numbering — struct(-score, id) ascending IS that sort order, the
-      // same key encoding x67 uses; no data-grain global window remains
-      val numbered = Layout.globalRowNumber(scored,
-        struct((-col("avg_logp")).as("negp"), col("id").as("id")))
-      val tot = numbered.agg(count(lit(1)).as("__total"))
-      numbered.crossJoin(broadcast(tot)) // 1-row scalar idiom
+      // same key encoding x67 uses; no data-grain global window remains,
+      // and the doc total rides the metadata offsets window (keepTotal)
+      Layout.globalRowNumber(scored,
+          struct((-col("avg_logp")).as("negp"), col("id").as("id")),
+          keepTotal = true)
         .withColumn("bucket",
           element_at(array(lit("head"), lit("middle"), lit("tail")),
-            Layout.ntileFromRowNum(col("row_num"), col("__total"), 3)))
+            Layout.ntileFromRowNum(col("row_num"), col("total"), 3)))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_toks")).as("n_tokens"),
@@ -2914,11 +2914,14 @@ object SparkEntry {
       import graft.functions.SketchFns
       val toks = split(trim(regexp_replace(lower(col("text")),
         "\\s+", " ")), " ")
-      val nMaxUpper = t(s, dir, "documents")
-        .select(col("source"), (size(toks) - 4).as("ng"))
-        .filter(col("ng") > 0)
-        .groupBy(col("source")).agg(sum(col("ng")).as("ng"))
-        .agg(max(col("ng")).as("m")).collect()(0).getLong(0)
+      // degenerate-corpus guard: with no doc reaching 5 tokens the max
+      // aggregates to NULL — size for a minimal sketch instead of NPE
+      val nMaxUpper = Option(t(s, dir, "documents")
+          .select(col("source"), (size(toks) - 4).as("ng"))
+          .filter(col("ng") > 0)
+          .groupBy(col("source")).agg(sum(col("ng")).as("ng"))
+          .agg(max(col("ng")).as("m")).collect()(0).get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(1L)
       val lgk = SketchFns.lgkFor(minOverlap = 1600,
         maxDistinct = nMaxUpper)
       val grams = t(s, dir, "documents")
@@ -2965,31 +2968,23 @@ object SparkEntry {
       // scaladoc spells out the discipline; the exact-regime hash
       // equivalence is spec-pinned in Round11Spec)
       import graft.functions.FreqFns
+      val docs = t(s, dir, "documents")
       val toks = split(trim(regexp_replace(lower(col("text")),
         "\\s+", " ")), " ")
-      val tok = t(s, dir, "documents")
+      val perSource = docs
         .select(col("source"), explode(toks).as("tok"))
         .filter(length(col("tok")) > 0)
-      val perSource = tok.groupBy(col("source"))
+        .groupBy(col("source"))
         .agg(FreqFns.freqAgg(col("tok"), 1024).as("sk"))
       // n_sources from the DOCS table (countDistinct — both engines
       // agree even for token-less or NULL sources; counting ledger
       // rows instead would silently diverge from the oracle on a
       // source whose docs are all whitespace)
-      val nSrc = t(s, dir, "documents")
-        .agg(countDistinct(col("source")).as("n_sources"))
+      val nSrc = docs.agg(countDistinct(col("source")).as("n_sources"))
       val merged = perSource
         .agg(FreqFns.freqMergeAgg(col("sk"), 1024).as("sk"))
         .crossJoin(broadcast(nSrc)) // 1-row scalar idiom
-      val top = tok.groupBy(col("tok"))
-        .agg(count(lit(1)).as("exact_n"))
-        .orderBy(col("exact_n").desc, col("tok").asc).limit(5)
-      top.crossJoin(broadcast(merged)) // 1-row scalar idiom
-        .select(col("tok").as("token"), col("exact_n"), col("n_sources"),
-          (FreqFns.freqLowerBound(col("sk"), col("tok")) <= col("exact_n")
-            && col("exact_n") <= FreqFns.freqUpperBound(col("sk"),
-              col("tok"))).as("bounds_ok"))
-        .orderBy(col("token"))
+      TextOps.freqBoundsContract(docs, merged).orderBy(col("token"))
     }),
 
     "x85_source_quantiles" -> ((s, dir) => {
@@ -3326,17 +3321,19 @@ object SparkEntry {
       // of TOKENS, not docs). The cumulative token sum rides the
       // range-partitioned count-and-offset prefix (Layout.
       // globalPrefixSum) — one range exchange plus ≤32 metadata
-      // offset rows, never a single-partition window over doc rows.
-      // Score ties break by doc_id so both engines phase identically.
+      // offset rows, never a single-partition window over doc rows;
+      // the grand token total rides the same metadata window
+      // (keepTotal) instead of re-running qualityFeatures for a
+      // scalar. Score ties break by doc_id so both engines phase
+      // identically.
       val q = TextOps.qualityFeatures(t(s, dir, "documents"),
         col("doc_id"), col("text"))
-      val tot = q.agg(sum(col("n_tokens")).as("total_tokens"))
       Layout.globalPrefixSum(q, col("n_tokens"),
-          struct((-col("quality_score")).as("negq"), col("id").as("id")))
-        .crossJoin(broadcast(tot)) // 1-row scalar idiom
+          struct((-col("quality_score")).as("negq"), col("id").as("id")),
+          keepTotal = true)
         .withColumn("phase",
-          when(col("cum") * 3 <= col("total_tokens"), 1)
-            .when(col("cum") * 3 <= col("total_tokens") * 2, 2)
+          when(col("cum") * 3 <= col("total"), 1)
+            .when(col("cum") * 3 <= col("total") * 2, 2)
             .otherwise(3))
         .groupBy(col("phase"))
         .agg(count(lit(1)).as("n_docs"),

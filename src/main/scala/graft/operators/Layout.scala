@@ -43,7 +43,31 @@ object Layout {
     * pass (executor storage); at extreme scale the storage-free
     * alternative is the RDD `zipWithIndex` formulation of the same
     * count-and-offset algorithm. */
-  def globalRowNumber(df: DataFrame, key: Column, nParts: Int = 0): DataFrame = {
+  def globalRowNumber(df: DataFrame, key: Column, nParts: Int = 0,
+                      keepTotal: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (parts, offsets) = rangeOffsets(df, key, nParts, count(lit(1)))
+    val w = Window.partitionBy(col("__pid")).orderBy(key)
+    val out = parts.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("row_num",
+        row_number().over(w).cast(LongType) + col("__offset") - 1L)
+      .drop("__pid", "__offset")
+    if (keepTotal) out.withColumnRenamed("__total", "total")
+    else out.drop("__total")
+  }
+
+  /** Shared count-and-offset core of [[globalRowNumber]] and
+    * [[globalPrefixSum]]: range-partition on `key`, pin the partition
+    * id with a `localCheckpoint` (see globalRowNumber's scaladoc for
+    * the AQE re-plan race this prevents), aggregate `perPid` per
+    * partition, and derive each partition's EXCLUSIVE prefix offset —
+    * plus the grand total, attached for free by a second window over
+    * the same ≤ numPartitions metadata rows (callers that need the
+    * total would otherwise pay a second pass over the checkpointed
+    * data). Returns (checkpointed parts, broadcastable offsets with
+    * __pid/__offset/__total). */
+  private def rangeOffsets(df: DataFrame, key: Column, nParts: Int,
+                           perPid: Column): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val n = if (nParts > 0) nParts
             else df.sparkSession.sparkContext.defaultParallelism
@@ -51,16 +75,16 @@ object Layout {
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
     val offsets = parts.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("__n"))
+      .agg(perPid.as("__n"))
       .withColumn("__offset",
         coalesce(sum(col("__n")).over(Window.orderBy(col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid"), col("__offset"))
-    val w = Window.partitionBy(col("__pid")).orderBy(key)
-    parts.join(broadcast(offsets), Seq("__pid"))
-      .withColumn("row_num",
-        row_number().over(w).cast(LongType) + col("__offset") - 1L)
-      .drop("__pid", "__offset")
+      .withColumn("__total",
+        sum(col("__n")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .select(col("__pid"), col("__offset"), col("__total"))
+    (parts, offsets)
   }
 
   /** Exact SQL `ntile(k)` semantics from a 0-based global row number
@@ -102,24 +126,18 @@ object Layout {
     * `cum` (LongType). Same key contract and `localCheckpoint`
     * partition-id pinning as globalRowNumber. */
   def globalPrefixSum(df: DataFrame, value: Column, key: Column,
-                      nParts: Int = 0): DataFrame = {
+                      nParts: Int = 0,
+                      keepTotal: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = if (nParts > 0) nParts
-            else df.sparkSession.sparkContext.defaultParallelism
-    val parts = df.repartitionByRange(n, key)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val offsets = parts.groupBy(col("__pid"))
-      .agg(sum(value.cast(LongType)).as("__s"))
-      .withColumn("__offset",
-        coalesce(sum(col("__s")).over(Window.orderBy(col("__pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid"), col("__offset"))
+    val (parts, offsets) =
+      rangeOffsets(df, key, nParts, sum(value.cast(LongType)))
     val w = Window.partitionBy(col("__pid")).orderBy(key)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parts.join(broadcast(offsets), Seq("__pid"))
+    val out = parts.join(broadcast(offsets), Seq("__pid"))
       .withColumn("cum", sum(value.cast(LongType)).over(w) + col("__offset"))
       .drop("__pid", "__offset")
+    if (keepTotal) out.withColumnRenamed("__total", "total")
+    else out.drop("__total")
   }
 
   /** Morton (Z-order) bit-interleave of two columns clamped to

@@ -112,6 +112,30 @@ object TextOps {
         col("r6_alpha") && col("r7_stopwords"))
   }
 
+  /** The heavy-hitter ledger CONTRACT shared by its batch (x89) and
+    * streaming (st17) twins: probe the exactly-computed top-5 corpus
+    * tokens against a merged frequent-items sketch's deterministic
+    * lb ≤ true ≤ ub bounds. `merged` is one row of (sk binary,
+    * n_sources) — produced by a batch aggregation or read back from
+    * the streaming ledger; sharing this tail is what guarantees the
+    * two twins can never silently diverge in tokenizer, tie-break, or
+    * flag definition. */
+  def freqBoundsContract(docs: DataFrame, merged: DataFrame): DataFrame = {
+    import graft.functions.FreqFns
+    val toks = split(trim(regexp_replace(lower(col("text")),
+      "\\s+", " ")), " ")
+    val tok = docs.select(explode(toks).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val top = tok.groupBy(col("tok"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok").asc).limit(5)
+    top.crossJoin(broadcast(merged)) // 1-row scalar idiom
+      .select(col("tok").as("token"), col("exact_n"), col("n_sources"),
+        (FreqFns.freqLowerBound(col("sk"), col("tok")) <= col("exact_n")
+          && col("exact_n") <= FreqFns.freqUpperBound(col("sk"),
+            col("tok"))).as("bounds_ok"))
+  }
+
   /** Token counts, whitespace + BPE-ish. */
   def tokenCounts(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("id"),

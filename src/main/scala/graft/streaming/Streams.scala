@@ -855,27 +855,17 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // x89's contract, answered FROM the ledger: merged corpus sketch
-    // bounds must contain the exactly-computed top-5 token counts.
-    // n_sources from the docs table (countDistinct) — x89's oracle
-    // alignment note: ledger-row counting diverges on token-less
-    // sources
-    val nSrc = graft.Tables.load(spark, sfDir, "documents")
-      .agg(countDistinct(col("source")).as("n_sources"))
+    // x89's contract, answered FROM the ledger — the SAME
+    // TextOps.freqBoundsContract tail as the batch twin, so tokenizer,
+    // tie-break, and flag definition can never silently diverge.
+    // n_sources via countDistinct over docs (x89's oracle alignment
+    // note: ledger-row counting diverges on token-less sources).
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val nSrc = docs.agg(countDistinct(col("source")).as("n_sources"))
     val merged = spark.read.parquet(path)
       .agg(FreqFns.freqMergeAgg(col("sk"), 1024).as("sk"))
       .crossJoin(broadcast(nSrc)) // 1-row scalar idiom
-    val tok = graft.Tables.load(spark, sfDir, "documents")
-      .select(explode(toks).as("tok"))
-      .filter(length(col("tok")) > 0)
-    val top = tok.groupBy(col("tok"))
-      .agg(count(lit(1)).as("exact_n"))
-      .orderBy(col("exact_n").desc, col("tok").asc).limit(5)
-    top.crossJoin(broadcast(merged)) // 1-row scalar idiom
-      .select(col("tok").as("token"), col("exact_n"), col("n_sources"),
-        (FreqFns.freqLowerBound(col("sk"), col("tok")) <= col("exact_n")
-          && col("exact_n") <= FreqFns.freqUpperBound(col("sk"),
-            col("tok"))).as("bounds_ok"))
+    graft.operators.TextOps.freqBoundsContract(docs, merged)
   }
 
   /** One (band, key) posting of a streamed doc's simhash fingerprint. */

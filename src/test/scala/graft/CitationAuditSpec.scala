@@ -32,8 +32,13 @@ class CitationAuditSpec extends AnyFunSuite {
     }
 
   test("every path:line citation in main sources resolves to a real file+line") {
+    // repo root from the forked test JVM's cwd (sbt forks with cwd =
+    // repo root) so the suite is not bound to one checkout path; the
+    // reference corpus location is an environment contract and stays
+    // absolute
+    val repoRoot = Paths.get(sys.props("user.dir"))
     val refFiles = walk(Paths.get("/root/reference"))
-    val repoFiles = walk(Paths.get("/root/repo")).filterNot { p =>
+    val repoFiles = walk(repoRoot).filterNot { p =>
       val s = p.toString
       s.contains("/target/") || s.contains("/.git/") ||
         s.contains("/spark-warehouse/")
@@ -50,7 +55,7 @@ class CitationAuditSpec extends AnyFunSuite {
         1L + bytes.count(_ == '\n'.toByte)
       } catch { case _: Exception => 0L })
 
-    val srcRoot = Paths.get("/root/repo/src/main/scala")
+    val srcRoot = repoRoot.resolve("src/main/scala")
     val sources = walk(srcRoot).filter(_.toString.endsWith(".scala"))
     assert(sources.nonEmpty)
 
