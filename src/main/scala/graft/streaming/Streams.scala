@@ -702,7 +702,15 @@ object Streams {
     * state). KLL merge is associative with proven rank-error bounds,
     * so the final ledger state is micro-batch-boundary-invariant and
     * the post-ledger rank contract is m9's — any date-range quantile
-    * query then reads ledger rows, never history. */
+    * query then reads ledger rows, never history.
+    *
+    * Replay caveat (honest limit, shared with st17): foreachBatch is
+    * at-least-once under restart, and merging the same delta sketch
+    * twice doubles its stream weight (quantiles degrade gracefully —
+    * duplicated mass is uniform — but the weight is wrong). A
+    * production restartable deployment keys the upsert by batchId
+    * (st11's idempotence pattern); the AvailableNow single-run form
+    * here never replays. */
   def streamKllLedger(spark: SparkSession, sfDir: String,
                       splitFiles: Int = 1): DataFrame = {
     import graft.functions.SketchFns
@@ -769,7 +777,13 @@ object Streams {
     * aggregation still moves k-bounded heap state through the
     * exchange via TopKAgg's spill serializer. `splitFiles` stages the
     * source as N files fed one per trigger — the multi-micro-batch
-    * proof (st15's pattern). Shares w3/w11's oracle. */
+    * proof (st15's pattern). Shares w3/w11's oracle.
+    *
+    * Replay semantics: foreachBatch is AT-LEAST-ONCE under restart;
+    * this ledger is replay-IDEMPOTENT by algebra — top-k(L ∪ B ∪ B) =
+    * top-k(L ∪ B) — so redelivery of a batch cannot corrupt state
+    * (contrast st15/st17, whose sketch merges double-count on replay
+    * and need st11's batchId-keyed upsert for production restart). */
   def streamTopK(spark: SparkSession, sfDir: String,
                  splitFiles: Int = 1): DataFrame = {
     import graft.functions.TopKAgg
@@ -821,7 +835,18 @@ object Streams {
     * where raw estimates are not — which is exactly why the final
     * answer (x89's shape) gates on bounds, not estimates. `splitFiles`
     * stages the source as N files fed one per trigger (st15's
-    * multi-micro-batch proof pattern). */
+    * multi-micro-batch proof pattern).
+    *
+    * Replay caveat (honest limit, same as st15): foreachBatch is
+    * at-least-once under restart, and merging the SAME delta sketch
+    * twice double-counts its stream weight — enough to push the
+    * sketch's lower bound above the true single-delivery count and
+    * fail the bounds contract. A production restartable deployment
+    * keys the ledger upsert by batchId (st11's idempotence pattern:
+    * overwrite-the-batch-partition, never merge-again); the
+    * AvailableNow single-run form here never replays. st16's top-k
+    * ledger does NOT share this caveat — its merge is idempotent by
+    * algebra. */
   def streamFreqLedger(spark: SparkSession, sfDir: String,
                        splitFiles: Int = 1): DataFrame = {
     import graft.functions.FreqFns

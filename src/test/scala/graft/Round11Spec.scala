@@ -340,6 +340,34 @@ class Round11Spec extends GraftSuite {
       inc.exceptAll(full).count() == 0L)
   }
 
+  test("ivfpq index state survives a parquet round-trip bit-exactly") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    // the "standing index" claim made concrete: definition (centroids +
+    // codebook) and state (code rows) write to parquet, read back, and
+    // searching the reloaded index returns exactly the in-memory result
+    // — float-array and code fidelity through the storage format
+    val emb = Tables.load(spark, SparkTestBase.sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val (cents, cb) = Similarity.ivfpqTrain(emb, "vec_id", "embedding",
+      nlist = 4, m = 4, ksub = 8, pqIters = 1)
+    val encoded = Similarity.ivfpqEncode(emb, "vec_id", "embedding",
+      cents, cb, m = 4)
+    val dir = new java.io.File("target/qtmp/r11_ivfpq_state")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    cents.write.parquet(s"$dir/cents")
+    cb.write.parquet(s"$dir/cb")
+    encoded.write.parquet(s"$dir/encoded")
+    val want = Similarity.ivfpqSearchEncoded(q, "vec_id", "embedding",
+      encoded, cents, cb, k = 3, nprobe = 2, m = 4)
+    val got = Similarity.ivfpqSearchEncoded(q, "vec_id", "embedding",
+      spark.read.parquet(s"$dir/encoded"),
+      spark.read.parquet(s"$dir/cents"),
+      spark.read.parquet(s"$dir/cb"), k = 3, nprobe = 2, m = 4)
+    assert(want.exceptAll(got).count() == 0L &&
+      got.exceptAll(want).count() == 0L)
+  }
+
   test("globalPrefixSum: composite desc-struct key matches DESC window order") {
     import spark.implicits._
     // the x86 key shape: struct(-score, id) ascending == (score DESC, id)
