@@ -3541,6 +3541,44 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
+    "e2e_webcorpus" -> ((s, dir) => {
+      // FineWeb-style web-corpus construction as ONE declarative plan,
+      // composing the round-5 tiers end-to-end: Gopher heuristics
+      // (x91) gate documents, exact dedup keeps each fingerprint's
+      // canonical doc, the bigram LM (x90) ranks what survives and the
+      // better-ordered HALF is kept via the range-exchange global
+      // numbering (rank cut, no data-grain global window), and the
+      // survivors interleave into token-balanced shards (x67's LPT
+      // pattern). Output is the per-shard audit pane. Every stage is
+      // lazy — Catalyst fuses the whole pipeline; the only
+      // materializations are the two numbering checkpoints.
+      val docs = t(s, dir, "documents")
+      val pass = TextOps.gopherRules(docs, col("doc_id"), col("text"))
+        .filter(col("pass")).select(col("id"))
+      val canon = docs
+        .select(col("doc_id"), ColFns.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("id"))
+        .select(col("id"))
+      val scored = TextOps.bigramLogProb(docs, col("doc_id"), col("text"))
+      val kept = scored.join(pass, "id").join(canon, "id")
+      val cut = Layout.globalRowNumber(kept,
+          struct((-col("avg_logp2")).as("nlp"), col("id").as("i")),
+          keepTotal = true)
+        .filter(col("row_num") * 2 < col("total"))
+        .drop("row_num", "total")
+      val toks = docs.select(col("doc_id").as("id"),
+        ColFns.tokenCount(col("text")).as("n_toks"))
+      Layout.globalRowNumber(cut.join(toks, "id"),
+          struct((-col("n_toks")).as("nt"), col("id").as("i2")))
+        .withColumn("shard", col("row_num") % 4)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          round(sum(col("avg_logp2").cast("decimal(18,4)"))
+            .cast(DoubleType) / count(lit(1)), 4).as("mean_logp2"))
+        .orderBy(col("shard"))
+    }),
+
     "e2e_llm_corpus" -> ((s, dir) => {
       // the LLM-corpus pipeline end-to-end, composed from the library:
       // quality filter (x34 rules) → exact-dedup canonical cut (x1) →
@@ -7008,6 +7046,90 @@ object SparkEntry {
              CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
                AS n_tokens
       FROM documents GROUP BY 1 ORDER BY shard""",
+
+    "e2e_webcorpus" -> """
+      WITH gd AS (
+        SELECT doc_id AS id, text,
+               list_filter(regexp_extract_all(lower(text), '\S+'),
+                 x -> len(x) > 0) AS w,
+               list_filter(list_transform(string_split(text, chr(10)),
+                 l -> trim(l)), l -> len(l) > 0) AS lines
+        FROM documents),
+      gm AS (
+        SELECT id, len(w) AS nw, len(lines) AS nl,
+               CAST(length(regexp_replace(text, '\s+', '', 'g'))
+                 AS DOUBLE) AS nonws,
+               length(text) - length(replace(text, '#', '')) AS nhash,
+               (length(text) -
+                 length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3
+                 AS nell,
+               len(list_filter(lines,
+                 l -> regexp_matches(l, '^[-*•]'))) AS nbullet,
+               len(list_filter(lines,
+                 l -> regexp_matches(l, '(\.\.\.|…)$'))) AS nellline,
+               len(list_filter(w,
+                 x -> regexp_matches(x, '[a-z]'))) AS nalpha,
+               len(list_filter(['the','be','to','of','and','that',
+                 'have','with'], s -> list_contains(w, s))) AS stophits
+        FROM gd),
+      gpass AS (
+        SELECT id FROM gm
+        WHERE nw >= 50 AND nw <= 100000
+          AND nw > 0 AND nonws / nw >= 3.0 AND nonws / nw <= 10.0
+          AND (nhash + nell) / nw <= 0.1
+          AND (nl = 0 OR CAST(nbullet AS DOUBLE) / nl < 0.9)
+          AND (nl = 0 OR CAST(nellline AS DOUBLE) / nl < 0.3)
+          AND CAST(nalpha AS DOUBLE) / nw >= 0.8
+          AND stophits >= 2),
+      canon AS (
+        SELECT MIN(doc_id) AS id FROM (
+          SELECT doc_id,
+                 md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                   AS fp
+          FROM documents)
+        GROUP BY fp),
+      btoks AS (
+        SELECT doc_id AS id, regexp_extract_all(lower(text), '\S+') AS t
+        FROM documents),
+      btokens AS (
+        SELECT id, UNNEST(t) AS tok, generate_subscripts(t, 1) AS pos
+        FROM btoks),
+      bigrams AS (
+        SELECT id, w1, w2 FROM (
+          SELECT id, tok AS w1,
+                 lead(tok) OVER (PARTITION BY id ORDER BY pos) AS w2
+          FROM btokens)
+        WHERE w2 IS NOT NULL),
+      uni AS (SELECT tok AS w1, COUNT(*) AS c1 FROM btokens GROUP BY 1),
+      v AS (SELECT COUNT(DISTINCT tok) AS v FROM btokens),
+      bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY 1, 2),
+      blogp AS (
+        SELECT w1, w2, ln((c12 + 1.0) / (c1 + v)) AS logp
+        FROM bi JOIN uni USING (w1) CROSS JOIN v),
+      scored AS (
+        SELECT id, round(AVG(logp), 4) AS avg_logp2
+        FROM bigrams JOIN blogp USING (w1, w2) GROUP BY id),
+      kept AS (
+        SELECT scored.id, avg_logp2
+        FROM scored JOIN gpass USING (id) JOIN canon USING (id)),
+      r AS (
+        SELECT *, row_number() OVER (ORDER BY avg_logp2 DESC, id) AS rn,
+               COUNT(*) OVER () AS total
+        FROM kept),
+      cut AS (SELECT id, avg_logp2 FROM r WHERE (rn - 1) * 2 < total),
+      t AS (
+        SELECT doc_id AS id, len(regexp_extract_all(text, '\S+'))
+          AS n_toks
+        FROM documents),
+      sh AS (
+        SELECT cut.id, avg_logp2, n_toks,
+               row_number() OVER (ORDER BY n_toks DESC, cut.id) AS rn2
+        FROM cut JOIN t USING (id))
+      SELECT (rn2 - 1) % 4 AS shard, COUNT(*) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+             round(CAST(SUM(CAST(avg_logp2 AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*), 4) AS mean_logp2
+      FROM sh GROUP BY 1 ORDER BY shard""",
 
     "e2e_llm_corpus" -> """
       WITH q AS (
