@@ -97,6 +97,7 @@ object Bench {
     "x88_ivfpq_topk",        // IVFPQ: coarse cells + residual PQ + rerank
     "x89_freq_items_ledger", // heavy-hitter sketch ledger
     "st16_stream_topk",      // streaming top-k ledger (rewritten)
+    "e2e_webcorpus",         // gopher → dedup → bigram cut → shards
     "x36_span_dup_coverage") // bridge query shared with all sets
 
   def main(args: Array[String]): Unit = {

@@ -183,7 +183,7 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"), p.take(900))
   }
 
-  test("p13/x79/x86: no single-partition window over data-grain rows") {
+  test("p13/x79/x86/e2e_webcorpus: no single-partition window over data-grain rows") {
     // the round-4 verdict's perf_weak trio: each formerly ran
     // ntile/cumsum as `Window.orderBy(...)` with no PARTITION BY — a
     // one-executor sort wall at corpus scale. All three now route
@@ -196,7 +196,7 @@ class PlanShapeSpec extends GraftSuite {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     for (q <- Seq("p13_batch_ntile", "x79_ccnet_buckets",
-                  "x86_quality_curriculum")) {
+                  "x86_quality_curriculum", "e2e_webcorpus")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
       val bad = plan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty &&
