@@ -139,7 +139,8 @@ object ScaleRehearsal {
     "x66_dedup_pr_eval",      // sketch-vs-truth P/R eval (llm set, r4 ask)
     "x88_ivfpq_topk",         // IVFPQ train+encode+ADC+rerank (round 5)
     "x89_freq_items_ledger",  // heavy-hitter sketch ledger (round 5)
-    "e2e_webcorpus")          // gopher→dedup→bigram cut→shards (round 5)
+    "e2e_webcorpus",          // gopher→dedup→bigram cut→shards (round 5)
+    "x74b_theta_overlap_ledger") // ledger-fed lgk sizing at estimation scale (round 6)
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

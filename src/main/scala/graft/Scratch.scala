@@ -100,6 +100,37 @@ object Scratch {
             .collect()(0).getDouble(0)
           println(f"pq_recall ti=$ti rr=$rr macro=$r%.3f")
         }
+      case "ivfpq_sweep" =>
+        // x88 operating-point sweep at REALISTIC probed fractions:
+        // nlist scaled up so nprobe/nlist drops toward a few percent
+        // (the production regime) while the recall contract is
+        // re-measured. Run against the derived sf1 lake (20k vectors)
+        // where 64–128 cells still hold 150-300 vectors each.
+        import org.apache.spark.sql.functions.{avg, col, count, lit}
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        val exact = graft.operators.Similarity
+          .bruteTopKL2(q, emb, "vec_id", "embedding", 5)
+          .localCheckpoint(true)
+        for ((nlist, nprobe) <- Seq((16, 12), (64, 8), (64, 12),
+                                    (128, 8), (128, 12))) {
+          val t0 = System.nanoTime()
+          val ann = graft.operators.Similarity.ivfpqTopK(q, emb,
+            "vec_id", "embedding", k = 5, nlist = nlist,
+            nprobe = nprobe, m = 8, ksub = 16, coarseIters = 1,
+            pqIters = 1, rerank = 200)
+          val macroR = exact.as("b").join(ann.as("l"),
+              col("b.query_id") === col("l.query_id") &&
+                col("b.neighbor_id") === col("l.neighbor_id"), "left")
+            .groupBy(col("b.query_id"))
+            .agg((count(col("l.neighbor_id")).cast("double") /
+              lit(5.0d)).as("recall"))
+            .agg(avg(col("recall"))).collect()(0).getDouble(0)
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"ivfpq nlist=$nlist%3d nprobe=$nprobe%2d " +
+            f"probed=${100.0 * nprobe / nlist}%5.1f%% " +
+            f"recall=$macroR%.3f t=$dt%.2f s")
+        }
       case "st8_debug" =>
         // count rows per micro-batch to confirm the 2-batch split
         import org.apache.spark.sql.functions.col

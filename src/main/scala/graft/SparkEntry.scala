@@ -98,6 +98,85 @@ object SparkEntry {
       .orderBy(col("c_mktsegment"), col("o_orderstatus"), col("l_returnflag"))
   }
 
+  /** Per-source 5-gram hashes of `documents` — the shared gram grain
+    * of the sketch tier (x65's semantics; x74/x74b/x80 all ride it). */
+  private[graft] def sourceGrams(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(regexp_replace(lower(col("text")),
+      "\\s+", " ")), " ")
+    t(s, dir, "documents")
+      .select(col("source"), toks.as("__t"))
+      .filter(size(col("__t")) >= 5)
+      .select(col("source"),
+        explode(transform(sequence(lit(1), size(col("__t")) - 4),
+          i => ColFns.portableHash60(
+            concat_ws(" ", slice(col("__t"), i, lit(5)))))).as("g"))
+  }
+
+  /** x74's cheap preflight: Σ(tokens−4) per source = total 5-grams,
+    * an UPPER bound on distinct grams (always safe for sizing — a
+    * larger maxDistinct only raises lgk); one doc-grain scan, no gram
+    * explode, no distinct machinery. Degenerate-corpus guard: with no
+    * doc reaching 5 tokens the max aggregates to NULL — size for a
+    * minimal sketch instead of NPE. The collect is a 1-row scalar
+    * probe (a15 idiom). */
+  private[graft] def thetaPreflightUpperBound(s: SparkSession,
+                                              dir: String): Long = {
+    val toks = split(trim(regexp_replace(lower(col("text")),
+      "\\s+", " ")), " ")
+    Option(t(s, dir, "documents")
+        .select(col("source"), (size(toks) - 4).as("ng"))
+        .filter(col("ng") > 0)
+        .groupBy(col("source")).agg(sum(col("ng")).as("ng"))
+        .agg(max(col("ng")).as("m")).collect()(0).get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(1L)
+  }
+
+  /** The x80-shape standing ledger: per-source theta estimates of
+    * DISTINCT gram counts — KBs of state that ride the ingest
+    * aggregation once and then price every later dedup/contamination
+    * job without a rescan (x74b reads it to size lgk; the estimate is
+    * exact below 2^14 distinct, ±~1% above). */
+  private[graft] def sourceDistinctLedger(s: SparkSession,
+                                          dir: String): DataFrame = {
+    import graft.functions.SketchFns
+    sourceGrams(s, dir).groupBy(col("source"))
+      .agg(SketchFns.thetaEstimate(
+        SketchFns.thetaAgg(col("g"), 14)).as("est_distinct"))
+  }
+
+  /** The x74 contamination screen at a given sketch size: per-source
+    * theta sketches of gram hashes, pairwise |A∩B| set-op estimates
+    * over the serialized sketches, gated on the exact posting-join
+    * counts with the a4/m8 tolerance pattern. Shared by x74
+    * (upper-bound-sized) and x74b (ledger-sized). */
+  private[graft] def thetaOverlapScreen(s: SparkSession, dir: String,
+                                        lgk: Int): DataFrame = {
+    import graft.functions.SketchFns
+    val grams = sourceGrams(s, dir)
+    val sk = grams.groupBy(col("source"))
+      .agg(SketchFns.thetaAgg(col("g"), lgk).as("sk"))
+    val est = sk.as("a").join(sk.as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"),
+        col("b.source").as("source_b"),
+        SketchFns.thetaIntersectEstimate(col("a.sk"), col("b.sk"))
+          .as("est"))
+    val posts = grams.distinct()
+    val exact = posts.as("x").join(posts.as("y"),
+        col("x.g") === col("y.g") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"),
+        col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    est.join(exact, Seq("source_a", "source_b"), "left")
+      .withColumn("shared_grams",
+        coalesce(col("shared_grams"), lit(0L)))
+      .select(col("source_a"), col("source_b"), col("shared_grams"),
+        ((col("shared_grams") === 0 && col("est") === 0.0d) ||
+          Mutations.toleranceFlag(col("shared_grams"), col("est"), 0.05))
+          .as("est_within_5pct"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   // =======================================================================
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -650,8 +729,15 @@ object SparkEntry {
     }),
 
     "j6_anti_join" -> ((s, dir) => {
+      // parts never ordered in bulk (l_quantity > 45). The unfiltered
+      // "never ordered at all" form was EMPTY at every test scale
+      // (TPC-H lineitem references every part) — a vacuous oracle
+      // match that exercised only the anti-join's empty path (round-6
+      // vacuity sweep); the bulk-quantity restriction gives the
+      // operator real survivors at all three scales (7/114/977)
       val p = t(s, dir, "part"); val li = t(s, dir, "lineitem")
-      p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+      p.join(li.filter(col("l_quantity") > 45),
+          p("p_partkey") === li("l_partkey"), "left_anti")
         .select(col("p_partkey"), col("p_name"))
         .orderBy(col("p_partkey"))
     }),
@@ -1591,8 +1677,15 @@ object SparkEntry {
     }),
 
     "u3_except" -> ((s, dir) => {
+      // nations with customers but no negative-balance supplier. The
+      // unrestricted customer-minus-supplier nation difference was
+      // EMPTY at sf0.01/sf0.1 (suppliers cover every customer nation)
+      // — a vacuous oracle match (round-6 vacuity sweep); the acctbal
+      // restriction keeps the difference non-empty at all scales
+      // (25/21/2)
       val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
-      val su = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      val su = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_nationkey").as("nationkey"))
       c.except(su).orderBy(col("nationkey"))
     }),
 
@@ -2652,16 +2745,21 @@ object SparkEntry {
         val (b, r) = Dedup.bandsFor(th, k = 32, minRecall = 0.95)
         (th, b, r)
       }
+      // recall_ok gates on the RAW recall expression (the same operand
+      // bandsFor selects on), NOT the rounded display column: rounding
+      // first would pass a raw recall in [0.94995, 0.95) that the
+      // planner and the oracle both reject, breaking the row hash
+      val rawRecall = lit(1.0d) -
+        pow(lit(1.0d) - pow(col("threshold"), col("rows_per_band")),
+          col("bands"))
       s.createDataFrame(plans)
         .toDF("threshold", "bands", "rows_per_band")
-        .withColumn("recall_at_t", round(lit(1.0d) -
-          pow(lit(1.0d) - pow(col("threshold"), col("rows_per_band")),
-            col("bands")), 4))
+        .withColumn("recall_at_t", round(rawRecall, 4))
         .withColumn("p_below", round(lit(1.0d) -
           pow(lit(1.0d) - pow(col("threshold") - 0.2d,
             col("rows_per_band")), col("bands")), 4))
         .withColumn("recall_ok",
-          col("recall_at_t") >= 0.95d || col("rows_per_band") === 1)
+          rawRecall >= 0.95d || col("rows_per_band") === 1)
         .orderBy(col("threshold"))
     }),
 
@@ -2912,47 +3010,37 @@ object SparkEntry {
       // bound ≥ distinct also means the oracle-scale run is always
       // exact-mode (k ≥ n), keeping the flag deterministic.
       import graft.functions.SketchFns
-      val toks = split(trim(regexp_replace(lower(col("text")),
-        "\\s+", " ")), " ")
-      // degenerate-corpus guard: with no doc reaching 5 tokens the max
-      // aggregates to NULL — size for a minimal sketch instead of NPE
-      val nMaxUpper = Option(t(s, dir, "documents")
-          .select(col("source"), (size(toks) - 4).as("ng"))
-          .filter(col("ng") > 0)
-          .groupBy(col("source")).agg(sum(col("ng")).as("ng"))
-          .agg(max(col("ng")).as("m")).collect()(0).get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(1L)
       val lgk = SketchFns.lgkFor(minOverlap = 1600,
-        maxDistinct = nMaxUpper)
-      val grams = t(s, dir, "documents")
-        .select(col("source"), toks.as("__t"))
-        .filter(size(col("__t")) >= 5)
-        .select(col("source"),
-          explode(transform(sequence(lit(1), size(col("__t")) - 4),
-            i => ColFns.portableHash60(
-              concat_ws(" ", slice(col("__t"), i, lit(5)))))).as("g"))
-      val sk = grams.groupBy(col("source"))
-        .agg(SketchFns.thetaAgg(col("g"), lgk).as("sk"))
-      val est = sk.as("a").join(sk.as("b"),
-          col("a.source") < col("b.source"))
-        .select(col("a.source").as("source_a"),
-          col("b.source").as("source_b"),
-          SketchFns.thetaIntersectEstimate(col("a.sk"), col("b.sk"))
-            .as("est"))
-      val posts = grams.distinct()
-      val exact = posts.as("x").join(posts.as("y"),
-          col("x.g") === col("y.g") && col("x.source") < col("y.source"))
-        .groupBy(col("x.source").as("source_a"),
-          col("y.source").as("source_b"))
-        .agg(count(lit(1)).as("shared_grams"))
-      est.join(exact, Seq("source_a", "source_b"), "left")
-        .withColumn("shared_grams",
-          coalesce(col("shared_grams"), lit(0L)))
-        .select(col("source_a"), col("source_b"), col("shared_grams"),
-          ((col("shared_grams") === 0 && col("est") === 0.0d) ||
-            Mutations.toleranceFlag(col("shared_grams"), col("est"), 0.05))
-            .as("est_within_5pct"))
-        .orderBy(col("source_a"), col("source_b"))
+        maxDistinct = thetaPreflightUpperBound(s, dir))
+      thetaOverlapScreen(s, dir, lgk)
+    }),
+
+    "x74b_theta_overlap_ledger" -> ((s, dir) => {
+      // the PRODUCTION preflight form x74's scaladoc names: size the
+      // contamination-screen sketches from the STANDING x80
+      // distinct-estimate ledger instead of the token-count upper
+      // bound, eliminating the bound's overshoot on dup-heavy corpora
+      // (distinct ≪ total grams). The ledger is per-source theta
+      // DISTINCT-gram estimates persisted as parquet (m8's standing-
+      // state discipline) and READ BACK to feed lgkFor — in
+      // production the build rides the ingest aggregation once and
+      // every later screen pays only this KB-scale read; building it
+      // here keeps the query self-contained. The fed estimate is
+      // padded ×1.05 (theta's own error bar, per lgkFor's scaladoc)
+      // before sizing, so at oracle scale the sized sketch stays
+      // exact-mode (k ≥ n) and the flag deterministic; Round12Spec
+      // pins ledger-fed lgk ≤ upper-bound lgk with the contract
+      // holding at both sizes.
+      import graft.functions.SketchFns
+      val ledgerPath = tmpDir("x74b_ledger")
+      sourceDistinctLedger(s, dir).write.mode("overwrite")
+        .parquet(ledgerPath)
+      val maxEst = Option(s.read.parquet(ledgerPath)
+          .agg(max(col("est_distinct"))).collect()(0).get(0))
+        .map(_.asInstanceOf[Double]).getOrElse(1.0d)
+      val lgk = SketchFns.lgkFor(minOverlap = 1600,
+        maxDistinct = math.max(1L, math.ceil(maxEst * 1.05d).toLong))
+      thetaOverlapScreen(s, dir, lgk)
     }),
 
     "x89_freq_items_ledger" -> ((s, dir) => {
@@ -3352,6 +3440,29 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "x91b_gopher_audit" -> ((s, dir) => {
+      // the per-rule pass-rate pane for the Gopher bundle — one row
+      // per rule with (n_pass, pass_frac), run on the PUBLISHED probe
+      // list on purpose: a constant-false gate (round 5's r7 on this
+      // corpus: 0%) is then visible in query output instead of
+      // discoverable only by joining x91's doc-grain flags yourself.
+      // This is the audit a pipeline operator reads BEFORE trusting
+      // the conjunction gate; one doc-grain aggregation, 8 output rows.
+      val flags = TextOps.gopherRules(t(s, dir, "documents"),
+        col("doc_id"), col("text"))
+      val rules = Seq("r1_wordcount", "r2_wordlen", "r3_symbols",
+        "r4_bullets", "r5_ellipsis", "r6_alpha", "r7_stopwords", "pass")
+      flags.select(explode(array(rules.map(r =>
+          struct(lit(r).as("rule"),
+            col(r).cast(IntegerType).as("hit"))): _*)).as("e"))
+        .select(col("e.rule").as("rule"), col("e.hit").as("hit"))
+        .groupBy(col("rule"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("hit")).as("n_pass"))
+        .withColumn("pass_frac", round(
+          col("n_pass").cast(DoubleType) / col("n_docs"), 4))
+        .orderBy(col("rule"))
+    }),
+
     "x9_quality_score" -> ((s, dir) => {
       TextOps.qualityFeatures(t(s, dir, "documents"), col("doc_id"), col("text"))
         .orderBy(col("id"))
@@ -3436,12 +3547,23 @@ object SparkEntry {
     "x26_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: train docs sharing any word 8-gram
       // with the held-out set (doc_id % 100 == 0 stands in for the
-      // benchmark); inverted-index join, benchmark side broadcast
+      // benchmark); inverted-index join, benchmark side broadcast.
+      // The synthetic corpus carries NO organic 8-gram overlap (round
+      // 6's vacuity sweep: this query matched the oracle on zero rows
+      // at every scale), so a deterministic canary 8-gram is injected
+      // into half the benchmark docs and 10% of train docs — x16's
+      // PII-injection discipline: make the operator's firing path
+      // visible, not just its empty path
+      val canary =
+        " graft benchmark canary sequence alpha beta gamma delta"
       val docs = t(s, dir, "documents")
+        .withColumn("text2",
+          when(col("doc_id") % 200 === 0 || col("doc_id") % 10 === 3,
+            concat(col("text"), lit(canary))).otherwise(col("text")))
       TextOps.contaminationFlags(
           docs.filter(col("doc_id") % 100 =!= 0),
           docs.filter(col("doc_id") % 100 === 0),
-          col("doc_id"), col("text"), n = 8)
+          col("doc_id"), col("text2"), n = 8)
         .orderBy(col("train_id"))
     }),
 
@@ -3552,8 +3674,22 @@ object SparkEntry {
       // pattern). Output is the per-shard audit pane. Every stage is
       // lazy — Catalyst fuses the whole pipeline; the only
       // materializations are the two numbering checkpoints.
+      //
+      // The r7 gate runs on CORPUS-CALIBRATED probes (top-8 tokens by
+      // frequency, TextOps.corpusProbes — Zipf: a corpus's most
+      // frequent tokens ARE its function words), not the published
+      // English list: round 5 shipped this query with the hardcoded
+      // list and the whole pipeline ran on ZERO rows at every scale
+      // (the synthetic vocabulary contains only "the"), hash-matching
+      // the oracle on emptiness. With calibrated probes ~57% of the
+      // driver corpus survives the bundle (gated by r1 wordcount);
+      // EntrySmokeSpec's vacuity guard now asserts every e2e_* query
+      // returns rows so this class of silent-empty can't recur.
       val docs = t(s, dir, "documents")
-      val pass = TextOps.gopherRules(docs, col("doc_id"), col("text"))
+      val probeRow = TextOps.corpusProbes(docs, col("text"))
+      val pass = TextOps.gopherRules(
+          docs.crossJoin(broadcast(probeRow)), // 1-row scalar idiom
+          col("doc_id"), col("text"), col("probes"))
         .filter(col("pass")).select(col("id"))
       val canon = docs
         .select(col("doc_id"), ColFns.fingerprint(col("text")).as("fp"))
@@ -4459,6 +4595,36 @@ object SparkEntry {
   }
 
   // =======================================================================
+  /** Shared oracle for x74/x74b: exact shared-gram counts with the
+    * deterministically-true tolerance flag (both sizings are exact-mode
+    * at oracle scale). */
+  private val thetaOverlapOracle: String = """
+      WITH tk AS (
+        SELECT source, string_split(trim(regexp_replace(lower(text),
+          '\s+', ' ', 'g')), ' ') AS t
+        FROM documents),
+      posts AS (
+        SELECT DISTINCT source,
+               CAST(('0x' || substring(md5(array_to_string(
+                 t[i:i+4], ' ')), 1, 15)) AS BIGINT) AS g
+        FROM tk, UNNEST(range(1, greatest(len(t) - 4, 0) + 1)) AS u(i)),
+      srcs AS (SELECT DISTINCT source FROM posts),
+      pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b
+        FROM srcs a JOIN srcs b ON a.source < b.source),
+      pr AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS shared_grams
+        FROM posts a JOIN posts b
+          ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT p.source_a, p.source_b,
+             COALESCE(pr.shared_grams, CAST(0 AS BIGINT)) AS shared_grams,
+             TRUE AS est_within_5pct
+      FROM pairs p LEFT JOIN pr
+        ON pr.source_a = p.source_a AND pr.source_b = p.source_b
+      ORDER BY p.source_a, p.source_b"""
+
   def oracleSql: Map[String, String] = Map(
 
     "g1_pagerank" -> pagerankOracleSql(5),
@@ -4765,7 +4931,8 @@ object SparkEntry {
 
     "j6_anti_join" -> """
       SELECT p_partkey, p_name FROM part
-      WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                        WHERE l_partkey = p_partkey AND l_quantity > 45)
       ORDER BY p_partkey""",
 
     "j6b_semi_join" -> """
@@ -5083,32 +5250,12 @@ object SparkEntry {
       FROM ev CROSS JOIN b
       GROUP BY 1 ORDER BY split""",
 
-    "x74_theta_overlap" -> """
-      WITH tk AS (
-        SELECT source, string_split(trim(regexp_replace(lower(text),
-          '\s+', ' ', 'g')), ' ') AS t
-        FROM documents),
-      posts AS (
-        SELECT DISTINCT source,
-               CAST(('0x' || substring(md5(array_to_string(
-                 t[i:i+4], ' ')), 1, 15)) AS BIGINT) AS g
-        FROM tk, UNNEST(range(1, greatest(len(t) - 4, 0) + 1)) AS u(i)),
-      srcs AS (SELECT DISTINCT source FROM posts),
-      pairs AS (
-        SELECT a.source AS source_a, b.source AS source_b
-        FROM srcs a JOIN srcs b ON a.source < b.source),
-      pr AS (
-        SELECT a.source AS source_a, b.source AS source_b,
-               COUNT(*) AS shared_grams
-        FROM posts a JOIN posts b
-          ON a.g = b.g AND a.source < b.source
-        GROUP BY 1, 2)
-      SELECT p.source_a, p.source_b,
-             COALESCE(pr.shared_grams, CAST(0 AS BIGINT)) AS shared_grams,
-             TRUE AS est_within_5pct
-      FROM pairs p LEFT JOIN pr
-        ON pr.source_a = p.source_a AND pr.source_b = p.source_b
-      ORDER BY p.source_a, p.source_b""",
+    // x74b runs the SAME screen sized from the standing ledger instead
+    // of the token-count bound; both sizes are exact-mode at oracle
+    // scale, so the two queries share one oracle.
+    "x74b_theta_overlap_ledger" -> thetaOverlapOracle,
+    "x74_theta_overlap" -> thetaOverlapOracle,
+
 
     "x89_freq_items_ledger" -> """
       WITH tokens AS (
@@ -5647,7 +5794,8 @@ object SparkEntry {
 
     "u3_except" -> """
       SELECT DISTINCT c_nationkey AS nationkey FROM customer
-      EXCEPT SELECT DISTINCT s_nationkey FROM supplier ORDER BY nationkey""",
+      EXCEPT SELECT DISTINCT s_nationkey FROM supplier
+        WHERE s_acctbal < 0 ORDER BY nationkey""",
 
     "u4_union_evolved" -> """
       SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
@@ -6492,7 +6640,10 @@ object SparkEntry {
                       i -> array_to_string(toks[i:i+7], ' '))
                  ELSE [array_to_string(toks, ' ')] END) AS s
         FROM (SELECT doc_id,
-                     string_split(trim(regexp_replace(lower(text),
+                     string_split(trim(regexp_replace(lower(
+                       CASE WHEN doc_id % 200 = 0 OR doc_id % 10 = 3
+                            THEN text || ' graft benchmark canary sequence alpha beta gamma delta'
+                            ELSE text END),
                        '\s+', ' ', 'g')), ' ') AS toks
               FROM documents)),
       train AS (SELECT doc_id AS train_id, UNNEST(s) AS gram
@@ -7055,6 +7206,11 @@ object SparkEntry {
                list_filter(list_transform(string_split(text, chr(10)),
                  l -> trim(l)), l -> len(l) > 0) AS lines
         FROM documents),
+      probes AS (
+        SELECT list(tok) AS ps FROM (
+          SELECT tok, COUNT(*) AS n
+          FROM (SELECT UNNEST(w) AS tok FROM gd)
+          GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 8)),
       gm AS (
         SELECT id, len(w) AS nw, len(lines) AS nl,
                CAST(length(regexp_replace(text, '\s+', '', 'g'))
@@ -7069,9 +7225,8 @@ object SparkEntry {
                  l -> regexp_matches(l, '(\.\.\.|…)$'))) AS nellline,
                len(list_filter(w,
                  x -> regexp_matches(x, '[a-z]'))) AS nalpha,
-               len(list_filter(['the','be','to','of','and','that',
-                 'have','with'], s -> list_contains(w, s))) AS stophits
-        FROM gd),
+               len(list_filter(ps, s -> list_contains(w, s))) AS stophits
+        FROM gd CROSS JOIN probes),
       gpass AS (
         SELECT id FROM gm
         WHERE nw >= 50 AND nw <= 100000
@@ -8452,6 +8607,64 @@ object SparkEntry {
              (nw > 0 AND CAST(nalpha AS DOUBLE) / nw >= 0.8) AND
              stophits >= 2 AS pass
       FROM m ORDER BY id""",
+
+    "x91b_gopher_audit" -> """
+      WITH d AS (
+        SELECT doc_id AS id, text,
+               list_filter(regexp_extract_all(lower(text), '\S+'),
+                 x -> len(x) > 0) AS w,
+               list_filter(list_transform(string_split(text, chr(10)),
+                 l -> trim(l)), l -> len(l) > 0) AS lines
+        FROM documents),
+      m AS (
+        SELECT id, len(w) AS nw, len(lines) AS nl,
+               CAST(length(regexp_replace(text, '\s+', '', 'g'))
+                 AS DOUBLE) AS nonws,
+               length(text) - length(replace(text, '#', '')) AS nhash,
+               (length(text) -
+                 length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3
+                 AS nell,
+               len(list_filter(lines,
+                 l -> regexp_matches(l, '^[-*•]'))) AS nbullet,
+               len(list_filter(lines,
+                 l -> regexp_matches(l, '(\.\.\.|…)$'))) AS nellline,
+               len(list_filter(w,
+                 x -> regexp_matches(x, '[a-z]'))) AS nalpha,
+               len(list_filter(['the','be','to','of','and','that',
+                 'have','with'], s -> list_contains(w, s))) AS stophits
+        FROM d),
+      f AS (
+        SELECT nw >= 50 AND nw <= 100000 AS r1_wordcount,
+               nw > 0 AND nonws / nw >= 3.0 AND nonws / nw <= 10.0
+                 AS r2_wordlen,
+               nw > 0 AND (nhash + nell) / nw <= 0.1 AS r3_symbols,
+               nl = 0 OR CAST(nbullet AS DOUBLE) / nl < 0.9
+                 AS r4_bullets,
+               nl = 0 OR CAST(nellline AS DOUBLE) / nl < 0.3
+                 AS r5_ellipsis,
+               nw > 0 AND CAST(nalpha AS DOUBLE) / nw >= 0.8 AS r6_alpha,
+               stophits >= 2 AS r7_stopwords
+        FROM m),
+      g AS (
+        SELECT *, r1_wordcount AND r2_wordlen AND r3_symbols AND
+               r4_bullets AND r5_ellipsis AND r6_alpha AND r7_stopwords
+               AS pass
+        FROM f),
+      u AS (
+        SELECT 'r1_wordcount' AS rule, r1_wordcount AS hit FROM g
+        UNION ALL SELECT 'r2_wordlen', r2_wordlen FROM g
+        UNION ALL SELECT 'r3_symbols', r3_symbols FROM g
+        UNION ALL SELECT 'r4_bullets', r4_bullets FROM g
+        UNION ALL SELECT 'r5_ellipsis', r5_ellipsis FROM g
+        UNION ALL SELECT 'r6_alpha', r6_alpha FROM g
+        UNION ALL SELECT 'r7_stopwords', r7_stopwords FROM g
+        UNION ALL SELECT 'pass', pass FROM g)
+      SELECT rule, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass,
+             round(CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*), 4) AS pass_frac
+      FROM u GROUP BY rule ORDER BY rule""",
 
     "x90_bigram_logprob" -> """
       WITH toks AS (

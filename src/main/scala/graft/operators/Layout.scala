@@ -46,6 +46,7 @@ object Layout {
   def globalRowNumber(df: DataFrame, key: Column, nParts: Int = 0,
                       keepTotal: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireTotalFree(df, keepTotal)
     val (parts, offsets) = rangeOffsets(df, key, nParts, count(lit(1)))
     val w = Window.partitionBy(col("__pid")).orderBy(key)
     val out = parts.join(broadcast(offsets), Seq("__pid"))
@@ -55,6 +56,16 @@ object Layout {
     if (keepTotal) out.withColumnRenamed("__total", "total")
     else out.drop("__total")
   }
+
+  /** `keepTotal = true` emits its grand total as column `total`; a
+    * caller whose input already carries one would otherwise get a
+    * silently ambiguous duplicate — fail fast instead (rename or drop
+    * the input column, or take the total from [[rangeOffsets]]'
+    * metadata yourself). */
+  private def requireTotalFree(df: DataFrame, keepTotal: Boolean): Unit =
+    require(!keepTotal || !df.columns.contains("total"),
+      "keepTotal=true but the input already has a 'total' column; " +
+        "rename it before numbering")
 
   /** Shared count-and-offset core of [[globalRowNumber]] and
     * [[globalPrefixSum]]: range-partition on `key`, pin the partition
@@ -129,6 +140,7 @@ object Layout {
                       nParts: Int = 0,
                       keepTotal: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireTotalFree(df, keepTotal)
     val (parts, offsets) =
       rangeOffsets(df, key, nParts, sum(value.cast(LongType)))
     val w = Window.partitionBy(col("__pid")).orderBy(key)

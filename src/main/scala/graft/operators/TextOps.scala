@@ -64,6 +64,35 @@ object TextOps {
           + least(lit(1.0d), col("stopword_ratio") * 4.0d) * 0.3d, 4))
   }
 
+  /** The published Gopher r7 stopword probe list (Rae et al. 2021,
+    * Appendix A): eight high-frequency ENGLISH function words. On a
+    * corpus whose vocabulary lacks ≥ 2 of them (non-English, domain
+    * jargon, synthetic), r7 is constant-false and the whole bundle
+    * silently gates out everything — which is why [[gopherRules]]
+    * takes the probes as a parameter and [[corpusProbes]] exists. */
+  val gopherProbes: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Corpus-calibrated probe set for [[gopherRules]]' r7: the top-`k`
+    * tokens by corpus frequency, as a 1-row DataFrame with an array
+    * column `probes`. Zipf's law makes the most frequent tokens of any
+    * natural-language corpus its function words — exactly the role the
+    * published English list plays — so deriving the probes from the
+    * corpus itself generalizes the rule to any language or domain
+    * instead of hard-failing off-English. One token-grain aggregation
+    * riding the same scan grain as the rules themselves; the result is
+    * k strings, broadcast with the 1-row scalar idiom. Ties break by
+    * token asc; array sorted for determinism (membership is
+    * order-independent). */
+  def corpusProbes(df: DataFrame, text: Column, k: Int = 8): DataFrame = {
+    val toks = split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
+    df.select(explode(toks).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(k)
+      .agg(sort_array(collect_list(col("tok"))).as("probes"))
+  }
+
   /** The Gopher quality-rule bundle (Rae et al., "Scaling Language
     * Models: ... Gopher", 2021, Appendix A — the published heuristic
     * set most corpus pipelines start from), per doc as one flag per
@@ -72,11 +101,20 @@ object TextOps {
     *  r3 (hash + ellipsis) to word ratio ≤ 0.1; r4 < 90% of lines
     *  bullet-led; r5 < 30% of lines ellipsis-terminated; r6 ≥ 80% of
     *  words contain an alphabetic char; r7 ≥ 2 distinct hits from the
-    *  8-word stopword probe list.
+    *  stopword probe list (default: the published 8-word English
+    *  list; pass a corpus-appropriate array — e.g. [[corpusProbes]] —
+    *  for any other corpus, or r7 goes constant-false).
     * Pure column arithmetic — every ratio is a single division on both
     * engines so the flags hash-match; zero-word/zero-line docs guard
     * to false/true per the rule's direction rather than dividing. */
-  def gopherRules(df: DataFrame, id: Column, text: Column): DataFrame = {
+  def gopherRules(df: DataFrame, id: Column, text: Column): DataFrame =
+    gopherRules(df, id, text, array(gopherProbes.map(lit): _*))
+
+  /** [[gopherRules]] with an explicit r7 probe ARRAY COLUMN — either a
+    * literal list or a corpus-derived one joined in per-row (the
+    * [[corpusProbes]] 1-row broadcast). */
+  def gopherRules(df: DataFrame, id: Column, text: Column,
+                  probesCol: Column): DataFrame = {
     val w0 = split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
     val w = filter(w0, x => length(x) > 0)
     val nw = size(w)
@@ -95,9 +133,7 @@ object TextOps {
       .cast(DoubleType) / nl.cast(DoubleType)
     val alphaFrac = size(filter(w, x => x.rlike("[a-z]")))
       .cast(DoubleType) / nwD
-    val probes = array(Seq("the", "be", "to", "of", "and", "that",
-      "have", "with").map(lit): _*)
-    val stopHits = size(filter(probes, s => array_contains(w, s)))
+    val stopHits = size(filter(probesCol, s => array_contains(w, s)))
     df.select(id.as("id"), nw.as("n_words"),
       (nw >= 50 && nw <= 100000).as("r1_wordcount"),
       (nw > 0 && meanLen >= 3.0d && meanLen <= 10.0d).as("r2_wordlen"),

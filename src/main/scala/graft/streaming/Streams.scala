@@ -704,13 +704,15 @@ object Streams {
     * the post-ledger rank contract is m9's — any date-range quantile
     * query then reads ledger rows, never history.
     *
-    * Replay caveat (honest limit, shared with st17): foreachBatch is
-    * at-least-once under restart, and merging the same delta sketch
-    * twice doubles its stream weight (quantiles degrade gracefully —
-    * duplicated mass is uniform — but the weight is wrong). A
-    * production restartable deployment keys the upsert by batchId
-    * (st11's idempotence pattern); the AvailableNow single-run form
-    * here never replays. */
+    * Replay caveat (honest limit): foreachBatch is at-least-once
+    * under restart, and merging the same delta sketch twice doubles
+    * its stream weight (quantiles degrade gracefully — duplicated
+    * mass is uniform — but the weight is wrong). A production
+    * restartable deployment keys the upsert by batchId — the pattern
+    * st17 now implements concretely ([[freqLedgerFold]]'s
+    * `__last_batch` guard, replay-proven by Round12Spec) and st11
+    * pioneered; the AvailableNow single-run form here never
+    * replays. */
   def streamKllLedger(spark: SparkSession, sfDir: String,
                       splitFiles: Int = 1): DataFrame = {
     import graft.functions.SketchFns
@@ -837,16 +839,65 @@ object Streams {
     * stages the source as N files fed one per trigger (st15's
     * multi-micro-batch proof pattern).
     *
-    * Replay caveat (honest limit, same as st15): foreachBatch is
-    * at-least-once under restart, and merging the SAME delta sketch
-    * twice double-counts its stream weight — enough to push the
-    * sketch's lower bound above the true single-delivery count and
-    * fail the bounds contract. A production restartable deployment
-    * keys the ledger upsert by batchId (st11's idempotence pattern:
-    * overwrite-the-batch-partition, never merge-again); the
-    * AvailableNow single-run form here never replays. st16's top-k
-    * ledger does NOT share this caveat — its merge is idempotent by
-    * algebra. */
+    * Replay semantics: foreachBatch is at-least-once under restart,
+    * and merging the SAME delta sketch twice double-counts its stream
+    * weight — enough to push the sketch's lower bound above the true
+    * single-delivery count and fail the bounds contract. This ledger
+    * therefore folds through [[freqLedgerFold]], the batchId-KEYED
+    * idempotent upsert (st11's discipline applied to sketch state):
+    * every ledger row carries `__last_batch` committed in the same
+    * atomic swap as the sketches, and a redelivered batch is detected
+    * and SKIPPED instead of merged again. Round12Spec redelivers a
+    * micro-batch through the fold and proves ledger bytes and
+    * contract flags unchanged. st15 still documents the unguarded
+    * form's caveat; st16's top-k ledger never needed the guard — its
+    * merge is idempotent by algebra. */
+  /** st17's ledger schema: per-source sketch + the id of the last
+    * applied micro-batch, committed in the SAME atomic swap. */
+  val freqLedgerSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("sk",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("__last_batch",
+        org.apache.spark.sql.types.LongType)))
+
+  /** One batchId-keyed IDEMPOTENT fold of a (source, tok) micro-batch
+    * into the frequent-items ledger at `path` — st11's
+    * exactly-once-through-the-ledger discipline applied to SKETCH
+    * state, which (unlike st16's top-k) is not replay-idempotent by
+    * algebra: merging the same delta twice double-counts its stream
+    * weight, enough to push the sketch's lower bound above the true
+    * single-delivery count and fail the bounds contract. Every ledger
+    * row carries `__last_batch` committed in the same atomic swap as
+    * the sketches; an arriving batch with `batchId ≤ max(__last_batch)`
+    * is an at-least-once replay and is skipped (the Structured
+    * Streaming docs' "use batchId to deduplicate" discipline). Named —
+    * rather than an inline foreachBatch closure — so Round12Spec can
+    * redeliver a batch directly and assert ledger bytes and contract
+    * flags unchanged. The `applied` probe is a 1-row scalar read of
+    * ledger metadata, not a data scan at stream grain. */
+  def freqLedgerFold(batch: DataFrame, batchId: Long, path: String,
+                     maxMapSize: Int = 1024): Unit = {
+    import graft.functions.FreqFns
+    val sp = batch.sparkSession
+    val ledger = sp.read.parquet(path)
+    val applied = ledger
+      .agg(coalesce(max(col("__last_batch")), lit(-1L)))
+      .head().getLong(0)
+    if (batchId > applied) { // else: replayed batch, already folded
+      val delta = batch.groupBy(col("source"))
+        .agg(FreqFns.freqAgg(col("tok"), maxMapSize).as("sk"))
+      val merged = ledger.drop("__last_batch")
+        .unionByName(delta)
+        .groupBy(col("source"))
+        .agg(FreqFns.freqMergeAgg(col("sk"), maxMapSize).as("sk"))
+        .withColumn("__last_batch", lit(batchId))
+      graft.operators.Mutations.overwriteAtomic(merged, path)
+    }
+  }
+
   def streamFreqLedger(spark: SparkSession, sfDir: String,
                        splitFiles: Int = 1): DataFrame = {
     import graft.functions.FreqFns
@@ -857,25 +908,15 @@ object Streams {
     org.apache.commons.io.FileUtils.deleteQuietly(target)
     val path = target.getAbsolutePath
     graft.operators.Mutations.seedEmptyLedger(spark, path,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("source",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("sk",
-          org.apache.spark.sql.types.BinaryType))))
+      freqLedgerSchema)
     val q = stagedFileStream(spark, sfDir, "documents", "doc_id",
         "st17_src", splitFiles)
       .select(col("source"), explode(toks).as("tok"))
       .filter(length(col("tok")) > 0)
       .writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val delta = batch.groupBy(col("source"))
-          .agg(FreqFns.freqAgg(col("tok"), 1024).as("sk"))
-        val merged = batch.sparkSession.read.parquet(path)
-          .unionByName(delta)
-          .groupBy(col("source"))
-          .agg(FreqFns.freqMergeAgg(col("sk"), 1024).as("sk"))
-        graft.operators.Mutations.overwriteAtomic(merged, path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        freqLedgerFold(batch, batchId, path)
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -39,6 +39,25 @@ class EntrySmokeSpec extends GraftSuite {
       s"top-level array/map output columns: ${offenders.mkString("; ")}")
   }
 
+  test("vacuity guard: every e2e_* capstone returns rows") {
+    // round 5 shipped e2e_webcorpus hash-GREEN on an EMPTY result at
+    // every scale (the Gopher r7 stopword gate passed zero synthetic
+    // docs): a 0-row oracle match proves only that both engines agree
+    // on emptiness. The oracle framework can't see vacuity, so the
+    // smoke suite must: a capstone exists to prove a composition RUNS
+    // ON DATA. This assertion fails on the round-5 tree and passes
+    // once the gate is corpus-calibrated.
+    val guarded = SparkEntry.queries.keys.toSeq.sorted
+      .filter(_.startsWith("e2e_")) ++
+      // the round-6 vacuity sweep's other three 0-row hash matches,
+      // fixed the same day and pinned non-empty here (tools/check.py
+      // now also flags any VACUOUS pass across the whole surface)
+      Seq("j6_anti_join", "u3_except", "x26_decontaminate")
+    val empty = guarded.filter(n =>
+      SparkEntry.queries(n)(spark, SparkTestBase.sfDir).isEmpty)
+    assert(empty.isEmpty, s"vacuous (0-row) guarded queries: $empty")
+  }
+
   test("w3 top-k: at most 3 rows per customer, ranks 1..3") {
     val df = SparkEntry.queries("w3_window_topk")(spark, SparkTestBase.sfDir)
     val bad = df.groupBy("o_custkey").agg(count(lit(1)).as("n"),

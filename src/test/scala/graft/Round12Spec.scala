@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+
+/** Round-6 pins: the batchId-keyed idempotent sketch-ledger fold
+  * (st17's production restart path), the corpus-calibrated Gopher
+  * gate that replaced round-5's vacuous one, the ledger-fed theta
+  * preflight sizing, and the Layout keepTotal collision guard. */
+class Round12Spec extends GraftSuite {
+
+  test("st17 fold: at-least-once redelivery leaves ledger bytes and " +
+       "contract flags unchanged") {
+    import graft.operators.{Mutations, TextOps}
+    import graft.functions.FreqFns
+    import graft.streaming.Streams
+    val dir = SparkTestBase.sfDir
+    val path =
+      new java.io.File("target/qtmp/r12_freq_ledger").getAbsolutePath
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(path))
+    Mutations.seedEmptyLedger(spark, path, Streams.freqLedgerSchema)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = split(trim(regexp_replace(lower(col("text")),
+      "\\s+", " ")), " ")
+    def tokBatch(pred: org.apache.spark.sql.Column) =
+      docs.filter(pred).select(col("source"), explode(toks).as("tok"))
+        .filter(length(col("tok")) > 0)
+    val b0 = tokBatch(col("doc_id") % 2 === 0)
+    val b1 = tokBatch(col("doc_id") % 2 === 1)
+
+    def state(): Array[(String, Array[Byte], Long)] =
+      spark.read.parquet(path).orderBy(col("source")).collect()
+        .map(r => (r.getString(0), r.getAs[Array[Byte]]("sk"),
+          r.getLong(2)))
+    def sameState(a: Array[(String, Array[Byte], Long)],
+                  b: Array[(String, Array[Byte], Long)]): Boolean =
+      a.length == b.length && a.zip(b).forall { case (x, y) =>
+        x._1 == y._1 && java.util.Arrays.equals(x._2, y._2) &&
+          x._3 == y._3 }
+    def contractOk(): Boolean = {
+      val merged = spark.read.parquet(path)
+        .agg(FreqFns.freqMergeAgg(col("sk"), 1024).as("sk"))
+        .crossJoin(broadcast(
+          docs.agg(countDistinct(col("source")).as("n_sources"))))
+      TextOps.freqBoundsContract(docs, merged)
+        .filter(!col("bounds_ok")).isEmpty
+    }
+
+    Streams.freqLedgerFold(b0, 0L, path)
+    val after0 = state()
+    // simulated at-least-once restart: the SAME micro-batch arrives
+    // again with the same batchId — the __last_batch guard must skip
+    // it; an unguarded merge would double batch 0's stream weight and
+    // (Misra-Gries lower bounds being count-monotone) break bounds_ok
+    Streams.freqLedgerFold(b0, 0L, path)
+    assert(sameState(after0, state()),
+      "redelivered batch 0 mutated ledger state")
+
+    Streams.freqLedgerFold(b1, 1L, path)
+    val after1 = state()
+    assert(!sameState(after0, after1),
+      "batch 1 should have advanced the ledger")
+    assert(contractOk(), "contract should hold after both batches")
+    // redeliver batch 1 post-commit — the restart window st11's
+    // discipline exists for (crash between ledger swap and checkpoint)
+    Streams.freqLedgerFold(b1, 1L, path)
+    assert(sameState(after1, state()),
+      "redelivered batch 1 mutated ledger state")
+    assert(contractOk(), "contract flags changed under redelivery")
+  }
+
+  test("gopher gate: corpusProbes calibration is non-vacuous where " +
+       "the published list passes zero docs") {
+    import graft.operators.TextOps
+    val docs =
+      spark.read.parquet(s"${SparkTestBase.sfDir}/documents.parquet")
+    // the round-5 failure, pinned: the published English probe list
+    // hits at most 1 token of the synthetic vocabulary, so r7 — and
+    // with it the whole conjunction — is constant-false
+    val published = TextOps.gopherRules(docs, col("doc_id"), col("text"))
+    assert(published.filter(col("r7_stopwords")).isEmpty,
+      "corpus drifted: published probes now match; recalibrate this pin")
+    // the calibrated gate keeps a meaningful fraction and still gates
+    val probeRow = TextOps.corpusProbes(docs, col("text"))
+    val flags = TextOps.gopherRules(
+      docs.crossJoin(broadcast(probeRow)),
+      col("doc_id"), col("text"), col("probes"))
+    val n = docs.count()
+    val nPass = flags.filter(col("pass")).count()
+    assert(nPass > 0, "calibrated gate still passes zero docs")
+    assert(nPass < n, "calibrated gate stopped gating entirely")
+  }
+
+  test("x74b: ledger-fed lgk <= token-count upper-bound lgk, " +
+       "contract holds at both sizes") {
+    import graft.functions.SketchFns
+    val dir = SparkTestBase.sfDir
+    val upper = SparkEntry.thetaPreflightUpperBound(spark, dir)
+    val lgkUpper = SketchFns.lgkFor(minOverlap = 1600,
+      maxDistinct = upper)
+    val maxEst = SparkEntry.sourceDistinctLedger(spark, dir)
+      .agg(max(col("est_distinct"))).collect()(0).getDouble(0)
+    val lgkLedger = SketchFns.lgkFor(minOverlap = 1600,
+      maxDistinct = math.max(1L, math.ceil(maxEst * 1.05d).toLong))
+    assert(lgkLedger <= lgkUpper,
+      s"ledger-fed lgk $lgkLedger exceeds upper-bound lgk $lgkUpper")
+    for (lgk <- Set(lgkLedger, lgkUpper))
+      assert(SparkEntry.thetaOverlapScreen(spark, dir, lgk)
+        .filter(!col("est_within_5pct")).isEmpty,
+        s"overlap contract broken at lgk=$lgk")
+  }
+
+  test("layout: keepTotal fails fast on a pre-existing 'total' column") {
+    import spark.implicits._
+    val df = Seq((1L, 7L), (2L, 9L)).toDF("k", "total")
+    intercept[IllegalArgumentException] {
+      Layout.globalRowNumber(df, $"k", keepTotal = true)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.globalPrefixSum(df, $"total", $"k", keepTotal = true)
+    }
+    // without keepTotal the caller's column is untouched
+    assert(Layout.globalRowNumber(df, $"k").count() == 2L)
+  }
+}
