@@ -100,6 +100,34 @@ object Scratch {
             .collect()(0).getDouble(0)
           println(f"pq_recall ti=$ti rr=$rr macro=$r%.3f")
         }
+      case "x74_decomp" =>
+        // decompose x74's r4->r5 slowdown: preflight scan vs
+        // larger-lgk sketch cost (verdict-6 ask). Times the sized
+        // screen, the r4-style hardcoded lgk=14 screen, and the
+        // preflight alone, min-of-2 each after one warm pass.
+        import graft.functions.SketchFns
+        def t2(tag: String)(body: => Unit): Unit = {
+          body // warm
+          val ts = (1 to 2).map { _ =>
+            val t0 = System.nanoTime(); body
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"$tag%-28s min=${ts.min}%.3f  (${ts.mkString(", ")})")
+        }
+        t2("preflight_upper_bound") {
+          SparkEntry.thetaPreflightUpperBound(spark, sfDir); ()
+        }
+        val upper = SparkEntry.thetaPreflightUpperBound(spark, sfDir)
+        val sized = SketchFns.lgkFor(1600, upper)
+        println(s"upper=$upper sized lgk=$sized")
+        t2(s"screen_lgk14") {
+          SparkEntry.thetaOverlapScreen(spark, sfDir, 14)
+            .write.format("noop").mode("overwrite").save()
+        }
+        t2(s"screen_lgk$sized") {
+          SparkEntry.thetaOverlapScreen(spark, sfDir, sized)
+            .write.format("noop").mode("overwrite").save()
+        }
       case "ivfpq_sweep" =>
         // x88 operating-point sweep at REALISTIC probed fractions:
         // nlist scaled up so nprobe/nlist drops toward a few percent
@@ -112,13 +140,16 @@ object Scratch {
         val exact = graft.operators.Similarity
           .bruteTopKL2(q, emb, "vec_id", "embedding", 5)
           .localCheckpoint(true)
-        for ((nlist, nprobe) <- Seq((16, 12), (64, 8), (64, 12),
-                                    (128, 8), (128, 12))) {
+        val pts = sys.env.getOrElse("IVFPQ_PTS",
+          "16:12:200,64:8:200,64:12:200,128:8:200,128:12:200")
+          .split(",").toSeq.map { s =>
+            val Array(a, b, c) = s.split(":").map(_.toInt); (a, b, c) }
+        for ((nlist, nprobe, rerank) <- pts) {
           val t0 = System.nanoTime()
           val ann = graft.operators.Similarity.ivfpqTopK(q, emb,
             "vec_id", "embedding", k = 5, nlist = nlist,
             nprobe = nprobe, m = 8, ksub = 16, coarseIters = 1,
-            pqIters = 1, rerank = 200)
+            pqIters = 1, rerank = rerank)
           val macroR = exact.as("b").join(ann.as("l"),
               col("b.query_id") === col("l.query_id") &&
                 col("b.neighbor_id") === col("l.neighbor_id"), "left")
@@ -128,7 +159,7 @@ object Scratch {
             .agg(avg(col("recall"))).collect()(0).getDouble(0)
           val dt = (System.nanoTime() - t0) / 1e9
           println(f"ivfpq nlist=$nlist%3d nprobe=$nprobe%2d " +
-            f"probed=${100.0 * nprobe / nlist}%5.1f%% " +
+            f"rerank=$rerank%5d probed=${100.0 * nprobe / nlist}%5.1f%% " +
             f"recall=$macroR%.3f t=$dt%.2f s")
         }
       case "st8_debug" =>

@@ -704,4 +704,61 @@ object Similarity {
         VectorExprs.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     scoreAndRank(scored, k)
   }
+
+  /** ANN-difficulty PREFLIGHT — per-query relative contrast RC_k
+    * (He, Kumar, Niyogi, Chang, "On the Difficulty of Nearest
+    * Neighbor Search", ICML 2012): E[d(q, X)] over the corpus divided
+    * by the mean distance to q's k nearest neighbors. RC ≈ 1 means
+    * distances CONCENTRATE: a query's true neighbors are barely
+    * closer than arbitrary points, so they scatter across any
+    * coarse-quantizer partition and NO cell/bucket index (IVF, LSH)
+    * can prune aggressively without losing recall — the regime the
+    * round-6 sf1 sweep measured on the shifted-copy synthetic lake
+    * (RC ≈ 1.3; IVFPQ recall 0.44 at 12.5% probed, 0.90 even probing
+    * every cell). RC ≫ 1 (clustered corpora — the common case for
+    * real embedding models) is where the IVF scale path holds. This
+    * probe is the go/no-go a pipeline runs BEFORE paying for an index
+    * build: prunable=false routes to the exact scan (x6/sq8) or a
+    * higher nprobe, the same decide-from-a-measurement discipline as
+    * SketchFns.lgkFor and Dedup.bandsFor.
+    *
+    * Shape: |Q| probe queries broadcast against ONE corpus scan; the
+    * all-points mean is a decimal sum and the kNN mean rides the same
+    * aggregation through the bounded-heap [[graft.functions.TopKAgg]]
+    * (KB state, map-side combine) — no corpus sort, no data-grain
+    * window. Distances live on the ×1e7 integer grid (exact sums,
+    * IEEE sqrt, round-to-6dp before decimal aggregation) so both
+    * engines hash-match. */
+  def annDifficulty(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int = 5,
+                    prunableAt: Double = 2.0): DataFrame = {
+    import graft.functions.TopKAgg
+    val dec = DecimalType(28, 6)
+    val q = queries.select(col(idCol).as("query_id"),
+      quantize1e7(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantize1e7(col(vecCol)).as("cv"))
+    val d = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(sqrt(intL2(col("qv"), col("cv")).cast(DoubleType)) / 1e7d,
+          6).as("dist"))
+    // top-k SMALLEST distances via the max-heap: negate both the key
+    // and the id tiebreak (smaller dist first, then smaller id)
+    val heap = struct((-col("dist")).as("nd"),
+      (-col("neighbor_id")).as("nid"))
+    d.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_corpus"),
+        sum(col("dist").cast(dec)).as("__sum"),
+        TopKAgg.topK(heap, k).as("__top"))
+      .select(col("query_id"), col("n_corpus"),
+        round(col("__sum").cast(DoubleType) / col("n_corpus"), 4)
+          .as("mean_dist"),
+        round(aggregate(col("__top"), lit(0).cast(dec),
+          // decimal + widens precision per SQL rules — cast the
+          // accumulator result back so the lambda type stays fixed
+          (acc, e) => (acc + (-e.getField("nd")).cast(dec)).cast(dec))
+          .cast(DoubleType) / k, 4).as("mean_nn_dist"))
+      .withColumn("rc", round(col("mean_dist") / col("mean_nn_dist"), 4))
+      .withColumn("ivf_prunable", col("rc") >= prunableAt)
+  }
 }

@@ -111,6 +111,36 @@ class Round12Spec extends GraftSuite {
         s"overlap contract broken at lgk=$lgk")
   }
 
+  test("x93 annDifficulty: clustered corpora flag prunable, the " +
+       "near-uniform driver corpus does not") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // clustered: 3 tight blobs far apart — neighbors co-locate in any
+    // reasonable coarse quantizer, RC >> 1, IVF pruning is safe
+    val rnd = new scala.util.Random(7)
+    val blobs = (0 until 60).map { i =>
+      val base = Array.fill(8)(0.0f)
+      base(i % 3) = 10.0f
+      (i.toLong,
+        base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.2f).toSeq)
+    }
+    val df = blobs.toDF("vec_id", "embedding")
+    val flags = Similarity.annDifficulty(df, df.filter($"vec_id" < 5),
+      "vec_id", "embedding", k = 5)
+    assert(flags.filter(!$"ivf_prunable").isEmpty,
+      "clustered corpus should measure prunable")
+    // the driver corpus: near-uniform synthetic vectors (measured
+    // RC 1.2-1.3 at sf0.1 and on the derived sf1 lake) — the regime
+    // where the round-6 sweep saw IVFPQ recall collapse; the flag
+    // must say so
+    val emb =
+      spark.read.parquet(s"${SparkTestBase.sfDir}/embeddings.parquet")
+    val real = Similarity.annDifficulty(emb, emb.filter($"vec_id" < 10),
+      "vec_id", "embedding", k = 5)
+    assert(real.filter($"ivf_prunable").isEmpty,
+      "near-uniform corpus should NOT measure prunable")
+  }
+
   test("layout: keepTotal fails fast on a pre-existing 'total' column") {
     import spark.implicits._
     val df = Seq((1L, 7L), (2L, 9L)).toDF("k", "total")
