@@ -100,6 +100,17 @@ object Bench {
     "e2e_webcorpus",         // gopher → dedup → bigram cut → shards
     "x36_span_dup_coverage") // bridge query shared with all sets
 
+  /** Fifth pinned set: the round-6 additions and rewrites (same
+    * discipline; prior sets stay untouched). x36 bridges again. */
+  val r6new: Seq[String] = Seq(
+    "x93_ann_difficulty",    // RC preflight (one scan + bounded heap)
+    "x94_dsir_selection",    // hashed-ngram importance selection
+    "x74b_theta_overlap_ledger", // ledger-fed sketch sizing
+    "x91b_gopher_audit",     // per-rule pass-rate pane
+    "x26_decontaminate",     // canary-injected decontamination (rewritten)
+    "st17_stream_freq_ledger", // batchId-idempotent sketch ledger (rewritten)
+    "x36_span_dup_coverage") // bridge query shared with all sets
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -170,20 +181,23 @@ object Bench {
     val resultsLlm = benchSet(llm10)
     val resultsR4 = benchSet(r4new)
     val resultsR5 = benchSet(r5new)
+    val resultsR6 = benchSet(r6new)
     val qs = toJson(results)
     val qsLlm = toJson(resultsLlm)
     val qsR4 = toJson(resultsR4)
     val qsR5 = toJson(resultsR5)
+    val qsR6 = toJson(resultsR6)
     // `value` stays the HEADLINE total only — the pinned 21-set number the
     // driver has tracked since round 1; each later set gets its own key.
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalLlm = resultsLlm.map(_._2).filter(_ >= 0).sum
     val totalR4 = resultsR4.map(_._2).filter(_ >= 0).sum
     val totalR5 = resultsR5.map(_._2).filter(_ >= 0).sum
+    val totalR6 = resultsR6.map(_._2).filter(_ >= 0).sum
     // Stop Spark BEFORE printing so no shutdown log line can land after
     // the JSON — the driver parses the last stdout line.
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$nPasses,"queries":$qs,"value_llm":$totalLlm%.3f,"queries_llm":$qsLlm,"value_r4":$totalR4%.3f,"queries_r4":$qsR4,"value_r5":$totalR5%.3f,"queries_r5":$qsR5,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$nPasses,"queries":$qs,"value_llm":$totalLlm%.3f,"queries_llm":$qsLlm,"value_r4":$totalR4%.3f,"queries_r4":$qsR4,"value_r5":$totalR5%.3f,"queries_r5":$qsR5,"value_r6":$totalR6%.3f,"queries_r6":$qsR6,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -3497,6 +3497,36 @@ object SparkEntry {
         .orderBy(col("rule"))
     }),
 
+    "x94_dsir_selection" -> ((s, dir) => {
+      // DSIR data selection end-to-end (TextOps.dsirWeights): the
+      // en-labeled docs stand in for the curated target seed set,
+      // every doc scores by hashed-ngram importance log-ratio, and
+      // the top QUARTER by weight is kept via the range-exchange
+      // global numbering (no data-grain global window — p13's
+      // discipline). The pane is the selection audit per source:
+      // how much survived and how en-skewed the survivors are (the
+      // semantic check that the importance model learned the target:
+      // n_selected_en/n_selected should sit far above the corpus's
+      // base en rate).
+      val docs = t(s, dir, "documents")
+      val w = TextOps.dsirWeights(docs, col("doc_id"), col("text"),
+        col("lang") === "en", nBuckets = 4096)
+      val ranked = Layout.globalRowNumber(
+        w.join(docs.select(col("doc_id").as("id"), col("source"),
+          col("lang")), Seq("id")),
+        struct((-col("w")).as("nw"), col("id").as("i")),
+        keepTotal = true)
+      ranked.withColumn("keep", col("row_num") * 4 < col("total"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_selected"),
+          sum(when(col("keep") && col("lang") === "en", 1L)
+            .otherwise(0L)).as("n_selected_en"),
+          round(sum(when(col("keep"), col("w")).cast("decimal(18,4)"))
+            .cast(DoubleType), 4).as("sum_w_selected"))
+        .orderBy(col("source"))
+    }),
+
     "x9_quality_score" -> ((s, dir) => {
       TextOps.qualityFeatures(t(s, dir, "documents"), col("doc_id"), col("text"))
         .orderBy(col("id"))
@@ -8730,6 +8760,54 @@ object SparkEntry {
              round(CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
                / COUNT(*), 4) AS pass_frac
       FROM u GROUP BY rule ORDER BY rule""",
+
+    "x94_dsir_selection" -> """
+      WITH d AS (
+        SELECT doc_id AS id, source, lang,
+               regexp_extract_all(lower(text), '\S+') AS t
+        FROM documents),
+      uni AS (
+        SELECT id, lang = 'en' AS tgt, UNNEST(t) AS f FROM d),
+      bi AS (
+        SELECT id, lang = 'en' AS tgt,
+               UNNEST(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i + 1])) AS f
+        FROM d WHERE len(t) >= 2),
+      feat AS (
+        SELECT id, tgt, f,
+               CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT)
+                 % 4096 AS b
+        FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+      counts AS (
+        SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+               SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS cq
+        FROM feat GROUP BY b),
+      totals AS (SELECT SUM(ct) AS nt, SUM(cq) AS nq FROM counts),
+      ratio AS (
+        SELECT b, round(ln((ct + 1.0) / (nt + 4096))
+                 - ln((cq + 1.0) / (nq + 4096)), 6) AS lr
+        FROM counts CROSS JOIN totals),
+      perdoc AS (
+        SELECT id, round(CAST(SUM(CAST(cnt * CAST(lr AS DECIMAL(28,6))
+                 AS DECIMAL(28,6))) AS DOUBLE), 4) AS w
+        FROM (SELECT id, b, COUNT(*) AS cnt FROM feat GROUP BY id, b)
+        JOIN ratio USING (b) GROUP BY id),
+      scored AS (
+        SELECT d.id, d.source, d.lang, COALESCE(p.w, 0.0) AS w
+        FROM d LEFT JOIN perdoc p ON d.id = p.id),
+      ranked AS (
+        SELECT *, row_number() OVER (ORDER BY w DESC, id ASC) AS rn,
+               COUNT(*) OVER () AS total
+        FROM scored)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN (rn - 1) * 4 < total THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_selected,
+             CAST(SUM(CASE WHEN (rn - 1) * 4 < total AND lang = 'en'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected_en,
+             round(CAST(SUM(CASE WHEN (rn - 1) * 4 < total
+                 THEN CAST(w AS DECIMAL(18,4)) END) AS DOUBLE), 4)
+               AS sum_w_selected
+      FROM ranked GROUP BY source ORDER BY source""",
 
     "x90_bigram_logprob" -> """
       WITH toks AS (

@@ -339,6 +339,63 @@ object TextOps {
         round(avg(col("logp")), 4).as("avg_logp2"))
   }
 
+  /** DSIR importance weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): score every
+    * document by how target-like its hashed n-gram profile is,
+    * log w(x) = Σ_b c_b(x)·(log p̂_b − log q̂_b), where c_b are the
+    * doc's hashed unigram+bigram counts and p̂/q̂ are add-one-smoothed
+    * bucket distributions of the target (`isTarget` rows — the curated
+    * seed set) and the raw rest. The top-weighted raw docs are the
+    * DSIR selection — the published cheap alternative to
+    * classifier-based quality filtering.
+    *
+    * 100 TB shape: features ride the ingest scan (explode, no vocab
+    * state); BOTH distributions train in the same single pass via
+    * conditional aggregation on the bucket grain; the learned model is
+    * `nBuckets` log-ratios — KBs, broadcast back; per-doc scoring is
+    * one (id, bucket) partial agg + that broadcast join. No
+    * vocabulary-sized shuffle anywhere; history never rescans if the
+    * bucket counts persist as a ledger (m8 discipline — counts are
+    * additive). Feature hashing uses portableHash60 (md5-derived) so
+    * both engines bucket identically; log-ratios round to 6dp and ride
+    * decimal sums so weights hash-match. Docs whose text is empty
+    * carry weight 0. */
+  def dsirWeights(df: DataFrame, id: Column, text: Column,
+                  isTarget: Column, nBuckets: Int = 4096): DataFrame = {
+    val dec = DecimalType(28, 6)
+    val arr = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+    val docs = df.select(id.as("id"), isTarget.as("tgt"), arr.as("__t"))
+    val uni = docs.select(col("id"), col("tgt"),
+      explode(col("__t")).as("f"))
+    val bi = docs.filter(size(col("__t")) >= 2)
+      .select(col("id"), col("tgt"), explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("f"))
+    val feat = uni.unionByName(bi)
+      .withColumn("b",
+        pmod(ColFns.portableHash60(col("f")), lit(nBuckets.toLong)))
+    val counts = feat.groupBy(col("b"))
+      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("tgt"), 1L).otherwise(0L)).as("cq"))
+    val totals = counts.agg(sum(col("ct")).as("nt"),
+      sum(col("cq")).as("nq"))
+    val ratio = counts.crossJoin(broadcast(totals)) // 1-row scalar idiom
+      .select(col("b"), round(
+        log((col("ct") + 1.0d) /
+          (col("nt") + nBuckets).cast(DoubleType)) -
+        log((col("cq") + 1.0d) /
+          (col("nq") + nBuckets).cast(DoubleType)), 6).as("lr"))
+    val perDoc = feat.groupBy(col("id"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(ratio), Seq("b"))
+      .groupBy(col("id"))
+      .agg(round(sum((col("cnt") * col("lr").cast(dec)).cast(dec))
+        .cast(DoubleType), 4).as("w"))
+    docs.select(col("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("w"), lit(0.0d)).as("w"))
+  }
+
   /** Per-source token-distribution drift: KL(source ‖ corpus) over the
     * global top-`vocabSize` tokens — the mixture-monitoring statistic
     * that catches one source's vocabulary wandering away from the

@@ -141,6 +141,24 @@ class Round12Spec extends GraftSuite {
       "near-uniform corpus should NOT measure prunable")
   }
 
+  test("x94 DSIR: selection skews hard toward the target domain") {
+    val docs =
+      spark.read.parquet(s"${SparkTestBase.sfDir}/documents.parquet")
+    val base = docs.filter(col("lang") === "en").count().toDouble /
+      docs.count()
+    val pane =
+      SparkEntry.queries("x94_dsir_selection")(spark, SparkTestBase.sfDir)
+        .agg(sum(col("n_selected")).as("s"),
+          sum(col("n_selected_en")).as("se")).collect()(0)
+    val selRate = pane.getLong(1).toDouble / pane.getLong(0)
+    // the whole point of importance resampling: the kept quarter must
+    // be far more target-like than the corpus (measured: 0.83 vs 0.40
+    // base at sf0.001) — a near-base rate means the hashed-ngram model
+    // learned nothing
+    assert(selRate > base + 0.2,
+      f"selected en-rate $selRate%.2f not above base $base%.2f + 0.2")
+  }
+
   test("layout: keepTotal fails fast on a pre-existing 'total' column") {
     import spark.implicits._
     val df = Seq((1L, 7L), (2L, 9L)).toDF("k", "total")
