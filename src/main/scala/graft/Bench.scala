@@ -104,6 +104,7 @@ object Bench {
     * discipline; prior sets stay untouched). x36 bridges again. */
   val r6new: Seq[String] = Seq(
     "x93_ann_difficulty",    // RC preflight (one scan + bounded heap)
+    "x93b_ann_auto",         // RC-gated ANN router (exact branch here)
     "x94_dsir_selection",    // hashed-ngram importance selection
     "x74b_theta_overlap_ledger", // ledger-fed sketch sizing
     "x91b_gopher_audit",     // per-rule pass-rate pane

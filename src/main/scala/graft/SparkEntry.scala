@@ -2554,6 +2554,20 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    "x93b_ann_auto" -> ((s, dir) => {
+      // the RC-gated router end-to-end (Similarity.annTopKAuto): on
+      // this corpus the preflight measures NOT prunable (x93's pane),
+      // so the route is the exact fixed-point scan — which is why the
+      // oracle is the shared brute replay. The IVFPQ branch and the
+      // gate's other direction are exercised by Round12Spec on a
+      // clustered corpus. The point under test: the engine picks the
+      // plan from a measurement, not from hope.
+      val emb = t(s, dir, "embeddings")
+      Similarity.annTopKAuto(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "x88b_ivfpq_exact" -> ((s, dir) => {
       // the SAME IVFPQ machinery in its degenerate config — every cell
       // probed (nprobe = nlist) and ksub = |corpus| (every residual its
@@ -4659,6 +4673,29 @@ object SparkEntry {
   }
 
   // =======================================================================
+  /** Shared fixed-point brute-force L2 oracle for every exact-
+    * degenerate ANN twin (x53b, x88b) and the auto-router on this
+    * corpus (x93b, where the RC gate measures not-prunable and the
+    * route IS the exact scan). */
+  private val fixedPointBruteOracle: String = """
+      WITH qv AS (
+        SELECT vec_id,
+               list_transform(embedding, v ->
+                 CAST(floor(CAST(v AS DOUBLE) * 1e7 + 0.5) AS BIGINT))
+                 AS qv
+        FROM embeddings),
+      d AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                 i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i])))
+                 AS BIGINT) AS approx_d2
+        FROM (SELECT * FROM qv WHERE vec_id < 10) q
+        JOIN qv c ON q.vec_id <> c.vec_id)
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, approx_d2
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank FROM d)
+      WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** Shared oracle for x74/x74b: exact shared-gram counts with the
     * deterministically-true tolerance flag (both sizings are exact-mode
     * at oracle scale). */
@@ -8256,24 +8293,8 @@ object SparkEntry {
       SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ge_08
       FROM embeddings WHERE vec_id < 10""",
 
-    "x53b_pq_exact" -> """
-      WITH qv AS (
-        SELECT vec_id,
-               list_transform(embedding, v ->
-                 CAST(floor(CAST(v AS DOUBLE) * 1e7 + 0.5) AS BIGINT))
-                 AS qv
-        FROM embeddings),
-      d AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
-                 i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i])))
-                 AS BIGINT) AS approx_d2
-        FROM (SELECT * FROM qv WHERE vec_id < 10) q
-        JOIN qv c ON q.vec_id <> c.vec_id)
-      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, approx_d2
-      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-              ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank FROM d)
-      WHERE rank <= 5 ORDER BY query_id, rank""",
+    "x53b_pq_exact" -> fixedPointBruteOracle,
+    "x93b_ann_auto" -> fixedPointBruteOracle,
 
     "x88_ivfpq_topk" -> """
       SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ge_08
@@ -8314,24 +8335,7 @@ object SparkEntry {
              round(mean_dist / mean_nn_dist, 4) >= 2.0 AS ivf_prunable
       FROM m ORDER BY query_id""",
 
-    "x88b_ivfpq_exact" -> """
-      WITH qv AS (
-        SELECT vec_id,
-               list_transform(embedding, v ->
-                 CAST(floor(CAST(v AS DOUBLE) * 1e7 + 0.5) AS BIGINT))
-                 AS qv
-        FROM embeddings),
-      d AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
-                 i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i])))
-                 AS BIGINT) AS approx_d2
-        FROM (SELECT * FROM qv WHERE vec_id < 10) q
-        JOIN qv c ON q.vec_id <> c.vec_id)
-      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, approx_d2
-      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-              ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank FROM d)
-      WHERE rank <= 5 ORDER BY query_id, rank""",
+    "x88b_ivfpq_exact" -> fixedPointBruteOracle,
 
     "x54_random_projection" -> """
       SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, TRUE AS cos_err_le_025

@@ -729,6 +729,38 @@ object Similarity {
     * window. Distances live on the ×1e7 integer grid (exact sums,
     * IEEE sqrt, round-to-6dp before decimal aggregation) so both
     * engines hash-match. */
+  /** The [[annDifficulty]] verdict as one conservative scalar: true
+    * only when EVERY probe query measures prunable — a single
+    * concentrated probe downgrades the route to exact. The collect is
+    * a 1-row scalar decision (admission-gate idiom), made once per
+    * index deployment, not per query. */
+  def annPrunable(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int = 5,
+                  prunableAt: Double = 2.0): Boolean = {
+    val rows = annDifficulty(corpus, queries, idCol, vecCol, k,
+      prunableAt).agg(min(col("ivf_prunable"))).collect()
+    rows.nonEmpty && !rows(0).isNullAt(0) && rows(0).getBoolean(0)
+  }
+
+  /** RC-GATED ANN — the x93 preflight wired into the operator itself
+    * (connectedComponentsAuto's discipline: measure, then route,
+    * never assume): when the probe queries all measure prunable
+    * (clustered corpus, RC ≥ gate) the IVFPQ index path runs; in the
+    * concentration regime (the measured sf1 recall collapse — RC ≈
+    * 1.3, recall 0.44 at 12.5% probed) cell pruning cannot hold
+    * recall and the exact fixed-point scan IS the correct plan, so
+    * that is what runs. Both branches emit the same
+    * (query_id, rank, neighbor_id, approx_d2) shape. */
+  def annTopKAuto(queries: DataFrame, corpus: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  nlist: Int = 16, nprobe: Int = 12, m: Int = 8,
+                  ksub: Int = 16, rerank: Int = 200,
+                  prunableAt: Double = 2.0): DataFrame =
+    if (annPrunable(corpus, queries, idCol, vecCol, k, prunableAt))
+      ivfpqTopK(queries, corpus, idCol, vecCol, k, nlist, nprobe, m,
+        ksub, coarseIters = 1, pqIters = 1, rerank = rerank)
+    else bruteTopKL2(queries, corpus, idCol, vecCol, k)
+
   def annDifficulty(corpus: DataFrame, queries: DataFrame,
                     idCol: String, vecCol: String, k: Int = 5,
                     prunableAt: Double = 2.0): DataFrame = {

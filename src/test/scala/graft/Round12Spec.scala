@@ -111,20 +111,25 @@ class Round12Spec extends GraftSuite {
         s"overlap contract broken at lgk=$lgk")
   }
 
-  test("x93 annDifficulty: clustered corpora flag prunable, the " +
-       "near-uniform driver corpus does not") {
-    import graft.operators.Similarity
+  /** 3 tight blobs far apart — neighbors co-locate in any reasonable
+    * coarse quantizer, RC >> 1, IVF pruning is safe. vec_ids 0,1,2
+    * land one per blob, so they double as perfect kmeans seeds. */
+  private def blobCorpus() = {
     import spark.implicits._
-    // clustered: 3 tight blobs far apart — neighbors co-locate in any
-    // reasonable coarse quantizer, RC >> 1, IVF pruning is safe
     val rnd = new scala.util.Random(7)
-    val blobs = (0 until 60).map { i =>
+    (0 until 60).map { i =>
       val base = Array.fill(8)(0.0f)
       base(i % 3) = 10.0f
       (i.toLong,
         base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.2f).toSeq)
-    }
-    val df = blobs.toDF("vec_id", "embedding")
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("x93 annDifficulty: clustered corpora flag prunable, the " +
+       "near-uniform driver corpus does not") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val df = blobCorpus()
     val flags = Similarity.annDifficulty(df, df.filter($"vec_id" < 5),
       "vec_id", "embedding", k = 5)
     assert(flags.filter(!$"ivf_prunable").isEmpty,
@@ -139,6 +144,33 @@ class Round12Spec extends GraftSuite {
       "vec_id", "embedding", k = 5)
     assert(real.filter($"ivf_prunable").isEmpty,
       "near-uniform corpus should NOT measure prunable")
+  }
+
+  test("annTopKAuto routes by measurement: exact on the concentrated " +
+       "driver corpus, IVFPQ holding recall on the clustered one") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val emb =
+      spark.read.parquet(s"${SparkTestBase.sfDir}/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    // not prunable ⇒ the routed result IS the exact scan, row for row
+    val auto = Similarity.annTopKAuto(q, emb, "vec_id", "embedding", 5)
+    val brute = Similarity.bruteTopKL2(q, emb, "vec_id", "embedding", 5)
+    assert(auto.exceptAll(brute).isEmpty && brute.exceptAll(auto).isEmpty,
+      "non-prunable corpus must route to the exact scan")
+    // clustered ⇒ the gate flips and the IVFPQ branch must hold recall
+    val blobs = blobCorpus()
+    val bq = blobs.filter($"vec_id" < 5)
+    assert(Similarity.annPrunable(blobs, bq, "vec_id", "embedding"))
+    val annb = Similarity.annTopKAuto(bq, blobs, "vec_id", "embedding",
+      5, nlist = 3, nprobe = 1, m = 8, ksub = 8, rerank = 20)
+    val bruteb = Similarity.bruteTopKL2(bq, blobs, "vec_id",
+      "embedding", 5)
+    val hits = bruteb.as("b").join(annb.as("l"),
+      $"b.query_id" === $"l.query_id" &&
+        $"b.neighbor_id" === $"l.neighbor_id").count()
+    assert(hits >= 20, s"IVFPQ branch recall ${hits / 25.0} < 0.8 " +
+      "on a clustered corpus")
   }
 
   test("x94 DSIR: selection skews hard toward the target domain") {
