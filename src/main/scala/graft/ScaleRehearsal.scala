@@ -92,6 +92,13 @@ object ScaleRehearsal {
       case "documents" => df
         .withColumn("doc_id", off("doc_id", i))
         .withColumn("text", caesar(col("text"), i))
+        // a rotated copy IS a different language (every token spelled
+        // differently), so its lang label says so — keeping the label
+        // consistent with the text keeps every lang-grouped operator
+        // (per-language Gopher probes, lang-conditioned selection)
+        // honest at 10×; copy 0 stays the identity
+        .withColumn("lang", if (i == 0) col("lang")
+          else concat(col("lang"), lit(s"_c$i")))
       case "embeddings" => df
         .withColumn("vec_id", off("vec_id", i))
         // circular shift by i: element_at is 1-based, the lambda index

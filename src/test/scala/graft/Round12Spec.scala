@@ -90,6 +90,14 @@ class Round12Spec extends GraftSuite {
     val nPass = flags.filter(col("pass")).count()
     assert(nPass > 0, "calibrated gate still passes zero docs")
     assert(nPass < n, "calibrated gate stopped gating entirely")
+    // the per-language form (what e2e_webcorpus actually uses — the
+    // only calibration that survives a multilingual corpus, see
+    // corpusProbesBy): one k-probe row per language
+    val byLang = TextOps.corpusProbesBy(docs, col("lang"), col("text"))
+    val nLangs = docs.select(col("lang")).distinct().count()
+    assert(byLang.count() == nLangs)
+    assert(byLang.filter(size(col("probes")) =!= 8).isEmpty,
+      "every language should get 8 probes on this corpus")
   }
 
   test("x74b: ledger-fed lgk <= token-count upper-bound lgk, " +
