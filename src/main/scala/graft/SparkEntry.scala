@@ -177,6 +177,30 @@ object SparkEntry {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Shared x94/st18 selection tail: rank ALL docs by DSIR weight via
+    * the range-exchange global numbering, keep the top quarter, emit
+    * the per-source audit pane. One tail for both twins so tokenizer,
+    * cut rule, and pane definition can never diverge (the st17/x89
+    * twin discipline). */
+  private def dsirPane(s: SparkSession, dir: String,
+                       w: DataFrame): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ranked = Layout.globalRowNumber(
+      w.join(docs.select(col("doc_id").as("id"), col("source"),
+        col("lang")), Seq("id")),
+      struct((-col("w")).as("nw"), col("id").as("i")),
+      keepTotal = true)
+    ranked.withColumn("keep", col("row_num") * 4 < col("total"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("keep") && col("lang") === "en", 1L)
+          .otherwise(0L)).as("n_selected_en"),
+        round(sum(when(col("keep"), col("w")).cast("decimal(18,4)"))
+          .cast(DoubleType), 4).as("sum_w_selected"))
+      .orderBy(col("source"))
+  }
+
   // =======================================================================
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -3523,22 +3547,19 @@ object SparkEntry {
       // n_selected_en/n_selected should sit far above the corpus's
       // base en rate).
       val docs = t(s, dir, "documents")
-      val w = TextOps.dsirWeights(docs, col("doc_id"), col("text"),
-        col("lang") === "en", nBuckets = 4096)
-      val ranked = Layout.globalRowNumber(
-        w.join(docs.select(col("doc_id").as("id"), col("source"),
-          col("lang")), Seq("id")),
-        struct((-col("w")).as("nw"), col("id").as("i")),
-        keepTotal = true)
-      ranked.withColumn("keep", col("row_num") * 4 < col("total"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("keep"), 1L).otherwise(0L)).as("n_selected"),
-          sum(when(col("keep") && col("lang") === "en", 1L)
-            .otherwise(0L)).as("n_selected_en"),
-          round(sum(when(col("keep"), col("w")).cast("decimal(18,4)"))
-            .cast(DoubleType), 4).as("sum_w_selected"))
-        .orderBy(col("source"))
+      dsirPane(s, dir, TextOps.dsirWeights(docs, col("doc_id"),
+        col("text"), col("lang") === "en", nBuckets = 4096))
+    }),
+
+    "st18_stream_dsir" -> ((s, dir) => {
+      // x94's STREAMING twin: the DSIR model trains as the corpus
+      // streams in (bucket counts fold into a batchId-idempotent
+      // ledger — Streams.streamDsirWeights), then the same selection
+      // pane runs against the LEDGER model. Shares x94's oracle
+      // verbatim — the additive-sufficient-statistic batching-
+      // invariance proof (final ledger model == batch model for any
+      // stream split).
+      dsirPane(s, dir, graft.streaming.Streams.streamDsirWeights(s, dir))
     }),
 
     "x9_quality_score" -> ((s, dir) => {
@@ -4704,6 +4725,59 @@ object SparkEntry {
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank FROM d)
       WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** Shared x94/st18 oracle: the DSIR selection pane. st18 trains
+    * the model from the streamed ledger; additive counts + the
+    * exactly-once fold make the ledger model equal the batch model
+    * for any stream split, so one oracle serves both twins (the
+    * batching-invariance proof).*/
+  private val dsirSelectionOracle: String = """
+      WITH d AS (
+        SELECT doc_id AS id, source, lang,
+               regexp_extract_all(lower(text), '\S+') AS t
+        FROM documents),
+      uni AS (
+        SELECT id, lang = 'en' AS tgt, UNNEST(t) AS f FROM d),
+      bi AS (
+        SELECT id, lang = 'en' AS tgt,
+               UNNEST(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i + 1])) AS f
+        FROM d WHERE len(t) >= 2),
+      feat AS (
+        SELECT id, tgt, f,
+               CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT)
+                 % 4096 AS b
+        FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+      counts AS (
+        SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+               SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS cq
+        FROM feat GROUP BY b),
+      totals AS (SELECT SUM(ct) AS nt, SUM(cq) AS nq FROM counts),
+      ratio AS (
+        SELECT b, round(ln((ct + 1.0) / (nt + 4096))
+                 - ln((cq + 1.0) / (nq + 4096)), 6) AS lr
+        FROM counts CROSS JOIN totals),
+      perdoc AS (
+        SELECT id, round(CAST(SUM(CAST(cnt * CAST(lr AS DECIMAL(28,6))
+                 AS DECIMAL(28,6))) AS DOUBLE), 4) AS w
+        FROM (SELECT id, b, COUNT(*) AS cnt FROM feat GROUP BY id, b)
+        JOIN ratio USING (b) GROUP BY id),
+      scored AS (
+        SELECT d.id, d.source, d.lang, COALESCE(p.w, 0.0) AS w
+        FROM d LEFT JOIN perdoc p ON d.id = p.id),
+      ranked AS (
+        SELECT *, row_number() OVER (ORDER BY w DESC, id ASC) AS rn,
+               COUNT(*) OVER () AS total
+        FROM scored)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN (rn - 1) * 4 < total THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_selected,
+             CAST(SUM(CASE WHEN (rn - 1) * 4 < total AND lang = 'en'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected_en,
+             round(CAST(SUM(CASE WHEN (rn - 1) * 4 < total
+                 THEN CAST(w AS DECIMAL(18,4)) END) AS DOUBLE), 4)
+               AS sum_w_selected
+      FROM ranked GROUP BY source ORDER BY source"""
 
   /** Shared oracle for x74/x74b: exact shared-gram counts with the
     * deterministically-true tolerance flag (both sizings are exact-mode
@@ -8777,53 +8851,8 @@ object SparkEntry {
                / COUNT(*), 4) AS pass_frac
       FROM u GROUP BY rule ORDER BY rule""",
 
-    "x94_dsir_selection" -> """
-      WITH d AS (
-        SELECT doc_id AS id, source, lang,
-               regexp_extract_all(lower(text), '\S+') AS t
-        FROM documents),
-      uni AS (
-        SELECT id, lang = 'en' AS tgt, UNNEST(t) AS f FROM d),
-      bi AS (
-        SELECT id, lang = 'en' AS tgt,
-               UNNEST(list_transform(range(1, len(t)),
-                 i -> t[i] || ' ' || t[i + 1])) AS f
-        FROM d WHERE len(t) >= 2),
-      feat AS (
-        SELECT id, tgt, f,
-               CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT)
-                 % 4096 AS b
-        FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
-      counts AS (
-        SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
-               SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS cq
-        FROM feat GROUP BY b),
-      totals AS (SELECT SUM(ct) AS nt, SUM(cq) AS nq FROM counts),
-      ratio AS (
-        SELECT b, round(ln((ct + 1.0) / (nt + 4096))
-                 - ln((cq + 1.0) / (nq + 4096)), 6) AS lr
-        FROM counts CROSS JOIN totals),
-      perdoc AS (
-        SELECT id, round(CAST(SUM(CAST(cnt * CAST(lr AS DECIMAL(28,6))
-                 AS DECIMAL(28,6))) AS DOUBLE), 4) AS w
-        FROM (SELECT id, b, COUNT(*) AS cnt FROM feat GROUP BY id, b)
-        JOIN ratio USING (b) GROUP BY id),
-      scored AS (
-        SELECT d.id, d.source, d.lang, COALESCE(p.w, 0.0) AS w
-        FROM d LEFT JOIN perdoc p ON d.id = p.id),
-      ranked AS (
-        SELECT *, row_number() OVER (ORDER BY w DESC, id ASC) AS rn,
-               COUNT(*) OVER () AS total
-        FROM scored)
-      SELECT source, COUNT(*) AS n_docs,
-             CAST(SUM(CASE WHEN (rn - 1) * 4 < total THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_selected,
-             CAST(SUM(CASE WHEN (rn - 1) * 4 < total AND lang = 'en'
-                 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected_en,
-             round(CAST(SUM(CASE WHEN (rn - 1) * 4 < total
-                 THEN CAST(w AS DECIMAL(18,4)) END) AS DOUBLE), 4)
-               AS sum_w_selected
-      FROM ranked GROUP BY source ORDER BY source""",
+    "x94_dsir_selection" -> dsirSelectionOracle,
+    "st18_stream_dsir" -> dsirSelectionOracle,
 
     "x90_bigram_logprob" -> """
       WITH toks AS (

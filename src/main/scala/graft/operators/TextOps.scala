@@ -387,7 +387,16 @@ object TextOps {
     * carry weight 0. */
   def dsirWeights(df: DataFrame, id: Column, text: Column,
                   isTarget: Column, nBuckets: Int = 4096): DataFrame = {
-    val dec = DecimalType(28, 6)
+    val feat = dsirFeatures(df, id, text, isTarget, nBuckets)
+    dsirWeightsFrom(df, id, feat, dsirCounts(feat), nBuckets)
+  }
+
+  /** The (id, tgt, b) hashed feature stream — unigrams + bigrams
+    * through portableHash60 mod nBuckets. Shared by the batch trainer
+    * (x94), the scorer, and the streaming ledger fold (st18), so the
+    * three can never diverge in tokenizer or hashing. */
+  def dsirFeatures(df: DataFrame, id: Column, text: Column,
+                   isTarget: Column, nBuckets: Int): DataFrame = {
     val arr = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
     val docs = df.select(id.as("id"), isTarget.as("tgt"), arr.as("__t"))
     val uni = docs.select(col("id"), col("tgt"),
@@ -397,12 +406,31 @@ object TextOps {
         slice(col("__t"), lit(1), size(col("__t")) - 1),
         slice(col("__t"), lit(2), size(col("__t")) - 1),
         (a, b) => concat_ws(" ", a, b))).as("f"))
-    val feat = uni.unionByName(bi)
-      .withColumn("b",
-        pmod(ColFns.portableHash60(col("f")), lit(nBuckets.toLong)))
-    val counts = feat.groupBy(col("b"))
+    uni.unionByName(bi)
+      .select(col("id"), col("tgt"),
+        pmod(ColFns.portableHash60(col("f")), lit(nBuckets.toLong))
+          .as("b"))
+  }
+
+  /** Bucket-grain (b, ct, cq) target/raw counts from a feature
+    * stream — the DSIR model's SUFFICIENT STATISTIC, and additive:
+    * counts from any partition of the corpus sum to the whole-corpus
+    * counts, which is what lets st18 maintain them as a streaming
+    * ledger whose final model equals the batch model regardless of
+    * batching. */
+  def dsirCounts(feat: DataFrame): DataFrame =
+    feat.groupBy(col("b"))
       .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
         sum(when(!col("tgt"), 1L).otherwise(0L)).as("cq"))
+
+  /** Score every doc of `df` against a DSIR count model: smoothed
+    * bucket log-ratios (nBuckets rows, broadcast) joined to the doc's
+    * (id, bucket) counts; docs with no features weigh 0. `counts` may
+    * come from [[dsirCounts]] in the same plan (x94) or from a
+    * persisted ledger (st18). */
+  def dsirWeightsFrom(df: DataFrame, id: Column, feat: DataFrame,
+                      counts: DataFrame, nBuckets: Int): DataFrame = {
+    val dec = DecimalType(28, 6)
     val totals = counts.agg(sum(col("ct")).as("nt"),
       sum(col("cq")).as("nq"))
     val ratio = counts.crossJoin(broadcast(totals)) // 1-row scalar idiom
@@ -417,7 +445,7 @@ object TextOps {
       .groupBy(col("id"))
       .agg(round(sum((col("cnt") * col("lr").cast(dec)).cast(dec))
         .cast(DoubleType), 4).as("w"))
-    docs.select(col("id")).join(perDoc, Seq("id"), "left")
+    df.select(id.as("id")).join(perDoc, Seq("id"), "left")
       .select(col("id"), coalesce(col("w"), lit(0.0d)).as("w"))
   }
 

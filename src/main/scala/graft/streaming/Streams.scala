@@ -934,6 +934,83 @@ object Streams {
     graft.operators.TextOps.freqBoundsContract(docs, merged)
   }
 
+  /** st18's ledger schema: DSIR bucket counts + the last applied
+    * micro-batch id, committed in the same atomic swap. */
+  val dsirLedgerSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ct",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cq",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__last_batch",
+        org.apache.spark.sql.types.LongType)))
+
+  /** One batchId-keyed idempotent fold of a raw documents micro-batch
+    * into the DSIR bucket-count ledger — st17's guard discipline over
+    * st11's additive upsert. The DSIR model's sufficient statistic is
+    * additive counts, so the ledger model after any batching equals
+    * the batch-trained model (what the st18 oracle checks by sharing
+    * x94's); the `__last_batch` guard keeps at-least-once redelivery
+    * from double-counting a batch's features. */
+  def dsirLedgerFold(batch: DataFrame, batchId: Long, path: String,
+                     nBuckets: Int = 4096): Unit = {
+    import graft.operators.{Mutations, TextOps}
+    val sp = batch.sparkSession
+    val ledger = sp.read.parquet(path)
+    val applied = ledger
+      .agg(coalesce(max(col("__last_batch")), lit(-1L)))
+      .head().getLong(0)
+    if (batchId > applied) { // else: replayed batch, already folded
+      val delta = TextOps.dsirCounts(TextOps.dsirFeatures(batch,
+        col("doc_id"), col("text"), col("lang") === "en", nBuckets))
+      val merged = Mutations.upsertAggregate(
+        ledger.drop("__last_batch"), delta, Seq("b"), Seq("ct", "cq"))
+        .withColumn("__last_batch", lit(batchId))
+      Mutations.overwriteAtomic(merged, path)
+    }
+  }
+
+  /** Streaming DSIR (x94's twin): the importance model TRAINS AS THE
+    * CORPUS STREAMS IN — each micro-batch's hashed-ngram bucket
+    * counts fold into a standing ledger (additive sufficient
+    * statistic, batchId-keyed idempotent like st17), and the final
+    * selection scores documents against the LEDGER model. Because
+    * counts are additive and the fold exactly-once, the ledger model
+    * equals the batch-trained model for ANY batching — so this query
+    * shares x94's oracle verbatim, which is the batching-invariance
+    * proof (st6/st11 discipline). Production shape: the model is
+    * nBuckets rows of KB-scale state, always query-ready; a new
+    * crawl snapshot folds in one pass and never rescans history. */
+  def streamDsirWeights(spark: SparkSession, sfDir: String,
+                        splitFiles: Int = 2,
+                        nBuckets: Int = 4096): DataFrame = {
+    import graft.operators.TextOps
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val target = new java.io.File("target/qtmp/st18_target")
+    org.apache.commons.io.FileUtils.deleteQuietly(target)
+    val path = target.getAbsolutePath
+    graft.operators.Mutations.seedEmptyLedger(spark, path,
+      dsirLedgerSchema)
+    val q = stagedFileStream(spark, sfDir, "documents", "doc_id",
+        "st18_src", splitFiles)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dsirLedgerFold(batch, batchId, path, nBuckets)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val counts = spark.read.parquet(path)
+      .select(col("b"), col("ct"), col("cq"))
+    val feat = TextOps.dsirFeatures(docs, col("doc_id"), col("text"),
+      col("lang") === "en", nBuckets)
+    TextOps.dsirWeightsFrom(docs, col("doc_id"), feat, counts, nBuckets)
+  }
+
   /** One (band, key) posting of a streamed doc's simhash fingerprint. */
   final case class BandEvent(band: Int, key: Long, doc_id: Long, fp: Long)
   /** Per-band admission flag emitted by [[streamNearDupAdmit]]. */

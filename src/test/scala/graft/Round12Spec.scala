@@ -181,6 +181,33 @@ class Round12Spec extends GraftSuite {
       "on a clustered corpus")
   }
 
+  test("st18 DSIR ledger: fold is batchId-idempotent and the streamed " +
+       "model equals the batch model exactly") {
+    import graft.operators.{Mutations, TextOps}
+    import graft.streaming.Streams
+    val dir = SparkTestBase.sfDir
+    val path =
+      new java.io.File("target/qtmp/r12_dsir_ledger").getAbsolutePath
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(path))
+    Mutations.seedEmptyLedger(spark, path, Streams.dsirLedgerSchema)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 === 1)
+    Streams.dsirLedgerFold(b0, 0L, path)
+    Streams.dsirLedgerFold(b0, 0L, path) // at-least-once redelivery
+    Streams.dsirLedgerFold(b1, 1L, path)
+    Streams.dsirLedgerFold(b1, 1L, path) // redelivery post-commit
+    val ledger = spark.read.parquet(path).select("b", "ct", "cq")
+    val batch = TextOps.dsirCounts(TextOps.dsirFeatures(docs,
+      col("doc_id"), col("text"), col("lang") === "en", 4096))
+    // additive sufficient statistic + exactly-once fold ⇒ EXACT
+    // equality with the batch-trained model, redeliveries included
+    assert(ledger.exceptAll(batch).isEmpty &&
+      batch.exceptAll(ledger).isEmpty,
+      "streamed ledger model diverged from the batch model")
+  }
+
   test("x94 DSIR: selection skews hard toward the target domain") {
     val docs =
       spark.read.parquet(s"${SparkTestBase.sfDir}/documents.parquet")
