@@ -110,6 +110,8 @@ object Bench {
     "x91b_gopher_audit",     // per-rule pass-rate pane
     "x26_decontaminate",     // canary-injected decontamination (rewritten)
     "st17_stream_freq_ledger", // batchId-idempotent sketch ledger (rewritten)
+    "x95_hybrid_rrf",        // BM25 ⊕ dense RRF hybrid retrieval
+    "x96_bitext_margin",     // margin-based bitext candidate mining
     "x36_span_dup_coverage") // bridge query shared with all sets
 
   def main(args: Array[String]): Unit = {

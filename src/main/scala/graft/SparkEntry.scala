@@ -3535,6 +3535,54 @@ object SparkEntry {
         .orderBy(col("rule"))
     }),
 
+    "x95_hybrid_rrf" -> ((s, dir) => {
+      // Hybrid retrieval: sparse (per-query-doc BM25 "more like
+      // this", TextOps.bm25MoreLikeThis) ⊕ dense (exact cosine
+      // top-k) fused by reciprocal-rank fusion — the standard RAG
+      // retrieval combiner, needing no cross-branch score
+      // calibration because it fuses RANKS (engine-exact ints).
+      // Each branch arrives k-bounded (top-20/query), so fusion
+      // touches ≤ 40 rows/query at any corpus size; at 100 TB the
+      // dense branch swaps bruteTopK for annTopKAuto (x93b) and the
+      // sparse branch's postings join is the x55 shape — this query
+      // pins the fusion algebra against both.
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val sparse = TextOps.bm25MoreLikeThis(docs, col("doc_id"),
+          col("text"), col("doc_id") < 5, k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val dense = Similarity.bruteTopK(emb.filter(col("vec_id") < 5),
+          emb, "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      Similarity.rrfFuse(Seq("sparse" -> sparse, "dense" -> dense),
+          c = 60, topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "x96_bitext_margin" -> ((s, dir) => {
+      // Margin-based bitext mining (Artetxe-Schwenk / CCMatrix): en
+      // docs vs non-en docs in embedding space; each en doc's best
+      // cross-lingual neighbor is scored by the ratio margin
+      // (discounting hub vectors plain cosine over-matches) and
+      // accepted only if MUTUAL best + margin > 1.05 — the
+      // parallel-corpus candidate generator an MT/multilingual
+      // training pipeline runs over a crawl. One scored pair
+      // relation (broadcast en side) feeds both rank directions;
+      // margins read only k-bounded rows (Similarity scaladoc for
+      // the 100 TB ANN-fed form).
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val v = docs.select(col("doc_id").as("id"), col("lang"))
+        .join(emb.select(col("vec_id").as("id"), col("embedding")),
+          Seq("id"))
+      Similarity.bitextMarginMining(
+          v.filter(col("lang") === "en"),
+          v.filter(col("lang") =!= "en"),
+          "id", "embedding", k = 4, threshold = 1.05)
+        .orderBy(col("a_id"))
+    }),
+
     "x94_dsir_selection" -> ((s, dir) => {
       // DSIR data selection end-to-end (TextOps.dsirWeights): the
       // en-labeled docs stand in for the curated target seed set,
@@ -8853,6 +8901,101 @@ object SparkEntry {
 
     "x94_dsir_selection" -> dsirSelectionOracle,
     "st18_stream_dsir" -> dsirSelectionOracle,
+
+    "x95_hybrid_rrf" -> """
+      WITH tokens AS (
+        SELECT doc_id AS id,
+               UNNEST(regexp_extract_all(lower(text), '\S+')) AS term
+        FROM documents),
+      dl AS (SELECT id, COUNT(*) AS dl FROM tokens GROUP BY id),
+      ad AS (SELECT AVG(dl) AS avgdl FROM dl),
+      nn AS (SELECT COUNT(*) AS n FROM documents),
+      tf AS (SELECT id, term, COUNT(*) AS tf FROM tokens
+             GROUP BY id, term),
+      qterms AS (
+        SELECT query_id, term FROM (
+          SELECT doc_id AS query_id,
+                 UNNEST(regexp_extract_all(lower(text), '\S+')) AS term
+          FROM documents WHERE doc_id < 5)
+        GROUP BY query_id, term),
+      qdf AS (SELECT term, COUNT(*) AS df FROM tf
+              WHERE term IN (SELECT term FROM qterms) GROUP BY term),
+      scored AS (
+        SELECT q.query_id, t.id,
+               SUM(CAST(round(
+                 ln(1 + (n.n - d.df + 0.5) / (d.df + 0.5)) * t.tf * 2.2 /
+                   (t.tf + 1.2 * (0.25 + 0.75 * l.dl / a.avgdl)), 6)
+                 AS DECIMAL(28,6))) AS bm25d
+        FROM tf t JOIN qterms q USING (term) JOIN qdf d USING (term)
+        JOIN dl l ON l.id = t.id CROSS JOIN ad a CROSS JOIN nn n
+        WHERE t.id <> q.query_id
+        GROUP BY q.query_id, t.id),
+      sparse AS (
+        SELECT query_id, id AS doc_id, rn AS rank_sparse FROM (
+          SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+                   ORDER BY bm25d DESC, id ASC) AS rn
+          FROM scored) WHERE rn <= 20),
+      dcos AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+               list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[]))))
+                 AS cs
+        FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+        JOIN embeddings c ON q.vec_id <> c.vec_id),
+      dense AS (
+        SELECT query_id, doc_id, rn AS rank_dense FROM (
+          SELECT query_id, doc_id, row_number() OVER (
+                   PARTITION BY query_id ORDER BY cs DESC, doc_id ASC)
+                 AS rn
+          FROM dcos) WHERE rn <= 20),
+      fused AS (
+        SELECT query_id, doc_id, rank_sparse, rank_dense,
+               COALESCE(1.0 / (60 + rank_sparse), 0)
+                 + COALESCE(1.0 / (60 + rank_dense), 0) AS rrf
+        FROM sparse FULL OUTER JOIN dense USING (query_id, doc_id))
+      SELECT query_id, rank, doc_id, round(rrf, 6) AS rrf,
+             COALESCE(rank_sparse, 0) AS rank_sparse,
+             COALESCE(rank_dense, 0) AS rank_dense
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY rrf DESC, doc_id ASC) AS rank FROM fused)
+      WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "x96_bitext_margin" -> """
+      WITH v AS (
+        SELECT d.doc_id AS id, d.lang,
+               CAST(e.embedding AS DOUBLE[]) AS emb
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+      p AS (
+        SELECT a.id AS a_id, b.id AS b_id,
+               round(list_dot_product(a.emb, b.emb) /
+                 (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cos4
+        FROM (SELECT * FROM v WHERE lang = 'en') a
+        JOIN (SELECT * FROM v WHERE lang <> 'en') b ON a.id <> b.id),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY a_id
+                 ORDER BY cos4 DESC, b_id ASC) AS ra,
+               row_number() OVER (PARTITION BY b_id
+                 ORDER BY cos4 DESC, a_id ASC) AS rb
+        FROM p),
+      da AS (SELECT a_id, SUM(CAST(cos4 AS DECIMAL(18,4))) AS sa
+             FROM r WHERE ra <= 4 GROUP BY a_id),
+      db AS (SELECT b_id, SUM(CAST(cos4 AS DECIMAL(18,4))) AS sb
+             FROM r WHERE rb <= 4 GROUP BY b_id),
+      bb AS (SELECT b_id, a_id AS b_top1_a FROM r WHERE rb = 1)
+      SELECT a_id, b_id, cos4 AS cos_sim,
+             round(cos4 / (CAST(sa + sb AS DOUBLE) / 8.0), 4) AS margin,
+             (b_top1_a = a_id) AS mutual,
+             (b_top1_a = a_id)
+               AND (cos4 / (CAST(sa + sb AS DOUBLE) / 8.0) > 1.05)
+               AS accepted
+      FROM (SELECT * FROM r WHERE ra = 1) c
+      JOIN da USING (a_id) JOIN db USING (b_id) JOIN bb USING (b_id)
+      ORDER BY a_id""",
 
     "x90_bigram_logprob" -> """
       WITH toks AS (

@@ -793,4 +793,96 @@ object Similarity {
       .withColumn("rc", round(col("mean_dist") / col("mean_nn_dist"), 4))
       .withColumn("ivf_prunable", col("rc") >= prunableAt)
   }
+
+  /** Margin-based bitext candidate mining (Artetxe & Schwenk 2019's
+    * ratio margin, the CCMatrix/LASER alignment criterion): for each
+    * side-A vector, its best side-B neighbor is scored by
+    * cos(x,y) / (avgNN_k(x)/2 + avgNN_k(y)/2) — the margin discounts
+    * "hub" vectors that are close to everything, which plain cosine
+    * cannot. A pair is `accepted` when it is a MUTUAL best match and
+    * its margin clears `threshold`.
+    *
+    * Shape: ONE scored pair relation (side-B rows × broadcast side-A
+    * — the [[bruteTopK]] idiom, no corpus shuffle) feeds both rank
+    * directions as two window passes; every downstream aggregate is
+    * k-bounded. At 100 TB the pair relation is replaced by the ANN
+    * stack's top-k tables ([[annTopKAuto]] in both directions — the
+    * x59 "consumes any top-k table" discipline); margins, mutuality,
+    * and acceptance read only those k·|A|+k·|B| rows. Determinism:
+    * ranks order by round(cos,4) with id tiebreaks, and the margin
+    * denominators are exact DECIMAL sums of the rounded cosines, so
+    * the accept gate compares operand-identical doubles on any engine
+    * (the x90/x94 decimal-sum recipe). */
+  def bitextMarginMining(a: DataFrame, b: DataFrame, idCol: String,
+                         vecCol: String, k: Int = 4,
+                         threshold: Double = 1.05): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val qa = a.select(col(idCol).as("a_id"), col(vecCol).as("av"),
+      VectorExprs.norm(col(vecCol)).as("an"))
+    val qb = b.select(col(idCol).as("b_id"), col(vecCol).as("bv"),
+      VectorExprs.norm(col(vecCol)).as("bn"))
+    val scored = qb.join(broadcast(qa), col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(VectorExprs.dot(col("av"), col("bv")) /
+          (col("an") * col("bn")), 4).as("cos4"))
+    val wA = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos4").desc, col("b_id").asc)
+    val wB = Window.partitionBy(col("b_id"))
+      .orderBy(col("cos4").desc, col("a_id").asc)
+    val ranked = scored.withColumn("ra", row_number().over(wA))
+      .withColumn("rb", row_number().over(wB))
+    val denA = ranked.filter(col("ra") <= k).groupBy(col("a_id"))
+      .agg(sum(col("cos4").cast(dec)).as("sa"))
+    val denB = ranked.filter(col("rb") <= k).groupBy(col("b_id"))
+      .agg(sum(col("cos4").cast(dec)).as("sb"))
+    val bBest = ranked.filter(col("rb") === 1)
+      .select(col("b_id"), col("a_id").as("b_top1_a"))
+    val margin = col("cos4") /
+      ((col("sa") + col("sb")).cast(DoubleType) / lit(2.0d * k))
+    ranked.filter(col("ra") === 1)
+      .join(denA, Seq("a_id")).join(denB, Seq("b_id"))
+      .join(bBest, Seq("b_id"))
+      .withColumn("mutual", col("b_top1_a") === col("a_id"))
+      // gate on the RAW margin (the x87 lesson); round only the
+      // displayed column — operands are identical in both engines
+      .withColumn("accepted", col("mutual") && margin > lit(threshold))
+      .select(col("a_id"), col("b_id"), col("cos4").as("cos_sim"),
+        round(margin, 4).as("margin"), col("mutual"), col("accepted"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of ranked-retrieval
+    * branches: rrf(q,d) = Σ_branches 1/(c + rank_b(q,d)), a doc absent
+    * from a branch contributing 0. The standard hybrid-retrieval
+    * combiner (BM25 ⊕ dense ANN) because it needs no score
+    * calibration across branches — only ranks, which are integers and
+    * therefore engine-exact. Each input exposes
+    * (query_id, doc_id, rank); output keeps one rank column per named
+    * branch (0 = absent) plus the fused rank.
+    *
+    * Shape: branches arrive k-bounded (top-k per query each), so the
+    * fusion joins touch ≤ Σk rows per query regardless of corpus
+    * size; the final per-query window orders ≤ Σk rows. */
+  def rrfFuse(branches: Seq[(String, DataFrame)], c: Int = 60,
+              topK: Int = 10): DataFrame = {
+    val renamed = branches.map { case (name, df) =>
+      name -> df.select(col("query_id"), col("doc_id"),
+        col("rank").as(s"rank_$name"))
+    }
+    val joined = renamed.map(_._2)
+      .reduce(_.join(_, Seq("query_id", "doc_id"), "full_outer"))
+    val rrf = renamed.map { case (name, _) =>
+      when(col(s"rank_$name").isNotNull,
+        lit(1.0d) / (lit(c.toDouble) + col(s"rank_$name")))
+        .otherwise(lit(0.0d))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    joined.withColumn("rrf", rrf)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(Seq(col("query_id"), col("rank"), col("doc_id"),
+        round(col("rrf"), 6).as("rrf")) ++
+        renamed.map { case (name, _) =>
+          coalesce(col(s"rank_$name"), lit(0)).as(s"rank_$name") }: _*)
+  }
 }

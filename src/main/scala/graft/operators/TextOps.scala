@@ -986,6 +986,58 @@ object TextOps {
     * doc-length table (dl, avgdl) is query-independent and cached /
     * materialized once per corpus in practice. No windows over the
     * corpus: top-k is one TakeOrderedAndProject. */
+  /** Per-query-document BM25 retrieval ("more like this"): each doc
+    * selected by `queryPred` retrieves the corpus's top-k docs using
+    * its own DISTINCT tokens as the query terms — the sparse branch of
+    * hybrid (BM25 ⊕ dense) retrieval, and the lexical side of RAG
+    * candidate generation. Same scoring as [[bm25Search]]; the only
+    * new shape is the query dimension, carried by a broadcast of the
+    * (queries × distinct-terms) relation into the postings join, so
+    * corpus-side work stays one postings-bounded scan per stage
+    * regardless of how many queries ride along. Scores are summed as
+    * exact decimals of round(part, 6) (the x90/x94 recipe) and ranked
+    * on the decimal, so rank order is engine-identical.
+    * Returns (query_id, doc_id, bm25, rank), rank ≤ k, self excluded. */
+  def bm25MoreLikeThis(df: DataFrame, id: Column, text: Column,
+                       queryPred: Column, k: Int = 20,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(28, 6)
+    val n = df.count() // scalar constant, one cheap count pass
+    val arr = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+    val tokens = df.select(id.as("id"), explode(arr).as("term"))
+    val dl = tokens.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
+    val qterms = df.filter(queryPred)
+      .select(id.as("query_id"), explode(array_distinct(arr)).as("term"))
+    val tf = tokens.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val qdf = tf.join(broadcast(qterms.select(col("term")).distinct()),
+        Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(qterms), Seq("term"))
+      .filter(col("id") =!= col("query_id"))
+      .join(broadcast(qdf), Seq("term"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(avgdl)) // 1-row scalar idiom
+      .withColumn("idf",
+        log(lit(1.0d) + (lit(n.toDouble) - col("df") + 0.5d) /
+          (col("df") + 0.5d)))
+      .withColumn("part",
+        col("idf") * col("tf") * (lit(k1) + 1.0d) /
+          (col("tf") + lit(k1) *
+            (lit(1.0d - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(round(col("part"), 6).cast(dec)).as("__bm25d"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("__bm25d").desc, col("id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("doc_id"),
+        round(col("__bm25d").cast(DoubleType), 4).as("bm25"),
+        col("rank"))
+  }
+
   def bm25Search(df: DataFrame, id: Column, text: Column,
                  queryTerms: Seq[String], k: Int = 10,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {

@@ -208,6 +208,77 @@ class Round12Spec extends GraftSuite {
       "streamed ledger model diverged from the batch model")
   }
 
+  test("x96 bitext margin: mutual-best + margin gate accepts aligned " +
+       "pairs and rejects hub-mediated ones") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // a1 aligns with b11; a3 sits in the b12/b13/b14 hub and owns
+    // b12; a2's best is b14 but b14's best is a3 ⇒ a2 fails MUTUAL
+    val a = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.62f, 0.79f))).toDF("id", "embedding")
+    val b = Seq((11L, Array(1.0f, 0.01f)), (12L, Array(0.6f, 0.8f)),
+      (13L, Array(0.55f, 0.82f)), (14L, Array(0.5f, 0.85f)))
+      .toDF("id", "embedding")
+    val out = Similarity.bitextMarginMining(a, b, "id", "embedding",
+      k = 4, threshold = 1.05).orderBy(col("a_id")).collect()
+    assert(out.length === 3)
+    val byA = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(byA(1L) === ((11L, true, true)),
+      "aligned pair must be mutual and accepted")
+    assert(byA(2L)._1 === 14L && !byA(2L)._2 && !byA(2L)._3,
+      "hub-mediated pair must fail the mutual-best gate")
+    assert(byA(3L) === ((12L, true, true)))
+  }
+
+  test("x95 RRF fusion: rank algebra — dual top-1 wins, single-branch " +
+       "docs score one reciprocal term, absent rank renders 0") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val sparse = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 10L, 1), (1L, 40L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Similarity.rrfFuse(
+        Seq("sparse" -> sparse, "dense" -> dense), c = 60, topK = 10)
+      .orderBy(col("rank")).collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(10L, 20L, 40L, 30L),
+      "doc in both branches at rank 1 fuses first; 20 (sparse r2) " +
+        "and 40 (dense r2) tie at exactly 1/62 — id tiebreak — then 30")
+    // doc 20 and doc 40 both score exactly 1/62: id tiebreak decides
+    assert(out(1).getDouble(3) === out(2).getDouble(3))
+    val top = out.head
+    assert(top.getLong(2) === 10L &&
+      // displayed rrf is round(…,6)
+      math.abs(top.getDouble(3) - (1.0 / 61 + 1.0 / 61)) < 1e-6)
+    assert(out(3).getInt(4) === 3 && out(3).getInt(5) === 0,
+      "absent branch rank must render as 0")
+  }
+
+  test("x95 bm25MoreLikeThis: k-bounded per query, self excluded, " +
+       "retrieves term-sharing docs") {
+    import graft.operators.TextOps
+    val docs = spark.read.parquet(
+      s"${SparkTestBase.sfDir}/documents.parquet")
+    val mlt = TextOps.bm25MoreLikeThis(docs, col("doc_id"),
+      col("text"), col("doc_id") < 3, k = 20)
+    val agg = mlt.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("query_id") === col("doc_id"), 1L).otherwise(0L))
+          .as("selfhits"),
+        min(col("bm25")).as("minb")).collect()
+    assert(agg.length === 3, "each query doc must retrieve rows")
+    agg.foreach { r =>
+      assert(r.getLong(1) <= 20 && r.getLong(2) === 0L)
+      assert(r.getDouble(3) > 0.0, "BM25 of a matched doc is positive")
+    }
+    // ranks are 1..n dense per query
+    val ranks = mlt.filter(col("query_id") === 0)
+      .orderBy(col("rank")).select(col("rank")).collect()
+      .map(_.getInt(0)).toSeq
+    assert(ranks === (1 to ranks.length).toSeq)
+  }
+
   test("x94 DSIR: selection skews hard toward the target domain") {
     val docs =
       spark.read.parquet(s"${SparkTestBase.sfDir}/documents.parquet")
