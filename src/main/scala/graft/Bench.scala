@@ -112,6 +112,7 @@ object Bench {
     "st17_stream_freq_ledger", // batchId-idempotent sketch ledger (rewritten)
     "x95_hybrid_rrf",        // BM25 ⊕ dense RRF hybrid retrieval
     "x96_bitext_margin",     // margin-based bitext candidate mining
+    "x97_quality_classifier", // in-engine GD-trained quality model
     "x36_span_dup_coverage") // bridge query shared with all sets
 
   def main(args: Array[String]): Unit = {

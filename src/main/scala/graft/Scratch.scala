@@ -162,6 +162,43 @@ object Scratch {
             f"rerank=$rerank%5d probed=${100.0 * nprobe / nlist}%5.1f%% " +
             f"recall=$macroR%.3f t=$dt%.2f s")
         }
+      case "logistic_sweep" =>
+        // x97 operating-point sweep: separation/accuracy vs (lr, iters)
+        import org.apache.spark.sql.functions._
+        val docs = Tables.load(spark, sfDir, "documents")
+        val rawFeat = graft.operators.TextOps.dsirFeatures(docs,
+            col("doc_id"), col("text"), col("lang") === "en", 4096)
+          .groupBy(col("id"), col("b")).agg(count(lit(1)).as("cnt"))
+        val dl = rawFeat.groupBy(col("id"))
+          .agg(sum(col("cnt")).as("dl"))
+        val feat = rawFeat.join(dl, Seq("id"))
+          .select(col("id"), col("b"),
+            round(col("cnt") / col("dl"), 6).as("v"))
+          .localCheckpoint()
+        val labels = docs.select(col("doc_id").as("id"),
+          when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y"))
+          .localCheckpoint()
+        for (lr <- Seq(4.0, 8.0, 16.0, 32.0); it <- Seq(8, 12)) {
+          val w = graft.operators.Learn.logisticTrain(feat, labels,
+            it, lr)
+          val sc = graft.operators.Learn.logisticScore(
+            labels.select(col("id")), feat, w,
+            graft.operators.Learn.logisticBias(labels))
+            .join(labels, Seq("id"))
+          val a = sc.agg(
+            avg(when(col("y") === 1.0d, col("score"))).as("men"),
+            avg(when(col("y") === 0.0d, col("score"))).as("mxx"),
+            avg(when((col("score") > 0.5d) === (col("y") === 1.0d),
+              1.0d).otherwise(0.0d)).as("acc"),
+            max(abs(col("score") - lit(0.5d))).as("dev"),
+            sum(when(col("score") > 0.5d, 1L).otherwise(0L)).as("np"),
+            sum(when(col("score") > 0.5d && col("y") === 1.0d, 1L)
+              .otherwise(0L)).as("npe")).head()
+          println(f"lr=$lr%6.1f iters=$it men=${a.getDouble(0)}%.4f " +
+            f"mxx=${a.getDouble(1)}%.4f acc=${a.getDouble(2)}%.4f " +
+            f"maxdev=${a.getDouble(3)}%.4f np=${a.getLong(4)} " +
+            f"npe=${a.getLong(5)}")
+        }
       case "st8_debug" =>
         // count rows per micro-batch to confirm the 2-batch split
         import org.apache.spark.sql.functions.col

@@ -3583,6 +3583,47 @@ object SparkEntry {
         .orderBy(col("a_id"))
     }),
 
+    "x97_quality_classifier" -> ((s, dir) => {
+      // In-engine TRAINED quality classifier (the FineWeb-Edu /
+      // fastText-classifier tier): full-batch GD logistic regression
+      // over the same hashed uni+bigram feature space DSIR uses
+      // (one tokenizer+hash definition for the whole selection
+      // stack), 3 iterations, en-seed labels — all as DataFrame
+      // algebra (Learn.logisticTrain): per-iteration cost is two
+      // hash aggregations; the model is a 4096-row broadcast
+      // relation, never a driver vector. The pane audits per-source
+      // score mass and predicted-quality counts; the semantic check
+      // is n_pred_quality_en ≈ n_pred_quality (the classifier
+      // learned the seed signal). Oracle replays all three unrolled
+      // iterations in SQL — weights and scores match bit-for-bit
+      // under the decimal-sum discipline.
+      val docs = t(s, dir, "documents")
+      val rawFeat = TextOps.dsirFeatures(docs, col("doc_id"),
+          col("text"), col("lang") === "en", nBuckets = 4096)
+        .groupBy(col("id"), col("b")).agg(count(lit(1)).as("cnt"))
+      val dl = rawFeat.groupBy(col("id")).agg(sum(col("cnt")).as("dl"))
+      val feat = rawFeat.join(dl, Seq("id"))
+        .select(col("id"), col("b"),
+          round(col("cnt") / col("dl"), 6).as("v"))
+      val labels = docs.select(col("doc_id").as("id"),
+        when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y"))
+      val w = Learn.logisticTrain(feat, labels, iters = 12, lr = 8.0)
+      val scores = Learn.logisticScore(
+        docs.select(col("doc_id").as("id")), feat, w,
+        Learn.logisticBias(labels))
+      scores.join(docs.select(col("doc_id").as("id"), col("source"),
+          col("lang")), Seq("id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("score").cast(DecimalType(28, 6)))
+            .cast(DoubleType) / count(lit(1)), 4).as("mean_score"),
+          sum(when(col("score") > 0.5d, 1L).otherwise(0L))
+            .as("n_pred_quality"),
+          sum(when(col("score") > 0.5d && col("lang") === "en", 1L)
+            .otherwise(0L)).as("n_pred_quality_en"))
+        .orderBy(col("source"))
+    }),
+
     "x94_dsir_selection" -> ((s, dir) => {
       // DSIR data selection end-to-end (TextOps.dsirWeights): the
       // en-labeled docs stand in for the curated target seed set,
@@ -4773,6 +4814,103 @@ object SparkEntry {
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank FROM d)
       WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** x97's oracle, GENERATED: the Learn.logisticTrain iteration is
+    * deterministic DataFrame algebra, so its DuckDB replay is the
+    * same recurrence unrolled — one (z, p, g, w) CTE quartet per GD
+    * step, emitted by this builder so oracle and engine can only
+    * diverge in the recurrence definition, never in a hand-copied
+    * step. Feature/hash CTEs replicate TextOps.dsirFeatures (the
+    * shared tokenizer); bias/preconditioner/rounding mirror
+    * Learn.scala line for line. */
+  private def x97Oracle(iters: Int, lr: String): String = {
+    def gw(i: Int, pJoin: String, wPrev: Option[String]) = {
+      val g = s"""g$i AS MATERIALIZED (SELECT tr.b, SUM(CAST(round((p.p - tr.y)
+                 * tr.v, 12) AS DECIMAL(38,12))) AS grad
+             FROM tr $pJoin GROUP BY tr.b)"""
+      val w = wPrev match {
+        case None => s"""w$i AS MATERIALIZED (SELECT g.b, round(0.0 - $lr
+                 * COALESCE(CAST(g.grad AS DOUBLE)
+                   / CAST(fm.fm AS DOUBLE), 0.0), 6) AS w
+             FROM g$i g LEFT JOIN fm ON g.b = fm.b)"""
+        case Some(wp) => s"""w$i AS MATERIALIZED (SELECT COALESCE(g.b, w.b) AS b,
+                 round(COALESCE(w.w, 0.0) - $lr
+                   * COALESCE(CAST(g.grad AS DOUBLE)
+                     / CAST(fm.fm AS DOUBLE), 0.0), 6) AS w
+             FROM g$i g FULL OUTER JOIN $wp w ON g.b = w.b
+             LEFT JOIN fm ON COALESCE(g.b, w.b) = fm.b)"""
+      }
+      s"$g,\n      $w"
+    }
+    val steps = (1 to iters).map { i =>
+      if (i == 1) gw(1, "CROSS JOIN p1c p", None)
+      else {
+        val zp = s"""z$i AS MATERIALIZED (SELECT tr.id, SUM(CAST(round(tr.v
+                 * COALESCE(w.w, 0.0), 12) AS DECIMAL(38,12))) AS zd
+             FROM tr LEFT JOIN w${i - 1} w USING (b) GROUP BY tr.id),
+      p$i AS MATERIALIZED (SELECT id, round(1.0 / (1.0 + exp(-(bs.bias
+                 + CAST(zd AS DOUBLE)))), 6) AS p
+             FROM z$i CROSS JOIN bias bs),
+      """
+        zp + gw(i, s"JOIN p$i p USING (id)", Some(s"w${i - 1}"))
+      }
+    }.mkString(",\n      ")
+    s"""
+      WITH d AS (
+        SELECT doc_id AS id, source, lang,
+               regexp_extract_all(lower(text), '\\S+') AS t
+        FROM documents),
+      uni AS (SELECT id, UNNEST(t) AS f FROM d),
+      bi AS (
+        SELECT id, UNNEST(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i + 1])) AS f
+        FROM d WHERE len(t) >= 2),
+      rawfeat AS MATERIALIZED (
+        SELECT id, b, COUNT(*) AS cnt FROM (
+          SELECT id, CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT)
+                   % 4096 AS b
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi))
+        GROUP BY id, b),
+      dl AS (SELECT id, SUM(cnt) AS dl FROM rawfeat GROUP BY id),
+      feat AS MATERIALIZED (
+        SELECT r.id, r.b, round(r.cnt / l.dl, 6) AS v
+        FROM rawfeat r JOIN dl l USING (id)),
+      lab AS MATERIALIZED (
+        SELECT doc_id AS id,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM documents),
+      bias AS MATERIALIZED (
+        SELECT round(ln(AVG(y) / (1.0 - AVG(y))), 6) AS bias
+        FROM lab),
+      p1c AS MATERIALIZED (
+        SELECT round(1.0 / (1.0 + exp(-bias)), 6) AS p
+        FROM bias),
+      tr AS MATERIALIZED (
+        SELECT f.id, f.b, f.v, l.y
+        FROM feat f JOIN lab l USING (id)),
+      fm AS MATERIALIZED (
+        SELECT b, SUM(CAST(v AS DECIMAL(38,12))) AS fm
+        FROM tr GROUP BY b),
+      $steps,
+      zs AS (SELECT feat.id, SUM(CAST(round(feat.v
+                 * COALESCE(w.w, 0.0), 12) AS DECIMAL(38,12))) AS zd
+             FROM feat LEFT JOIN w$iters w USING (b) GROUP BY feat.id),
+      ps AS (SELECT id, round(1.0 / (1.0 + exp(-(bs.bias
+                 + CAST(zd AS DOUBLE)))), 6) AS p
+             FROM zs CROSS JOIN bias bs),
+      sc AS (SELECT m.id, m.source, m.lang,
+                    COALESCE(ps.p, (SELECT p FROM p1c)) AS score
+             FROM (SELECT doc_id AS id, source, lang FROM documents) m
+             LEFT JOIN ps USING (id))
+      SELECT source, COUNT(*) AS n_docs,
+             round(CAST(SUM(CAST(score AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*), 4) AS mean_score,
+             CAST(SUM(CASE WHEN score > 0.5 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_pred_quality,
+             CAST(SUM(CASE WHEN score > 0.5 AND lang = 'en'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_quality_en
+      FROM sc GROUP BY source ORDER BY source"""
+  }
 
   /** Shared x94/st18 oracle: the DSIR selection pane. st18 trains
     * the model from the streamed ledger; additive counts + the
@@ -8901,6 +9039,8 @@ object SparkEntry {
 
     "x94_dsir_selection" -> dsirSelectionOracle,
     "st18_stream_dsir" -> dsirSelectionOracle,
+
+    "x97_quality_classifier" -> x97Oracle(iters = 12, lr = "8.0"),
 
     "x95_hybrid_rrf" -> """
       WITH tokens AS (

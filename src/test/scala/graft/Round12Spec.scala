@@ -279,6 +279,43 @@ class Round12Spec extends GraftSuite {
     assert(ranks === (1 to ranks.length).toSeq)
   }
 
+  test("x97 in-engine logistic classifier: preconditioned GD learns " +
+       "the seed signal without saturating") {
+    import graft.operators.{Learn, TextOps}
+    val docs = spark.read.parquet(
+      s"${SparkTestBase.sfDir}/documents.parquet")
+    val rawFeat = TextOps.dsirFeatures(docs, col("doc_id"),
+        col("text"), col("lang") === "en", 4096)
+      .groupBy(col("id"), col("b")).agg(count(lit(1)).as("cnt"))
+    val dl = rawFeat.groupBy(col("id")).agg(sum(col("cnt")).as("dl"))
+    val feat = rawFeat.join(dl, Seq("id"))
+      .select(col("id"), col("b"),
+        round(col("cnt") / col("dl"), 6).as("v"))
+    val labels = docs.select(col("doc_id").as("id"),
+      when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y"))
+    val w = Learn.logisticTrain(feat, labels, iters = 12, lr = 8.0)
+    val sc = Learn.logisticScore(labels.select(col("id")), feat, w,
+      Learn.logisticBias(labels)).join(labels, Seq("id"))
+    val a = sc.agg(
+      avg(when(col("y") === 1.0d, col("score"))).as("men"),
+      avg(when(col("y") === 0.0d, col("score"))).as("mxx"),
+      sum(when(col("score") > 0.5d, 1L).otherwise(0L)).as("np"),
+      sum(when(col("score") > 0.5d && col("y") === 1.0d, 1L)
+        .otherwise(0L)).as("npe"),
+      avg(when((col("score") > 0.5d) === (col("y") === 1.0d), 1.0d)
+        .otherwise(0.0d)).as("acc"),
+      max(col("score")).as("mx")).head()
+    assert(a.getDouble(0) > a.getDouble(1) + 0.15,
+      "no class separation learned")
+    assert(a.getLong(2) > 50 &&
+      a.getLong(3).toDouble / a.getLong(2) > 0.85,
+      "predicted-quality set not en-precise")
+    assert(a.getDouble(4) > 0.75,
+      s"train accuracy ${a.getDouble(4)} not above the base rate")
+    // bounded model — the preconditioner's no-saturation contract
+    assert(a.getDouble(5) < 1.0)
+  }
+
   test("x94 DSIR: selection skews hard toward the target domain") {
     val docs =
       spark.read.parquet(s"${SparkTestBase.sfDir}/documents.parquet")
