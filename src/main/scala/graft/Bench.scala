@@ -113,6 +113,7 @@ object Bench {
     "x95_hybrid_rrf",        // BM25 ⊕ dense RRF hybrid retrieval
     "x96_bitext_margin",     // margin-based bitext candidate mining
     "x97_quality_classifier", // in-engine GD-trained quality model
+    "st19_stream_score",     // frozen-model stream scoring ledger
     "x36_span_dup_coverage") // bridge query shared with all sets
 
   def main(args: Array[String]): Unit = {

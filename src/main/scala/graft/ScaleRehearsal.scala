@@ -147,7 +147,10 @@ object ScaleRehearsal {
     "x88_ivfpq_topk",         // IVFPQ train+encode+ADC+rerank (round 5)
     "x89_freq_items_ledger",  // heavy-hitter sketch ledger (round 5)
     "e2e_webcorpus",          // gopher→dedup→bigram cut→shards (round 5)
-    "x74b_theta_overlap_ledger") // ledger-fed lgk sizing at estimation scale (round 6)
+    "x74b_theta_overlap_ledger", // ledger-fed lgk sizing at estimation scale (round 6)
+    "x95_hybrid_rrf",         // BM25 ⊕ dense RRF fusion (round 6)
+    "x96_bitext_margin",      // margin-based bitext mining (round 6)
+    "x97_quality_classifier") // 12-epoch GD train+score (round 6)
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -182,8 +185,13 @@ object ScaleRehearsal {
     // one untimed warmup pass (same rationale as Bench), then min-of-2 —
     // the rehearsal wants the steady-state order of magnitude, not
     // Bench's round-over-round comparability
-    scaleSet.foreach(timeOnce)
-    val results = scaleSet.map { n =>
+    // SPARK_GRAFT_SCALE_SET=q1,q2 re-times a subset against the
+    // existing derived lake (build() is _SUCCESS-guarded)
+    val set = sys.env.get("SPARK_GRAFT_SCALE_SET")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(scaleSet)
+    set.foreach(timeOnce)
+    val results = set.map { n =>
       val a = timeOnce(n); val b = timeOnce(n)
       n -> Seq(a, b).filter(_ >= 0).sorted.headOption.getOrElse(-1.0)
     }

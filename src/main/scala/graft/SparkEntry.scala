@@ -177,6 +177,25 @@ object SparkEntry {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Shared x97/st19 audit tail: per-source score mass and
+    * predicted-quality counts over a (id, score) relation — one pane
+    * definition for the batch-trained and stream-scored twins. */
+  private def classifierPane(s: SparkSession, dir: String,
+                             scores: DataFrame): DataFrame = {
+    val docs = t(s, dir, "documents")
+    scores.join(docs.select(col("doc_id").as("id"), col("source"),
+        col("lang")), Seq("id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("score").cast(DecimalType(28, 6)))
+          .cast(DoubleType) / count(lit(1)), 4).as("mean_score"),
+        sum(when(col("score") > 0.5d, 1L).otherwise(0L))
+          .as("n_pred_quality"),
+        sum(when(col("score") > 0.5d && col("lang") === "en", 1L)
+          .otherwise(0L)).as("n_pred_quality_en"))
+      .orderBy(col("source"))
+  }
+
   /** Shared x94/st18 selection tail: rank ALL docs by DSIR weight via
     * the range-exchange global numbering, keep the top quarter, emit
     * the per-source audit pane. One tail for both twins so tokenizer,
@@ -3598,30 +3617,28 @@ object SparkEntry {
       // iterations in SQL — weights and scores match bit-for-bit
       // under the decimal-sum discipline.
       val docs = t(s, dir, "documents")
-      val rawFeat = TextOps.dsirFeatures(docs, col("doc_id"),
-          col("text"), col("lang") === "en", nBuckets = 4096)
-        .groupBy(col("id"), col("b")).agg(count(lit(1)).as("cnt"))
-      val dl = rawFeat.groupBy(col("id")).agg(sum(col("cnt")).as("dl"))
-      val feat = rawFeat.join(dl, Seq("id"))
-        .select(col("id"), col("b"),
-          round(col("cnt") / col("dl"), 6).as("v"))
+      val feat = Learn.features(docs, col("doc_id"), col("text"))
       val labels = docs.select(col("doc_id").as("id"),
         when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y"))
       val w = Learn.logisticTrain(feat, labels, iters = 12, lr = 8.0)
-      val scores = Learn.logisticScore(
+      classifierPane(s, dir, Learn.logisticScore(
         docs.select(col("doc_id").as("id")), feat, w,
-        Learn.logisticBias(labels))
-      scores.join(docs.select(col("doc_id").as("id"), col("source"),
-          col("lang")), Seq("id"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          round(sum(col("score").cast(DecimalType(28, 6)))
-            .cast(DoubleType) / count(lit(1)), 4).as("mean_score"),
-          sum(when(col("score") > 0.5d, 1L).otherwise(0L))
-            .as("n_pred_quality"),
-          sum(when(col("score") > 0.5d && col("lang") === "en", 1L)
-            .otherwise(0L)).as("n_pred_quality_en"))
-        .orderBy(col("source"))
+        Learn.logisticBias(labels)))
+    }),
+
+    "st19_stream_score" -> ((s, dir) => {
+      // x97's STREAMING twin, and the OTHER production restart
+      // pattern: the trained model is FROZEN standing state (weights
+      // + bias parquet), the corpus streams in, and each micro-batch
+      // scores against the frozen model into a ledger PARTITIONED BY
+      // batchId with dynamic partition overwrite — a redelivered
+      // batch rewrites its own partition byte-identically and cannot
+      // touch any other batch's (st17/st18 use the guard-column
+      // sibling; st19 pins the partition-overwrite one). Per-doc
+      // feature normalization makes scores batching-invariant, so
+      // the pane shares x97's oracle verbatim.
+      classifierPane(s, dir,
+        graft.streaming.Streams.streamClassifierScore(s, dir))
     }),
 
     "x94_dsir_selection" -> ((s, dir) => {
@@ -4823,6 +4840,9 @@ object SparkEntry {
     * step. Feature/hash CTEs replicate TextOps.dsirFeatures (the
     * shared tokenizer); bias/preconditioner/rounding mirror
     * Learn.scala line for line. */
+  private lazy val x97OracleStr: String = x97Oracle(iters = 12,
+    lr = "8.0")
+
   private def x97Oracle(iters: Int, lr: String): String = {
     def gw(i: Int, pJoin: String, wPrev: Option[String]) = {
       val g = s"""g$i AS MATERIALIZED (SELECT tr.b, SUM(CAST(round((p.p - tr.y)
@@ -9040,7 +9060,8 @@ object SparkEntry {
     "x94_dsir_selection" -> dsirSelectionOracle,
     "st18_stream_dsir" -> dsirSelectionOracle,
 
-    "x97_quality_classifier" -> x97Oracle(iters = 12, lr = "8.0"),
+    "x97_quality_classifier" -> x97OracleStr,
+    "st19_stream_score" -> x97OracleStr,
 
     "x95_hybrid_rrf" -> """
       WITH tokens AS (

@@ -44,6 +44,24 @@ object Learn {
     * w ← w − lr·(g_b / Σ_d v_{d,b}) — the feature-mass-normalized
     * (diagonally preconditioned) step. Returns (b, w) after `iters`
     * steps. */
+  /** The x97/st19 shared feature builder: hashed uni+bigram bucket
+    * counts ([[TextOps.dsirFeatures]] — ONE tokenizer+hash definition
+    * across the whole selection stack), L1-normalized per doc
+    * (v = cnt / Σ_b cnt, rounded to 6). Per-doc normalization means a
+    * doc's features are identical whether built from the whole corpus
+    * or from any micro-batch containing it — what makes frozen-model
+    * stream scoring (st19) batching-invariant. Returns (id, b, v). */
+  def features(df: DataFrame, id: Column, text: Column,
+               nBuckets: Int = 4096): DataFrame = {
+    val rawFeat = TextOps.dsirFeatures(df, id, text, lit(true),
+        nBuckets)
+      .groupBy(col("id"), col("b")).agg(count(lit(1)).as("cnt"))
+    val dl = rawFeat.groupBy(col("id")).agg(sum(col("cnt")).as("dl"))
+    rawFeat.join(dl, Seq("id"))
+      .select(col("id"), col("b"),
+        round(col("cnt") / col("dl"), 6).as("v"))
+  }
+
   /** The 1-row fixed-intercept relation: logit of the label base
     * rate, rounded to 6. */
   def logisticBias(labels: DataFrame): DataFrame =

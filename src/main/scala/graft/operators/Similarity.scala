@@ -816,7 +816,6 @@ object Similarity {
   def bitextMarginMining(a: DataFrame, b: DataFrame, idCol: String,
                          vecCol: String, k: Int = 4,
                          threshold: Double = 1.05): DataFrame = {
-    val dec = DecimalType(18, 4)
     val qa = a.select(col(idCol).as("a_id"), col(vecCol).as("av"),
       VectorExprs.norm(col(vecCol)).as("an"))
     val qb = b.select(col(idCol).as("b_id"), col(vecCol).as("bv"),
@@ -831,15 +830,51 @@ object Similarity {
       .orderBy(col("cos4").desc, col("a_id").asc)
     val ranked = scored.withColumn("ra", row_number().over(wA))
       .withColumn("rb", row_number().over(wB))
-    val denA = ranked.filter(col("ra") <= k).groupBy(col("a_id"))
+    marginTail(
+      ranked.select(col("a_id"), col("b_id"), col("cos4"),
+        col("ra").as("r")),
+      ranked.select(col("b_id"), col("a_id"), col("cos4"),
+        col("rb").as("r")),
+      k, threshold)
+  }
+
+  /** x96's 100 TB form: the same margin/mutual/accept algebra fed by
+    * PRE-COMPUTED top-k tables from the ANN stack ([[bruteTopK]],
+    * [[annTopKAuto]], IVFPQ — anything emitting (query_id, rank,
+    * neighbor_id, cos_sim)), run once in each direction. Only
+    * k·|A| + k·|B| rows ever reach this function — candidate
+    * generation is the index's job. Feeding exact brute top-k tables
+    * reproduces [[bitextMarginMining]] row-for-row (spec-pinned), so
+    * swapping in an approximate index changes candidate QUALITY only,
+    * never the acceptance algebra. Tables must carry the side's full
+    * top-k (rank 1..k, cos rounded to 4 — the stack's contract). */
+  def bitextMarginFromTopK(fwdTopK: DataFrame, bwdTopK: DataFrame,
+                           k: Int = 4,
+                           threshold: Double = 1.05): DataFrame =
+    marginTail(
+      fwdTopK.select(col("query_id").as("a_id"),
+        col("neighbor_id").as("b_id"), col("cos_sim").as("cos4"),
+        col("rank").as("r")),
+      bwdTopK.select(col("query_id").as("b_id"),
+        col("neighbor_id").as("a_id"), col("cos_sim").as("cos4"),
+        col("rank").as("r")),
+      k, threshold)
+
+  /** Margin acceptance over ranked cross-lingual candidates.
+    * `fwd` = (a_id, b_id, cos4, r) ranked per a; `bwd` = (b_id, a_id,
+    * cos4, r) ranked per b. All aggregates are k-bounded. */
+  private def marginTail(fwd: DataFrame, bwd: DataFrame, k: Int,
+                         threshold: Double): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val denA = fwd.filter(col("r") <= k).groupBy(col("a_id"))
       .agg(sum(col("cos4").cast(dec)).as("sa"))
-    val denB = ranked.filter(col("rb") <= k).groupBy(col("b_id"))
+    val denB = bwd.filter(col("r") <= k).groupBy(col("b_id"))
       .agg(sum(col("cos4").cast(dec)).as("sb"))
-    val bBest = ranked.filter(col("rb") === 1)
+    val bBest = bwd.filter(col("r") === 1)
       .select(col("b_id"), col("a_id").as("b_top1_a"))
     val margin = col("cos4") /
       ((col("sa") + col("sb")).cast(DoubleType) / lit(2.0d * k))
-    ranked.filter(col("ra") === 1)
+    fwd.filter(col("r") === 1)
       .join(denA, Seq("a_id")).join(denB, Seq("b_id"))
       .join(bBest, Seq("b_id"))
       .withColumn("mutual", col("b_top1_a") === col("a_id"))

@@ -1011,6 +1011,79 @@ object Streams {
     TextOps.dsirWeightsFrom(docs, col("doc_id"), feat, counts, nBuckets)
   }
 
+  /** st19's per-batch fold: score a documents micro-batch against the
+    * FROZEN model ledger (weights + bias parquet under `modelPath`)
+    * and overwrite ONLY this batch's partition of the scored ledger —
+    * the batchId-PARTITION-overwrite idempotence pattern. A
+    * redelivered batch recomputes byte-identical rows (frozen model +
+    * per-doc features) and dynamic partition overwrite confines the
+    * rewrite to `__bid=<batchId>`, so replay cannot touch any other
+    * batch's rows — no guard column needed, the layout IS the guard.
+    * The sibling pattern to st17/st18's `__last_batch` additive-merge
+    * guard: use THIS one when batch outputs are disjoint row sets,
+    * the guard column when they merge into shared aggregates. */
+  def classifierScoreFold(batch: DataFrame, batchId: Long,
+                          modelPath: String, scoredPath: String,
+                          nBuckets: Int = 4096): Unit = {
+    import graft.operators.Learn
+    val sp = batch.sparkSession
+    val w = sp.read.parquet(s"$modelPath/weights")
+    val bias = sp.read.parquet(s"$modelPath/bias")
+    val feat = Learn.features(batch, col("doc_id"), col("text"),
+      nBuckets)
+    Learn.logisticScore(batch.select(col("doc_id").as("id")), feat,
+        w, bias)
+      .withColumn("__bid", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bid")
+      .parquet(scoredPath)
+  }
+
+  /** x97's streaming twin (st19): batch-train the quality classifier
+    * once, persist it as the standing model ledger, then stream the
+    * corpus and score each micro-batch against the FROZEN model via
+    * [[classifierScoreFold]]. Scores are per-doc pure functions of
+    * (doc, model) — per-doc L1 feature normalization means a doc
+    * scores identically in any batch — so the assembled ledger equals
+    * batch scoring for ANY stream split, and st19 shares x97's oracle
+    * verbatim (the batching-invariance proof, st6/st18 discipline).
+    * Production shape: training is an offline job; the model is KBs
+    * of always-loadable state; scoring rides ingest micro-batches and
+    * restarts are safe because each batch owns its ledger partition. */
+  def streamClassifierScore(spark: SparkSession, sfDir: String,
+                            splitFiles: Int = 2,
+                            nBuckets: Int = 4096): DataFrame = {
+    import graft.operators.Learn
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val feat = Learn.features(docs, col("doc_id"), col("text"),
+      nBuckets)
+    val labels = docs.select(col("doc_id").as("id"),
+      when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y"))
+    val modelDir = new java.io.File("target/qtmp/st19_model")
+    org.apache.commons.io.FileUtils.deleteQuietly(modelDir)
+    val modelPath = modelDir.getAbsolutePath
+    Learn.logisticTrain(feat, labels, iters = 12, lr = 8.0)
+      .write.mode("overwrite").parquet(s"$modelPath/weights")
+    Learn.logisticBias(labels)
+      .write.mode("overwrite").parquet(s"$modelPath/bias")
+    val scoredDir = new java.io.File("target/qtmp/st19_scores")
+    org.apache.commons.io.FileUtils.deleteQuietly(scoredDir)
+    val scoredPath = scoredDir.getAbsolutePath
+    val q = stagedFileStream(spark, sfDir, "documents", "doc_id",
+        "st19_src", splitFiles)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        classifierScoreFold(b, bid, modelPath, scoredPath, nBuckets)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(scoredPath).select(col("id"), col("score"))
+  }
+
   /** One (band, key) posting of a streamed doc's simhash fingerprint. */
   final case class BandEvent(band: Int, key: Long, doc_id: Long, fp: Long)
   /** Per-band admission flag emitted by [[streamNearDupAdmit]]. */

@@ -52,7 +52,11 @@ class EntrySmokeSpec extends GraftSuite {
       // the round-6 vacuity sweep's other three 0-row hash matches,
       // fixed the same day and pinned non-empty here (tools/check.py
       // now also flags any VACUOUS pass across the whole surface)
-      Seq("j6_anti_join", "u3_except", "x26_decontaminate")
+      Seq("j6_anti_join", "u3_except", "x26_decontaminate",
+        // round-6 additions whose emptiness would be silently
+        // hash-green: retrieval fusion, mined pairs, trained scores
+        "x95_hybrid_rrf", "x96_bitext_margin", "x97_quality_classifier",
+        "st18_stream_dsir", "st19_stream_score")
     val empty = guarded.filter(n =>
       SparkEntry.queries(n)(spark, SparkTestBase.sfDir).isEmpty)
     assert(empty.isEmpty, s"vacuous (0-row) guarded queries: $empty")

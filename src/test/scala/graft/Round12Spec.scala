@@ -231,6 +231,25 @@ class Round12Spec extends GraftSuite {
     assert(byA(3L) === ((12L, true, true)))
   }
 
+  test("x96 ANN-fed form: brute top-k tables reproduce the " +
+       "self-contained mining row-for-row") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val a = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.62f, 0.79f))).toDF("id", "embedding")
+    val b = Seq((11L, Array(1.0f, 0.01f)), (12L, Array(0.6f, 0.8f)),
+      (13L, Array(0.55f, 0.82f)), (14L, Array(0.5f, 0.85f)))
+      .toDF("id", "embedding")
+    val self = Similarity.bitextMarginMining(a, b, "id", "embedding",
+      k = 4, threshold = 1.05)
+    val fed = Similarity.bitextMarginFromTopK(
+      Similarity.bruteTopK(a, b, "id", "embedding", 4),
+      Similarity.bruteTopK(b, a, "id", "embedding", 4),
+      k = 4, threshold = 1.05)
+    assert(fed.exceptAll(self).isEmpty && self.exceptAll(fed).isEmpty,
+      "index-fed margin mining diverged from the self-contained form")
+  }
+
   test("x95 RRF fusion: rank algebra — dual top-1 wins, single-branch " +
        "docs score one reciprocal term, absent rank renders 0") {
     import graft.operators.Similarity
@@ -314,6 +333,40 @@ class Round12Spec extends GraftSuite {
       s"train accuracy ${a.getDouble(4)} not above the base rate")
     // bounded model — the preconditioner's no-saturation contract
     assert(a.getDouble(5) < 1.0)
+  }
+
+  test("st19 fold: batchId-partition overwrite is replay-idempotent " +
+       "and confined to its own partition") {
+    import graft.streaming.Streams
+    import spark.implicits._
+    val dir = SparkTestBase.sfDir
+    val model =
+      new java.io.File("target/qtmp/r12_st19_model").getAbsolutePath
+    val scores =
+      new java.io.File("target/qtmp/r12_st19_scores").getAbsolutePath
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(model))
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(scores))
+    // tiny frozen model — the training path is x97's spec; this one
+    // pins the fold's restart semantics
+    Seq((0L, 1.5), (1L, -2.0), (7L, 0.25)).toDF("b", "w")
+      .write.parquet(s"$model/weights")
+    Seq(Tuple1(-0.35)).toDF("bias").write.parquet(s"$model/bias")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 === 1)
+    def state(): Seq[(Long, Double)] = spark.read.parquet(scores)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    Streams.classifierScoreFold(b0, 0L, model, scores)
+    val s1 = state()
+    Streams.classifierScoreFold(b0, 0L, model, scores) // redelivery
+    assert(state() === s1, "replayed batch changed the ledger")
+    Streams.classifierScoreFold(b1, 1L, model, scores)
+    val s2 = state()
+    assert(s2.size == docs.count() && s1.toSet.subsetOf(s2.toSet),
+      "later batch disturbed an earlier batch's partition")
   }
 
   test("x94 DSIR: selection skews hard toward the target domain") {
