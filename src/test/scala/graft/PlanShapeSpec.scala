@@ -207,6 +207,38 @@ class PlanShapeSpec extends GraftSuite {
     }
   }
 
+  test("x95/x96: candidate generation broadcasts the query/A side; " +
+       "no cartesian pair space") {
+    // x95's dense branch and x96's pair relation are both the
+    // bruteTopK idiom: corpus rows × BROADCAST small side via a
+    // nested-loop join — never a CartesianProduct (which would
+    // shuffle-replicate both sides) and never a corpus self-shuffle
+    for (q <- Seq("x95_hybrid_rrf", "x96_bitext_margin")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(500)}")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(500)}")
+    }
+  }
+
+  test("x97 scoring: the model broadcasts — the corpus never " +
+       "shuffles on the bucket key") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val feat = graft.operators.Learn.features(docs, col("doc_id"),
+      col("text"))
+    val w = Seq((0L, 0.1), (5L, -0.2)).toDF("b", "w")
+    val bias = Seq(Tuple1(0.3)).toDF("bias")
+    val p = graft.operators.Learn.logisticScore(
+        docs.select(col("doc_id").as("id")), feat, w, bias)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    // a bucket-keyed exchange would mean the 4096-row model forced a
+    // corpus-wide shuffle — the exact shape the broadcast exists to
+    // prevent at 100 TB
+    assert(!p.contains("Exchange hashpartitioning(b#"), p.take(800))
+  }
+
   test("f17 nfc-normalize: native expression stays inside WholeStageCodegen") {
     val df = SparkEntry.queries("f17_nfc_normalize")(spark, dir)
     df.collect() // AQE finalizes codegen stages only at execution
