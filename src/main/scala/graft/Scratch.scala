@@ -199,6 +199,50 @@ object Scratch {
             f"maxdev=${a.getDouble(3)}%.4f np=${a.getLong(4)} " +
             f"npe=${a.getLong(5)}")
         }
+      case "er1_decomp" =>
+        // decompose er1: SNM pair generation + levenshtein verify vs
+        // star-CC vs survivorship election — which stage owns the sf1
+        // growth (3.0-4.0x across rounds)?
+        import org.apache.spark.sql.functions._
+        val part = Tables.load(spark, sfDir, "part")
+        def t2(tag: String)(body: => Unit): Unit = {
+          body
+          val ts = (1 to 2).map { _ =>
+            val t0 = System.nanoTime(); body
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"$tag%-24s min=${ts.min}%.3f  (${ts.mkString(", ")})")
+        }
+        t2("snm_pairs") {
+          graft.operators.Dedup.sortedNeighborhoodPairs(part,
+              col("p_partkey"), col("p_name"), w = 3, maxDist = 4)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val pairs = graft.operators.Dedup.sortedNeighborhoodPairs(part,
+            col("p_partkey"), col("p_name"), w = 3, maxDist = 4)
+          .select(col("id_a"), col("id_b")).localCheckpoint()
+        println("n_pairs=" + pairs.count())
+        t2("star_cc") {
+          graft.operators.Dedup.connectedComponentsStar(pairs)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val comps = graft.operators.Dedup
+          .connectedComponentsStar(pairs).localCheckpoint()
+        t2("survivorship") {
+          import org.apache.spark.sql.expressions.Window
+          val named = comps.join(part.select(
+            col("p_partkey").as("id"), col("p_name")), Seq("id"))
+          val w = Window.partitionBy(col("component"))
+            .orderBy(length(col("p_name")).desc, col("p_name").asc,
+              col("id").asc)
+          named.withColumn("rk", row_number().over(w))
+            .groupBy(col("component"))
+            .agg(count(lit(1)).as("n_members"),
+              max(when(col("rk") === 1, col("p_name")))
+                .as("survivor_name"),
+              max(when(col("rk") === 1, col("id"))).as("survivor_id"))
+            .write.format("noop").mode("overwrite").save()
+        }
       case "st8_debug" =>
         // count rows per micro-batch to confirm the 2-batch split
         import org.apache.spark.sql.functions.col
