@@ -114,6 +114,7 @@ object Bench {
     "x96_bitext_margin",     // margin-based bitext candidate mining
     "x97_quality_classifier", // in-engine GD-trained quality model
     "st19_stream_score",     // frozen-model stream scoring ledger
+    "x99_hard_negatives",    // DPR-style contrastive pair mining
     "x36_span_dup_coverage") // bridge query shared with all sets
 
   def main(args: Array[String]): Unit = {

@@ -3626,6 +3626,68 @@ object SparkEntry {
         Learn.logisticBias(labels)))
     }),
 
+    "x98_calibration_audit" -> ((s, dir) => {
+      // reliability pane for the trained classifier: per score-decile
+      // bucket, predicted mass (mean_score) vs observed label rate
+      // (frac_en) and their gap — the calibration check an ML-ops
+      // pipeline runs before trusting scores as probabilities (a
+      // well-calibrated model has gap ≈ 0 per bucket). Same train as
+      // x97 (self-contained, the x74b discipline); the oracle reuses
+      // x97's generated CTE chain with a calibration tail.
+      val docs = t(s, dir, "documents")
+      val feat = Learn.features(docs, col("doc_id"), col("text"))
+      val labels = docs.select(col("doc_id").as("id"),
+        when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y"))
+      val w = Learn.logisticTrain(feat, labels, iters = 12, lr = 8.0)
+      Learn.logisticScore(docs.select(col("doc_id").as("id")), feat,
+          w, Learn.logisticBias(labels))
+        .join(docs.select(col("doc_id").as("id"), col("lang")),
+          Seq("id"))
+        .withColumn("bucket",
+          least(floor(col("score") * 10).cast("int"), lit(9)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("score").cast(DecimalType(28, 6)))
+            .cast(DoubleType) / count(lit(1)), 4).as("mean_score"),
+          round(sum(when(col("lang") === "en", 1.0d).otherwise(0.0d))
+            / count(lit(1)), 4).as("frac_en"))
+        .withColumn("gap",
+          round(abs(col("mean_score") - col("frac_en")), 4))
+        .orderBy(col("bucket"))
+    }),
+
+    "x99_hard_negatives" -> ((s, dir) => {
+      // DPR-style contrastive pair mining (Karpukhin et al. 2020's
+      // hard-negative recipe): for each query doc, the POSITIVE is
+      // its dense (embedding) rank-1 neighbor; the HARD NEGATIVE is
+      // its highest-BM25 lexical candidate that is NOT in the dense
+      // top-10 — lexically close but semantically far, the pairs
+      // that actually teach an embedder. Pure composition of the
+      // round's two retrieval branches; every stage k-bounded.
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val dense = Similarity.bruteTopK(emb.filter(col("vec_id") < 20),
+        emb, "vec_id", "embedding", k = 10)
+      val sparse = TextOps.bm25MoreLikeThis(docs, col("doc_id"),
+        col("text"), col("doc_id") < 20, k = 10)
+      val pos = dense.filter(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id").as("pos_id"),
+          col("cos_sim").as("pos_sim"))
+      val negCand = sparse.join(
+        dense.select(col("query_id"),
+          col("neighbor_id").as("doc_id")),
+        Seq("query_id", "doc_id"), "left_anti")
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(col("rank").asc)
+      val neg = negCand.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("doc_id").as("hardneg_id"),
+          col("bm25").as("hardneg_bm25"),
+          col("rank").as("hardneg_sparse_rank"))
+      pos.join(neg, Seq("query_id"), "left")
+        .orderBy(col("query_id"))
+    }),
+
     "st19_stream_score" -> ((s, dir) => {
       // x97's STREAMING twin, and the OTHER production restart
       // pattern: the trained model is FROZEN standing state (weights
@@ -4841,9 +4903,12 @@ object SparkEntry {
     * shared tokenizer); bias/preconditioner/rounding mirror
     * Learn.scala line for line. */
   private lazy val x97OracleStr: String = x97Oracle(iters = 12,
-    lr = "8.0")
+    lr = "8.0", x97PaneTail)
 
-  private def x97Oracle(iters: Int, lr: String): String = {
+  private lazy val x98OracleStr: String = x97Oracle(iters = 12,
+    lr = "8.0", x98CalibrationTail)
+
+  private def x97Oracle(iters: Int, lr: String, tail: String): String = {
     def gw(i: Int, pJoin: String, wPrev: Option[String]) = {
       val g = s"""g$i AS MATERIALIZED (SELECT tr.b, SUM(CAST(round((p.p - tr.y)
                  * tr.v, 12) AS DECIMAL(38,12))) AS grad
@@ -4922,6 +4987,11 @@ object SparkEntry {
                     COALESCE(ps.p, (SELECT p FROM p1c)) AS score
              FROM (SELECT doc_id AS id, source, lang FROM documents) m
              LEFT JOIN ps USING (id))
+      $tail"""
+  }
+
+  /** x97's per-source audit pane over the scored relation `sc`. */
+  private val x97PaneTail: String = """
       SELECT source, COUNT(*) AS n_docs,
              round(CAST(SUM(CAST(score AS DECIMAL(28,6))) AS DOUBLE)
                / COUNT(*), 4) AS mean_score,
@@ -4930,7 +5000,21 @@ object SparkEntry {
              CAST(SUM(CASE WHEN score > 0.5 AND lang = 'en'
                  THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_quality_en
       FROM sc GROUP BY source ORDER BY source"""
-  }
+
+  /** x98's calibration tail over the same trained/scored chain. */
+  private val x98CalibrationTail: String = """
+      SELECT bucket, COUNT(*) AS n_docs,
+             round(CAST(SUM(CAST(score AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*), 4) AS mean_score,
+             round(SUM(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END)
+               / COUNT(*), 4) AS frac_en,
+             round(abs(round(CAST(SUM(CAST(score AS DECIMAL(28,6)))
+                   AS DOUBLE) / COUNT(*), 4)
+               - round(SUM(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END)
+                   / COUNT(*), 4)), 4) AS gap
+      FROM (SELECT *, LEAST(CAST(floor(score * 10) AS INTEGER), 9)
+              AS bucket FROM sc)
+      GROUP BY bucket ORDER BY bucket"""
 
   /** Shared x94/st18 oracle: the DSIR selection pane. st18 trains
     * the model from the streamed ledger; additive counts + the
@@ -9062,6 +9146,78 @@ object SparkEntry {
 
     "x97_quality_classifier" -> x97OracleStr,
     "st19_stream_score" -> x97OracleStr,
+    "x98_calibration_audit" -> x98OracleStr,
+
+    "x99_hard_negatives" -> """
+      WITH tokens AS (
+        SELECT doc_id AS id,
+               UNNEST(regexp_extract_all(lower(text), '\S+')) AS term
+        FROM documents),
+      dl AS (SELECT id, COUNT(*) AS dl FROM tokens GROUP BY id),
+      ad AS (SELECT AVG(dl) AS avgdl FROM dl),
+      nn AS (SELECT COUNT(*) AS n FROM documents),
+      tf AS (SELECT id, term, COUNT(*) AS tf FROM tokens
+             GROUP BY id, term),
+      qterms AS (
+        SELECT query_id, term FROM (
+          SELECT doc_id AS query_id,
+                 UNNEST(regexp_extract_all(lower(text), '\S+')) AS term
+          FROM documents WHERE doc_id < 20)
+        GROUP BY query_id, term),
+      qdf AS (SELECT term, COUNT(*) AS df FROM tf
+              WHERE term IN (SELECT term FROM qterms) GROUP BY term),
+      scored AS (
+        SELECT q.query_id, t.id,
+               SUM(CAST(round(
+                 ln(1 + (n.n - d.df + 0.5) / (d.df + 0.5)) * t.tf * 2.2 /
+                   (t.tf + 1.2 * (0.25 + 0.75 * l.dl / a.avgdl)), 6)
+                 AS DECIMAL(28,6))) AS bm25d
+        FROM tf t JOIN qterms q USING (term) JOIN qdf d USING (term)
+        JOIN dl l ON l.id = t.id CROSS JOIN ad a CROSS JOIN nn n
+        WHERE t.id <> q.query_id
+        GROUP BY q.query_id, t.id),
+      sparse AS (
+        SELECT query_id, id AS doc_id,
+               round(CAST(bm25d AS DOUBLE), 4) AS bm25,
+               rn AS sparse_rank FROM (
+          SELECT query_id, id, bm25d,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY bm25d DESC, id ASC) AS rn
+          FROM scored) WHERE rn <= 10),
+      dcos AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+               list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[]))))
+                 AS cs
+        FROM (SELECT * FROM embeddings WHERE vec_id < 20) q
+        JOIN embeddings c ON q.vec_id <> c.vec_id),
+      dense AS (
+        SELECT query_id, doc_id, cs, rn FROM (
+          SELECT query_id, doc_id, cs, row_number() OVER (
+                   PARTITION BY query_id ORDER BY cs DESC, doc_id ASC)
+                 AS rn
+          FROM dcos) WHERE rn <= 10),
+      pos AS (SELECT query_id, doc_id AS pos_id,
+                     round(cs, 4) AS pos_sim
+              FROM dense WHERE rn = 1),
+      negcand AS (
+        SELECT s.* FROM sparse s
+        WHERE NOT EXISTS (SELECT 1 FROM dense d
+          WHERE d.query_id = s.query_id AND d.doc_id = s.doc_id)),
+      neg AS (
+        SELECT query_id, doc_id AS hardneg_id, bm25 AS hardneg_bm25,
+               sparse_rank AS hardneg_sparse_rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY sparse_rank ASC) AS nrn
+          FROM negcand) WHERE nrn = 1)
+      SELECT p.query_id, p.pos_id, p.pos_sim, n.hardneg_id,
+             n.hardneg_bm25, n.hardneg_sparse_rank
+      FROM pos p LEFT JOIN neg n USING (query_id)
+      ORDER BY p.query_id""",
 
     "x95_hybrid_rrf" -> """
       WITH tokens AS (

@@ -56,7 +56,8 @@ class EntrySmokeSpec extends GraftSuite {
         // round-6 additions whose emptiness would be silently
         // hash-green: retrieval fusion, mined pairs, trained scores
         "x95_hybrid_rrf", "x96_bitext_margin", "x97_quality_classifier",
-        "st18_stream_dsir", "st19_stream_score")
+        "st18_stream_dsir", "st19_stream_score",
+        "x98_calibration_audit", "x99_hard_negatives")
     val empty = guarded.filter(n =>
       SparkEntry.queries(n)(spark, SparkTestBase.sfDir).isEmpty)
     assert(empty.isEmpty, s"vacuous (0-row) guarded queries: $empty")

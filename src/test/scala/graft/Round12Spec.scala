@@ -369,6 +369,32 @@ class Round12Spec extends GraftSuite {
       "later batch disturbed an earlier batch's partition")
   }
 
+  test("x98 calibration pane: observed label rate rises with the " +
+       "score bucket (the classifier's separation, bucketed)") {
+    val rows = SparkEntry.queries("x98_calibration_audit")(
+        spark, SparkTestBase.sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val lo = rows.minBy(_._1)
+    val hi = rows.maxBy(_._1)
+    assert(hi._3 > lo._3 + 0.3,
+      s"frac_en not rising across buckets: lo=$lo hi=$hi")
+    assert(rows.map(_._2).sum == 500L, "pane must cover every doc")
+  }
+
+  test("x99 hard negatives: one pair set per query, negative outside " +
+       "the dense top-10 and distinct from the positive") {
+    val rows = SparkEntry.queries("x99_hard_negatives")(
+        spark, SparkTestBase.sfDir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(!r.isNullAt(3), "this corpus always yields a hard neg")
+      assert(r.getLong(1) != r.getLong(3),
+        "hard negative must differ from the positive")
+      assert(r.getInt(5) >= 1)
+    }
+  }
+
   test("x94 DSIR: selection skews hard toward the target domain") {
     val docs =
       spark.read.parquet(s"${SparkTestBase.sfDir}/documents.parquet")
