@@ -63,10 +63,16 @@ object Learn {
   }
 
   /** The 1-row fixed-intercept relation: logit of the label base
-    * rate, rounded to 6. */
-  def logisticBias(labels: DataFrame): DataFrame =
+    * rate, rounded to 6. Fails fast on single-class labels (the
+    * logit is ±∞ there and no classifier is learnable). */
+  def logisticBias(labels: DataFrame): DataFrame = {
+    val r = labels.agg(avg(col("y"))).head().getDouble(0)
+    require(r > 0.0 && r < 1.0,
+      s"logisticBias: single-class labels (mean y = $r) — " +
+        "logit undefined, nothing to learn")
     labels.agg(round(log(avg(col("y")) /
       (lit(1.0d) - avg(col("y")))), 6).as("bias"))
+  }
 
   def logisticTrain(feat: DataFrame, labels: DataFrame,
                     iters: Int = 3, lr: Double = 0.5): DataFrame = {

@@ -274,6 +274,35 @@ class Round12Spec extends GraftSuite {
       "absent branch rank must render as 0")
   }
 
+  test("rrfFuse generalizes past two branches: 3-way fusion sums " +
+       "three reciprocal terms and keeps per-branch ranks") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val b1 = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("query_id", "doc_id", "rank")
+    val b2 = Seq((1L, 10L, 2), (1L, 30L, 1)).toDF("query_id", "doc_id", "rank")
+    val b3 = Seq((1L, 10L, 3)).toDF("query_id", "doc_id", "rank")
+    val out = Similarity.rrfFuse(
+        Seq("a" -> b1, "b" -> b2, "c" -> b3), c = 60, topK = 10)
+      .orderBy(col("rank")).collect()
+    // doc 10 scores 1/61 + 1/62 + 1/63; docs 30 and 20 get one term
+    assert(out.head.getLong(2) === 10L)
+    assert(math.abs(out.head.getDouble(3) -
+      (1.0 / 61 + 1.0 / 62 + 1.0 / 63)) < 1e-6)
+    assert(out.head.getInt(4) === 1 && out.head.getInt(5) === 2 &&
+      out.head.getInt(6) === 3)
+    assert(out.map(_.getLong(2)).toSeq === Seq(10L, 30L, 20L),
+      "single-branch docs rank by their one reciprocal term")
+  }
+
+  test("logisticBias fails fast on single-class labels") {
+    import graft.operators.Learn
+    import spark.implicits._
+    val ex = intercept[IllegalArgumentException] {
+      Learn.logisticBias(Seq((1L, 1.0), (2L, 1.0)).toDF("id", "y"))
+    }
+    assert(ex.getMessage.contains("single-class"))
+  }
+
   test("x95 bm25MoreLikeThis: k-bounded per query, self excluded, " +
        "retrieves term-sharing docs") {
     import graft.operators.TextOps
