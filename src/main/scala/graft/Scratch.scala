@@ -166,14 +166,8 @@ object Scratch {
         // x97 operating-point sweep: separation/accuracy vs (lr, iters)
         import org.apache.spark.sql.functions._
         val docs = Tables.load(spark, sfDir, "documents")
-        val rawFeat = graft.operators.TextOps.dsirFeatures(docs,
-            col("doc_id"), col("text"), col("lang") === "en", 4096)
-          .groupBy(col("id"), col("b")).agg(count(lit(1)).as("cnt"))
-        val dl = rawFeat.groupBy(col("id"))
-          .agg(sum(col("cnt")).as("dl"))
-        val feat = rawFeat.join(dl, Seq("id"))
-          .select(col("id"), col("b"),
-            round(col("cnt") / col("dl"), 6).as("v"))
+        val feat = graft.operators.Learn.features(docs,
+            col("doc_id"), col("text"))
           .localCheckpoint()
         val labels = docs.select(col("doc_id").as("id"),
           when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y"))

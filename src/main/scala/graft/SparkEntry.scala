@@ -8704,11 +8704,14 @@ object SparkEntry {
                  / COUNT(*), 4) AS mean_dist,
                round(CAST(SUM(CASE WHEN rk <= 5
                    THEN CAST(dist AS DECIMAL(28,6)) END) AS DOUBLE)
-                 / 5, 4) AS mean_nn_dist
+                 / LEAST(5, COUNT(*)), 4) AS mean_nn_dist
         FROM r GROUP BY query_id)
       SELECT query_id, n_corpus, mean_dist, mean_nn_dist,
-             round(mean_dist / mean_nn_dist, 4) AS rc,
-             round(mean_dist / mean_nn_dist, 4) >= 2.0 AS ivf_prunable
+             CASE WHEN mean_nn_dist > 0
+               THEN round(mean_dist / mean_nn_dist, 4) END AS rc,
+             CASE WHEN mean_nn_dist > 0
+               THEN round(mean_dist / mean_nn_dist, 4) >= 2.0
+               ELSE FALSE END AS ivf_prunable
       FROM m ORDER BY query_id""",
 
     "x88b_ivfpq_exact" -> fixedPointBruteOracle,

@@ -29,21 +29,6 @@ object Learn {
 
   private val dec = DecimalType(38, 12)
 
-  /** Full-batch gradient-descent logistic regression over sparse
-    * hashed features. `feat` is (id, b, v) — one row per (doc,
-    * bucket) with the L1-NORMALIZED feature value (bucket count /
-    * doc's total feature count, pre-rounded to 6). Normalization is
-    * load-bearing: Σ_b v = 1 per doc bounds the margin by max|w|, so
-    * the sigmoid cannot saturate on long documents and one lr works
-    * at every document length — raw counts make z grow with doc
-    * length and full-batch GD oscillates into a constant-negative
-    * model (measured: 3 raw-count iterations score ~0 for EVERY doc).
-    * Weights start at zero (so iteration 1's sigmoid is exactly 0.5
-    * everywhere); each iteration computes doc margins z = Σ v·w_b,
-    * p = σ(z), and the batch gradient g_b = Σ (p − y)·v, then steps
-    * w ← w − lr·(g_b / Σ_d v_{d,b}) — the feature-mass-normalized
-    * (diagonally preconditioned) step. Returns (b, w) after `iters`
-    * steps. */
   /** The x97/st19 shared feature builder: hashed uni+bigram bucket
     * counts ([[TextOps.dsirFeatures]] — ONE tokenizer+hash definition
     * across the whole selection stack), L1-normalized per doc
@@ -63,17 +48,38 @@ object Learn {
   }
 
   /** The 1-row fixed-intercept relation: logit of the label base
-    * rate, rounded to 6. Fails fast on single-class labels (the
-    * logit is ±∞ there and no classifier is learnable). */
+    * rate, rounded to 6. Fails fast on empty or single-class labels
+    * (the logit is undefined/±∞ there and no classifier is
+    * learnable). `labels` is aggregated exactly once; the bias rides
+    * as a literal, so train+score call this freely without repaying
+    * the label-grain scan. */
   def logisticBias(labels: DataFrame): DataFrame = {
-    val r = labels.agg(avg(col("y"))).head().getDouble(0)
+    val rows = labels.agg(avg(col("y"))).collect()
+    val r = if (rows.isEmpty || rows(0).isNullAt(0)) Double.NaN
+            else rows(0).getDouble(0)
     require(r > 0.0 && r < 1.0,
-      s"logisticBias: single-class labels (mean y = $r) — " +
-        "logit undefined, nothing to learn")
-    labels.agg(round(log(avg(col("y")) /
-      (lit(1.0d) - avg(col("y")))), 6).as("bias"))
+      s"logisticBias: unlearnable labels (mean y = $r) — empty or " +
+        "single-class, logit undefined")
+    val bias = BigDecimal(math.log(r / (1.0 - r)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    labels.sparkSession.range(1).select(lit(bias).as("bias"))
   }
 
+  /** Full-batch gradient-descent logistic regression over sparse
+    * hashed features. `feat` is (id, b, v) — one row per (doc,
+    * bucket) with the L1-NORMALIZED feature value (bucket count /
+    * doc's total feature count, pre-rounded to 6). Normalization is
+    * load-bearing: Σ_b v = 1 per doc bounds the margin by max|w|, so
+    * the sigmoid cannot saturate on long documents and one lr works
+    * at every document length — raw counts make z grow with doc
+    * length and full-batch GD oscillates into a constant-negative
+    * model (measured: 3 raw-count iterations score ~0 for EVERY doc).
+    * Weights start at zero (so iteration 1's sigmoid is exactly 0.5
+    * everywhere); each iteration computes doc margins z = Σ v·w_b,
+    * p = σ(z), and the batch gradient g_b = Σ (p − y)·v, then steps
+    * w ← w − lr·(g_b / Σ_d v_{d,b}) — the feature-mass-normalized
+    * (diagonally preconditioned) step. Returns (b, w) after `iters`
+    * steps. */
   def logisticTrain(feat: DataFrame, labels: DataFrame,
                     iters: Int = 3, lr: Double = 0.5): DataFrame = {
     // FIXED intercept at logit(base rate) — "centering": the model

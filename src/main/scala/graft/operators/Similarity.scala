@@ -755,16 +755,29 @@ object Similarity {
                   idCol: String, vecCol: String, k: Int,
                   nlist: Int = 16, nprobe: Int = 12, m: Int = 8,
                   ksub: Int = 16, rerank: Int = 200,
-                  prunableAt: Double = 2.0): DataFrame =
-    if (annPrunable(corpus, queries, idCol, vecCol, k, prunableAt))
+                  prunableAt: Double = 2.0,
+                  probeCap: Int = 16): DataFrame = {
+    // the preflight prices one corpus scan PER PROBE — measuring with
+    // the full query set would cost as much as the exact scan it
+    // exists to avoid, so the verdict comes from a deterministic
+    // probe sample (first probeCap by id); a deployment amortizes
+    // further by calling annPrunable once per index build
+    val probes = queries.orderBy(col(idCol)).limit(probeCap)
+    if (annPrunable(corpus, probes, idCol, vecCol, k, prunableAt))
       ivfpqTopK(queries, corpus, idCol, vecCol, k, nlist, nprobe, m,
         ksub, coarseIters = 1, pqIters = 1, rerank = rerank)
     else bruteTopKL2(queries, corpus, idCol, vecCol, k)
+  }
 
   def annDifficulty(corpus: DataFrame, queries: DataFrame,
                     idCol: String, vecCol: String, k: Int = 5,
                     prunableAt: Double = 2.0): DataFrame = {
     import graft.functions.TopKAgg
+    require(corpus.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"annDifficulty: idCol '$idCol' must be numeric — the heap " +
+        "tiebreak negates it arithmetically; hash or re-key string " +
+        "ids before probing")
     val dec = DecimalType(28, 6)
     val q = queries.select(col(idCol).as("query_id"),
       quantize1e7(col(vecCol)).as("qv"))
@@ -789,9 +802,21 @@ object Similarity {
           // decimal + widens precision per SQL rules — cast the
           // accumulator result back so the lambda type stays fixed
           (acc, e) => (acc + (-e.getField("nd")).cast(dec)).cast(dec))
-          .cast(DoubleType) / k, 4).as("mean_nn_dist"))
-      .withColumn("rc", round(col("mean_dist") / col("mean_nn_dist"), 4))
-      .withColumn("ivf_prunable", col("rc") >= prunableAt)
+          // the heap holds min(k, n_corpus) entries — dividing by a
+          // flat k understates the kNN mean on tiny corpora and
+          // inflates rc toward a false "prunable"
+          .cast(DoubleType) / least(lit(k.toLong), col("n_corpus")),
+          4).as("mean_nn_dist"))
+      // duplicate-heavy corpora can round the whole kNN set to dist
+      // 0: rc is undefined there (null, honestly), and the VERDICT
+      // must read false — total distance concentration is the exact
+      // regime where cell pruning loses recall, and a null must not
+      // silently drop out of annPrunable's min() vote
+      .withColumn("rc", when(col("mean_nn_dist") > 0.0d,
+        round(col("mean_dist") / col("mean_nn_dist"), 4)))
+      .withColumn("ivf_prunable",
+        when(col("mean_nn_dist") > 0.0d, col("rc") >= prunableAt)
+          .otherwise(false))
   }
 
   /** Margin-based bitext candidate mining (Artetxe & Schwenk 2019's
@@ -812,7 +837,13 @@ object Similarity {
     * ranks order by round(cos,4) with id tiebreaks, and the margin
     * denominators are exact DECIMAL sums of the rounded cosines, so
     * the accept gate compares operand-identical doubles on any engine
-    * (the x90/x94 decimal-sum recipe). */
+    * (the x90/x94 decimal-sum recipe).
+    *
+    * Contract: both sides draw ids from ONE namespace (x96: doc_id);
+    * an id appearing on both sides is the same item and is excluded
+    * as a self-pair. Sides numbered from independent sequences must
+    * be re-keyed (offset or tag) first, or colliding candidate pairs
+    * are dropped from the scored relation. */
   def bitextMarginMining(a: DataFrame, b: DataFrame, idCol: String,
                          vecCol: String, k: Int = 4,
                          threshold: Double = 1.05): DataFrame = {
