@@ -115,6 +115,7 @@ object Bench {
     "x97_quality_classifier", // in-engine GD-trained quality model
     "st19_stream_score",     // frozen-model stream scoring ledger
     "x99_hard_negatives",    // DPR-style contrastive pair mining
+    "e2e_select_corpus",     // learned gate → dedup → shards capstone
     "x36_span_dup_coverage") // bridge query shared with all sets
 
   def main(args: Array[String]): Unit = {

@@ -3626,6 +3626,45 @@ object SparkEntry {
         Learn.logisticBias(labels)))
     }),
 
+    "e2e_select_corpus" -> ((s, dir) => {
+      // ROUND-6 CAPSTONE: the LEARNED selection tier drives a corpus
+      // build end-to-end — classifier gate (x97's trained model, not
+      // a hand heuristic) → exact-dedup canonical cut → token-
+      // balanced shard interleave (x67's LPT pattern on the range-
+      // exchange numbering) — the same production tail the heuristic
+      // (e2e_webcorpus) and importance-weighted (x94) tiers feed,
+      // proving the three selection families compose interchangeably.
+      // The gate is score > 0.5 on the preconditioned-GD model
+      // (188/500 docs pass at sf0.01 — non-vacuous by construction,
+      // and EntrySmokeSpec's e2e_* guard asserts it). Oracle = x97's
+      // generated training chain + the build tail.
+      val docs = t(s, dir, "documents")
+      val feat = Learn.features(docs, col("doc_id"), col("text"))
+      val labels = docs.select(col("doc_id").as("id"),
+        when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y"))
+      val w = Learn.logisticTrain(feat, labels, iters = 12, lr = 8.0)
+      val gated = Learn.logisticScore(
+          docs.select(col("doc_id").as("id")), feat, w,
+          Learn.logisticBias(labels))
+        .filter(col("score") > 0.5d)
+      val canon = docs
+        .select(col("doc_id"), ColFns.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("id"))
+        .select(col("id"))
+      val toks = docs.select(col("doc_id").as("id"),
+        ColFns.tokenCount(col("text")).as("n_toks"))
+      val kept = gated.join(canon, Seq("id")).join(toks, Seq("id"))
+      Layout.globalRowNumber(kept,
+          struct((-col("n_toks")).as("nt"), col("id").as("i")))
+        .withColumn("shard", col("row_num") % 4)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          round(sum(col("score").cast(DecimalType(18, 4)))
+            .cast(DoubleType) / count(lit(1)), 4).as("mean_score"))
+        .orderBy(col("shard"))
+    }),
+
     "x98_calibration_audit" -> ((s, dir) => {
       // reliability pane for the trained classifier: per score-decile
       // bucket, predicted mass (mean_score) vs observed label rate
@@ -5000,6 +5039,29 @@ object SparkEntry {
              CAST(SUM(CASE WHEN score > 0.5 AND lang = 'en'
                  THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_quality_en
       FROM sc GROUP BY source ORDER BY source"""
+
+  /** e2e_select_corpus's build tail: gate → canonical dedup →
+    * token-balanced shards over the same trained/scored chain. */
+  private val e2eSelectTail: String = """
+      , canon AS (SELECT MIN(doc_id) AS id FROM (
+          SELECT doc_id,
+                 md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                   AS fp
+          FROM documents) GROUP BY fp),
+      tk AS (SELECT doc_id AS id,
+                    len(regexp_extract_all(text, '\S+')) AS n_toks
+             FROM documents),
+      kept AS (SELECT sc.id, sc.score, tk.n_toks
+               FROM sc JOIN canon USING (id) JOIN tk USING (id)
+               WHERE sc.score > 0.5),
+      shx AS (SELECT *, row_number() OVER (ORDER BY n_toks DESC,
+                       id ASC) AS rn
+              FROM kept)
+      SELECT (rn - 1) % 4 AS shard, COUNT(*) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+             round(CAST(SUM(CAST(score AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*), 4) AS mean_score
+      FROM shx GROUP BY 1 ORDER BY shard"""
 
   /** x98's calibration tail over the same trained/scored chain. */
   private val x98CalibrationTail: String = """
@@ -9150,6 +9212,8 @@ object SparkEntry {
     "x97_quality_classifier" -> x97OracleStr,
     "st19_stream_score" -> x97OracleStr,
     "x98_calibration_audit" -> x98OracleStr,
+    "e2e_select_corpus" -> x97Oracle(iters = 12, lr = "8.0",
+      e2eSelectTail),
 
     "x99_hard_negatives" -> """
       WITH tokens AS (
