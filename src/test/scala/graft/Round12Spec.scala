@@ -208,6 +208,44 @@ class Round12Spec extends GraftSuite {
       "streamed ledger model diverged from the batch model")
   }
 
+  test("x93 annDifficulty edge contracts: duplicate corpus votes NOT " +
+       "prunable; corpus-fits-in-k measures rc exactly 1; string ids " +
+       "fail fast") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // all-identical vectors: every distance is 0, rc is undefined —
+    // the verdict must be FALSE (total concentration), and the null
+    // rc must not drop out of annPrunable's vote
+    val dup = Seq.tabulate(8)(i => (i.toLong, Array(0.5f, 0.5f)))
+      .toDF("id", "embedding")
+    val probes = dup.filter(col("id") < 2)
+    Similarity.annDifficulty(dup, probes, "id", "embedding", k = 5)
+      .collect().foreach { r =>
+        assert(r.isNullAt(r.fieldIndex("rc")))
+        assert(!r.getBoolean(r.fieldIndex("ivf_prunable")))
+      }
+    assert(!Similarity.annPrunable(dup, probes, "id", "embedding", 5))
+    // corpus smaller than k: the kNN set IS the corpus, so the kNN
+    // mean must equal the all-points mean (rc = 1) — a flat /k
+    // divisor would understate it and fake a prunable verdict
+    val tiny = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.8f, 0.6f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.5f, 0.5f)))
+      .toDF("id", "embedding")
+    Similarity.annDifficulty(tiny, tiny.filter(col("id") === 1), "id",
+        "embedding", k = 5)
+      .collect().foreach { r =>
+        assert(r.getDouble(r.fieldIndex("rc")) === 1.0)
+        assert(!r.getBoolean(r.fieldIndex("ivf_prunable")))
+      }
+    // string ids: the heap tiebreak negates the id — must fail fast
+    val strIds = Seq(("a", Array(1.0f, 0.0f)), ("b", Array(0.0f, 1.0f)))
+      .toDF("id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.annDifficulty(strIds, strIds, "id", "embedding")
+    }
+    assert(ex.getMessage.contains("numeric"))
+  }
+
   test("x96 bitext margin: mutual-best + margin gate accepts aligned " +
        "pairs and rejects hub-mediated ones") {
     import graft.operators.Similarity
