@@ -116,6 +116,7 @@ object Bench {
     "st19_stream_score",     // frozen-model stream scoring ledger
     "x99_hard_negatives",    // DPR-style contrastive pair mining
     "e2e_select_corpus",     // learned gate → dedup → shards capstone
+    "x100_tokenid_export",   // vocab-coded export audit pane
     "x36_span_dup_coverage") // bridge query shared with all sets
 
   def main(args: Array[String]): Unit = {

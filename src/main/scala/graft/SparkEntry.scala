@@ -3665,6 +3665,21 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
+    "x100_tokenid_export" -> ((s, dir) => {
+      // terminal export step: corpus tokens → vocabulary ids
+      // (TextOps.vocabEncode) with the per-doc order-sensitive
+      // checksum pane as the export's verifiable audit — what a
+      // pretraining pipeline writes as binary shards, reduced to a
+      // hashable integrity surface. v = 24 BECAUSE the synthetic
+      // corpus has only 31 word types at every scale (measured): a
+      // v >= 31 never exercises the OOV path — the x26 vacuity
+      // lesson — while v = 24 leaves a live 7-type OOV tail so both
+      // branches of the encoder are oracle-checked
+      TextOps.vocabEncode(t(s, dir, "documents"), col("doc_id"),
+          col("text"), v = 24)
+        .orderBy(col("id"))
+    }),
+
     "x98_calibration_audit" -> ((s, dir) => {
       // reliability pane for the trained classifier: per score-decile
       // bucket, predicted mass (mean_score) vs observed label rate
@@ -9212,6 +9227,37 @@ object SparkEntry {
     "x97_quality_classifier" -> x97OracleStr,
     "st19_stream_score" -> x97OracleStr,
     "x98_calibration_audit" -> x98OracleStr,
+
+    "x100_tokenid_export" -> """
+      WITH toks AS (
+        SELECT doc_id AS id,
+               regexp_extract_all(lower(text), '\S+') AS t
+        FROM documents),
+      flat AS (
+        SELECT id, UNNEST(t) AS tok, generate_subscripts(t, 1) AS pos
+        FROM toks),
+      types AS (SELECT tok, COUNT(*) AS n FROM flat GROUP BY tok),
+      vocab AS (
+        SELECT tok, rn - 1 AS tid FROM (
+          SELECT tok, row_number() OVER (ORDER BY n DESC, tok ASC)
+                 AS rn
+          FROM types)
+        WHERE rn <= 24),
+      enc AS (
+        SELECT f.id, f.pos, COALESCE(v.tid, 24) AS tid
+        FROM flat f LEFT JOIN vocab v USING (tok)),
+      pane AS (
+        SELECT id, COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN tid = 24 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_oov,
+               CAST(SUM(pos * (tid + 1)) AS BIGINT) AS ids_fp
+        FROM enc GROUP BY id)
+      SELECT d.doc_id AS id,
+             CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+             CAST(COALESCE(p.ids_fp, 0) AS BIGINT) AS ids_fp
+      FROM documents d LEFT JOIN pane p ON d.doc_id = p.id
+      ORDER BY id""",
     "e2e_select_corpus" -> x97Oracle(iters = 12, lr = "8.0",
       e2eSelectTail),
 

@@ -986,6 +986,45 @@ object TextOps {
     * doc-length table (dl, avgdl) is query-independent and cached /
     * materialized once per corpus in practice. No windows over the
     * corpus: top-k is one TakeOrderedAndProject. */
+  /** Vocabulary-coded corpus export — the terminal tokenize-to-ids
+    * step a trainer consumes: the top-`v` corpus tokens become ids
+    * 0..v-1 (frequency desc, token asc — deterministic), everything
+    * else the OOV id `v`. Returns the per-doc encode audit
+    * (id, n_tokens, n_oov, ids_fp) where `ids_fp` is the
+    * position-weighted checksum Σ pos·(tid+1) over the 1-based token
+    * positions — an ORDER-SENSITIVE fingerprint of the exact id
+    * sequence, so any engine disagreement on any id or position shows
+    * in the pane (the binary shard itself is just this encoding
+    * written columnar; the audit is what the oracle can hash).
+    * Scale shape: vocabulary ranking rides the range-exchange global
+    * numbering (no single-partition window over token types — p13's
+    * discipline; type tables reach 10⁸ rows at corpus scale); docs
+    * then encode via ONE broadcast join of the v-row vocab. */
+  def vocabEncode(df: DataFrame, id: Column, text: Column,
+                  v: Int = 1024): DataFrame = {
+    val toks = df.select(id.as("id"),
+      posexplode(regexp_extract_all(lower(text), lit("\\S+"), lit(0)))
+        .as(Seq("pos", "tok")))
+    val types = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val vocab = Layout.globalRowNumber(types,
+        struct((-col("n")).as("nn"), col("tok").as("t")))
+      .filter(col("row_num") < v)
+      .select(col("tok"), col("row_num").as("tid"))
+    val pane = toks.join(broadcast(vocab), Seq("tok"), "left")
+      .withColumn("tid", coalesce(col("tid"), lit(v.toLong)))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tid") === v.toLong, 1L).otherwise(0L))
+          .as("n_oov"),
+        sum(((col("pos") + 1) * (col("tid") + 1)).cast("long"))
+          .as("ids_fp"))
+    df.select(id.as("id")).join(pane, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("ids_fp"), lit(0L)).as("ids_fp"))
+  }
+
   /** Per-query-document BM25 retrieval ("more like this"): each doc
     * selected by `queryPred` retrieves the corpus's top-k docs using
     * its own DISTINCT tokens as the query terms — the sparse branch of

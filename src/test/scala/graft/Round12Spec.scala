@@ -462,6 +462,26 @@ class Round12Spec extends GraftSuite {
     }
   }
 
+  test("x100 vocabEncode: checksum is order-sensitive, OOV path live") {
+    import graft.operators.TextOps
+    import spark.implicits._
+    val a = Seq((1L, "alpha beta gamma"), (2L, "beta alpha gamma"))
+      .toDF("doc_id", "text")
+    val out = TextOps.vocabEncode(a, col("doc_id"), col("text"), v = 2)
+      .orderBy(col("id")).collect()
+    // same token multiset, different ORDER → different fingerprint —
+    // the property that makes the pane a real export audit
+    assert(out(0).getLong(3) !== out(1).getLong(3))
+    assert(out(0).getLong(1) === 3L && out(0).getLong(2) === 1L)
+    // the corpus-scale OOV branch must actually fire at v=24
+    val docs = spark.read.parquet(
+      s"${SparkTestBase.sfDir}/documents.parquet")
+    val oov = TextOps.vocabEncode(docs, col("doc_id"), col("text"),
+        v = 24)
+      .agg(sum(col("n_oov"))).head().getLong(0)
+    assert(oov > 0, "OOV path vacuous — raise or lower v")
+  }
+
   test("x94 DSIR: selection skews hard toward the target domain") {
     val docs =
       spark.read.parquet(s"${SparkTestBase.sfDir}/documents.parquet")
