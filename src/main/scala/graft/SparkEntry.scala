@@ -3680,6 +3680,80 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "x101_bpe_train" -> ((s, dir) => {
+      // In-engine BPE tokenizer TRAINING (Sennrich et al. 2016) —
+      // the model-side artifact the whole selection stack feeds.
+      // Industrial two-phase shape: ONE corpus-scale pass builds the
+      // word-frequency table (the only 100 TB stage); 12 merge
+      // rounds then run on the word-TYPE table (31 rows here,
+      // millions on a web corpus), each one flatMap+agg + 1-row
+      // argmax + broadcast replace — never a driver-side vocab. The
+      // pane is the merge table + per-round corpus token count (the
+      // compression trajectory a tokenizer build publishes). merges
+      // = 12 sized to the corpus (31 word types sustain ~100+
+      // merges; bpeTrain fails fast if oversized — the lgkFor
+      // discipline). Oracle replays the unrolled recurrence; the
+      // double-space symbol encoding makes plain replace() equal
+      // BPE greedy semantics in BOTH engines (Tokenize.scala).
+      Tokenize.bpeTrain(
+          Tokenize.wordFreq(t(s, dir, "documents"), col("text")),
+          merges = 12)
+        .orderBy(col("rank"))
+    }),
+
+    "x102_pca_power" -> ((s, dir) => {
+      // top-PC power iteration over the embedding corpus as
+      // DataFrame algebra (Learn.powerIterationMicro): the
+      // dominant-direction machinery of embedding post-processing
+      // ("All-but-the-Top", Mu & Viswanath 2018) with the same scale
+      // shape as x97's trainer — 2 hash aggs per iteration, model
+      // state a 64-row broadcast relation. 8 pinned iterations; on
+      // this near-isotropic synthetic corpus (RC ≈ 1.3, evr ≈ 1/64
+      // — measured, see x93) the eigengap is tiny, so the CONTRACT
+      // is the replayed computation + the variance pane, not
+      // convergence — the honest claim, and exactly what the
+      // unrolled oracle checks bit-for-bit. Fixed-point discipline
+      // throughout (Learn.q6): iterative re-cut linear algebra is
+      // where the round(…,6) recipe structurally breaks (measured —
+      // Σ/n quotients land on exact .5 tails), so every cut here is
+      // a floor() on IEEE-identical doubles instead.
+      val embT = t(s, dir, "embeddings")
+      val nRows = embT.count()
+      val emb = embT
+        .select(col("vec_id").as("id"),
+          posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select(col("id"), (col("pos") + 1).as("d"),
+          col("xf").cast(DoubleType).as("x"))
+      val c = Learn.centeredMicro(emb)
+      val v = Learn.powerIterationMicro(c, dims = 64, iters = 8,
+        nRows = nRows)
+      v.crossJoin(broadcast(Learn.varianceAlongMicro(c, v, nRows)))
+        .select(col("d"),
+          (col("v").cast(DoubleType) / lit(1000000.0d)).as("loading"),
+          col("pc_var"), col("total_var"), col("evr"))
+        .orderBy(col("d"))
+    }),
+
+    "j21_join_auto" -> ((s, dir) => {
+      // measured join-strategy ROUTER (Relational.joinAuto — the
+      // x93b router pattern applied to joins): dim-side preflight
+      // picks broadcast / bloom-prefiltered shuffle / plain shuffle.
+      // At this scale customer routes to broadcast;
+      // PlanShapeSpec pins BroadcastHashJoin here AND pins the
+      // bloom route's prefilter when thresholds force it — the
+      // result is route-invariant (what makes one SQL oracle cover
+      // every route). Pane: per-segment order mass over the joined
+      // relation.
+      val (joined, route) = Relational.joinAuto(
+        t(s, dir, "orders"), t(s, dir, "customer")
+          .withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+      joined.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .withColumn("route", lit(route))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "x98_calibration_audit" -> ((s, dir) => {
       // reliability pane for the trained classifier: per score-decile
       // bucket, predicted mass (mean_score) vs observed label rate
@@ -4956,6 +5030,126 @@ object SparkEntry {
     * step. Feature/hash CTEs replicate TextOps.dsirFeatures (the
     * shared tokenizer); bias/preconditioner/rounding mirror
     * Learn.scala line for line. */
+  /** x101's GENERATED oracle: the unrolled BPE merge recurrence
+    * (Tokenize.bpeTrain) as a DuckDB CTE chain — engine and oracle
+    * share one recurrence definition, every multiply-referenced CTE
+    * MATERIALIZED (the x97 discipline). The double-space symbol
+    * encoding makes plain replace() equal BPE greedy application in
+    * both engines (see Tokenize.scala scaladoc for the proof
+    * sketch). */
+  private def x101Oracle(merges: Int): String = {
+    val steps = (1 to merges).map { r =>
+      s"""pc$r AS MATERIALIZED (
+        SELECT pair, SUM(freq) AS cnt FROM (
+          SELECT UNNEST(list_transform(range(1, len(arr)),
+                   i -> arr[i] || ' ' || arr[i + 1])) AS pair, freq
+          FROM (SELECT string_split(trim(syms), '  ') AS arr, freq
+                FROM s${r - 1}) WHERE len(arr) >= 2)
+        GROUP BY pair),
+      best$r AS MATERIALIZED (
+        SELECT pair, cnt FROM pc$r
+        ORDER BY cnt DESC, pair ASC LIMIT 1),
+      s$r AS MATERIALIZED (
+        SELECT replace(s.syms,
+                 ' ' || replace(b.pair, ' ', '  ') || ' ',
+                 ' ' || replace(b.pair, ' ', '') || ' ') AS syms,
+               s.freq
+        FROM s${r - 1} s CROSS JOIN best$r b),
+      ct$r AS (
+        SELECT CAST(SUM(freq * len(string_split(trim(syms), '  ')))
+                 AS BIGINT) AS corpus_tokens
+        FROM s$r)"""
+    }.mkString(",\n      ")
+    val rows = (1 to merges).map { r =>
+      s"""SELECT $r AS rank, pair,
+             replace(pair, ' ', '') AS merged,
+             CAST(cnt AS BIGINT) AS cnt, corpus_tokens
+           FROM best$r CROSS JOIN ct$r"""
+    }.mkString("\n      UNION ALL ")
+    s"""
+      WITH wf AS MATERIALIZED (
+        SELECT word, COUNT(*) AS freq FROM (
+          SELECT UNNEST(regexp_extract_all(lower(text), '\\S+')) AS word
+          FROM documents)
+        GROUP BY word),
+      s0 AS MATERIALIZED (
+        SELECT ' ' || rtrim(regexp_replace(word, '(.)', '\\1  ', 'g'))
+                 || ' ' AS syms, freq
+        FROM wf),
+      $steps
+      SELECT * FROM (
+      $rows)
+      ORDER BY rank"""
+  }
+
+  /** x102's GENERATED oracle: the unrolled power-iteration recurrence
+    * (Learn.powerIterationMicro + varianceAlongMicro) in the
+    * FIXED-POINT discipline — every value an exact BIGINT in 1e-6
+    * micro-units, every cut a floor() on IEEE-identical doubles,
+    * every sum exact integer — so engine and oracle agree
+    * bit-for-bit with no rounding-tie analysis (see Learn.q6
+    * scaladoc for why round(…,6) cannot be used mid-chain here). */
+  private def x102Oracle(iters: Int, dims: Int): String = {
+    val v0 = math.floor(1000000.0 / math.sqrt(dims.toDouble)).toLong
+    val steps = (1 to iters).map { t =>
+      s"""sp$t AS MATERIALIZED (
+        SELECT id, CAST(floor(CAST(SUM(xc * v) AS DOUBLE)
+                 / 1000000.0) AS BIGINT) AS s
+        FROM xc JOIN v${t - 1} USING (d) GROUP BY id),
+      u$t AS MATERIALIZED (
+        SELECT d, CAST(floor(CAST(SUM(xc * s) AS DOUBLE)
+                 / (SELECT n FROM nrows) / 1000000.0) AS BIGINT) AS u
+        FROM xc JOIN sp$t USING (id) GROUP BY d),
+      nm$t AS MATERIALIZED (
+        SELECT sqrt(CAST(SUM(u * u) AS DOUBLE)) AS nrm
+        FROM u$t),
+      v$t AS MATERIALIZED (
+        SELECT d, CAST(floor(CAST(u AS DOUBLE) / nrm
+                 * 1000000.0) AS BIGINT) AS v
+        FROM u$t CROSS JOIN nm$t)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH emb AS (
+        SELECT vec_id AS id,
+               UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+               generate_subscripts(embedding, 1) AS d
+        FROM embeddings),
+      nrows AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+      xi AS MATERIALIZED (
+        SELECT id, d, CAST(floor(x * 1000000.0) AS BIGINT) AS xi
+        FROM emb),
+      means AS MATERIALIZED (
+        SELECT d, CAST(floor(CAST(SUM(xi) AS DOUBLE) / COUNT(*))
+                 AS BIGINT) AS mi
+        FROM xi GROUP BY d),
+      xc AS MATERIALIZED (
+        SELECT id, x.d, xi - mi AS xc
+        FROM xi x JOIN means m USING (d)),
+      v0 AS MATERIALIZED (
+        SELECT DISTINCT d, CAST($v0 AS BIGINT) AS v FROM xc),
+      $steps,
+      sfin AS MATERIALIZED (
+        SELECT id, CAST(floor(CAST(SUM(xc * v) AS DOUBLE)
+                 / 1000000.0) AS BIGINT) AS s
+        FROM xc JOIN v$iters USING (d) GROUP BY id),
+      lam AS (
+        SELECT floor(CAST(SUM(s * s) AS DOUBLE) / 1000000000000.0
+                 / (SELECT n FROM nrows) * 1000000.0)
+               / 1000000.0 AS pc_var
+        FROM sfin),
+      tot AS (
+        SELECT floor(CAST(SUM(xc * xc) AS DOUBLE) / 1000000000000.0
+                 / (SELECT n FROM nrows) * 1000000.0)
+               / 1000000.0 AS total_var
+        FROM xc)
+      SELECT d, CAST(v AS DOUBLE) / 1000000.0 AS loading,
+             pc_var, total_var,
+             floor(pc_var / total_var * 1000000.0)
+               / 1000000.0 AS evr
+      FROM v$iters CROSS JOIN lam CROSS JOIN tot
+      ORDER BY d"""
+  }
+
   private lazy val x97OracleStr: String = x97Oracle(iters = 12,
     lr = "8.0", x97PaneTail)
 
@@ -9260,6 +9454,16 @@ object SparkEntry {
       ORDER BY id""",
     "e2e_select_corpus" -> x97Oracle(iters = 12, lr = "8.0",
       e2eSelectTail),
+    "x101_bpe_train" -> x101Oracle(merges = 12),
+    "x102_pca_power" -> x102Oracle(iters = 8, dims = 64),
+
+    "j21_join_auto" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price,
+             'broadcast' AS route
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "x99_hard_negatives" -> """
       WITH tokens AS (

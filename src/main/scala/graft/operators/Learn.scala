@@ -163,4 +163,123 @@ object Learn {
         round(lit(1.0d) / (lit(1.0d) + exp(-col("bias"))), 6))
         .as("score"))
   }
+
+  private val intDec = DecimalType(38, 0)
+
+  /** FIXED-POINT cut: floor(x·1e6) — integer micro-units (1e-6).
+    *
+    * Why floor and not round: the x90/x97 round(…,6/12) discipline is
+    * exact only when every rounded value is already an exact ≤k-digit
+    * decimal (round = recovery, never a cut). Iterative linear
+    * algebra breaks that invariant — sums get DIVIDED (by n, by a
+    * norm) and the quotients land on EXACT .5 tails structurally
+    * (e.g. Σ/500 ties with probability 1/500 per value), where
+    * Spark's BigDecimal HALF_UP and DuckDB's binary-value rounding
+    * disagree (measured: 15/64 loadings off by 1e-6). floor() has no
+    * tie direction to disagree on: both engines floor the SAME
+    * IEEE-identical double, so the cut is bit-identical by
+    * construction — no tie analysis, at any scale, on any data. */
+  private def q6(x: Column): Column = floor(x * lit(1000000.0d))
+
+  /** Mean-center a long-form vector relation (id, d, x) into exact
+    * integer micro-units: xi = floor(x·1e6), mi = floor(Σxi/n);
+    * xc = xi − mi is EXACT integer arithmetic — centering loses
+    * nothing beyond the input quantization. Returns (id, d, xc). */
+  def centeredMicro(long: DataFrame): DataFrame = {
+    val xi = long.select(col("id"), col("d"),
+      q6(col("x")).as("xi"))
+    val means = xi.groupBy(col("d"))
+      .agg(floor(sum(col("xi").cast(intDec)).cast(DoubleType) /
+        count(lit(1))).as("mi"))
+    xi.join(broadcast(means), Seq("d"))
+      .select(col("id"), col("d"), (col("xi") - col("mi")).as("xc"))
+      .localCheckpoint()
+  }
+
+  /** Power iteration for the TOP PRINCIPAL COMPONENT of a centered
+    * long-form vector relation (id, d, xc in micro-units from
+    * [[centeredMicro]]) — the dominant-direction machinery embedding
+    * post-processing needs ("All-but-the-Top", Mu & Viswanath 2018:
+    * removing the top PC(s) from embedding spaces; also the
+    * whitening step of PCA-based index builds). No MLlib, no driver
+    * vector: one iteration is
+    *
+    *   s_r = Σ_d xc·v_d   (vector-grain hash agg: project rows onto v)
+    *   u_d = Σ_r xc·s_r   (dim-grain hash agg: A^T (A v))
+    *   v'  = u / ‖u‖      (normalize against the 1-row norm scalar)
+    *
+    * — two shuffles per iteration, with the model state a D-row
+    * broadcast relation (same scale shape as [[logisticTrain]]: a
+    * 1000-executor cluster iterates on 100 TB of embeddings exactly
+    * like local[32], because v never concentrates on the driver).
+    * v0 = floor(1e6/√D) on every dimension (deterministic,
+    * all-positive — the sign convention both engines share).
+    *
+    * Fixed-point contract (see [[q6]]): every product is exact
+    * long·long (bounds: |xc|,|v| ≤ 1e6 micro, |s| ≤ D·1e6 → terms ≤
+    * ~3e13, far under 2^63), every sum is an exact DECIMAL(38,0)
+    * sum, and the only lossy steps are floor() cuts and IEEE
+    * double ÷/√ — all bit-identical across engines. u is pre-scaled
+    * by n before its cut so magnitudes stay bounded at any corpus
+    * size. `nRows` is the vector count (the same 1-action scalar
+    * probe x74/x93 use).
+    *
+    * Returns the D-row (d, v) relation after `iters` steps, v in
+    * micro-units. Convergence to the true PC needs an eigengap (the
+    * near-isotropic synthetic embeddings barely have one — measured
+    * at the call site); the CONTRACT is the replayed computation,
+    * which is what the unrolled oracle checks bit-for-bit. */
+  def powerIterationMicro(centered: DataFrame, dims: Int,
+                          iters: Int, nRows: Long): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    require(nRows >= 1, s"nRows must be >= 1, got $nRows")
+    val v0 = math.floor(1000000.0 / math.sqrt(dims.toDouble)).toLong
+    var v = centered.select(col("d")).distinct()
+      .select(col("d"), lit(v0).as("v"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val s = centered.join(broadcast(v), Seq("d"))
+        .groupBy(col("id"))
+        .agg(floor(sum((col("xc") * col("v")).cast(intDec))
+          .cast(DoubleType) / lit(1000000.0d)).as("s"))
+      val u = centered.join(s, Seq("id"))
+        .groupBy(col("d"))
+        .agg(floor(sum((col("xc") * col("s")).cast(intDec))
+            .cast(DoubleType) / lit(nRows.toDouble) / lit(1000000.0d))
+          .as("u"))
+      val nrm = u.agg(sqrt(sum((col("u") * col("u")).cast(intDec))
+        .cast(DoubleType)).as("nrm"))
+      v = u.crossJoin(broadcast(nrm)) // 1-row scalar idiom
+        .select(col("d"),
+          floor(col("u").cast(DoubleType) / col("nrm") *
+            lit(1000000.0d)).as("v"))
+        .localCheckpoint()
+    }
+    v
+  }
+
+  /** Variance along a unit direction (the Rayleigh quotient, ÷n
+    * population convention) and the total variance, as a 1-row
+    * (pc_var, total_var, evr) relation — the explained-variance pane
+    * a PCA publishes next to its loadings. `v` in micro-units;
+    * variances come back in VALUE units (÷1e12 undoes micro²),
+    * floor-cut to 6 decimals. */
+  def varianceAlongMicro(centered: DataFrame, v: DataFrame,
+                         nRows: Long): DataFrame = {
+    val s = centered.join(broadcast(v), Seq("d"))
+      .groupBy(col("id"))
+      .agg(floor(sum((col("xc") * col("v")).cast(intDec))
+        .cast(DoubleType) / lit(1000000.0d)).as("s"))
+    val lam = s.agg((q6(sum((col("s") * col("s")).cast(intDec))
+        .cast(DoubleType) / lit(1.0e12d) / lit(nRows.toDouble))
+      / lit(1000000.0d)).as("pc_var"))
+    val tot = centered.agg(
+      (q6(sum((col("xc") * col("xc")).cast(intDec))
+          .cast(DoubleType) / lit(1.0e12d) / lit(nRows.toDouble))
+        / lit(1000000.0d)).as("total_var"))
+    lam.crossJoin(tot)
+      .withColumn("evr",
+        q6(col("pc_var") / col("total_var")) / lit(1000000.0d))
+  }
 }

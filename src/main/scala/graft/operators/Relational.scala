@@ -55,4 +55,44 @@ object Relational {
       explode(sequence(lit(0), lit(salt - 1))))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Measured join-strategy ROUTER (the x93b pattern applied to
+    * joins): pick the physical join plan for fact ⋈ dim from a
+    * preflight measurement of the dim side, instead of trusting
+    * static size stats that 100 TB pipelines rarely have right.
+    *
+    *   - dim rows ≤ `broadcastRows`   → broadcast hash join (no
+    *     fact-side shuffle at all — the plan every small-dim join
+    *     should get);
+    *   - ≤ `bloomRows`                → shuffle join, but the fact
+    *     side is PRE-FILTERED by a bloom sketch of the dim keys
+    *     (the b2 runtime-filter pattern: the sketch is KBs, rides as
+    *     a literal, and cuts the fact shuffle to ~the matching rows
+    *     — semi-join reduction without a first join);
+    *   - else                         → plain shuffle join (dim too
+    *     big for a useful sketch; let AQE handle skew).
+    *
+    * The route NEVER changes the result (broadcast is a hint; the
+    * bloom prefilter has no false negatives, and the join re-checks
+    * equality after it) — which is exactly what makes it oracle-able:
+    * one SQL join checks all three routes. The preflight `count` on
+    * the dim is the same 1-action scalar probe x74/x93 use; on a real
+    * lake it reads footer statistics, here it is one cheap job.
+    * Returns (joined, route) so callers/specs can pin the decision. */
+  def joinAuto(fact: DataFrame, dim: DataFrame, key: String,
+               broadcastRows: Long = 1000000L,
+               bloomRows: Long = 50000000L): (DataFrame, String) = {
+    val n = dim.count()
+    if (n <= broadcastRows)
+      (fact.join(broadcast(dim), Seq(key)), "broadcast")
+    else if (n <= bloomRows) {
+      val bloomBytes = dim
+        .agg(graft.functions.BloomFns.bloomAgg(col(key),
+          math.max(n, 1L), math.max(n, 1L) * 10L))
+        .head().getAs[Array[Byte]](0)
+      (fact.filter(graft.functions.BloomFns
+          .mightContain(bloomBytes, col(key)))
+        .join(dim, Seq(key)), "bloom_shuffle")
+    } else (fact.join(dim, Seq(key)), "shuffle")
+  }
 }

@@ -251,4 +251,76 @@ class PlanShapeSpec extends GraftSuite {
     assert(fusedLine.exists(_.contains("*(")),
       s"Project with NfcNormalizeExpr not codegen-fused:\n${p.take(900)}")
   }
+
+  test("j21 joinAuto: broadcast route plans BroadcastHashJoin; " +
+       "forced-shuffle route plans a shuffle join; bloom route " +
+       "prefilters the fact scan") {
+    import org.apache.spark.sql.functions._
+    val fact = spark.read.parquet(s"$dir/orders.parquet")
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    def planOf(bcast: Long, bloom: Long): String = {
+      val (j, _) = graft.operators.Relational.joinAuto(fact, dim,
+        "o_custkey", broadcastRows = bcast, bloomRows = bloom)
+      j.queryExecution.sparkPlan.toString
+    }
+    val pb = planOf(1000000L, 1000000L)
+    assert(pb.contains("BroadcastHashJoin"), pb.take(500))
+    assert(!pb.contains("SortMergeJoin"), pb.take(500))
+    // the shuffle routes would be hidden by the session broadcast
+    // threshold at spec scale — disable it to see the routed shape
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val ps = planOf(0L, 0L)
+      assert(ps.contains("SortMergeJoin") ||
+        ps.contains("ShuffledHashJoin"), ps.take(500))
+      val pf = planOf(0L, 1000000L)
+      // the 100 TB property: the fact side carries the bloom
+      // membership probe BELOW the join, so non-matching fact rows
+      // die before the shuffle, not after the join
+      val joinIdx = pf.indexOf("Join")
+      assert(joinIdx >= 0, pf.take(300))
+      assert(pf.substring(joinIdx).contains("might_contain"),
+        pf.take(900))
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("x102 power iteration: v joins into the corpus by broadcast — " +
+       "no dim-keyed exchange of the vector relation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("id"), (col("pos") + 1).as("d"),
+        col("xf").cast("double").as("x"))
+    val c = graft.operators.Learn.centeredMicro(emb)
+    val v = (1 to 64).map(d => (d, 125000L)).toDF("d", "v")
+    // one s-step as powerIterationMicro builds it
+    val s = c.join(broadcast(v), Seq("d"))
+      .groupBy(col("id"))
+      .agg(floor(sum((col("xc") * col("v"))
+        .cast("decimal(38,0)")).cast("double") / lit(1000000.0d))
+        .as("s"))
+    val p = s.queryExecution.sparkPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    // a d-keyed exchange would shuffle the WHOLE long-form corpus
+    // (n×64 rows) to meet a 64-row relation — the shape the
+    // broadcast exists to prevent at 100 TB
+    assert(!p.contains("Exchange hashpartitioning(d#"), p.take(900))
+  }
+
+  test("x101 wordFreq: the corpus-scale pass plans a partial " +
+       "(map-side) aggregation before its exchange") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.operators.Tokenize.wordFreq(docs, col("text"))
+      .queryExecution.sparkPlan.toString
+    // the 100 TB property: token rows combine into (word, count)
+    // map-side, so the only corpus-grain exchange moves word TYPES
+    assert(p.contains("partial_count"), p.take(900))
+    assert(p.contains("HashAggregate"), p.take(900))
+  }
 }

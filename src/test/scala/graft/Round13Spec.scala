@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Round-6 continuation pins: the in-engine BPE trainer's greedy
+  * merge semantics (the double-space replace invariant), the
+  * fixed-point power-iteration PCA, and the measured join router. */
+class Round13Spec extends GraftSuite {
+
+  import graft.operators.{Tokenize, Learn, Relational}
+
+  test("bpeTrain: hand-computed merges on a crafted corpus — " +
+       "repeat adjacency, overlap greedy, compression curve") {
+    import spark.implicits._
+    // word freqs: abab×3, ab×2, aaa×1. Hand-derived rounds:
+    //  r1 "a b"(6+2=8)→ab;   tokens 6+2+3  = 11
+    //  r2 "ab ab"(3)  →abab; tokens 3+2+3  = 8
+    //  r3 "a a"(2)    →aa;   aaa→[aa,a] (greedy), tokens 3+2+2 = 7
+    //  r4 "aa a"(1)   →aaa;  tokens 3+2+1 = 6
+    // r1 exercises BOTH abab pairs merging in one round (the
+    // double-space invariant: single-space encoding would merge only
+    // the first); r3 exercises left-greedy overlap on "a a a".
+    val docs = Seq("abab abab abab ab ab aaa").toDF("text")
+    val out = Tokenize.bpeTrain(
+        Tokenize.wordFreq(docs, col("text")), merges = 4)
+      .orderBy(col("rank"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1, "a b", "ab", 8L, 11L),
+      (2, "ab ab", "abab", 3L, 8L),
+      (3, "a a", "aa", 2L, 7L),
+      (4, "aa a", "aaa", 1L, 6L)))
+  }
+
+  test("bpeTrain: fails fast when merges exceeds what the corpus " +
+       "supports") {
+    import spark.implicits._
+    val docs = Seq("abab abab abab ab ab aaa").toDF("text")
+    val ex = intercept[IllegalArgumentException] {
+      Tokenize.bpeTrain(Tokenize.wordFreq(docs, col("text")),
+        merges = 5).collect()
+    }
+    assert(ex.getMessage.contains("no adjacent pairs left"))
+  }
+
+  test("powerIterationMicro: rank-1 data recovers the known " +
+       "direction with evr ≈ 1, positive sign convention") {
+    import spark.implicits._
+    // points on the line y = 2x, zero-mean: the top PC is
+    // (1,2)/√5 = (0.447214, 0.894427) and carries ALL the variance
+    val pts = Seq((1L, 1.0, 2.0), (2L, 2.0, 4.0),
+      (3L, -1.0, -2.0), (4L, -2.0, -4.0))
+    val long = pts.toDF("id", "x1", "x2")
+      .select(col("id"), explode(expr("map(1, x1, 2, x2)"))
+        .as(Seq("d", "x")))
+    val c = Learn.centeredMicro(long)
+    val v = Learn.powerIterationMicro(c, dims = 2, iters = 4,
+      nRows = 4L)
+    val load = v.orderBy(col("d")).collect()
+      .map(_.getLong(1).toDouble / 1e6)
+    assert(math.abs(load(0) - 0.447214) < 1e-3, load.mkString(","))
+    assert(math.abs(load(1) - 0.894427) < 1e-3, load.mkString(","))
+    val pane = Learn.varianceAlongMicro(c, v, 4L).collect()(0)
+    val (pcVar, totVar, evr) = (pane.getDouble(0), pane.getDouble(1),
+      pane.getDouble(2))
+    // exact population variances: dim1 2.5, dim2 10 → total 12.5,
+    // all along the PC (floor quantization eats ~1e-5)
+    assert(math.abs(totVar - 12.5) < 1e-3, s"totVar=$totVar")
+    assert(evr > 0.999, s"evr=$evr")
+    assert(pcVar <= totVar)
+  }
+
+  test("joinAuto: all three routes return identical results and " +
+       "report their route") {
+    import spark.implicits._
+    val fact = Seq((1, 10.0), (2, 20.0), (2, 25.0), (3, 30.0),
+      (9, 90.0)).toDF("k", "amt")
+    val dim = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "name")
+    def run(bcast: Long, bloom: Long) = {
+      val (j, route) = Relational.joinAuto(fact, dim, "k",
+        broadcastRows = bcast, bloomRows = bloom)
+      (j.orderBy(col("k"), col("amt")).collect()
+        .map(r => (r.getInt(0), r.getDouble(1), r.getString(2)))
+        .toSeq, route)
+    }
+    val (r1, n1) = run(100L, 100L)
+    val (r2, n2) = run(0L, 100L)
+    val (r3, n3) = run(0L, 0L)
+    assert(n1 === "broadcast" && n2 === "bloom_shuffle" &&
+      n3 === "shuffle")
+    assert(r1 === r2 && r2 === r3)
+    assert(r1 === Seq((1, 10.0, "a"), (2, 20.0, "b"),
+      (2, 25.0, "b"), (3, 30.0, "c"))) // k=9 dropped on every route
+  }
+}
