@@ -119,6 +119,16 @@ object Bench {
     "x100_tokenid_export",   // vocab-coded export audit pane
     "x36_span_dup_coverage") // bridge query shared with all sets
 
+  /** Sixth pinned set: the round-6 continuation additions (same
+    * discipline; prior sets stay untouched). x36 bridges again. */
+  val r6bnew: Seq[String] = Seq(
+    "x101_bpe_train",        // in-engine BPE training (12 merge rounds)
+    "x104_bpe_encode",       // trained-merge dictionary encode + fertility
+    "x102_pca_power",        // fixed-point power-iteration top PC
+    "x103_embed_abtt",       // all-but-the-top removal + variance pane
+    "j21_join_auto",         // measured join-strategy router
+    "x36_span_dup_coverage") // bridge query shared with all sets
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -190,11 +200,13 @@ object Bench {
     val resultsR4 = benchSet(r4new)
     val resultsR5 = benchSet(r5new)
     val resultsR6 = benchSet(r6new)
+    val resultsR6b = benchSet(r6bnew)
     val qs = toJson(results)
     val qsLlm = toJson(resultsLlm)
     val qsR4 = toJson(resultsR4)
     val qsR5 = toJson(resultsR5)
     val qsR6 = toJson(resultsR6)
+    val qsR6b = toJson(resultsR6b)
     // `value` stays the HEADLINE total only — the pinned 21-set number the
     // driver has tracked since round 1; each later set gets its own key.
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -202,10 +214,11 @@ object Bench {
     val totalR4 = resultsR4.map(_._2).filter(_ >= 0).sum
     val totalR5 = resultsR5.map(_._2).filter(_ >= 0).sum
     val totalR6 = resultsR6.map(_._2).filter(_ >= 0).sum
+    val totalR6b = resultsR6b.map(_._2).filter(_ >= 0).sum
     // Stop Spark BEFORE printing so no shutdown log line can land after
     // the JSON — the driver parses the last stdout line.
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$nPasses,"queries":$qs,"value_llm":$totalLlm%.3f,"queries_llm":$qsLlm,"value_r4":$totalR4%.3f,"queries_r4":$qsR4,"value_r5":$totalR5%.3f,"queries_r5":$qsR5,"value_r6":$totalR6%.3f,"queries_r6":$qsR6,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$nPasses,"queries":$qs,"value_llm":$totalLlm%.3f,"queries_llm":$qsLlm,"value_r4":$totalR4%.3f,"queries_r4":$qsR4,"value_r5":$totalR5%.3f,"queries_r5":$qsR5,"value_r6":$totalR6%.3f,"queries_r6":$qsR6,"value_r6b":$totalR6b%.3f,"queries_r6b":$qsR6b,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -3734,6 +3734,62 @@ object SparkEntry {
         .orderBy(col("d"))
     }),
 
+    "x103_embed_abtt" -> ((s, dir) => {
+      // "All-but-the-Top" APPLIED (the x93→x93b consumer pattern):
+      // remove the x102 dominant direction from every embedding
+      // (Learn.removeTopPC) and account for the variance per
+      // dimension — before, after, and the delta the removal took
+      // out. The pane shows WHICH dims the dominant direction lived
+      // in; Round13Spec pins the global Pythagoras accounting
+      // (Σafter ≈ Σbefore − pc_var up to floor quantization). Same
+      // fixed-point discipline and unrolled-oracle chain as x102.
+      val embT = t(s, dir, "embeddings")
+      val nRows = embT.count()
+      val emb = embT
+        .select(col("vec_id").as("id"),
+          posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select(col("id"), (col("pos") + 1).as("d"),
+          col("xf").cast(DoubleType).as("x"))
+      val c = Learn.centeredMicro(emb)
+      val v = Learn.powerIterationMicro(c, dims = 64, iters = 8,
+        nRows = nRows)
+      val e = Learn.removeTopPC(c, v)
+      Learn.perDimVarianceMicro(c, "xc", nRows)
+        .join(Learn.perDimVarianceMicro(e, "e", nRows), Seq("d"))
+        .select(col("d"), col("var_xc").as("before_var"),
+          col("var_e").as("after_var"),
+          (col("var_xc") - col("var_e")).as("delta"))
+        .orderBy(col("d"))
+    }),
+
+    "x104_bpe_encode" -> ((s, dir) => {
+      // the ENCODE step closing x101's tokenizer loop: the trained
+      // merge table folds into ONE k-deep replace() expression over
+      // the word-TYPE table (Tokenize.bpeSubwordCounts), and the
+      // corpus is encoded by a broadcast dictionary join — the p17
+      // dictionary-encode shape: per-type work once, corpus-grain
+      // work is a join, never a per-document merge loop. Pane:
+      // per-source subword compression (n_words, n_subwords,
+      // subwords/word) — the fertility audit a tokenizer build
+      // publishes. Oracle: x101's generated chain + a re-folded
+      // encode tail sharing the same recurrence.
+      val docs = t(s, dir, "documents")
+      val wf = Tokenize.wordFreq(docs, col("text"))
+      val dict = Tokenize.bpeSubwordCounts(wf,
+        Tokenize.bpeTrain(wf, merges = 12))
+      docs.select(col("source"), explode(
+          regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
+          .as("word"))
+        .join(broadcast(dict.select(col("word"), col("n_sub"))),
+          Seq("word"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_sub")).as("n_subwords"),
+          (floor(sum(col("n_sub")).cast(DoubleType) / count(lit(1))
+            * lit(10000.0d)) / lit(10000.0d)).as("subwords_per_word"))
+        .orderBy(col("source"))
+    }),
+
     "j21_join_auto" -> ((s, dir) => {
       // measured join-strategy ROUTER (Relational.joinAuto — the
       // x93b router pattern applied to joins): dim-side preflight
@@ -5037,7 +5093,7 @@ object SparkEntry {
     * encoding makes plain replace() equal BPE greedy application in
     * both engines (see Tokenize.scala scaladoc for the proof
     * sketch). */
-  private def x101Oracle(merges: Int): String = {
+  private def x101Chain(merges: Int): String = {
     val steps = (1 to merges).map { r =>
       s"""pc$r AS MATERIALIZED (
         SELECT pair, SUM(freq) AS cnt FROM (
@@ -5060,12 +5116,6 @@ object SparkEntry {
                  AS BIGINT) AS corpus_tokens
         FROM s$r)"""
     }.mkString(",\n      ")
-    val rows = (1 to merges).map { r =>
-      s"""SELECT $r AS rank, pair,
-             replace(pair, ' ', '') AS merged,
-             CAST(cnt AS BIGINT) AS cnt, corpus_tokens
-           FROM best$r CROSS JOIN ct$r"""
-    }.mkString("\n      UNION ALL ")
     s"""
       WITH wf AS MATERIALIZED (
         SELECT word, COUNT(*) AS freq FROM (
@@ -5076,10 +5126,55 @@ object SparkEntry {
         SELECT ' ' || rtrim(regexp_replace(word, '(.)', '\\1  ', 'g'))
                  || ' ' AS syms, freq
         FROM wf),
-      $steps
+      $steps"""
+  }
+
+  /** x101's tail: the merge table + per-round compression curve. */
+  private def x101MergeTail(merges: Int): String = {
+    val rows = (1 to merges).map { r =>
+      s"""SELECT $r AS rank, pair,
+             replace(pair, ' ', '') AS merged,
+             CAST(cnt AS BIGINT) AS cnt, corpus_tokens
+           FROM best$r CROSS JOIN ct$r"""
+    }.mkString("\n      UNION ALL ")
+    s"""
       SELECT * FROM (
       $rows)
       ORDER BY rank"""
+  }
+
+  /** x104's tail: re-fold the chosen merges over the word-TYPE table
+    * (the same rank-order replace() recurrence Spark's
+    * bpeSubwordCounts folds as one column expression), then encode
+    * the corpus by dictionary join and audit per-source subword
+    * compression. */
+  private def x104EncodeTail(merges: Int): String = {
+    val echain = (1 to merges).map { r =>
+      s"""e$r AS MATERIALIZED (
+        SELECT word, replace(e.syms,
+                 ' ' || replace(b.pair, ' ', '  ') || ' ',
+                 ' ' || replace(b.pair, ' ', '') || ' ') AS syms
+        FROM e${r - 1} e CROSS JOIN best$r b)"""
+    }.mkString(",\n      ")
+    s"""
+      , e0 AS MATERIALIZED (
+        SELECT word, ' ' || rtrim(regexp_replace(word, '(.)',
+                 '\\1  ', 'g')) || ' ' AS syms
+        FROM wf),
+      $echain,
+      dict AS MATERIALIZED (
+        SELECT word, len(string_split(trim(syms), '  ')) AS n_sub
+        FROM e$merges),
+      wtoks AS (
+        SELECT source,
+               UNNEST(regexp_extract_all(lower(text), '\\S+')) AS word
+        FROM documents)
+      SELECT source, COUNT(*) AS n_words,
+             CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+             floor(CAST(SUM(n_sub) AS DOUBLE) / COUNT(*) * 10000.0)
+               / 10000.0 AS subwords_per_word
+      FROM wtoks JOIN dict USING (word)
+      GROUP BY source ORDER BY source"""
   }
 
   /** x102's GENERATED oracle: the unrolled power-iteration recurrence
@@ -5089,7 +5184,7 @@ object SparkEntry {
     * every sum exact integer — so engine and oracle agree
     * bit-for-bit with no rounding-tie analysis (see Learn.q6
     * scaladoc for why round(…,6) cannot be used mid-chain here). */
-  private def x102Oracle(iters: Int, dims: Int): String = {
+  private def x102Chain(iters: Int, dims: Int): String = {
     val v0 = math.floor(1000000.0 / math.sqrt(dims.toDouble)).toLong
     val steps = (1 to iters).map { t =>
       s"""sp$t AS MATERIALIZED (
@@ -5127,8 +5222,12 @@ object SparkEntry {
         FROM xi x JOIN means m USING (d)),
       v0 AS MATERIALIZED (
         SELECT DISTINCT d, CAST($v0 AS BIGINT) AS v FROM xc),
-      $steps,
-      sfin AS MATERIALIZED (
+      $steps"""
+  }
+
+  private def x102Oracle(iters: Int, dims: Int): String =
+    x102Chain(iters, dims) + s"""
+      , sfin AS MATERIALIZED (
         SELECT id, CAST(floor(CAST(SUM(xc * v) AS DOUBLE)
                  / 1000000.0) AS BIGINT) AS s
         FROM xc JOIN v$iters USING (d) GROUP BY id),
@@ -5148,7 +5247,36 @@ object SparkEntry {
                / 1000000.0 AS evr
       FROM v$iters CROSS JOIN lam CROSS JOIN tot
       ORDER BY d"""
-  }
+
+  /** x103's tail over the same chain: the All-but-the-Top residual
+    * e = xc − floor(s·v/1e6) and the per-dim variance accounting
+    * pane (Learn.removeTopPC + perDimVarianceMicro, mirrored). */
+  private def x103Oracle(iters: Int, dims: Int): String =
+    x102Chain(iters, dims) + s"""
+      , proj AS MATERIALIZED (
+        SELECT id, CAST(floor(CAST(SUM(xc * v) AS DOUBLE)
+                 / 1000000.0) AS BIGINT) AS s
+        FROM xc JOIN v$iters USING (d) GROUP BY id),
+      resid AS MATERIALIZED (
+        SELECT x.id, x.d,
+               x.xc - CAST(floor(CAST(p.s * v.v AS DOUBLE)
+                 / 1000000.0) AS BIGINT) AS e
+        FROM xc x JOIN proj p USING (id)
+        JOIN v$iters v ON x.d = v.d),
+      bv AS (
+        SELECT d, floor(CAST(SUM(xc * xc) AS DOUBLE)
+                 / 1000000000000.0 / (SELECT n FROM nrows)
+                 * 1000000.0) / 1000000.0 AS before_var
+        FROM xc GROUP BY d),
+      av AS (
+        SELECT d, floor(CAST(SUM(e * e) AS DOUBLE)
+                 / 1000000000000.0 / (SELECT n FROM nrows)
+                 * 1000000.0) / 1000000.0 AS after_var
+        FROM resid GROUP BY d)
+      SELECT d, before_var, after_var,
+             before_var - after_var AS delta
+      FROM bv JOIN av USING (d)
+      ORDER BY d"""
 
   private lazy val x97OracleStr: String = x97Oracle(iters = 12,
     lr = "8.0", x97PaneTail)
@@ -9454,8 +9582,12 @@ object SparkEntry {
       ORDER BY id""",
     "e2e_select_corpus" -> x97Oracle(iters = 12, lr = "8.0",
       e2eSelectTail),
-    "x101_bpe_train" -> x101Oracle(merges = 12),
+    "x101_bpe_train" -> (x101Chain(merges = 12) +
+      x101MergeTail(merges = 12)),
+    "x104_bpe_encode" -> (x101Chain(merges = 12) +
+      x104EncodeTail(merges = 12)),
     "x102_pca_power" -> x102Oracle(iters = 8, dims = 64),
+    "x103_embed_abtt" -> x103Oracle(iters = 8, dims = 64),
 
     "j21_join_auto" -> """
       SELECT c_mktsegment, COUNT(*) AS n_orders,

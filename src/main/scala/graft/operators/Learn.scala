@@ -282,4 +282,32 @@ object Learn {
       .withColumn("evr",
         q6(col("pc_var") / col("total_var")) / lit(1000000.0d))
   }
+
+  /** "All-but-the-Top" (Mu & Viswanath 2018) projection removal:
+    * e = xc − (xc·v̂)v̂ in the same micro fixed-point — the actual
+    * embedding post-processing step [[powerIterationMicro]]'s PC
+    * feeds. One vector-grain agg (the projections s) and one
+    * broadcast join back; the corpus is touched twice and never
+    * shuffled on the dim key. Returns (id, d, e) in micro-units,
+    * exact integers (the only cuts are the two floor()s). */
+  def removeTopPC(centered: DataFrame, v: DataFrame): DataFrame = {
+    val s = centered.join(broadcast(v), Seq("d"))
+      .groupBy(col("id"))
+      .agg(floor(sum((col("xc") * col("v")).cast(intDec))
+        .cast(DoubleType) / lit(1000000.0d)).as("s"))
+    centered.join(s, Seq("id")).join(broadcast(v), Seq("d"))
+      .select(col("id"), col("d"),
+        (col("xc") - floor((col("s") * col("v")).cast(DoubleType) /
+          lit(1000000.0d))).as("e"))
+  }
+
+  /** Per-dimension population variance of a micro-units long-form
+    * relation (÷1e12 undoes micro², floor-cut to 6 decimals) — the
+    * audit pane for before/after comparisons like [[removeTopPC]]. */
+  def perDimVarianceMicro(long: DataFrame, valueCol: String,
+                          nRows: Long): DataFrame =
+    long.groupBy(col("d"))
+      .agg((q6(sum((col(valueCol) * col(valueCol)).cast(intDec))
+          .cast(DoubleType) / lit(1.0e12d) / lit(nRows.toDouble))
+        / lit(1000000.0d)).as("var_" + valueCol))
 }

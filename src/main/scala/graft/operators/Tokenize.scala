@@ -112,4 +112,29 @@ object Tokenize {
     }
     out
   }
+
+  /** The ENCODE step: apply a trained merge table to the word-TYPE
+    * table, returning the (word, n_sub) subword-count dictionary.
+    * Encoding a corpus is then ONE broadcast join of this dictionary
+    * into the doc→word stream — the dictionary-encode shape (p17):
+    * per-type work happens once, corpus-grain work is a join, never
+    * a per-document merge loop.
+    *
+    * `merges` is the k-row trained model ([[bpeTrain]] output);
+    * fetching it to the driver is the b2 bloom-bytes model-fetch
+    * idiom — the model is KBs by construction (k pairs), and it
+    * folds into ONE k-deep replace() column expression, fully
+    * codegen'd, applied in rank order (BPE's apply-in-training-order
+    * rule). */
+  def bpeSubwordCounts(words: DataFrame, merges: DataFrame): DataFrame = {
+    val pairs = merges.orderBy(col("rank")).collect()
+      .map(_.getAs[String]("pair"))
+    val symsFinal = pairs.foldLeft(initSyms(col("word"))) { (c, p) =>
+      call_function("replace", c,
+        lit(" " + p.replace(" ", "  ") + " "),
+        lit(" " + p.replace(" ", "") + " "))
+    }
+    words.select(col("word"), col("freq"),
+      size(split(trim(symsFinal), "  ")).as("n_sub"))
+  }
 }

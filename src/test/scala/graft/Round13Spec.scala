@@ -73,6 +73,45 @@ class Round13Spec extends GraftSuite {
     assert(pcVar <= totVar)
   }
 
+  test("bpeSubwordCounts: encode applies merges in rank order — " +
+       "fully-merged types collapse to one subword") {
+    import spark.implicits._
+    val docs = Seq("abab abab abab ab ab aaa").toDF("text")
+    val wf = Tokenize.wordFreq(docs, col("text"))
+    val dict = Tokenize.bpeSubwordCounts(wf,
+        Tokenize.bpeTrain(wf, merges = 4))
+      .orderBy(col("word")).collect()
+      .map(r => (r.getString(0), r.getInt(2)))
+    // after the 4 hand-derived merges: aaa→[aaa] (merges 3 then 4
+    // applied in rank order), ab→[ab], abab→[abab]
+    assert(dict.toSeq === Seq(("aaa", 1), ("ab", 1), ("abab", 1)))
+    // with only merge 1 trained, aaa stays 3 chars and abab halves
+    val dict1 = Tokenize.bpeSubwordCounts(wf,
+        Tokenize.bpeTrain(wf, merges = 1))
+      .orderBy(col("word")).collect()
+      .map(r => (r.getString(0), r.getInt(2)))
+    assert(dict1.toSeq === Seq(("aaa", 3), ("ab", 1), ("abab", 2)))
+  }
+
+  test("removeTopPC: rank-1 data leaves ~zero residual variance " +
+       "(global Pythagoras accounting)") {
+    import spark.implicits._
+    val pts = Seq((1L, 1.0, 2.0), (2L, 2.0, 4.0),
+      (3L, -1.0, -2.0), (4L, -2.0, -4.0))
+    val long = pts.toDF("id", "x1", "x2")
+      .select(col("id"), explode(expr("map(1, x1, 2, x2)"))
+        .as(Seq("d", "x")))
+    val c = Learn.centeredMicro(long)
+    val v = Learn.powerIterationMicro(c, dims = 2, iters = 4,
+      nRows = 4L)
+    val resid = Learn.removeTopPC(c, v)
+    val after = Learn.perDimVarianceMicro(resid, "e", 4L)
+      .agg(sum(col("var_e"))).collect()(0).getDouble(0)
+    // all variance lives on the PC → the residual is quantization
+    // noise only (12.5 total variance, ≥ 0.9999 of it removed)
+    assert(after < 1e-3, s"residual variance $after")
+  }
+
   test("joinAuto: all three routes return identical results and " +
        "report their route") {
     import spark.implicits._
