@@ -3790,6 +3790,50 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "x105_gram_pca" -> ((s, dir) => {
+      // the GRAM-SPACE dual of x102 (the other way to run PCA at
+      // scale): when D² state fits (embeddings, D=64), ONE corpus
+      // pass builds the co-moment matrix (map-side partial agg — the
+      // exchange moves D²-row partials, never n·D² rows) and every
+      // power iteration afterwards touches only the 4096-row gram —
+      // iterations are free, the corpus is read once. x102's
+      // data-pass form is for large D where D² is infeasible; this
+      // pair spans the design space and the scaladoc says which to
+      // pick when. Same fixed-point discipline; its own generated
+      // oracle (gram recurrence ≠ data-pass recurrence numerically —
+      // per-row s-cuts differ — so the two queries pin their own
+      // chains). st20 shares this oracle verbatim.
+      val embT = t(s, dir, "embeddings")
+      val nRows = embT.count()
+      val emb = embT
+        .select(col("vec_id").as("id"),
+          posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select(col("id"), (col("pos") + 1).as("d"),
+          col("xf").cast(DoubleType).as("x"))
+      val gram = Learn.gramMicro(Learn.centeredMicro(emb))
+      val w = Learn.gramPowerIteration(gram, dims = 64, iters = 8,
+        nRows = nRows)
+      w.crossJoin(broadcast(Learn.gramVariancePane(gram, w, nRows)))
+        .select(col("d"),
+          (col("w").cast(DoubleType) / lit(1000000.0d)).as("loading"),
+          col("pc_var"), col("total_var"), col("evr"))
+        .orderBy(col("d"))
+    }),
+
+    "st20_stream_pca" -> ((s, dir) => {
+      // x105's STREAMING TWIN: PCA's sufficient statistic (Σx, Σxxᵀ,
+      // n) is additive exact integers in the fixed-point discipline,
+      // so the moment ledger after ANY batching equals the batch
+      // moments EXACTLY — st20 shares x105's oracle verbatim, and
+      // the invariance claim is integer equality, not just model
+      // equivalence (the st18 pattern, upgraded). The PC is
+      // extracted from the ledger alone (moment-identity gram +
+      // gram-space iterations) — no corpus rescan; Round13Spec pins
+      // 2-batch-vs-1-batch ledger equality and redelivery
+      // idempotence.
+      graft.streaming.Streams.streamGramPca(s, dir)
+    }),
+
     "j21_join_auto" -> ((s, dir) => {
       // measured join-strategy ROUTER (Relational.joinAuto — the
       // x93b router pattern applied to joins): dim-side preflight
@@ -5184,6 +5228,27 @@ object SparkEntry {
     * every sum exact integer — so engine and oracle agree
     * bit-for-bit with no rounding-tie analysis (see Learn.q6
     * scaladoc for why round(…,6) cannot be used mid-chain here). */
+  /** The shared centering prefix of the x102/x103/x105/st20 oracles:
+    * emb → nrows → xi (floor micro) → floored means → exact-integer
+    * xc. */
+  private val xcChain: String = """
+      WITH emb AS (
+        SELECT vec_id AS id,
+               UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+               generate_subscripts(embedding, 1) AS d
+        FROM embeddings),
+      nrows AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+      xi AS MATERIALIZED (
+        SELECT id, d, CAST(floor(x * 1000000.0) AS BIGINT) AS xi
+        FROM emb),
+      means AS MATERIALIZED (
+        SELECT d, CAST(floor(CAST(SUM(xi) AS DOUBLE) / COUNT(*))
+                 AS BIGINT) AS mi
+        FROM xi GROUP BY d),
+      xc AS MATERIALIZED (
+        SELECT id, x.d, xi - mi AS xc
+        FROM xi x JOIN means m USING (d))"""
+
   private def x102Chain(iters: Int, dims: Int): String = {
     val v0 = math.floor(1000000.0 / math.sqrt(dims.toDouble)).toLong
     val steps = (1 to iters).map { t =>
@@ -5203,26 +5268,61 @@ object SparkEntry {
                  * 1000000.0) AS BIGINT) AS v
         FROM u$t CROSS JOIN nm$t)"""
     }.mkString(",\n      ")
-    s"""
-      WITH emb AS (
-        SELECT vec_id AS id,
-               UNNEST(CAST(embedding AS DOUBLE[])) AS x,
-               generate_subscripts(embedding, 1) AS d
-        FROM embeddings),
-      nrows AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
-      xi AS MATERIALIZED (
-        SELECT id, d, CAST(floor(x * 1000000.0) AS BIGINT) AS xi
-        FROM emb),
-      means AS MATERIALIZED (
-        SELECT d, CAST(floor(CAST(SUM(xi) AS DOUBLE) / COUNT(*))
-                 AS BIGINT) AS mi
-        FROM xi GROUP BY d),
-      xc AS MATERIALIZED (
-        SELECT id, x.d, xi - mi AS xc
-        FROM xi x JOIN means m USING (d)),
-      v0 AS MATERIALIZED (
+    xcChain + s"""
+      , v0 AS MATERIALIZED (
         SELECT DISTINCT d, CAST($v0 AS BIGINT) AS v FROM xc),
       $steps"""
+  }
+
+  /** x105/st20's GENERATED oracle: centered gram via exact integer
+    * sums, then `iters` unrolled gram-space power-iteration steps
+    * (HUGEINT products — gram·w exceeds 64 bits) and the variance
+    * pane, mirroring Learn.gramMicro/gramPowerIteration/
+    * gramVariancePane operation for operation. st20 shares this
+    * oracle verbatim: the moment ledger reconstructs THIS gram
+    * exactly (integer identity), which is the batching-invariance
+    * proof. */
+  private def x105Oracle(iters: Int, dims: Int): String = {
+    val v0 = math.floor(1000000.0 / math.sqrt(dims.toDouble)).toLong
+    val steps = (1 to iters).map { t =>
+      s"""wu$t AS MATERIALIZED (
+        SELECT g0.d1 AS d, CAST(floor(CAST(SUM(CAST(g0.g AS HUGEINT)
+                 * wv.w) AS DOUBLE) / (SELECT n FROM nrows)
+                 / 1000000000000.0) AS BIGINT) AS u
+        FROM gram g0 JOIN w${t - 1} wv ON g0.d2 = wv.d
+        GROUP BY g0.d1),
+      wn$t AS MATERIALIZED (
+        SELECT sqrt(CAST(SUM(u * u) AS DOUBLE)) AS nrm FROM wu$t),
+      w$t AS MATERIALIZED (
+        SELECT d, CAST(floor(CAST(u AS DOUBLE) / nrm
+                 * 1000000.0) AS BIGINT) AS w
+        FROM wu$t CROSS JOIN wn$t)"""
+    }.mkString(",\n      ")
+    xcChain + s"""
+      , gram AS MATERIALIZED (
+        SELECT a.d AS d1, b.d AS d2, SUM(a.xc * b.xc) AS g
+        FROM xc a JOIN xc b USING (id) GROUP BY 1, 2),
+      w0 AS MATERIALIZED (
+        SELECT DISTINCT d1 AS d, CAST($v0 AS BIGINT) AS w FROM gram),
+      $steps,
+      plam AS (
+        SELECT floor(CAST(SUM(CAST(g0.g AS HUGEINT) * w1.w * w2.w)
+                 AS DOUBLE) / (SELECT n FROM nrows)
+                 / 1000000000000.0 / 1000000000000.0 * 1000000.0)
+               / 1000000.0 AS pc_var
+        FROM gram g0 JOIN w$iters w1 ON g0.d1 = w1.d
+        JOIN w$iters w2 ON g0.d2 = w2.d),
+      ptot AS (
+        SELECT floor(CAST(SUM(g) AS DOUBLE) / (SELECT n FROM nrows)
+                 / 1000000000000.0 * 1000000.0)
+               / 1000000.0 AS total_var
+        FROM gram WHERE d1 = d2)
+      SELECT d, CAST(w AS DOUBLE) / 1000000.0 AS loading,
+             pc_var, total_var,
+             floor(pc_var / total_var * 1000000.0)
+               / 1000000.0 AS evr
+      FROM w$iters CROSS JOIN plam CROSS JOIN ptot
+      ORDER BY d"""
   }
 
   private def x102Oracle(iters: Int, dims: Int): String =
@@ -5277,6 +5377,9 @@ object SparkEntry {
              before_var - after_var AS delta
       FROM bv JOIN av USING (d)
       ORDER BY d"""
+
+  private lazy val x105OracleStr: String = x105Oracle(iters = 8,
+    dims = 64)
 
   private lazy val x97OracleStr: String = x97Oracle(iters = 12,
     lr = "8.0", x97PaneTail)
@@ -9588,6 +9691,8 @@ object SparkEntry {
       x104EncodeTail(merges = 12)),
     "x102_pca_power" -> x102Oracle(iters = 8, dims = 64),
     "x103_embed_abtt" -> x103Oracle(iters = 8, dims = 64),
+    "x105_gram_pca" -> x105OracleStr,
+    "st20_stream_pca" -> x105OracleStr,
 
     "j21_join_auto" -> """
       SELECT c_mktsegment, COUNT(*) AS n_orders,

@@ -310,4 +310,79 @@ object Learn {
       .agg((q6(sum((col(valueCol) * col(valueCol)).cast(intDec))
           .cast(DoubleType) / lit(1.0e12d) / lit(nRows.toDouble))
         / lit(1000000.0d)).as("var_" + valueCol))
+
+  /** The D×D co-moment (Gram) matrix of a centered micro-units
+    * relation: G[d1,d2] = Σ_rows xc_d1·xc_d2 — EXACT integer sums.
+    * This is the OTHER way to run PCA at scale and the dual of
+    * [[powerIterationMicro]]: when D is small enough that D² state
+    * fits (embeddings: D ≤ a few thousand), ONE corpus pass builds G
+    * and every power iteration afterwards touches only D² rows —
+    * iterations are free, the corpus is read once. The data-pass
+    * form (x102) is for large D where D² state is infeasible. Scale
+    * shape: the in-task pair fan-out (D² terms per row) combines
+    * map-side (partial hash agg), so the exchange moves D²-row
+    * partials, never n·D² rows. */
+  def gramMicro(centered: DataFrame): DataFrame = {
+    val a = centered.select(col("id"), col("d").as("d1"),
+      col("xc").as("xc1"))
+    val b = centered.select(col("id"), col("d").as("d2"),
+      col("xc").as("xc2"))
+    a.join(b, Seq("id"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum((col("xc1") * col("xc2")).cast(intDec))
+        .cast(LongType).as("g"))
+  }
+
+  /** Power iteration ON THE GRAM MATRIX (fixed-point): one step is
+    * u = G·w (a D²-row join-agg — executor-trivial), then the same
+    * floor-cut normalization as [[powerIterationMicro]]. Exact
+    * decimal products (G entries reach ~n·1e12; G·w terms need
+    * >64-bit — DECIMAL(38,0) in Spark, HUGEINT in the oracle).
+    * Returns (d, w) in micro-units. */
+  def gramPowerIteration(gram: DataFrame, dims: Int, iters: Int,
+                         nRows: Long): DataFrame = {
+    require(iters >= 1 && dims >= 1 && nRows >= 1,
+      s"bad args: iters=$iters dims=$dims nRows=$nRows")
+    val v0 = math.floor(1000000.0 / math.sqrt(dims.toDouble)).toLong
+    var w = gram.select(col("d1").as("d")).distinct()
+      .select(col("d"), lit(v0).as("w"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val u = gram.join(broadcast(w), gram("d2") === w("d"))
+        .groupBy(col("d1"))
+        .agg(floor(sum(col("g").cast(intDec) * col("w"))
+            .cast(DoubleType) / lit(nRows.toDouble)
+            / lit(1.0e12d)).as("u"))
+        .select(col("d1").as("d"), col("u"))
+      val nrm = u.agg(sqrt(sum((col("u") * col("u")).cast(intDec))
+        .cast(DoubleType)).as("nrm"))
+      w = u.crossJoin(broadcast(nrm)) // 1-row scalar idiom
+        .select(col("d"),
+          floor(col("u").cast(DoubleType) / col("nrm") *
+            lit(1000000.0d)).as("w"))
+        .localCheckpoint()
+    }
+    w
+  }
+
+  /** Variance pane from the gram form: pc_var = wᵀGw/(n·1e24) along
+    * the unit direction, total_var = trace(G)/(n·1e12), evr — all
+    * floor-cut to 6 decimals (the same q6 discipline). */
+  def gramVariancePane(gram: DataFrame, w: DataFrame,
+                       nRows: Long): DataFrame = {
+    val w1 = w.select(col("d").as("d1"), col("w").as("w1"))
+    val w2 = w.select(col("d").as("d2"), col("w").as("w2"))
+    val lam = gram.join(broadcast(w1), Seq("d1"))
+      .join(broadcast(w2), Seq("d2"))
+      .agg((q6(sum(col("g").cast(intDec) * col("w1") * col("w2"))
+          .cast(DoubleType) / lit(nRows.toDouble) / lit(1.0e12d)
+          / lit(1.0e12d)) / lit(1000000.0d)).as("pc_var"))
+    val tot = gram.filter(col("d1") === col("d2"))
+      .agg((q6(sum(col("g").cast(intDec)).cast(DoubleType)
+          / lit(nRows.toDouble) / lit(1.0e12d))
+        / lit(1000000.0d)).as("total_var"))
+    lam.crossJoin(tot)
+      .withColumn("evr",
+        q6(col("pc_var") / col("total_var")) / lit(1000000.0d))
+  }
 }

@@ -1084,6 +1084,141 @@ object Streams {
     spark.read.parquet(scoredPath).select(col("id"), col("score"))
   }
 
+  /** st20's ledger schema: the additive RAW-MOMENT sufficient
+    * statistic of PCA in one uniform keyed shape —
+    * (d1, d2, val): d1,d2 ≥ 1 → Σ xi_d1·xi_d2 co-moments;
+    * (d, 0)        → Σ xi_d first moments;
+    * (0, 0)        → row count n.
+    * All values exact micro-unit integers, so folding is pure
+    * addition and the ledger is EXACTLY batching-invariant (stronger
+    * than st18's claim: integer equality, not just model
+    * equivalence). `__last_batch` guards redelivery (st17/st18
+    * discipline). */
+  val pcaLedgerSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("d1",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("d2",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("val",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__last_batch",
+        org.apache.spark.sql.types.LongType)))
+
+  /** An embeddings micro-batch's raw-moment delta in the
+    * [[pcaLedgerSchema]] key shape. */
+  private def pcaMomentDelta(batch: DataFrame): DataFrame = {
+    val xi = batch
+      .select(col("vec_id").as("id"),
+        posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("id"), (col("pos") + 1).as("d"),
+        floor(col("xf").cast(org.apache.spark.sql.types.DoubleType)
+          * lit(1000000.0d)).as("xi"))
+    val a = xi.select(col("id"), col("d").as("d1"), col("xi").as("x1"))
+    val b = xi.select(col("id"), col("d").as("d2"), col("xi").as("x2"))
+    val moments = a.join(b, Seq("id"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum((col("x1") * col("x2"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .cast(org.apache.spark.sql.types.LongType).as("val"))
+    val sums = xi.groupBy(col("d").as("d1"))
+      .agg(sum(col("xi")).as("val"))
+      .select(col("d1").cast("int"), lit(0).as("d2"), col("val"))
+    val n = batch.agg(count(lit(1)).as("val"))
+      .select(lit(0).as("d1"), lit(0).as("d2"), col("val"))
+    moments.select(col("d1").cast("int"), col("d2").cast("int"),
+      col("val")).unionByName(sums).unionByName(n)
+  }
+
+  /** One batchId-keyed idempotent fold of an embeddings micro-batch
+    * into the PCA moment ledger. */
+  def pcaLedgerFold(batch: DataFrame, batchId: Long,
+                    path: String): Unit = {
+    import graft.operators.Mutations
+    val sp = batch.sparkSession
+    val ledger = sp.read.parquet(path)
+    val applied = ledger
+      .agg(coalesce(max(col("__last_batch")), lit(-1L)))
+      .head().getLong(0)
+    if (batchId > applied) { // else: replayed batch, already folded
+      val merged = Mutations.upsertAggregate(
+        ledger.drop("__last_batch"), pcaMomentDelta(batch),
+        Seq("d1", "d2"), Seq("val"))
+        .withColumn("__last_batch", lit(batchId))
+      Mutations.overwriteAtomic(merged, path)
+    }
+  }
+
+  /** Reconstruct the CENTERED gram matrix from the raw-moment
+    * ledger via the exact integer identity
+    *   Σ(xi_a − mi_a)(xi_b − mi_b)
+    *     = Σxi_a·xi_b − mi_a·Σxi_b − mi_b·Σxi_a + n·mi_a·mi_b
+    * with mi = floor(Σxi/n) — the SAME floored means centeredMicro
+    * uses, so the result equals Learn.gramMicro over the batch
+    * centered relation EXACTLY (integer algebra, no approximation).
+    * Returns ((d1, d2, g), n). */
+  def pcaLedgerGram(spark: SparkSession, path: String): (DataFrame, Long) = {
+    val ledger = spark.read.parquet(path)
+    val n = ledger.filter(col("d1") === 0 && col("d2") === 0)
+      .head().getLong(2)
+    val sums = ledger.filter(col("d1") > 0 && col("d2") === 0)
+      .select(col("d1").as("d"), col("val").as("sx"),
+        floor(col("val").cast(org.apache.spark.sql.types.DoubleType)
+          / lit(n.toDouble)).as("mi"))
+    val s1 = sums.select(col("d").as("d1"), col("sx").as("sx1"),
+      col("mi").as("mi1"))
+    val s2 = sums.select(col("d").as("d2"), col("sx").as("sx2"),
+      col("mi").as("mi2"))
+    val gram = ledger.filter(col("d1") > 0 && col("d2") > 0)
+      .join(broadcast(s1), Seq("d1")).join(broadcast(s2), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        (col("val") - col("mi1") * col("sx2") -
+          col("mi2") * col("sx1") +
+          lit(n) * col("mi1") * col("mi2")).as("g"))
+    (gram, n)
+  }
+
+  /** Streaming PCA (x105's twin): the corpus's raw moments fold into
+    * a (D²+D+1)-row additive integer ledger as embeddings stream in
+    * — PCA's sufficient statistic is Σx, Σxxᵀ, n, all exact
+    * micro-unit integer sums, so the ledger after ANY batching
+    * equals the batch moments EXACTLY and st20 shares x105's oracle
+    * verbatim (the batching-invariance proof, st18 discipline
+    * upgraded from model-equivalence to integer equality). The PC is
+    * then extracted from the ledger alone: centered gram via the
+    * moment identity ([[pcaLedgerGram]]) + gram-space power
+    * iteration — no corpus rescan, ever. Production shape: the
+    * ledger is KBs of always-query-ready state; a new embedding
+    * batch folds in one pass; iterations touch only D² rows. */
+  def streamGramPca(spark: SparkSession, sfDir: String,
+                    splitFiles: Int = 2, dims: Int = 64,
+                    iters: Int = 8): DataFrame = {
+    import graft.operators.Learn
+    val target = new java.io.File("target/qtmp/st20_ledger")
+    org.apache.commons.io.FileUtils.deleteQuietly(target)
+    val path = target.getAbsolutePath
+    graft.operators.Mutations.seedEmptyLedger(spark, path,
+      pcaLedgerSchema)
+    val q = stagedFileStream(spark, sfDir, "embeddings", "vec_id",
+        "st20_src", splitFiles)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        pcaLedgerFold(batch, batchId, path)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val (gram, n) = pcaLedgerGram(spark, path)
+    val w = Learn.gramPowerIteration(gram, dims, iters, n)
+    w.crossJoin(broadcast(Learn.gramVariancePane(gram, w, n)))
+      .select(col("d"),
+        (col("w").cast(org.apache.spark.sql.types.DoubleType)
+          / lit(1000000.0d)).as("loading"),
+        col("pc_var"), col("total_var"), col("evr"))
+      .orderBy(col("d"))
+  }
+
   /** One (band, key) posting of a streamed doc's simhash fingerprint. */
   final case class BandEvent(band: Int, key: Long, doc_id: Long, fp: Long)
   /** Per-band admission flag emitted by [[streamNearDupAdmit]]. */

@@ -112,6 +112,62 @@ class Round13Spec extends GraftSuite {
     assert(after < 1e-3, s"residual variance $after")
   }
 
+  test("pca moment ledger: 2-batch fold equals the batch gram " +
+       "EXACTLY (integer identity), and redelivery is a no-op") {
+    import graft.streaming.Streams
+    import graft.operators.Mutations
+    val dir = SparkTestBase.sfDir
+    val path =
+      new java.io.File("target/qtmp/r13_pca_ledger").getAbsolutePath
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(path))
+    Mutations.seedEmptyLedger(spark, path, Streams.pcaLedgerSchema)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    Streams.pcaLedgerFold(emb.filter(col("vec_id") % 2 === 0), 0L, path)
+    Streams.pcaLedgerFold(emb.filter(col("vec_id") % 2 === 1), 1L, path)
+    // at-least-once redelivery of batch 0: guard must skip the fold
+    val before = spark.read.parquet(path)
+      .orderBy(col("d1"), col("d2")).collect().toSeq
+    Streams.pcaLedgerFold(emb.filter(col("vec_id") % 2 === 0), 0L, path)
+    val after = spark.read.parquet(path)
+      .orderBy(col("d1"), col("d2")).collect().toSeq
+    assert(before === after, "redelivered batch changed the ledger")
+    // ledger-reconstructed centered gram == one-pass batch gram,
+    // integer-exact (the moment identity with floored means)
+    val (gramL, n) = Streams.pcaLedgerGram(spark, path)
+    assert(n === emb.count())
+    val long = emb
+      .select(col("vec_id").as("id"),
+        posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("id"), (col("pos") + 1).as("d"),
+        col("xf").cast("double").as("x"))
+    val gramB = Learn.gramMicro(Learn.centeredMicro(long))
+    val l = gramL.orderBy(col("d1"), col("d2")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val b = gramB.orderBy(col("d1"), col("d2")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(l.toSeq === b.toSeq)
+  }
+
+  test("gramPowerIteration: rank-1 data recovers the known " +
+       "direction (the gram-space dual of the data-pass form)") {
+    import spark.implicits._
+    val pts = Seq((1L, 1.0, 2.0), (2L, 2.0, 4.0),
+      (3L, -1.0, -2.0), (4L, -2.0, -4.0))
+    val long = pts.toDF("id", "x1", "x2")
+      .select(col("id"), explode(expr("map(1, x1, 2, x2)"))
+        .as(Seq("d", "x")))
+    val gram = Learn.gramMicro(Learn.centeredMicro(long))
+    val w = Learn.gramPowerIteration(gram, dims = 2, iters = 4,
+      nRows = 4L)
+    val load = w.orderBy(col("d")).collect()
+      .map(_.getLong(1).toDouble / 1e6)
+    assert(math.abs(load(0) - 0.447214) < 1e-3, load.mkString(","))
+    assert(math.abs(load(1) - 0.894427) < 1e-3, load.mkString(","))
+    val pane = Learn.gramVariancePane(gram, w, 4L).collect()(0)
+    assert(pane.getDouble(2) > 0.999, s"evr=${pane.getDouble(2)}")
+  }
+
   test("joinAuto: all three routes return identical results and " +
        "report their route") {
     import spark.implicits._
