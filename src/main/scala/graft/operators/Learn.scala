@@ -331,6 +331,11 @@ object Learn {
       .groupBy(col("d1"), col("d2"))
       .agg(sum((col("xc1") * col("xc2")).cast(intDec))
         .cast(LongType).as("g"))
+      // eagerly materialized (the centeredMicro/x82 idiom): every
+      // power iteration and both variance aggs re-read G — without
+      // this the n·D² join-agg replays per iteration (measured: 3×
+      // the whole-query time at sf0.1)
+      .localCheckpoint()
   }
 
   /** Power iteration ON THE GRAM MATRIX (fixed-point): one step is
