@@ -124,6 +124,7 @@ object Bench {
   val r6bnew: Seq[String] = Seq(
     "x101_bpe_train",        // in-engine BPE training (12 merge rounds)
     "x104_bpe_encode",       // trained-merge dictionary encode + fertility
+    "x106_tokenizer_drift",  // standing-tokenizer fertility drift + canary
     "x102_pca_power",        // fixed-point power-iteration top PC
     "x103_embed_abtt",       // all-but-the-top removal + variance pane
     "x105_gram_pca",         // gram-space PCA (one corpus pass)

@@ -3790,6 +3790,59 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "x106_tokenizer_drift" -> ((s, dir) => {
+      // TOKENIZER DRIFT audit — the production failure mode of a
+      // standing tokenizer: it was trained once (here: on the 'en'
+      // slice) and the corpus drifts under it. Fertility
+      // (subwords/word) per language vs the training slice's own,
+      // ratio floor-cut at 4 decimals, drift flagged above 1.05.
+      // The synthetic languages share one vocabulary (measured:
+      // natural-lang ratios 1.00-1.01 at every scale), so a natural
+      // corpus can never fire the gate here — the x26 canary
+      // discipline applies: a rot13-rotated copy of the en slice
+      // rides as control pseudo-lang 'zz_rot13', provably outside
+      // the trained merges (measured ratio 1.248 at all three
+      // scales), so BOTH branches
+      // of the gate are exercised at every scale (the x91-r7
+      // constant-false lesson). Unseen word types still encode
+      // (merges apply to any char sequence) — no OOV cliff. Oracle:
+      // x101's chain trained WHERE lang='en' + a re-folded
+      // augmented-corpus encode tail.
+      val docs = t(s, dir, "documents")
+      val rotTo = "nopqrstuvwxyzabcdefghijklm"
+      val corp = docs.select(col("lang"), col("text"))
+        .unionByName(docs.filter(col("lang") === "en")
+          .select(lit("zz_rot13").as("lang"),
+            translate(lower(col("text")),
+              "abcdefghijklmnopqrstuvwxyz", rotTo).as("text")))
+      val merges = Tokenize.bpeTrain(
+        Tokenize.wordFreq(docs.filter(col("lang") === "en"),
+          col("text")), merges = 12)
+      val dict = Tokenize.bpeSubwordCounts(
+          Tokenize.wordFreq(corp, col("text")), merges)
+        .localCheckpoint()
+      val pane = corp.select(col("lang"), explode(
+          regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
+          .as("word"))
+        .join(broadcast(dict.select(col("word"), col("n_sub"))),
+          Seq("word"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_sub")).as("n_subwords"),
+          (floor(sum(col("n_sub")).cast(DoubleType) / count(lit(1))
+            * lit(10000.0d)) / lit(10000.0d)).as("fertility"))
+        .localCheckpoint()
+      val base = pane.filter(col("lang") === "en")
+        .select(col("fertility").as("f_en"))
+      pane.crossJoin(broadcast(base)) // 1-row scalar idiom
+        .withColumn("ratio_vs_train",
+          floor(col("fertility") / col("f_en") * lit(10000.0d))
+            / lit(10000.0d))
+        .withColumn("drift", col("ratio_vs_train") > lit(1.05d))
+        .drop("f_en")
+        .orderBy(col("lang"))
+    }),
+
     "x105_gram_pca" -> ((s, dir) => {
       // the GRAM-SPACE dual of x102 (the other way to run PCA at
       // scale): when D² state fits (embeddings, D=64), ONE corpus
@@ -5137,7 +5190,7 @@ object SparkEntry {
     * encoding makes plain replace() equal BPE greedy application in
     * both engines (see Tokenize.scala scaladoc for the proof
     * sketch). */
-  private def x101Chain(merges: Int): String = {
+  private def x101Chain(merges: Int, wfWhere: String = ""): String = {
     val steps = (1 to merges).map { r =>
       s"""pc$r AS MATERIALIZED (
         SELECT pair, SUM(freq) AS cnt FROM (
@@ -5164,7 +5217,7 @@ object SparkEntry {
       WITH wf AS MATERIALIZED (
         SELECT word, COUNT(*) AS freq FROM (
           SELECT UNNEST(regexp_extract_all(lower(text), '\\S+')) AS word
-          FROM documents)
+          FROM documents $wfWhere)
         GROUP BY word),
       s0 AS MATERIALIZED (
         SELECT ' ' || rtrim(regexp_replace(word, '(.)', '\\1  ', 'g'))
@@ -5219,6 +5272,60 @@ object SparkEntry {
                / 10000.0 AS subwords_per_word
       FROM wtoks JOIN dict USING (word)
       GROUP BY source ORDER BY source"""
+  }
+
+  /** x106's tail: re-fold the en-trained merges over the ALL-corpus
+    * word-type table, encode every language, and compare per-lang
+    * fertility against the training slice's own — the
+    * tokenizer-drift audit. `th` is the drift threshold on the
+    * floor-cut fertility ratio (pinned from measurement at the call
+    * site). */
+  private def x106DriftTail(merges: Int, th: String): String = {
+    val achain = (1 to merges).map { r =>
+      s"""a$r AS MATERIALIZED (
+        SELECT word, replace(e.syms,
+                 ' ' || replace(b.pair, ' ', '  ') || ' ',
+                 ' ' || replace(b.pair, ' ', '') || ' ') AS syms
+        FROM a${r - 1} e CROSS JOIN best$r b)"""
+    }.mkString(",\n      ")
+    s"""
+      , corp AS (
+        SELECT lang, text FROM documents
+        UNION ALL
+        SELECT 'zz_rot13' AS lang,
+               translate(lower(text), 'abcdefghijklmnopqrstuvwxyz',
+                 'nopqrstuvwxyzabcdefghijklm') AS text
+        FROM documents WHERE lang = 'en'),
+      wfall AS MATERIALIZED (
+        SELECT word, COUNT(*) AS freq FROM (
+          SELECT UNNEST(regexp_extract_all(lower(text), '\\S+')) AS word
+          FROM corp)
+        GROUP BY word),
+      a0 AS MATERIALIZED (
+        SELECT word, ' ' || rtrim(regexp_replace(word, '(.)',
+                 '\\1  ', 'g')) || ' ' AS syms
+        FROM wfall),
+      $achain,
+      dict AS MATERIALIZED (
+        SELECT word, len(string_split(trim(syms), '  ')) AS n_sub
+        FROM a$merges),
+      ltoks AS (
+        SELECT lang,
+               UNNEST(regexp_extract_all(lower(text), '\\S+')) AS word
+        FROM corp),
+      pane AS MATERIALIZED (
+        SELECT lang, COUNT(*) AS n_words,
+               CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+               floor(CAST(SUM(n_sub) AS DOUBLE) / COUNT(*) * 10000.0)
+                 / 10000.0 AS fertility
+        FROM ltoks JOIN dict USING (word) GROUP BY lang),
+      base AS (SELECT fertility AS f_en FROM pane WHERE lang = 'en')
+      SELECT lang, n_words, n_subwords, fertility,
+             floor(fertility / (SELECT f_en FROM base) * 10000.0)
+               / 10000.0 AS ratio_vs_train,
+             floor(fertility / (SELECT f_en FROM base) * 10000.0)
+               / 10000.0 > $th AS drift
+      FROM pane ORDER BY lang"""
   }
 
   /** x102's GENERATED oracle: the unrolled power-iteration recurrence
@@ -9689,6 +9796,9 @@ object SparkEntry {
       x101MergeTail(merges = 12)),
     "x104_bpe_encode" -> (x101Chain(merges = 12) +
       x104EncodeTail(merges = 12)),
+    "x106_tokenizer_drift" -> (x101Chain(merges = 12,
+      wfWhere = "WHERE lang = 'en'") +
+      x106DriftTail(merges = 12, th = "1.05")),
     "x102_pca_power" -> x102Oracle(iters = 8, dims = 64),
     "x103_embed_abtt" -> x103Oracle(iters = 8, dims = 64),
     "x105_gram_pca" -> x105OracleStr,

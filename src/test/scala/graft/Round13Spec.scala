@@ -168,6 +168,17 @@ class Round13Spec extends GraftSuite {
     assert(pane.getDouble(2) > 0.999, s"evr=${pane.getDouble(2)}")
   }
 
+  test("x106 drift gate liveness: both branches fire at spec scale " +
+       "(the x91-r7 constant-false lesson)") {
+    val out = SparkEntry.queries("x106_tokenizer_drift")(spark,
+      SparkTestBase.sfDir).collect()
+    val flags = out.map(r => (r.getString(0), r.getBoolean(5))).toMap
+    assert(flags("zz_rot13"), "rot13 canary must drift")
+    assert(!flags("en"), "training slice must not drift vs itself")
+    assert(flags.values.exists(_ == true) &&
+      flags.values.exists(_ == false), "gate must have live branches")
+  }
+
   test("joinAuto: all three routes return identical results and " +
        "report their route") {
     import spark.implicits._
