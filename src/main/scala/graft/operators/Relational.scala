@@ -86,9 +86,17 @@ object Relational {
     if (n <= broadcastRows)
       (fact.join(broadcast(dim), Seq(key)), "broadcast")
     else if (n <= bloomRows) {
+      // bits capped at Spark's own runtime-filter ceiling (8 MB —
+      // spark.sql.optimizer.runtime.bloomFilter.maxNumBits): the
+      // sketch rides the plan as a literal, so an uncapped 10
+      // bits/key at the 50M-row route boundary would ship ~60 MB to
+      // every task. A capped bloom only raises the false-positive
+      // rate (more non-matching fact rows survive to the join) —
+      // never false negatives, so the result is unchanged.
       val bloomBytes = dim
         .agg(graft.functions.BloomFns.bloomAgg(col(key),
-          math.max(n, 1L), math.max(n, 1L) * 10L))
+          math.max(n, 1L),
+          math.min(math.max(n, 1L) * 10L, 67108864L)))
         .head().getAs[Array[Byte]](0)
       (fact.filter(graft.functions.BloomFns
           .mightContain(bloomBytes, col(key)))

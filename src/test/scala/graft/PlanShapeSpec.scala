@@ -312,6 +312,33 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("Exchange hashpartitioning(d#"), p.take(900))
   }
 
+  test("x105 gram build: the n·D² pair fan-out combines map-side — " +
+       "the exchange moves D²-row partials, not pair rows") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("id"), (col("pos") + 1).as("d"),
+        col("xf").cast("double").as("x"))
+    val c = graft.operators.Learn.centeredMicro(emb)
+    // the gram aggregation as gramMicro builds it, pre-checkpoint
+    val a = c.select(col("id"), col("d").as("d1"), col("xc").as("xc1"))
+    val b = c.select(col("id"), col("d").as("d2"), col("xc").as("xc2"))
+    val g = a.join(b, Seq("id"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum((col("xc1") * col("xc2")).cast("decimal(38,0)")).as("g"))
+    val p = g.queryExecution.sparkPlan.toString
+    // map-side combine of the in-task pair fan-out must be planned
+    assert(p.contains("partial_sum"), p.take(900))
+    // pair rows must never cross an exchange: any exchange (absent
+    // entirely at spec scale, where the join broadcasts and the aggs
+    // colocate) may only sit ABOVE the partial agg, so it moves
+    // D²-row partials, not n·D² pair rows
+    val partialIdx = p.indexOf("partial_sum")
+    val below = p.substring(partialIdx)
+    assert(!below.contains("Exchange hashpartitioning"), below.take(900))
+  }
+
   test("x101 wordFreq: the corpus-scale pass plans a partial " +
        "(map-side) aggregation before its exchange") {
     import org.apache.spark.sql.functions._
