@@ -128,6 +128,7 @@ object Bench {
     "x102_pca_power",        // fixed-point power-iteration top PC
     "x103_embed_abtt",       // all-but-the-top removal + variance pane
     "x105_gram_pca",         // gram-space PCA (one corpus pass)
+    "x107_pca_deflate",      // top-2 PCs by deflation + orthogonality
     "st20_stream_pca",       // streaming moment-ledger PCA twin
     "j21_join_auto",         // measured join-strategy router
     "x36_span_dup_coverage") // bridge query shared with all sets

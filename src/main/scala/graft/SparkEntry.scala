@@ -3843,6 +3843,52 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "x107_pca_deflate" -> ((s, dir) => {
+      // TOP-K PCA BY DEFLATION — the published All-but-the-Top
+      // recipe removes the top k directions, not one: extract v1
+      // (x102's iteration), deflate (remove its projection,
+      // Learn.removeTopPC), and iterate AGAIN on the residual for
+      // v2. The pane carries both loadings, the exact integer
+      // orthogonality dot v1·v2 (deflation's correctness invariant —
+      // Round13Spec asserts it ~0), and each direction's variance.
+      // Cost = 2× x102 plus one residual pass; the corpus is still
+      // never shuffled on the dim key. Oracle: x102's chain + a
+      // residual CTE + a second unrolled 8-iteration chain.
+      val embT = t(s, dir, "embeddings")
+      val nRows = embT.count()
+      val emb = embT
+        .select(col("vec_id").as("id"),
+          posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select(col("id"), (col("pos") + 1).as("d"),
+          col("xf").cast(DoubleType).as("x"))
+      val c = Learn.centeredMicro(emb)
+      val v1 = Learn.powerIterationMicro(c, dims = 64, iters = 8,
+        nRows = nRows)
+      val resid = Learn.removeTopPC(c, v1)
+        .select(col("id"), col("d"), col("e").as("xc"))
+        .localCheckpoint()
+      val v2 = Learn.powerIterationMicro(resid, dims = 64, iters = 8,
+        nRows = nRows)
+      val dot = v1.select(col("d"), col("v").as("v1"))
+        .join(v2.select(col("d"), col("v").as("v2")), Seq("d"))
+        .agg((floor(sum((col("v1") * col("v2"))
+            .cast(DecimalType(38, 0))).cast(DoubleType)
+          / lit(1.0e12d) * lit(1000000.0d)) / lit(1000000.0d))
+          .as("dot_v1_v2"))
+      val var1 = Learn.varianceAlongMicro(c, v1, nRows)
+        .select(col("pc_var").as("pc1_var"))
+      val var2 = Learn.varianceAlongMicro(resid, v2, nRows)
+        .select(col("pc_var").as("pc2_var"))
+      v1.select(col("d"), (col("v").cast(DoubleType) /
+          lit(1000000.0d)).as("pc1"))
+        .join(v2.select(col("d"), (col("v").cast(DoubleType) /
+          lit(1000000.0d)).as("pc2")), Seq("d"))
+        .crossJoin(broadcast(dot))
+        .crossJoin(broadcast(var1))
+        .crossJoin(broadcast(var2))
+        .orderBy(col("d"))
+    }),
+
     "x105_gram_pca" -> ((s, dir) => {
       // the GRAM-SPACE dual of x102 (the other way to run PCA at
       // scale): when D² state fits (embeddings, D=64), ONE corpus
@@ -5379,6 +5425,70 @@ object SparkEntry {
       , v0 AS MATERIALIZED (
         SELECT DISTINCT d, CAST($v0 AS BIGINT) AS v FROM xc),
       $steps"""
+  }
+
+  /** x107's GENERATED oracle: x102's chain (v1), the deflation
+    * residual, and a SECOND unrolled iteration chain over the
+    * residual (v2), plus the exact-integer orthogonality dot and
+    * both variance panes — mirroring the deflation recipe operation
+    * for operation. */
+  private def x107Oracle(iters: Int, dims: Int): String = {
+    val v0 = math.floor(1000000.0 / math.sqrt(dims.toDouble)).toLong
+    val rsteps = (1 to iters).map { t =>
+      s"""rsp$t AS MATERIALIZED (
+        SELECT id, CAST(floor(CAST(SUM(xc * v) AS DOUBLE)
+                 / 1000000.0) AS BIGINT) AS s
+        FROM rxc JOIN rv${t - 1} USING (d) GROUP BY id),
+      ru$t AS MATERIALIZED (
+        SELECT d, CAST(floor(CAST(SUM(xc * s) AS DOUBLE)
+                 / (SELECT n FROM nrows) / 1000000.0) AS BIGINT) AS u
+        FROM rxc JOIN rsp$t USING (id) GROUP BY d),
+      rnm$t AS MATERIALIZED (
+        SELECT sqrt(CAST(SUM(u * u) AS DOUBLE)) AS nrm FROM ru$t),
+      rv$t AS MATERIALIZED (
+        SELECT d, CAST(floor(CAST(u AS DOUBLE) / nrm
+                 * 1000000.0) AS BIGINT) AS v
+        FROM ru$t CROSS JOIN rnm$t)"""
+    }.mkString(",\n      ")
+    x102Chain(iters, dims) + s"""
+      , proj AS MATERIALIZED (
+        SELECT id, CAST(floor(CAST(SUM(xc * v) AS DOUBLE)
+                 / 1000000.0) AS BIGINT) AS s
+        FROM xc JOIN v$iters USING (d) GROUP BY id),
+      rxc AS MATERIALIZED (
+        SELECT x.id, x.d,
+               x.xc - CAST(floor(CAST(p.s * v.v AS DOUBLE)
+                 / 1000000.0) AS BIGINT) AS xc
+        FROM xc x JOIN proj p USING (id)
+        JOIN v$iters v ON x.d = v.d),
+      rv0 AS MATERIALIZED (
+        SELECT DISTINCT d, CAST($v0 AS BIGINT) AS v FROM rxc),
+      $rsteps,
+      dotp AS (
+        SELECT floor(CAST(SUM(a.v * b.v) AS DOUBLE)
+                 / 1000000000000.0 * 1000000.0)
+               / 1000000.0 AS dot_v1_v2
+        FROM v$iters a JOIN rv$iters b USING (d)),
+      pv1 AS (
+        SELECT floor(CAST(SUM(s * s) AS DOUBLE) / 1000000000000.0
+                 / (SELECT n FROM nrows) * 1000000.0)
+               / 1000000.0 AS pc1_var
+        FROM proj),
+      sfin2 AS MATERIALIZED (
+        SELECT id, CAST(floor(CAST(SUM(xc * v) AS DOUBLE)
+                 / 1000000.0) AS BIGINT) AS s
+        FROM rxc JOIN rv$iters USING (d) GROUP BY id),
+      pv2 AS (
+        SELECT floor(CAST(SUM(s * s) AS DOUBLE) / 1000000000000.0
+                 / (SELECT n FROM nrows) * 1000000.0)
+               / 1000000.0 AS pc2_var
+        FROM sfin2)
+      SELECT d, CAST(a.v AS DOUBLE) / 1000000.0 AS pc1,
+             CAST(b.v AS DOUBLE) / 1000000.0 AS pc2,
+             dot_v1_v2, pc1_var, pc2_var
+      FROM v$iters a JOIN rv$iters b USING (d)
+      CROSS JOIN dotp CROSS JOIN pv1 CROSS JOIN pv2
+      ORDER BY d"""
   }
 
   /** x105/st20's GENERATED oracle: centered gram via exact integer
@@ -9803,6 +9913,7 @@ object SparkEntry {
     "x103_embed_abtt" -> x103Oracle(iters = 8, dims = 64),
     "x105_gram_pca" -> x105OracleStr,
     "st20_stream_pca" -> x105OracleStr,
+    "x107_pca_deflate" -> x107Oracle(iters = 8, dims = 64),
 
     "j21_join_auto" -> """
       SELECT c_mktsegment, COUNT(*) AS n_orders,
