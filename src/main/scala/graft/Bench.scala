@@ -125,6 +125,7 @@ object Bench {
     "x101_bpe_train",        // in-engine BPE training (12 merge rounds)
     "x104_bpe_encode",       // trained-merge dictionary encode + fertility
     "x106_tokenizer_drift",  // standing-tokenizer fertility drift + canary
+    "st21_stream_bpe",       // streaming word-freq ledger BPE twin
     "x102_pca_power",        // fixed-point power-iteration top PC
     "x103_embed_abtt",       // all-but-the-top removal + variance pane
     "x105_gram_pca",         // gram-space PCA (one corpus pass)

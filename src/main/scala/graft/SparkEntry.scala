@@ -3843,6 +3843,19 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "st21_stream_bpe" -> ((s, dir) => {
+      // x101's STREAMING TWIN: the word-frequency ledger is BPE
+      // training's sufficient statistic and counts are additive
+      // exact integers, so the batchId-guarded ledger equals the
+      // batch word-freq table EXACTLY for any stream split — the
+      // retrained merge table is identical and st21 shares x101's
+      // oracle verbatim (st18/st20 invariance discipline, tokenizer
+      // tier). Production shape: crawl snapshots fold in one pass;
+      // retraining touches only word TYPES, never the corpus.
+      graft.streaming.Streams.streamBpeTrain(s, dir)
+        .orderBy(col("rank"))
+    }),
+
     "x107_pca_deflate" -> ((s, dir) => {
       // TOP-K PCA BY DEFLATION — the published All-but-the-Top
       // recipe removes the top k directions, not one: extract v1
@@ -9903,6 +9916,8 @@ object SparkEntry {
     "e2e_select_corpus" -> x97Oracle(iters = 12, lr = "8.0",
       e2eSelectTail),
     "x101_bpe_train" -> (x101Chain(merges = 12) +
+      x101MergeTail(merges = 12)),
+    "st21_stream_bpe" -> (x101Chain(merges = 12) +
       x101MergeTail(merges = 12)),
     "x104_bpe_encode" -> (x101Chain(merges = 12) +
       x104EncodeTail(merges = 12)),

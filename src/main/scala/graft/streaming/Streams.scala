@@ -1219,6 +1219,75 @@ object Streams {
       .orderBy(col("d"))
   }
 
+  /** st21's ledger schema: the word-frequency table as standing
+    * state — BPE training's sufficient statistic is the (word, freq)
+    * relation, and counts are additive, so the ledger after ANY
+    * batching equals the batch word-freq table EXACTLY and the
+    * merges trained from it are identical (st20's integer-equality
+    * discipline applied to the tokenizer tier). */
+  val bpeLedgerSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("word",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("freq",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__last_batch",
+        org.apache.spark.sql.types.LongType)))
+
+  /** One batchId-keyed idempotent fold of a documents micro-batch
+    * into the word-frequency ledger. */
+  def bpeLedgerFold(batch: DataFrame, batchId: Long,
+                    path: String): Unit = {
+    import graft.operators.{Mutations, Tokenize}
+    val sp = batch.sparkSession
+    val ledger = sp.read.parquet(path)
+    val applied = ledger
+      .agg(coalesce(max(col("__last_batch")), lit(-1L)))
+      .head().getLong(0)
+    if (batchId > applied) { // else: replayed batch, already folded
+      val merged = Mutations.upsertAggregate(
+        ledger.drop("__last_batch"),
+        Tokenize.wordFreq(batch, col("text")),
+        Seq("word"), Seq("freq"))
+        .withColumn("__last_batch", lit(batchId))
+      Mutations.overwriteAtomic(merged, path)
+    }
+  }
+
+  /** Streaming BPE training (x101's twin): word counts fold into the
+    * standing ledger as documents stream in; the tokenizer retrains
+    * from the LEDGER alone — no corpus rescan, ever (the production
+    * shape: a crawl snapshot folds in one pass, and retraining the
+    * merge table afterwards touches only word TYPES). Because counts
+    * are additive and the fold exactly-once, the ledger equals the
+    * batch word-freq table EXACTLY for any batching, the trained
+    * merges are identical, and st21 shares x101's oracle verbatim —
+    * the batching-invariance proof (st18/st20 discipline). */
+  def streamBpeTrain(spark: SparkSession, sfDir: String,
+                     splitFiles: Int = 2,
+                     merges: Int = 12): DataFrame = {
+    import graft.operators.Tokenize
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val target = new java.io.File("target/qtmp/st21_ledger")
+    org.apache.commons.io.FileUtils.deleteQuietly(target)
+    val path = target.getAbsolutePath
+    graft.operators.Mutations.seedEmptyLedger(spark, path,
+      bpeLedgerSchema)
+    val q = stagedFileStream(spark, sfDir, "documents", "doc_id",
+        "st21_src", splitFiles)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        bpeLedgerFold(batch, batchId, path)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Tokenize.bpeTrain(
+      spark.read.parquet(path).select(col("word"), col("freq")),
+      merges)
+  }
+
   /** One (band, key) posting of a streamed doc's simhash fingerprint. */
   final case class BandEvent(band: Int, key: Long, doc_id: Long, fp: Long)
   /** Per-band admission flag emitted by [[streamNearDupAdmit]]. */

@@ -217,6 +217,35 @@ class Round13Spec extends GraftSuite {
     assert(p1 > p2)
   }
 
+  test("bpe word-freq ledger: 2-batch fold equals batch wordFreq " +
+       "EXACTLY, and redelivery is a no-op") {
+    import graft.streaming.Streams
+    import graft.operators.{Mutations, Tokenize}
+    val dir = SparkTestBase.sfDir
+    val path =
+      new java.io.File("target/qtmp/r13_bpe_ledger").getAbsolutePath
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(path))
+    Mutations.seedEmptyLedger(spark, path, Streams.bpeLedgerSchema)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Streams.bpeLedgerFold(docs.filter(col("doc_id") % 2 === 0), 0L, path)
+    Streams.bpeLedgerFold(docs.filter(col("doc_id") % 2 === 1), 1L, path)
+    val before = spark.read.parquet(path)
+      .orderBy(col("word")).collect().toSeq
+    Streams.bpeLedgerFold(docs.filter(col("doc_id") % 2 === 0), 0L, path)
+    val after = spark.read.parquet(path)
+      .orderBy(col("word")).collect().toSeq
+    assert(before === after, "redelivered batch changed the ledger")
+    val l = spark.read.parquet(path)
+      .select(col("word"), col("freq"))
+      .orderBy(col("word")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val b = Tokenize.wordFreq(docs, col("text"))
+      .orderBy(col("word")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(l.toSeq === b.toSeq)
+  }
+
   test("joinAuto: all three routes return identical results and " +
        "report their route") {
     import spark.implicits._
