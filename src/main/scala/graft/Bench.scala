@@ -132,6 +132,7 @@ object Bench {
     "x107_pca_deflate",      // top-2 PCs by deflation + orthogonality
     "st20_stream_pca",       // streaming moment-ledger PCA twin
     "j21_join_auto",         // measured join-strategy router
+    "e2e_embed_pipeline",    // center → ABTT → norm screen → shards
     "x36_span_dup_coverage") // bridge query shared with all sets
 
   def main(args: Array[String]): Unit = {

@@ -3843,6 +3843,58 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "e2e_embed_pipeline" -> ((s, dir) => {
+      // ROUND-6b CAPSTONE: the PCA tier drives an embedding-corpus
+      // build end-to-end — center → remove the dominant direction
+      // (All-but-the-Top, the x102/x103 machinery) → residual-norm
+      // screen (the x83 norm-screen theme on the CORRECTED vectors:
+      // keep norms inside [0.5, 1.5]× the mean) → 4-shard manifest
+      // with per-shard counts and mean residual norm. ONE lazy plan
+      // from centering to manifest; every cut fixed-point, so the
+      // whole pipeline is hash-oracled exactly. The natural corpus
+      // never violates the band (measured: 100% kept at every
+      // scale), so the screen's reject branch gets a LIVE canary —
+      // 10 low-id vectors re-enter ×3-scaled under offset ids and
+      // are provably screened out (norm ratio ~2.9 > 1.5); the
+      // hash-pinned shard counts equal the NATURAL corpus size, and
+      // Round13Spec asserts exactly that (x106 discipline).
+      val embT = t(s, dir, "embeddings")
+      val nRows = embT.count() + 10L
+      val base = embT
+        .select(col("vec_id").as("id"),
+          posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select(col("id"), (col("pos") + 1).as("d"),
+          col("xf").cast(DoubleType).as("x"))
+      val emb = base.unionByName(base.filter(col("id") < 10)
+        .select((col("id") + 10000000L).as("id"), col("d"),
+          (col("x") * lit(3.0d)).as("x")))
+      val c = Learn.centeredMicro(emb)
+      val v = Learn.powerIterationMicro(c, dims = 64, iters = 8,
+        nRows = nRows)
+      val e = Learn.removeTopPC(c, v)
+      // residual norm per vector in integer micro-units: exact Σe²,
+      // IEEE sqrt, floor — and the screen is then PURE INTEGER
+      // comparison (2·nrm ∈ [mean, 3·mean]), no decimal-cast tie
+      // surface anywhere
+      val norms = e.groupBy(col("id"))
+        .agg(floor(sqrt(sum((col("e") * col("e"))
+          .cast(DecimalType(38, 0))).cast(DoubleType))).as("nrmi"))
+        .localCheckpoint()
+      val mean = norms.agg(floor(sum(col("nrmi")
+          .cast(DecimalType(38, 0))).cast(DoubleType)
+        / lit(nRows.toDouble)).as("mi"))
+      val kept = norms.crossJoin(broadcast(mean)) // 1-row scalar
+        .filter(col("nrmi") * 2 >= col("mi") &&
+          col("nrmi") * 2 <= col("mi") * 3)
+      kept.withColumn("shard", pmod(col("id"), lit(4)).cast("int"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (floor(sum(col("nrmi").cast(DecimalType(38, 0)))
+            .cast(DoubleType) / count(lit(1)))
+            / lit(1000000.0d)).as("mean_resid_norm"))
+        .orderBy(col("shard"))
+    }),
+
     "st21_stream_bpe" -> ((s, dir) => {
       // x101's STREAMING TWIN: the word-frequency ledger is BPE
       // training's sufficient statistic and counts are additive
@@ -5394,16 +5446,18 @@ object SparkEntry {
     * every sum exact integer — so engine and oracle agree
     * bit-for-bit with no rounding-tie analysis (see Learn.q6
     * scaladoc for why round(…,6) cannot be used mid-chain here). */
-  /** The shared centering prefix of the x102/x103/x105/st20 oracles:
-    * emb → nrows → xi (floor micro) → floored means → exact-integer
-    * xc. */
-  private val xcChain: String = """
+  /** The shared centering prefix of the x102/x103/x105/st20/e2e
+    * oracles: emb → nrows → xi (floor micro) → floored means →
+    * exact-integer xc. `extraEmb` unions extra long-form rows into
+    * the corpus (the e2e canary); `nrowsSql` must count the
+    * augmented corpus. */
+  private def xcChainWith(extraEmb: String, nrowsSql: String): String = s"""
       WITH emb AS (
         SELECT vec_id AS id,
                UNNEST(CAST(embedding AS DOUBLE[])) AS x,
                generate_subscripts(embedding, 1) AS d
-        FROM embeddings),
-      nrows AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+        FROM embeddings $extraEmb),
+      nrows AS ($nrowsSql),
       xi AS MATERIALIZED (
         SELECT id, d, CAST(floor(x * 1000000.0) AS BIGINT) AS xi
         FROM emb),
@@ -5415,7 +5469,24 @@ object SparkEntry {
         SELECT id, x.d, xi - mi AS xc
         FROM xi x JOIN means m USING (d))"""
 
-  private def x102Chain(iters: Int, dims: Int): String = {
+  private val xcChain: String = xcChainWith("",
+    "SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings")
+
+  /** The e2e canary slice: 10 low-id vectors re-enter ×3-scaled
+    * under offset ids — guaranteed outside the norm band, so the
+    * screen's reject branch is live at every scale (x106
+    * discipline). */
+  private val e2eCanaryChain: String = xcChainWith(
+    """UNION ALL
+        SELECT vec_id + 10000000 AS id,
+               UNNEST(list_transform(CAST(embedding AS DOUBLE[]),
+                 v -> v * 3.0)) AS x,
+               generate_subscripts(embedding, 1) AS d
+        FROM embeddings WHERE vec_id < 10""",
+    "SELECT CAST(COUNT(*) + 10 AS DOUBLE) AS n FROM embeddings")
+
+  private def x102Chain(iters: Int, dims: Int,
+                        prefix: String = xcChain): String = {
     val v0 = math.floor(1000000.0 / math.sqrt(dims.toDouble)).toLong
     val steps = (1 to iters).map { t =>
       s"""sp$t AS MATERIALIZED (
@@ -5434,7 +5505,7 @@ object SparkEntry {
                  * 1000000.0) AS BIGINT) AS v
         FROM u$t CROSS JOIN nm$t)"""
     }.mkString(",\n      ")
-    xcChain + s"""
+    prefix + s"""
       , v0 AS MATERIALIZED (
         SELECT DISTINCT d, CAST($v0 AS BIGINT) AS v FROM xc),
       $steps"""
@@ -5578,11 +5649,9 @@ object SparkEntry {
       FROM v$iters CROSS JOIN lam CROSS JOIN tot
       ORDER BY d"""
 
-  /** x103's tail over the same chain: the All-but-the-Top residual
-    * e = xc − floor(s·v/1e6) and the per-dim variance accounting
-    * pane (Learn.removeTopPC + perDimVarianceMicro, mirrored). */
-  private def x103Oracle(iters: Int, dims: Int): String =
-    x102Chain(iters, dims) + s"""
+  /** The deflation-residual CTE pair shared by the x103 and
+    * e2e_embed_pipeline oracles. */
+  private def residPrefix(iters: Int): String = s"""
       , proj AS MATERIALIZED (
         SELECT id, CAST(floor(CAST(SUM(xc * v) AS DOUBLE)
                  / 1000000.0) AS BIGINT) AS s
@@ -5592,8 +5661,33 @@ object SparkEntry {
                x.xc - CAST(floor(CAST(p.s * v.v AS DOUBLE)
                  / 1000000.0) AS BIGINT) AS e
         FROM xc x JOIN proj p USING (id)
-        JOIN v$iters v ON x.d = v.d),
-      bv AS (
+        JOIN v$iters v ON x.d = v.d)"""
+
+  /** e2e_embed_pipeline's tail: integer-micro residual norms, the
+    * pure-integer norm screen, and the 4-shard manifest. */
+  private def e2eEmbedTail: String = """
+      , nrms AS MATERIALIZED (
+        SELECT id, CAST(floor(sqrt(CAST(SUM(e * e) AS DOUBLE)))
+                 AS BIGINT) AS nrmi
+        FROM resid GROUP BY id),
+      mn AS (
+        SELECT CAST(floor(CAST(SUM(nrmi) AS DOUBLE)
+                 / (SELECT n FROM nrows)) AS BIGINT) AS mi
+        FROM nrms),
+      kept AS (
+        SELECT id, nrmi FROM nrms CROSS JOIN mn
+        WHERE nrmi * 2 >= mi AND nrmi * 2 <= mi * 3)
+      SELECT CAST(id % 4 AS INT) AS shard, COUNT(*) AS n_vecs,
+             floor(CAST(SUM(nrmi) AS DOUBLE) / COUNT(*))
+               / 1000000.0 AS mean_resid_norm
+      FROM kept GROUP BY 1 ORDER BY shard"""
+
+  /** x103's tail over the same chain: the All-but-the-Top residual
+    * e = xc − floor(s·v/1e6) and the per-dim variance accounting
+    * pane (Learn.removeTopPC + perDimVarianceMicro, mirrored). */
+  private def x103Oracle(iters: Int, dims: Int): String =
+    x102Chain(iters, dims) + residPrefix(iters) + s"""
+      , bv AS (
         SELECT d, floor(CAST(SUM(xc * xc) AS DOUBLE)
                  / 1000000000000.0 / (SELECT n FROM nrows)
                  * 1000000.0) / 1000000.0 AS before_var
@@ -9929,6 +10023,9 @@ object SparkEntry {
     "x105_gram_pca" -> x105OracleStr,
     "st20_stream_pca" -> x105OracleStr,
     "x107_pca_deflate" -> x107Oracle(iters = 8, dims = 64),
+    "e2e_embed_pipeline" -> (x102Chain(iters = 8, dims = 64,
+      prefix = e2eCanaryChain) + residPrefix(iters = 8) +
+      e2eEmbedTail),
 
     "j21_join_auto" -> """
       SELECT c_mktsegment, COUNT(*) AS n_orders,

@@ -246,6 +246,20 @@ class Round13Spec extends GraftSuite {
     assert(l.toSeq === b.toSeq)
   }
 
+  test("e2e_embed_pipeline: the norm screen's reject branch is live " +
+       "— canaries are screened out, every natural vector survives") {
+    val dir = SparkTestBase.sfDir
+    val out = SparkEntry.queries("e2e_embed_pipeline")(spark, dir)
+      .collect()
+    val kept = out.map(_.getLong(1)).sum
+    val natural = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    // 10 ×3-scaled canaries ride the pipeline and must ALL be
+    // rejected; on this corpus no natural vector violates the band
+    assert(kept === natural,
+      s"kept=$kept natural=$natural (canaries must not survive)")
+    assert(out.length === 4 && out.forall(_.getLong(1) > 0))
+  }
+
   test("joinAuto: all three routes return identical results and " +
        "report their route") {
     import spark.implicits._
