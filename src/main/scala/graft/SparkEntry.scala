@@ -49,6 +49,16 @@ object SparkEntry {
   /** sum over exact DECIMAL(18,2), surfaced as double. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** The embeddings long-form prologue shared by the PCA-tier
+    * queries: (id, d, x double) with d = pos + 1 — BASE-1 to match
+    * the oracles' generate_subscripts convention, defined once. */
+  private def embLong(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"),
+        posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("id"), (col("pos") + 1).as("d"),
+        col("xf").cast(DoubleType).as("x"))
+
   private def tmpDir(name: String): String = {
     val d = new java.io.File(s"target/qtmp/$name")
     org.apache.commons.io.FileUtils.deleteQuietly(d)
@@ -3717,13 +3727,8 @@ object SparkEntry {
       // where the round(…,6) recipe structurally breaks (measured —
       // Σ/n quotients land on exact .5 tails), so every cut here is
       // a floor() on IEEE-identical doubles instead.
-      val embT = t(s, dir, "embeddings")
-      val nRows = embT.count()
-      val emb = embT
-        .select(col("vec_id").as("id"),
-          posexplode(col("embedding")).as(Seq("pos", "xf")))
-        .select(col("id"), (col("pos") + 1).as("d"),
-          col("xf").cast(DoubleType).as("x"))
+      val nRows = t(s, dir, "embeddings").count()
+      val emb = embLong(s, dir)
       val c = Learn.centeredMicro(emb)
       val v = Learn.powerIterationMicro(c, dims = 64, iters = 8,
         nRows = nRows)
@@ -3743,13 +3748,8 @@ object SparkEntry {
       // in; Round13Spec pins the global Pythagoras accounting
       // (Σafter ≈ Σbefore − pc_var up to floor quantization). Same
       // fixed-point discipline and unrolled-oracle chain as x102.
-      val embT = t(s, dir, "embeddings")
-      val nRows = embT.count()
-      val emb = embT
-        .select(col("vec_id").as("id"),
-          posexplode(col("embedding")).as(Seq("pos", "xf")))
-        .select(col("id"), (col("pos") + 1).as("d"),
-          col("xf").cast(DoubleType).as("x"))
+      val nRows = t(s, dir, "embeddings").count()
+      val emb = embLong(s, dir)
       val c = Learn.centeredMicro(emb)
       val v = Learn.powerIterationMicro(c, dims = 64, iters = 8,
         nRows = nRows)
@@ -3858,13 +3858,8 @@ object SparkEntry {
       // are provably screened out (norm ratio ~2.9 > 1.5); the
       // hash-pinned shard counts equal the NATURAL corpus size, and
       // Round13Spec asserts exactly that (x106 discipline).
-      val embT = t(s, dir, "embeddings")
-      val nRows = embT.count() + 10L
-      val base = embT
-        .select(col("vec_id").as("id"),
-          posexplode(col("embedding")).as(Seq("pos", "xf")))
-        .select(col("id"), (col("pos") + 1).as("d"),
-          col("xf").cast(DoubleType).as("x"))
+      val nRows = t(s, dir, "embeddings").count() + 10L
+      val base = embLong(s, dir)
       val emb = base.unionByName(base.filter(col("id") < 10)
         .select((col("id") + 10000000L).as("id"), col("d"),
           (col("x") * lit(3.0d)).as("x")))
@@ -3919,13 +3914,8 @@ object SparkEntry {
       // Cost = 2× x102 plus one residual pass; the corpus is still
       // never shuffled on the dim key. Oracle: x102's chain + a
       // residual CTE + a second unrolled 8-iteration chain.
-      val embT = t(s, dir, "embeddings")
-      val nRows = embT.count()
-      val emb = embT
-        .select(col("vec_id").as("id"),
-          posexplode(col("embedding")).as(Seq("pos", "xf")))
-        .select(col("id"), (col("pos") + 1).as("d"),
-          col("xf").cast(DoubleType).as("x"))
+      val nRows = t(s, dir, "embeddings").count()
+      val emb = embLong(s, dir)
       val c = Learn.centeredMicro(emb)
       val v1 = Learn.powerIterationMicro(c, dims = 64, iters = 8,
         nRows = nRows)
@@ -3967,13 +3957,8 @@ object SparkEntry {
       // oracle (gram recurrence ≠ data-pass recurrence numerically —
       // per-row s-cuts differ — so the two queries pin their own
       // chains). st20 shares this oracle verbatim.
-      val embT = t(s, dir, "embeddings")
-      val nRows = embT.count()
-      val emb = embT
-        .select(col("vec_id").as("id"),
-          posexplode(col("embedding")).as(Seq("pos", "xf")))
-        .select(col("id"), (col("pos") + 1).as("d"),
-          col("xf").cast(DoubleType).as("x"))
+      val nRows = t(s, dir, "embeddings").count()
+      val emb = embLong(s, dir)
       val gram = Learn.gramMicro(Learn.centeredMicro(emb))
       val w = Learn.gramPowerIteration(gram, dims = 64, iters = 8,
         nRows = nRows)

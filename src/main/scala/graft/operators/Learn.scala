@@ -181,6 +181,15 @@ object Learn {
     * construction — no tie analysis, at any scale, on any data. */
   private def q6(x: Column): Column = floor(x * lit(1000000.0d))
 
+  /** The shared projection step of the micro-PCA family: s_id =
+    * floor(Σ_d xc·v / 1e6) — one vector-grain hash agg with the
+    * D-row `v` broadcast (the oracle's `proj`/`sp` CTE). */
+  private def projMicro(centered: DataFrame, v: DataFrame): DataFrame =
+    centered.join(broadcast(v), Seq("d"))
+      .groupBy(col("id"))
+      .agg(floor(sum((col("xc") * col("v")).cast(intDec))
+        .cast(DoubleType) / lit(1000000.0d)).as("s"))
+
   /** Mean-center a long-form vector relation (id, d, x) into exact
     * integer micro-units: xi = floor(x·1e6), mi = floor(Σxi/n);
     * xc = xi − mi is EXACT integer arithmetic — centering loses
@@ -239,10 +248,7 @@ object Learn {
       .select(col("d"), lit(v0).as("v"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val s = centered.join(broadcast(v), Seq("d"))
-        .groupBy(col("id"))
-        .agg(floor(sum((col("xc") * col("v")).cast(intDec))
-          .cast(DoubleType) / lit(1000000.0d)).as("s"))
+      val s = projMicro(centered, v)
       val u = centered.join(s, Seq("id"))
         .groupBy(col("d"))
         .agg(floor(sum((col("xc") * col("s")).cast(intDec))
@@ -267,10 +273,7 @@ object Learn {
     * floor-cut to 6 decimals. */
   def varianceAlongMicro(centered: DataFrame, v: DataFrame,
                          nRows: Long): DataFrame = {
-    val s = centered.join(broadcast(v), Seq("d"))
-      .groupBy(col("id"))
-      .agg(floor(sum((col("xc") * col("v")).cast(intDec))
-        .cast(DoubleType) / lit(1000000.0d)).as("s"))
+    val s = projMicro(centered, v)
     val lam = s.agg((q6(sum((col("s") * col("s")).cast(intDec))
         .cast(DoubleType) / lit(1.0e12d) / lit(nRows.toDouble))
       / lit(1000000.0d)).as("pc_var"))
@@ -291,10 +294,7 @@ object Learn {
     * shuffled on the dim key. Returns (id, d, e) in micro-units,
     * exact integers (the only cuts are the two floor()s). */
   def removeTopPC(centered: DataFrame, v: DataFrame): DataFrame = {
-    val s = centered.join(broadcast(v), Seq("d"))
-      .groupBy(col("id"))
-      .agg(floor(sum((col("xc") * col("v")).cast(intDec))
-        .cast(DoubleType) / lit(1000000.0d)).as("s"))
+    val s = projMicro(centered, v)
     centered.join(s, Seq("id")).join(broadcast(v), Seq("d"))
       .select(col("id"), col("d"),
         (col("xc") - floor((col("s") * col("v")).cast(DoubleType) /
@@ -329,8 +329,11 @@ object Learn {
       col("xc").as("xc2"))
     a.join(b, Seq("id"))
       .groupBy(col("d1"), col("d2"))
-      .agg(sum((col("xc1") * col("xc2")).cast(intDec))
-        .cast(LongType).as("g"))
+      // G stays DECIMAL(38,0): |G| reaches ~n·1e12 micro², which
+      // overflows a silent (non-ANSI) long cast at n ~ 1e7 vectors —
+      // exactly the scale the one-pass pitch targets. Every consumer
+      // already does >64-bit arithmetic on G.
+      .agg(sum((col("xc1") * col("xc2")).cast(intDec)).as("g"))
       // eagerly materialized (the centeredMicro/x82 idiom): every
       // power iteration and both variance aggs re-read G — without
       // this the n·D² join-agg replays per iteration (measured: 3×

@@ -93,14 +93,18 @@ object Relational {
       // every task. A capped bloom only raises the false-positive
       // rate (more non-matching fact rows survive to the join) —
       // never false negatives, so the result is unchanged.
-      val bloomBytes = dim
+      // materialize once: the bloom route otherwise executes the dim
+      // plan twice more (sketch build + join) after the preflight —
+      // 3× the cost of a derived dim relation
+      val dm = dim.localCheckpoint()
+      val bloomBytes = dm
         .agg(graft.functions.BloomFns.bloomAgg(col(key),
           math.max(n, 1L),
           math.min(math.max(n, 1L) * 10L, 67108864L)))
         .head().getAs[Array[Byte]](0)
       (fact.filter(graft.functions.BloomFns
           .mightContain(bloomBytes, col(key)))
-        .join(dim, Seq(key)), "bloom_shuffle")
+        .join(dm, Seq(key)), "bloom_shuffle")
     } else (fact.join(dim, Seq(key)), "shuffle")
   }
 }

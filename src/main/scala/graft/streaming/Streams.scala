@@ -1100,8 +1100,12 @@ object Streams {
         org.apache.spark.sql.types.IntegerType),
       org.apache.spark.sql.types.StructField("d2",
         org.apache.spark.sql.types.IntegerType),
+      // DECIMAL(38,0), not LONG: raw second moments are >= centered
+      // co-moments and the additive ledger accumulates forever — a
+      // silent long wrap at ~1e7 folded vectors would break the
+      // "equals batch moments EXACTLY" invariant with no error
       org.apache.spark.sql.types.StructField("val",
-        org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.DecimalType(38, 0)),
       org.apache.spark.sql.types.StructField("__last_batch",
         org.apache.spark.sql.types.LongType)))
 
@@ -1116,15 +1120,14 @@ object Streams {
           * lit(1000000.0d)).as("xi"))
     val a = xi.select(col("id"), col("d").as("d1"), col("xi").as("x1"))
     val b = xi.select(col("id"), col("d").as("d2"), col("xi").as("x2"))
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val moments = a.join(b, Seq("id"))
       .groupBy(col("d1"), col("d2"))
-      .agg(sum((col("x1") * col("x2"))
-        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-        .cast(org.apache.spark.sql.types.LongType).as("val"))
+      .agg(sum((col("x1") * col("x2")).cast(dec38)).as("val"))
     val sums = xi.groupBy(col("d").as("d1"))
-      .agg(sum(col("xi")).as("val"))
+      .agg(sum(col("xi").cast(dec38)).as("val"))
       .select(col("d1").cast("int"), lit(0).as("d2"), col("val"))
-    val n = batch.agg(count(lit(1)).as("val"))
+    val n = batch.agg(count(lit(1)).cast(dec38).as("val"))
       .select(lit(0).as("d1"), lit(0).as("d2"), col("val"))
     moments.select(col("d1").cast("int"), col("d2").cast("int"),
       col("val")).unionByName(sums).unionByName(n)
@@ -1158,9 +1161,15 @@ object Streams {
     * centered relation EXACTLY (integer algebra, no approximation).
     * Returns ((d1, d2, g), n). */
   def pcaLedgerGram(spark: SparkSession, path: String): (DataFrame, Long) = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val ledger = spark.read.parquet(path)
-    val n = ledger.filter(col("d1") === 0 && col("d2") === 0)
-      .head().getLong(2)
+    val nRow = ledger.filter(col("d1") === 0 && col("d2") === 0)
+      .head(1)
+    require(nRow.nonEmpty, "pcaLedgerGram: ledger has no (0,0) " +
+      "count row — no batch was ever folded into it")
+    val n = nRow(0).getDecimal(2).longValueExact()
+    require(n > 0, s"pcaLedgerGram: ledger vector count is $n — " +
+      "only empty batches were folded; the gram is undefined")
     val sums = ledger.filter(col("d1") > 0 && col("d2") === 0)
       .select(col("d1").as("d"), col("val").as("sx"),
         floor(col("val").cast(org.apache.spark.sql.types.DoubleType)
@@ -1169,12 +1178,14 @@ object Streams {
       col("mi").as("mi1"))
     val s2 = sums.select(col("d").as("d2"), col("sx").as("sx2"),
       col("mi").as("mi2"))
+    // all in DECIMAL(38,0): n·mi² alone exceeds 64 bits at ~1e7
+    // folded vectors
     val gram = ledger.filter(col("d1") > 0 && col("d2") > 0)
       .join(broadcast(s1), Seq("d1")).join(broadcast(s2), Seq("d2"))
       .select(col("d1"), col("d2"),
         (col("val") - col("mi1") * col("sx2") -
           col("mi2") * col("sx1") +
-          lit(n) * col("mi1") * col("mi2")).as("g"))
+          lit(n).cast(dec38) * col("mi1") * col("mi2")).as("g"))
     (gram, n)
   }
 

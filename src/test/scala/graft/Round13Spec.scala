@@ -143,9 +143,11 @@ class Round13Spec extends GraftSuite {
         col("xf").cast("double").as("x"))
     val gramB = Learn.gramMicro(Learn.centeredMicro(long))
     val l = gramL.orderBy(col("d1"), col("d2")).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getAs[java.math.BigDecimal](2).longValueExact()))
     val b = gramB.orderBy(col("d1"), col("d2")).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getAs[java.math.BigDecimal](2).longValueExact()))
     assert(l.toSeq === b.toSeq)
   }
 
