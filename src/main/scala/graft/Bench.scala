@@ -133,6 +133,7 @@ object Bench {
     "st20_stream_pca",       // streaming moment-ledger PCA twin
     "j21_join_auto",         // measured join-strategy router
     "e2e_embed_pipeline",    // center → ABTT → norm screen → shards
+    "x108_partition_advisor", // executable shuffle/file sizing rule
     "x36_span_dup_coverage") // bridge query shared with all sets
 
   def main(args: Array[String]): Unit = {

@@ -3890,6 +3890,23 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
+    "x108_partition_advisor" -> ((s, dir) => {
+      // EXECUTABLE partition-sizing rule (Layout.partitionAdvisor —
+      // the lgkFor/bandsFor discipline applied to the shuffle
+      // itself): schema-driven byte estimate per table →
+      // recommended spark.sql.shuffle.partitions (128 MB in-memory
+      // target) and write file count (512 MB target) — the two
+      // numbers every 100 TB job must set and usually guesses. At
+      // these test scales every table recommends 1 (honest: they
+      // fit one partition); the ceil arithmetic itself is
+      // spec-pinned on crafted sizes, and the byte estimates are
+      // hash-oracled exactly per table.
+      Seq("documents", "embeddings", "lineitem", "orders")
+        .map(n => Layout.partitionAdvisor(t(s, dir, n), n))
+        .reduce(_.unionByName(_))
+        .orderBy(col("tbl"))
+    }),
+
     "st21_stream_bpe" -> ((s, dir) => {
       // x101's STREAMING TWIN: the word-frequency ledger is BPE
       // training's sufficient statistic and counts are additive
@@ -10011,6 +10028,34 @@ object SparkEntry {
     "e2e_embed_pipeline" -> (x102Chain(iters = 8, dims = 64,
       prefix = e2eCanaryChain) + residPrefix(iters = 8) +
       e2eEmbedTail),
+
+    "x108_partition_advisor" -> """
+      WITH adv AS (
+        SELECT 'documents' AS tbl, COUNT(*) AS n_rows,
+               SUM(16 + length(text) + length(lang) + length(source))
+                 AS b
+        FROM documents
+        UNION ALL
+        SELECT 'embeddings', COUNT(*),
+               SUM(12 + 4 * len(embedding))
+        FROM embeddings
+        UNION ALL
+        SELECT 'lineitem', COUNT(*),
+               SUM(68 + length(l_returnflag) + length(l_linestatus))
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders', COUNT(*),
+               SUM(32 + length(o_orderstatus)
+                 + length(o_orderpriority))
+        FROM orders)
+      SELECT tbl, n_rows,
+             CAST(floor(CAST(b AS DOUBLE) / 1048576.0) AS BIGINT)
+               AS est_total_mb,
+             GREATEST(1, CAST(floor((CAST(b AS DOUBLE) + 134217727.0)
+               / 134217728.0) AS BIGINT)) AS rec_shuffle_partitions,
+             GREATEST(1, CAST(floor((CAST(b AS DOUBLE) + 536870911.0)
+               / 536870912.0) AS BIGINT)) AS rec_write_files
+      FROM adv ORDER BY tbl""",
 
     "j21_join_auto" -> """
       SELECT c_mktsegment, COUNT(*) AS n_orders,

@@ -182,4 +182,61 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Schema-driven per-row in-memory byte estimate, as a pure column
+    * expression: fixed widths for numeric/temporal types, `length()`
+    * for strings, `size()·eltWidth` for primitive arrays. An
+    * ESTIMATE by design (no encoding/overhead modelling) — its job
+    * is sizing shuffles and writes to the right order of magnitude,
+    * not accounting. Fails fast on types it cannot price. */
+  def rowBytes(df: DataFrame): Column =
+    df.schema.fields.map { f =>
+      f.dataType match {
+        case LongType | DoubleType | TimestampType |
+             TimestampNTZType => lit(8L)
+        case IntegerType | DateType | FloatType => lit(4L)
+        case ShortType => lit(2L)
+        case BooleanType | ByteType => lit(1L)
+        case StringType =>
+          coalesce(length(col(f.name)).cast(LongType), lit(0L))
+        case BinaryType =>
+          coalesce(length(col(f.name)).cast(LongType), lit(0L))
+        case ArrayType(FloatType | IntegerType | DateType, _) =>
+          coalesce(size(col(f.name)).cast(LongType) * 4L, lit(0L))
+        case ArrayType(DoubleType | LongType | TimestampType, _) =>
+          coalesce(size(col(f.name)).cast(LongType) * 8L, lit(0L))
+        case other => throw new IllegalArgumentException(
+          s"rowBytes: no width rule for column ${f.name}: $other")
+      }
+    }.reduce(_ + _)
+
+  /** EXECUTABLE partition-sizing rule (the lgkFor/bandsFor pattern
+    * applied to the shuffle itself): measure a relation's estimated
+    * bytes and recommend `spark.sql.shuffle.partitions` for a
+    * `shuffleMb` in-memory target and output file count for a
+    * `fileMb` write target — the two numbers every 100 TB job must
+    * set and usually guesses. One aggregation pass; ceil() done as
+    * floor((b + t − 1)/t) on IEEE-identical doubles so an oracle
+    * reproduces the recommendation bit-for-bit. Returns a 1-row
+    * (tbl, n_rows, est_total_mb, rec_shuffle_partitions,
+    * rec_write_files) pane. */
+  def partitionAdvisor(df: DataFrame, table: String,
+                       shuffleMb: Int = 128,
+                       fileMb: Int = 512): DataFrame = {
+    val tgtS = shuffleMb.toLong * 1048576L
+    val tgtF = fileMb.toLong * 1048576L
+    def ceilDiv(b: Column, t: Long): Column =
+      greatest(lit(1L), floor((b + lit((t - 1).toDouble)) /
+        lit(t.toDouble)).cast(LongType))
+    df.agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(rowBytes(df).cast(DecimalType(38, 0))),
+          lit(0L).cast(DecimalType(38, 0))).as("bytes"))
+      .select(lit(table).as("tbl"), col("n_rows"),
+        floor(col("bytes").cast(DoubleType) / lit(1048576.0d))
+          .cast(LongType).as("est_total_mb"),
+        ceilDiv(col("bytes").cast(DoubleType), tgtS)
+          .as("rec_shuffle_partitions"),
+        ceilDiv(col("bytes").cast(DoubleType), tgtF)
+          .as("rec_write_files"))
+  }
 }

@@ -262,6 +262,31 @@ class Round13Spec extends GraftSuite {
     assert(out.length === 4 && out.forall(_.getLong(1) > 0))
   }
 
+  test("partitionAdvisor: hand-computed byte estimate, ceil " +
+       "arithmetic at a crafted boundary, fail-fast on unpriced types") {
+    import spark.implicits._
+    import graft.operators.Layout
+    // 8 (long) + length("abcde")=5 + 3 floats ×4 = 25 bytes/row × 4
+    val df = Seq.fill(4)((7L, "abcde", Array(1.0f, 2.0f, 3.0f)))
+      .toDF("k", "s", "v")
+    val r = Layout.partitionAdvisor(df, "t").collect()(0)
+    assert(r.getString(0) === "t" && r.getLong(1) === 4L)
+    assert(r.getLong(2) === 0L) // 100 bytes → 0 MB
+    assert(r.getLong(3) === 1L && r.getLong(4) === 1L)
+    // exact ceil at a boundary: shuffleMb=1 ⇒ 1048576-byte target;
+    // 2 rows of (8 + 524284 + 0) = 1048584 bytes → ceil = 2
+    val big = Seq.fill(2)((1L, "x" * 524284,
+      Array.empty[Float])).toDF("k", "s", "v")
+    val rb = Layout.partitionAdvisor(big, "b", shuffleMb = 1,
+      fileMb = 1).collect()(0)
+    assert(rb.getLong(3) === 2L, rb.toString)
+    val ex = intercept[IllegalArgumentException] {
+      Layout.partitionAdvisor(
+        Seq((1, Map("a" -> 1))).toDF("k", "m"), "bad").collect()
+    }
+    assert(ex.getMessage.contains("no width rule"))
+  }
+
   test("joinAuto: all three routes return identical results and " +
        "report their route") {
     import spark.implicits._
