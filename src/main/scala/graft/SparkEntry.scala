@@ -3890,6 +3890,19 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
+    "x109_salt_advisor" -> ((s, dir) => {
+      // EXECUTABLE salt-sizing rule (Relational.saltAdvisor): the
+      // x24 skew audit turned into the number j9's salted join
+      // needs — rec_salt = ceil(max_key_rows · P / total) at P = 32
+      // (the session parallelism). events.event_type is naturally
+      // skewed (few types over 100k rows), so the recommendation is
+      // genuinely > 1 here — the advisor's salt branch is live on
+      // natural data, and Round13Spec pins both branches plus the
+      // rec-salted join's route-invariance.
+      Relational.saltAdvisor(t(s, dir, "events"), "event_type",
+        partitions = 32)
+    }),
+
     "x108_partition_advisor" -> ((s, dir) => {
       // EXECUTABLE partition-sizing rule (Layout.partitionAdvisor —
       // the lgkFor/bandsFor discipline applied to the shuffle
@@ -10028,6 +10041,26 @@ object SparkEntry {
     "e2e_embed_pipeline" -> (x102Chain(iters = 8, dims = 64,
       prefix = e2eCanaryChain) + residPrefix(iters = 8) +
       e2eEmbedTail),
+
+    "x109_salt_advisor" -> """
+      WITH tot AS (
+        SELECT COUNT(*) AS total_rows,
+               COUNT(DISTINCT event_type) AS distinct_keys
+        FROM events),
+      mk AS (
+        SELECT CAST(event_type AS VARCHAR) AS max_key,
+               COUNT(*) AS max_rows
+        FROM events GROUP BY event_type
+        ORDER BY COUNT(*) DESC, event_type ASC LIMIT 1)
+      SELECT 'event_type' AS key_col, total_rows, distinct_keys,
+             max_key, max_rows,
+             floor(CAST(max_rows AS DOUBLE) / total_rows * 10000.0)
+               / 10000.0 AS max_share,
+             GREATEST(1, LEAST(32,
+               CAST(floor((CAST(max_rows AS DOUBLE) * 32.0
+                 + total_rows - 1.0) / total_rows) AS BIGINT)))
+               AS rec_salt
+      FROM tot CROSS JOIN mk""",
 
     "x108_partition_advisor" -> """
       WITH adv AS (

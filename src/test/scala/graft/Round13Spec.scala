@@ -287,6 +287,35 @@ class Round13Spec extends GraftSuite {
     assert(ex.getMessage.contains("no width rule"))
   }
 
+  test("saltAdvisor: hand-computed rec_salt on crafted skew, the " +
+       "no-skew branch recommends 1, and the rec-salted join is " +
+       "route-invariant") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // keys a×6, b×2, c×2 → total 10; P=4 ⇒ ceil(6·4/10) = 3
+    val skewed = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++
+      Seq.fill(2)("c")).zipWithIndex.map(_.swap).toDF("i", "k")
+    val r = Relational.saltAdvisor(skewed, "k", partitions = 4)
+      .collect()(0)
+    assert(r.getString(3) === "a" && r.getLong(4) === 6L)
+    assert(r.getDouble(5) === 0.6)
+    assert(r.getLong(6) === 3L, r.toString)
+    // uniform keys → the advisor's don't-salt branch
+    val uniform = (1 to 10).map(i => (i, s"k$i")).toDF("i", "k")
+    assert(Relational.saltAdvisor(uniform, "k", partitions = 4)
+      .collect()(0).getLong(6) === 1L)
+    // the recommendation feeds j9's salted join without changing
+    // the result
+    val dim = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v")
+    val plain = skewed.join(dim, Seq("k"))
+      .orderBy(col("i")).collect()
+      .map(x => (x.getString(0), x.getInt(1), x.getInt(2))).toSeq
+    val salted = Relational.saltedJoin(skewed, dim, "k", salt = 3)
+      .orderBy(col("i")).collect()
+      .map(x => (x.getString(0), x.getInt(1), x.getInt(2))).toSeq
+    assert(salted === plain)
+  }
+
   test("joinAuto: all three routes return identical results and " +
        "report their route") {
     import spark.implicits._
