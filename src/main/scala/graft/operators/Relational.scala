@@ -79,39 +79,6 @@ object Relational {
     * the dim is the same 1-action scalar probe x74/x93 use; on a real
     * lake it reads footer statistics, here it is one cheap job.
     * Returns (joined, route) so callers/specs can pin the decision. */
-  /** EXECUTABLE salt-sizing rule connecting the x24 skew audit to
-    * [[saltedJoin]] (the lgkFor/bandsFor discipline, like x108's
-    * partition advisor): measure the heaviest key's row share and
-    * recommend the salt factor that spreads it across the target
-    * parallelism — rec_salt = ceil(max_key_rows · P / total), i.e.
-    * how many partitions' worth of rows the hot key carries, clamped
-    * to [1, P]. rec_salt = 1 means "don't salt" (the advisor's
-    * no-skew branch); ceil is floor((a·P + t − 1)/t) on
-    * IEEE-identical doubles so an oracle reproduces it bit-for-bit.
-    * Ties on the max key break by key value (deterministic). Returns
-    * a 1-row (key_col, total_rows, distinct_keys, max_key, max_rows,
-    * max_share, rec_salt) pane. */
-  def saltAdvisor(df: DataFrame, key: String,
-                  partitions: Int): DataFrame = {
-    require(partitions >= 1, s"partitions must be >= 1: $partitions")
-    val mk = df.groupBy(col(key))
-      .agg(count(lit(1)).as("max_rows"))
-      .orderBy(col("max_rows").desc, col(key).asc).limit(1)
-      .select(col(key).cast("string").as("max_key"), col("max_rows"))
-    val tot = df.agg(count(lit(1)).as("total_rows"),
-      countDistinct(col(key)).as("distinct_keys"))
-    tot.crossJoin(mk) // two 1-row relations
-      .select(lit(key).as("key_col"), col("total_rows"),
-        col("distinct_keys"), col("max_key"), col("max_rows"),
-        (floor(col("max_rows").cast("double") / col("total_rows")
-          * lit(10000.0d)) / lit(10000.0d)).as("max_share"),
-        greatest(lit(1L), least(lit(partitions.toLong),
-          floor((col("max_rows").cast("double")
-              * lit(partitions.toDouble) + col("total_rows")
-              - lit(1.0d)) / col("total_rows"))
-            .cast("long"))).as("rec_salt"))
-  }
-
   def joinAuto(fact: DataFrame, dim: DataFrame, key: String,
                broadcastRows: Long = 1000000L,
                bloomRows: Long = 50000000L): (DataFrame, String) = {
@@ -139,5 +106,45 @@ object Relational {
           .mightContain(bloomBytes, col(key)))
         .join(dm, Seq(key)), "bloom_shuffle")
     } else (fact.join(dim, Seq(key)), "shuffle")
+  }
+
+  /** EXECUTABLE salt-sizing rule connecting the x24 skew audit to
+    * [[saltedJoin]] (the lgkFor/bandsFor discipline, like x108's
+    * partition advisor): measure the heaviest key's row share and
+    * recommend the salt factor that spreads it across the target
+    * parallelism — rec_salt = ceil(max_key_rows · P / total), i.e.
+    * how many partitions' worth of rows the hot key carries, clamped
+    * to [1, P]. rec_salt = 1 means "don't salt" (the advisor's
+    * no-skew branch); ceil is floor((a·P + t − 1)/t) on
+    * IEEE-identical doubles so an oracle reproduces it bit-for-bit.
+    * ONE scan of the fact table: the key-count relation (D rows,
+    * D ≪ N) is materialized once and both the argmax and the
+    * totals derive from it — total_rows = Σ counts, distinct_keys =
+    * count of non-null keys (countDistinct semantics). Ties on the
+    * max key break by key value ascending with NULLS LAST (pinned:
+    * DuckDB's ASC default, so the oracle agrees even when a null
+    * key group ties for the max). Returns a 1-row (key_col,
+    * total_rows, distinct_keys, max_key, max_rows, max_share,
+    * rec_salt) pane. */
+  def saltAdvisor(df: DataFrame, key: String,
+                  partitions: Int): DataFrame = {
+    require(partitions >= 1, s"partitions must be >= 1: $partitions")
+    val counts = df.groupBy(col(key))
+      .agg(count(lit(1)).as("max_rows")).localCheckpoint()
+    val mk = counts
+      .orderBy(col("max_rows").desc, col(key).asc_nulls_last).limit(1)
+      .select(col(key).cast("string").as("max_key"), col("max_rows"))
+    val tot = counts.agg(sum(col("max_rows")).as("total_rows"),
+      count(col(key)).as("distinct_keys"))
+    tot.crossJoin(mk) // two 1-row relations
+      .select(lit(key).as("key_col"), col("total_rows"),
+        col("distinct_keys"), col("max_key"), col("max_rows"),
+        (floor(col("max_rows").cast("double") / col("total_rows")
+          * lit(10000.0d)) / lit(10000.0d)).as("max_share"),
+        greatest(lit(1L), least(lit(partitions.toLong),
+          floor((col("max_rows").cast("double")
+              * lit(partitions.toDouble) + col("total_rows")
+              - lit(1.0d)) / col("total_rows"))
+            .cast("long"))).as("rec_salt"))
   }
 }
