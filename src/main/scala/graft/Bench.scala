@@ -135,6 +135,7 @@ object Bench {
     "e2e_embed_pipeline",    // center → ABTT → norm screen → shards
     "x108_partition_advisor", // executable shuffle/file sizing rule
     "x109_salt_advisor",     // executable skew-salt sizing rule
+    "x110_domain_reweight",  // DoReMi measured-mixture advisor
     "x36_span_dup_coverage") // bridge query shared with all sets
 
   def main(args: Array[String]): Unit = {

@@ -3920,6 +3920,32 @@ object SparkEntry {
         .orderBy(col("tbl"))
     }),
 
+    "x110_domain_reweight" -> ((s, dir) => {
+      // DoReMi one-step domain reweighting (Learn.domainReweight):
+      // mixture weights MEASURED from per-domain bigram-LM loss where
+      // x37's mixturePlan takes them as given config. The natural
+      // lang domains sit within ~0.01 nats of the corpus mean on this
+      // shared-vocabulary corpus, so a zz_sorted canary domain
+      // (sorted-token copies of every 17th doc — word order destroyed
+      // deterministically) keeps BOTH update branches live at every
+      // scale: sorted runs of repeated tokens make the canary the
+      // EASY domain (mean_nll ~2.98 vs ~3.41 at sf0.01), it clamps
+      // to excess 0 and is downweighted, while every natural domain
+      // carries positive excess and earns exp(η·excess) boost — the
+      // x106 gate-liveness discipline, spec-asserted in Round13Spec.
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val canary = base.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          lit("zz_sorted").as("lang"),
+          array_join(array_sort(regexp_extract_all(lower(col("text")),
+            lit("\\S+"), lit(0))), " ").as("text"))
+      Learn.domainReweight(base.unionByName(canary), col("lang"),
+          col("doc_id"), col("text"), eta = 5.0, lambda = 0.2,
+          budgetTokens = 1000000L)
+        .orderBy(col("domain"))
+    }),
+
     "st21_stream_bpe" -> ((s, dir) => {
       // x101's STREAMING TWIN: the word-frequency ledger is BPE
       // training's sufficient statistic and counts are additive
@@ -10064,22 +10090,29 @@ object SparkEntry {
 
     "x108_partition_advisor" -> """
       WITH adv AS (
+        -- COALESCE mirrors Layout.rowBytes exactly: a NULL string or
+        -- array prices as 0 bytes, and an empty table sums to 0, so
+        -- the oracle agrees with the engine on any data, not just
+        -- the null-free driver parquet.
         SELECT 'documents' AS tbl, COUNT(*) AS n_rows,
-               SUM(16 + length(text) + length(lang) + length(source))
-                 AS b
+               COALESCE(SUM(16 + COALESCE(length(text), 0)
+                 + COALESCE(length(lang), 0)
+                 + COALESCE(length(source), 0)), 0) AS b
         FROM documents
         UNION ALL
         SELECT 'embeddings', COUNT(*),
-               SUM(12 + 4 * len(embedding))
+               COALESCE(SUM(12
+                 + COALESCE(4 * len(embedding), 0)), 0)
         FROM embeddings
         UNION ALL
         SELECT 'lineitem', COUNT(*),
-               SUM(68 + length(l_returnflag) + length(l_linestatus))
+               COALESCE(SUM(68 + COALESCE(length(l_returnflag), 0)
+                 + COALESCE(length(l_linestatus), 0)), 0)
         FROM lineitem
         UNION ALL
         SELECT 'orders', COUNT(*),
-               SUM(32 + length(o_orderstatus)
-                 + length(o_orderpriority))
+               COALESCE(SUM(32 + COALESCE(length(o_orderstatus), 0)
+                 + COALESCE(length(o_orderpriority), 0)), 0)
         FROM orders)
       SELECT tbl, n_rows,
              CAST(floor(CAST(b AS DOUBLE) / 1048576.0) AS BIGINT)
@@ -10089,6 +10122,65 @@ object SparkEntry {
              GREATEST(1, CAST(floor((CAST(b AS DOUBLE) + 536870911.0)
                / 536870912.0) AS BIGINT)) AS rec_write_files
       FROM adv ORDER BY tbl""",
+
+    "x110_domain_reweight" -> """
+      WITH base AS (SELECT doc_id, lang, text FROM documents),
+      aug AS (
+        SELECT doc_id, lang, text FROM base
+        UNION ALL
+        SELECT doc_id + 1000000, 'zz_sorted',
+               array_to_string(list_sort(
+                 regexp_extract_all(lower(text), '\S+')), ' ')
+        FROM base WHERE doc_id % 17 = 0),
+      toks AS (
+        SELECT doc_id AS id, lang AS domain,
+               regexp_extract_all(lower(text), '\S+') AS t
+        FROM aug),
+      tokens AS (
+        SELECT id, UNNEST(t) AS tok, generate_subscripts(t, 1) AS pos
+        FROM toks),
+      bigrams AS (
+        SELECT id, w1, w2 FROM (
+          SELECT id, tok AS w1,
+                 lead(tok) OVER (PARTITION BY id ORDER BY pos) AS w2
+          FROM tokens)
+        WHERE w2 IS NOT NULL),
+      uni AS (SELECT tok AS w1, COUNT(*) AS c1 FROM tokens GROUP BY 1),
+      v AS (SELECT COUNT(DISTINCT tok) AS v FROM tokens),
+      bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY 1, 2),
+      logp AS (
+        SELECT w1, w2, ln((c12 + 1.0) / (c1 + v)) AS logp
+        FROM bi JOIN uni USING (w1) CROSS JOIN v),
+      perdoc AS (
+        SELECT id, round(AVG(logp), 4) AS avg_logp2
+        FROM bigrams JOIN logp USING (w1, w2) GROUP BY id),
+      dom AS (
+        SELECT t.domain, COUNT(*) AS n_docs,
+               round(-CAST(SUM(CAST(p.avg_logp2 AS DECIMAL(18,4)))
+                 AS DOUBLE) / COUNT(*), 4) AS mean_nll
+        FROM perdoc p JOIN toks t ON p.id = t.id GROUP BY 1),
+      tk AS (
+        SELECT domain, CAST(SUM(len(t)) AS BIGINT) AS corpus_tokens
+        FROM toks GROUP BY 1),
+      ref AS (
+        SELECT CAST(SUM(CAST(mean_nll AS DECIMAL(18,4)) * n_docs)
+                 AS DOUBLE) / SUM(n_docs) AS ref_nll
+        FROM dom),
+      pane AS (
+        SELECT d.domain, d.n_docs, tk.corpus_tokens, d.mean_nll,
+               GREATEST(0.0, d.mean_nll - ref_nll) AS ex
+        FROM dom d JOIN tk USING (domain) CROSS JOIN ref),
+      wpane AS (
+        SELECT domain, n_docs, corpus_tokens, mean_nll,
+               round(ex, 4) AS excess,
+               round(0.8 * exp(5.0 * ex)
+                   / SUM(exp(5.0 * ex)) OVER ()
+                 + 0.2 / COUNT(*) OVER (), 4) AS weight
+        FROM pane)
+      SELECT domain, n_docs, corpus_tokens, mean_nll, excess, weight,
+             CAST(floor(1000000.0 * weight + 0.5) AS BIGINT)
+               AS target_tokens
+      FROM wpane ORDER BY domain""",
 
     "j21_join_auto" -> """
       SELECT c_mktsegment, COUNT(*) AS n_orders,

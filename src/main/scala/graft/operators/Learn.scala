@@ -393,4 +393,79 @@ object Learn {
       .withColumn("evr",
         q6(col("pc_var") / col("total_var")) / lit(1000000.0d))
   }
+
+  /** DoReMi-style domain reweighting (Xie et al., "DoReMi: Optimizing
+    * Data Mixtures Speeds Up Language Model Pretraining", NeurIPS
+    * 2023), reduced to its grouped-loss → exponentiated-gradient core
+    * and driven by the in-engine bigram LM ([[TextOps.bigramLogProb]])
+    * in place of the paper's proxy/reference model pair: domains
+    * whose documents the corpus LM finds HARD (mean NLL above the
+    * doc-weighted corpus mean) get their mixture weight multiplied by
+    * exp(η·excess) and renormalized; below-mean domains clamp to
+    * excess 0 (the published max(0, ·) clamp — easy/redundant domains
+    * are never upweighted); the final weights smooth toward uniform
+    * with mixing weight λ, DoReMi's (1−λ)·softmax + λ·u step. Where
+    * x37's mixturePlan takes weights as GIVEN config, this MEASURES
+    * them from the corpus — the advisor half of data mixing.
+    *
+    * 100 TB shape: doc scoring is x90's distributed count-and-join
+    * chain (bigram/unigram tables stay distributed, only a 1-row
+    * vocab size broadcasts); everything after runs on a DOMAIN-grain
+    * pane (D rows — the unpartitioned window over it is state-grain,
+    * not data-grain). The pane doubles as the mixture PLAN:
+    * target_tokens = floor(budget·weight + 0.5) realizes the weights
+    * against a token budget exactly the way [[Sampling.mixturePlan]]
+    * does, so the advisor's output is directly the action's input.
+    *
+    * Determinism (oracle contract): per-doc scores are x90's
+    * round(…,4); domain means and the doc-weighted reference ride
+    * exact DECIMAL sums; the boost/normalize chain is IEEE-double
+    * arithmetic on identical inputs rounded to 4 only at the output
+    * (exp/ln last-ulp differences sit ~12 orders below the rounding
+    * grain). Docs with < 2 tokens carry no order signal and drop from
+    * scoring — n_docs counts SCORED docs; corpus_tokens counts every
+    * domain token so the budget split reflects the real corpus. A
+    * domain with no scorable doc drops from the pane entirely. */
+  def domainReweight(df: DataFrame, domain: Column, id: Column,
+                     text: Column, eta: Double, lambda: Double,
+                     budgetTokens: Long): DataFrame = {
+    require(eta > 0.0, s"domainReweight: eta must be > 0: $eta")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"domainReweight: lambda must be in [0,1]: $lambda")
+    require(budgetTokens > 0L,
+      s"domainReweight: budgetTokens must be > 0: $budgetTokens")
+    import org.apache.spark.sql.expressions.Window
+    val dec4 = DecimalType(18, 4)
+    val dm = df.select(id.as("id"), domain.as("domain"),
+      text.as("__tx"))
+    val scored = TextOps.bigramLogProb(dm, col("id"), col("__tx"))
+    val dom = dm.select(col("id"), col("domain"))
+      .join(scored, Seq("id"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("avg_logp2").cast(dec4)).as("__s"))
+      .withColumn("mean_nll",
+        round(-col("__s").cast(DoubleType) / col("n_docs"), 4))
+    val toks = dm.groupBy(col("domain"))
+      .agg(sum(size(regexp_extract_all(lower(col("__tx")),
+        lit("\\S+"), lit(0)))).as("corpus_tokens"))
+    val ref = dom.agg(
+      (sum(col("mean_nll").cast(dec4) * col("n_docs"))
+        .cast(DoubleType) / sum(col("n_docs"))).as("__ref"))
+    val w = Window.partitionBy() // D-row domain pane, state-grain
+    dom.join(toks, Seq("domain"))
+      .crossJoin(broadcast(ref)) // 1-row scalar reference loss
+      .withColumn("__ex",
+        greatest(lit(0.0d), col("mean_nll") - col("__ref")))
+      .withColumn("__boost", exp(lit(eta) * col("__ex")))
+      .withColumn("weight", round(
+        lit(1.0d - lambda) * col("__boost")
+          / sum(col("__boost")).over(w)
+          + lit(lambda) / count(lit(1)).over(w), 4))
+      .select(col("domain"), col("n_docs"), col("corpus_tokens"),
+        col("mean_nll"), round(col("__ex"), 4).as("excess"),
+        col("weight"),
+        floor(lit(budgetTokens.toDouble) * col("weight") + lit(0.5d))
+          .cast(LongType).as("target_tokens"))
+  }
 }

@@ -57,7 +57,10 @@ class EntrySmokeSpec extends GraftSuite {
         // hash-green: retrieval fusion, mined pairs, trained scores
         "x95_hybrid_rrf", "x96_bitext_margin", "x97_quality_classifier",
         "st18_stream_dsir", "st19_stream_score",
-        "x98_calibration_audit", "x99_hard_negatives")
+        "x98_calibration_audit", "x99_hard_negatives",
+        // DoReMi pane: a scoring-chain bug that empties the bigram
+        // join would otherwise hash-green on emptiness
+        "x110_domain_reweight")
     val empty = guarded.filter(n =>
       SparkEntry.queries(n)(spark, SparkTestBase.sfDir).isEmpty)
     assert(empty.isEmpty, s"vacuous (0-row) guarded queries: $empty")

@@ -338,4 +338,47 @@ class Round13Spec extends GraftSuite {
     assert(r1 === Seq((1, 10.0, "a"), (2, 20.0, "b"),
       (2, 25.0, "b"), (3, 30.0, "c"))) // k=9 dropped on every route
   }
+
+  test("domainReweight: hard domains upweighted, easy domains clamp " +
+       "to zero excess, lambda=1 is exactly uniform, and the x110 " +
+       "canary branch is live on driver data") {
+    import spark.implicits._
+    import graft.operators.Learn
+    // easy domain: one repeated bigram (high p, low NLL); hard
+    // domain: every adjacent pair unique (add-one tail, high NLL)
+    val docs = Seq(
+      (1L, "easy", "a a a a a a a a"),
+      (2L, "easy", "a a a a a a a a"),
+      (3L, "hard", "b c d e f g h i"),
+      (4L, "hard", "i h g f e d c b")
+    ).toDF("id", "dom", "txt")
+    val pane = Learn.domainReweight(docs, col("dom"), col("id"),
+        col("txt"), eta = 5.0, lambda = 0.2, budgetTokens = 1000L)
+      .orderBy(col("domain")).collect()
+    assert(pane.length === 2)
+    val (easy, hard) = (pane(0), pane(1))
+    assert(easy.getString(0) === "easy" && hard.getString(0) === "hard")
+    assert(easy.getDouble(4) === 0.0) // below-mean -> clamped
+    assert(hard.getDouble(4) > 0.0)
+    assert(hard.getDouble(5) > easy.getDouble(5))
+    assert(math.abs(pane.map(_.getDouble(5)).sum - 1.0) < 1e-3)
+    // budget realization: targets track weights against the budget
+    assert(pane.map(_.getLong(6)).sum >= 999L)
+    // lambda = 1 -> pure uniform smoothing regardless of losses
+    val uni = Learn.domainReweight(docs, col("dom"), col("id"),
+        col("txt"), eta = 5.0, lambda = 1.0, budgetTokens = 1000L)
+      .collect().map(_.getDouble(5)).toSeq
+    assert(uni === Seq(0.5, 0.5))
+    // x106-style liveness on the real corpus: the sorted-token canary
+    // domain is the EASY one (excess clamps to 0) and every natural
+    // lang domain out-weighs it — both update branches exercised
+    val live = SparkEntry.queries("x110_domain_reweight")(spark,
+      SparkTestBase.sfDir).collect()
+    val canary = live.find(_.getString(0) == "zz_sorted")
+    assert(canary.isDefined, "canary domain missing from the pane")
+    assert(canary.get.getDouble(4) === 0.0)
+    val naturals = live.filter(_.getString(0) != "zz_sorted")
+    assert(naturals.nonEmpty)
+    assert(naturals.forall(_.getDouble(5) > canary.get.getDouble(5)))
+  }
 }
