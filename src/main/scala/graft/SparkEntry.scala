@@ -3617,7 +3617,7 @@ object SparkEntry {
       // fastText-classifier tier): full-batch GD logistic regression
       // over the same hashed uni+bigram feature space DSIR uses
       // (one tokenizer+hash definition for the whole selection
-      // stack), 3 iterations, en-seed labels — all as DataFrame
+      // stack), Learn.qualityIters iterations, en-seed labels — all as DataFrame
       // algebra (Learn.logisticTrain): per-iteration cost is two
       // hash aggregations; the model is a 4096-row broadcast
       // relation, never a driver vector. The pane audits per-source
@@ -3627,10 +3627,7 @@ object SparkEntry {
       // iterations in SQL — weights and scores match bit-for-bit
       // under the decimal-sum discipline.
       val docs = t(s, dir, "documents")
-      val feat = Learn.features(docs, col("doc_id"), col("text"))
-      val labels = docs.select(col("doc_id").as("id"),
-        when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y"))
-      val w = Learn.logisticTrain(feat, labels, iters = 12, lr = 8.0)
+      val (feat, labels, w) = Learn.qualityClassifier(docs)
       classifierPane(s, dir, Learn.logisticScore(
         docs.select(col("doc_id").as("id")), feat, w,
         Learn.logisticBias(labels)))
@@ -3649,10 +3646,7 @@ object SparkEntry {
       // and EntrySmokeSpec's e2e_* guard asserts it). Oracle = x97's
       // generated training chain + the build tail.
       val docs = t(s, dir, "documents")
-      val feat = Learn.features(docs, col("doc_id"), col("text"))
-      val labels = docs.select(col("doc_id").as("id"),
-        when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y"))
-      val w = Learn.logisticTrain(feat, labels, iters = 12, lr = 8.0)
+      val (feat, labels, w) = Learn.qualityClassifier(docs)
       val gated = Learn.logisticScore(
           docs.select(col("doc_id").as("id")), feat, w,
           Learn.logisticBias(labels))
@@ -4068,10 +4062,7 @@ object SparkEntry {
       // x97 (self-contained, the x74b discipline); the oracle reuses
       // x97's generated CTE chain with a calibration tail.
       val docs = t(s, dir, "documents")
-      val feat = Learn.features(docs, col("doc_id"), col("text"))
-      val labels = docs.select(col("doc_id").as("id"),
-        when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y"))
-      val w = Learn.logisticTrain(feat, labels, iters = 12, lr = 8.0)
+      val (feat, labels, w) = Learn.qualityClassifier(docs)
       Learn.logisticScore(docs.select(col("doc_id").as("id")), feat,
           w, Learn.logisticBias(labels))
         .join(docs.select(col("doc_id").as("id"), col("lang")),
@@ -5746,11 +5737,15 @@ object SparkEntry {
   private lazy val x105OracleStr: String = x105Oracle(iters = 8,
     dims = 64)
 
-  private lazy val x97OracleStr: String = x97Oracle(iters = 12,
-    lr = "8.0", x97PaneTail)
+  // iters/lr come from the SAME vals the engine trains with
+  // (Learn.qualityClassifier) — the operating point cannot diverge
+  private lazy val x97OracleStr: String = x97Oracle(
+    iters = Learn.qualityIters, lr = Learn.qualityLr.toString,
+    x97PaneTail)
 
-  private lazy val x98OracleStr: String = x97Oracle(iters = 12,
-    lr = "8.0", x98CalibrationTail)
+  private lazy val x98OracleStr: String = x97Oracle(
+    iters = Learn.qualityIters, lr = Learn.qualityLr.toString,
+    x98CalibrationTail)
 
   private def x97Oracle(iters: Int, lr: String, tail: String): String = {
     def gw(i: Int, pJoin: String, wPrev: Option[String]) = {
@@ -10048,8 +10043,8 @@ object SparkEntry {
              CAST(COALESCE(p.ids_fp, 0) AS BIGINT) AS ids_fp
       FROM documents d LEFT JOIN pane p ON d.doc_id = p.id
       ORDER BY id""",
-    "e2e_select_corpus" -> x97Oracle(iters = 12, lr = "8.0",
-      e2eSelectTail),
+    "e2e_select_corpus" -> x97Oracle(iters = Learn.qualityIters,
+      lr = Learn.qualityLr.toString, e2eSelectTail),
     "x101_bpe_train" -> (x101Chain(merges = 12) +
       x101MergeTail(merges = 12)),
     "st21_stream_bpe" -> (x101Chain(merges = 12) +
@@ -10341,16 +10336,20 @@ object SparkEntry {
                row_number() OVER (PARTITION BY b_id
                  ORDER BY cos4 DESC, a_id ASC) AS rb
         FROM p),
-      da AS (SELECT a_id, SUM(CAST(cos4 AS DECIMAL(18,4))) AS sa
+      da AS (SELECT a_id, SUM(CAST(cos4 AS DECIMAL(18,4))) AS sa,
+                    COUNT(*) AS na
              FROM r WHERE ra <= 4 GROUP BY a_id),
-      db AS (SELECT b_id, SUM(CAST(cos4 AS DECIMAL(18,4))) AS sb
+      db AS (SELECT b_id, SUM(CAST(cos4 AS DECIMAL(18,4))) AS sb,
+                    COUNT(*) AS nb
              FROM r WHERE rb <= 4 GROUP BY b_id),
       bb AS (SELECT b_id, a_id AS b_top1_a FROM r WHERE rb = 1)
       SELECT a_id, b_id, cos4 AS cos_sim,
-             round(cos4 / (CAST(sa + sb AS DOUBLE) / 8.0), 4) AS margin,
+             round(cos4 / ((CAST(sa AS DOUBLE) / na
+               + CAST(sb AS DOUBLE) / nb) / 2.0), 4) AS margin,
              (b_top1_a = a_id) AS mutual,
              (b_top1_a = a_id)
-               AND (cos4 / (CAST(sa + sb AS DOUBLE) / 8.0) > 1.05)
+               AND (cos4 / ((CAST(sa AS DOUBLE) / na
+                 + CAST(sb AS DOUBLE) / nb) / 2.0) > 1.05)
                AS accepted
       FROM (SELECT * FROM r WHERE ra = 1) c
       JOIN da USING (a_id) JOIN db USING (b_id) JOIN bb USING (b_id)

@@ -47,6 +47,30 @@ object Learn {
         round(col("cnt") / col("dl"), 6).as("v"))
   }
 
+  /** The quality classifier's STANDING operating point — one
+    * definition for the four consumers that must stay in lockstep
+    * with the shared generated oracle (`x97Oracle`): x97's pane,
+    * x98's calibration audit, e2e_select_corpus's gate, and st19's
+    * frozen streaming model. Changing the point here changes every
+    * consumer AND the oracle builders that reference these vals, so
+    * a silent engine/oracle divergence is impossible. The sweep that
+    * picked (12, 8.0) is recorded at the x97 query. */
+  val qualityIters = 12
+  val qualityLr = 8.0
+
+  /** The shared x97 training prologue at that operating point:
+    * hashed uni+bigram L1 features over `documents`, en-seed labels
+    * (y = 1 ⇔ lang = 'en'), preconditioned full-batch GD. Returns
+    * (feat, labels, weights) so consumers can score, gate, audit, or
+    * persist without re-deriving any piece of the recipe. */
+  def qualityClassifier(docs: DataFrame, nBuckets: Int = 4096)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val feat = features(docs, col("doc_id"), col("text"), nBuckets)
+    val labels = docs.select(col("doc_id").as("id"),
+      when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y"))
+    (feat, labels, logisticTrain(feat, labels, qualityIters, qualityLr))
+  }
+
   /** The 1-row fixed-intercept relation: logit of the label base
     * rate, rounded to 6. Fails fast on empty or single-class labels
     * (the logit is undefined/±∞ there and no classifier is
@@ -82,6 +106,7 @@ object Learn {
     * steps. */
   def logisticTrain(feat: DataFrame, labels: DataFrame,
                     iters: Int = 3, lr: Double = 0.5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
     // FIXED intercept at logit(base rate) — "centering": the model
     // starts AT the class prior (iteration-1 sigmoid = base rate
     // everywhere) and GD only learns per-bucket deviations. A

@@ -136,15 +136,26 @@ object Relational {
       .select(col(key).cast("string").as("max_key"), col("max_rows"))
     val tot = counts.agg(sum(col("max_rows")).as("total_rows"),
       count(col(key)).as("distinct_keys"))
-    tot.crossJoin(mk) // two 1-row relations
-      .select(lit(key).as("key_col"), col("total_rows"),
-        col("distinct_keys"), col("max_key"), col("max_rows"),
+    // LEFT join, not crossJoin: on an EMPTY input `mk` has 0 rows
+    // and a crossJoin would empty the pane, breaking the documented
+    // 1-row contract (and a crash for callers doing .collect()(0));
+    // `tot` is agg-without-groupBy so it is always exactly 1 row.
+    // The empty pane reads total_rows = 0, null max key/share, and
+    // rec_salt = 1 ("don't salt") — greatest/least skip nulls in
+    // Spark, so rec_salt needs the explicit empty branch or a null
+    // max_rows would yield rec_salt = partitions.
+    tot.join(mk, lit(true), "left")
+      .select(lit(key).as("key_col"),
+        coalesce(col("total_rows"), lit(0L)).as("total_rows"),
+        col("distinct_keys"), col("max_key"),
+        coalesce(col("max_rows"), lit(0L)).as("max_rows"),
         (floor(col("max_rows").cast("double") / col("total_rows")
           * lit(10000.0d)) / lit(10000.0d)).as("max_share"),
-        greatest(lit(1L), least(lit(partitions.toLong),
-          floor((col("max_rows").cast("double")
-              * lit(partitions.toDouble) + col("total_rows")
-              - lit(1.0d)) / col("total_rows"))
-            .cast("long"))).as("rec_salt"))
+        when(col("total_rows").isNull, lit(1L)).otherwise(
+          greatest(lit(1L), least(lit(partitions.toLong),
+            floor((col("max_rows").cast("double")
+                * lit(partitions.toDouble) + col("total_rows")
+                - lit(1.0d)) / col("total_rows"))
+              .cast("long")))).as("rec_salt"))
   }
 }

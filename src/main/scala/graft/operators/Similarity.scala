@@ -835,9 +835,10 @@ object Similarity {
     * x59 "consumes any top-k table" discipline); margins, mutuality,
     * and acceptance read only those k·|A|+k·|B| rows. Determinism:
     * ranks order by round(cos,4) with id tiebreaks, and the margin
-    * denominators are exact DECIMAL sums of the rounded cosines, so
-    * the accept gate compares operand-identical doubles on any engine
-    * (the x90/x94 decimal-sum recipe).
+    * denominators are exact DECIMAL sums of the rounded cosines over
+    * exact integer candidate counts, so the accept gate compares
+    * operand-identical doubles on any engine (the x90/x94
+    * decimal-sum recipe).
     *
     * Contract: both sides draw ids from ONE namespace (x96: doc_id);
     * an id appearing on both sides is the same item and is excluded
@@ -874,22 +875,37 @@ object Similarity {
     * [[annTopKAuto]], IVFPQ — anything emitting (query_id, rank,
     * neighbor_id, cos_sim)), run once in each direction. Only
     * k·|A| + k·|B| rows ever reach this function — candidate
-    * generation is the index's job. Feeding exact brute top-k tables
-    * reproduces [[bitextMarginMining]] row-for-row (spec-pinned), so
-    * swapping in an approximate index changes candidate QUALITY only,
-    * never the acceptance algebra. Tables must carry the side's full
-    * top-k (rank 1..k, cos rounded to 4 — the stack's contract). */
+    * generation is the index's job. The incoming ranks are NOT
+    * trusted: candidates are re-ranked here by the canonical
+    * (round-4 cos desc, id asc) order [[bitextMarginMining]] uses —
+    * a window over ≤k rows per query — because an index that ranks
+    * by RAW cosine (bruteTopK does) can order a cross-rounding tie
+    * differently and silently flip top-1 selection. With that
+    * re-rank, feeding exact brute top-k tables reproduces
+    * [[bitextMarginMining]] row-for-row (spec-pinned) unless a
+    * rounding tie straddles the index's k-boundary — and there the
+    * substituted candidate carries an identical rounded cosine, so
+    * denominators agree; only the degenerate k=1 boundary tie can
+    * alter which pair is scored. Swapping in an approximate index
+    * changes candidate QUALITY only, never the acceptance algebra.
+    * Tables must carry the side's full top-k (rank 1..k, cos rounded
+    * to 4 — the stack's contract). */
   def bitextMarginFromTopK(fwdTopK: DataFrame, bwdTopK: DataFrame,
                            k: Int = 4,
-                           threshold: Double = 1.05): DataFrame =
+                           threshold: Double = 1.05): DataFrame = {
+    val wA = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos4").desc, col("b_id").asc)
+    val wB = Window.partitionBy(col("b_id"))
+      .orderBy(col("cos4").desc, col("a_id").asc)
     marginTail(
       fwdTopK.select(col("query_id").as("a_id"),
-        col("neighbor_id").as("b_id"), col("cos_sim").as("cos4"),
-        col("rank").as("r")),
+          col("neighbor_id").as("b_id"), col("cos_sim").as("cos4"))
+        .withColumn("r", row_number().over(wA)),
       bwdTopK.select(col("query_id").as("b_id"),
-        col("neighbor_id").as("a_id"), col("cos_sim").as("cos4"),
-        col("rank").as("r")),
+          col("neighbor_id").as("a_id"), col("cos_sim").as("cos4"))
+        .withColumn("r", row_number().over(wB)),
       k, threshold)
+  }
 
   /** Margin acceptance over ranked cross-lingual candidates.
     * `fwd` = (a_id, b_id, cos4, r) ranked per a; `bwd` = (b_id, a_id,
@@ -897,14 +913,21 @@ object Similarity {
   private def marginTail(fwd: DataFrame, bwd: DataFrame, k: Int,
                          threshold: Double): DataFrame = {
     val dec = DecimalType(18, 4)
+    // each mean divides by the side's ACTUAL candidate count, not a
+    // flat k — a side with < k candidates (tiny or heavily-filtered
+    // corpus) would otherwise get an understated denominator and a
+    // systematically inflated margin (the annDifficulty
+    // least(k, n_corpus) lesson applied to the Artetxe-Schwenk
+    // formula, which assumes k neighbors always exist)
     val denA = fwd.filter(col("r") <= k).groupBy(col("a_id"))
-      .agg(sum(col("cos4").cast(dec)).as("sa"))
+      .agg(sum(col("cos4").cast(dec)).as("sa"), count(lit(1)).as("na"))
     val denB = bwd.filter(col("r") <= k).groupBy(col("b_id"))
-      .agg(sum(col("cos4").cast(dec)).as("sb"))
+      .agg(sum(col("cos4").cast(dec)).as("sb"), count(lit(1)).as("nb"))
     val bBest = bwd.filter(col("r") === 1)
       .select(col("b_id"), col("a_id").as("b_top1_a"))
     val margin = col("cos4") /
-      ((col("sa") + col("sb")).cast(DoubleType) / lit(2.0d * k))
+      ((col("sa").cast(DoubleType) / col("na")
+        + col("sb").cast(DoubleType) / col("nb")) / lit(2.0d))
     fwd.filter(col("r") === 1)
       .join(denA, Seq("a_id")).join(denB, Seq("b_id"))
       .join(bBest, Seq("b_id"))

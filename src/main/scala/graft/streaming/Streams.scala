@@ -1057,15 +1057,13 @@ object Streams {
     import graft.operators.Learn
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val docs = graft.Tables.load(spark, sfDir, "documents")
-    val feat = Learn.features(docs, col("doc_id"), col("text"),
-      nBuckets)
-    val labels = docs.select(col("doc_id").as("id"),
-      when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y"))
+    // x97's standing operating point — shared definition, so the
+    // frozen model here can never drift from the batch twin's oracle
+    val (_, labels, w) = Learn.qualityClassifier(docs, nBuckets)
     val modelDir = new java.io.File("target/qtmp/st19_model")
     org.apache.commons.io.FileUtils.deleteQuietly(modelDir)
     val modelPath = modelDir.getAbsolutePath
-    Learn.logisticTrain(feat, labels, iters = 12, lr = 8.0)
-      .write.mode("overwrite").parquet(s"$modelPath/weights")
+    w.write.mode("overwrite").parquet(s"$modelPath/weights")
     Learn.logisticBias(labels)
       .write.mode("overwrite").parquet(s"$modelPath/bias")
     val scoredDir = new java.io.File("target/qtmp/st19_scores")

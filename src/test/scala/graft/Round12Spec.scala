@@ -288,6 +288,55 @@ class Round12Spec extends GraftSuite {
       "index-fed margin mining diverged from the self-contained form")
   }
 
+  test("x96 ANN-fed form: a cross-rounding cosine tie is re-ranked " +
+       "to the canonical (cos4, id) order, not the index's raw order") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // vs a1, b3 and b7 both round to cos4 = 0.5555 but b7's RAW
+    // cosine is higher — bruteTopK ranks b7 first, while the mining
+    // order (cos4 desc, id asc) puts b3 first. The FromTopK form
+    // must re-rank, or the fed and self-contained forms pick
+    // different top-1 pairs. (Constants verified: raw cosines
+    // 0.55548/0.55552, both in the 0.5555 rounding band.)
+    val a = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("id", "embedding")
+    val b = Seq((3L, Array(0.55548f, 0.83153f)),
+      (7L, Array(0.55552f, 0.83150f)), (9L, Array(0.01f, 1.0f)))
+      .toDF("id", "embedding")
+    val self = Similarity.bitextMarginMining(a, b, "id", "embedding",
+      k = 3, threshold = 1.05)
+    val fed = Similarity.bitextMarginFromTopK(
+      Similarity.bruteTopK(a, b, "id", "embedding", 3),
+      Similarity.bruteTopK(b, a, "id", "embedding", 3),
+      k = 3, threshold = 1.05)
+    assert(fed.exceptAll(self).isEmpty && self.exceptAll(fed).isEmpty,
+      "tie-straddled fed form diverged from the self-contained form")
+    val a1 = fed.filter(col("a_id") === 1L).collect()
+    assert(a1.length === 1 && a1(0).getLong(1) === 3L,
+      "cos4 tie must break by ascending id (b3), not raw cosine (b7)")
+  }
+
+  test("x96 margin denominators divide by the ACTUAL candidate " +
+       "count, not a flat k, when a side has fewer than k candidates") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // one b-side candidate, k = 4: the b-side mean-NN must be the
+    // single cosine itself (sum/1), not sum/4 — a flat divisor would
+    // understate the denominator 4x and accept everything
+    val a = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.8f, 0.6f)))
+      .toDF("id", "embedding")
+    val b = Seq((11L, Array(1.0f, 0.0f))).toDF("id", "embedding")
+    val out = Similarity.bitextMarginMining(a, b, "id", "embedding",
+      k = 4, threshold = 1.05).collect()
+    // a1-b11: cos 1.0; a1's only candidate is b11 (na = 1, mean 1.0);
+    // b11's candidates are a1 (1.0) and a2 (0.8) → mean 0.9;
+    // margin = 1.0 / ((1.0 + 0.9) / 2) = 1.0526 — under the flat-2k
+    // divisor it would read 1.0/((1.0+1.8)/8) = 2.857
+    val r = out.filter(_.getLong(0) == 1L).head
+    assert(math.abs(r.getDouble(3) - 1.0526) < 1e-9,
+      s"margin ${r.getDouble(3)} not the count-aware mean ratio")
+  }
+
   test("x95 RRF fusion: rank algebra — dual top-1 wins, single-branch " +
        "docs score one reciprocal term, absent rank renders 0") {
     import graft.operators.Similarity
@@ -370,16 +419,11 @@ class Round12Spec extends GraftSuite {
     import graft.operators.{Learn, TextOps}
     val docs = spark.read.parquet(
       s"${SparkTestBase.sfDir}/documents.parquet")
-    val rawFeat = TextOps.dsirFeatures(docs, col("doc_id"),
-        col("text"), col("lang") === "en", 4096)
-      .groupBy(col("id"), col("b")).agg(count(lit(1)).as("cnt"))
-    val dl = rawFeat.groupBy(col("id")).agg(sum(col("cnt")).as("dl"))
-    val feat = rawFeat.join(dl, Seq("id"))
-      .select(col("id"), col("b"),
-        round(col("cnt") / col("dl"), 6).as("v"))
-    val labels = docs.select(col("doc_id").as("id"),
-      when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y"))
-    val w = Learn.logisticTrain(feat, labels, iters = 12, lr = 8.0)
+    // the PRODUCTION recipe at the standing operating point — not an
+    // inline re-derivation, so a change to Learn.features or the
+    // (iters, lr) point cannot silently diverge from what this spec
+    // trains against
+    val (feat, labels, w) = Learn.qualityClassifier(docs)
     val sc = Learn.logisticScore(labels.select(col("id")), feat, w,
       Learn.logisticBias(labels)).join(labels, Seq("id"))
     val a = sc.agg(
@@ -400,6 +444,11 @@ class Round12Spec extends GraftSuite {
       s"train accuracy ${a.getDouble(4)} not above the base rate")
     // bounded model — the preconditioner's no-saturation contract
     assert(a.getDouble(5) < 1.0)
+    // fail-fast guard: a 0-iteration train must throw here, not
+    // return a null model that NPEs downstream in logisticScore
+    intercept[IllegalArgumentException] {
+      Learn.logisticTrain(feat, labels, iters = 0)
+    }
   }
 
   test("st19 fold: batchId-partition overwrite is replay-idempotent " +

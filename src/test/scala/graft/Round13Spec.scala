@@ -304,6 +304,17 @@ class Round13Spec extends GraftSuite {
     val uniform = (1 to 10).map(i => (i, s"k$i")).toDF("i", "k")
     assert(Relational.saltAdvisor(uniform, "k", partitions = 4)
       .collect()(0).getLong(6) === 1L)
+    // EMPTY input still honors the 1-row pane contract (left join
+    // against the 0-row argmax; a crossJoin would empty the pane and
+    // crash every .collect()(0) caller): zero totals, null max key /
+    // share, and the don't-salt recommendation
+    val emptyPane = Relational.saltAdvisor(
+      uniform.filter(col("i") > 100), "k", partitions = 4).collect()
+    assert(emptyPane.length === 1, "empty input must yield 1 pane row")
+    val ep = emptyPane(0)
+    assert(ep.getLong(1) === 0L && ep.getLong(2) === 0L &&
+      ep.isNullAt(3) && ep.getLong(4) === 0L && ep.isNullAt(5) &&
+      ep.getLong(6) === 1L, ep.toString)
     // the recommendation feeds j9's salted join without changing
     // the result
     val dim = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v")
