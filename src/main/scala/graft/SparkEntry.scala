@@ -3940,6 +3940,34 @@ object SparkEntry {
         .orderBy(col("domain"))
     }),
 
+    "x111_boilerplate_strip" -> ((s, dir) => {
+      // CCNet paragraph-hash boilerplate removal (TextOps
+      // .boilerplateStrip, Wenzek et al. 2020 §4.1): strip segments
+      // recurring across > maxDocs distinct documents. The synthetic
+      // corpus has no newline structure, so the query injects one
+      // deterministic footer line per doc (doc_id % 3 picks one of
+      // three web-furniture strings) — the x26/x106 canary-liveness
+      // discipline: each footer recurs in ~n/3 docs and MUST be
+      // stripped at every scale, while natural bodies (docfreq 1-2,
+      // exact-dup docs included) MUST survive maxDocs = 10, so both
+      // branches are provably live (Round13Spec asserts it). Pane
+      // hashes the cleaned text (md5 — the f1 parity) so the output
+      // stays narrow; clean_md5 equaling md5(original text) for
+      // every non-dup doc is the round-trip proof.
+      val docs = t(s, dir, "documents")
+      val injected = docs.select(col("doc_id"),
+        concat(col("text"), lit("\n"),
+          when(col("doc_id") % 3 === 0,
+            lit("subscribe to our newsletter"))
+            .when(col("doc_id") % 3 === 1, lit("all rights reserved"))
+            .otherwise(lit("cookie policy applies"))).as("text"))
+      TextOps.boilerplateStrip(injected, col("doc_id"), col("text"),
+          sep = "\n", maxDocs = 10)
+        .select(col("id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_segs"), col("n_removed"))
+        .orderBy(col("id"))
+    }),
+
     "st21_stream_bpe" -> ((s, dir) => {
       // x101's STREAMING TWIN: the word-frequency ledger is BPE
       // training's sufficient statistic and counts are additive
@@ -10176,6 +10204,34 @@ object SparkEntry {
              CAST(floor(1000000.0 * weight + 0.5) AS BIGINT)
                AS target_tokens
       FROM wpane ORDER BY domain""",
+
+    "x111_boilerplate_strip" -> """
+      WITH d AS (
+        SELECT doc_id, text || chr(10) ||
+               CASE doc_id % 3
+                 WHEN 0 THEN 'subscribe to our newsletter'
+                 WHEN 1 THEN 'all rights reserved'
+                 ELSE 'cookie policy applies' END AS t
+        FROM documents),
+      segs AS (
+        SELECT doc_id, UNNEST(parts) AS seg,
+               generate_subscripts(parts, 1) AS pos
+        FROM (SELECT doc_id, string_split(t, chr(10)) AS parts FROM d)),
+      bl AS (
+        SELECT trim(seg) AS ts FROM segs
+        GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 10),
+      kept AS (
+        SELECT s.doc_id, s.seg, s.pos FROM segs s
+        LEFT JOIN bl ON trim(s.seg) = bl.ts WHERE bl.ts IS NULL),
+      reb AS (
+        SELECT doc_id, string_agg(seg, chr(10) ORDER BY pos) AS ct,
+               COUNT(*) AS nk
+        FROM kept GROUP BY doc_id),
+      tot AS (SELECT doc_id, COUNT(*) AS ns FROM segs GROUP BY doc_id)
+      SELECT t.doc_id AS id, md5(COALESCE(r.ct, '')) AS clean_md5,
+             t.ns AS n_segs, t.ns - COALESCE(r.nk, 0) AS n_removed
+      FROM tot t LEFT JOIN reb r USING (doc_id)
+      ORDER BY id""",
 
     "j21_join_auto" -> """
       SELECT c_mktsegment, COUNT(*) AS n_orders,

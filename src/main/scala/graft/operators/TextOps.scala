@@ -633,6 +633,58 @@ object TextOps {
           i => element_at(col("bl"), i))).as("clean_text"))
   }
 
+  /** CCNet-style paragraph-hash boilerplate removal (Wenzek et al.
+    * 2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    * Web Crawl Data", §4.1 deduplication: hash every paragraph, drop
+    * the ones whose hash recurs across the corpus) — the step that
+    * strips "subscribe / cookie banner / all rights reserved"
+    * furniture from web text before any quality model sees it, and
+    * the line-grain complement to the document-grain exact dedup
+    * (Dedup) and block-grain [[intraDocDedup]]. A segment (`text`
+    * split on the literal `sep`) is boilerplate when it appears in
+    * MORE THAN `maxDocs` distinct documents, counted on the trimmed
+    * segment.
+    *
+    * Scale shape: two linear corpus passes (CCNet's own discipline).
+    * Pass 1 counts document frequency per xxhash64(trim(segment)) —
+    * 8-byte keys ride the shuffle, never paragraph text, with
+    * map-side combine — and keeps only hashes crossing `maxDocs`:
+    * the blacklist, bounded above by total_segments / maxDocs, which
+    * BROADCASTS. Pass 2 is a broadcast LEFT ANTI join plus one
+    * doc-grain reassembly (position-ordered, the
+    * [[decontaminateStrip]] pattern). The anti-join is deliberate: a
+    * footer hash present in EVERY document is the hottest possible
+    * shuffle-join key, but against a broadcast set there is no
+    * shuffle and no hot partition at all. Returns
+    * (id, clean_text, n_segs, n_removed); a fully-boilerplate
+    * document survives as clean_text = "" rather than vanishing. */
+  def boilerplateStrip(df: DataFrame, id: Column, text: Column,
+                       sep: String = "\n",
+                       maxDocs: Long = 10): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be >= 1: $maxDocs")
+    val segs = df.select(id.as("id"),
+        posexplode(split(text, java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "seg")))
+      .withColumn("h", xxhash64(trim(col("seg"))))
+    val blacklist = segs.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("docfreq"))
+      .filter(col("docfreq") > maxDocs)
+      .select(col("h"))
+    val kept = segs.join(broadcast(blacklist), Seq("h"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(sep, transform(
+          sort_array(collect_list(struct(col("pos"), col("seg")))),
+          s => s.getField("seg"))).as("clean_text"))
+    segs.groupBy(col("id")).agg(count(lit(1)).as("n_segs"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_segs"),
+        (col("n_segs") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"))
+  }
+
   /** Span-level decontamination: REMOVE every token covered by a word
     * n-gram that appears in the benchmark set, keep the rest — the
     * surgical alternative to dropping whole contaminated docs

@@ -220,6 +220,18 @@ class PlanShapeSpec extends GraftSuite {
     }
   }
 
+  test("x111 boilerplateStrip: the removal decision is a broadcast " +
+       "anti-join — the corpus never shuffles on the segment hash") {
+    // a footer hash present in EVERY document is the hottest
+    // possible shuffle-join key; the broadcast blacklist anti-join
+    // has no hot partition by construction. Only the DF-count pass
+    // and the doc-grain reassembly may exchange.
+    val p = plan("x111_boilerplate_strip")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      p.take(600))
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+  }
+
   test("x97 scoring: the model broadcasts — the corpus never " +
        "shuffles on the bucket key") {
     import org.apache.spark.sql.functions._

@@ -327,6 +327,47 @@ class Round13Spec extends GraftSuite {
     assert(salted === plain)
   }
 
+  test("x111 boilerplateStrip: recurring footer removed, unique " +
+       "bodies kept in order, all-boilerplate doc survives empty, " +
+       "and the query's gate is live on driver data") {
+    import graft.operators.TextOps
+    import spark.implicits._
+    // 4 docs share the footer (docfreq 4 > maxDocs 2); bodies are
+    // unique; doc 4 is ONLY the footer — must survive as ""
+    val docs = Seq(
+      (1L, "alpha one\nfooter line\nbeta two"),
+      (2L, "gamma three\nfooter line"),
+      (3L, "footer line\ndelta four"),
+      (4L, "footer line")).toDF("id", "text")
+    val out = TextOps.boilerplateStrip(docs, col("id"), col("text"),
+        sep = "\n", maxDocs = 2)
+      .orderBy(col("id")).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3))).toSeq === Seq(
+      (1L, "alpha one\nbeta two", 3L, 1L), // order preserved
+      (2L, "gamma three", 2L, 1L),
+      (3L, "delta four", 2L, 1L),
+      (4L, "", 1L, 1L)))
+    // at maxDocs = 4 the footer (docfreq 4) is under threshold and
+    // survives everywhere
+    val loose = TextOps.boilerplateStrip(docs, col("id"),
+      col("text"), sep = "\n", maxDocs = 4)
+    assert(loose.agg(sum(col("n_removed"))).head().getLong(0) === 0L)
+    // gate liveness on the driver corpus (the x26/x106 discipline):
+    // every doc loses exactly its injected footer and keeps its body
+    val pane = SparkEntry.queries("x111_boilerplate_strip")(
+      spark, SparkTestBase.sfDir)
+    val agg = pane.agg(
+      sum(when(col("n_removed") === 1L, 1L).otherwise(0L)),
+      count(lit(1)),
+      sum(when(col("clean_md5") ===
+        md5(lit("")), 1L).otherwise(0L))).head()
+    assert(agg.getLong(0) === agg.getLong(1),
+      "every doc must lose exactly its injected footer")
+    assert(agg.getLong(2) === 0L,
+      "no natural body may be stripped at maxDocs = 10")
+  }
+
   test("joinAuto: all three routes return identical results and " +
        "report their route") {
     import spark.implicits._
