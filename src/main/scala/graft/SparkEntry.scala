@@ -187,6 +187,20 @@ object SparkEntry {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Shared x111/st22 footer-canary injection: the synthetic corpus
+    * has no newline structure, so one deterministic web-furniture
+    * line per doc (doc_id % 3) makes the boilerplate gate provably
+    * live at every scale (the x26/x106 discipline). ONE definition
+    * for the batch query, the streaming twin's micro-batches, and
+    * its strip input — and the generated oracle mirrors it. */
+  private def footerInject(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      concat(col("text"), lit("\n"),
+        when(col("doc_id") % 3 === 0,
+          lit("subscribe to our newsletter"))
+          .when(col("doc_id") % 3 === 1, lit("all rights reserved"))
+          .otherwise(lit("cookie policy applies"))).as("text"))
+
   /** Shared x97/st19 audit tail: per-source score mass and
     * predicted-quality counts over a (id, score) relation — one pane
     * definition for the batch-trained and stream-scored twins. */
@@ -3954,15 +3968,25 @@ object SparkEntry {
       // hashes the cleaned text (md5 — the f1 parity) so the output
       // stays narrow; clean_md5 equaling md5(original text) for
       // every non-dup doc is the round-trip proof.
-      val docs = t(s, dir, "documents")
-      val injected = docs.select(col("doc_id"),
-        concat(col("text"), lit("\n"),
-          when(col("doc_id") % 3 === 0,
-            lit("subscribe to our newsletter"))
-            .when(col("doc_id") % 3 === 1, lit("all rights reserved"))
-            .otherwise(lit("cookie policy applies"))).as("text"))
-      TextOps.boilerplateStrip(injected, col("doc_id"), col("text"),
-          sep = "\n", maxDocs = 10)
+      TextOps.boilerplateStrip(footerInject(t(s, dir, "documents")),
+          col("doc_id"), col("text"), sep = "\n", maxDocs = 10)
+        .select(col("id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_segs"), col("n_removed"))
+        .orderBy(col("id"))
+    }),
+
+    "st22_stream_boilerplate" -> ((s, dir) => {
+      // x111's STREAMING TWIN: segment docfreq counts are additive
+      // per-batch distinct counts (a doc never spans batches), so
+      // the batchId-guarded ledger equals the batch countDistinct
+      // EXACTLY for any stream split — the derived blacklist is
+      // identical and st22 shares x111's oracle verbatim (the
+      // st18/st20/st21 invariance discipline, text-cleaning tier).
+      // Production shape: crawl snapshots fold in one pass; the
+      // web-furniture blacklist is KBs of standing state any ingest
+      // job strips against with no corpus rescan for the decision.
+      graft.streaming.Streams.streamBoilerplateStrip(s, dir,
+          footerInject)
         .select(col("id"), md5(col("clean_text")).as("clean_md5"),
           col("n_segs"), col("n_removed"))
         .orderBy(col("id"))
@@ -5764,6 +5788,38 @@ object SparkEntry {
 
   private lazy val x105OracleStr: String = x105Oracle(iters = 8,
     dims = 64)
+
+  /** Shared x111/st22 oracle: CCNet boilerplate strip over the
+    * footer-injected corpus (mirrors [[footerInject]]); the blacklist
+    * groups by the trimmed segment STRING where the engine groups by
+    * xxhash64 — identical partitions absent a 64-bit collision. */
+  private lazy val x111OracleStr: String = """
+      WITH d AS (
+        SELECT doc_id, text || chr(10) ||
+               CASE doc_id % 3
+                 WHEN 0 THEN 'subscribe to our newsletter'
+                 WHEN 1 THEN 'all rights reserved'
+                 ELSE 'cookie policy applies' END AS t
+        FROM documents),
+      segs AS (
+        SELECT doc_id, UNNEST(parts) AS seg,
+               generate_subscripts(parts, 1) AS pos
+        FROM (SELECT doc_id, string_split(t, chr(10)) AS parts FROM d)),
+      bl AS (
+        SELECT trim(seg) AS ts FROM segs
+        GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 10),
+      kept AS (
+        SELECT s.doc_id, s.seg, s.pos FROM segs s
+        LEFT JOIN bl ON trim(s.seg) = bl.ts WHERE bl.ts IS NULL),
+      reb AS (
+        SELECT doc_id, string_agg(seg, chr(10) ORDER BY pos) AS ct,
+               COUNT(*) AS nk
+        FROM kept GROUP BY doc_id),
+      tot AS (SELECT doc_id, COUNT(*) AS ns FROM segs GROUP BY doc_id)
+      SELECT t.doc_id AS id, md5(COALESCE(r.ct, '')) AS clean_md5,
+             t.ns AS n_segs, t.ns - COALESCE(r.nk, 0) AS n_removed
+      FROM tot t LEFT JOIN reb r USING (doc_id)
+      ORDER BY id"""
 
   // iters/lr come from the SAME vals the engine trains with
   // (Learn.qualityClassifier) — the operating point cannot diverge
@@ -10205,33 +10261,11 @@ object SparkEntry {
                AS target_tokens
       FROM wpane ORDER BY domain""",
 
-    "x111_boilerplate_strip" -> """
-      WITH d AS (
-        SELECT doc_id, text || chr(10) ||
-               CASE doc_id % 3
-                 WHEN 0 THEN 'subscribe to our newsletter'
-                 WHEN 1 THEN 'all rights reserved'
-                 ELSE 'cookie policy applies' END AS t
-        FROM documents),
-      segs AS (
-        SELECT doc_id, UNNEST(parts) AS seg,
-               generate_subscripts(parts, 1) AS pos
-        FROM (SELECT doc_id, string_split(t, chr(10)) AS parts FROM d)),
-      bl AS (
-        SELECT trim(seg) AS ts FROM segs
-        GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 10),
-      kept AS (
-        SELECT s.doc_id, s.seg, s.pos FROM segs s
-        LEFT JOIN bl ON trim(s.seg) = bl.ts WHERE bl.ts IS NULL),
-      reb AS (
-        SELECT doc_id, string_agg(seg, chr(10) ORDER BY pos) AS ct,
-               COUNT(*) AS nk
-        FROM kept GROUP BY doc_id),
-      tot AS (SELECT doc_id, COUNT(*) AS ns FROM segs GROUP BY doc_id)
-      SELECT t.doc_id AS id, md5(COALESCE(r.ct, '')) AS clean_md5,
-             t.ns AS n_segs, t.ns - COALESCE(r.nk, 0) AS n_removed
-      FROM tot t LEFT JOIN reb r USING (doc_id)
-      ORDER BY id""",
+    "x111_boilerplate_strip" -> x111OracleStr,
+    // st22 shares x111's oracle VERBATIM: the ledger's per-batch
+    // distinct counts are additive, so blacklist and strip output
+    // equal the batch form exactly for any stream split
+    "st22_stream_boilerplate" -> x111OracleStr,
 
     "j21_join_auto" -> """
       SELECT c_mktsegment, COUNT(*) AS n_orders,

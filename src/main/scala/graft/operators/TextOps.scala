@@ -662,14 +662,37 @@ object TextOps {
                        sep: String = "\n",
                        maxDocs: Long = 10): DataFrame = {
     require(maxDocs >= 1, s"maxDocs must be >= 1: $maxDocs")
-    val segs = df.select(id.as("id"),
-        posexplode(split(text, java.util.regex.Pattern.quote(sep)))
-          .as(Seq("pos", "seg")))
-      .withColumn("h", xxhash64(trim(col("seg"))))
+    val segs = segmentsOf(df, id, text, sep)
     val blacklist = segs.groupBy(col("h"))
       .agg(countDistinct(col("id")).as("docfreq"))
       .filter(col("docfreq") > maxDocs)
       .select(col("h"))
+    stripTail(segs, blacklist, sep)
+  }
+
+  /** [[boilerplateStrip]]'s pass 2 against a PRECOMPUTED blacklist of
+    * xxhash64(trim(segment)) values — the standing-ledger form: st22
+    * derives the blacklist from a streamed document-frequency ledger
+    * and strips WITHOUT recomputing frequencies (no corpus rescan for
+    * the decision, the x92 encode-only-admission shape applied to
+    * text cleaning). `blacklist` must expose column `h`. */
+  def boilerplateStripAgainst(df: DataFrame, id: Column, text: Column,
+                              sep: String,
+                              blacklist: DataFrame): DataFrame =
+    stripTail(segmentsOf(df, id, text, sep),
+      blacklist.select(col("h")), sep)
+
+  /** One (id, pos, seg, h) row per segment of `text` split on the
+    * LITERAL `sep`; `h` hashes the trimmed segment. */
+  private def segmentsOf(df: DataFrame, id: Column, text: Column,
+                         sep: String): DataFrame =
+    df.select(id.as("id"),
+        posexplode(split(text, java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "seg")))
+      .withColumn("h", xxhash64(trim(col("seg"))))
+
+  private def stripTail(segs: DataFrame, blacklist: DataFrame,
+                        sep: String): DataFrame = {
     val kept = segs.join(broadcast(blacklist), Seq("h"), "left_anti")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_kept"),

@@ -1297,6 +1297,91 @@ object Streams {
       merges)
   }
 
+  /** st22's ledger schema: segment-hash document frequencies as
+    * standing state — the boilerplate blacklist's sufficient
+    * statistic. A doc lives in exactly one micro-batch
+    * (stagedFileStream partitions by doc id), so per-batch
+    * DISTINCT-doc counts per hash are ADDITIVE across batches and
+    * the folded ledger equals the batch countDistinct EXACTLY (the
+    * st20/st21 integer-equality discipline). */
+  val boilerplateLedgerSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("docfreq",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__last_batch",
+        org.apache.spark.sql.types.LongType)))
+
+  /** One batchId-keyed idempotent fold of a documents micro-batch
+    * into the segment-docfreq ledger. */
+  def boilerplateLedgerFold(batch: DataFrame, batchId: Long,
+                            path: String, sep: String = "\n"): Unit = {
+    import graft.operators.Mutations
+    val sp = batch.sparkSession
+    val ledger = sp.read.parquet(path)
+    val applied = ledger
+      .agg(coalesce(max(col("__last_batch")), lit(-1L)))
+      .head().getLong(0)
+    if (batchId > applied) { // else: replayed batch, already folded
+      val counts = batch.select(col("doc_id"),
+          explode(split(col("text"),
+            java.util.regex.Pattern.quote(sep))).as("seg"))
+        .select(col("doc_id"), xxhash64(trim(col("seg"))).as("h"))
+        .distinct() // one vote per (doc, segment) — docfreq semantics
+        .groupBy(col("h")).agg(count(lit(1)).as("docfreq"))
+      val merged = Mutations.upsertAggregate(
+        ledger.drop("__last_batch"), counts,
+        Seq("h"), Seq("docfreq"))
+        .withColumn("__last_batch", lit(batchId))
+      Mutations.overwriteAtomic(merged, path)
+    }
+  }
+
+  /** Streaming boilerplate blacklist (x111's twin): segment document
+    * frequencies fold into the standing ledger as documents stream
+    * in; the blacklist derives from the LEDGER alone and the strip
+    * pass runs against it without recomputing frequencies
+    * ([[graft.operators.TextOps.boilerplateStripAgainst]]) — the
+    * production shape: a crawl snapshot folds in one pass, and the
+    * web-furniture blacklist is KBs of always-query-ready state any
+    * ingest job can strip against. Because per-batch distinct counts
+    * are additive (a doc never spans batches) and the fold
+    * exactly-once, the ledger equals x111's batch countDistinct
+    * EXACTLY for any batching, the blacklist is identical, and st22
+    * shares x111's oracle verbatim — the batching-invariance proof
+    * (st18/st20/st21 discipline). `inject` applies the same
+    * deterministic per-doc transform the batch query uses (x111's
+    * footer canary) to each micro-batch AND to the strip input, so
+    * the two paths see one corpus definition. */
+  def streamBoilerplateStrip(spark: SparkSession, sfDir: String,
+                             inject: DataFrame => DataFrame,
+                             splitFiles: Int = 2, sep: String = "\n",
+                             maxDocs: Long = 10): DataFrame = {
+    import graft.operators.TextOps
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val target = new java.io.File("target/qtmp/st22_ledger")
+    org.apache.commons.io.FileUtils.deleteQuietly(target)
+    val path = target.getAbsolutePath
+    graft.operators.Mutations.seedEmptyLedger(spark, path,
+      boilerplateLedgerSchema)
+    val q = stagedFileStream(spark, sfDir, "documents", "doc_id",
+        "st22_src", splitFiles)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        boilerplateLedgerFold(inject(b), bid, path, sep)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val blacklist = spark.read.parquet(path)
+      .filter(col("docfreq") > maxDocs).select(col("h"))
+    TextOps.boilerplateStripAgainst(
+      inject(graft.Tables.load(spark, sfDir, "documents")),
+      col("doc_id"), col("text"), sep, blacklist)
+  }
+
   /** One (band, key) posting of a streamed doc's simhash fingerprint. */
   final case class BandEvent(band: Int, key: Long, doc_id: Long, fp: Long)
   /** Per-band admission flag emitted by [[streamNearDupAdmit]]. */

@@ -248,6 +248,47 @@ class Round13Spec extends GraftSuite {
     assert(l.toSeq === b.toSeq)
   }
 
+  test("st22 boilerplate ledger: 2-batch fold equals batch " +
+       "countDistinct EXACTLY, and redelivery is a no-op") {
+    import graft.streaming.Streams
+    import graft.operators.Mutations
+    import spark.implicits._
+    val path = new java.io.File("target/qtmp/r13_bp_ledger")
+      .getAbsolutePath
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(path))
+    Mutations.seedEmptyLedger(spark, path,
+      Streams.boilerplateLedgerSchema)
+    // footer shared by 3 docs; doc 3 repeats a segment INSIDE one
+    // doc — docfreq must count it once (the distinct() in the fold)
+    val docs = Seq(
+      (1L, "alpha\nfooter"), (2L, "beta\nfooter"),
+      (3L, "gamma\nfooter\ngamma")).toDF("doc_id", "text")
+    Streams.boilerplateLedgerFold(
+      docs.filter(col("doc_id") <= 2), 0L, path)
+    Streams.boilerplateLedgerFold(
+      docs.filter(col("doc_id") === 3), 1L, path)
+    val before = spark.read.parquet(path)
+      .orderBy(col("h")).collect().toSeq
+    Streams.boilerplateLedgerFold(
+      docs.filter(col("doc_id") <= 2), 0L, path)
+    assert(spark.read.parquet(path).orderBy(col("h")).collect().toSeq
+      === before, "redelivered batch changed the ledger")
+    val ledger = spark.read.parquet(path)
+      .select(col("h"), col("docfreq")).orderBy(col("h")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val batch = docs
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("s"))
+      .select(col("doc_id"), xxhash64(trim(col("s"))).as("h"))
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("d"))
+      .orderBy(col("h")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ledger.toSeq === batch.toSeq)
+    // footer: docfreq 3; alpha/beta/gamma: 1 each — 'gamma'
+    // repeated INSIDE doc 3 still counts one doc
+    assert(ledger.map(_._2).sorted.toSeq === Seq(1L, 1L, 1L, 3L))
+  }
+
   test("e2e_embed_pipeline: the norm screen's reject branch is live " +
        "— canaries are screened out, every natural vector survives") {
     val dir = SparkTestBase.sfDir
