@@ -667,7 +667,7 @@ object TextOps {
       .agg(countDistinct(col("id")).as("docfreq"))
       .filter(col("docfreq") > maxDocs)
       .select(col("h"))
-    stripTail(segs, blacklist, sep)
+    stripTail(df, id, text, segs, blacklist, sep)
   }
 
   /** [[boilerplateStrip]]'s pass 2 against a PRECOMPUTED blacklist of
@@ -679,7 +679,7 @@ object TextOps {
   def boilerplateStripAgainst(df: DataFrame, id: Column, text: Column,
                               sep: String,
                               blacklist: DataFrame): DataFrame =
-    stripTail(segmentsOf(df, id, text, sep),
+    stripTail(df, id, text, segmentsOf(df, id, text, sep),
       blacklist.select(col("h")), sep)
 
   /** One (id, pos, seg, h) row per segment of `text` split on the
@@ -691,7 +691,8 @@ object TextOps {
           .as(Seq("pos", "seg")))
       .withColumn("h", xxhash64(trim(col("seg"))))
 
-  private def stripTail(segs: DataFrame, blacklist: DataFrame,
+  private def stripTail(df: DataFrame, id: Column, text: Column,
+                        segs: DataFrame, blacklist: DataFrame,
                         sep: String): DataFrame = {
     val kept = segs.join(broadcast(blacklist), Seq("h"), "left_anti")
       .groupBy(col("id"))
@@ -699,7 +700,13 @@ object TextOps {
         concat_ws(sep, transform(
           sort_array(collect_list(struct(col("pos"), col("seg")))),
           s => s.getField("seg"))).as("clean_text"))
-    segs.groupBy(col("id")).agg(count(lit(1)).as("n_segs"))
+    // per-doc totals come from size(split(...)) on the one-row-per-
+    // doc relation (the decontaminateStrip idiom) — a third corpus
+    // split/explode/aggregate just to count segments would break the
+    // documented two-pass shape
+    df.select(id.as("id"),
+        size(split(text, java.util.regex.Pattern.quote(sep)))
+          .cast("long").as("n_segs"))
       .join(kept, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

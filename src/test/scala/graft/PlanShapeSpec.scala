@@ -229,7 +229,12 @@ class PlanShapeSpec extends GraftSuite {
     val p = plan("x111_boilerplate_strip")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       p.take(600))
-    assert(!p.contains("SortMergeJoin"), p.take(600))
+    // scope the negative pin to the segment-hash key: the doc-grain
+    // totals/reassembly join is ALLOWED to sort-merge at scale (it
+    // broadcasts here only by test-size accident) — the claim under
+    // pin is that the blacklist decision never shuffles on h
+    assert(!p.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("h#")), p.take(800))
   }
 
   test("x97 scoring: the model broadcasts — the corpus never " +

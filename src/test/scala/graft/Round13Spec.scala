@@ -398,15 +398,23 @@ class Round13Spec extends GraftSuite {
     // every doc loses exactly its injected footer and keeps its body
     val pane = SparkEntry.queries("x111_boilerplate_strip")(
       spark, SparkTestBase.sfDir)
+    // the precise wrong-branch probe: if a BODY were stripped and
+    // the footer kept, clean_text would equal the footer string —
+    // md5('') would also fire on a legitimately empty body, so it is
+    // not used here
+    val footerMd5s = array(
+      md5(lit("subscribe to our newsletter")),
+      md5(lit("all rights reserved")),
+      md5(lit("cookie policy applies")))
     val agg = pane.agg(
       sum(when(col("n_removed") === 1L, 1L).otherwise(0L)),
       count(lit(1)),
-      sum(when(col("clean_md5") ===
-        md5(lit("")), 1L).otherwise(0L))).head()
+      sum(when(array_contains(footerMd5s, col("clean_md5")), 1L)
+        .otherwise(0L))).head()
     assert(agg.getLong(0) === agg.getLong(1),
       "every doc must lose exactly its injected footer")
     assert(agg.getLong(2) === 0L,
-      "no natural body may be stripped at maxDocs = 10")
+      "no doc may survive as its footer — the body was stripped")
   }
 
   test("joinAuto: all three routes return identical results and " +
