@@ -138,6 +138,20 @@ object Bench {
     "x110_domain_reweight",  // DoReMi measured-mixture advisor
     "x36_span_dup_coverage") // bridge query shared with all sets
 
+  /** Seventh pinned set: the round-7 additions and rewrites (same
+    * discipline; prior sets stay untouched). x36 bridges again. The
+    * x97b/x98b rows are the bench evidence for the standing-model
+    * ledger: consumer cost WITHOUT the 12-epoch retrain (compare
+    * x97/st19/e2e_select in queries_r6, each of which trains). */
+  val r7new: Seq[String] = Seq(
+    "x111_boilerplate_strip", // CCNet boilerplate removal (landed post-r6b pin)
+    "st22_stream_boilerplate", // streaming blacklist twin
+    "x97b_ledger_score",     // standing-model consumer (no retrain)
+    "x98b_ledger_audit",     // calibration audit off the same ledger
+    "x108b_advised_write",   // advisor-driven write (realized file count)
+    "a20_pareto_abc",        // Pareto ABC on globalPrefixSum (rewritten)
+    "x36_span_dup_coverage") // bridge query shared with all sets
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -210,12 +224,14 @@ object Bench {
     val resultsR5 = benchSet(r5new)
     val resultsR6 = benchSet(r6new)
     val resultsR6b = benchSet(r6bnew)
+    val resultsR7 = benchSet(r7new)
     val qs = toJson(results)
     val qsLlm = toJson(resultsLlm)
     val qsR4 = toJson(resultsR4)
     val qsR5 = toJson(resultsR5)
     val qsR6 = toJson(resultsR6)
     val qsR6b = toJson(resultsR6b)
+    val qsR7 = toJson(resultsR7)
     // `value` stays the HEADLINE total only — the pinned 21-set number the
     // driver has tracked since round 1; each later set gets its own key.
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -224,10 +240,20 @@ object Bench {
     val totalR5 = resultsR5.map(_._2).filter(_ >= 0).sum
     val totalR6 = resultsR6.map(_._2).filter(_ >= 0).sum
     val totalR6b = resultsR6b.map(_._2).filter(_ >= 0).sum
+    val totalR7 = resultsR7.map(_._2).filter(_ >= 0).sum
     // Stop Spark BEFORE printing so no shutdown log line can land after
     // the JSON — the driver parses the last stdout line.
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$nPasses,"queries":$qs,"value_llm":$totalLlm%.3f,"queries_llm":$qsLlm,"value_r4":$totalR4%.3f,"queries_r4":$qsR4,"value_r5":$totalR5%.3f,"queries_r5":$qsR5,"value_r6":$totalR6%.3f,"queries_r6":$qsR6,"value_r6b":$totalR6b%.3f,"queries_r6b":$qsR6b,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$nPasses,"queries":$qs,"value_llm":$totalLlm%.3f,"queries_llm":$qsLlm,"value_r4":$totalR4%.3f,"queries_r4":$qsR4,"value_r5":$totalR5%.3f,"queries_r5":$qsR5,"value_r6":$totalR6%.3f,"queries_r6":$qsR6,"value_r6b":$totalR6b%.3f,"queries_r6b":$qsR6b,"value_r7":$totalR7%.3f,"queries_r7":$qsR7,"sf":"$sfDir"}"""
+    // the seven-set line outgrew the driver's stdout tail buffer in
+    // round 6 (BENCH_r06.json: parsed=null, tail truncated mid-line) —
+    // ALSO persist it to the repo so the numbers survive verbatim even
+    // when the tail capture clips; best-effort (a read-only cwd must
+    // not fail the bench)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), line + "\n")
+    catch { case _: Throwable => () }
+    println(line)
     System.out.flush()
   }
 }

@@ -237,6 +237,125 @@ object Scratch {
               max(when(col("rk") === 1, col("id"))).as("survivor_id"))
             .write.format("noop").mode("overwrite").save()
         }
+      case "x82_decomp" =>
+        // adjudicate x82's cross-round drift (verdict-6 watch item):
+        // hypothesis = accumulated localCheckpoint STORAGE pressure.
+        // spark.catalog.clearCache() between bench queries drops
+        // catalog-cached relations but NOT localCheckpoint RDD blocks
+        // — those free only when the owning DataFrame is GC'd. Over a
+        // bench session every checkpoint-heavy query (x82 itself ×
+        // passes, the r6 training tier, PCA chains) leaves blocks
+        // behind. Protocol: time x82 fresh, run the r4 set once to
+        // accumulate context, re-time, print persistent-RDD state,
+        // unpersist everything, re-time.
+        import org.apache.spark.sql.functions.col
+        def t2x(tag: String): Double = {
+          val ts = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            SparkEntry.queries("x82_ann_tuning_curve")(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"$tag%-34s min=${ts.min}%.3f (${ts.mkString(", ")})")
+          ts.min
+        }
+        def rddState(tag: String): Unit = {
+          val pr = spark.sparkContext.getPersistentRDDs
+          val info = spark.sparkContext.getRDDStorageInfo
+          val mem = info.map(_.memSize).sum / 1048576.0
+          println(f"$tag: persistentRDDs=${pr.size} " +
+            f"storedRDDs=${info.length} mem=${mem}%.1f MB")
+        }
+        t2x("x82_fresh")
+        Bench.r4new.foreach { n =>
+          SparkEntry.queries(n)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          spark.catalog.clearCache()
+        }
+        rddState("after r4 set (clearCache only)")
+        t2x("x82_after_r4_set")
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(true))
+        System.gc()
+        rddState("after unpersist-all")
+        t2x("x82_after_unpersist")
+      case "clustered_ann" =>
+        // the ANN router's PRUNABLE branch at lake scale (verdict-6
+        // ask #4): a clustered embedding lake — Round12Spec's blob
+        // recipe at sf0.1/sf1 row counts — through annDifficulty
+        // (RC), annTopKAuto (route), recall vs exact, probed
+        // fraction, wall time. CLUSTERED_N=20000 CLUSTERED_C=64 etc.
+        // override the shape. Generated IN Spark (no driver arrays):
+        // cluster centers on a deterministic hash grid, points =
+        // center + small hash-noise.
+        import org.apache.spark.sql.functions._
+        val n = sys.env.getOrElse("CLUSTERED_N", "2000").toInt
+        val nClusters = sys.env.getOrElse("CLUSTERED_C", "64").toInt
+        val dims = 64
+        val nprobe = sys.env.getOrElse("CLUSTERED_NPROBE", "8").toInt
+        val nlist = sys.env.getOrElse("CLUSTERED_NLIST", "64").toInt
+        // center coord c(k,d) ~ U(-1,1) from xxhash64; point jitter
+        // ±0.02 — tight blobs far apart relative to jitter
+        val lake = spark.range(n.toLong).select(col("id").as("vec_id"),
+            pmod(col("id"), lit(nClusters.toLong)).as("ck"))
+          .select(col("vec_id"), expr(
+            s"""transform(sequence(0, ${dims - 1}), d ->
+               CAST(pmod(xxhash64(ck, d), 2000001) / 1000000.0 - 1.0
+                 + (pmod(xxhash64(vec_id, d, 7), 41) - 20) * 0.001
+                 AS FLOAT))""").as("embedding"))
+          .localCheckpoint()
+        val q = graft.operators.Similarity.stratifiedProbes(
+          lake, "vec_id", 16).localCheckpoint()
+        println(s"lake n=$n clusters=$nClusters dims=$dims " +
+          s"probes=${q.count()}")
+        val rc = graft.operators.Similarity.annDifficulty(
+            lake, q, "vec_id", "embedding", k = 5)
+          .agg(min(col("rc")).as("rc_min"), avg(col("rc")).as("rc_avg"),
+            min(col("ivf_prunable")).as("all_prunable")).head()
+        println(f"RC: min=${rc.getDouble(0)}%.3f avg=${rc.getDouble(1)}%.3f " +
+          s"all_prunable=${rc.getBoolean(2)}")
+        val exact = graft.operators.Similarity.bruteTopKL2(
+          q, lake, "vec_id", "embedding", 5).localCheckpoint()
+        val t0 = System.nanoTime()
+        val routed = graft.operators.Similarity.annTopKAuto(
+          q, lake, "vec_id", "embedding", 5, nlist = nlist,
+          nprobe = nprobe, m = 8, ksub = 16, rerank = 200)
+        routed.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val hits = exact.as("b").join(routed.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id")).count()
+        val denom = exact.count().toDouble
+        println(f"route: recall=${hits / denom}%.3f " +
+          f"probed=${100.0 * nprobe / nlist}%.1f%% wall=$dt%.2f s " +
+          s"(includes the preflight; nlist=$nlist nprobe=$nprobe)")
+      case "bpe_incr_sweep" =>
+        // incremental vs full-recount BPE on a LARGE crafted type
+        // table (verdict-7 ask #2's measured row): the 31-type driver
+        // corpus cannot show the win, so build BPE_TYPES word types
+        // (md5-hex words, zipf-ish freqs) and run BPE_MERGES rounds
+        // both ways.
+        import org.apache.spark.sql.functions._
+        val nTypes = sys.env.getOrElse("BPE_TYPES", "200000").toInt
+        val nMerges = sys.env.getOrElse("BPE_MERGES", "30").toInt
+        val words = spark.range(nTypes.toLong)
+          .select(substring(md5(col("id").cast("string")), 1, 12)
+            .as("word"),
+            (lit(1L) + pmod(col("id"), lit(97L))).as("freq"))
+          .groupBy(col("word")).agg(max(col("freq")).as("freq"))
+          .localCheckpoint()
+        println(s"types=${words.count()} merges=$nMerges")
+        def timeTrain(tag: String,
+                      f: => org.apache.spark.sql.DataFrame): Unit = {
+          val t0 = System.nanoTime()
+          val out = f.collect()
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"$tag%-22s $dt%.2f s  last=${out.last}")
+        }
+        timeTrain("incremental",
+          graft.operators.Tokenize.bpeTrain(words, nMerges))
+        timeTrain("full_recount",
+          graft.operators.Tokenize.bpeTrainFullRecount(words, nMerges))
       case "st8_debug" =>
         // count rows per micro-batch to confirm the 2-batch split
         import org.apache.spark.sql.functions.col

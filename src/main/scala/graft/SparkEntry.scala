@@ -204,6 +204,29 @@ object SparkEntry {
   /** Shared x97/st19 audit tail: per-source score mass and
     * predicted-quality counts over a (id, score) relation — one pane
     * definition for the batch-trained and stream-scored twins. */
+  /** The STANDING quality-model ledger for this lake (x97b/x98b):
+    * version-keyed path + S10 exists-guard — the first caller in a
+    * JVM trains and persists (self-contained-query discipline, like
+    * x74b building its sketch ledger), every later caller pays only
+    * the KB-scale ledger read. The path embeds BOTH the lake dir and
+    * `Learn.qualityModelVersion`, so a different scale factor or a
+    * recipe change trains fresh state instead of mis-reading old.
+    * Deterministic by the fixed-point training discipline: whoever
+    * trains, the persisted weights are bit-identical, so redelivery/
+    * races only ever rewrite equal bytes. */
+  private def standingQualityModel(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(
+      s"target/qtmp/model_${Learn.qualityModelVersion}_$key")
+      .getAbsolutePath
+    if (!Learn.modelExists(s, path, Learn.qualityModelVersion)) {
+      val (_, _, bias, w) = Learn.qualityClassifier(t(s, dir, "documents"))
+      Learn.persistModel(w, bias, path, Learn.qualityModelVersion)
+    }
+    Learn.loadModel(s, path, Learn.qualityModelVersion)
+  }
+
   private def classifierPane(s: SparkSession, dir: String,
                              scores: DataFrame): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -1258,17 +1281,27 @@ object SparkEntry {
 
     "a20_pareto_abc" -> ((s, dir) => {
       // Pareto / ABC concentration: customers ranked by exact decimal
-      // revenue, cumulative share cut at 50%/80% — one fact-side agg,
-      // then windows over the already-reduced customer grain (the
-      // global sort costs |customers|, not |orders|, at any scale)
+      // revenue, cumulative share cut at 50%/80%. The cumulative sum
+      // rides Layout.globalPrefixSum (range exchange + ≤32 metadata
+      // offset rows) and the grand total the SAME metadata window
+      // (keepTotal) — never a single-partition window over customer
+      // rows: customers scale WITH the dataset (150k × SF here,
+      // billions of users in the real analogue), so the former
+      // customer-grain Window.orderBy was a one-executor wall at
+      // 100×, the exact class the p13/x79/x86 rewrites eliminated
+      // (PlanShapeSpec pins this query to the same discipline).
+      // Exactness: revenue moves through the prefix machinery as
+      // CENTS (decimal(18,2)·100 → long, exact), so cum/total is a
+      // quotient of exact integers in BOTH engines and the A/B/C cut
+      // compares operand-identical doubles.
       val rev = t(s, dir, "orders").groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
-      val byRev = Window.orderBy(col("rev").desc, col("o_custkey").asc)
-      rev
-        .withColumn("cum", sum(col("rev")).over(
-          byRev.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("cents", (col("rev") * 100).cast(LongType))
+      Layout.globalPrefixSum(rev, col("cents"),
+          struct((-col("rev")).as("negrev"), col("o_custkey").as("k")),
+          keepTotal = true)
         .withColumn("share", col("cum").cast(DoubleType) /
-          sum(col("rev")).over(Window.partitionBy()).cast(DoubleType))
+          col("total").cast(DoubleType))
         .withColumn("abc", when(col("share") <= 0.5d, "A")
           .when(col("share") <= 0.8d, "B").otherwise("C"))
         .groupBy(col("abc"))
@@ -3641,10 +3674,59 @@ object SparkEntry {
       // iterations in SQL — weights and scores match bit-for-bit
       // under the decimal-sum discipline.
       val docs = t(s, dir, "documents")
-      val (feat, labels, w) = Learn.qualityClassifier(docs)
+      val (feat, _, bias, w) = Learn.qualityClassifier(docs)
       classifierPane(s, dir, Learn.logisticScore(
-        docs.select(col("doc_id").as("id")), feat, w,
-        Learn.logisticBias(labels)))
+        docs.select(col("doc_id").as("id")), feat, w, bias))
+    }),
+
+    "x97b_ledger_score" -> ((s, dir) => {
+      // x97's STANDING-MODEL form (the x74→x74b ledger pattern
+      // applied to Learn): the trained (weights, bias) persist as
+      // VERSIONED parquet state and this consumer only READS it —
+      // feature build + one broadcast score join, no 12-epoch GD
+      // retrain (x97/x98/e2e_select each pay that train when run
+      // self-contained; a production pipeline trains once offline
+      // and every scorer reads the ledger, exactly like x74b reads
+      // the x80 sketch ledger instead of re-scanning the corpus).
+      // The model is a pure function of (corpus, operating point)
+      // under the fixed-point discipline, so ledger-fed scores are
+      // BIT-IDENTICAL to a fresh retrain's (Round14Spec pins it) and
+      // the pane shares x97's oracle verbatim. The exists-guard +
+      // version-keyed path (Learn.qualityModelVersion) is the S10
+      // idempotence discipline: a recipe change moves the path, so
+      // stale weights are unreachable, and loadModel re-checks the
+      // version on every read.
+      val (w, bias) = standingQualityModel(s, dir)
+      val docs = t(s, dir, "documents")
+      val feat = Learn.features(docs, col("doc_id"), col("text"))
+      classifierPane(s, dir, Learn.logisticScore(
+        docs.select(col("doc_id").as("id")), feat, w, bias))
+    }),
+
+    "x98b_ledger_audit" -> ((s, dir) => {
+      // x98's calibration audit fed from the SAME standing ledger as
+      // x97b (one train serves every consumer — the whole point of
+      // the standing-model form): per score-decile predicted mass vs
+      // observed label rate, scores read from frozen state. Shares
+      // x98's oracle verbatim (ledger-fed == retrained, bit-for-bit).
+      val (w, bias) = standingQualityModel(s, dir)
+      val docs = t(s, dir, "documents")
+      val feat = Learn.features(docs, col("doc_id"), col("text"))
+      Learn.logisticScore(docs.select(col("doc_id").as("id")), feat,
+          w, bias)
+        .join(docs.select(col("doc_id").as("id"), col("lang")),
+          Seq("id"))
+        .withColumn("bucket",
+          least(floor(col("score") * 10).cast("int"), lit(9)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("score").cast(DecimalType(28, 6)))
+            .cast(DoubleType) / count(lit(1)), 4).as("mean_score"),
+          round(sum(when(col("lang") === "en", 1.0d).otherwise(0.0d))
+            / count(lit(1)), 4).as("frac_en"))
+        .withColumn("gap",
+          round(abs(col("mean_score") - col("frac_en")), 4))
+        .orderBy(col("bucket"))
     }),
 
     "e2e_select_corpus" -> ((s, dir) => {
@@ -3660,10 +3742,9 @@ object SparkEntry {
       // and EntrySmokeSpec's e2e_* guard asserts it). Oracle = x97's
       // generated training chain + the build tail.
       val docs = t(s, dir, "documents")
-      val (feat, labels, w) = Learn.qualityClassifier(docs)
+      val (feat, _, bias, w) = Learn.qualityClassifier(docs)
       val gated = Learn.logisticScore(
-          docs.select(col("doc_id").as("id")), feat, w,
-          Learn.logisticBias(labels))
+          docs.select(col("doc_id").as("id")), feat, w, bias)
         .filter(col("score") > 0.5d)
       val canon = docs
         .select(col("doc_id"), ColFns.fingerprint(col("text")).as("fp"))
@@ -3928,6 +4009,37 @@ object SparkEntry {
         .orderBy(col("tbl"))
     }),
 
+    "x108b_advised_write" -> ((s, dir) => {
+      // the advisor DRIVING a write (x109→saltedJoin's "advisor
+      // output is the action's input" discipline applied to x108,
+      // which until this round only printed its recommendation):
+      // documents sized at a 64 KB file target — byte-grain so the
+      // recommendation is >1 at every test scale (3/3/25 files at
+      // sf0.001/0.01/0.1; production passes 512 MB through the same
+      // code) — then repartition(rec_write_files) + parquet write,
+      // and the pane RE-READS the written directory to publish the
+      // realized file count next to the recommendation. The oracle
+      // computes rec from the same byte arithmetic and asserts
+      // realized == rec, so "the write followed the advice" is
+      // hash-checked, not claimed; rows_intact pins the roundtrip.
+      val docs = t(s, dir, "documents")
+      val out = tmpDir("x108b_out")
+      val (pane, _) = Layout.writeAdvised(docs, "documents", out,
+        fileBytes = 65536L)
+      val back = s.read.parquet(out)
+        .withColumn("__f", input_file_name()) // project before agg:
+      // the nondeterministic fn can't sit inside an aggregate arg
+      val realized = back.agg(
+        countDistinct(col("__f")).as("realized_files"),
+        count(lit(1)).as("n_rows_back"))
+      pane.join(realized, lit(true), "left") // 1-row pane join idiom
+        .select(col("tbl"), col("n_rows"), col("est_total_mb"),
+          col("rec_write_files"), col("realized_files"),
+          (col("realized_files") === col("rec_write_files"))
+            .as("followed"),
+          (col("n_rows_back") === col("n_rows")).as("rows_intact"))
+    }),
+
     "x110_domain_reweight" -> ((s, dir) => {
       // DoReMi one-step domain reweighting (Learn.domainReweight):
       // mixture weights MEASURED from per-domain bigram-LM loss where
@@ -4114,9 +4226,9 @@ object SparkEntry {
       // x97 (self-contained, the x74b discipline); the oracle reuses
       // x97's generated CTE chain with a calibration tail.
       val docs = t(s, dir, "documents")
-      val (feat, labels, w) = Learn.qualityClassifier(docs)
+      val (feat, _, bias, w) = Learn.qualityClassifier(docs)
       Learn.logisticScore(docs.select(col("doc_id").as("id")), feat,
-          w, Learn.logisticBias(labels))
+          w, bias)
         .join(docs.select(col("doc_id").as("id"), col("lang")),
           Seq("id"))
         .withColumn("bucket",
@@ -9298,14 +9410,19 @@ object SparkEntry {
       GROUP BY 1, 2 ORDER BY declared, predicted""",
 
     "a20_pareto_abc" -> """
+      -- cents (exact BIGINT) through the cumulative machinery, like
+      -- the engine's globalPrefixSum path: cum/tot is then a quotient
+      -- of exact integers on both sides (same share doubles, same cut)
       WITH rev AS (
-        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                 AS BIGINT) AS cents
         FROM orders GROUP BY 1),
       r AS (
         SELECT o_custkey, rev,
-               SUM(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+               SUM(cents) OVER (ORDER BY rev DESC, o_custkey ASC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-               SUM(rev) OVER () AS tot
+               SUM(cents) OVER () AS tot
         FROM rev),
       c AS (
         SELECT rev,
@@ -10096,6 +10213,13 @@ object SparkEntry {
     "x97_quality_classifier" -> x97OracleStr,
     "st19_stream_score" -> x97OracleStr,
     "x98_calibration_audit" -> x98OracleStr,
+    // the ledger-fed consumers score against standing state that the
+    // fixed-point discipline makes bit-identical to a fresh retrain,
+    // so they share the self-contained twins' oracles VERBATIM — a
+    // ledger/retrain divergence shows up as a hash mismatch here
+    // (and as a Round14Spec failure before that)
+    "x97b_ledger_score" -> x97OracleStr,
+    "x98b_ledger_audit" -> x98OracleStr,
 
     "x100_tokenid_export" -> """
       WITH toks AS (
@@ -10201,6 +10325,27 @@ object SparkEntry {
              GREATEST(1, CAST(floor((CAST(b AS DOUBLE) + 536870911.0)
                / 536870912.0) AS BIGINT)) AS rec_write_files
       FROM adv ORDER BY tbl""",
+
+    "x108b_advised_write" -> """
+      -- realized_files is computed from the SAME arithmetic as
+      -- rec_write_files: the oracle thereby ASSERTS the engine's
+      -- written file count followed the recommendation (a divergence
+      -- hash-mismatches), and followed/rows_intact must come back true
+      WITH adv AS (
+        SELECT 'documents' AS tbl, COUNT(*) AS n_rows,
+               COALESCE(SUM(16 + COALESCE(length(text), 0)
+                 + COALESCE(length(lang), 0)
+                 + COALESCE(length(source), 0)), 0) AS b
+        FROM documents)
+      SELECT tbl, n_rows,
+             CAST(floor(CAST(b AS DOUBLE) / 1048576.0) AS BIGINT)
+               AS est_total_mb,
+             GREATEST(1, CAST(floor((CAST(b AS DOUBLE) + 65535.0)
+               / 65536.0) AS BIGINT)) AS rec_write_files,
+             GREATEST(1, CAST(floor((CAST(b AS DOUBLE) + 65535.0)
+               / 65536.0) AS BIGINT)) AS realized_files,
+             TRUE AS followed, TRUE AS rows_intact
+      FROM adv""",
 
     "x110_domain_reweight" -> """
       WITH base AS (SELECT doc_id, lang, text FROM documents),

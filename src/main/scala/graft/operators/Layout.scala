@@ -201,10 +201,18 @@ object Layout {
           coalesce(length(col(f.name)).cast(LongType), lit(0L))
         case BinaryType =>
           coalesce(length(col(f.name)).cast(LongType), lit(0L))
+        // explicit isNull branch, not coalesce(size(·)·w, 0): with
+        // ANSI off, legacy size(NULL) = -1 — the coalesce form would
+        // silently price null arrays at -4/-8 bytes there, diverging
+        // from the documented "NULL prices as 0" contract (and from
+        // the x108 oracle's COALESCE semantics). This form is
+        // config-independent.
         case ArrayType(FloatType | IntegerType | DateType, _) =>
-          coalesce(size(col(f.name)).cast(LongType) * 4L, lit(0L))
+          when(col(f.name).isNull, lit(0L))
+            .otherwise(size(col(f.name)).cast(LongType) * 4L)
         case ArrayType(DoubleType | LongType | TimestampType, _) =>
-          coalesce(size(col(f.name)).cast(LongType) * 8L, lit(0L))
+          when(col(f.name).isNull, lit(0L))
+            .otherwise(size(col(f.name)).cast(LongType) * 8L)
         case other => throw new IllegalArgumentException(
           s"rowBytes: no width rule for column ${f.name}: $other")
       }
@@ -222,9 +230,20 @@ object Layout {
     * rec_write_files) pane. */
   def partitionAdvisor(df: DataFrame, table: String,
                        shuffleMb: Int = 128,
-                       fileMb: Int = 512): DataFrame = {
-    val tgtS = shuffleMb.toLong * 1048576L
-    val tgtF = fileMb.toLong * 1048576L
+                       fileMb: Int = 512): DataFrame =
+    partitionAdvisorBytes(df, table, shuffleMb.toLong * 1048576L,
+      fileMb.toLong * 1048576L)
+
+  /** Byte-grain form of [[partitionAdvisor]] — same pane, targets in
+    * bytes. The MB form is the production interface; this one exists
+    * so the advisor→write wiring ([[writeAdvised]], x108b) can
+    * exercise a multi-file recommendation at test scales where every
+    * table fits inside 1 MB targets. */
+  def partitionAdvisorBytes(df: DataFrame, table: String,
+                            shuffleBytes: Long,
+                            fileBytes: Long): DataFrame = {
+    require(shuffleBytes > 0L && fileBytes > 0L,
+      s"targets must be positive: shuffle=$shuffleBytes file=$fileBytes")
     def ceilDiv(b: Column, t: Long): Column =
       greatest(lit(1L), floor((b + lit((t - 1).toDouble)) /
         lit(t.toDouble)).cast(LongType))
@@ -234,9 +253,30 @@ object Layout {
       .select(lit(table).as("tbl"), col("n_rows"),
         floor(col("bytes").cast(DoubleType) / lit(1048576.0d))
           .cast(LongType).as("est_total_mb"),
-        ceilDiv(col("bytes").cast(DoubleType), tgtS)
+        ceilDiv(col("bytes").cast(DoubleType), shuffleBytes)
           .as("rec_shuffle_partitions"),
-        ceilDiv(col("bytes").cast(DoubleType), tgtF)
+        ceilDiv(col("bytes").cast(DoubleType), fileBytes)
           .as("rec_write_files"))
+  }
+
+  /** The advisor DRIVING the write (the x109→saltedJoin "advisor
+    * output is the action's input" discipline applied to x108): size
+    * the relation, `repartition(rec_write_files)`, write parquet —
+    * so the recommended file count is REALIZED, not just printed.
+    * Returns (advisor pane, recommended files) after the write
+    * completes; round-robin repartition of a non-empty relation
+    * leaves no empty partitions, so the parquet file count equals
+    * the recommendation exactly (x108b's pane re-reads the directory
+    * and publishes the realized count next to the recommendation).
+    * The 1-row pane collect is the admission-gate scalar idiom: the
+    * decision is per-write, not per-row. */
+  def writeAdvised(df: DataFrame, table: String, path: String,
+                   fileBytes: Long): (DataFrame, Int) = {
+    val pane = partitionAdvisorBytes(df, table, shuffleBytes = fileBytes,
+      fileBytes = fileBytes).localCheckpoint()
+    val rec = pane.select(col("rec_write_files")).collect()(0)
+      .getLong(0).toInt
+    df.repartition(rec).write.mode("overwrite").parquet(path)
+    (pane, rec)
   }
 }

@@ -61,22 +61,29 @@ object Learn {
   /** The shared x97 training prologue at that operating point:
     * hashed uni+bigram L1 features over `documents`, en-seed labels
     * (y = 1 ⇔ lang = 'en'), preconditioned full-batch GD. Returns
-    * (feat, labels, weights) so consumers can score, gate, audit, or
-    * persist without re-deriving any piece of the recipe. */
+    * (feat, labels, bias, weights) so consumers can score, gate,
+    * audit, or persist without re-deriving any piece of the recipe —
+    * the bias relation in particular is built here ONCE and threaded
+    * into both train and score, so a train+score query pays exactly
+    * one label-grain aggregation. */
   def qualityClassifier(docs: DataFrame, nBuckets: Int = 4096)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val feat = features(docs, col("doc_id"), col("text"), nBuckets)
     val labels = docs.select(col("doc_id").as("id"),
       when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y"))
-    (feat, labels, logisticTrain(feat, labels, qualityIters, qualityLr))
+    val biasDf = logisticBias(labels)
+    (feat, labels, biasDf,
+      logisticTrain(feat, labels, qualityIters, qualityLr, biasDf))
   }
 
   /** The 1-row fixed-intercept relation: logit of the label base
     * rate, rounded to 6. Fails fast on empty or single-class labels
     * (the logit is undefined/±∞ there and no classifier is
-    * learnable). `labels` is aggregated exactly once; the bias rides
-    * as a literal, so train+score call this freely without repaying
-    * the label-grain scan. */
+    * learnable). EACH CALL runs one label-grain aggregation (the
+    * collect here IS the scan) — callers that both train and score
+    * must build the relation once and pass it to both
+    * ([[qualityClassifier]] does; so does [[logisticTrain]]'s
+    * `biasDf0` parameter), not call this twice. */
   def logisticBias(labels: DataFrame): DataFrame = {
     val rows = labels.agg(avg(col("y"))).collect()
     val r = if (rows.isEmpty || rows(0).isNullAt(0)) Double.NaN
@@ -103,9 +110,12 @@ object Learn {
     * p = σ(z), and the batch gradient g_b = Σ (p − y)·v, then steps
     * w ← w − lr·(g_b / Σ_d v_{d,b}) — the feature-mass-normalized
     * (diagonally preconditioned) step. Returns (b, w) after `iters`
-    * steps. */
+    * steps. `biasDf0` lets a caller that already built the intercept
+    * relation ([[logisticBias]]) share it instead of paying a second
+    * label-grain aggregation; null (the default) builds it here. */
   def logisticTrain(feat: DataFrame, labels: DataFrame,
-                    iters: Int = 3, lr: Double = 0.5): DataFrame = {
+                    iters: Int = 3, lr: Double = 0.5,
+                    biasDf0: DataFrame = null): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     // FIXED intercept at logit(base rate) — "centering": the model
     // starts AT the class prior (iteration-1 sigmoid = base rate
@@ -114,7 +124,7 @@ object Learn {
     // an 800× feature-scale mismatch that oscillates at any lr the
     // tokens can use (measured: ±n/2 bias gradient saturates every
     // doc to p=0 by iteration 2).
-    val biasDf = logisticBias(labels)
+    val biasDf = if (biasDf0 == null) logisticBias(labels) else biasDf0
     // (id, b, v, y) — the training relation every pass re-reads;
     // eagerly materialized once (the x82 localCheckpoint idiom) so k
     // iterations cost k passes, not an exponentially replayed lineage
@@ -166,6 +176,61 @@ object Learn {
         .localCheckpoint()
     }
     w
+  }
+
+  /** The standing quality model's VERSION STRING — operating point +
+    * feature space baked into the ledger identity, so a consumer can
+    * never silently score against weights trained under a different
+    * recipe: [[loadModel]] fails fast on a mismatch, and changing the
+    * recipe here (or [[qualityIters]]/[[qualityLr]]) changes the
+    * version, which changes the ledger path every caller derives from
+    * it — stale state is unreachable by construction. */
+  val qualityModelVersion: String =
+    s"quality-gd$qualityIters-lr$qualityLr-b4096-enSeed"
+
+  /** Persist a trained model as the VERSIONED standing ledger (the
+    * x74→x74b pattern applied to the classifier: train once, persist,
+    * let consumers read standing state instead of re-running the
+    * 12-epoch GD per query). Layout: `weights/` (b, w), `bias/` (the
+    * 1-row intercept), `meta/` (version). The meta row is written
+    * LAST, so a reader that finds a valid meta sees complete
+    * weights+bias (single-writer discipline; Lake.scala's snapshot
+    * notes cover concurrent-writer regimes). */
+  def persistModel(weights: DataFrame, biasDf: DataFrame,
+                   path: String, version: String): Unit = {
+    weights.write.mode("overwrite").parquet(s"$path/weights")
+    biasDf.write.mode("overwrite").parquet(s"$path/bias")
+    biasDf.sparkSession.range(1)
+      .select(lit(version).as("version"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** True when a COMPLETE standing model of exactly `version` exists
+    * at `path` — the S10 exists-guard for [[persistModel]] state. */
+  def modelExists(spark: org.apache.spark.sql.SparkSession,
+                  path: String, version: String): Boolean = {
+    val meta = new java.io.File(s"$path/meta", "_SUCCESS")
+    meta.exists() && {
+      val rows = spark.read.parquet(s"$path/meta").collect()
+      rows.nonEmpty && rows(0).getString(0) == version
+    }
+  }
+
+  /** Read the standing model back as (weights, bias), failing fast if
+    * the persisted version differs from what the caller expects —
+    * the versioned-state contract (a recipe change invalidates every
+    * old ledger instead of silently mis-scoring against it). */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String, version: String)
+      : (DataFrame, DataFrame) = {
+    val rows = spark.read.parquet(s"$path/meta").collect()
+    require(rows.nonEmpty && rows(0).getString(0) == version,
+      s"loadModel: standing model at $path has version " +
+        s"'${rows.headOption.map(_.getString(0)).getOrElse("<none>")}'" +
+        s" but this build expects '$version' — retrain (the ledger " +
+        "path should derive from the version to make this unreachable)")
+    (spark.read.parquet(s"$path/weights"),
+      spark.read.parquet(s"$path/bias"))
   }
 
   /** Score docs against trained weights: p = σ(bias + Σ v·w_b),

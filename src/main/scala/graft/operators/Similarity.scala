@@ -722,6 +722,15 @@ object Similarity {
     * higher nprobe, the same decide-from-a-measurement discipline as
     * SketchFns.lgkFor and Dedup.bandsFor.
     *
+    * Contract (same as [[bitextMarginMining]]'s): `queries` and
+    * `corpus` draw ids from ONE namespace — the self-pair exclusion
+    * is `query_id =!= neighbor_id`, so a query whose id happens to
+    * equal an UNRELATED corpus row's id would silently lose that one
+    * legitimate neighbor (skewing mean_nn_dist and RC). Probing with
+    * corpus rows themselves (x93's shape) satisfies this by
+    * construction; independently-keyed query sets must be re-keyed
+    * (offset or tag) into the corpus's namespace first.
+    *
     * Shape: |Q| probe queries broadcast against ONE corpus scan; the
     * all-points mean is a decimal sum and the kNN mean rides the same
     * aggregation through the bounded-heap [[graft.functions.TopKAgg]]
@@ -750,7 +759,12 @@ object Similarity {
     * 1.3, recall 0.44 at 12.5% probed) cell pruning cannot hold
     * recall and the exact fixed-point scan IS the correct plan, so
     * that is what runs. Both branches emit the same
-    * (query_id, rank, neighbor_id, approx_d2) shape. */
+    * (query_id, rank, neighbor_id, approx_d2) shape.
+    *
+    * Id contract: queries and corpus share one id namespace (see
+    * [[annDifficulty]] — the preflight's self-pair exclusion and both
+    * branches' `query_id =!= neighbor_id` assume it); re-key
+    * independently-numbered query sets before routing. */
   def annTopKAuto(queries: DataFrame, corpus: DataFrame,
                   idCol: String, vecCol: String, k: Int,
                   nlist: Int = 16, nprobe: Int = 12, m: Int = 8,
@@ -760,13 +774,34 @@ object Similarity {
     // the preflight prices one corpus scan PER PROBE — measuring with
     // the full query set would cost as much as the exact scan it
     // exists to avoid, so the verdict comes from a deterministic
-    // probe sample (first probeCap by id); a deployment amortizes
-    // further by calling annPrunable once per index build
-    val probes = queries.orderBy(col(idCol)).limit(probeCap)
+    // STRATIFIED probe sample: one query per xxhash64(id) bucket
+    // (smallest id wins the bucket — reproducible on any engine/
+    // cluster). The round-6 form took the first probeCap by id, which
+    // on an id-CORRELATED corpus (ids assigned cluster-by-cluster —
+    // common for ingest-ordered lakes) measures one corner of the
+    // space and can vote prunable for a corpus whose far side
+    // concentrates; hash-bucketing spreads the probes across the id
+    // space regardless of how ids were assigned (Round14Spec pins
+    // verdict stability under id relabeling). A deployment amortizes
+    // further by calling annPrunable once per index build.
+    val probes = stratifiedProbes(queries, idCol, probeCap)
     if (annPrunable(corpus, probes, idCol, vecCol, k, prunableAt))
       ivfpqTopK(queries, corpus, idCol, vecCol, k, nlist, nprobe, m,
         ksub, coarseIters = 1, pqIters = 1, rerank = rerank)
     else bruteTopKL2(queries, corpus, idCol, vecCol, k)
+  }
+
+  /** [[annTopKAuto]]'s deterministic stratified probe sample: one
+    * query per xxhash64(id) bucket, smallest id winning its bucket —
+    * ≤ probeCap rows, reproducible on any engine/cluster, and spread
+    * across the id space no matter how ids were assigned. */
+  private[graft] def stratifiedProbes(queries: DataFrame, idCol: String,
+                                      probeCap: Int): DataFrame = {
+    val wb = Window.partitionBy(col("__bk")).orderBy(col(idCol).asc)
+    queries
+      .withColumn("__bk", pmod(xxhash64(col(idCol)), lit(probeCap.toLong)))
+      .withColumn("__rn", row_number().over(wb))
+      .filter(col("__rn") === 1).drop("__bk", "__rn")
   }
 
   def annDifficulty(corpus: DataFrame, queries: DataFrame,

@@ -58,7 +58,7 @@ object Tokenize {
   /** Adjacent symbol pairs of a syms string, exploded, one row per
     * occurrence, carrying the word's freq. Pair display form is
     * "x y" (single space). */
-  private def pairsOf(syms: DataFrame): DataFrame =
+  private[graft] def pairsOf(syms: DataFrame): DataFrame =
     syms
       .withColumn("arr", split(trim(col("syms")), "  "))
       .filter(size(col("arr")) >= 2)
@@ -67,6 +67,15 @@ object Tokenize {
           "i -> concat(element_at(arr, i), ' ', " +
           "element_at(arr, i + 1)))")).as("pair"))
 
+  /** The " x  y " search form of a pair's display form "x y" —
+    * shared by the merge replace() and the affected-word filter, so
+    * the two can never disagree on what "contains the pair" means.
+    * Symbols never contain spaces, so the double-space form occurs in
+    * a syms string iff the two symbols are adjacent (matches cannot
+    * cross the space delimiters). */
+  private def pairPattern(pair: Column): Column =
+    concat(lit(" "), regexp_replace(pair, " ", "  "), lit(" "))
+
   /** Phase 2: `merges` BPE merge rounds over the (word, freq) type
     * table. Returns one row per round:
     * (rank, pair, merged, cnt, corpus_tokens) where `cnt` is the
@@ -74,27 +83,149 @@ object Tokenize {
     * `corpus_tokens` the total corpus token count AFTER applying the
     * merge — the training curve a tokenizer build publishes.
     *
+    * INCREMENTAL merge rounds (the industrial trainer's inner loop,
+    * round-7): the pair-count relation `pc` is built ONCE from the
+    * full type table and then DELTA-updated — round r filters the
+    * type table to the words that CONTAIN the winning pair (a
+    * contains() scan, no explode), recounts pairs for just those
+    * words before and after the merge, and folds
+    * pc' = pc − pairs(affected_before) + pairs(affected_after)
+    * (exact integer counts, so pc' equals a full recount bit-for-bit
+    * — Round14Spec pins it). The round-6 form re-exploded EVERY word
+    * into pairs EVERY round; fine at 31 types, but at a real 30k-merge
+    * vocab over millions of word types the full recount per round
+    * dominates training. Here round r explodes only the affected
+    * slice — typically a small fraction once common pairs are merged
+    * away — and the corpus token count folds from the same slice
+    * (tokens' = tokens − freq·(len_before − len_after) summed over
+    * affected words; unaffected words cannot change it).
+    *
+    * Same recurrence, same merge table, same oracle as the full
+    * recount ([[bpeTrainFullRecount]] stays as the reference
+    * implementation the invariance spec replays against).
+    *
     * Fails fast if the corpus runs out of mergeable pairs before
     * `merges` rounds (an empty argmax would silently empty every
     * later round through the crossJoin; callers size `merges` to the
     * corpus, exactly like lgkFor sizes sketches). */
   def bpeTrain(words: DataFrame, merges: Int): DataFrame = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
+    var (syms, pc, toks) = bpeInitState(words)
+    var out: DataFrame = null
+    for (r <- 1 to merges) {
+      val (symsN, pcN, toksN, row, _) = bpeRound(syms, pc, toks, r)
+      syms = symsN; pc = pcN; toks = toksN
+      out = if (out == null) row else out.unionByName(row)
+    }
+    out
+  }
+
+  /** The standing state [[bpeRound]] folds: the checkpointed syms
+    * type table, the pair-count relation (built from the ONLY full
+    * explode of the whole run), and the 1-row corpus token count. */
+  private[graft] def bpeInitState(words: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val syms = words
+      .select(initSyms(col("word")).as("syms"), col("freq"))
+      .localCheckpoint()
+    // standing pair-count state: built from one full explode, then
+    // delta-updated each round — never re-exploded from scratch
+    val pc = pairsOf(syms)
+      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+      .localCheckpoint()
+    // standing 1-row corpus token count, folded by affected-slice
+    // deltas (exact integers; the lineage is truncated every round)
+    val toks = syms.agg(
+      sum(col("freq") * size(split(trim(col("syms")), "  ")))
+        .as("corpus_tokens"))
+      .localCheckpoint()
+    (syms, pc, toks)
+  }
+
+  /** One incremental merge round. Takes the standing state
+    * (syms type table, pair counts, 1-row token count) and returns
+    * (syms', pc', toks', output row, affected slice) — package-
+    * private so Round14Spec can drive a single round and assert the
+    * recount's input IS the affected slice and nothing else. */
+  private[graft] def bpeRound(syms: DataFrame, pc: DataFrame,
+                              toks: DataFrame, r: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // 1-row argmax over the STANDING pair counts (no explode),
+    // materialized executor-side (never collected)
+    val best = pc
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(1)
+      .localCheckpoint()
+    require(!best.isEmpty,
+      s"bpeTrain: no adjacent pairs left at round $r — corpus " +
+        "supports fewer merges")
+    // ONE contains() pass splits the type table; materialized so
+    // the affected/unaffected branches don't re-scan it
+    val tagged = syms.crossJoin(broadcast(best.select(col("pair"))))
+      .withColumn("__hit",
+        col("syms").contains(pairPattern(col("pair"))))
+      .localCheckpoint()
+    val aff = tagged.filter(col("__hit"))
+      .withColumn("syms2", expr(
+        "replace(syms, concat(' ', replace(pair, ' ', '  '), ' '), " +
+          "concat(' ', replace(pair, ' ', ''), ' '))"))
+      .withColumn("len1", size(split(trim(col("syms")), "  ")))
+      .withColumn("len2", size(split(trim(col("syms2")), "  ")))
+      .localCheckpoint()
+    // pair-count delta from the affected slice only: subtract its
+    // old pairs, add its new ones; counts ≤ 0 leave the relation
+    // (an absent pair IS count 0 — keeping zeros would let the
+    // argmax tie-break on dead pairs)
+    val deltaOld = pairsOf(aff.select(col("syms"), col("freq")))
+      .groupBy(col("pair")).agg((-sum(col("freq"))).as("dc"))
+    val deltaNew = pairsOf(
+        aff.select(col("syms2").as("syms"), col("freq")))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("dc"))
+    val pcN = pc.select(col("pair"), col("cnt").as("dc"))
+      .unionByName(deltaOld).unionByName(deltaNew)
+      .groupBy(col("pair")).agg(sum(col("dc")).as("cnt"))
+      .filter(col("cnt") > 0)
+      .localCheckpoint()
+    // token-count fold: only affected words change length
+    val dt = aff.agg(coalesce(
+      sum(col("freq") * (col("len1") - col("len2"))), lit(0L))
+      .as("__d"))
+    val toksN = toks.crossJoin(dt)
+      .select((col("corpus_tokens") - col("__d")).as("corpus_tokens"))
+      .localCheckpoint()
+    val symsN = tagged.filter(!col("__hit"))
+      .select(col("syms"), col("freq"))
+      .unionByName(aff.select(col("syms2").as("syms"), col("freq")))
+      .localCheckpoint()
+    val row = best.crossJoin(toksN)
+      .select(lit(r).as("rank"), col("pair"),
+        regexp_replace(col("pair"), " ", "").as("merged"),
+        col("cnt"), col("corpus_tokens"))
+    (symsN, pcN, toksN, row, aff)
+  }
+
+  /** The round-6 full-recount form, kept as the REFERENCE
+    * implementation: one explode+agg over every word every round.
+    * Round14Spec replays [[bpeTrain]] against it (identical merge
+    * tables and token curves on the driver corpus) and the
+    * bpe_incr_sweep Scratch case measures the two on a large crafted
+    * type table — the incremental form's win grows with type-table
+    * size and merge count, which 31 types cannot show. */
+  private[graft] def bpeTrainFullRecount(words: DataFrame,
+                                         merges: Int): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
     var syms = words
       .select(initSyms(col("word")).as("syms"), col("freq"))
       .localCheckpoint()
     var out: DataFrame = null
     for (r <- 1 to merges) {
-      // 1-row argmax, materialized executor-side (never collected)
       val best = pairsOf(syms)
         .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair").asc)
         .limit(1)
         .localCheckpoint()
       require(!best.isEmpty,
-        s"bpeTrain: no adjacent pairs left at round $r — corpus " +
-          s"supports fewer than $merges merges")
-      // apply the merge: " x  y " → " xy " everywhere
+        s"bpeTrainFullRecount: no adjacent pairs left at round $r")
       syms = syms.crossJoin(broadcast(best.select(col("pair"))))
         .withColumn("syms", expr(
           "replace(syms, concat(' ', replace(pair, ' ', '  '), ' '), " +
@@ -122,19 +253,41 @@ object Tokenize {
     *
     * `merges` is the k-row trained model ([[bpeTrain]] output);
     * fetching it to the driver is the b2 bloom-bytes model-fetch
-    * idiom — the model is KBs by construction (k pairs), and it
-    * folds into ONE k-deep replace() column expression, fully
-    * codegen'd, applied in rank order (BPE's apply-in-training-order
-    * rule). */
-  def bpeSubwordCounts(words: DataFrame, merges: DataFrame): DataFrame = {
+    * idiom — the model is KBs by construction (k pairs). Merges
+    * apply in rank order (BPE's apply-in-training-order rule) as
+    * nested replace() expressions, in CHUNKS of `chunkSize` with a
+    * localCheckpoint barrier between chunks: a single fold of a
+    * realistic 30k-merge vocab would build a 30k-deep expression
+    * tree — past Spark's codegen/analyzer recursion budget (fallback
+    * or StackOverflow) — while the barrier caps the depth at
+    * `chunkSize` (fully codegen'd) and blocks CollapseProject from
+    * re-nesting consecutive chunk projections into one tree. Cost:
+    * ceil(k/chunkSize) passes over the word-TYPE table — type-grain,
+    * never corpus-grain (the corpus still meets the result as ONE
+    * dictionary join). k ≤ chunkSize (every current caller: k = 12)
+    * keeps the round-6 single-expression plan byte-for-byte. */
+  def bpeSubwordCounts(words: DataFrame, merges: DataFrame,
+                       chunkSize: Int = 256): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1: $chunkSize")
     val pairs = merges.orderBy(col("rank")).collect()
       .map(_.getAs[String]("pair"))
-    val symsFinal = pairs.foldLeft(initSyms(col("word"))) { (c, p) =>
-      call_function("replace", c,
-        lit(" " + p.replace(" ", "  ") + " "),
-        lit(" " + p.replace(" ", "") + " "))
-    }
-    words.select(col("word"), col("freq"),
-      size(split(trim(symsFinal), "  ")).as("n_sub"))
+    def applyChunk(c: Column, chunk: Array[String]): Column =
+      chunk.foldLeft(c) { (acc, p) =>
+        call_function("replace", acc,
+          lit(" " + p.replace(" ", "  ") + " "),
+          lit(" " + p.replace(" ", "") + " "))
+      }
+    val first = words.select(col("word"), col("freq"),
+      applyChunk(initSyms(col("word")), pairs.take(chunkSize))
+        .as("__syms"))
+    val folded = pairs.drop(chunkSize).grouped(chunkSize)
+      .foldLeft(first) { (df, chunk) =>
+        // barrier: materialize before the next chunk so the plan
+        // depth stays ≤ chunkSize per projection
+        df.localCheckpoint()
+          .withColumn("__syms", applyChunk(col("__syms"), chunk.toArray))
+      }
+    folded.select(col("word"), col("freq"),
+      size(split(trim(col("__syms")), "  ")).as("n_sub"))
   }
 }

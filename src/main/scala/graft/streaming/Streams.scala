@@ -1027,8 +1027,10 @@ object Streams {
                           nBuckets: Int = 4096): Unit = {
     import graft.operators.Learn
     val sp = batch.sparkSession
-    val w = sp.read.parquet(s"$modelPath/weights")
-    val bias = sp.read.parquet(s"$modelPath/bias")
+    // version-checked ledger read — a fold can never silently score
+    // against weights trained under a different recipe
+    val (w, bias) = Learn.loadModel(sp, modelPath,
+      Learn.qualityModelVersion)
     val feat = Learn.features(batch, col("doc_id"), col("text"),
       nBuckets)
     Learn.logisticScore(batch.select(col("doc_id").as("id")), feat,
@@ -1058,14 +1060,14 @@ object Streams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val docs = graft.Tables.load(spark, sfDir, "documents")
     // x97's standing operating point — shared definition, so the
-    // frozen model here can never drift from the batch twin's oracle
-    val (_, labels, w) = Learn.qualityClassifier(docs, nBuckets)
+    // frozen model here can never drift from the batch twin's oracle;
+    // persisted via Learn.persistModel, the SAME versioned-ledger
+    // form x97b/x98b consume (st19's freeze was the prototype)
+    val (_, _, bias, w) = Learn.qualityClassifier(docs, nBuckets)
     val modelDir = new java.io.File("target/qtmp/st19_model")
     org.apache.commons.io.FileUtils.deleteQuietly(modelDir)
     val modelPath = modelDir.getAbsolutePath
-    w.write.mode("overwrite").parquet(s"$modelPath/weights")
-    Learn.logisticBias(labels)
-      .write.mode("overwrite").parquet(s"$modelPath/bias")
+    Learn.persistModel(w, bias, modelPath, Learn.qualityModelVersion)
     val scoredDir = new java.io.File("target/qtmp/st19_scores")
     org.apache.commons.io.FileUtils.deleteQuietly(scoredDir)
     val scoredPath = scoredDir.getAbsolutePath

@@ -183,28 +183,56 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"), p.take(900))
   }
 
-  test("p13/x79/x86/e2e_webcorpus: no single-partition window over data-grain rows") {
-    // the round-4 verdict's perf_weak trio: each formerly ran
-    // ntile/cumsum as `Window.orderBy(...)` with no PARTITION BY — a
-    // one-executor sort wall at corpus scale. All three now route
-    // through Layout's range-exchange count-and-offset machinery, whose
-    // ONLY unpartitioned window runs over the ≤numPartitions metadata
-    // offset rows (directly above the per-partition aggregate). The
-    // guard: every WindowExec with an empty partitionSpec must have an
-    // aggregate somewhere below it; a data-grain global window reads
-    // straight off a scan/exchange and fails.
+  test("p13/x79/x86/e2e_webcorpus/a20: no single-partition window over " +
+       "data-grain rows") {
+    // the round-4 verdict's perf_weak trio (+ a20, the round-6 find):
+    // each formerly ran ntile/cumsum as `Window.orderBy(...)` with no
+    // PARTITION BY — a one-executor sort wall at corpus scale. All now
+    // route through Layout's range-exchange count-and-offset machinery,
+    // whose ONLY unpartitioned window runs over the ≤numPartitions
+    // metadata offset rows (directly above the per-__pid aggregate).
+    // The guard is keyed to that structure: every WindowExec with an
+    // empty partitionSpec must sit above an aggregate GROUPED BY __pid
+    // — the metadata-offsets shape and nothing else. The round-4 form
+    // of this pin only demanded SOME aggregate below, which a20's old
+    // customer-grain global window satisfied (its input was the
+    // revenue groupBy) while still funneling every customer through
+    // one task; the __pid key closes that hole (proven below on the
+    // old form, rebuilt inline as the negative control).
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    for (q <- Seq("p13_batch_ntile", "x79_ccnet_buckets",
-                  "x86_quality_curriculum", "e2e_webcorpus")) {
-      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
-      val bad = plan.collect {
+    def dataGrainGlobalWindows(
+        plan: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] =
+      plan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty &&
-            w.child.collect { case a: BaseAggregateExec => a }.isEmpty => w
+            w.child.collect {
+              case a: BaseAggregateExec if a.groupingExpressions
+                .exists(_.references.exists(_.name == "__pid")) => a
+            }.isEmpty => w
       }
+    for (q <- Seq("p13_batch_ntile", "x79_ccnet_buckets",
+                  "x86_quality_curriculum", "e2e_webcorpus",
+                  "a20_pareto_abc")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
+      val bad = dataGrainGlobalWindows(plan)
       assert(bad.isEmpty,
         s"$q plans a data-grain global window:\n${bad.mkString("\n").take(900)}")
     }
+    // negative control: a20's ROUND-6 form (cumulative share as a
+    // customer-grain Window.orderBy above the revenue groupBy) must
+    // FAIL this detector — the pin is only worth its name if the
+    // plan it was written to kill cannot pass it
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rev = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val oldForm = rev.withColumn("cum", sum(col("rev")).over(
+      Window.orderBy(col("rev").desc, col("o_custkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(dataGrainGlobalWindows(
+        oldForm.queryExecution.sparkPlan).nonEmpty,
+      "the detector no longer catches the customer-grain global window")
   }
 
   test("x95/x96: candidate generation broadcasts the query/A side; " +

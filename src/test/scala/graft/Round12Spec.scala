@@ -423,9 +423,9 @@ class Round12Spec extends GraftSuite {
     // inline re-derivation, so a change to Learn.features or the
     // (iters, lr) point cannot silently diverge from what this spec
     // trains against
-    val (feat, labels, w) = Learn.qualityClassifier(docs)
+    val (feat, labels, bias, w) = Learn.qualityClassifier(docs)
     val sc = Learn.logisticScore(labels.select(col("id")), feat, w,
-      Learn.logisticBias(labels)).join(labels, Seq("id"))
+      bias).join(labels, Seq("id"))
     val a = sc.agg(
       avg(when(col("y") === 1.0d, col("score"))).as("men"),
       avg(when(col("y") === 0.0d, col("score"))).as("mxx"),
@@ -465,10 +465,12 @@ class Round12Spec extends GraftSuite {
     org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(scores))
     // tiny frozen model — the training path is x97's spec; this one
-    // pins the fold's restart semantics
-    Seq((0L, 1.5), (1L, -2.0), (7L, 0.25)).toDF("b", "w")
-      .write.parquet(s"$model/weights")
-    Seq(Tuple1(-0.35)).toDF("bias").write.parquet(s"$model/bias")
+    // pins the fold's restart semantics. Persisted via the versioned
+    // ledger form the fold now insists on reading back.
+    graft.operators.Learn.persistModel(
+      Seq((0L, 1.5), (1L, -2.0), (7L, 0.25)).toDF("b", "w"),
+      Seq(Tuple1(-0.35)).toDF("bias"), model,
+      graft.operators.Learn.qualityModelVersion)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val b0 = docs.filter(col("doc_id") % 2 === 0)
     val b1 = docs.filter(col("doc_id") % 2 === 1)
