@@ -279,6 +279,50 @@ object Scratch {
         System.gc()
         rddState("after unpersist-all")
         t2x("x82_after_unpersist")
+        // stage decomposition: where does the steady-state time go?
+        import org.apache.spark.sql.functions.{count, lit}
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val qq = emb.filter(col("vec_id") < 10)
+        def stage(tag: String)(body: => Unit): Unit = {
+          body
+          val ts = (1 to 2).map { _ =>
+            val t0 = System.nanoTime(); body
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"  stage $tag%-22s min=${ts.min}%.3f")
+        }
+        stage("ivfTrain(ckpt)") {
+          graft.operators.Similarity.ivfTrain(emb, "vec_id",
+            "embedding", nlist = 16).localCheckpoint(true); ()
+        }
+        val cents = graft.operators.Similarity.ivfTrain(emb, "vec_id",
+          "embedding", nlist = 16).localCheckpoint(true)
+        stage("ivfAssign(ckpt)") {
+          graft.operators.Similarity.ivfAssign(emb, "vec_id",
+            "embedding", cents).localCheckpoint(true); ()
+        }
+        val assigned = graft.operators.Similarity.ivfAssign(emb,
+          "vec_id", "embedding", cents).localCheckpoint(true)
+        stage("bruteTopK(ckpt)") {
+          graft.operators.Similarity.bruteTopK(qq, emb, "vec_id",
+            "embedding", k = 5).localCheckpoint(true); ()
+        }
+        val brute = graft.operators.Similarity.bruteTopK(qq, emb,
+          "vec_id", "embedding", k = 5).localCheckpoint(true)
+        stage("5-point sweep") {
+          Seq(1, 2, 4, 8, 16).map { np =>
+            val r = graft.operators.Similarity.ivfSearchAssigned(qq,
+              "vec_id", "embedding", assigned, cents, k = 5,
+              nprobe = np)
+            brute.as("b").join(r.as("l"),
+                col("b.query_id") === col("l.query_id") &&
+                  col("b.neighbor_id") === col("l.neighbor_id"), "left")
+              .agg((count(col("l.neighbor_id")).cast("double") /
+                count(lit(1))).as("recall"))
+              .select(lit(np).as("nprobe"), col("recall"))
+          }.reduce(_ unionByName _)
+            .write.format("noop").mode("overwrite").save()
+        }
       case "clustered_ann" =>
         // the ANN router's PRUNABLE branch at lake scale (verdict-6
         // ask #4): a clustered embedding lake — Round12Spec's blob
@@ -294,6 +338,15 @@ object Scratch {
         val dims = 64
         val nprobe = sys.env.getOrElse("CLUSTERED_NPROBE", "8").toInt
         val nlist = sys.env.getOrElse("CLUSTERED_NLIST", "64").toInt
+        // rerank must scale with what the probes RETURN: nprobe cells
+        // × expected cell occupancy (n/nlist), padded ×1.5 for skew —
+        // a flat rerank that works at 31-point cells starves at
+        // 312-point cells (measured: 0.64 recall at 20k with the 2k
+        // point's rerank=200). The executable-sizing discipline
+        // (lgkFor/bandsFor) applied to the rerank knob.
+        val rerank = sys.env.get("CLUSTERED_RERANK").map(_.toInt)
+          .getOrElse(math.max(200,
+            (1.5 * nprobe * n.toDouble / nlist).toInt))
         // center coord c(k,d) ~ U(-1,1) from xxhash64; point jitter
         // ±0.02 — tight blobs far apart relative to jitter
         val lake = spark.range(n.toLong).select(col("id").as("vec_id"),
@@ -314,12 +367,15 @@ object Scratch {
             min(col("ivf_prunable")).as("all_prunable")).head()
         println(f"RC: min=${rc.getDouble(0)}%.3f avg=${rc.getDouble(1)}%.3f " +
           s"all_prunable=${rc.getBoolean(2)}")
+        val te0 = System.nanoTime()
         val exact = graft.operators.Similarity.bruteTopKL2(
           q, lake, "vec_id", "embedding", 5).localCheckpoint()
+        println(f"exact scan (same probes): " +
+          f"${(System.nanoTime() - te0) / 1e9}%.2f s")
         val t0 = System.nanoTime()
         val routed = graft.operators.Similarity.annTopKAuto(
           q, lake, "vec_id", "embedding", 5, nlist = nlist,
-          nprobe = nprobe, m = 8, ksub = 16, rerank = 200)
+          nprobe = nprobe, m = 8, ksub = 16, rerank = rerank)
         routed.write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         val hits = exact.as("b").join(routed.as("l"),
@@ -328,7 +384,8 @@ object Scratch {
         val denom = exact.count().toDouble
         println(f"route: recall=${hits / denom}%.3f " +
           f"probed=${100.0 * nprobe / nlist}%.1f%% wall=$dt%.2f s " +
-          s"(includes the preflight; nlist=$nlist nprobe=$nprobe)")
+          s"(includes the preflight; nlist=$nlist nprobe=$nprobe " +
+          s"rerank=$rerank)")
       case "bpe_incr_sweep" =>
         // incremental vs full-recount BPE on a LARGE crafted type
         // table (verdict-7 ask #2's measured row): the 31-type driver
@@ -338,8 +395,9 @@ object Scratch {
         import org.apache.spark.sql.functions._
         val nTypes = sys.env.getOrElse("BPE_TYPES", "200000").toInt
         val nMerges = sys.env.getOrElse("BPE_MERGES", "30").toInt
+        val wLen = sys.env.getOrElse("BPE_WLEN", "12").toInt
         val words = spark.range(nTypes.toLong)
-          .select(substring(md5(col("id").cast("string")), 1, 12)
+          .select(substring(md5(col("id").cast("string")), 1, wLen)
             .as("word"),
             (lit(1L) + pmod(col("id"), lit(97L))).as("freq"))
           .groupBy(col("word")).agg(max(col("freq")).as("freq"))
@@ -356,6 +414,31 @@ object Scratch {
           graft.operators.Tokenize.bpeTrain(words, nMerges))
         timeTrain("full_recount",
           graft.operators.Tokenize.bpeTrainFullRecount(words, nMerges))
+      case "bpe_incr_rounds" =>
+        // per-round timing of the incremental trainer — find where
+        // cost concentrates as merges accumulate
+        import org.apache.spark.sql.functions._
+        val nTypes = sys.env.getOrElse("BPE_TYPES", "200000").toInt
+        val nMerges = sys.env.getOrElse("BPE_MERGES", "30").toInt
+        val wLen = sys.env.getOrElse("BPE_WLEN", "12").toInt
+        val words = spark.range(nTypes.toLong)
+          .select(substring(md5(col("id").cast("string")), 1, wLen)
+            .as("word"),
+            (lit(1L) + pmod(col("id"), lit(97L))).as("freq"))
+          .groupBy(col("word")).agg(max(col("freq")).as("freq"))
+          .localCheckpoint()
+        var (sy, pc, tk) = graft.operators.Tokenize.bpeInitState(words)
+        for (r <- 1 to nMerges) {
+          val t0 = System.nanoTime()
+          val (s2, p2, t2, row, aff) =
+            graft.operators.Tokenize.bpeRound(sy, pc, tk, r)
+          val nAff = aff.count()
+          val nPc = p2.count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          sy = s2; pc = p2; tk = t2
+          println(f"round $r%2d  $dt%6.2f s  aff=$nAff%7d pairs=$nPc%6d " +
+            s"won=${row.collect()(0).getString(1)}")
+        }
       case "st8_debug" =>
         // count rows per micro-batch to confirm the 2-batch split
         import org.apache.spark.sql.functions.col

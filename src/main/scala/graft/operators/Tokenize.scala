@@ -104,30 +104,64 @@ object Tokenize {
     * recount ([[bpeTrainFullRecount]] stays as the reference
     * implementation the invariance spec replays against).
     *
+    * MEASURED-ROUTE dispatch (the joinAuto/annTopKAuto discipline):
+    * below [[bpeIncrementalMinTypes]] word types the recount wins —
+    * the incremental round's extra jobs (argmax off standing counts,
+    * affected checkpoint, delta fold) are pure overhead when the
+    * whole explode is a handful of tasks (measured, local[32],
+    * min-of-2, 30 merges: 5k types 12.9 s incr vs 3.0 s recount;
+    * 200k parity 34.1 vs 35.0; 1M types 42.5 vs 55.1 — the gap grows
+    * with types×word-length because the recount re-explodes
+    * types·pairs rows per round while the incremental form explodes
+    * only the affected slice). The route reads the ALREADY
+    * CHECKPOINTED syms row count — one metadata-cheap job, no extra
+    * corpus pass. `incremental = Some(...)` overrides for callers
+    * (and specs) that know better.
+    *
     * Fails fast if the corpus runs out of mergeable pairs before
     * `merges` rounds (an empty argmax would silently empty every
     * later round through the crossJoin; callers size `merges` to the
     * corpus, exactly like lgkFor sizes sketches). */
-  def bpeTrain(words: DataFrame, merges: Int): DataFrame = {
+  def bpeTrain(words: DataFrame, merges: Int,
+               incremental: Option[Boolean] = None): DataFrame = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
-    var (syms, pc, toks) = bpeInitState(words)
-    var out: DataFrame = null
-    for (r <- 1 to merges) {
-      val (symsN, pcN, toksN, row, _) = bpeRound(syms, pc, toks, r)
-      syms = symsN; pc = pcN; toks = toksN
-      out = if (out == null) row else out.unionByName(row)
+    val syms0 = symsOf(words)
+    val useIncr = incremental.getOrElse(
+      syms0.count() >= bpeIncrementalMinTypes)
+    if (!useIncr) recountLoop(syms0, merges)
+    else {
+      var (syms, pc, toks) = stateFromSyms(syms0)
+      var out: DataFrame = null
+      for (r <- 1 to merges) {
+        val (symsN, pcN, toksN, row, _) = bpeRound(syms, pc, toks, r)
+        syms = symsN; pc = pcN; toks = toksN
+        out = if (out == null) row else out.unionByName(row)
+      }
+      out
     }
-    out
   }
+
+  /** The measured incremental/recount crossover (see [[bpeTrain]]'s
+    * sweep): parity lands near 200k types at local[32]; below it the
+    * recount's single explode is cheaper than the incremental
+    * round's job fan-out. */
+  val bpeIncrementalMinTypes: Long = 200000L
+
+  /** The checkpointed initial syms type table both training forms
+    * start from (and the router counts). */
+  private def symsOf(words: DataFrame): DataFrame =
+    words.select(initSyms(col("word")).as("syms"), col("freq"))
+      .localCheckpoint()
 
   /** The standing state [[bpeRound]] folds: the checkpointed syms
     * type table, the pair-count relation (built from the ONLY full
     * explode of the whole run), and the 1-row corpus token count. */
   private[graft] def bpeInitState(words: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) =
+    stateFromSyms(symsOf(words))
+
+  private def stateFromSyms(syms: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
-    val syms = words
-      .select(initSyms(col("word")).as("syms"), col("freq"))
-      .localCheckpoint()
     // standing pair-count state: built from one full explode, then
     // delta-updated each round — never re-exploded from scratch
     val pc = pairsOf(syms)
@@ -159,13 +193,16 @@ object Tokenize {
     require(!best.isEmpty,
       s"bpeTrain: no adjacent pairs left at round $r — corpus " +
         "supports fewer merges")
-    // ONE contains() pass splits the type table; materialized so
-    // the affected/unaffected branches don't re-scan it
-    val tagged = syms.crossJoin(broadcast(best.select(col("pair"))))
-      .withColumn("__hit",
-        col("syms").contains(pairPattern(col("pair"))))
-      .localCheckpoint()
-    val aff = tagged.filter(col("__hit"))
+    // the contains() split re-reads the CHECKPOINTED syms twice (aff
+    // branch here, unaffected branch in symsN below) — two cheap
+    // string-predicate scans of stored partitions; materializing a
+    // tagged copy instead costs a full 200k-row checkpoint per round
+    // and measured SLOWER than the recount it was meant to beat
+    val withPair = syms.crossJoin(broadcast(best.select(col("pair"))))
+    val hit = col("syms").contains(pairPattern(col("pair")))
+    // the affected slice is the ONLY per-round materialization that
+    // scales with the merge's footprint, not the type table
+    val aff = withPair.filter(hit)
       .withColumn("syms2", expr(
         "replace(syms, concat(' ', replace(pair, ' ', '  '), ' '), " +
           "concat(' ', replace(pair, ' ', ''), ' '))"))
@@ -193,9 +230,18 @@ object Tokenize {
     val toksN = toks.crossJoin(dt)
       .select((col("corpus_tokens") - col("__d")).as("corpus_tokens"))
       .localCheckpoint()
-    val symsN = tagged.filter(!col("__hit"))
+    // coalesce BEFORE the checkpoint: union CONCATENATES its inputs'
+    // partition lists, so without it syms' partition count DOUBLES
+    // every round (filter and the affected slice each inherit the
+    // previous round's count) — measured: 32 → 2M partitions by round
+    // 16 at 200k types, with round time exploding 1 s → 200 s on
+    // empty-task overhead alone. coalesce merges partition lists
+    // without a shuffle, pinning every round at the session's
+    // parallelism.
+    val symsN = withPair.filter(!hit)
       .select(col("syms"), col("freq"))
       .unionByName(aff.select(col("syms2").as("syms"), col("freq")))
+      .coalesce(syms.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint()
     val row = best.crossJoin(toksN)
       .select(lit(r).as("rank"), col("pair"),
@@ -214,9 +260,11 @@ object Tokenize {
   private[graft] def bpeTrainFullRecount(words: DataFrame,
                                          merges: Int): DataFrame = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
-    var syms = words
-      .select(initSyms(col("word")).as("syms"), col("freq"))
-      .localCheckpoint()
+    recountLoop(symsOf(words), merges)
+  }
+
+  private def recountLoop(syms0: DataFrame, merges: Int): DataFrame = {
+    var syms = syms0
     var out: DataFrame = null
     for (r <- 1 to merges) {
       val best = pairsOf(syms)

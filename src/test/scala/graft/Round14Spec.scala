@@ -73,9 +73,18 @@ class Round14Spec extends GraftSuite {
       df.orderBy(col("rank")).collect()
         .map(r => (r.getInt(0), r.getString(1), r.getString(2),
           r.getLong(3), r.getLong(4))).toSeq
-    assert(rows(Tokenize.bpeTrain(words, merges = 12)) ===
+    // force the incremental branch — at 31 driver types the router
+    // would otherwise (correctly) pick the recount and this test
+    // would compare the recount to itself
+    assert(rows(Tokenize.bpeTrain(words, merges = 12,
+        incremental = Some(true))) ===
       rows(Tokenize.bpeTrainFullRecount(words, merges = 12)),
       "delta-updated pair counts diverged from the full recount")
+    // router liveness: the default route at this scale is the
+    // recount, and it produces the same table (the dispatch can
+    // never change the recurrence, only who computes it)
+    assert(rows(Tokenize.bpeTrain(words, merges = 12)) ===
+      rows(Tokenize.bpeTrainFullRecount(words, merges = 12)))
   }
 
   test("bpeRound: the recount's input IS the affected slice — words " +
