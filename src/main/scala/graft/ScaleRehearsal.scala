@@ -150,7 +150,10 @@ object ScaleRehearsal {
     "x74b_theta_overlap_ledger", // ledger-fed lgk sizing at estimation scale (round 6)
     "x95_hybrid_rrf",         // BM25 ⊕ dense RRF fusion (round 6)
     "x96_bitext_margin",      // margin-based bitext mining (round 6)
-    "x97_quality_classifier") // 12-epoch GD train+score (round 6)
+    "x97_quality_classifier", // 12-epoch GD train+score (round 6)
+    "x97b_ledger_score",      // standing-model consumer (round 7 — the
+                              // x97 pair quantifies the ledger's win)
+    "a20_pareto_abc")         // globalPrefixSum ABC rewrite (round 7)
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -269,7 +269,15 @@ object Layout {
     * the recommendation exactly (x108b's pane re-reads the directory
     * and publishes the realized count next to the recommendation).
     * The 1-row pane collect is the admission-gate scalar idiom: the
-    * decision is per-write, not per-row. */
+    * decision is per-write, not per-row.
+    *
+    * repartition (one round-robin shuffle), NOT coalesce: the
+    * advisor's contract is size-TARGETED files, and round-robin is
+    * what makes every output file ≈ bytes/rec regardless of input
+    * skew — coalesce merges adjacent input partitions as-is (no
+    * shuffle, but file sizes inherit the skew) and is the right tool
+    * only when cheap concatenation is the goal, which is
+    * [[graft.sources.Lake.compact]]'s job, not this one's. */
   def writeAdvised(df: DataFrame, table: String, path: String,
                    fileBytes: Long): (DataFrame, Int) = {
     val pane = partitionAdvisorBytes(df, table, shuffleBytes = fileBytes,
