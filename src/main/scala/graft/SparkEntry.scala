@@ -227,6 +227,26 @@ object SparkEntry {
     Learn.loadModel(s, path, Learn.qualityModelVersion)
   }
 
+  /** The STANDING tokenizer ledger for this lake (x104b): the trained
+    * merge table persists as version-keyed parquet
+    * ([[graft.sources.VersionedState]] — the same form the x97b
+    * classifier ledger uses), S10 exists-guarded, first caller
+    * trains. A tokenizer IS a frozen production artifact — every
+    * encode job reads it; only a deliberate re-train rewrites it. */
+  private def standingBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedState
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(
+      s"target/qtmp/tok_${Tokenize.bpeModelVersion}_$key")
+      .getAbsolutePath
+    if (!VersionedState.exists(s, path, Tokenize.bpeModelVersion)) {
+      val wf = Tokenize.wordFreq(t(s, dir, "documents"), col("text"))
+      VersionedState.write(path, Tokenize.bpeModelVersion,
+        "merges" -> Tokenize.bpeTrain(wf, merges = 12))
+    }
+    VersionedState.read(s, path, Tokenize.bpeModelVersion, "merges")
+  }
+
   private def classifierPane(s: SparkSession, dir: String,
                              scores: DataFrame): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -3866,6 +3886,35 @@ object SparkEntry {
       val wf = Tokenize.wordFreq(docs, col("text"))
       val dict = Tokenize.bpeSubwordCounts(wf,
         Tokenize.bpeTrain(wf, merges = 12))
+      docs.select(col("source"), explode(
+          regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
+          .as("word"))
+        .join(broadcast(dict.select(col("word"), col("n_sub"))),
+          Seq("word"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_sub")).as("n_subwords"),
+          (floor(sum(col("n_sub")).cast(DoubleType) / count(lit(1))
+            * lit(10000.0d)) / lit(10000.0d)).as("subwords_per_word"))
+        .orderBy(col("source"))
+    }),
+
+    "x104b_ledger_encode" -> ((s, dir) => {
+      // x104's STANDING-TOKENIZER form (the x97b discipline on the
+      // tokenizer tier): the merge table is version-keyed parquet
+      // state read back from the ledger — encode pays the dictionary
+      // fold + broadcast join only, never the merge-round training.
+      // This is the actual production shape: a tokenizer is trained
+      // once and FROZEN (changing it invalidates every token count
+      // downstream), so every encode job everywhere reads standing
+      // state; x106's drift audit is the monitor that says when a
+      // deliberate retrain is due. Merge tables are deterministic
+      // under the argmax tie-break, so ledger-fed == retrained
+      // bit-for-bit (Round14Spec) and the pane shares x104's oracle
+      // verbatim.
+      val docs = t(s, dir, "documents")
+      val wf = Tokenize.wordFreq(docs, col("text"))
+      val dict = Tokenize.bpeSubwordCounts(wf, standingBpeMerges(s, dir))
       docs.select(col("source"), explode(
           regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
           .as("word"))
@@ -10258,6 +10307,11 @@ object SparkEntry {
     "st21_stream_bpe" -> (x101Chain(merges = 12) +
       x101MergeTail(merges = 12)),
     "x104_bpe_encode" -> (x101Chain(merges = 12) +
+      x104EncodeTail(merges = 12)),
+    // ledger-fed encode applies a standing merge table that the
+    // deterministic argmax makes identical to a fresh train's, so it
+    // shares x104's oracle verbatim (the x97b discipline)
+    "x104b_ledger_encode" -> (x101Chain(merges = 12) +
       x104EncodeTail(merges = 12)),
     "x106_tokenizer_drift" -> (x101Chain(merges = 12,
       wfWhere = "WHERE lang = 'en'") +

@@ -191,30 +191,19 @@ object Learn {
   /** Persist a trained model as the VERSIONED standing ledger (the
     * x74→x74b pattern applied to the classifier: train once, persist,
     * let consumers read standing state instead of re-running the
-    * 12-epoch GD per query). Layout: `weights/` (b, w), `bias/` (the
-    * 1-row intercept), `meta/` (version). The meta row is written
-    * LAST, so a reader that finds a valid meta sees complete
-    * weights+bias (single-writer discipline; Lake.scala's snapshot
-    * notes cover concurrent-writer regimes). */
+    * 12-epoch GD per query). Layout and version semantics are
+    * [[graft.sources.VersionedState]]'s — weights/bias parts, meta
+    * stamped last. */
   def persistModel(weights: DataFrame, biasDf: DataFrame,
-                   path: String, version: String): Unit = {
-    weights.write.mode("overwrite").parquet(s"$path/weights")
-    biasDf.write.mode("overwrite").parquet(s"$path/bias")
-    biasDf.sparkSession.range(1)
-      .select(lit(version).as("version"))
-      .write.mode("overwrite").parquet(s"$path/meta")
-  }
+                   path: String, version: String): Unit =
+    graft.sources.VersionedState.write(path, version,
+      "weights" -> weights, "bias" -> biasDf)
 
   /** True when a COMPLETE standing model of exactly `version` exists
     * at `path` — the S10 exists-guard for [[persistModel]] state. */
   def modelExists(spark: org.apache.spark.sql.SparkSession,
-                  path: String, version: String): Boolean = {
-    val meta = new java.io.File(s"$path/meta", "_SUCCESS")
-    meta.exists() && {
-      val rows = spark.read.parquet(s"$path/meta").collect()
-      rows.nonEmpty && rows(0).getString(0) == version
-    }
-  }
+                  path: String, version: String): Boolean =
+    graft.sources.VersionedState.exists(spark, path, version)
 
   /** Read the standing model back as (weights, bias), failing fast if
     * the persisted version differs from what the caller expects —
@@ -223,14 +212,9 @@ object Learn {
   def loadModel(spark: org.apache.spark.sql.SparkSession,
                 path: String, version: String)
       : (DataFrame, DataFrame) = {
-    val rows = spark.read.parquet(s"$path/meta").collect()
-    require(rows.nonEmpty && rows(0).getString(0) == version,
-      s"loadModel: standing model at $path has version " +
-        s"'${rows.headOption.map(_.getString(0)).getOrElse("<none>")}'" +
-        s" but this build expects '$version' — retrain (the ledger " +
-        "path should derive from the version to make this unreachable)")
-    (spark.read.parquet(s"$path/weights"),
-      spark.read.parquet(s"$path/bias"))
+    val vs = graft.sources.VersionedState
+    (vs.read(spark, path, version, "weights"),
+      vs.read(spark, path, version, "bias"))
   }
 
   /** Score docs against trained weights: p = σ(bias + Σ v·w_b),

@@ -147,6 +147,14 @@ object Tokenize {
     * round's job fan-out. */
   val bpeIncrementalMinTypes: Long = 200000L
 
+  /** The standing tokenizer's VERSION STRING (the
+    * Learn.qualityModelVersion discipline on the tokenizer tier):
+    * merge budget + the tokenizer definition ([[wordFreq]]'s
+    * lowercase `\S+` split) baked into the ledger identity, so an
+    * encode can never silently apply merges trained under a
+    * different recipe. */
+  val bpeModelVersion: String = "bpe-m12-lc-wsplit"
+
   /** The checkpointed initial syms type table both training forms
     * start from (and the router counts). */
   private def symsOf(words: DataFrame): DataFrame =

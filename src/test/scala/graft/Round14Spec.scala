@@ -50,16 +50,39 @@ class Round14Spec extends GraftSuite {
       "ledger-fed scores diverged from the fresh retrain")
   }
 
-  test("x97b/x98b: the ledger-fed panes equal the self-contained " +
-       "twins row-for-row") {
+  test("x97b/x98b/x104b: the ledger-fed panes equal the " +
+       "self-contained twins row-for-row") {
     for ((a, b) <- Seq(
         ("x97_quality_classifier", "x97b_ledger_score"),
-        ("x98_calibration_audit", "x98b_ledger_audit"))) {
+        ("x98_calibration_audit", "x98b_ledger_audit"),
+        ("x104_bpe_encode", "x104b_ledger_encode"))) {
       val ra = SparkEntry.queries(a)(spark, dir).collect().toSeq
       val rb = SparkEntry.queries(b)(spark, dir).collect().toSeq
       assert(ra === rb, s"$b diverged from $a")
       assert(ra.nonEmpty, s"$a returned no rows — vacuous comparison")
     }
+  }
+
+  test("VersionedState: meta name reserved; read rejects a version " +
+       "mismatch on the tokenizer ledger too") {
+    import graft.sources.VersionedState
+    import spark.implicits._
+    val path =
+      new java.io.File("target/qtmp/r14_vstate").getAbsolutePath
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(path))
+    intercept[IllegalArgumentException] {
+      VersionedState.write(path, "v1",
+        "meta" -> Seq(1).toDF("x"))
+    }
+    VersionedState.write(path, "v1", "merges" -> Seq(1).toDF("x"))
+    assert(VersionedState.exists(spark, path, "v1"))
+    assert(!VersionedState.exists(spark, path, "v2"))
+    intercept[IllegalArgumentException] {
+      VersionedState.read(spark, path, "v2", "merges")
+    }
+    assert(VersionedState.read(spark, path, "v1", "merges")
+      .collect().map(_.getInt(0)).toSeq === Seq(1))
   }
 
   // ---------------------------------------------- incremental BPE
