@@ -152,6 +152,17 @@ object Bench {
     "a20_pareto_abc",        // Pareto ABC on globalPrefixSum (rewritten)
     "x36_span_dup_coverage") // bridge query shared with all sets
 
+  /** Eighth pinned set: the round-8 additions (same discipline; prior
+    * sets stay untouched). x36 bridges again. x104-vs-x104b (across
+    * this set and queries_r6b) is the measured encode amortization;
+    * e2e_select-vs-_b (vs queries_r6) the capstone's. */
+  val r8new: Seq[String] = Seq(
+    "x104b_ledger_encode",   // standing-tokenizer consumer (landed post-r7 pin)
+    "x112_clustered_route",  // IVFPQ route + sized rerank on the clustered lake
+    "x113_standing_ann_search", // standing-index consumer (no rebuild)
+    "e2e_select_corpus_b",   // ledger-fed capstone (no inline retrain)
+    "x36_span_dup_coverage") // bridge query shared with all sets
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -225,6 +236,7 @@ object Bench {
     val resultsR6 = benchSet(r6new)
     val resultsR6b = benchSet(r6bnew)
     val resultsR7 = benchSet(r7new)
+    val resultsR8 = benchSet(r8new)
     val qs = toJson(results)
     val qsLlm = toJson(resultsLlm)
     val qsR4 = toJson(resultsR4)
@@ -232,6 +244,7 @@ object Bench {
     val qsR6 = toJson(resultsR6)
     val qsR6b = toJson(resultsR6b)
     val qsR7 = toJson(resultsR7)
+    val qsR8 = toJson(resultsR8)
     // `value` stays the HEADLINE total only — the pinned 21-set number the
     // driver has tracked since round 1; each later set gets its own key.
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -241,10 +254,11 @@ object Bench {
     val totalR6 = resultsR6.map(_._2).filter(_ >= 0).sum
     val totalR6b = resultsR6b.map(_._2).filter(_ >= 0).sum
     val totalR7 = resultsR7.map(_._2).filter(_ >= 0).sum
+    val totalR8 = resultsR8.map(_._2).filter(_ >= 0).sum
     // Stop Spark BEFORE printing so no shutdown log line can land after
     // the JSON — the driver parses the last stdout line.
     spark.stop()
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$nPasses,"queries":$qs,"value_llm":$totalLlm%.3f,"queries_llm":$qsLlm,"value_r4":$totalR4%.3f,"queries_r4":$qsR4,"value_r5":$totalR5%.3f,"queries_r5":$qsR5,"value_r6":$totalR6%.3f,"queries_r6":$qsR6,"value_r6b":$totalR6b%.3f,"queries_r6b":$qsR6b,"value_r7":$totalR7%.3f,"queries_r7":$qsR7,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$nPasses,"queries":$qs,"value_llm":$totalLlm%.3f,"queries_llm":$qsLlm,"value_r4":$totalR4%.3f,"queries_r4":$qsR4,"value_r5":$totalR5%.3f,"queries_r5":$qsR5,"value_r6":$totalR6%.3f,"queries_r6":$qsR6,"value_r6b":$totalR6b%.3f,"queries_r6b":$qsR6b,"value_r7":$totalR7%.3f,"queries_r7":$qsR7,"value_r8":$totalR8%.3f,"queries_r8":$qsR8,"sf":"$sfDir"}"""
     // the seven-set line outgrew the driver's stdout tail buffer in
     // round 6 (BENCH_r06.json: parsed=null, tail truncated mid-line) —
     // ALSO persist it to the repo so the numbers survive verbatim even

@@ -414,6 +414,64 @@ object Scratch {
           graft.operators.Tokenize.bpeTrain(words, nMerges))
         timeTrain("full_recount",
           graft.operators.Tokenize.bpeTrainFullRecount(words, nMerges))
+      case "bpe_encode_chunked" =>
+        // chunked-encode rehearsal at REALISTIC merge count
+        // (verdict-7 ask #7): the depth-barrier spec pins equality at
+        // 4 merges; this measures bpeSubwordCounts at a 2-5k-merge
+        // table — the ceil(k/256) type-table passes the chunking
+        // exists for — over a 200k-type dictionary. The merge table
+        // is CRAFTED (training 3k rounds would take hours and proves
+        // nothing about encode): all 256 hex-pair merges, then
+        // 3-symbol merges (2-char symbol + hex char), every merged
+        // symbol formed from earlier-formed symbols, so the table is
+        // a valid BPE application sequence over md5-hex words.
+        // BPE_ENC_TYPES / BPE_ENC_MERGES / BPE_ENC_CHUNK override.
+        import org.apache.spark.sql.functions._
+        val nTypes = sys.env.getOrElse("BPE_ENC_TYPES", "200000").toInt
+        val nMerges = sys.env.getOrElse("BPE_ENC_MERGES", "3000").toInt
+        val chunk = sys.env.getOrElse("BPE_ENC_CHUNK", "256").toInt
+        require(nMerges <= 256 + 16 * 256,
+          s"crafted table supports <= ${256 + 4096} merges")
+        val hex = "0123456789abcdef"
+        val hexArr = s"'${hex.mkString("','")}'".split(",")
+          .mkString("array(", ",", ")")
+        // rank 1..256: pair = hex[(r-1)/16] ' ' hex[(r-1)%16]
+        // rank 257.. : idx=r-257; pair = hex[idx/256]hex[(idx/16)%16]
+        //              ' ' hex[idx%16]  (3-symbol from 2-symbol+char)
+        val merges = spark.range(1, nMerges + 1L)
+          .select(col("id").cast("int").as("rank"), expr(
+            s"""CASE WHEN id <= 256 THEN
+                 concat(element_at($hexArr, CAST((id-1) DIV 16 AS INT)+1),
+                        ' ',
+                        element_at($hexArr, CAST((id-1) % 16 AS INT)+1))
+               ELSE
+                 concat(element_at($hexArr, CAST((id-257) DIV 256 AS INT)+1),
+                        element_at($hexArr, CAST(((id-257) DIV 16) % 16 AS INT)+1),
+                        ' ',
+                        element_at($hexArr, CAST((id-257) % 16 AS INT)+1))
+               END""").as("pair"))
+          .localCheckpoint()
+        val words = spark.range(nTypes.toLong)
+          .select(md5(col("id").cast("string")).as("word"),
+            (lit(1L) + pmod(col("id"), lit(97L))).as("freq"))
+          .groupBy(col("word")).agg(max(col("freq")).as("freq"))
+          .localCheckpoint()
+        println(s"types=${words.count()} merges=$nMerges chunk=$chunk " +
+          s"passes=${(nMerges + chunk - 1) / chunk}")
+        def timeEnc(tag: String, cs: Int): Long = {
+          val t0 = System.nanoTime()
+          val agg = graft.operators.Tokenize
+            .bpeSubwordCounts(words, merges, chunkSize = cs)
+            .agg(sum(col("n_sub") * col("freq"))).head().getLong(0)
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"$tag%-16s $dt%.2f s  corpus_subwords=$agg")
+          agg
+        }
+        val a = timeEnc(s"chunk=$chunk", chunk)
+        // cross-chunking equality at realistic k (the 4-merge spec
+        // pin, re-checked where the barriers actually fire)
+        val b = timeEnc(s"chunk=${chunk * 2}", chunk * 2)
+        require(a == b, s"chunking changed the encode: $a vs $b")
       case "bpe_incr_rounds" =>
         // per-round timing of the incremental trainer — find where
         // cost concentrates as merges accumulate

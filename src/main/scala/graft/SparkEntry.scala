@@ -218,13 +218,13 @@ object SparkEntry {
       : (DataFrame, DataFrame) = {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val path = new java.io.File(
-      s"target/qtmp/model_${Learn.qualityModelVersion}_$key")
+      s"target/qtmp/model_${Learn.qualityModelVersion()}_$key")
       .getAbsolutePath
-    if (!Learn.modelExists(s, path, Learn.qualityModelVersion)) {
+    if (!Learn.modelExists(s, path, Learn.qualityModelVersion())) {
       val (_, _, bias, w) = Learn.qualityClassifier(t(s, dir, "documents"))
-      Learn.persistModel(w, bias, path, Learn.qualityModelVersion)
+      Learn.persistModel(w, bias, path, Learn.qualityModelVersion())
     }
-    Learn.loadModel(s, path, Learn.qualityModelVersion)
+    Learn.loadModel(s, path, Learn.qualityModelVersion())
   }
 
   /** The STANDING tokenizer ledger for this lake (x104b): the trained
@@ -245,6 +245,32 @@ object SparkEntry {
         "merges" -> Tokenize.bpeTrain(wf, merges = 12))
     }
     VersionedState.read(s, path, Tokenize.bpeModelVersion, "merges")
+  }
+
+  /** The STANDING ANN-index ledger (x113): trained centroids +
+    * residual codebook + the encoded corpus persist as version-keyed
+    * parquet ([[graft.sources.VersionedState]] — the same form the
+    * classifier and tokenizer ledgers use), S10 exists-guarded, first
+    * caller builds. Completes the amortization trio: every trained
+    * artifact in the engine (model, tokenizer, index) now has a
+    * standing form whose consumers pay only the read + search, never
+    * the build. `lakeKey` names the corpus (the ledger is per
+    * (lake, recipe), like the model ledger is per (dir, recipe)). */
+  private def standingAnnIndex(s: SparkSession, lakeKey: String,
+                               lake: DataFrame, nlist: Int, m: Int,
+                               ksub: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val version = Similarity.annIndexVersion(nlist, m, ksub)
+    val path = new java.io.File(
+      s"target/qtmp/ann_${version}_$lakeKey").getAbsolutePath
+    if (!Similarity.indexExists(s, path, version)) {
+      val (cents, codebook) = Similarity.ivfpqTrain(lake, "vec_id",
+        "embedding", nlist, m, ksub, coarseIters = 1, pqIters = 1)
+      val encoded = Similarity.ivfpqEncode(lake, "vec_id", "embedding",
+        cents, codebook, m)
+      Similarity.persistIndex(path, version, cents, codebook, encoded)
+    }
+    Similarity.loadIndex(s, path, version)
   }
 
   private def classifierPane(s: SparkSession, dir: String,
@@ -2688,6 +2714,100 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "x112_clustered_route" -> ((s, dir) => {
+      // the router's IVFPQ branch, ORACLED (x93b covers only the
+      // exact branch — the driver embeddings honestly measure not
+      // prunable, so the branch a clustered production lake would
+      // take needs a corpus with known structure): the deterministic
+      // hash-grid blob lake (Similarity.hashBlobLake — RC ≈ 50, the
+      // regime real embedding models produce) routed through
+      // annTopKAutoRouted with the SIZED rerank default
+      // (Similarity.rerankFor: nprobe × n/nlist × 1.5 — the flat
+      // rerank=200 this replaces collapses recall to 0.638 at
+      // 312-vector cells, measured; Round15Spec pins the negative
+      // control at 20k). The pane publishes the route actually taken
+      // (from the router's own vote), recall vs the exact twin, and
+      // the contract bits; the oracle pins route = 'ivfpq', recall =
+      // 1.0 at probed fraction 0.125 ≤ 0.25, rerank = 375, so a
+      // routing or recall regression hash-mismatches rather than
+      // degrading silently. Corpus size is FIXED (not sf-scaled):
+      // the contract is a property of the operating point
+      // (n, nlist, nprobe, rerank), pinned at the measured 2k row of
+      // the SCALE.md rehearsal; the 20k row lives in Round15Spec.
+      val n = 2000L; val nlist = 64; val nprobe = 8; val k = 5
+      val lake = Similarity.hashBlobLake(s, n).localCheckpoint(true)
+      val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
+        .localCheckpoint(true)
+      val (route, routed) = Similarity.annTopKAutoRouted(q, lake,
+        "vec_id", "embedding", k, nlist = nlist, nprobe = nprobe)
+      val exact = Similarity.bruteTopKL2(q, lake, "vec_id",
+        "embedding", k)
+      exact.as("b").join(routed.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("l.neighbor_id")).as("n_hit"))
+        .select(lit(route).as("route"), lit(n).as("n_corpus"),
+          col("n_exact"),
+          round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
+            .as("recall"),
+          (col("n_hit").cast(DoubleType) / col("n_exact")
+            >= lit(0.94d)).as("recall_ge_094"),
+          round(lit(nprobe.toDouble / nlist), 4).as("probed_frac"),
+          lit(nprobe.toDouble / nlist <= 0.25d).as("probed_le_025"),
+          lit(Similarity.rerankFor(n, nlist, nprobe).toLong)
+            .as("rerank"))
+    }),
+
+    "x113_standing_ann_search" -> ((s, dir) => {
+      // the STANDING ANN-index ledger searched end-to-end (the
+      // x97b/x104b amortization applied to the index tier — x112
+      // still pays preflight + train + encode inside the query; a
+      // production vector store builds the index once per (lake,
+      // recipe) and every query batch probes standing state): the
+      // clustered lake's IVFPQ index persists via VersionedState
+      // (cents + codebook = the KB definition; encoded = the corpus
+      // at ~m bytes/vector — the only corpus-sized part, and the
+      // 100× compression is the point at 100 TB), exists-guarded so
+      // the first caller builds and every later caller pays read +
+      // probe + rerank only. Version string pins the full quantizer
+      // recipe (annIndexVersion — a codebook read under a different
+      // m would ADC-score garbage, so the mismatch fails fast
+      // instead). Search uses the rerankFor-sized pool; the oracle
+      // pins version, recall = 1.0 vs the exact twin, and the
+      // encoded-state size, so index persistence, versioning, AND
+      // search quality are all hash-checked. Deterministic train +
+      // fixed-point arithmetic make ledger-fed == fresh-built
+      // bit-for-bit (Round15Spec pins it).
+      val n = 2000L; val nlist = 64; val nprobe = 8; val k = 5
+      val lake = Similarity.hashBlobLake(s, n).localCheckpoint(true)
+      val (cents, codebook, encoded) =
+        standingAnnIndex(s, s"blob$n", lake, nlist, m = 8, ksub = 16)
+      val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
+        .localCheckpoint(true)
+      val got = Similarity.ivfpqSearchEncoded(q, "vec_id", "embedding",
+        encoded, cents, codebook, k, nprobe, m = 8,
+        rerank = Similarity.rerankFor(n, nlist, nprobe),
+        rerankSource = Some(lake))
+      val exact = Similarity.bruteTopKL2(q, lake, "vec_id",
+        "embedding", k)
+      val nEnc = encoded.agg(count(lit(1)).as("n_encoded"),
+        countDistinct(col("neighbor_id")).as("n_vectors"))
+      exact.as("b").join(got.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("l.neighbor_id")).as("n_hit"))
+        .join(nEnc, lit(true), "left") // 1-row pane join idiom
+        .select(
+          lit(Similarity.annIndexVersion(nlist, 8, 16)).as("version"),
+          col("n_vectors"), col("n_encoded"), col("n_exact"),
+          round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
+            .as("recall"),
+          (col("n_hit").cast(DoubleType) / col("n_exact")
+            >= lit(0.94d)).as("recall_ge_094"))
+    }),
+
     "x88b_ivfpq_exact" -> ((s, dir) => {
       // the SAME IVFPQ machinery in its degenerate config — every cell
       // probed (nprobe = nlist) and ksub = |corpus| (every residual its
@@ -3712,7 +3832,7 @@ object SparkEntry {
       // under the fixed-point discipline, so ledger-fed scores are
       // BIT-IDENTICAL to a fresh retrain's (Round14Spec pins it) and
       // the pane shares x97's oracle verbatim. The exists-guard +
-      // version-keyed path (Learn.qualityModelVersion) is the S10
+      // version-keyed path (Learn.qualityModelVersion()) is the S10
       // idempotence discipline: a recipe change moves the path, so
       // stale weights are unreachable, and loadModel re-checks the
       // version on every read.
@@ -3763,6 +3883,44 @@ object SparkEntry {
       // generated training chain + the build tail.
       val docs = t(s, dir, "documents")
       val (feat, _, bias, w) = Learn.qualityClassifier(docs)
+      val gated = Learn.logisticScore(
+          docs.select(col("doc_id").as("id")), feat, w, bias)
+        .filter(col("score") > 0.5d)
+      val canon = docs
+        .select(col("doc_id"), ColFns.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("id"))
+        .select(col("id"))
+      val toks = docs.select(col("doc_id").as("id"),
+        ColFns.tokenCount(col("text")).as("n_toks"))
+      val kept = gated.join(canon, Seq("id")).join(toks, Seq("id"))
+      Layout.globalRowNumber(kept,
+          struct((-col("n_toks")).as("nt"), col("id").as("i")))
+        .withColumn("shard", col("row_num") % 4)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          round(sum(col("score").cast(DecimalType(18, 4)))
+            .cast(DoubleType) / count(lit(1)), 4).as("mean_score"))
+        .orderBy(col("shard"))
+    }),
+
+    "e2e_select_corpus_b" -> ((s, dir) => {
+      // the capstone on the STANDING model (x97→x97b's amortization
+      // applied where it matters most — e2e_select retrained the
+      // 12-epoch GD inline every run even after the ledger existed,
+      // VERDICT-7 missing #3): classifier gate reads
+      // standingQualityModel (version-keyed VersionedState, S10
+      // exists-guarded), so the capstone pays feature build + one
+      // broadcast score join + the build tail — no training passes.
+      // Ledger-fed == retrained bit-for-bit under the fixed-point
+      // discipline (Round14Spec pins the twin pair), so the oracle is
+      // e2e_select_corpus's VERBATIM; the bench delta is the measured
+      // amortization (x97b: 3.6× at sf0.1, 5.8× at sf1 — training's
+      // per-iteration corpus passes grow with scale, the KB ledger
+      // read does not).
+      val docs = t(s, dir, "documents")
+      val (w, bias) = standingQualityModel(s, dir)
+      val feat = Learn.features(docs, col("doc_id"), col("text"))
       val gated = Learn.logisticScore(
           docs.select(col("doc_id").as("id")), feat, w, bias)
         .filter(col("score") > 0.5d)
@@ -9784,6 +9942,33 @@ object SparkEntry {
     "x53b_pq_exact" -> fixedPointBruteOracle,
     "x93b_ann_auto" -> fixedPointBruteOracle,
 
+    "x112_clustered_route" -> """
+      -- the constants ARE the contract (the x92 recall-pane pattern,
+      -- strengthened to the route): the engine must take the IVFPQ
+      -- branch on the clustered lake AND hold recall 1.0 against the
+      -- exact twin at 12.5% probed with the rerankFor-sized pool
+      -- (375 = ceil(1.5 * 8 * 2000 / 64)); a routing flip, a recall
+      -- drop, or a resizing of the pool hash-mismatches here
+      SELECT 'ivfpq' AS route, CAST(2000 AS BIGINT) AS n_corpus,
+             CAST(80 AS BIGINT) AS n_exact,
+             CAST(1.0 AS DOUBLE) AS recall, TRUE AS recall_ge_094,
+             CAST(0.125 AS DOUBLE) AS probed_frac,
+             TRUE AS probed_le_025, CAST(375 AS BIGINT) AS rerank""",
+
+    "x113_standing_ann_search" -> """
+      -- the standing-index contract as constants: the persisted
+      -- version must be the full quantizer recipe, the encoded state
+      -- must hold all 2000 vectors at m=8 codes each (the ~100×
+      -- compression the ledger persists instead of raw vectors), and
+      -- the ledger-fed search must hold recall 1.0 against the exact
+      -- twin — any drift in persistence, versioning, or search
+      -- quality hash-mismatches
+      SELECT 'ivfpq-nl64-m8-ks16-ci1-pi1-fp1e7' AS version,
+             CAST(2000 AS BIGINT) AS n_vectors,
+             CAST(16000 AS BIGINT) AS n_encoded,
+             CAST(80 AS BIGINT) AS n_exact,
+             CAST(1.0 AS DOUBLE) AS recall, TRUE AS recall_ge_094""",
+
     "x88_ivfpq_topk" -> """
       SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ge_08
       FROM embeddings WHERE vec_id < 10""",
@@ -10302,6 +10487,11 @@ object SparkEntry {
       ORDER BY id""",
     "e2e_select_corpus" -> x97Oracle(iters = Learn.qualityIters,
       lr = Learn.qualityLr.toString, e2eSelectTail),
+    // ledger-fed capstone scores against the standing model, which
+    // the fixed-point discipline makes bit-identical to the inline
+    // retrain (Round14Spec) — oracle shared verbatim
+    "e2e_select_corpus_b" -> x97Oracle(iters = Learn.qualityIters,
+      lr = Learn.qualityLr.toString, e2eSelectTail),
     "x101_bpe_train" -> (x101Chain(merges = 12) +
       x101MergeTail(merges = 12)),
     "st21_stream_bpe" -> (x101Chain(merges = 12) +
@@ -10376,8 +10566,9 @@ object SparkEntry {
                AS est_total_mb,
              GREATEST(1, CAST(floor((CAST(b AS DOUBLE) + 134217727.0)
                / 134217728.0) AS BIGINT)) AS rec_shuffle_partitions,
-             GREATEST(1, CAST(floor((CAST(b AS DOUBLE) + 536870911.0)
-               / 536870912.0) AS BIGINT)) AS rec_write_files
+             LEAST(GREATEST(1, CAST(floor((CAST(b AS DOUBLE)
+                 + 536870911.0) / 536870912.0) AS BIGINT)),
+               GREATEST(1, n_rows)) AS rec_write_files
       FROM adv ORDER BY tbl""",
 
     "x108b_advised_write" -> """
@@ -10394,10 +10585,12 @@ object SparkEntry {
       SELECT tbl, n_rows,
              CAST(floor(CAST(b AS DOUBLE) / 1048576.0) AS BIGINT)
                AS est_total_mb,
-             GREATEST(1, CAST(floor((CAST(b AS DOUBLE) + 65535.0)
-               / 65536.0) AS BIGINT)) AS rec_write_files,
-             GREATEST(1, CAST(floor((CAST(b AS DOUBLE) + 65535.0)
-               / 65536.0) AS BIGINT)) AS realized_files,
+             LEAST(GREATEST(1, CAST(floor((CAST(b AS DOUBLE) + 65535.0)
+                 / 65536.0) AS BIGINT)),
+               GREATEST(1, n_rows)) AS rec_write_files,
+             LEAST(GREATEST(1, CAST(floor((CAST(b AS DOUBLE) + 65535.0)
+                 / 65536.0) AS BIGINT)),
+               GREATEST(1, n_rows)) AS realized_files,
              TRUE AS followed, TRUE AS rows_intact
       FROM adv""",
 

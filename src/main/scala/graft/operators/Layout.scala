@@ -255,8 +255,16 @@ object Layout {
           .cast(LongType).as("est_total_mb"),
         ceilDiv(col("bytes").cast(DoubleType), shuffleBytes)
           .as("rec_shuffle_partitions"),
-        ceilDiv(col("bytes").cast(DoubleType), fileBytes)
-          .as("rec_write_files"))
+        // write files are clamped to the row count: round-robin
+        // repartition above n_rows leaves EMPTY partitions, which
+        // emit no parquet part files — an unclamped rec on a tiny
+        // relation would recommend more files than any write can
+        // realize, breaking writeAdvised's realized == recommended
+        // contract. (Shuffle partitions stay unclamped: empty shuffle
+        // tasks are benign, and the shuffle rec sizes reducers, not
+        // artifacts.)
+        least(ceilDiv(col("bytes").cast(DoubleType), fileBytes),
+          greatest(lit(1L), col("n_rows"))).as("rec_write_files"))
   }
 
   /** The advisor DRIVING the write (the x109→saltedJoin "advisor
@@ -277,7 +285,19 @@ object Layout {
     * skew — coalesce merges adjacent input partitions as-is (no
     * shuffle, but file sizes inherit the skew) and is the right tool
     * only when cheap concatenation is the goal, which is
-    * [[graft.sources.Lake.compact]]'s job, not this one's. */
+    * [[graft.sources.Lake.compact]]'s job, not this one's.
+    *
+    * Round-robin DESTROYS any pre-existing sort/cluster order: rows
+    * are dealt across partitions regardless of key, so a relation
+    * laid out by [[zorderWrite]] (b3) loses its file-level clustering
+    * — and with it data-skipping min/max pruning — if passed through
+    * here. Size-targeted AND clustered files want
+    * `repartitionByRange(rec, keys…)` at the same file target (range
+    * exchange preserves a total order across files); chain zorderWrite
+    * AFTER sizing, never before. The recommendation is clamped to the
+    * row count (see [[partitionAdvisorBytes]]) so realized ==
+    * recommended holds even when the relation has fewer rows than the
+    * byte arithmetic suggests files. */
   def writeAdvised(df: DataFrame, table: String, path: String,
                    fileBytes: Long): (DataFrame, Int) = {
     val pane = partitionAdvisorBytes(df, table, shuffleBytes = fileBytes,

@@ -184,9 +184,16 @@ object Learn {
     * recipe: [[loadModel]] fails fast on a mismatch, and changing the
     * recipe here (or [[qualityIters]]/[[qualityLr]]) changes the
     * version, which changes the ledger path every caller derives from
-    * it — stale state is unreachable by construction. */
-  val qualityModelVersion: String =
-    s"quality-gd$qualityIters-lr$qualityLr-b4096-enSeed"
+    * it — stale state is unreachable by construction. A FUNCTION of
+    * nBuckets, not a constant: the feature-space width is part of the
+    * recipe (weights trained at 1024 buckets score garbage against
+    * 4096-bucket features), so a caller that parameterizes nBuckets
+    * ([[qualityClassifier]], Streams.classifierScoreFold) must stamp
+    * and verify the width it actually used — a hardcoded `b4096`
+    * would accept any width under one stamp, the exact silent recipe
+    * mismatch the contract exists to prevent. */
+  def qualityModelVersion(nBuckets: Int = 4096): String =
+    s"quality-gd$qualityIters-lr$qualityLr-b$nBuckets-enSeed"
 
   /** Persist a trained model as the VERSIONED standing ledger (the
     * x74→x74b pattern applied to the classifier: train once, persist,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -764,13 +764,50 @@ object Similarity {
     * Id contract: queries and corpus share one id namespace (see
     * [[annDifficulty]] — the preflight's self-pair exclusion and both
     * branches' `query_id =!= neighbor_id` assume it); re-key
-    * independently-numbered query sets before routing. */
+    * independently-numbered query sets before routing.
+    *
+    * `rerank = 0` (the default) sizes the exact-rerank pool from the
+    * corpus via [[rerankFor]] — see that method for why a flat
+    * constant is the measured failure mode. */
   def annTopKAuto(queries: DataFrame, corpus: DataFrame,
                   idCol: String, vecCol: String, k: Int,
                   nlist: Int = 16, nprobe: Int = 12, m: Int = 8,
-                  ksub: Int = 16, rerank: Int = 200,
+                  ksub: Int = 16, rerank: Int = 0,
                   prunableAt: Double = 2.0,
-                  probeCap: Int = 16): DataFrame = {
+                  probeCap: Int = 16): DataFrame =
+    annTopKAutoRouted(queries, corpus, idCol, vecCol, k, nlist,
+      nprobe, m, ksub, rerank, prunableAt, probeCap)._2
+
+  /** Executable rerank sizing for the IVFPQ route — the
+    * lgkFor/bandsFor discipline applied to the rerank knob: the
+    * exact-rerank pool must scale with what the probes RETURN
+    * (nprobe cells × expected cell occupancy n/nlist), padded ×1.5
+    * for cell-size skew, floored at 200 so tiny corpora keep a
+    * meaningful pool. A FLAT rerank is the measured failure mode
+    * (SCALE.md round-7 clustered rehearsal): rerank=200 holds
+    * recall@5 = 1.000 at 31-vector cells and collapses to 0.638 at
+    * 312-vector cells with RC unchanged — ADC quantization error
+    * ranks the true neighbor below position 200 inside the probed
+    * set, and a pool smaller than the probed return can't recover
+    * it. Round15Spec pins the negative control: flat-200 FAILS the
+    * ≥0.94 recall contract on the 20k clustered corpus where this
+    * sizing holds it at 1.000. */
+  def rerankFor(n: Long, nlist: Int, nprobe: Int): Int = {
+    require(n >= 0 && nlist > 0 && nprobe > 0,
+      s"rerankFor: n=$n nlist=$nlist nprobe=$nprobe")
+    math.max(200, math.ceil(1.5d * nprobe * n.toDouble / nlist).toInt)
+  }
+
+  /** [[annTopKAuto]] with the ROUTE surfaced — ("ivfpq" | "exact",
+    * result). The route string comes from the same annPrunable vote
+    * that picks the branch, so a pane publishing it (x112) asserts
+    * the branch actually taken, not a parallel re-derivation. */
+  def annTopKAutoRouted(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        nlist: Int = 16, nprobe: Int = 12, m: Int = 8,
+                        ksub: Int = 16, rerank: Int = 0,
+                        prunableAt: Double = 2.0,
+                        probeCap: Int = 16): (String, DataFrame) = {
     // the preflight prices one corpus scan PER PROBE — measuring with
     // the full query set would cost as much as the exact scan it
     // exists to avoid, so the verdict comes from a deterministic
@@ -785,11 +822,82 @@ object Similarity {
     // verdict stability under id relabeling). A deployment amortizes
     // further by calling annPrunable once per index build.
     val probes = stratifiedProbes(queries, idCol, probeCap)
-    if (annPrunable(corpus, probes, idCol, vecCol, k, prunableAt))
-      ivfpqTopK(queries, corpus, idCol, vecCol, k, nlist, nprobe, m,
-        ksub, coarseIters = 1, pqIters = 1, rerank = rerank)
-    else bruteTopKL2(queries, corpus, idCol, vecCol, k)
+    if (annPrunable(corpus, probes, idCol, vecCol, k, prunableAt)) {
+      // sizing the rerank pool costs one count() — only paid on the
+      // prunable branch, where index training already makes several
+      // corpus passes; an index deployment amortizes it with the
+      // annPrunable vote (once per build, not per query batch)
+      val rr = if (rerank > 0) rerank
+               else rerankFor(corpus.count(), nlist, nprobe)
+      ("ivfpq", ivfpqTopK(queries, corpus, idCol, vecCol, k, nlist,
+        nprobe, m, ksub, coarseIters = 1, pqIters = 1, rerank = rr))
+    } else
+      ("exact", bruteTopKL2(queries, corpus, idCol, vecCol, k))
   }
+
+  /** The standing ANN index's VERSION STRING (the
+    * Learn.qualityModelVersion discipline on the index tier): the
+    * full quantizer recipe — cell count, PQ geometry, training
+    * iterations, the ×1e7 fixed-point — baked into the ledger
+    * identity, so a search can never silently probe cells or decode
+    * codes built under a different recipe (a codebook trained at
+    * m=8 read back as m=16 would ADC-score garbage with no error). */
+  def annIndexVersion(nlist: Int, m: Int, ksub: Int,
+                      coarseIters: Int = 1, pqIters: Int = 1): String =
+    s"ivfpq-nl$nlist-m$m-ks$ksub-ci$coarseIters-pi$pqIters-fp1e7"
+
+  /** Persist a trained+encoded IVFPQ index as the VERSIONED standing
+    * ledger (the x97b/x104b pattern applied to the ANN tier: build
+    * once per (lake, recipe), let every search consumer read standing
+    * state instead of re-running train+assign+encode per query
+    * batch). Three parts: `cents` and `codebook` are the KB-scale
+    * index DEFINITION; `encoded` is the index STATE — one
+    * (cell, id, sub, code) row set that [[ivfpqEncode]] accretes on
+    * ingest and [[ivfpqSearchEncoded]] probes. At 100 TB the encoded
+    * state is the corpus compressed ~100× (m bytes per vector), the
+    * only corpus-sized thing this surface ever persists. */
+  def persistIndex(path: String, version: String, cents: DataFrame,
+                   codebook: DataFrame, encoded: DataFrame): Unit =
+    graft.sources.VersionedState.write(path, version,
+      "cents" -> cents, "codebook" -> codebook, "encoded" -> encoded)
+
+  /** True when a COMPLETE standing index of exactly `version` exists
+    * at `path` (S10 exists-guard). */
+  def indexExists(spark: SparkSession, path: String,
+                  version: String): Boolean =
+    graft.sources.VersionedState.exists(spark, path, version)
+
+  /** Read the standing index back as (cents, codebook, encoded),
+    * failing fast on a version mismatch — the versioned-state
+    * contract (a recipe change invalidates every old ledger instead
+    * of ADC-scoring against it). */
+  def loadIndex(spark: SparkSession, path: String, version: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val vs = graft.sources.VersionedState
+    (vs.read(spark, path, version, "cents"),
+      vs.read(spark, path, version, "codebook"),
+      vs.read(spark, path, version, "encoded"))
+  }
+
+  /** Deterministic CLUSTERED rehearsal lake — the hash-grid blob
+    * recipe the round-7 Scratch rehearsal measured (64 tight blobs
+    * far apart relative to jitter ⇒ RC ≈ 50, the prunable regime the
+    * synthetic near-uniform embeddings never reach): cluster k's
+    * center coordinate c(k,d) ~ U(-1,1) from xxhash64(k,d); point
+    * jitter ±0.02 from xxhash64(id,d,7). Pure column arithmetic over
+    * `spark.range` — reproducible on any cluster at any n, no driver
+    * arrays — so the ANN router's IVFPQ branch gets a corpus with
+    * KNOWN structure to hold its recall contract against (x112,
+    * Round15Spec, Scratch clustered_ann). */
+  def hashBlobLake(spark: SparkSession, n: Long,
+                   nClusters: Int = 64, dims: Int = 64): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+        pmod(col("id"), lit(nClusters.toLong)).as("ck"))
+      .select(col("vec_id"), expr(
+        s"""transform(sequence(0, ${dims - 1}), d ->
+           CAST(pmod(xxhash64(ck, d), 2000001) / 1000000.0 - 1.0
+             + (pmod(xxhash64(vec_id, d, 7), 41) - 20) * 0.001
+             AS FLOAT))""").as("embedding"))
 
   /** [[annTopKAuto]]'s deterministic stratified probe sample: one
     * query per xxhash64(id) bucket, smallest id winning its bucket —

@@ -1030,7 +1030,7 @@ object Streams {
     // version-checked ledger read — a fold can never silently score
     // against weights trained under a different recipe
     val (w, bias) = Learn.loadModel(sp, modelPath,
-      Learn.qualityModelVersion)
+      Learn.qualityModelVersion(nBuckets))
     val feat = Learn.features(batch, col("doc_id"), col("text"),
       nBuckets)
     Learn.logisticScore(batch.select(col("doc_id").as("id")), feat,
@@ -1067,7 +1067,8 @@ object Streams {
     val modelDir = new java.io.File("target/qtmp/st19_model")
     org.apache.commons.io.FileUtils.deleteQuietly(modelDir)
     val modelPath = modelDir.getAbsolutePath
-    Learn.persistModel(w, bias, modelPath, Learn.qualityModelVersion)
+    Learn.persistModel(w, bias, modelPath,
+      Learn.qualityModelVersion(nBuckets))
     val scoredDir = new java.io.File("target/qtmp/st19_scores")
     org.apache.commons.io.FileUtils.deleteQuietly(scoredDir)
     val scoredPath = scoredDir.getAbsolutePath

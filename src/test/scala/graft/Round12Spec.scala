@@ -470,7 +470,7 @@ class Round12Spec extends GraftSuite {
     graft.operators.Learn.persistModel(
       Seq((0L, 1.5), (1L, -2.0), (7L, 0.25)).toDF("b", "w"),
       Seq(Tuple1(-0.35)).toDF("bias"), model,
-      graft.operators.Learn.qualityModelVersion)
+      graft.operators.Learn.qualityModelVersion())
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val b0 = docs.filter(col("doc_id") % 2 === 0)
     val b1 = docs.filter(col("doc_id") % 2 === 1)

@@ -25,17 +25,17 @@ class Round14Spec extends GraftSuite {
       new java.io.File("target/qtmp/r14_model").getAbsolutePath
     org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(path))
-    assert(!Learn.modelExists(spark, path, Learn.qualityModelVersion),
+    assert(!Learn.modelExists(spark, path, Learn.qualityModelVersion()),
       "exists-guard must be false before the first persist")
-    Learn.persistModel(w, bias, path, Learn.qualityModelVersion)
-    assert(Learn.modelExists(spark, path, Learn.qualityModelVersion))
+    Learn.persistModel(w, bias, path, Learn.qualityModelVersion())
+    assert(Learn.modelExists(spark, path, Learn.qualityModelVersion()))
     // a different version must neither load nor count as existing —
     // the versioned-state contract (stale recipes are unreachable)
     assert(!Learn.modelExists(spark, path, "some-other-recipe"))
     intercept[IllegalArgumentException] {
       Learn.loadModel(spark, path, "some-other-recipe")
     }
-    val (lw, lb) = Learn.loadModel(spark, path, Learn.qualityModelVersion)
+    val (lw, lb) = Learn.loadModel(spark, path, Learn.qualityModelVersion())
     val ids = docs.select(col("doc_id").as("id"))
     def scores(wx: org.apache.spark.sql.DataFrame,
                bx: org.apache.spark.sql.DataFrame): Map[Long, Double] =
@@ -55,7 +55,8 @@ class Round14Spec extends GraftSuite {
     for ((a, b) <- Seq(
         ("x97_quality_classifier", "x97b_ledger_score"),
         ("x98_calibration_audit", "x98b_ledger_audit"),
-        ("x104_bpe_encode", "x104b_ledger_encode"))) {
+        ("x104_bpe_encode", "x104b_ledger_encode"),
+        ("e2e_select_corpus", "e2e_select_corpus_b"))) {
       val ra = SparkEntry.queries(a)(spark, dir).collect().toSeq
       val rb = SparkEntry.queries(b)(spark, dir).collect().toSeq
       assert(ra === rb, s"$b diverged from $a")
