@@ -153,7 +153,11 @@ object ScaleRehearsal {
     "x97_quality_classifier", // 12-epoch GD train+score (round 6)
     "x97b_ledger_score",      // standing-model consumer (round 7 — the
                               // x97 pair quantifies the ledger's win)
-    "a20_pareto_abc")         // globalPrefixSum ABC rewrite (round 7)
+    "a20_pareto_abc",         // globalPrefixSum ABC rewrite (round 7)
+    "x104_bpe_encode",        // inline-trained encode (round 8 — the
+    "x104b_ledger_encode",    //   pair measures the tokenizer ledger)
+    "e2e_select_corpus",      // retraining capstone (round 8 — the
+    "e2e_select_corpus_b")    //   pair measures the capstone ledger)
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

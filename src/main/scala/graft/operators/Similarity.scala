@@ -766,12 +766,15 @@ object Similarity {
     * branches' `query_id =!= neighbor_id` assume it); re-key
     * independently-numbered query sets before routing.
     *
-    * `rerank = 0` (the default) sizes the exact-rerank pool from the
-    * corpus via [[rerankFor]] — see that method for why a flat
-    * constant is the measured failure mode. */
+    * `nlist = 0` / `nprobe = 0` / `rerank = 0` (the defaults) size
+    * the index geometry and the exact-rerank pool from the corpus via
+    * [[nlistFor]]/[[nprobeFor]]/[[rerankFor]] — flat constants on any
+    * of these knobs are the measured failure mode (a flat rerank
+    * collapses recall as cells grow; a flat nlist stops pruning as
+    * the corpus grows). */
   def annTopKAuto(queries: DataFrame, corpus: DataFrame,
                   idCol: String, vecCol: String, k: Int,
-                  nlist: Int = 16, nprobe: Int = 12, m: Int = 8,
+                  nlist: Int = 0, nprobe: Int = 0, m: Int = 8,
                   ksub: Int = 16, rerank: Int = 0,
                   prunableAt: Double = 2.0,
                   probeCap: Int = 16): DataFrame =
@@ -798,13 +801,41 @@ object Similarity {
     math.max(200, math.ceil(1.5d * nprobe * n.toDouble / nlist).toInt)
   }
 
+  /** Executable IVF cell-count sizing — the rerankFor discipline
+    * applied to the index GEOMETRY, closing the same class of gap:
+    * a flat nlist=16 that reads fine at 2k vectors means a 1e9-vector
+    * lake gets 62M-vector cells (nprobe of anything probes most of
+    * the corpus — the index stops pruning). The rule:
+    * min(4·√n, n/64) rounded UP to a power of two, clamped
+    * [16, 65536] — 4√n is the published FAISS training guidance at
+    * scale; the n/64 occupancy cap keeps cells trainable on small
+    * corpora (below the n = 65536 crossover the cap binds, above it
+    * √n does). Measured on the clustered rehearsal lake (SCALE.md
+    * round 8): nlistFor(2000)=32 and nlistFor(20000)=512 both hold
+    * recall@5 = 1.000 at 12.5% probed with the rerankFor pool. */
+  def nlistFor(n: Long): Int = {
+    require(n >= 0, s"nlistFor: n=$n")
+    val target = math.min(4.0 * math.sqrt(n.toDouble), n.toDouble / 64.0)
+    val p2 = math.pow(2.0,
+      math.ceil(math.log(math.max(16.0, target)) / math.log(2.0))).toInt
+    math.min(65536, math.max(16, p2))
+  }
+
+  /** Probe width for a sized cell count: nlist/8 = 12.5% of the
+    * corpus probed (the operating point every rehearsal row holds
+    * recall at), floored at 4 cells so tiny indexes keep a quorum. */
+  def nprobeFor(nlist: Int): Int = {
+    require(nlist > 0, s"nprobeFor: nlist=$nlist")
+    math.max(4, nlist / 8)
+  }
+
   /** [[annTopKAuto]] with the ROUTE surfaced — ("ivfpq" | "exact",
     * result). The route string comes from the same annPrunable vote
     * that picks the branch, so a pane publishing it (x112) asserts
     * the branch actually taken, not a parallel re-derivation. */
   def annTopKAutoRouted(queries: DataFrame, corpus: DataFrame,
                         idCol: String, vecCol: String, k: Int,
-                        nlist: Int = 16, nprobe: Int = 12, m: Int = 8,
+                        nlist: Int = 0, nprobe: Int = 0, m: Int = 8,
                         ksub: Int = 16, rerank: Int = 0,
                         prunableAt: Double = 2.0,
                         probeCap: Int = 16): (String, DataFrame) = {
@@ -823,14 +854,16 @@ object Similarity {
     // further by calling annPrunable once per index build.
     val probes = stratifiedProbes(queries, idCol, probeCap)
     if (annPrunable(corpus, probes, idCol, vecCol, k, prunableAt)) {
-      // sizing the rerank pool costs one count() — only paid on the
-      // prunable branch, where index training already makes several
-      // corpus passes; an index deployment amortizes it with the
-      // annPrunable vote (once per build, not per query batch)
-      val rr = if (rerank > 0) rerank
-               else rerankFor(corpus.count(), nlist, nprobe)
-      ("ivfpq", ivfpqTopK(queries, corpus, idCol, vecCol, k, nlist,
-        nprobe, m, ksub, coarseIters = 1, pqIters = 1, rerank = rr))
+      // sizing geometry + rerank pool costs one count() — only paid
+      // on the prunable branch, where index training already makes
+      // several corpus passes; an index deployment amortizes it with
+      // the annPrunable vote (once per build, not per query batch)
+      val n = corpus.count()
+      val nl = if (nlist > 0) nlist else nlistFor(n)
+      val np = if (nprobe > 0) nprobe else nprobeFor(nl)
+      val rr = if (rerank > 0) rerank else rerankFor(n, nl, np)
+      ("ivfpq", ivfpqTopK(queries, corpus, idCol, vecCol, k, nl,
+        np, m, ksub, coarseIters = 1, pqIters = 1, rerank = rr))
     } else
       ("exact", bruteTopKL2(queries, corpus, idCol, vecCol, k))
   }

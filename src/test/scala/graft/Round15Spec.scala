@@ -35,6 +35,51 @@ class Round15Spec extends GraftSuite {
     }
   }
 
+  test("nlistFor/nprobeFor: executable index-geometry sizing — the " +
+       "rerankFor discipline on the cell count (a flat nlist stops " +
+       "pruning as the corpus grows)") {
+    // the two measured rehearsal scales (SCALE.md round 8: both hold
+    // recall@5 = 1.000 at 12.5% probed with the rerankFor pool)
+    assert(Similarity.nlistFor(2000L) === 32)
+    assert(Similarity.nlistFor(20000L) === 512)
+    // above the n = 65536 occupancy/√n crossover, 4·√n governs
+    assert(Similarity.nlistFor(1000000L) === 4096)
+    // clamped at 65536 cells — beyond this a deployment shards the
+    // index (one IVFPQ ledger per shard), not the cell count
+    assert(Similarity.nlistFor(1000000000L) === 65536)
+    assert(Similarity.nlistFor(0L) === 16)
+    assert(Similarity.nprobeFor(32) === 4)
+    assert(Similarity.nprobeFor(512) === 64)
+    // the default probed fraction never exceeds 12.5% once the
+    // corpus outgrows the 16-cell floor
+    for (n <- Seq(2000L, 20000L, 1000000L, 100000000L)) {
+      val nl = Similarity.nlistFor(n)
+      assert(Similarity.nprobeFor(nl).toDouble / nl <= 0.125d + 1e-9,
+        s"probed fraction exceeds 12.5% at n=$n (nlist=$nl)")
+    }
+  }
+
+  test("the router's ALL-DEFAULTS path on a prunable corpus: sized " +
+       "geometry + sized rerank hold the recall contract end-to-end") {
+    val n = 2000L; val k = 5
+    val lake = Similarity.hashBlobLake(spark, n).localCheckpoint(true)
+    val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
+      .localCheckpoint(true)
+    // no knobs: nlist/nprobe/rerank all sized from the corpus —
+    // the exact call a production caller makes
+    val (route, routed) = Similarity.annTopKAutoRouted(q, lake,
+      "vec_id", "embedding", k)
+    assert(route === "ivfpq")
+    val exact = Similarity.bruteTopKL2(q, lake, "vec_id", "embedding",
+      k).localCheckpoint(true)
+    val hits = exact.as("b").join(routed.as("l"),
+      col("b.query_id") === col("l.query_id") &&
+        col("b.neighbor_id") === col("l.neighbor_id")).count()
+    val recall = hits.toDouble / exact.count()
+    assert(recall >= 0.94d,
+      s"default-sized route failed the recall contract ($recall)")
+  }
+
   test("NEGATIVE CONTROL: flat rerank=200 fails the >=0.94 recall " +
        "contract on the 20k clustered corpus; the rerankFor-sized " +
        "pool holds it (one shared index build, two searches)") {
