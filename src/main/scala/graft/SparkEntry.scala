@@ -273,6 +273,40 @@ object SparkEntry {
     Similarity.loadIndex(s, path, version)
   }
 
+  /** Shared x113/st23 audit tail: probe the encoded IVFPQ state with
+    * the stratified query sample, compare to the exact twin, emit the
+    * (version, counts, recall) contract pane — one pane definition
+    * for the batch-built and stream-accreted index twins (the
+    * classifierPane discipline on the index tier). */
+  private def annIndexPane(lake: DataFrame, cents: DataFrame,
+                           codebook: DataFrame, encoded: DataFrame,
+                           n: Long, nlist: Int, nprobe: Int,
+                           k: Int): DataFrame = {
+    val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
+      .localCheckpoint(true)
+    val got = Similarity.ivfpqSearchEncoded(q, "vec_id", "embedding",
+      encoded, cents, codebook, k, nprobe, m = 8,
+      rerank = Similarity.rerankFor(n, nlist, nprobe),
+      rerankSource = Some(lake))
+    val exact = Similarity.bruteTopKL2(q, lake, "vec_id",
+      "embedding", k)
+    val nEnc = encoded.agg(count(lit(1)).as("n_encoded"),
+      countDistinct(col("neighbor_id")).as("n_vectors"))
+    exact.as("b").join(got.as("l"),
+        col("b.query_id") === col("l.query_id") &&
+          col("b.neighbor_id") === col("l.neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        count(col("l.neighbor_id")).as("n_hit"))
+      .join(nEnc, lit(true), "left") // 1-row pane join idiom
+      .select(
+        lit(Similarity.annIndexVersion(nlist, 8, 16)).as("version"),
+        col("n_vectors"), col("n_encoded"), col("n_exact"),
+        round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
+          .as("recall"),
+        (col("n_hit").cast(DoubleType) / col("n_exact")
+          >= lit(0.94d)).as("recall_ge_094"))
+  }
+
   private def classifierPane(s: SparkSession, dir: String,
                              scores: DataFrame): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -2783,29 +2817,31 @@ object SparkEntry {
       val lake = Similarity.hashBlobLake(s, n).localCheckpoint(true)
       val (cents, codebook, encoded) =
         standingAnnIndex(s, s"blob$n", lake, nlist, m = 8, ksub = 16)
-      val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
-        .localCheckpoint(true)
-      val got = Similarity.ivfpqSearchEncoded(q, "vec_id", "embedding",
-        encoded, cents, codebook, k, nprobe, m = 8,
-        rerank = Similarity.rerankFor(n, nlist, nprobe),
-        rerankSource = Some(lake))
-      val exact = Similarity.bruteTopKL2(q, lake, "vec_id",
-        "embedding", k)
-      val nEnc = encoded.agg(count(lit(1)).as("n_encoded"),
-        countDistinct(col("neighbor_id")).as("n_vectors"))
-      exact.as("b").join(got.as("l"),
-          col("b.query_id") === col("l.query_id") &&
-            col("b.neighbor_id") === col("l.neighbor_id"), "left")
-        .agg(count(lit(1)).as("n_exact"),
-          count(col("l.neighbor_id")).as("n_hit"))
-        .join(nEnc, lit(true), "left") // 1-row pane join idiom
-        .select(
-          lit(Similarity.annIndexVersion(nlist, 8, 16)).as("version"),
-          col("n_vectors"), col("n_encoded"), col("n_exact"),
-          round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
-            .as("recall"),
-          (col("n_hit").cast(DoubleType) / col("n_exact")
-            >= lit(0.94d)).as("recall_ge_094"))
+      annIndexPane(lake, cents, codebook, encoded, n, nlist, nprobe, k)
+    }),
+
+    "st23_stream_ann_ingest" -> ((s, dir) => {
+      // x113's STREAMING TWIN — the index riding ingest (x92's
+      // incremental-encode discipline + the st19 batchId-partition
+      // idempotence, composed with the standing-definition form):
+      // the IVFPQ DEFINITION (cents + codebook) is trained once and
+      // frozen; embedding micro-batches then encode against it —
+      // pure per-row functions of (vector, definition), so a batch's
+      // encoded rows are byte-identical on redelivery and dynamic
+      // partition overwrite confines replay to `__bid=<batchId>`.
+      // Because encode is per-row and batches partition the lake,
+      // the ASSEMBLED ledger equals the batch-built x113 state
+      // exactly for ANY stream split — the pane shares x113's oracle
+      // verbatim (the st18/st20/st21/st22 invariance discipline, now
+      // on the index tier). Production shape: train the definition on
+      // an initial load, let every ingest batch pay O(|batch|·m) to
+      // join the standing index, search consumers read the accreted
+      // state — the 100 TB corpus never re-encodes.
+      val n = 2000L; val nlist = 64; val nprobe = 8; val k = 5
+      val (lake, cents, codebook, encoded) =
+        graft.streaming.Streams.streamAnnIngest(s, n, nlist,
+          splitFiles = 4)
+      annIndexPane(lake, cents, codebook, encoded, n, nlist, nprobe, k)
     }),
 
     "x88b_ivfpq_exact" -> ((s, dir) => {
@@ -5670,6 +5706,20 @@ object SparkEntry {
     * degenerate ANN twin (x53b, x88b) and the auto-router on this
     * corpus (x93b, where the RC gate measures not-prunable and the
     * route IS the exact scan). */
+  /** The standing-index contract as constants (x113 + st23): the
+    * persisted version must be the full quantizer recipe, the encoded
+    * state must hold all 2000 vectors at m=8 codes each (the ~100×
+    * compression the ledger persists instead of raw vectors), and the
+    * ledger-fed search must hold recall 1.0 against the exact twin —
+    * any drift in persistence, versioning, stream assembly, or search
+    * quality hash-mismatches. */
+  private val annIndexOracle: String = """
+      SELECT 'ivfpq-nl64-m8-ks16-ci1-pi1-fp1e7' AS version,
+             CAST(2000 AS BIGINT) AS n_vectors,
+             CAST(16000 AS BIGINT) AS n_encoded,
+             CAST(80 AS BIGINT) AS n_exact,
+             CAST(1.0 AS DOUBLE) AS recall, TRUE AS recall_ge_094"""
+
   private val fixedPointBruteOracle: String = """
       WITH qv AS (
         SELECT vec_id,
@@ -9955,19 +10005,12 @@ object SparkEntry {
              CAST(0.125 AS DOUBLE) AS probed_frac,
              TRUE AS probed_le_025, CAST(375 AS BIGINT) AS rerank""",
 
-    "x113_standing_ann_search" -> """
-      -- the standing-index contract as constants: the persisted
-      -- version must be the full quantizer recipe, the encoded state
-      -- must hold all 2000 vectors at m=8 codes each (the ~100×
-      -- compression the ledger persists instead of raw vectors), and
-      -- the ledger-fed search must hold recall 1.0 against the exact
-      -- twin — any drift in persistence, versioning, or search
-      -- quality hash-mismatches
-      SELECT 'ivfpq-nl64-m8-ks16-ci1-pi1-fp1e7' AS version,
-             CAST(2000 AS BIGINT) AS n_vectors,
-             CAST(16000 AS BIGINT) AS n_encoded,
-             CAST(80 AS BIGINT) AS n_exact,
-             CAST(1.0 AS DOUBLE) AS recall, TRUE AS recall_ge_094""",
+    "x113_standing_ann_search" -> annIndexOracle,
+    // the stream-accreted index equals the batch-built state exactly
+    // (per-row encode against a frozen definition + disjoint
+    // batches), so st23 shares x113's oracle verbatim — the
+    // batching-invariance discipline on the index tier
+    "st23_stream_ann_ingest" -> annIndexOracle,
 
     "x88_ivfpq_topk" -> """
       SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ge_08

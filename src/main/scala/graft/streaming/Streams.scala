@@ -1300,6 +1300,75 @@ object Streams {
       merges)
   }
 
+  /** st23's per-batch fold: encode an embeddings micro-batch against
+    * the FROZEN index definition (centroids + codebook) and overwrite
+    * ONLY this batch's partition of the encoded-state ledger — the
+    * st19 batchId-PARTITION-overwrite idempotence pattern on the
+    * index tier. Encode is a pure per-row function of
+    * (vector, definition), so a redelivered batch recomputes
+    * byte-identical rows and replay can never touch another batch's
+    * rows — the layout is the guard. Cost per batch: O(|batch|·m)
+    * broadcast joins, no corpus rescan, no retrain (x76/x92's
+    * index-INSERT discipline made a streaming fold). */
+  def annIngestFold(batch: DataFrame, batchId: Long,
+                    cents: DataFrame, codebook: DataFrame,
+                    encodedPath: String): Unit =
+    graft.operators.Similarity.ivfpqEncode(batch, "vec_id",
+        "embedding", cents, codebook)
+      .withColumn("__bid", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bid")
+      .parquet(encodedPath)
+
+  /** x113's streaming twin (st23): train the IVFPQ definition once
+    * on the full lake (production: an initial load or sample), then
+    * stream the lake in micro-batches, each encoding against the
+    * frozen definition via [[annIngestFold]]. The assembled encoded
+    * ledger equals the batch-built index state EXACTLY for any
+    * stream split (per-row encode + disjoint batches), so search
+    * results — and st23's pane — are bit-identical to x113's and the
+    * oracle is shared verbatim (the batching-invariance proof, index
+    * tier). Returns (lake, cents, codebook, assembled encoded). */
+  def streamAnnIngest(spark: SparkSession, n: Long, nlist: Int,
+                      splitFiles: Int = 4)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import graft.operators.Similarity
+    val lake = Similarity.hashBlobLake(spark, n).localCheckpoint(true)
+    val (cents0, codebook0) = Similarity.ivfpqTrain(lake, "vec_id",
+      "embedding", nlist = nlist, m = 8, ksub = 16,
+      coarseIters = 1, pqIters = 1)
+    // the definition is FROZEN state the folds broadcast every
+    // batch — materialize once (KB-scale, the x82 idiom)
+    val cents = cents0.localCheckpoint(true)
+    val codebook = codebook0.localCheckpoint(true)
+    val stage = new java.io.File("target/qtmp/st23_src")
+    org.apache.commons.io.FileUtils.deleteQuietly(stage)
+    stage.mkdirs()
+    (0 until splitFiles).foreach { i =>
+      lake.filter(col("vec_id") % splitFiles === i).coalesce(1)
+        .write.mode("overwrite")
+        .parquet(new java.io.File(stage, s"part$i").getAbsolutePath)
+    }
+    val encodedDir = new java.io.File("target/qtmp/st23_encoded")
+    org.apache.commons.io.FileUtils.deleteQuietly(encodedDir)
+    val encodedPath = encodedDir.getAbsolutePath
+    val q = spark.readStream.schema(lake.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.getAbsolutePath + "/part*")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        annIngestFold(b, bid, cents, codebook, encodedPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val encoded = spark.read.parquet(encodedPath)
+      .select(col("cell"), col("neighbor_id"), col("sub"), col("code"))
+    (lake, cents, codebook, encoded)
+  }
+
   /** st22's ledger schema: segment-hash document frequencies as
     * standing state — the boilerplate blacklist's sufficient
     * statistic. A doc lives in exactly one micro-batch

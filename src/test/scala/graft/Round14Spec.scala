@@ -56,7 +56,8 @@ class Round14Spec extends GraftSuite {
         ("x97_quality_classifier", "x97b_ledger_score"),
         ("x98_calibration_audit", "x98b_ledger_audit"),
         ("x104_bpe_encode", "x104b_ledger_encode"),
-        ("e2e_select_corpus", "e2e_select_corpus_b"))) {
+        ("e2e_select_corpus", "e2e_select_corpus_b"),
+        ("x113_standing_ann_search", "st23_stream_ann_ingest"))) {
       val ra = SparkEntry.queries(a)(spark, dir).collect().toSeq
       val rb = SparkEntry.queries(b)(spark, dir).collect().toSeq
       assert(ra === rb, s"$b diverged from $a")
