@@ -372,10 +372,12 @@ object Scratch {
           q, lake, "vec_id", "embedding", 5).localCheckpoint()
         println(f"exact scan (same probes): " +
           f"${(System.nanoTime() - te0) / 1e9}%.2f s")
+        val m = sys.env.getOrElse("CLUSTERED_M", "8").toInt
+        val ksub = sys.env.getOrElse("CLUSTERED_KSUB", "16").toInt
         val t0 = System.nanoTime()
         val routed = graft.operators.Similarity.annTopKAuto(
           q, lake, "vec_id", "embedding", 5, nlist = nlist,
-          nprobe = nprobe, m = 8, ksub = 16, rerank = rerank)
+          nprobe = nprobe, m = m, ksub = ksub, rerank = rerank)
         routed.write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         val hits = exact.as("b").join(routed.as("l"),
@@ -385,7 +387,7 @@ object Scratch {
         println(f"route: recall=${hits / denom}%.3f " +
           f"probed=${100.0 * nprobe / nlist}%.1f%% wall=$dt%.2f s " +
           s"(includes the preflight; nlist=$nlist nprobe=$nprobe " +
-          s"rerank=$rerank)")
+          s"rerank=$rerank m=$m ksub=$ksub)")
       case "bpe_incr_sweep" =>
         // incremental vs full-recount BPE on a LARGE crafted type
         // table (verdict-7 ask #2's measured row): the 31-type driver
