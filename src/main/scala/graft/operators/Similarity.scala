@@ -894,6 +894,26 @@ object Similarity {
     graft.sources.VersionedState.write(path, version,
       "cents" -> cents, "codebook" -> codebook, "encoded" -> encoded)
 
+  /** Persist just the index DEFINITION (centroids + codebook, KBs) —
+    * the form an INGEST pipeline freezes once and every encode fold
+    * reads (st23): the encoded state then accretes separately as the
+    * batchId-partitioned ledger the folds write, rather than being
+    * snapshotted into this bundle ([[persistIndex]] is the
+    * search-consumer snapshot form that carries all three). */
+  def persistIndexDef(path: String, version: String, cents: DataFrame,
+                      codebook: DataFrame): Unit =
+    graft.sources.VersionedState.write(path, version,
+      "cents" -> cents, "codebook" -> codebook)
+
+  /** Read the standing definition back as (cents, codebook), failing
+    * fast on a version mismatch. */
+  def loadIndexDef(spark: SparkSession, path: String, version: String)
+      : (DataFrame, DataFrame) = {
+    val vs = graft.sources.VersionedState
+    (vs.read(spark, path, version, "cents"),
+      vs.read(spark, path, version, "codebook"))
+  }
+
   /** True when a COMPLETE standing index of exactly `version` exists
     * at `path` (S10 exists-guard). */
   def indexExists(spark: SparkSession, path: String,

@@ -1301,18 +1301,25 @@ object Streams {
   }
 
   /** st23's per-batch fold: encode an embeddings micro-batch against
-    * the FROZEN index definition (centroids + codebook) and overwrite
-    * ONLY this batch's partition of the encoded-state ledger — the
-    * st19 batchId-PARTITION-overwrite idempotence pattern on the
-    * index tier. Encode is a pure per-row function of
-    * (vector, definition), so a redelivered batch recomputes
-    * byte-identical rows and replay can never touch another batch's
-    * rows — the layout is the guard. Cost per batch: O(|batch|·m)
-    * broadcast joins, no corpus rescan, no retrain (x76/x92's
-    * index-INSERT discipline made a streaming fold). */
+    * the STANDING index definition — read VERSION-CHECKED from the
+    * ledger every batch (`Similarity.loadIndex`, the st19
+    * classifierScoreFold contract on the index tier: a fold can never
+    * encode against centroids or a codebook built under a different
+    * recipe — a mismatched m would emit codes that ADC-score garbage
+    * with no error, so the mismatch fails fast instead) — and
+    * overwrite ONLY this batch's partition of the encoded-state
+    * ledger, the batchId-PARTITION-overwrite idempotence pattern.
+    * Encode is a pure per-row function of (vector, definition), so a
+    * redelivered batch recomputes byte-identical rows and replay can
+    * never touch another batch's rows — the layout is the guard.
+    * Cost per batch: one KB-scale meta read + O(|batch|·m) broadcast
+    * joins, no corpus rescan, no retrain (x76/x92's index-INSERT
+    * discipline made a streaming fold). */
   def annIngestFold(batch: DataFrame, batchId: Long,
-                    cents: DataFrame, codebook: DataFrame,
-                    encodedPath: String): Unit =
+                    definitionPath: String, version: String,
+                    encodedPath: String): Unit = {
+    val (cents, codebook) = graft.operators.Similarity
+      .loadIndexDef(batch.sparkSession, definitionPath, version)
     graft.operators.Similarity.ivfpqEncode(batch, "vec_id",
         "embedding", cents, codebook)
       .withColumn("__bid", lit(batchId))
@@ -1320,16 +1327,19 @@ object Streams {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__bid")
       .parquet(encodedPath)
+  }
 
   /** x113's streaming twin (st23): train the IVFPQ definition once
-    * on the full lake (production: an initial load or sample), then
-    * stream the lake in micro-batches, each encoding against the
-    * frozen definition via [[annIngestFold]]. The assembled encoded
-    * ledger equals the batch-built index state EXACTLY for any
-    * stream split (per-row encode + disjoint batches), so search
-    * results — and st23's pane — are bit-identical to x113's and the
-    * oracle is shared verbatim (the batching-invariance proof, index
-    * tier). Returns (lake, cents, codebook, assembled encoded). */
+    * on the full lake (production: an initial load or sample),
+    * PERSIST it as the versioned standing ledger, then stream the
+    * lake in micro-batches, each fold reading the definition back
+    * version-checked and encoding against it via [[annIngestFold]].
+    * The assembled encoded ledger equals the batch-built index state
+    * EXACTLY for any stream split (per-row encode + disjoint
+    * batches), so search results — and st23's pane — are
+    * bit-identical to x113's and the oracle is shared verbatim (the
+    * batching-invariance proof, index tier). Returns
+    * (lake, cents, codebook, assembled encoded). */
   def streamAnnIngest(spark: SparkSession, n: Long, nlist: Int,
                       splitFiles: Int = 4)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
@@ -1338,10 +1348,17 @@ object Streams {
     val (cents0, codebook0) = Similarity.ivfpqTrain(lake, "vec_id",
       "embedding", nlist = nlist, m = 8, ksub = 16,
       coarseIters = 1, pqIters = 1)
-    // the definition is FROZEN state the folds broadcast every
-    // batch — materialize once (KB-scale, the x82 idiom)
-    val cents = cents0.localCheckpoint(true)
-    val codebook = codebook0.localCheckpoint(true)
+    // the definition is FROZEN standing state: persisted version-
+    // keyed, read back version-checked by EVERY fold (st19's
+    // contract — a recipe change can never silently mis-encode a
+    // batch mid-stream)
+    val version = Similarity.annIndexVersion(nlist, 8, 16)
+    val defDir = new java.io.File("target/qtmp/st23_def")
+    org.apache.commons.io.FileUtils.deleteQuietly(defDir)
+    val defPath = defDir.getAbsolutePath
+    Similarity.persistIndexDef(defPath, version, cents0, codebook0)
+    val (cents, codebook) =
+      Similarity.loadIndexDef(spark, defPath, version)
     val stage = new java.io.File("target/qtmp/st23_src")
     org.apache.commons.io.FileUtils.deleteQuietly(stage)
     stage.mkdirs()
@@ -1359,7 +1376,7 @@ object Streams {
       .writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, bid: Long) =>
-        annIngestFold(b, bid, cents, codebook, encodedPath)
+        annIngestFold(b, bid, defPath, version, encodedPath)
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -240,6 +240,36 @@ class Round15Spec extends GraftSuite {
     assert(fresh.nonEmpty, "vacuous: no search results")
   }
 
+  test("st23's ingest fold FAILS FAST when the standing definition " +
+       "was stamped under a different quantizer recipe — a stream " +
+       "can never emit codes against mismatched centroids/codebook") {
+    val lake = Similarity.hashBlobLake(spark, 64L).localCheckpoint(true)
+    val (cents, codebook) = Similarity.ivfpqTrain(lake, "vec_id",
+      "embedding", nlist = 4, m = 8, ksub = 4)
+    val defPath =
+      new java.io.File("target/qtmp/r15_st23_def").getAbsolutePath
+    val encPath =
+      new java.io.File("target/qtmp/r15_st23_enc").getAbsolutePath
+    for (p <- Seq(defPath, encPath))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    // definition persisted under a DIFFERENT m's stamp; the fold
+    // expects the m=8 recipe and must refuse before writing codes
+    Similarity.persistIndexDef(defPath,
+      Similarity.annIndexVersion(4, 16, 4), cents, codebook)
+    intercept[IllegalArgumentException] {
+      graft.streaming.Streams.annIngestFold(lake, 0L, defPath,
+        Similarity.annIndexVersion(4, 8, 4), encPath)
+    }
+    assert(!new java.io.File(encPath).exists(),
+      "the fold wrote encoded rows despite the version mismatch")
+    // the matching stamp folds normally
+    Similarity.persistIndexDef(defPath,
+      Similarity.annIndexVersion(4, 8, 4), cents, codebook)
+    graft.streaming.Streams.annIngestFold(lake, 0L, defPath,
+      Similarity.annIndexVersion(4, 8, 4), encPath)
+    assert(spark.read.parquet(encPath).count() === 64L * 8)
+  }
+
   // ------------------------------ st19: version contract mid-stream
 
   test("st19's per-batch fold FAILS FAST when the standing model was " +
