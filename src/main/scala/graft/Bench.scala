@@ -161,6 +161,7 @@ object Bench {
     "x112_clustered_route",  // IVFPQ route + sized rerank on the clustered lake
     "x113_standing_ann_search", // standing-index consumer (no rebuild)
     "st23_stream_ann_ingest", // index riding ingest (streaming twin)
+    "x114_pii_scrub",        // map-only PII redaction + canary pane
     "e2e_select_corpus_b",   // ledger-fed capstone (no inline retrain)
     "x36_span_dup_coverage") // bridge query shared with all sets
 

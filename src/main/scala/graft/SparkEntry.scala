@@ -193,6 +193,21 @@ object SparkEntry {
     * live at every scale (the x26/x106 discipline). ONE definition
     * for the batch query, the streaming twin's micro-batches, and
     * its strip input — and the generated oracle mirrors it. */
+  /** x114's deterministic PII canary (the x26/x111 injection
+    * discipline): the synthetic corpus carries no natural PII, so
+    * doc_id % 7 == 0 docs get all four categories appended,
+    * % 7 == 3 docs a partial pair, the rest stay clean — every scrub
+    * pattern AND the no-hit branch are live at every scale, and the
+    * DuckDB oracle replays the identical injection. */
+  private def piiInject(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("source"),
+      when(col("doc_id") % 7 === 0, concat(col("text"),
+        lit(" contact jane.doe@example.com or 10.20.30.40 call " +
+          "555-123-4567 card 4111111111111111")))
+        .when(col("doc_id") % 7 === 3, concat(col("text"),
+          lit(" mail bob@corp.io from 192.168.0.1")))
+        .otherwise(col("text")).as("text"))
+
   private def footerInject(df: DataFrame): DataFrame =
     df.select(col("doc_id"),
       concat(col("text"), lit("\n"),
@@ -4328,6 +4343,40 @@ object SparkEntry {
         .select(col("id"), md5(col("clean_text")).as("clean_md5"),
           col("n_segs"), col("n_removed"))
         .orderBy(col("id"))
+    }),
+
+    "x114_pii_scrub" -> ((s, dir) => {
+      // PII redaction (TextOps.piiScrub) — the pass every published
+      // training-data pipeline runs before release (Dolma/FineWeb
+      // redact exactly this email/IP/phone/long-digit family):
+      // chained regexp_replace expressions, per-row and codegen'd,
+      // so redaction rides the corpus scan — no UDF, no extra pass,
+      // no shuffle; at 100 TB this is a map-only stage. The synthetic
+      // corpus contains no natural PII at any scale, so a
+      // deterministic canary (piiInject, the x26/x111 footerInject
+      // discipline) plants all four categories on doc_id % 7 == 0,
+      // a partial pair on % 7 == 3, and leaves the rest clean —
+      // every pattern and the no-hit branch are live at every scale,
+      // and the oracle replays the same injection. Counts are
+      // PROGRESSIVE (each category counts on the text the previous
+      // one already redacted) so an email's digits can never
+      // double-count as a phone. Pane: per-source redaction mass +
+      // the docs-touched count + scrubbed-character checksum.
+      val aug = piiInject(t(s, dir, "documents"))
+      TextOps.piiScrub(aug, col("doc_id"), col("text"))
+        .join(aug.select(col("doc_id").as("id"), col("source")),
+          Seq("id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_emails")).as("emails"),
+          sum(col("n_ips")).as("ips"),
+          sum(col("n_phones")).as("phones"),
+          sum(col("n_longnums")).as("longnums"),
+          sum(when(col("n_emails") + col("n_ips") + col("n_phones")
+            + col("n_longnums") > 0, 1L).otherwise(0L))
+            .as("n_docs_redacted"),
+          sum(length(col("clean_text"))).as("clean_chars"))
+        .orderBy(col("source"))
     }),
 
     "st22_stream_boilerplate" -> ((s, dir) => {
@@ -10701,6 +10750,57 @@ object SparkEntry {
     // distinct counts are additive, so blacklist and strip output
     // equal the batch form exactly for any stream split
     "st22_stream_boilerplate" -> x111OracleStr,
+
+    "x114_pii_scrub" -> """
+      -- the oracle replays the SAME canary injection and the SAME
+      -- progressive redaction order (emails -> ips -> phones ->
+      -- long digit runs, each counting on the previous step's
+      -- output); patterns live in the RE2 (here) / Java-regex
+      -- (engine) dialect intersection so both execute identically
+      WITH aug AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 7 = 0 THEN text ||
+                      ' contact jane.doe@example.com or 10.20.30.40' ||
+                      ' call 555-123-4567 card 4111111111111111'
+                    WHEN doc_id % 7 = 3 THEN text ||
+                      ' mail bob@corp.io from 192.168.0.1'
+                    ELSE text END AS text
+        FROM documents),
+      s1 AS (SELECT source,
+               len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 AS n_emails,
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g') AS t
+             FROM aug),
+      s2 AS (SELECT source, n_emails,
+               len(regexp_extract_all(t,
+                 '\b(\d{1,3}\.){3}\d{1,3}\b')) AS n_ips,
+               regexp_replace(t, '\b(\d{1,3}\.){3}\d{1,3}\b',
+                 '<IP>', 'g') AS t
+             FROM s1),
+      s3 AS (SELECT source, n_emails, n_ips,
+               len(regexp_extract_all(t,
+                 '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')) AS n_phones,
+               regexp_replace(t, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b',
+                 '<PHONE>', 'g') AS t
+             FROM s2),
+      s4 AS (SELECT source, n_emails, n_ips, n_phones,
+               len(regexp_extract_all(t, '\b\d{13,19}\b'))
+                 AS n_longnums,
+               regexp_replace(t, '\b\d{13,19}\b', '<NUM>', 'g') AS t
+             FROM s3)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_emails) AS BIGINT) AS emails,
+             CAST(SUM(n_ips) AS BIGINT) AS ips,
+             CAST(SUM(n_phones) AS BIGINT) AS phones,
+             CAST(SUM(n_longnums) AS BIGINT) AS longnums,
+             CAST(SUM(CASE WHEN n_emails + n_ips + n_phones
+               + n_longnums > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_redacted,
+             CAST(SUM(length(t)) AS BIGINT) AS clean_chars
+      FROM s4 GROUP BY source ORDER BY source""",
 
     "j21_join_auto" -> """
       SELECT c_mktsegment, COUNT(*) AS n_orders,

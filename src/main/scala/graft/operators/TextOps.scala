@@ -1189,4 +1189,46 @@ object TextOps {
       .orderBy(col("bm25").desc, col("id").asc)
       .limit(k)
   }
+
+  /** PII scrub patterns — the redaction pass every published
+    * training-data pipeline runs before release (C4 strips lines by
+    * blocklist; Dolma/FineWeb redact emails/IPs/phones with exactly
+    * this regex family). Deliberately CONSERVATIVE: precise shapes
+    * with word boundaries, so false redactions don't eat corpus text
+    * — a PII pass that is too eager destroys training data, one that
+    * is too lax ships PII; the conservative side of that trade is the
+    * defensible one and over-matching is tunable per deployment.
+    * Patterns stay inside the RE2 ∩ Java-regex dialect (no
+    * backreferences, no lookaround) so the engine (Java) and the
+    * DuckDB oracle (RE2) execute them identically. */
+  val piiEmailRe: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpRe: String = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val piiPhoneRe: String = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
+  val piiLongNumRe: String = "\\b\\d{13,19}\\b"
+
+  /** PII redaction over a document relation: emails → `<EMAIL>`,
+    * IPv4 → `<IP>`, separator phone numbers → `<PHONE>`, 13-19-digit
+    * runs (card/account shaped) → `<NUM>`, applied IN THAT ORDER so
+    * each category counts matches on the text the previous category
+    * already redacted (an email's digits can never double-count as a
+    * phone). Pure chained `regexp_replace`/`regexp_extract_all`
+    * column expressions — per-row, shuffle-free, codegen'd: the scrub
+    * rides the 100 TB scan like every TextOps pass, no UDF, no
+    * second pass. Returns (id, clean_text, n_emails, n_ips,
+    * n_phones, n_longnums). */
+  def piiScrub(docs: DataFrame, idCol: Column,
+               textCol: Column): DataFrame = {
+    val t0 = textCol
+    def step(t: Column, re: String, tag: String): (Column, Column) =
+      (regexp_replace(t, re, tag),
+        size(regexp_extract_all(t, lit(re), lit(0))))
+    val (t1, nEmail) = step(t0, piiEmailRe, "<EMAIL>")
+    val (t2, nIp) = step(t1, piiIpRe, "<IP>")
+    val (t3, nPhone) = step(t2, piiPhoneRe, "<PHONE>")
+    val (t4, nNum) = step(t3, piiLongNumRe, "<NUM>")
+    docs.select(idCol.as("id"), t4.as("clean_text"),
+      nEmail.as("n_emails"), nIp.as("n_ips"),
+      nPhone.as("n_phones"), nNum.as("n_longnums"))
+  }
 }

@@ -304,6 +304,53 @@ class Round15Spec extends GraftSuite {
     assert(spark.read.parquet(scoredPath).count() === 5L)
   }
 
+  // ------------------------------------------------------- PII scrub
+
+  test("piiScrub: each category redacts, counts are progressive (an " +
+       "email's digits never double-count), boundary shapes survive, " +
+       "and the scrub plan is map-only (no Exchange)") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "contact a.b@x.io or 10.0.0.1 call 555-123-4567 " +
+        "card 4111111111111111"),
+      (2L, "clean text with number 12 and v1.2 dots"),
+      // 12 digits (below) and 20 digits (above) must BOTH survive —
+      // the conservative-boundary contract
+      (3L, "acct 123456789012 ref 12345678901234567890"),
+      // an email whose local part is phone-shaped: the progressive
+      // order redacts it as <EMAIL> and the phone count stays 0
+      (4L, "reach 555-123-4567@relay.example.org today")
+    ).toDF("doc_id", "text")
+    val out = TextOps.piiScrub(docs, col("doc_id"), col("text"))
+      .orderBy(col("id")).collect()
+    val r1 = out(0)
+    assert(r1.getAs[String]("clean_text") ===
+      "contact <EMAIL> or <IP> call <PHONE> card <NUM>")
+    assert((r1.getAs[Int]("n_emails"), r1.getAs[Int]("n_ips"),
+      r1.getAs[Int]("n_phones"), r1.getAs[Int]("n_longnums"))
+      === ((1, 1, 1, 1)))
+    val r2 = out(1)
+    assert(r2.getAs[String]("clean_text") ===
+      "clean text with number 12 and v1.2 dots",
+      "clean text must pass through untouched")
+    val r3 = out(2)
+    assert(r3.getAs[String]("clean_text").contains("123456789012") &&
+      r3.getAs[String]("clean_text").contains("12345678901234567890"),
+      "12- and 20-digit runs must survive the 13-19 card window")
+    assert(r3.getAs[Int]("n_longnums") === 0)
+    val r4 = out(3)
+    assert(r4.getAs[String]("clean_text") === "reach <EMAIL> today")
+    assert(r4.getAs[Int]("n_phones") === 0,
+      "progressive order: the email's phone-shaped local part must " +
+        "not double-count as a phone")
+    // map-only contract: redaction rides the scan — no shuffle
+    val plan = TextOps.piiScrub(docs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"piiScrub plan must be map-only, got:\n$plan")
+  }
+
   // -------------------------------------------- BPE dispatch honesty
 
   test("BPE dispatch honesty: at ledger scale the router takes the " +
