@@ -345,18 +345,13 @@ object Scratch {
         // point's rerank=200). The executable-sizing discipline
         // (lgkFor/bandsFor) applied to the rerank knob.
         val rerank = sys.env.get("CLUSTERED_RERANK").map(_.toInt)
-          .getOrElse(math.max(200,
-            (1.5 * nprobe * n.toDouble / nlist).toInt))
-        // center coord c(k,d) ~ U(-1,1) from xxhash64; point jitter
-        // ±0.02 — tight blobs far apart relative to jitter
-        val lake = spark.range(n.toLong).select(col("id").as("vec_id"),
-            pmod(col("id"), lit(nClusters.toLong)).as("ck"))
-          .select(col("vec_id"), expr(
-            s"""transform(sequence(0, ${dims - 1}), d ->
-               CAST(pmod(xxhash64(ck, d), 2000001) / 1000000.0 - 1.0
-                 + (pmod(xxhash64(vec_id, d, 7), 41) - 20) * 0.001
-                 AS FLOAT))""").as("embedding"))
-          .localCheckpoint()
+          .getOrElse(graft.operators.Similarity.rerankFor(
+            n.toLong, nlist, nprobe))
+        // the SAME generator the x112/Round15Spec contracts run on —
+        // one recipe definition, so the rehearsal can never measure
+        // a lake the contracts don't see
+        val lake = graft.operators.Similarity.hashBlobLake(
+          spark, n.toLong, nClusters, dims).localCheckpoint()
         val q = graft.operators.Similarity.stratifiedProbes(
           lake, "vec_id", 16).localCheckpoint()
         println(s"lake n=$n clusters=$nClusters dims=$dims " +

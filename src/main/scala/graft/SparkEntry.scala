@@ -208,6 +208,10 @@ object SparkEntry {
           lit(" mail bob@corp.io from 192.168.0.1")))
         .otherwise(col("text")).as("text"))
 
+  /** x111/st22's deterministic boilerplate canary (the x26
+    * discipline): every doc gets one of three footer lines, so the
+    * docfreq-based blacklist fires at every scale and the oracle
+    * replays the identical injection. */
   private def footerInject(df: DataFrame): DataFrame =
     df.select(col("doc_id"),
       concat(col("text"), lit("\n"),
@@ -216,9 +220,6 @@ object SparkEntry {
           .when(col("doc_id") % 3 === 1, lit("all rights reserved"))
           .otherwise(lit("cookie policy applies"))).as("text"))
 
-  /** Shared x97/st19 audit tail: per-source score mass and
-    * predicted-quality counts over a (id, score) relation — one pane
-    * definition for the batch-trained and stream-scored twins. */
   /** The STANDING quality-model ledger for this lake (x97b/x98b):
     * version-keyed path + S10 exists-guard — the first caller in a
     * JVM trains and persists (self-contained-query discipline, like
@@ -269,8 +270,11 @@ object SparkEntry {
     * caller builds. Completes the amortization trio: every trained
     * artifact in the engine (model, tokenizer, index) now has a
     * standing form whose consumers pay only the read + search, never
-    * the build. `lakeKey` names the corpus (the ledger is per
-    * (lake, recipe), like the model ledger is per (dir, recipe)). */
+    * the build. `lakeKey` names the corpus INCLUDING its recipe
+    * version (the ledger is per (lake recipe, quantizer recipe) —
+    * either changing must move the path, or a stale index of an old
+    * corpus/quantizer would silently serve; the model ledger's
+    * (dir, recipe) discipline). */
   private def standingAnnIndex(s: SparkSession, lakeKey: String,
                                lake: DataFrame, nlist: Int, m: Int,
                                ksub: Int)
@@ -296,11 +300,16 @@ object SparkEntry {
   private def annIndexPane(lake: DataFrame, cents: DataFrame,
                            codebook: DataFrame, encoded: DataFrame,
                            n: Long, nlist: Int, nprobe: Int,
-                           k: Int): DataFrame = {
+                           k: Int, m: Int, ksub: Int): DataFrame = {
     val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
       .localCheckpoint(true)
+    // (m, ksub) are the PRODUCER's quantizer geometry, threaded
+    // through — a pane that hardcoded them would ADC-score garbage
+    // and stamp a wrong version the moment a caller built the index
+    // at a different geometry (the silent-recipe-mismatch class the
+    // version string exists to prevent)
     val got = Similarity.ivfpqSearchEncoded(q, "vec_id", "embedding",
-      encoded, cents, codebook, k, nprobe, m = 8,
+      encoded, cents, codebook, k, nprobe, m = m,
       rerank = Similarity.rerankFor(n, nlist, nprobe),
       rerankSource = Some(lake))
     val exact = Similarity.bruteTopKL2(q, lake, "vec_id",
@@ -314,7 +323,7 @@ object SparkEntry {
         count(col("l.neighbor_id")).as("n_hit"))
       .join(nEnc, lit(true), "left") // 1-row pane join idiom
       .select(
-        lit(Similarity.annIndexVersion(nlist, 8, 16)).as("version"),
+        lit(Similarity.annIndexVersion(nlist, m, ksub)).as("version"),
         col("n_vectors"), col("n_encoded"), col("n_exact"),
         round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
           .as("recall"),
@@ -322,6 +331,9 @@ object SparkEntry {
           >= lit(0.94d)).as("recall_ge_094"))
   }
 
+  /** Shared x97/st19 audit tail: per-source score mass and
+    * predicted-quality counts over a (id, score) relation — one pane
+    * definition for the batch-trained and stream-scored twins. */
   private def classifierPane(s: SparkSession, dir: String,
                              scores: DataFrame): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -2830,9 +2842,11 @@ object SparkEntry {
       // bit-for-bit (Round15Spec pins it).
       val n = 2000L; val nlist = 64; val nprobe = 8; val k = 5
       val lake = Similarity.hashBlobLake(s, n).localCheckpoint(true)
-      val (cents, codebook, encoded) =
-        standingAnnIndex(s, s"blob$n", lake, nlist, m = 8, ksub = 16)
-      annIndexPane(lake, cents, codebook, encoded, n, nlist, nprobe, k)
+      val (cents, codebook, encoded) = standingAnnIndex(s,
+        s"${Similarity.hashBlobRecipeVersion}-$n", lake, nlist,
+        m = 8, ksub = 16)
+      annIndexPane(lake, cents, codebook, encoded, n, nlist, nprobe,
+        k, m = 8, ksub = 16)
     }),
 
     "st23_stream_ann_ingest" -> ((s, dir) => {
@@ -2856,7 +2870,8 @@ object SparkEntry {
       val (lake, cents, codebook, encoded) =
         graft.streaming.Streams.streamAnnIngest(s, n, nlist,
           splitFiles = 4)
-      annIndexPane(lake, cents, codebook, encoded, n, nlist, nprobe, k)
+      annIndexPane(lake, cents, codebook, encoded, n, nlist, nprobe,
+        k, m = 8, ksub = 16)
     }),
 
     "x88b_ivfpq_exact" -> ((s, dir) => {
@@ -4363,9 +4378,9 @@ object SparkEntry {
       // double-count as a phone. Pane: per-source redaction mass +
       // the docs-touched count + scrubbed-character checksum.
       val aug = piiInject(t(s, dir, "documents"))
-      TextOps.piiScrub(aug, col("doc_id"), col("text"))
-        .join(aug.select(col("doc_id").as("id"), col("source")),
-          Seq("id"))
+      // source rides piiScrub's keep-through — ONE projection, one
+      // scan, no corpus self-join to recover the grouping column
+      TextOps.piiScrub(aug, col("doc_id"), col("text"), col("source"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_emails")).as("emails"),

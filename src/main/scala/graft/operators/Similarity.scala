@@ -815,10 +815,16 @@ object Similarity {
     * recall@5 = 1.000 at 12.5% probed with the rerankFor pool. */
   def nlistFor(n: Long): Int = {
     require(n >= 0, s"nlistFor: n=$n")
-    val target = math.min(4.0 * math.sqrt(n.toDouble), n.toDouble / 64.0)
-    val p2 = math.pow(2.0,
-      math.ceil(math.log(math.max(16.0, target)) / math.log(2.0))).toInt
-    math.min(65536, math.max(16, p2))
+    val target = math.ceil(
+      math.min(4.0 * math.sqrt(n.toDouble), n.toDouble / 64.0)).toLong
+    val t = math.min(65536L, math.max(16L, target))
+    // exact integer power-of-two round-up — a log/log2 formulation
+    // can flip the ceil at exact powers of two (Math.log is 1-ulp
+    // accurate and platform-variable), doubling the geometry on some
+    // JVMs; bit arithmetic is deterministic everywhere
+    val hb = java.lang.Long.highestOneBit(t)
+    val p2 = if (hb == t) t else hb << 1
+    math.min(65536L, p2).toInt
   }
 
   /** Probe width for a sized cell count: nlist/8 = 12.5% of the
@@ -855,10 +861,12 @@ object Similarity {
     val probes = stratifiedProbes(queries, idCol, probeCap)
     if (annPrunable(corpus, probes, idCol, vecCol, k, prunableAt)) {
       // sizing geometry + rerank pool costs one count() — only paid
-      // on the prunable branch, where index training already makes
-      // several corpus passes; an index deployment amortizes it with
-      // the annPrunable vote (once per build, not per query batch)
-      val n = corpus.count()
+      // on the prunable branch AND only when a knob is actually left
+      // to size (a caller supplying all three never pays the pass);
+      // index training already makes several corpus passes, and a
+      // deployment amortizes it with the annPrunable vote (once per
+      // build, not per query batch)
+      lazy val n = corpus.count()
       val nl = if (nlist > 0) nlist else nlistFor(n)
       val np = if (nprobe > 0) nprobe else nprobeFor(nl)
       val rr = if (rerank > 0) rerank else rerankFor(n, nl, np)
@@ -942,6 +950,16 @@ object Similarity {
     * arrays — so the ANN router's IVFPQ branch gets a corpus with
     * KNOWN structure to hold its recall contract against (x112,
     * Round15Spec, Scratch clustered_ann). */
+  /** [[hashBlobLake]]'s RECIPE VERSION — part of any standing-state
+    * key derived from the generated lake (x113's ledger path): the
+    * corpus recipe is as much a part of a persisted index's identity
+    * as the quantizer recipe — a tweak to the grid/jitter constants
+    * below must move the ledger path, or a stale index of the OLD
+    * corpus would version-validate against the NEW lake's exact twin
+    * and present as an ANN regression instead of ledger staleness.
+    * Bump this when changing the generator. */
+  val hashBlobRecipeVersion: String = "hashblob-v1-u1m-j20x1e3"
+
   def hashBlobLake(spark: SparkSession, n: Long,
                    nClusters: Int = 64, dims: Int = 64): DataFrame =
     spark.range(n).select(col("id").as("vec_id"),

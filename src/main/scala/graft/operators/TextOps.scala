@@ -1216,9 +1216,13 @@ object TextOps {
     * column expressions — per-row, shuffle-free, codegen'd: the scrub
     * rides the 100 TB scan like every TextOps pass, no UDF, no
     * second pass. Returns (id, clean_text, n_emails, n_ips,
-    * n_phones, n_longnums). */
-  def piiScrub(docs: DataFrame, idCol: Column,
-               textCol: Column): DataFrame = {
+    * n_phones, n_longnums, keep…) — `keep` passes audit dimensions
+    * (source, lang) through the same single projection, so a
+    * consumer never joins the corpus back to itself just to recover
+    * a grouping column (a corpus-sized shuffle a map-only stage must
+    * not pay). */
+  def piiScrub(docs: DataFrame, idCol: Column, textCol: Column,
+               keep: Column*): DataFrame = {
     val t0 = textCol
     def step(t: Column, re: String, tag: String): (Column, Column) =
       (regexp_replace(t, re, tag),
@@ -1227,8 +1231,8 @@ object TextOps {
     val (t2, nIp) = step(t1, piiIpRe, "<IP>")
     val (t3, nPhone) = step(t2, piiPhoneRe, "<PHONE>")
     val (t4, nNum) = step(t3, piiLongNumRe, "<NUM>")
-    docs.select(idCol.as("id"), t4.as("clean_text"),
+    docs.select(Seq(idCol.as("id"), t4.as("clean_text"),
       nEmail.as("n_emails"), nIp.as("n_ips"),
-      nPhone.as("n_phones"), nNum.as("n_longnums"))
+      nPhone.as("n_phones"), nNum.as("n_longnums")) ++ keep: _*)
   }
 }
