@@ -157,7 +157,8 @@ object ScaleRehearsal {
     "x104_bpe_encode",        // inline-trained encode (round 8 — the
     "x104b_ledger_encode",    //   pair measures the tokenizer ledger)
     "e2e_select_corpus",      // retraining capstone (round 8 — the
-    "e2e_select_corpus_b")    //   pair measures the capstone ledger)
+    "e2e_select_corpus_b",    //   pair measures the capstone ledger)
+    "x114_pii_scrub")         // map-only PII redaction (round 8)
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
