@@ -2843,8 +2843,7 @@ object SparkEntry {
       val n = 2000L; val nlist = 64; val nprobe = 8; val k = 5
       val lake = Similarity.hashBlobLake(s, n).localCheckpoint(true)
       val (cents, codebook, encoded) = standingAnnIndex(s,
-        s"${Similarity.hashBlobRecipeVersion}-$n", lake, nlist,
-        m = 8, ksub = 16)
+        Similarity.hashBlobLakeKey(n), lake, nlist, m = 8, ksub = 16)
       annIndexPane(lake, cents, codebook, encoded, n, nlist, nprobe,
         k, m = 8, ksub = 16)
     }),
@@ -2867,11 +2866,15 @@ object SparkEntry {
       // join the standing index, search consumers read the accreted
       // state — the 100 TB corpus never re-encodes.
       val n = 2000L; val nlist = 64; val nprobe = 8; val k = 5
+      val m = 8; val ksub = 16 // ONE geometry definition for the
+      // stream producer and the pane consumer — independent
+      // hardcodings are the silent-mismatch class annIndexVersion
+      // exists to kill
       val (lake, cents, codebook, encoded) =
-        graft.streaming.Streams.streamAnnIngest(s, n, nlist,
+        graft.streaming.Streams.streamAnnIngest(s, n, nlist, m, ksub,
           splitFiles = 4)
       annIndexPane(lake, cents, codebook, encoded, n, nlist, nprobe,
-        k, m = 8, ksub = 16)
+        k, m, ksub)
     }),
 
     "x88b_ivfpq_exact" -> ((s, dir) => {

@@ -940,6 +940,26 @@ object Similarity {
       vs.read(spark, path, version, "encoded"))
   }
 
+  /** [[hashBlobLake]]'s RECIPE VERSION — part of any standing-state
+    * key derived from the generated lake (x113's ledger path): the
+    * corpus recipe is as much a part of a persisted index's identity
+    * as the quantizer recipe — a tweak to the grid/jitter constants
+    * below must move the ledger path, or a stale index of the OLD
+    * corpus would version-validate against the NEW lake's exact twin
+    * and present as an ANN regression instead of ledger staleness.
+    * Bump this when changing the generator; SHAPE parameters
+    * (n, nClusters, dims) are identity-bearing too and belong in the
+    * key alongside it — [[hashBlobLakeKey]] builds the full key. */
+  val hashBlobRecipeVersion: String = "hashblob-v1-u1m-j20x1e3"
+
+  /** The full standing-state key for a generated lake: recipe
+    * version + every shape parameter — any of them changing moves
+    * the ledger path instead of letting a stale index of a
+    * different-shaped corpus validate. */
+  def hashBlobLakeKey(n: Long, nClusters: Int = 64,
+                      dims: Int = 64): String =
+    s"$hashBlobRecipeVersion-c$nClusters-d$dims-n$n"
+
   /** Deterministic CLUSTERED rehearsal lake — the hash-grid blob
     * recipe the round-7 Scratch rehearsal measured (64 tight blobs
     * far apart relative to jitter ⇒ RC ≈ 50, the prunable regime the
@@ -950,16 +970,6 @@ object Similarity {
     * arrays — so the ANN router's IVFPQ branch gets a corpus with
     * KNOWN structure to hold its recall contract against (x112,
     * Round15Spec, Scratch clustered_ann). */
-  /** [[hashBlobLake]]'s RECIPE VERSION — part of any standing-state
-    * key derived from the generated lake (x113's ledger path): the
-    * corpus recipe is as much a part of a persisted index's identity
-    * as the quantizer recipe — a tweak to the grid/jitter constants
-    * below must move the ledger path, or a stale index of the OLD
-    * corpus would version-validate against the NEW lake's exact twin
-    * and present as an ANN regression instead of ledger staleness.
-    * Bump this when changing the generator. */
-  val hashBlobRecipeVersion: String = "hashblob-v1-u1m-j20x1e3"
-
   def hashBlobLake(spark: SparkSession, n: Long,
                    nClusters: Int = 64, dims: Int = 64): DataFrame =
     spark.range(n).select(col("id").as("vec_id"),

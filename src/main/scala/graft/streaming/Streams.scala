@@ -1317,11 +1317,11 @@ object Streams {
     * discipline made a streaming fold). */
   def annIngestFold(batch: DataFrame, batchId: Long,
                     definitionPath: String, version: String,
-                    encodedPath: String): Unit = {
+                    encodedPath: String, m: Int = 8): Unit = {
     val (cents, codebook) = graft.operators.Similarity
       .loadIndexDef(batch.sparkSession, definitionPath, version)
     graft.operators.Similarity.ivfpqEncode(batch, "vec_id",
-        "embedding", cents, codebook)
+        "embedding", cents, codebook, m)
       .withColumn("__bid", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -1341,18 +1341,22 @@ object Streams {
     * batching-invariance proof, index tier). Returns
     * (lake, cents, codebook, assembled encoded). */
   def streamAnnIngest(spark: SparkSession, n: Long, nlist: Int,
+                      m: Int = 8, ksub: Int = 16,
                       splitFiles: Int = 4)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.operators.Similarity
     val lake = Similarity.hashBlobLake(spark, n).localCheckpoint(true)
     val (cents0, codebook0) = Similarity.ivfpqTrain(lake, "vec_id",
-      "embedding", nlist = nlist, m = 8, ksub = 16,
+      "embedding", nlist = nlist, m = m, ksub = ksub,
       coarseIters = 1, pqIters = 1)
     // the definition is FROZEN standing state: persisted version-
     // keyed, read back version-checked by EVERY fold (st19's
     // contract — a recipe change can never silently mis-encode a
-    // batch mid-stream)
-    val version = Similarity.annIndexVersion(nlist, 8, 16)
+    // batch mid-stream). (m, ksub) are CALLER-supplied so the pane
+    // consumer and this producer share one geometry definition —
+    // independent hardcodings are the silent-mismatch class the
+    // version contract exists to kill.
+    val version = Similarity.annIndexVersion(nlist, m, ksub)
     val defDir = new java.io.File("target/qtmp/st23_def")
     org.apache.commons.io.FileUtils.deleteQuietly(defDir)
     val defPath = defDir.getAbsolutePath
@@ -1376,7 +1380,7 @@ object Streams {
       .writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, bid: Long) =>
-        annIngestFold(b, bid, defPath, version, encodedPath)
+        annIngestFold(b, bid, defPath, version, encodedPath, m)
       }
       .trigger(Trigger.AvailableNow())
       .start()
