@@ -38,10 +38,11 @@ class Round15Spec extends GraftSuite {
   test("nlistFor/nprobeFor: executable index-geometry sizing — the " +
        "rerankFor discipline on the cell count (a flat nlist stops " +
        "pruning as the corpus grows)") {
-    // the two measured rehearsal scales (SCALE.md round 8: both hold
-    // recall@5 = 1.000 at 12.5% probed with the rerankFor pool)
+    // the three measured rehearsal decades (SCALE.md round 8: all
+    // hold recall@5 = 1.000 at 12.5% probed with the rerankFor pool)
     assert(Similarity.nlistFor(2000L) === 32)
     assert(Similarity.nlistFor(20000L) === 512)
+    assert(Similarity.nlistFor(200000L) === 2048)
     // above the n = 65536 occupancy/√n crossover, 4·√n governs
     assert(Similarity.nlistFor(1000000L) === 4096)
     // clamped at 65536 cells — beyond this a deployment shards the
