@@ -2820,6 +2820,38 @@ object SparkEntry {
             .as("rerank"))
     }),
 
+    "x112b_default_route" -> ((s, dir) => {
+      // the ALL-DEFAULTS router path, oracled (x112 pins an explicit
+      // measured operating point; THIS is the call a production
+      // caller actually makes — no knobs, geometry and rerank sized
+      // from the corpus by nlistFor/nprobeFor/rerankFor): on the 2k
+      // clustered lake the sized defaults are nlist=32, nprobe=4
+      // (12.5% probed), rerank=375, measured recall 1.000 (SCALE.md
+      // round-8 geometry table). The pane pins route + the recall
+      // contract; Round15Spec additionally runs this path with the
+      // branch assertion. Between x112 (explicit point, full sizing
+      // pane) and x112b (defaults), both ends of the router's API
+      // are hash-checked.
+      val n = 2000L; val k = 5
+      val lake = Similarity.hashBlobLake(s, n).localCheckpoint(true)
+      val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
+        .localCheckpoint(true)
+      val (route, routed) = Similarity.annTopKAutoRouted(q, lake,
+        "vec_id", "embedding", k)
+      val exact = Similarity.bruteTopKL2(q, lake, "vec_id",
+        "embedding", k)
+      exact.as("b").join(routed.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("l.neighbor_id")).as("n_hit"))
+        .select(lit(route).as("route"), col("n_exact"),
+          round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
+            .as("recall"),
+          (col("n_hit").cast(DoubleType) / col("n_exact")
+            >= lit(0.94d)).as("recall_ge_094"))
+    }),
+
     "x113_standing_ann_search" -> ((s, dir) => {
       // the STANDING ANN-index ledger searched end-to-end (the
       // x97b/x104b amortization applied to the index tier — x112
@@ -10071,6 +10103,14 @@ object SparkEntry {
              CAST(1.0 AS DOUBLE) AS recall, TRUE AS recall_ge_094,
              CAST(0.125 AS DOUBLE) AS probed_frac,
              TRUE AS probed_le_025, CAST(375 AS BIGINT) AS rerank""",
+
+    "x112b_default_route" -> """
+      -- the production-default call's contract as constants: route
+      -- must be ivfpq on the clustered lake with recall 1.0 under
+      -- the nlistFor/nprobeFor/rerankFor-sized defaults (measured:
+      -- nlist=32, nprobe=4, rerank=375 at n=2000)
+      SELECT 'ivfpq' AS route, CAST(80 AS BIGINT) AS n_exact,
+             CAST(1.0 AS DOUBLE) AS recall, TRUE AS recall_ge_094""",
 
     "x113_standing_ann_search" -> annIndexOracle,
     // the stream-accreted index equals the batch-built state exactly
