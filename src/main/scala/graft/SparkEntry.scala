@@ -4058,6 +4058,43 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "x115_vocab_roundtrip" -> ((s, dir) => {
+      // export INTEGRITY (the missing half of x100): decode the
+      // exported id stream back through the inverse vocab and hash
+      // the reassembled text — the verifier a pipeline runs on its
+      // binary shards before a trainer consumes them. Same v = 24
+      // operating point as x100 (OOV tail live — the x26 vacuity
+      // lesson), one encoding definition shared via vocabTokenStream
+      // (x100's pane is computed from the same stream). The
+      // roundtrip contract: docs with 0 OOV decode EXACTLY to the
+      // normalized source token stream; OOV docs decode to <unk>
+      // sinks (the information the sink id destroyed — which is why
+      // roundtrip_ok gates on n_oov, and why decoded_md5 is ALSO
+      // pinned so the <unk> reassembly itself is hash-checked, not
+      // just the boolean). Reassembly array_sorts (pos, tok) structs
+      // — collect_list order is not stable across retries, the sort
+      // is what makes decode deterministic on any cluster.
+      val docs = t(s, dir, "documents")
+      val (vocab, stream) = TextOps.vocabTokenStream(docs,
+        col("doc_id"), col("text"), v = 24)
+      val dec = TextOps.vocabDecode(stream, vocab)
+      val norm = docs.select(col("doc_id").as("id"),
+        concat_ws(" ", regexp_extract_all(lower(col("text")),
+          lit("\\S+"), lit(0))).as("norm"))
+      val oov = stream.groupBy(col("id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("tid") === 24L, 1L).otherwise(0L)).as("n_oov"))
+      norm.join(dec, Seq("id"), "left").join(oov, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          md5(coalesce(col("decoded"), lit(""))).as("decoded_md5"),
+          (coalesce(col("n_oov"), lit(0L)) > 0L ||
+            coalesce(col("decoded"), lit("")) === col("norm"))
+            .as("roundtrip_ok"))
+        .orderBy(col("id"))
+    }),
+
     "x101_bpe_train" -> ((s, dir) => {
       // In-engine BPE tokenizer TRAINING (Sennrich et al. 2016) —
       // the model-side artifact the whole selection stack feeds.
@@ -10634,6 +10671,53 @@ object SparkEntry {
              CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
              CAST(COALESCE(p.ids_fp, 0) AS BIGINT) AS ids_fp
       FROM documents d LEFT JOIN pane p ON d.doc_id = p.id
+      ORDER BY id""",
+
+    "x115_vocab_roundtrip" -> """
+      -- x100's encoding chain + the decode tail: reassemble the id
+      -- stream through the inverse vocab (OOV id 24 -> '<unk>') and
+      -- hash it; roundtrip_ok asserts 0-OOV docs decode EXACTLY to
+      -- the normalized source token stream
+      WITH toks AS (
+        SELECT doc_id AS id,
+               regexp_extract_all(lower(text), '\S+') AS t
+        FROM documents),
+      flat AS (
+        SELECT id, UNNEST(t) AS tok, generate_subscripts(t, 1) AS pos
+        FROM toks),
+      types AS (SELECT tok, COUNT(*) AS n FROM flat GROUP BY tok),
+      vocab AS (
+        SELECT tok, rn - 1 AS tid FROM (
+          SELECT tok, row_number() OVER (ORDER BY n DESC, tok ASC)
+                 AS rn
+          FROM types)
+        WHERE rn <= 24),
+      enc AS (
+        SELECT f.id, f.pos, COALESCE(v.tid, 24) AS tid
+        FROM flat f LEFT JOIN vocab v USING (tok)),
+      dec AS (
+        SELECT e.id,
+               string_agg(COALESCE(v.tok, '<unk>'), ' '
+                 ORDER BY e.pos) AS decoded
+        FROM enc e LEFT JOIN vocab v USING (tid)
+        GROUP BY e.id),
+      pane AS (
+        SELECT id, COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN tid = 24 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_oov
+        FROM enc GROUP BY id),
+      normt AS (
+        SELECT doc_id AS id,
+               array_to_string(regexp_extract_all(lower(text), '\S+'),
+                 ' ') AS norm
+        FROM documents)
+      SELECT n.id,
+             CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+             md5(COALESCE(d.decoded, '')) AS decoded_md5,
+             (COALESCE(p.n_oov, 0) > 0 OR
+              COALESCE(d.decoded, '') = n.norm) AS roundtrip_ok
+      FROM normt n LEFT JOIN dec d USING (id) LEFT JOIN pane p USING (id)
       ORDER BY id""",
     "e2e_select_corpus" -> x97Oracle(iters = Learn.qualityIters,
       lr = Learn.qualityLr.toString, e2eSelectTail),

@@ -1084,16 +1084,8 @@ object TextOps {
     * then encode via ONE broadcast join of the v-row vocab. */
   def vocabEncode(df: DataFrame, id: Column, text: Column,
                   v: Int = 1024): DataFrame = {
-    val toks = df.select(id.as("id"),
-      posexplode(regexp_extract_all(lower(text), lit("\\S+"), lit(0)))
-        .as(Seq("pos", "tok")))
-    val types = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-    val vocab = Layout.globalRowNumber(types,
-        struct((-col("n")).as("nn"), col("tok").as("t")))
-      .filter(col("row_num") < v)
-      .select(col("tok"), col("row_num").as("tid"))
-    val pane = toks.join(broadcast(vocab), Seq("tok"), "left")
-      .withColumn("tid", coalesce(col("tid"), lit(v.toLong)))
+    val (_, stream) = vocabTokenStream(df, id, text, v)
+    val pane = stream
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("tid") === v.toLong, 1L).otherwise(0L))
@@ -1106,6 +1098,49 @@ object TextOps {
         coalesce(col("n_oov"), lit(0L)).as("n_oov"),
         coalesce(col("ids_fp"), lit(0L)).as("ids_fp"))
   }
+
+  /** The (vocab, encoded token stream) pair behind [[vocabEncode]]'s
+    * audit pane — the EXPORT itself, factored out so the audit and
+    * the decode verifier ([[vocabDecode]]) share one encoding
+    * definition: `vocab` is (tok, tid) for ids 0..v-1; `stream` is
+    * (id, pos, tid) with OOV tokens mapped to the sink id `v`. The
+    * stream is what a trainer's binary shards serialize; it carries
+    * no corpus text, only ids. */
+  def vocabTokenStream(df: DataFrame, id: Column, text: Column,
+                       v: Int = 1024): (DataFrame, DataFrame) = {
+    val toks = df.select(id.as("id"),
+      posexplode(regexp_extract_all(lower(text), lit("\\S+"), lit(0)))
+        .as(Seq("pos", "tok")))
+    val types = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val vocab = Layout.globalRowNumber(types,
+        struct((-col("n")).as("nn"), col("tok").as("t")))
+      .filter(col("row_num") < v)
+      .select(col("tok"), col("row_num").as("tid"))
+    val stream = toks.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("id"), col("pos"),
+        coalesce(col("tid"), lit(v.toLong)).as("tid"))
+    (vocab, stream)
+  }
+
+  /** Decode an exported id stream back to token text — the export
+    * INTEGRITY verifier (a pipeline that ships binary shards proves
+    * the roundtrip before a trainer consumes them): one broadcast
+    * join of the v-row inverse vocab, then per-doc order-faithful
+    * reassembly via array_sort on (pos, tok) structs (collect_list
+    * is NOT order-stable across retries/merges — the sort is what
+    * makes the reassembly deterministic on any cluster). OOV ids
+    * decode to `<unk>`, which is exactly the information the sink id
+    * destroyed — so the roundtrip contract is: decoded == normalized
+    * source text FOR 0-OOV DOCS, and the verifier's pane says which
+    * docs that covers. Returns (id, decoded). */
+  def vocabDecode(stream: DataFrame, vocab: DataFrame): DataFrame =
+    stream.join(broadcast(vocab), Seq("tid"), "left")
+      .select(col("id"), col("pos"),
+        coalesce(col("tok"), lit("<unk>")).as("tok"))
+      .groupBy(col("id"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        e => e.getField("tok"))).as("decoded"))
 
   /** Per-query-document BM25 retrieval ("more like this"): each doc
     * selected by `queryPred` retrieves the corpus's top-k docs using

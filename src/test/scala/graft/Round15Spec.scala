@@ -352,6 +352,38 @@ class Round15Spec extends GraftSuite {
       s"piiScrub plan must be map-only, got:\n$plan")
   }
 
+  // ------------------------------------------- vocab decode roundtrip
+
+  test("vocabDecode reassembles order-faithfully regardless of input " +
+       "row order, and the encode→decode roundtrip is exact for " +
+       "0-OOV docs") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // stream rows deliberately OUT of position order — collect_list
+    // is not order-stable, the struct sort must restore it
+    val stream = Seq((1L, 2, 3L), (1L, 0, 0L), (1L, 1, 7L))
+      .toDF("id", "pos", "tid").repartition(3)
+    val vocab = Seq(("alpha", 0L), ("beta", 7L), ("gamma", 3L))
+      .toDF("tok", "tid")
+    val dec = TextOps.vocabDecode(stream, vocab).collect()
+    assert(dec.length === 1)
+    assert(dec(0).getAs[String]("decoded") === "alpha beta gamma")
+    // OOV ids (absent from vocab) decode to the <unk> sink
+    val oovStream = Seq((2L, 0, 99L), (2L, 1, 0L))
+      .toDF("id", "pos", "tid")
+    val dec2 = TextOps.vocabDecode(oovStream, vocab).collect()
+    assert(dec2(0).getAs[String]("decoded") === "<unk> alpha")
+    // full roundtrip on a crafted corpus where every token is
+    // in-vocab: decode must equal the normalized source exactly
+    val docs = Seq((1L, "The quick FOX"), (2L, "fox the the"))
+      .toDF("doc_id", "text")
+    val (v2, s2) = TextOps.vocabTokenStream(docs, col("doc_id"),
+      col("text"), v = 10)
+    val back = TextOps.vocabDecode(s2, v2).orderBy(col("id")).collect()
+    assert(back.map(_.getAs[String]("decoded")).toSeq ===
+      Seq("the quick fox", "fox the the"))
+  }
+
   // -------------------------------------------- BPE dispatch honesty
 
   test("BPE dispatch honesty: at ledger scale the router takes the " +
