@@ -316,19 +316,29 @@ object SparkEntry {
       "embedding", k)
     val nEnc = encoded.agg(count(lit(1)).as("n_encoded"),
       countDistinct(col("neighbor_id")).as("n_vectors"))
+    // the accretion guard every standing-index consumer checks
+    // (VERDICT r8 #1): the geometry-drift advisor reads the SAME
+    // encoded state the search probes, so a ledger that silently
+    // accreted past its trained geometry surfaces rebuild_recommended
+    // in the consumer's own pane rather than degrading per-query cost
+    // unnoticed — the x106/x61 drift-gate discipline on the index tier
+    val drift = Similarity.indexGeometryDrift(encoded, nlist)
+      .select(col("sized_nlist_now"), col("rebuild_recommended"))
     exact.as("b").join(got.as("l"),
         col("b.query_id") === col("l.query_id") &&
           col("b.neighbor_id") === col("l.neighbor_id"), "left")
       .agg(count(lit(1)).as("n_exact"),
         count(col("l.neighbor_id")).as("n_hit"))
       .join(nEnc, lit(true), "left") // 1-row pane join idiom
+      .join(drift, lit(true), "left")
       .select(
         lit(Similarity.annIndexVersion(nlist, m, ksub)).as("version"),
         col("n_vectors"), col("n_encoded"), col("n_exact"),
         round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
           .as("recall"),
         (col("n_hit").cast(DoubleType) / col("n_exact")
-          >= lit(0.94d)).as("recall_ge_094"))
+          >= lit(0.94d)).as("recall_ge_094"),
+        col("sized_nlist_now"), col("rebuild_recommended"))
   }
 
   /** Shared x97/st19 audit tail: per-source score mass and
@@ -2799,25 +2809,29 @@ object SparkEntry {
       val lake = Similarity.hashBlobLake(s, n).localCheckpoint(true)
       val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
         .localCheckpoint(true)
-      val (route, routed) = Similarity.annTopKAutoRouted(q, lake,
+      // annTopKAutoSized so the pane's rerank/probed columns publish
+      // the router's OWN resolved knobs — the round-8 form re-derived
+      // rerankFor in parallel, which would have stayed green even if
+      // the router stopped calling it (VERDICT r8 #3); now every
+      // sizing column is witnessed, same constants oracled
+      val r = Similarity.annTopKAutoSized(q, lake,
         "vec_id", "embedding", k, nlist = nlist, nprobe = nprobe)
       val exact = Similarity.bruteTopKL2(q, lake, "vec_id",
         "embedding", k)
-      exact.as("b").join(routed.as("l"),
+      exact.as("b").join(r.result.as("l"),
           col("b.query_id") === col("l.query_id") &&
             col("b.neighbor_id") === col("l.neighbor_id"), "left")
         .agg(count(lit(1)).as("n_exact"),
           count(col("l.neighbor_id")).as("n_hit"))
-        .select(lit(route).as("route"), lit(n).as("n_corpus"),
+        .select(lit(r.route).as("route"), lit(n).as("n_corpus"),
           col("n_exact"),
           round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
             .as("recall"),
           (col("n_hit").cast(DoubleType) / col("n_exact")
             >= lit(0.94d)).as("recall_ge_094"),
-          round(lit(nprobe.toDouble / nlist), 4).as("probed_frac"),
-          lit(nprobe.toDouble / nlist <= 0.25d).as("probed_le_025"),
-          lit(Similarity.rerankFor(n, nlist, nprobe).toLong)
-            .as("rerank"))
+          round(lit(r.nprobe.toDouble / r.nlist), 4).as("probed_frac"),
+          lit(r.nprobe.toDouble / r.nlist <= 0.25d).as("probed_le_025"),
+          lit(r.rerank.toLong).as("rerank"))
     }),
 
     "x112b_default_route" -> ((s, dir) => {
@@ -2907,6 +2921,155 @@ object SparkEntry {
           splitFiles = 4)
       annIndexPane(lake, cents, codebook, encoded, n, nlist, nprobe,
         k, m, ksub)
+    }),
+
+    "x116_index_drift" -> ((s, dir) => {
+      // the standing-index LIFECYCLE close-out (VERDICT r8 #1): the
+      // geometry-drift advisor's BOTH branches on the deterministic
+      // lake — the x106 (tokenizer drift) / x61 (source drift)
+      // canary-liveness rule applied to the index tier. Scenario a:
+      // the ledger holds exactly the population its geometry was
+      // sized for (nlistFor(2000) = 32 < 2×32) → no rebuild.
+      // Scenario b: the SAME frozen definition has accreted 10× (the
+      // st23 ingest shape run long enough) → nlistFor(20000) = 512 ≥
+      // 2×32 and the trigger FIRES — recall would still hold
+      // (rerankFor scales the pool with n) but per-query cost grows
+      // with occupancy, which is exactly what the advisor surfaces
+      // before it compounds. The advisor reads ONLY encoded ledger
+      // state (KB-per-cell aggregation), never the corpus; sizing
+      // arithmetic lives in nlistFor alone (no parallel SQL
+      // re-derivation — the x112 witnessing discipline).
+      val n0 = 2000L
+      val nl0 = Similarity.nlistFor(n0) // 32 — sized at build time
+      val lake0 = Similarity.hashBlobLake(s, n0).localCheckpoint(true)
+      val (cents, codebook, enc0) = standingAnnIndex(s,
+        Similarity.hashBlobLakeKey(n0), lake0, nl0, m = 8, ksub = 16)
+      val encNow = Similarity.ivfpqEncode(
+        Similarity.hashBlobLake(s, 20000L), "vec_id", "embedding",
+        cents, codebook, m = 8)
+      def row(scenario: String, enc: DataFrame) =
+        Similarity.indexGeometryDrift(enc, nl0)
+          .select(lit(scenario).as("scenario"), col("n_now"),
+            col("n_cells_occupied"), col("mean_occ"), col("max_occ"),
+            col("trained_nlist"), col("sized_nlist_now"),
+            col("rebuild_recommended"))
+      row("a_steady_2k", enc0)
+        .unionByName(row("b_accreted_20k", encNow))
+        .orderBy(col("scenario"))
+    }),
+
+    "x117_sharded_ann" -> ((s, dir) => {
+      // the ABOVE-THE-CLAMP sharding seam, executable (VERDICT r8
+      // #2): nlistFor clamps at 65536 cells, and past the clamp a
+      // deployment splits the corpus by id hash into annShardsFor(n)
+      // independent standing indexes — each shard re-enters the
+      // sized regime, builds parallelize, and search is per-shard
+      // probe + a k·shards-row merge (ivfpqMergeTopK — never
+      // data-grain). Two shards exercised here at test scale
+      // (annShardsFor stays 1 until ~268M vectors); each shard gets
+      // its OWN ledger (shard key in the path — the lakeKey identity
+      // discipline), its own sized geometry nlistFor(n_shard), and
+      // its own rerankFor pool. The pane pins shard count, per-shard
+      // sizing, and merged recall vs the UNSHARDED exact twin;
+      // Round16Spec additionally pins merged == single-index search
+      // as row equality.
+      val n = 2000L; val k = 5; val shards = 2
+      val lake = Similarity.hashBlobLake(s, n).localCheckpoint(true)
+      val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
+        .localCheckpoint(true)
+      val parts = (0 until shards).map { sh =>
+        val part = lake.filter(
+          Similarity.annShardKey(col("vec_id"), shards) === sh)
+          .localCheckpoint(true)
+        (sh, part, part.count())
+      }
+      val per = parts.map { case (sh, part, nSh) =>
+        val nl = Similarity.nlistFor(nSh)
+        val np = Similarity.nprobeFor(nl)
+        val (cents, codebook, enc) = standingAnnIndex(s,
+          s"${Similarity.hashBlobLakeKey(n)}-shard${sh}of$shards",
+          part, nl, m = 8, ksub = 16)
+        Similarity.ivfpqSearchEncoded(q, "vec_id", "embedding", enc,
+          cents, codebook, k, np, m = 8,
+          rerank = Similarity.rerankFor(nSh, nl, np),
+          rerankSource = Some(part))
+      }
+      val merged = Similarity.ivfpqMergeTopK(per, k)
+      val exact = Similarity.bruteTopKL2(q, lake, "vec_id",
+        "embedding", k)
+      exact.as("b").join(merged.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("l.neighbor_id")).as("n_hit"))
+        .select(lit(shards.toLong).as("n_shards"),
+          lit(parts(0)._3).as("n_shard0"),
+          lit(parts(1)._3).as("n_shard1"),
+          lit(Similarity.nlistFor(parts(0)._3).toLong)
+            .as("nlist_shard0"),
+          col("n_exact"),
+          round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
+            .as("recall"),
+          (col("n_hit").cast(DoubleType) / col("n_exact")
+            >= lit(0.94d)).as("recall_ge_094"))
+    }),
+
+    "e2e_vector_store" -> ((s, dir) => {
+      // the VECTOR-STORE tier end-to-end (VERDICT r8 #4) — the seams
+      // the piecewise queries (st23 ingest, x113 search, x95 fusion)
+      // each gate alone, composed the way a retrieval deployment
+      // actually runs them: standing index (exists-guarded ledger,
+      // shared with x113 — build once per (lake, recipe), every
+      // consumer including this capstone pays read + probe only) →
+      // sized IVFPQ search (dense branch) ⊕ SQ8 exact-cosine scan
+      // (the calibration-free second branch) → reciprocal-rank
+      // fusion → export-manifest pane with the drift guard and both
+      // branch-liveness canaries (the x26 discipline: a fusion where
+      // one branch silently died still emits rows — the canaries are
+      // what make that a hash mismatch instead). Recall is audited
+      // against the exact fixed-point twin at the fused grain.
+      val n = 2000L; val nlist = 64; val nprobe = 8; val k = 10
+      val lake = Similarity.hashBlobLake(s, n).localCheckpoint(true)
+      val (cents, codebook, encoded) = standingAnnIndex(s,
+        Similarity.hashBlobLakeKey(n), lake, nlist, m = 8, ksub = 16)
+      val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
+        .localCheckpoint(true)
+      val dense = Similarity.ivfpqSearchEncoded(q, "vec_id",
+        "embedding", encoded, cents, codebook, k, nprobe, m = 8,
+        rerank = Similarity.rerankFor(n, nlist, nprobe),
+        rerankSource = Some(lake))
+      val sq8 = Similarity.sq8TopK(q, lake, "vec_id", "embedding", k,
+        shortlist = 50)
+      def branch(df: DataFrame) = df.select(col("query_id"),
+        col("neighbor_id").as("doc_id"), col("rank"))
+      val fused = Similarity.rrfFuse(
+        Seq("ivfpq" -> branch(dense), "sq8" -> branch(sq8)),
+        topK = 5)
+      val exact = Similarity.bruteTopKL2(q, lake, "vec_id",
+        "embedding", 5)
+      val drift = Similarity.indexGeometryDrift(encoded, nlist)
+        .select(col("rebuild_recommended"))
+      exact.as("b").join(fused.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.doc_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("l.doc_id")).as("n_hit"))
+        .join(fused.agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_fused"),
+          sum(when(col("rank_ivfpq") > 0, 1L).otherwise(0L))
+            .as("n_from_ivfpq"),
+          sum(when(col("rank_sq8") > 0, 1L).otherwise(0L))
+            .as("n_from_sq8")), lit(true), "left") // 1-row pane joins
+        .join(drift, lit(true), "left")
+        .select(
+          lit(Similarity.annIndexVersion(nlist, 8, 16)).as("version"),
+          col("n_queries"), col("n_fused"),
+          round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
+            .as("recall_fused_at5"),
+          (col("n_from_ivfpq") > 0L).as("branch_ivfpq_live"),
+          (col("n_from_sq8") > 0L).as("branch_sq8_live"),
+          col("rebuild_recommended"))
     }),
 
     "x88b_ivfpq_exact" -> ((s, dir) => {
@@ -4982,9 +5145,36 @@ object SparkEntry {
         .filter(col("id") === col("keep_id"))
       val sampled = Sampling.temperatureSample(canonical,
         col("source"), col("id"))
-      sampled.groupBy(col("source"))
+      // the x115 verifier GATING the export tail (VERDICT r8 #5): a
+      // pipeline certifies its shards before a trainer consumes them,
+      // so the roundtrip check runs INSIDE the capstone over the
+      // sampled corpus — encode through the v=24 vocab, decode back
+      // through the inverse vocab, and assert every 0-OOV doc
+      // reassembles to its normalized source stream (OOV docs are
+      // exempt: the sink id destroyed that information by design).
+      // all_roundtrip_ok joins the manifest per source; n_zero_oov is
+      // the x26 canary that the exact branch is LIVE, not vacuously
+      // true. One vocab definition shared with the sampled export.
+      val sampledCp = sampled.localCheckpoint()
+      val (vocab, stream) = TextOps.vocabTokenStream(sampledCp,
+        col("id"), col("text"), v = 24)
+      val dec = TextOps.vocabDecode(stream, vocab)
+      val oov = stream.groupBy(col("id"))
+        .agg(sum(when(col("tid") === 24L, 1L).otherwise(0L))
+          .as("n_oov"))
+      val norm = sampledCp.select(col("id"), col("source"),
+        ColFns.tokenCount(col("text")).cast("long").as("n_tok"),
+        concat_ws(" ", regexp_extract_all(lower(col("text")),
+          lit("\\S+"), lit(0))).as("norm"))
+      norm.join(dec, Seq("id"), "left").join(oov, Seq("id"), "left")
+        .withColumn("zero_oov", coalesce(col("n_oov"), lit(0L)) === 0L)
+        .withColumn("rt_ok", !col("zero_oov") ||
+          coalesce(col("decoded"), lit("")) === col("norm"))
+        .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(ColFns.tokenCount(col("text")).cast("long")).as("n_tokens"))
+          sum(col("n_tok")).as("n_tokens"),
+          sum(when(col("zero_oov"), 1L).otherwise(0L)).as("n_zero_oov"),
+          min(col("rt_ok")).as("all_roundtrip_ok"))
         .orderBy(col("source"))
     }),
 
@@ -5854,7 +6044,11 @@ object SparkEntry {
              CAST(2000 AS BIGINT) AS n_vectors,
              CAST(16000 AS BIGINT) AS n_encoded,
              CAST(80 AS BIGINT) AS n_exact,
-             CAST(1.0 AS DOUBLE) AS recall, TRUE AS recall_ge_094"""
+             CAST(1.0 AS DOUBLE) AS recall, TRUE AS recall_ge_094,
+             -- geometry-drift guard: 2000 vectors size to
+             -- nlistFor(2000) = 32 < 2 x the trained 64 -> no rebuild
+             CAST(32 AS BIGINT) AS sized_nlist_now,
+             FALSE AS rebuild_recommended"""
 
   private val fixedPointBruteOracle: String = """
       WITH qv AS (
@@ -9263,11 +9457,51 @@ object SparkEntry {
         SELECT c.* FROM canon c JOIN th ON c.source = th.source
         WHERE th.rate >= 1.0 OR
               substr(md5(c.source || '|' || CAST(c.id AS VARCHAR)), 1, 4)
-              < th.th)
-      SELECT source, COUNT(*) AS n_docs,
-             CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
-               AS n_tokens
-      FROM samp GROUP BY source ORDER BY source""",
+              < th.th),
+      -- the x115 roundtrip verifier over the SAMPLED export (v = 24
+      -- vocab trained on the sample itself): 0-OOV docs must decode
+      -- exactly to their normalized source stream
+      toksv AS (
+        SELECT id, regexp_extract_all(lower(text), '\S+') AS t
+        FROM samp),
+      flatv AS (
+        SELECT id, UNNEST(t) AS tok, generate_subscripts(t, 1) AS pos
+        FROM toksv),
+      typesv AS (SELECT tok, COUNT(*) AS n FROM flatv GROUP BY tok),
+      vocabv AS (
+        SELECT tok, rn - 1 AS tid FROM (
+          SELECT tok, row_number() OVER (ORDER BY n DESC, tok ASC)
+                 AS rn
+          FROM typesv)
+        WHERE rn <= 24),
+      encv AS (
+        SELECT f.id, f.pos, COALESCE(v.tid, 24) AS tid
+        FROM flatv f LEFT JOIN vocabv v USING (tok)),
+      decv AS (
+        SELECT e.id,
+               string_agg(COALESCE(v.tok, '<unk>'), ' '
+                 ORDER BY e.pos) AS decoded
+        FROM encv e LEFT JOIN vocabv v USING (tid)
+        GROUP BY e.id),
+      oovv AS (
+        SELECT id, SUM(CASE WHEN tid = 24 THEN 1 ELSE 0 END) AS n_oov
+        FROM encv GROUP BY id),
+      normv AS (
+        SELECT id, source,
+               len(regexp_extract_all(text, '\S+')) AS n_tok,
+               array_to_string(regexp_extract_all(lower(text), '\S+'),
+                 ' ') AS norm
+        FROM samp)
+      SELECT n.source, COUNT(*) AS n_docs,
+             CAST(SUM(n.n_tok) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN COALESCE(o.n_oov, 0) = 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_oov,
+             bool_and(COALESCE(o.n_oov, 0) > 0 OR
+                      COALESCE(d.decoded, '') = n.norm)
+               AS all_roundtrip_ok
+      FROM normv n LEFT JOIN decv d USING (id)
+           LEFT JOIN oovv o USING (id)
+      GROUP BY n.source ORDER BY n.source""",
 
     "x35_video_frame_neardups" -> """
       WITH fr AS (
@@ -10155,6 +10389,51 @@ object SparkEntry {
     // batches), so st23 shares x113's oracle verbatim — the
     // batching-invariance discipline on the index tier
     "st23_stream_ann_ingest" -> annIndexOracle,
+
+    "x116_index_drift" -> """
+      -- both branches of the standing-index rebuild trigger on the
+      -- deterministic lake: 2000 vectors on a 2000-sized geometry
+      -- (nlistFor(2000)=32, trained 32) stay quiet; the same frozen
+      -- definition accreted to 20000 sizes to nlistFor(20000)=512 >=
+      -- 2x32 and fires. Occupancy stats read from the encoded ledger
+      -- (hash-grid lake + deterministic train => constants).
+      SELECT * FROM (VALUES
+        ('a_steady_2k', CAST(2000 AS BIGINT), CAST(32 AS BIGINT),
+         CAST(62.5 AS DOUBLE), CAST(156 AS BIGINT), CAST(32 AS BIGINT),
+         CAST(32 AS BIGINT), FALSE),
+        ('b_accreted_20k', CAST(20000 AS BIGINT), CAST(32 AS BIGINT),
+         CAST(625.0 AS DOUBLE), CAST(1563 AS BIGINT),
+         CAST(32 AS BIGINT), CAST(512 AS BIGINT), TRUE))
+        AS t(scenario, n_now, n_cells_occupied, mean_occ, max_occ,
+             trained_nlist, sized_nlist_now, rebuild_recommended)
+      ORDER BY scenario""",
+
+    "x117_sharded_ann" -> """
+      -- the two-shard standing index: hash split (985/1015 of the
+      -- deterministic 2k lake), per-shard sized geometry
+      -- nlistFor(985)=16, merged top-k holds recall 1.0 against the
+      -- UNSHARDED exact twin (Round16Spec additionally pins merged ==
+      -- single-index == exact as row equality)
+      SELECT CAST(2 AS BIGINT) AS n_shards,
+             CAST(985 AS BIGINT) AS n_shard0,
+             CAST(1015 AS BIGINT) AS n_shard1,
+             CAST(16 AS BIGINT) AS nlist_shard0,
+             CAST(80 AS BIGINT) AS n_exact,
+             CAST(1.0 AS DOUBLE) AS recall, TRUE AS recall_ge_094""",
+
+    "e2e_vector_store" -> """
+      -- the vector-store capstone pane: standing-ledger version, 16
+      -- stratified queries x fused top-5, hybrid recall vs the exact
+      -- fixed-point twin (the sq8 branch ranks by cosine, so fusion
+      -- trades 4/80 L2 neighbors for cosine ones - the measured,
+      -- deterministic hybrid operating point), both branches LIVE,
+      -- drift guard quiet on the population the geometry was sized for
+      SELECT 'ivfpq-nl64-m8-ks16-ci1-pi1-fp1e7' AS version,
+             CAST(16 AS BIGINT) AS n_queries,
+             CAST(80 AS BIGINT) AS n_fused,
+             CAST(0.95 AS DOUBLE) AS recall_fused_at5,
+             TRUE AS branch_ivfpq_live, TRUE AS branch_sq8_live,
+             FALSE AS rebuild_recommended""",
 
     "x88_ivfpq_topk" -> """
       SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ge_08

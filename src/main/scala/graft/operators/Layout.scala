@@ -300,11 +300,37 @@ object Layout {
     * byte arithmetic suggests files. */
   def writeAdvised(df: DataFrame, table: String, path: String,
                    fileBytes: Long): (DataFrame, Int) = {
-    val pane = partitionAdvisorBytes(df, table, shuffleBytes = fileBytes,
+    val row = partitionAdvisorBytes(df, table, shuffleBytes = fileBytes,
       fileBytes = fileBytes).localCheckpoint()
-    val rec = pane.select(col("rec_write_files")).collect()(0)
-      .getLong(0).toInt
-    df.repartition(rec).write.mode("overwrite").parquet(path)
-    (pane, rec)
+    val first = row.select(col("rec_write_files"), col("n_rows"))
+      .collect()(0)
+    val rec = first.getLong(0).toInt
+    val nRows = first.getLong(1)
+    // Round-robin repartition seeds each input partition's start
+    // offset independently (a per-partition Random(index)), so when
+    // rec approaches n_rows with rows spread across several input
+    // partitions, start-offset collisions can leave target partitions
+    // EMPTY and realized files < rec — the contract would hold only
+    // by seed luck (ADVICE r8). In that regime (≈1-row files — only
+    // reachable on tiny relations or pathological byte targets),
+    // assign rows DETERMINISTICALLY instead: contiguous global row
+    // numbers (scale-safe range-exchange numbering, no global window)
+    // range-partitioned into exactly rec runs — with n_rows ≥ rec
+    // contiguous keys, every target owns ≥ 1 row by construction.
+    // Away from that regime (rows ≫ rec, every input partition holds
+    // ≥ rec rows) round-robin provably fills every target and skips
+    // the numbering pass.
+    val canNumber = !df.columns.contains("row_num") &&
+      !df.columns.contains("__mid") // numbering adds these two
+    val out =
+      if (rec > 1 && nRows < 4L * rec && canNumber) {
+        globalRowNumber(
+          df.withColumn("__mid", monotonically_increasing_id()),
+          col("__mid"))
+          .repartitionByRange(rec, col("row_num"))
+          .drop("__mid", "row_num")
+      } else df.repartition(rec)
+    out.write.mode("overwrite").parquet(path)
+    (row, rec)
   }
 }

@@ -469,7 +469,20 @@ object Similarity {
                          k: Int, nprobe: Int, m: Int = 8,
                          rerank: Int = 0,
                          rerankSource: Option[DataFrame] = None)
-      : DataFrame = {
+      : DataFrame =
+    rankAndRerank(
+      ivfpqAdc(queries, idCol, vecCol, encoded, cents, codebook,
+        nprobe, m),
+      queries, idCol, vecCol, k, rerank, rerankSource)
+
+  /** The probe-and-ADC core of [[ivfpqSearchEncoded]]: (query_id,
+    * neighbor_id, approx_d2) over the probed fraction of the encoded
+    * state — shared by the single-stage (exact-rerank) and two-stage
+    * ([[ivfpqSearchRefined]]) tails. */
+  private def ivfpqAdc(queries: DataFrame, idCol: String,
+                       vecCol: String, encoded: DataFrame,
+                       cents: DataFrame, codebook: DataFrame,
+                       nprobe: Int, m: Int): DataFrame = {
     val centQ = cents.select(col("cent_id").as("cell"),
       quantize1e7(col("cent_v")).as("cent_q"))
     // probe: top-nprobe cells per query by centroid cosine (ivf rule)
@@ -492,11 +505,83 @@ object Similarity {
       .join(broadcast(codebook), Seq("sub"))
       .select(col("query_id"), col("cell"), col("sub"), col("code"),
         intL2(col("qsv"), col("cbv")).as("d2"))
-    val adc = encoded.join(broadcast(dtable), Seq("cell", "sub", "code"))
+    encoded.join(broadcast(dtable), Seq("cell", "sub", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("d2")).as("approx_d2"))
-    rankAndRerank(adc, queries, idCol, vecCol, k, rerank, rerankSource)
+  }
+
+  /** TWO-STAGE refined search over the standing index — the
+    * sub-linear-rerank frontier probe: [[ivfpqSearchEncoded]]'s exact
+    * rerank re-scores the WHOLE rerankFor pool against full vectors
+    * (~1.5× the probed return — recall-safe by construction, but the
+    * full-vector fetch stays linear in n per query). Here the pool is
+    * first re-ranked by SQ8 scalar-quantized distance — int8 codes, 4×
+    * less memory traffic than float32 and persistable in the standing
+    * ledger next to the PQ codes, so this stage never fetches original
+    * vectors either — and only the top `refineTo` survivors pay the
+    * exact fixed-point re-score. With an n-INDEPENDENT refineTo
+    * holding the recall contract, per-query full-vector work becomes
+    * O(refineTo) instead of O(n·nprobe/nlist).
+    *
+    * SQ8 distance: dequantized double L2² Σ(qxᵢ/sx − qyᵢ/sy)² — both
+    * per-vector scales applied, IEEE-deterministic fold order, ties
+    * broken by ascending id. The final exact stage reuses the ×1e7
+    * fixed-point grid, so with refineTo ≥ pool the operator
+    * degenerates to [[ivfpqSearchEncoded]]'s reranked form exactly
+    * (the x15b/x53b degenerate-config gate, spec-pinned). Measured
+    * sweep: SCALE.md round-9 two-stage table (20k and 200k lakes). */
+  def ivfpqSearchRefined(queries: DataFrame, idCol: String,
+                         vecCol: String, encoded: DataFrame,
+                         cents: DataFrame, codebook: DataFrame,
+                         k: Int, nprobe: Int, m: Int,
+                         pool: Int, refineTo: Int,
+                         corpus: DataFrame): DataFrame = {
+    require(pool > 0 && refineTo > 0,
+      s"ivfpqSearchRefined: pool=$pool refineTo=$refineTo")
+    val adc = ivfpqAdc(queries, idCol, vecCol, encoded, cents,
+      codebook, nprobe, m)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2").asc, col("neighbor_id").asc)
+    val cand = adc.withColumn("__r1", row_number().over(wAdc))
+      .filter(col("__r1") <= pool)
+      .select(col("query_id"), col("neighbor_id"))
+    // SQ8 refine: candidates meet int8 codes (at 100 TB these live in
+    // the ledger — quantizing from `corpus` here is the test-scale
+    // stand-in with the same arithmetic), queries broadcast
+    val c8 = corpus.select(col(idCol).as("neighbor_id"),
+      quantizeInt8(col(vecCol)).as("c8"))
+    val q8 = queries.select(col(idCol).as("query_id"),
+      quantizeInt8(col(vecCol)).as("q8"))
+    val wSq8 = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq8_d2").asc, col("neighbor_id").asc)
+    val refined = cand.join(c8, Seq("neighbor_id"))
+      .join(broadcast(q8), Seq("query_id"))
+      .withColumn("sq8_d2", aggregate(
+        zip_with(col("q8").getField("q"), col("c8").getField("q"),
+          (a, b) => {
+            val x = a.cast(DoubleType) / col("q8").getField("scale")
+            val y = b.cast(DoubleType) / col("c8").getField("scale")
+            (x - y) * (x - y)
+          }),
+        lit(0.0d), (acc, v) => acc + v))
+      .withColumn("__r2", row_number().over(wSq8))
+      .filter(col("__r2") <= refineTo)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact fixed-point re-score of ONLY the refined survivors
+    val cQ = corpus.select(col(idCol).as("neighbor_id"),
+      quantize1e7(col(vecCol)).as("__cq"))
+    val qQ = queries.select(col(idCol).as("query_id"),
+      quantize1e7(col(vecCol)).as("__qq"))
+    val wEx = Window.partitionBy(col("query_id"))
+      .orderBy(col("exact_d2").asc, col("neighbor_id").asc)
+    refined.join(cQ, Seq("neighbor_id"))
+      .join(broadcast(qQ), Seq("query_id"))
+      .withColumn("exact_d2", intL2(col("__qq"), col("__cq")))
+      .withColumn("rank", row_number().over(wEx))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("exact_d2").as("approx_d2"))
   }
 
   /** Exact fixed-point L2² top-k (ascending distance, ties → ascending
@@ -835,6 +920,98 @@ object Similarity {
     math.max(4, nlist / 8)
   }
 
+  /** Shard count for a corpus too big for one index's cell budget —
+    * the executable form of the above-clamp seam [[nlistFor]] leaves
+    * prose-only: nlistFor clamps at 65536 cells, so once the UNCLAMPED
+    * sizing target (min(4√n, n/64) — the same arithmetic nlistFor
+    * rounds up) exceeds the clamp, per-cell occupancy grows linearly
+    * with n and probes stop pruning. A deployment shards the corpus by
+    * id hash into ceil(target/65536) independent standing indexes —
+    * each shard's own nlistFor(n/shards) lands back inside the clamp,
+    * builds parallelize per shard, and search is per-shard probe +
+    * merged top-k ([[ivfpqMergeTopK]]). Crossovers: 1 shard through
+    * n ≈ 268M vectors (where 4√n hits 65536), 2 shards to ~1.07B,
+    * then √-growth — a 100 TB / 1e10-vector lake is 7 shards. */
+  def annShardsFor(n: Long): Int = {
+    require(n >= 0, s"annShardsFor: n=$n")
+    val target = math.ceil(
+      math.min(4.0 * math.sqrt(n.toDouble), n.toDouble / 64.0))
+    math.max(1, math.ceil(target / 65536.0).toInt)
+  }
+
+  /** Deterministic shard assignment for a sharded standing index:
+    * uniform id-hash split, so every shard's occupancy tracks n/shards
+    * and the SAME expression reroutes ingest batches and rebuild
+    * backfills to their shard (the shard key belongs in the ledger
+    * path next to the lake/quantizer recipe — [[hashBlobLakeKey]]'s
+    * identity discipline). */
+  def annShardKey(id: Column, shards: Int): Column =
+    pmod(xxhash64(id), lit(shards.toLong))
+
+  /** Merge per-shard top-k results into the global top-k: each shard's
+    * [[ivfpqSearchEncoded]] already returns its local top-k ranked by
+    * (reranked exact) distance, so the merge is a union of k·shards
+    * rows per query re-ranked once — a window over ≤ k·shards rows,
+    * never data-grain. With each shard's recall contract held, the
+    * union contains the true top-k (every true neighbor lives in
+    * exactly one shard and survives its shard's local top-k because
+    * local rank ≤ global rank ≤ k), so sharded == unsharded search is
+    * spec-pinned as EQUALITY on the deterministic lake, not merely a
+    * recall bound (Round16Spec). */
+  def ivfpqMergeTopK(perShard: Seq[DataFrame], k: Int): DataFrame = {
+    require(perShard.nonEmpty, "ivfpqMergeTopK: no shards")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2").asc, col("neighbor_id").asc)
+    perShard.map(_.select(col("query_id"), col("neighbor_id"),
+        col("approx_d2")))
+      .reduce(_.unionAll(_))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("approx_d2"))
+  }
+
+  /** Standing-index GEOMETRY-DRIFT advisor — the x106/x61 drift-gate
+    * discipline applied to the index tier, closing the accretion
+    * lifecycle hole: st23's fold freezes the index DEFINITION (cents
+    * + codebook, trained at the initial n) and accretes encoded
+    * batches forever, so after heavy accretion nlist stays at
+    * nlistFor(n₀) while nlistFor(n_now) wants far more cells — recall
+    * HOLDS (rerankFor scales the exact pool with n) but per-query
+    * cost grows linearly with occupancy, silently. This pane reads
+    * ONLY the standing encoded state (cell, neighbor_id, …) — one
+    * KB-per-cell aggregation, never the corpus — and recommends a
+    * rebuild when the sizing rule's answer for the CURRENT population
+    * has outgrown the trained geometry by `rebuildFactor` (2 = one
+    * full power-of-two step of [[nlistFor]], so jitter around a
+    * boundary can't flap the trigger). The 1-row collect is the
+    * admission-gate scalar idiom: one decision per accretion audit,
+    * not per row — [[nlistFor]] is the single owner of the sizing
+    * arithmetic (re-deriving it in SQL would be the parallel-
+    * derivation hole x112's rerank column had). */
+  def indexGeometryDrift(encoded: DataFrame, trainedNlist: Int,
+                         rebuildFactor: Int = 2): DataFrame = {
+    require(trainedNlist > 0 && rebuildFactor >= 1,
+      s"indexGeometryDrift: trainedNlist=$trainedNlist " +
+        s"rebuildFactor=$rebuildFactor")
+    val stats = encoded
+      .groupBy(col("cell"))
+      .agg(countDistinct(col("neighbor_id")).as("occ"))
+      .agg(coalesce(sum(col("occ")), lit(0L)).as("n_now"),
+        count(lit(1)).as("n_cells_occupied"),
+        coalesce(round(avg(col("occ")), 2), lit(0.0d)).as("mean_occ"),
+        coalesce(max(col("occ")), lit(0L)).as("max_occ"))
+      .localCheckpoint()
+    val nNow = stats.select(col("n_now")).collect()(0).getLong(0)
+    val sized = nlistFor(nNow)
+    stats.select(col("n_now"), col("n_cells_occupied"),
+      col("mean_occ"), col("max_occ"),
+      lit(trainedNlist.toLong).as("trained_nlist"),
+      lit(sized.toLong).as("sized_nlist_now"),
+      lit(sized >= rebuildFactor.toLong * trainedNlist)
+        .as("rebuild_recommended"))
+  }
+
   /** [[annTopKAuto]] with the ROUTE surfaced — ("ivfpq" | "exact",
     * result). The route string comes from the same annPrunable vote
     * that picks the branch, so a pane publishing it (x112) asserts
@@ -845,6 +1022,44 @@ object Similarity {
                         ksub: Int = 16, rerank: Int = 0,
                         prunableAt: Double = 2.0,
                         probeCap: Int = 16): (String, DataFrame) = {
+    val r = annTopKAutoSized(queries, corpus, idCol, vecCol, k, nlist,
+      nprobe, m, ksub, rerank, prunableAt, probeCap)
+    (r.route, r.result)
+  }
+
+  /** The router's RESOLVED decision: the branch taken plus the sized
+    * knobs it actually used. On the exact route the geometry knobs
+    * are 0 (no index exists to size). A pane publishing these columns
+    * (x112) witnesses the router's own values — a parallel
+    * re-derivation of rerankFor would keep a pane green even if the
+    * router stopped calling it. */
+  final case class AnnRoute(route: String, nlist: Int, nprobe: Int,
+                            rerank: Int, result: DataFrame)
+
+  /** [[annTopKAutoRouted]] with the SIZED KNOBS surfaced too — the
+    * full routing decision as data ([[AnnRoute]]), so consumers
+    * publish what the router resolved rather than re-deriving the
+    * sizing rules in parallel. Knob semantics: 0 (the default) means
+    * "size from the corpus" via [[nlistFor]]/[[nprobeFor]]/
+    * [[rerankFor]]; positive pins the knob. Negative values are
+    * REJECTED — rerank = 0 used to mean "no rerank" in ivfpqTopK's
+    * vocabulary, and a stale caller passing a negative to disable
+    * reranking would otherwise get silent ADC-only results under the
+    * sized-rerank contract. ADC-only search is deliberately not
+    * expressible through the router (its recall contract assumes the
+    * sized exact-rerank pool — the measured flat-rerank collapse);
+    * call [[ivfpqTopK]] with rerank = 0 directly for that. */
+  def annTopKAutoSized(queries: DataFrame, corpus: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       nlist: Int = 0, nprobe: Int = 0, m: Int = 8,
+                       ksub: Int = 16, rerank: Int = 0,
+                       prunableAt: Double = 2.0,
+                       probeCap: Int = 16): AnnRoute = {
+    require(nlist >= 0 && nprobe >= 0 && rerank >= 0,
+      s"annTopKAutoSized: knobs must be >= 0 (0 = size from corpus); " +
+        s"got nlist=$nlist nprobe=$nprobe rerank=$rerank — a negative " +
+        "rerank does NOT disable reranking here (use ivfpqTopK " +
+        "directly for ADC-only search)")
     // the preflight prices one corpus scan PER PROBE — measuring with
     // the full query set would cost as much as the exact scan it
     // exists to avoid, so the verdict comes from a deterministic
@@ -870,10 +1085,12 @@ object Similarity {
       val nl = if (nlist > 0) nlist else nlistFor(n)
       val np = if (nprobe > 0) nprobe else nprobeFor(nl)
       val rr = if (rerank > 0) rerank else rerankFor(n, nl, np)
-      ("ivfpq", ivfpqTopK(queries, corpus, idCol, vecCol, k, nl,
-        np, m, ksub, coarseIters = 1, pqIters = 1, rerank = rr))
+      AnnRoute("ivfpq", nl, np, rr,
+        ivfpqTopK(queries, corpus, idCol, vecCol, k, nl,
+          np, m, ksub, coarseIters = 1, pqIters = 1, rerank = rr))
     } else
-      ("exact", bruteTopKL2(queries, corpus, idCol, vecCol, k))
+      AnnRoute("exact", 0, 0, 0,
+        bruteTopKL2(queries, corpus, idCol, vecCol, k))
   }
 
   /** The standing ANN index's VERSION STRING (the

@@ -67,7 +67,16 @@ object VersionedState {
     * presence implies the parts landed). Probes via Hadoop
     * `FileSystem`, not `java.io.File`, so the guard is live on
     * HDFS/S3 ledger paths too — a local-only probe would read false
-    * there and silently retrain on every call. */
+    * there and silently retrain on every call.
+    *
+    * CONCURRENCY caveat (the single-writer contract, stated where
+    * guards are written): between [[write]]'s meta-invalidate and its
+    * re-stamp, this reads false, so a concurrent exists-guarded
+    * caller (standingQualityModel / standingAnnIndex style) can start
+    * a DUPLICATE build racing the in-flight one. Deterministic
+    * producers make the duplicate byte-identical (wasted work, not
+    * corruption), but cross-process first-caller dedup needs a table
+    * format's atomic metadata pointer — per Lake.compact's notes. */
   def exists(spark: SparkSession, path: String,
              version: String): Boolean = {
     val meta = new Path(s"$path/meta/_SUCCESS")

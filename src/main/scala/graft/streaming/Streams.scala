@@ -935,7 +935,12 @@ object Streams {
   }
 
   /** st18's ledger schema: DSIR bucket counts + the last applied
-    * micro-batch id, committed in the same atomic swap. */
+    * micro-batch id + the feature-recipe width `__nb`, committed in
+    * the same atomic swap. `__nb` is the recipe stamp: hashed-ngram
+    * bucket counts are only additive WITHIN one bucket space, so a
+    * fold called at a different nBuckets would silently merge
+    * incompatible count tables — the st19/st23 version-contract class
+    * on the DSIR tier (the fold fails fast instead; spec-pinned). */
   val dsirLedgerSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("b",
@@ -945,6 +950,8 @@ object Streams {
       org.apache.spark.sql.types.StructField("cq",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("__last_batch",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__nb",
         org.apache.spark.sql.types.LongType)))
 
   /** One batchId-keyed idempotent fold of a raw documents micro-batch
@@ -953,21 +960,37 @@ object Streams {
     * additive counts, so the ledger model after any batching equals
     * the batch-trained model (what the st18 oracle checks by sharing
     * x94's); the `__last_batch` guard keeps at-least-once redelivery
-    * from double-counting a batch's features. */
+    * from double-counting a batch's features, and the `__nb` recipe
+    * stamp keeps a caller with a different feature width from folding
+    * counts into a bucket space they don't belong to. */
   def dsirLedgerFold(batch: DataFrame, batchId: Long, path: String,
                      nBuckets: Int = 4096): Unit = {
     import graft.operators.{Mutations, TextOps}
     val sp = batch.sparkSession
     val ledger = sp.read.parquet(path)
-    val applied = ledger
-      .agg(coalesce(max(col("__last_batch")), lit(-1L)))
-      .head().getLong(0)
+    val head = ledger
+      .agg(coalesce(max(col("__last_batch")), lit(-1L)),
+        max(col("__nb")))
+      .head()
+    val applied = head.getLong(0)
+    // recipe gate BEFORE the idempotence gate: a mismatched fold must
+    // fail fast even when it would be skipped as a replay — the
+    // caller's recipe is wrong either way, and its NEXT (non-replay)
+    // batch would corrupt the bucket space
+    require(head.isNullAt(1) || head.getLong(1) == nBuckets.toLong,
+      s"dsirLedgerFold: ledger at $path was built at nBuckets=" +
+        s"${head.getLong(1)} but this fold was called with " +
+        s"nBuckets=$nBuckets — hashed-ngram counts are only additive " +
+        "within one bucket space; rebuild the ledger (derive its " +
+        "path from the recipe to make this unreachable)")
     if (batchId > applied) { // else: replayed batch, already folded
       val delta = TextOps.dsirCounts(TextOps.dsirFeatures(batch,
         col("doc_id"), col("text"), col("lang") === "en", nBuckets))
       val merged = Mutations.upsertAggregate(
-        ledger.drop("__last_batch"), delta, Seq("b"), Seq("ct", "cq"))
+        ledger.drop("__last_batch", "__nb"), delta,
+        Seq("b"), Seq("ct", "cq"))
         .withColumn("__last_batch", lit(batchId))
+        .withColumn("__nb", lit(nBuckets.toLong))
       Mutations.overwriteAtomic(merged, path)
     }
   }
@@ -1318,6 +1341,17 @@ object Streams {
   def annIngestFold(batch: DataFrame, batchId: Long,
                     definitionPath: String, version: String,
                     encodedPath: String, m: Int = 8): Unit = {
+    // the encode GEOMETRY must agree with the validated stamp: a
+    // caller passing version=annIndexVersion(nl, 8, ks) with m=16
+    // would pass the ledger's version check yet emit wrong-geometry
+    // codes that ADC-score garbage — exactly the silent recipe
+    // mismatch annIndexVersion exists to prevent, so the stamp's own
+    // m token is required to match the encode parameter (ADVICE r8)
+    require(version.contains(s"-m$m-"),
+      s"annIngestFold: encode geometry m=$m does not match the " +
+        s"validated version stamp '$version' — the fold would emit " +
+        "codes under a different subspace split than the codebook " +
+        "was trained for")
     val (cents, codebook) = graft.operators.Similarity
       .loadIndexDef(batch.sparkSession, definitionPath, version)
     graft.operators.Similarity.ivfpqEncode(batch, "vec_id",
