@@ -165,6 +165,17 @@ object Bench {
     "e2e_select_corpus_b",   // ledger-fed capstone (no inline retrain)
     "x36_span_dup_coverage") // bridge query shared with all sets
 
+  /** Ninth pinned set: the round-9 additions (same discipline; prior
+    * sets stay untouched). x36 bridges again. e2e_llm_corpus is NOT
+    * re-pinned here despite its new verifier tail — it stays in
+    * `headline`, where the round-over-round diff shows the verifier's
+    * cost directly. */
+  val r9new: Seq[String] = Seq(
+    "x116_index_drift",      // index-lifecycle advisor, both branches
+    "x117_sharded_ann",      // two-shard standing index + merged top-k
+    "e2e_vector_store",      // standing index → search → fusion capstone
+    "x36_span_dup_coverage") // bridge query shared with all sets
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -239,6 +250,7 @@ object Bench {
     val resultsR6b = benchSet(r6bnew)
     val resultsR7 = benchSet(r7new)
     val resultsR8 = benchSet(r8new)
+    val resultsR9 = benchSet(r9new)
     val qs = toJson(results)
     val qsLlm = toJson(resultsLlm)
     val qsR4 = toJson(resultsR4)
@@ -247,6 +259,7 @@ object Bench {
     val qsR6b = toJson(resultsR6b)
     val qsR7 = toJson(resultsR7)
     val qsR8 = toJson(resultsR8)
+    val qsR9 = toJson(resultsR9)
     // `value` stays the HEADLINE total only — the pinned 21-set number the
     // driver has tracked since round 1; each later set gets its own key.
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -257,10 +270,11 @@ object Bench {
     val totalR6b = resultsR6b.map(_._2).filter(_ >= 0).sum
     val totalR7 = resultsR7.map(_._2).filter(_ >= 0).sum
     val totalR8 = resultsR8.map(_._2).filter(_ >= 0).sum
+    val totalR9 = resultsR9.map(_._2).filter(_ >= 0).sum
     // Stop Spark BEFORE printing so no shutdown log line can land after
     // the JSON — the driver parses the last stdout line.
     spark.stop()
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$nPasses,"queries":$qs,"value_llm":$totalLlm%.3f,"queries_llm":$qsLlm,"value_r4":$totalR4%.3f,"queries_r4":$qsR4,"value_r5":$totalR5%.3f,"queries_r5":$qsR5,"value_r6":$totalR6%.3f,"queries_r6":$qsR6,"value_r6b":$totalR6b%.3f,"queries_r6b":$qsR6b,"value_r7":$totalR7%.3f,"queries_r7":$qsR7,"value_r8":$totalR8%.3f,"queries_r8":$qsR8,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$nPasses,"queries":$qs,"value_llm":$totalLlm%.3f,"queries_llm":$qsLlm,"value_r4":$totalR4%.3f,"queries_r4":$qsR4,"value_r5":$totalR5%.3f,"queries_r5":$qsR5,"value_r6":$totalR6%.3f,"queries_r6":$qsR6,"value_r6b":$totalR6b%.3f,"queries_r6b":$qsR6b,"value_r7":$totalR7%.3f,"queries_r7":$qsR7,"value_r8":$totalR8%.3f,"queries_r8":$qsR8,"value_r9":$totalR9%.3f,"queries_r9":$qsR9,"sf":"$sfDir"}"""
     // the seven-set line outgrew the driver's stdout tail buffer in
     // round 6 (BENCH_r06.json: parsed=null, tail truncated mid-line) —
     // ALSO persist it to the repo so the numbers survive verbatim even

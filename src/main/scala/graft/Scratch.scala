@@ -383,6 +383,111 @@ object Scratch {
           f"probed=${100.0 * nprobe / nlist}%.1f%% wall=$dt%.2f s " +
           s"(includes the preflight; nlist=$nlist nprobe=$nprobe " +
           s"rerank=$rerank m=$m ksub=$ksub)")
+      case "refine_sweep" =>
+        // the sub-linear rerank frontier (verdict-8 ask #3): measure
+        // the two-stage refine (ADC rank -> SQ8 refine the pool ->
+        // exact top-c, c independent of n) against the single-stage
+        // exact rerank of the full rerankFor pool, on the clustered
+        // lake at the sized operating point. The decisive metric is
+        // RECALL at an n-INDEPENDENT refineTo: if c=200 holds >= 0.94
+        // at both 20k and 200k, the expensive full-vector stage
+        // becomes O(c) per query; wall times here are in-memory and
+        // only sanity-check the plan shape. CLUSTERED_N overrides n.
+        import org.apache.spark.sql.functions._
+        import graft.operators.Similarity
+        val n = sys.env.getOrElse("CLUSTERED_N", "20000").toLong
+        val nl = Similarity.nlistFor(n)
+        val np = Similarity.nprobeFor(nl)
+        val pool = Similarity.rerankFor(n, nl, np)
+        val lake = Similarity.hashBlobLake(spark, n).localCheckpoint()
+        val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
+          .localCheckpoint()
+        val tb = System.nanoTime()
+        val (cents0, cb0) = Similarity.ivfpqTrain(lake, "vec_id",
+          "embedding", nl, 8, 16, coarseIters = 1, pqIters = 1)
+        val cents = cents0.localCheckpoint()
+        val cb = cb0.localCheckpoint()
+        val enc = Similarity.ivfpqEncode(lake, "vec_id", "embedding",
+          cents, cb, 8).localCheckpoint()
+        println(f"build: n=$n nlist=$nl nprobe=$np pool=$pool " +
+          f"wall=${(System.nanoTime() - tb) / 1e9}%.1f s")
+        val exact = Similarity.bruteTopKL2(q, lake, "vec_id",
+          "embedding", 5).localCheckpoint()
+        val denom = exact.count().toDouble
+        def run(tag: String)(mk: => org.apache.spark.sql.DataFrame)
+            : Unit = {
+          mk.write.format("noop").mode("overwrite").save() // warm
+          val t0 = System.nanoTime()
+          val res = mk.localCheckpoint()
+          val dt = (System.nanoTime() - t0) / 1e9
+          val hits = exact.as("b").join(res.as("l"),
+            col("b.query_id") === col("l.query_id") &&
+              col("b.neighbor_id") === col("l.neighbor_id")).count()
+          println(f"$tag recall=${hits / denom}%.3f wall=$dt%.2f s")
+          spark.catalog.clearCache()
+        }
+        run(s"single-stage exact-rerank pool=$pool") {
+          Similarity.ivfpqSearchEncoded(q, "vec_id", "embedding", enc,
+            cents, cb, 5, np, 8, pool, Some(lake))
+        }
+        for (c <- Seq(50, 100, 200, 400)) {
+          run(s"two-stage pool=$pool refineTo=$c") {
+            Similarity.ivfpqSearchRefined(q, "vec_id", "embedding",
+              enc, cents, cb, 5, np, 8, pool, c, lake)
+          }
+        }
+      case "shard_rehearsal" =>
+        // the above-clamp sharding seam MEASURED (verdict-8 ask #2):
+        // the 200k clustered lake split 2x100k by annShardKey, each
+        // shard built at its own sized geometry, searched, and merged
+        // — against the single-index 200k row (refine_sweep's build:
+        // 168.9 s, search 4.47 s, recall 1.000). The claims under
+        // measure: merged recall identical, and per-shard build wall
+        // ~ half the single build (shards build in PARALLEL on a
+        // cluster, so the critical path is max(shard walls)).
+        import org.apache.spark.sql.functions._
+        import graft.operators.Similarity
+        val n = sys.env.getOrElse("CLUSTERED_N", "200000").toLong
+        val shards = 2
+        val lake = Similarity.hashBlobLake(spark, n).localCheckpoint()
+        val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
+          .localCheckpoint()
+        val exact = Similarity.bruteTopKL2(q, lake, "vec_id",
+          "embedding", 5).localCheckpoint()
+        val denom = exact.count().toDouble
+        val built = (0 until shards).map { sh =>
+          val part = lake.filter(
+            Similarity.annShardKey(col("vec_id"), shards) === sh)
+            .localCheckpoint()
+          val nSh = part.count()
+          val nl = Similarity.nlistFor(nSh)
+          val np = Similarity.nprobeFor(nl)
+          val t0 = System.nanoTime()
+          val (cents0, cb0) = Similarity.ivfpqTrain(part, "vec_id",
+            "embedding", nl, 8, 16, coarseIters = 1, pqIters = 1)
+          val cents = cents0.localCheckpoint()
+          val cb = cb0.localCheckpoint()
+          val enc = Similarity.ivfpqEncode(part, "vec_id",
+            "embedding", cents, cb, 8).localCheckpoint()
+          val wall = (System.nanoTime() - t0) / 1e9
+          println(f"shard $sh: n=$nSh nlist=$nl nprobe=$np " +
+            f"build=$wall%.1f s")
+          (part, nSh, nl, np, cents, cb, enc)
+        }
+        val t1 = System.nanoTime()
+        val merged = Similarity.ivfpqMergeTopK(
+          built.map { case (part, nSh, nl, np, cents, cb, enc) =>
+            Similarity.ivfpqSearchEncoded(q, "vec_id", "embedding",
+              enc, cents, cb, 5, np, 8,
+              Similarity.rerankFor(nSh, nl, np), Some(part))
+          }, 5).localCheckpoint()
+        val searchWall = (System.nanoTime() - t1) / 1e9
+        val hits = exact.as("b").join(merged.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id")).count()
+        println(f"merged: recall=${hits / denom}%.3f " +
+          f"search=$searchWall%.2f s (both shards, sequential here; " +
+          "per-shard builds parallelize on a cluster)")
       case "bpe_incr_sweep" =>
         // incremental vs full-recount BPE on a LARGE crafted type
         // table (verdict-7 ask #2's measured row): the 31-type driver

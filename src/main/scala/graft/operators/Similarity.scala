@@ -920,6 +920,26 @@ object Similarity {
     math.max(4, nlist / 8)
   }
 
+  /** n-INDEPENDENT exact-stage budget for the two-stage refined tail
+    * ([[ivfpqSearchRefined]]): the SQ8 middle stage ranks the
+    * rerankFor pool well enough that the exact fixed-point re-score
+    * only needs a CONSTANT shortlist — measured recall@5 = 1.000 at
+    * refineTo = 50 on both the 20k (pool 3750) and 200k (pool 37500)
+    * clustered lakes (SCALE.md round-9 two-stage table), i.e. the
+    * full-vector fetch per query drops from O(n·nprobe/nlist) to
+    * O(refineFor(k)). 10·k keeps headroom above the measured point
+    * for larger k; floored at 50. The ROUTER still prefers the
+    * single-stage exact rerank: at in-memory scale the SQ8 stage's
+    * extra join/window stages measured 3× slower than just exact-
+    * scoring the pool (same table) — the two-stage tail is the
+    * deployment choice when the exact stage's full-vector fetch is
+    * IO-bound (remote store, cold cache) and the int8 codes are
+    * persisted in the standing ledger next to the PQ codes. */
+  def refineFor(k: Int): Int = {
+    require(k > 0, s"refineFor: k=$k")
+    math.max(50, 10 * k)
+  }
+
   /** Shard count for a corpus too big for one index's cell budget —
     * the executable form of the above-clamp seam [[nlistFor]] leaves
     * prose-only: nlistFor clamps at 65536 cells, so once the UNCLAMPED

@@ -171,6 +171,34 @@ class Round16Spec extends GraftSuite {
       "refineTo ≥ pool must degenerate to the exact-rerank tail")
   }
 
+  test("refineFor: the n-independent exact-stage budget holds the " +
+       "recall contract behind the SQ8 refine (measured 1.000 at 20k " +
+       "and 200k in SCALE.md; pinned here at the cheap decade)") {
+    assert(Similarity.refineFor(5) === 50)
+    assert(Similarity.refineFor(100) === 1000)
+    intercept[IllegalArgumentException] { Similarity.refineFor(0) }
+    val n = 2000L
+    val lake = Similarity.hashBlobLake(spark, n).localCheckpoint(true)
+    val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
+      .localCheckpoint(true)
+    val nl = Similarity.nlistFor(n); val np = Similarity.nprobeFor(nl)
+    val (cents, cb) = Similarity.ivfpqTrain(lake, "vec_id",
+      "embedding", nl, 8, 16, coarseIters = 1, pqIters = 1)
+    val enc = Similarity.ivfpqEncode(lake, "vec_id", "embedding",
+      cents, cb, 8).localCheckpoint(true)
+    val refined = Similarity.ivfpqSearchRefined(q, "vec_id",
+      "embedding", enc, cents, cb, k = 5, nprobe = np, m = 8,
+      pool = Similarity.rerankFor(n, nl, np),
+      refineTo = Similarity.refineFor(5), corpus = lake)
+    val exact = Similarity.bruteTopKL2(q, lake, "vec_id",
+      "embedding", 5)
+    val hits = exact.as("b").join(refined.as("l"),
+      col("b.query_id") === col("l.query_id") &&
+        col("b.neighbor_id") === col("l.neighbor_id")).count()
+    assert(hits === 80L,
+      s"refined recall ${hits / 80.0} < 1.0 at the 2k operating point")
+  }
+
   // ----------------------------------------- recipe fail-fasts (ADVICE)
 
   test("annIngestFold fails fast when the encode geometry m does " +
