@@ -173,6 +173,7 @@ object Bench {
   val r9new: Seq[String] = Seq(
     "x116_index_drift",      // index-lifecycle advisor, both branches
     "x117_sharded_ann",      // two-shard standing index + merged top-k
+    "x118_index_rebuild",    // advisor-driven rebuild (the action)
     "e2e_vector_store",      // standing index → search → fusion capstone
     "x36_span_dup_coverage") // bridge query shared with all sets
 

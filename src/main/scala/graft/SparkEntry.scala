@@ -3014,6 +3014,70 @@ object SparkEntry {
             >= lit(0.94d)).as("recall_ge_094"))
     }),
 
+    "x118_index_rebuild" -> ((s, dir) => {
+      // the ACTION to x116's recommendation — the x108b/x109 "advisor
+      // output is the action's input" discipline on the index tier: a
+      // definition trained at the 500-vector sizing (nlistFor(500) =
+      // 16) has accreted 4× to 2000; the drift advisor fires
+      // (nlistFor(2000) = 32 ≥ 2×16), the rebuild retrains at the
+      // advisor's OWN sized_nlist_now (collected from its pane — the
+      // 1-row scalar decision idiom, witnessed not re-derived), and
+      // the new index lands in a NEW versioned ledger (version and
+      // path both move with the geometry, so the stale index can
+      // never serve a consumer that names the new recipe). The pane
+      // pins the full lifecycle: trigger fired → rebuilt version →
+      // advisor quiet on the rebuilt state → search recall held.
+      val lake0 = Similarity.hashBlobLake(s, 500L).localCheckpoint(true)
+      val lakeNow = Similarity.hashBlobLake(s, 2000L)
+        .localCheckpoint(true)
+      val nl0 = Similarity.nlistFor(500L) // 16
+      val (cents0, cb0, _) = standingAnnIndex(s,
+        Similarity.hashBlobLakeKey(500L), lake0, nl0, m = 8, ksub = 16)
+      val encStale = Similarity.ivfpqEncode(lakeNow, "vec_id",
+        "embedding", cents0, cb0, 8)
+      val before = Similarity.indexGeometryDrift(encStale, nl0)
+        .select(col("sized_nlist_now"), col("rebuild_recommended"))
+        .head()
+      val fired = before.getBoolean(1)
+      val sized = before.getLong(0).toInt
+      // the action, taken because (and only because) the advisor said
+      // so — on the quiet branch the stale index keeps serving (the
+      // oracle pins fired = true, so a dead trigger hash-mismatches)
+      val (cents1, cb1, enc1) =
+        if (fired) standingAnnIndex(s,
+          Similarity.hashBlobLakeKey(2000L), lakeNow, sized,
+          m = 8, ksub = 16)
+        else (cents0, cb0, encStale)
+      val nlNew = if (fired) sized else nl0
+      val after = Similarity.indexGeometryDrift(enc1, nlNew)
+        .select((!col("rebuild_recommended")).as("rebuilt_quiet"))
+      val q = Similarity.stratifiedProbes(lakeNow, "vec_id", 16)
+        .localCheckpoint(true)
+      val np = Similarity.nprobeFor(nlNew)
+      val got = Similarity.ivfpqSearchEncoded(q, "vec_id", "embedding",
+        enc1, cents1, cb1, 5, np, m = 8,
+        rerank = Similarity.rerankFor(2000L, nlNew, np),
+        rerankSource = Some(lakeNow))
+      val exact = Similarity.bruteTopKL2(q, lakeNow, "vec_id",
+        "embedding", 5)
+      exact.as("b").join(got.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("l.neighbor_id")).as("n_hit"))
+        .join(after, lit(true), "left") // 1-row pane join idiom
+        .select(lit(nl0.toLong).as("stale_trained_nlist"),
+          lit(sized.toLong).as("sized_nlist_now"),
+          lit(fired).as("rebuild_fired"),
+          lit(Similarity.annIndexVersion(nlNew, 8, 16))
+            .as("rebuilt_version"),
+          col("rebuilt_quiet"), col("n_exact"),
+          round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
+            .as("recall"),
+          (col("n_hit").cast(DoubleType) / col("n_exact")
+            >= lit(0.94d)).as("recall_ge_094"))
+    }),
+
     "e2e_vector_store" -> ((s, dir) => {
       // the VECTOR-STORE tier end-to-end (VERDICT r8 #4) — the seams
       // the piecewise queries (st23 ingest, x113 search, x95 fusion)
@@ -10418,6 +10482,19 @@ object SparkEntry {
              CAST(985 AS BIGINT) AS n_shard0,
              CAST(1015 AS BIGINT) AS n_shard1,
              CAST(16 AS BIGINT) AS nlist_shard0,
+             CAST(80 AS BIGINT) AS n_exact,
+             CAST(1.0 AS DOUBLE) AS recall, TRUE AS recall_ge_094""",
+
+    "x118_index_rebuild" -> """
+      -- the advisor-to-action loop closed: the 500-sized definition
+      -- (nlist 16) accreted to 2000 fires the trigger (32 >= 2x16);
+      -- the rebuild at the advisor's own sized_nlist_now lands in a
+      -- new versioned ledger, reads quiet, and holds recall 1.0
+      SELECT CAST(16 AS BIGINT) AS stale_trained_nlist,
+             CAST(32 AS BIGINT) AS sized_nlist_now,
+             TRUE AS rebuild_fired,
+             'ivfpq-nl32-m8-ks16-ci1-pi1-fp1e7' AS rebuilt_version,
+             TRUE AS rebuilt_quiet,
              CAST(80 AS BIGINT) AS n_exact,
              CAST(1.0 AS DOUBLE) AS recall, TRUE AS recall_ge_094""",
 

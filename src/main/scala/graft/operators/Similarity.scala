@@ -531,12 +531,25 @@ object Similarity {
     * degenerates to [[ivfpqSearchEncoded]]'s reranked form exactly
     * (the x15b/x53b degenerate-config gate, spec-pinned). Measured
     * sweep: SCALE.md round-9 two-stage table (20k and 200k lakes). */
+  /** Int8 codes for a corpus — the persistable REFINE-STAGE state
+    * ([[ivfpqSearchRefined]]'s middle stage): one row per vector,
+    * (neighbor_id, c8: struct(q array<int>, scale double)). In a
+    * standing ledger these live as a fourth part next to the PQ
+    * codes (1 byte/dim vs 4 — the refine stage then never touches
+    * original vectors; only the final exact top-refineFor(k) does). */
+  def sq8Encode(corpus: DataFrame, idCol: String,
+                vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"),
+      quantizeInt8(col(vecCol)).as("c8"))
+
   def ivfpqSearchRefined(queries: DataFrame, idCol: String,
                          vecCol: String, encoded: DataFrame,
                          cents: DataFrame, codebook: DataFrame,
                          k: Int, nprobe: Int, m: Int,
                          pool: Int, refineTo: Int,
-                         corpus: DataFrame): DataFrame = {
+                         corpus: DataFrame,
+                         sq8Codes: Option[DataFrame] = None)
+      : DataFrame = {
     require(pool > 0 && refineTo > 0,
       s"ivfpqSearchRefined: pool=$pool refineTo=$refineTo")
     val adc = ivfpqAdc(queries, idCol, vecCol, encoded, cents,
@@ -546,11 +559,12 @@ object Similarity {
     val cand = adc.withColumn("__r1", row_number().over(wAdc))
       .filter(col("__r1") <= pool)
       .select(col("query_id"), col("neighbor_id"))
-    // SQ8 refine: candidates meet int8 codes (at 100 TB these live in
-    // the ledger — quantizing from `corpus` here is the test-scale
-    // stand-in with the same arithmetic), queries broadcast
-    val c8 = corpus.select(col(idCol).as("neighbor_id"),
-      quantizeInt8(col(vecCol)).as("c8"))
+    // SQ8 refine: candidates meet int8 codes — read from the standing
+    // ledger when supplied ([[sq8Encode]]'s shape, the 100 TB form:
+    // the refine stage scans 1-byte codes, never original vectors);
+    // otherwise quantized from `corpus` inline (same arithmetic,
+    // spec-pinned equal) — queries broadcast either way
+    val c8 = sq8Codes.getOrElse(sq8Encode(corpus, idCol, vecCol))
     val q8 = queries.select(col(idCol).as("query_id"),
       quantizeInt8(col(vecCol)).as("q8"))
     val wSq8 = Window.partitionBy(col("query_id"))

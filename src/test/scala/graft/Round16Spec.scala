@@ -199,6 +199,40 @@ class Round16Spec extends GraftSuite {
       s"refined recall ${hits / 80.0} < 1.0 at the 2k operating point")
   }
 
+  test("the SQ8 refine stage reads persisted ledger codes: a " +
+       "VersionedState roundtrip of sq8Encode (struct<q,scale> " +
+       "through parquet) searches identically to inline quantization") {
+    import graft.sources.VersionedState
+    val lake = Similarity.hashBlobLake(spark, 500L).localCheckpoint(true)
+    val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
+      .localCheckpoint(true)
+    val (cents, cb) = Similarity.ivfpqTrain(lake, "vec_id",
+      "embedding", nlist = 16, m = 8, ksub = 16,
+      coarseIters = 1, pqIters = 1)
+    val enc = Similarity.ivfpqEncode(lake, "vec_id", "embedding",
+      cents, cb, 8).localCheckpoint(true)
+    val path = new java.io.File("target/qtmp/r16_sq8_ledger")
+      .getAbsolutePath
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(path))
+    val v = Similarity.annIndexVersion(16, 8, 16)
+    VersionedState.write(path, v,
+      "sq8" -> Similarity.sq8Encode(lake, "vec_id", "embedding"))
+    val ledgerCodes = VersionedState.read(spark, path, v, "sq8")
+    def refined(codes: Option[org.apache.spark.sql.DataFrame]) =
+      Similarity.ivfpqSearchRefined(q, "vec_id", "embedding", enc,
+        cents, cb, k = 5, nprobe = 4, m = 8, pool = 200,
+        refineTo = Similarity.refineFor(5), corpus = lake,
+        sq8Codes = codes)
+    val fromLedger = refined(Some(ledgerCodes))
+    val inline = refined(None)
+    assert(fromLedger.count() === 80L)
+    assert(fromLedger.except(inline).isEmpty &&
+      inline.except(fromLedger).isEmpty,
+      "ledger-fed SQ8 refine diverged from inline quantization — " +
+        "the struct<q,scale> parquet roundtrip is lossy somewhere")
+  }
+
   // ----------------------------------------- recipe fail-fasts (ADVICE)
 
   test("annIngestFold fails fast when the encode geometry m does " +
