@@ -1438,18 +1438,34 @@ object Streams {
       org.apache.spark.sql.types.StructField("docfreq",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("__last_batch",
-        org.apache.spark.sql.types.LongType)))
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__sep",
+        org.apache.spark.sql.types.StringType)))
 
   /** One batchId-keyed idempotent fold of a documents micro-batch
-    * into the segment-docfreq ledger. */
+    * into the segment-docfreq ledger. `__sep` is the recipe stamp
+    * (the dsirLedgerFold `__nb` discipline): segment hashes are only
+    * comparable when cut by ONE separator — a fold called with a
+    * different sep would merge docfreqs of different segmentations,
+    * so it fails fast instead. */
   def boilerplateLedgerFold(batch: DataFrame, batchId: Long,
                             path: String, sep: String = "\n"): Unit = {
     import graft.operators.Mutations
     val sp = batch.sparkSession
     val ledger = sp.read.parquet(path)
-    val applied = ledger
-      .agg(coalesce(max(col("__last_batch")), lit(-1L)))
-      .head().getLong(0)
+    val head = ledger
+      .agg(coalesce(max(col("__last_batch")), lit(-1L)),
+        max(col("__sep")))
+      .head()
+    val applied = head.getLong(0)
+    // recipe gate before the idempotence gate (see dsirLedgerFold)
+    require(head.isNullAt(1) || head.getString(1) == sep,
+      s"boilerplateLedgerFold: ledger at $path was built with sep=" +
+        s"${if (head.isNullAt(1)) "?" else head.getString(1).map(c => f"\\u${c.toInt}%04x").mkString} " +
+        s"but this fold was called with sep=" +
+        s"${sep.map(c => f"\\u${c.toInt}%04x").mkString} — segment " +
+        "hashes are only additive within one segmentation; rebuild " +
+        "the ledger")
     if (batchId > applied) { // else: replayed batch, already folded
       val counts = batch.select(col("doc_id"),
           explode(split(col("text"),
@@ -1458,9 +1474,10 @@ object Streams {
         .distinct() // one vote per (doc, segment) — docfreq semantics
         .groupBy(col("h")).agg(count(lit(1)).as("docfreq"))
       val merged = Mutations.upsertAggregate(
-        ledger.drop("__last_batch"), counts,
+        ledger.drop("__last_batch", "__sep"), counts,
         Seq("h"), Seq("docfreq"))
         .withColumn("__last_batch", lit(batchId))
+        .withColumn("__sep", lit(sep))
       Mutations.overwriteAtomic(merged, path)
     }
   }

@@ -278,6 +278,29 @@ class Round16Spec extends GraftSuite {
     assert(e.getMessage.contains("nBuckets"))
   }
 
+  test("boilerplateLedgerFold fails fast on a separator mismatch — " +
+       "segment hashes are only additive within one segmentation " +
+       "(the dsirLedgerFold recipe stamp, applied to st22's ledger)") {
+    import spark.implicits._
+    val path = new java.io.File("target/qtmp/r16_bp_ledger")
+      .getAbsolutePath
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(path))
+    graft.operators.Mutations.seedEmptyLedger(spark, path,
+      graft.streaming.Streams.boilerplateLedgerSchema)
+    val batch = Seq((1L, "header\nbody one"), (2L, "header\nbody two"))
+      .toDF("doc_id", "text")
+    graft.streaming.Streams.boilerplateLedgerFold(batch, 0L, path,
+      sep = "\n")
+    graft.streaming.Streams.boilerplateLedgerFold(batch, 1L, path,
+      sep = "\n") // same recipe folds fine
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Streams.boilerplateLedgerFold(batch, 2L, path,
+        sep = "\n\n")
+    }
+    assert(e.getMessage.contains("segmentation"))
+  }
+
   // --------------------------- writeAdvised: deterministic tiny regime
 
   test("writeAdvised realizes rec files even when rows are spread " +
