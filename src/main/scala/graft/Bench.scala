@@ -175,6 +175,10 @@ object Bench {
     "x117_sharded_ann",      // two-shard standing index + merged top-k
     "x118_index_rebuild",    // advisor-driven rebuild (the action)
     "e2e_vector_store",      // standing index → search → fusion capstone
+    "x119_ann_forget",       // logical delete: tombstone + live search
+    "x120_ann_compact",      // physical erasure + sized-file swap
+    "x121_filtered_ann",     // filtered search, all three routes
+    "x122_ledger_vacuum",    // retention sweep of stale bundles
     "x36_span_dup_coverage") // bridge query shared with all sets
 
   def main(args: Array[String]): Unit = {

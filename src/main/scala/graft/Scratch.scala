@@ -607,6 +607,130 @@ object Scratch {
         val ev = Tables.load(spark, sfDir, "events")
         println("a=" + ev.filter(col("event_id") % 3 =!= 0).count() +
           " b=" + ev.filter(col("event_id") % 3 === 0).count())
+      case "filtered_dbg" =>
+        import org.apache.spark.sql.functions._
+        import graft.operators.Similarity
+        val n = 2000L; val nlist = 64; val k = 5
+        val lake = Similarity.hashBlobLake(spark, n)
+          .withColumn("mod4", pmod(col("vec_id"), lit(4L)))
+          .localCheckpoint(true)
+        val (cents, codebook) = Similarity.ivfpqTrain(
+          lake.drop("mod4"), "vec_id", "embedding", nlist, 8, 16,
+          coarseIters = 1, pqIters = 1)
+        val encoded = Similarity.ivfpqEncode(lake.drop("mod4"),
+          "vec_id", "embedding", cents, codebook, 8)
+          .localCheckpoint(true)
+        val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
+          .drop("mod4").localCheckpoint(true)
+        val r = Similarity.annTopKFilteredRouted(q, lake, "vec_id",
+          "embedding", col("mod4") === 0, k, encoded, cents,
+          codebook, nlist, m = 8, bruteCutoff = 0L)
+        println(s"route=${r.route} np=${r.nprobe} kP=${r.kPrime}")
+        val exact = Similarity.bruteTopKL2(q,
+          lake.filter(col("mod4") === 0), "vec_id", "embedding", k)
+        exact.as("b").join(r.result.as("l"),
+            col("b.query_id") === col("l.query_id") &&
+              col("b.neighbor_id") === col("l.neighbor_id"), "left")
+          .groupBy(col("b.query_id"))
+          .agg(count(lit(1)).as("n_exact"),
+            count(col("l.neighbor_id")).as("n_hit"))
+          .orderBy(col("query_id")).show(20, false)
+        // one failing query in detail: exact top-5 vs got candidates
+        val qid = exact.as("b").join(r.result.as("l"),
+            col("b.query_id") === col("l.query_id") &&
+              col("b.neighbor_id") === col("l.neighbor_id"), "left")
+          .groupBy(col("b.query_id"))
+          .agg(count(col("l.neighbor_id")).as("n_hit"))
+          .filter(col("n_hit") < k).select("query_id")
+          .head(1).headOption.map(_.getLong(0)).getOrElse(-1L)
+        println(s"failing query: $qid")
+        if (qid >= 0) {
+          exact.filter(col("query_id") === qid).show(10, false)
+          r.result.filter(col("query_id") === qid).show(10, false)
+          // where do the exact neighbors sit in the UNFILTERED ranking?
+          val un = Similarity.ivfpqSearchEncoded(
+            q.filter(col("vec_id") === qid), "vec_id", "embedding",
+            encoded, cents, codebook, 200, r.nprobe, m = 8,
+            rerank = 1500, rerankSource = Some(lake))
+          un.as("u").join(exact.filter(col("query_id") === qid).as("e"),
+              col("u.neighbor_id") === col("e.neighbor_id"), "right")
+            .select(col("e.neighbor_id"), col("e.rank").as("exact_rank"),
+              col("u.rank").as("unfiltered_rank")).show(10, false)
+        }
+      case "compact_rehearsal" =>
+        // delete-lifecycle at the 200k decade: build+persist the
+        // sized standing index once (exists-guarded — rerun cheap),
+        // copy the bundle, tombstone 1% of ids, then measure the
+        // three costs the x119/x120 story claims: logical search
+        // (tombstone anti-join riding the probe), the one-time
+        // compact swap, physical search after. SCALE.md table row.
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.functions._
+        import graft.operators.Similarity
+        val n = 200000L
+        val nlist = Similarity.nlistFor(n) // 2048
+        val m = 8
+        val lake = Similarity.hashBlobLake(spark, n)
+          .localCheckpoint(true)
+        val version = Similarity.annIndexVersion(nlist, m, 16)
+        val src = new java.io.File(s"target/qtmp/ann_${version}_" +
+          Similarity.hashBlobLakeKey(n)).getAbsolutePath
+        if (!Similarity.indexExists(spark, src, version)) {
+          val t0 = System.nanoTime()
+          val (c, cb) = Similarity.ivfpqTrain(lake, "vec_id",
+            "embedding", nlist, m, 16, 1, 1)
+          Similarity.persistIndex(src, version, c, cb,
+            Similarity.ivfpqEncode(lake, "vec_id", "embedding",
+              c, cb, m))
+          println(f"build+persist ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        }
+        val work = new java.io.File("target/qtmp/compact_rehearsal")
+        org.apache.commons.io.FileUtils.deleteQuietly(work)
+        org.apache.commons.io.FileUtils.copyDirectory(
+          new java.io.File(src), work)
+        val path = work.getAbsolutePath
+        Similarity.annForget(path, lake
+          .filter(pmod(col("vec_id"), lit(100L)) === 0)
+          .select(col("vec_id"))) // 2000 ids = 1%
+        val (cents, codebook, encoded) =
+          Similarity.loadIndex(spark, path, version)
+        val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
+          .localCheckpoint(true)
+        val np = Similarity.nprobeFor(nlist)
+        val rr = Similarity.rerankFor(n, nlist, np)
+        def timeS(tag: String)(f: => Unit): Unit = {
+          val t = System.nanoTime(); f
+          println(f"$tag ${(System.nanoTime() - t) / 1e9}%.2f s")
+        }
+        def search(enc: DataFrame): DataFrame =
+          Similarity.ivfpqSearchEncoded(q, "vec_id", "embedding",
+            enc, cents, codebook, 5, np, m = m, rerank = rr,
+            rerankSource = Some(lake))
+        val tsDf = Similarity.annTombstones(spark, path)
+        timeS("search logical (anti-join)") {
+          search(Similarity.liveEncoded(encoded, tsDf))
+            .write.format("noop").mode("overwrite").save()
+        }
+        def filesIn(p: String): Int =
+          new java.io.File(p).listFiles().count(f => f.isFile &&
+            !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        println(s"files before=${filesIn(s"$path/encoded")}")
+        var res: (Long, Long, Int) = null
+        timeS("annCompact") {
+          res = Similarity.annCompact(spark, path, version, nFiles = 4)
+        }
+        println(s"rows ${res._1} -> ${res._2}, files after=${res._3}")
+        val enc2 = Similarity.loadIndex(spark, path, version)._3
+        timeS("search physical (compacted)") {
+          search(enc2).write.format("noop").mode("overwrite").save()
+        }
+      case n if n.startsWith("show:") =>
+        // print a query's full result — the oracle-constant capture
+        // loop for 1-row/pane queries (rerun it twice to confirm the
+        // pane is rerun-stable before pinning)
+        val qn = n.stripPrefix("show:")
+        SparkEntry.queries(qn)(spark, sfDir).show(50, false)
+        SparkEntry.queries(qn)(spark, sfDir).show(50, false)
       case n =>
         val a = timeOnce(n); val b = timeOnce(n)
         println(f"$n%-28s min=${math.min(a, b)}%.3f  (p1=$a%.3f p2=$b%.3f)")

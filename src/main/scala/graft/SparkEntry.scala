@@ -275,13 +275,22 @@ object SparkEntry {
     * either changing must move the path, or a stale index of an old
     * corpus/quantizer would silently serve; the model ledger's
     * (dir, recipe) discipline). */
+  /** ONE path derivation for a standing ANN ledger — shared by the
+    * exists-guarded builder below and the lifecycle consumers that
+    * address the same bundle directly (x119's tombstone append): two
+    * parallel string-formats would be the silent-divergence class
+    * the version contract exists to kill, with the failure mode
+    * "tombstones land next to a path nobody reads". */
+  private def annLedgerPath(version: String, lakeKey: String): String =
+    new java.io.File(
+      s"target/qtmp/ann_${version}_$lakeKey").getAbsolutePath
+
   private def standingAnnIndex(s: SparkSession, lakeKey: String,
                                lake: DataFrame, nlist: Int, m: Int,
                                ksub: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     val version = Similarity.annIndexVersion(nlist, m, ksub)
-    val path = new java.io.File(
-      s"target/qtmp/ann_${version}_$lakeKey").getAbsolutePath
+    val path = annLedgerPath(version, lakeKey)
     if (!Similarity.indexExists(s, path, version)) {
       val (cents, codebook) = Similarity.ivfpqTrain(lake, "vec_id",
         "embedding", nlist, m, ksub, coarseIters = 1, pqIters = 1)
@@ -3134,6 +3143,268 @@ object SparkEntry {
           (col("n_from_ivfpq") > 0L).as("branch_ivfpq_live"),
           (col("n_from_sq8") > 0L).as("branch_sq8_live"),
           col("rebuild_recommended"))
+    }),
+
+    "x119_ann_forget" -> ((s, dir) => {
+      // DELETION enters the standing-index lifecycle (ingest st23,
+      // drift x116, rebuild x118 — and now forget): the LOGICAL
+      // phase. Right-to-be-forgotten ids append to the bundle's
+      // tombstone set (O(|ids|) write, instant) and every consumer
+      // anti-joins the KB-scale set via liveEncoded before probing —
+      // the x114 PII discipline extended from the corpus to its
+      // derived state. The canary is maximally adversarial by
+      // construction: the forgotten ids are each probe's EXACT
+      // rank-1 neighbor, so pre-delete they all surface at the top
+      // of search results (forgotten_were_results — liveness: a
+      // tombstone set the search never would have returned proves
+      // nothing) and post-delete ZERO may appear while recall vs the
+      // exact twin over SURVIVORS stays 1.0 (the forgotten rows
+      // vanish without degrading what remains). Idempotent across
+      // reruns: appends dedup on read, and the tombstoned ids are a
+      // deterministic function of the deterministic lake.
+      val n = 2000L; val nlist = 64; val nprobe = 8; val k = 5
+      val lake = Similarity.hashBlobLake(s, n).localCheckpoint(true)
+      val version = Similarity.annIndexVersion(nlist, 8, 16)
+      val path = annLedgerPath(version,
+        s"${Similarity.hashBlobLakeKey(n)}-forget")
+      val (cents, codebook, encoded) = standingAnnIndex(s,
+        s"${Similarity.hashBlobLakeKey(n)}-forget", lake, nlist,
+        m = 8, ksub = 16)
+      val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
+        .localCheckpoint(true)
+      val rr = Similarity.rerankFor(n, nlist, nprobe)
+      val preExact = Similarity.bruteTopKL2(q, lake, "vec_id",
+        "embedding", k).localCheckpoint(true)
+      val tsIds = preExact.filter(col("rank") === 1)
+        .select(col("neighbor_id")).distinct().localCheckpoint(true)
+      val pre = Similarity.ivfpqSearchEncoded(q, "vec_id",
+        "embedding", encoded, cents, codebook, k, nprobe, m = 8,
+        rerank = rr, rerankSource = Some(lake))
+      Similarity.annForget(path, tsIds)
+      val ts = Similarity.annTombstones(s, path)
+      val live = Similarity.liveEncoded(encoded, ts)
+      val post = Similarity.ivfpqSearchEncoded(q, "vec_id",
+        "embedding", live, cents, codebook, k, nprobe, m = 8,
+        rerank = rr, rerankSource = Some(lake))
+      val survivors = lake.join(ts,
+        lake("vec_id") === ts("vec_id"), "left_anti")
+      val postExact = Similarity.bruteTopKL2(q, survivors, "vec_id",
+        "embedding", k)
+      val tsv = ts.select(col("vec_id").as("neighbor_id"))
+      val preHit = pre.join(tsv, Seq("neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_pre_results_forgotten"))
+      val postHit = post.join(tsv, Seq("neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_post_results_forgotten"))
+      val nTs = ts.agg(count(lit(1)).as("n_forgotten"))
+      postExact.as("b").join(post.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("l.neighbor_id")).as("n_hit"))
+        .join(nTs, lit(true), "left") // 1-row pane join idiom
+        .join(preHit, lit(true), "left")
+        .join(postHit, lit(true), "left")
+        .select(lit(version).as("version"), col("n_forgotten"),
+          (col("n_pre_results_forgotten") >= col("n_forgotten"))
+            .as("forgotten_were_results"),
+          col("n_post_results_forgotten"), col("n_exact"),
+          round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
+            .as("recall_survivors"),
+          (col("n_hit").cast(DoubleType) / col("n_exact")
+            >= lit(0.94d)).as("recall_ge_094"))
+    }),
+
+    "x120_ann_compact" -> ((s, dir) => {
+      // DELETION's PHYSICAL phase + the small-file close-out: until
+      // compaction runs, x119's tombstoned bytes still exist on disk
+      // (a logical delete satisfies search, not GDPR) and a
+      // long-running st23 ingest accretes one parquet dir per
+      // micro-batch. annCompact folds tombstones into the encoded
+      // part via VersionedState.rewritePart's crash-safe swap (stage
+      // → invalidate meta → rename → re-stamp last — a reader never
+      // validates mid-swap) at a sized file count, then clears the
+      // folded tombstones. The pane pins the full contract: rows
+      // drop by exactly |forgotten|·m, the swapped part lands at the
+      // target file count, the version stamp SURVIVES (deletion
+      // changes state, not recipe), the tombstone set is empty
+      // after, zero forgotten ids appear in post-compact search, and
+      // recall vs the exact survivor twin holds. Built fresh each
+      // run (not exists-guarded): compaction MUTATES the bundle, so
+      // a guarded reuse would see last run's already-compacted rows
+      // and the pane would not be a constant.
+      val n = 2000L; val nlist = 64; val nprobe = 8; val k = 5
+      val m = 8
+      val lake = Similarity.hashBlobLake(s, n).localCheckpoint(true)
+      val version = Similarity.annIndexVersion(nlist, m, 16)
+      val path = annLedgerPath(version,
+        s"${Similarity.hashBlobLakeKey(n)}-compact")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(path))
+      val (cents0, codebook0) = Similarity.ivfpqTrain(lake, "vec_id",
+        "embedding", nlist, m, 16, coarseIters = 1, pqIters = 1)
+      Similarity.persistIndex(path, version, cents0, codebook0,
+        Similarity.ivfpqEncode(lake, "vec_id", "embedding", cents0,
+          codebook0, m))
+      val (cents, codebook, _) = Similarity.loadIndex(s, path, version)
+      val tsIds = lake.filter(pmod(col("vec_id"), lit(200L)) === 0)
+        .select(col("vec_id"))
+      Similarity.annForget(path, tsIds)
+      val (nBefore, nAfter, nFiles) =
+        Similarity.annCompact(s, path, version, nFiles = 1)
+      val stampSurvived = Similarity.indexExists(s, path, version)
+      val encoded = Similarity.loadIndex(s, path, version)._3
+      val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
+        .localCheckpoint(true)
+      val post = Similarity.ivfpqSearchEncoded(q, "vec_id",
+        "embedding", encoded, cents, codebook, k, nprobe, m = m,
+        rerank = Similarity.rerankFor(n, nlist, nprobe),
+        rerankSource = Some(lake))
+      val survivors = lake.join(tsIds, Seq("vec_id"), "left_anti")
+      val postExact = Similarity.bruteTopKL2(q, survivors, "vec_id",
+        "embedding", k)
+      val postHit = post.join(tsIds
+          .select(col("vec_id").as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_post_results_forgotten"))
+      val tsAfter = Similarity.annTombstones(s, path)
+        .agg(count(lit(1)).as("n_tombstones_after"))
+      postExact.as("b").join(post.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("l.neighbor_id")).as("n_hit"))
+        .join(tsAfter, lit(true), "left") // 1-row pane join idiom
+        .join(postHit, lit(true), "left")
+        .select(lit(version).as("version"),
+          lit(nBefore).as("n_rows_before"),
+          lit(nAfter).as("n_rows_after"),
+          lit(nFiles.toLong).as("n_files_after"),
+          lit(stampSurvived).as("version_survived"),
+          col("n_tombstones_after"), col("n_post_results_forgotten"),
+          col("n_exact"),
+          round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
+            .as("recall_survivors"),
+          (col("n_hit").cast(DoubleType) / col("n_exact")
+            >= lit(0.94d)).as("recall_ge_094"))
+    }),
+
+    "x121_filtered_ann" -> ((s, dir) => {
+      // METADATA-FILTERED search over the standing index — the query
+      // shape a production vector store actually serves ("top-k
+      // WHERE lang = 'en'"), routed between the two honest
+      // strategies with BOTH branches live (the x116 canary-liveness
+      // rule): a SELECTIVE filter (63 survivors) routes pre-filter
+      // EXACT — below the cutoff no over-fetch heuristic beats
+      // brute-forcing the survivor set, and it is the only safe
+      // route when the filter correlates with geometry; a BROAD
+      // id-hash filter (25% survivors, geometry-uncorrelated) with
+      // the cutoff forced to 0 exercises the post-filter ANN branch:
+      // k′ = overfetchFor(k, sel) candidates, nprobe widened by
+      // 1/sel, then keep the top-k satisfying the predicate. The
+      // pane pins route, survivor count, the router's own widened
+      // knobs (witnessed, not re-derived — the x112 discipline), the
+      // MEASURED preflight recall the route decision came from, a
+      // zero off-predicate count, and recall vs the exact FILTERED
+      // twin. The index is the x113 standing ledger, read-only — a
+      // filtered query is just another consumer of the same state.
+      // Three branches, every route live (the x116 discipline):
+      // branch b filters on a HASH of the id (keeps ~25% of EVERY
+      // cluster — the regime over-fetch is sized for); branch c
+      // filters id mod 4, which on this lake (ck = id mod 64)
+      // deletes WHOLE clusters — the nearest survivors sit at
+      // unfiltered rank ~130-148 and over-fetch cannot reach them
+      // (measured 0.51, SCALE.md) — and selectivity alone cannot
+      // tell b and c apart (both ~25%): only the preflight can,
+      // and it REROUTES c to the exact survivor scan, recall 1.0.
+      val n = 2000L; val nlist = 64; val k = 5
+      val lake = Similarity.hashBlobLake(s, n)
+        .withColumn("h4", pmod(xxhash64(col("vec_id")), lit(4L)))
+        .withColumn("mod4", pmod(col("vec_id"), lit(4L)))
+        .withColumn("mod32", pmod(col("vec_id"), lit(32L)))
+        .localCheckpoint(true)
+      val (cents, codebook, encoded) = standingAnnIndex(s,
+        Similarity.hashBlobLakeKey(n),
+        lake.drop("h4", "mod4", "mod32"), nlist, m = 8, ksub = 16)
+      val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
+        .drop("h4", "mod4", "mod32").localCheckpoint(true)
+      def branch(name: String, pred: Column, cutoff: Long)
+          : DataFrame = {
+        val r = Similarity.annTopKFilteredRouted(q, lake, "vec_id",
+          "embedding", pred, k, encoded, cents, codebook, nlist,
+          m = 8, bruteCutoff = cutoff)
+        val exact = Similarity.bruteTopKL2(q, lake.filter(pred),
+          "vec_id", "embedding", k)
+        val offPred = r.result.join(
+          lake.filter(!pred).select(col("vec_id").as("neighbor_id")),
+          Seq("neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_off_pred"))
+        exact.as("b").join(r.result.as("l"),
+            col("b.query_id") === col("l.query_id") &&
+              col("b.neighbor_id") === col("l.neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_exact"),
+            count(col("l.neighbor_id")).as("n_hit"))
+          .join(offPred, lit(true), "left") // 1-row pane join idiom
+          .select(lit(name).as("branch"), lit(r.route).as("route"),
+            lit(r.nSurvivors).as("n_survivors"),
+            lit(r.nprobe.toLong).as("nprobe"),
+            lit(r.kPrime.toLong).as("k_prime"),
+            lit(math.rint(r.recallPreflight * 10000) / 10000)
+              .as("recall_preflight"),
+            col("n_off_pred"), col("n_exact"),
+            round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
+              .as("recall_filtered"),
+            (col("n_hit").cast(DoubleType) / col("n_exact")
+              >= lit(0.94d)).as("recall_ge_094"))
+      }
+      branch("a_selective_exact", col("mod32") === 0, 65536L)
+        .unionByName(
+          branch("b_broad_ann", col("h4") === 0, 0L))
+        .unionByName(
+          branch("c_correlated_fallback", col("mod4") === 0, 0L))
+        .orderBy(col("branch"))
+    }),
+
+    "x122_ledger_vacuum" -> ((s, dir) => {
+      // RETENTION closes the ledger lifecycle (build → ingest →
+      // drift → rebuild → forget → compact → now vacuum): recipe
+      // changes move standing state to new version-derived paths (the
+      // x118 rebuild did exactly that), so the superseded bundle
+      // orphans at its old path forever — and at 100 TB its encoded
+      // part is the corpus at m bytes/vector, so "forever" is real
+      // storage. vacuumRoot sweeps a ledger root, deletes bundles
+      // whose stamp is not in the keep set, and deliberately leaves
+      // meta-less directories alone (a writer mid-flight between
+      // invalidate and re-stamp looks exactly like that — deleting it
+      // would race the single-writer window VersionedState documents).
+      // The pane pins all three behaviors: stale deleted, kept bundle
+      // still complete, in-flight dir untouched. Rebuilt fresh each
+      // run (vacuum MUTATES the root, so a guarded reuse would see
+      // last run's already-swept state).
+      val root = new java.io.File("target/qtmp/x122_root")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val rootPath = root.getAbsolutePath
+      val w = s.range(3).select(col("id"), (col("id") * 2).as("v"))
+      graft.sources.VersionedState.write(
+        s"$rootPath/model_v1", "v1", "w" -> w)
+      graft.sources.VersionedState.write(
+        s"$rootPath/model_v2", "v2", "w" -> w)
+      new java.io.File(s"$rootPath/inflight").mkdirs()
+      val (kept, deleted) = graft.sources.VersionedState
+        .vacuumRoot(s, rootPath, keep = Set("v2"))
+      // second sweep: idempotence witnessed in the same pane
+      val (kept2, deleted2) = graft.sources.VersionedState
+        .vacuumRoot(s, rootPath, keep = Set("v2"))
+      s.range(1).select(
+        lit(kept.toLong).as("n_kept"),
+        lit(deleted.toLong).as("n_deleted"),
+        lit(graft.sources.VersionedState.exists(s,
+          s"$rootPath/model_v1", "v1")).as("stale_still_exists"),
+        lit(graft.sources.VersionedState.exists(s,
+          s"$rootPath/model_v2", "v2")).as("kept_complete"),
+        lit(new java.io.File(s"$rootPath/inflight").exists())
+          .as("inflight_preserved"),
+        lit(kept2.toLong).as("n_kept_resweep"),
+        lit(deleted2.toLong).as("n_deleted_resweep"))
     }),
 
     "x88b_ivfpq_exact" -> ((s, dir) => {
@@ -10511,6 +10782,86 @@ object SparkEntry {
              CAST(0.95 AS DOUBLE) AS recall_fused_at5,
              TRUE AS branch_ivfpq_live, TRUE AS branch_sq8_live,
              FALSE AS rebuild_recommended""",
+
+    "x119_ann_forget" -> """
+      -- the logical DELETE contract: the 16 forgotten ids are each
+      -- probe's exact rank-1 neighbor (all surfaced pre-delete - the
+      -- liveness canary), ZERO appear post-delete, and recall vs the
+      -- exact twin over SURVIVORS stays 1.0
+      SELECT 'ivfpq-nl64-m8-ks16-ci1-pi1-fp1e7' AS version,
+             CAST(16 AS BIGINT) AS n_forgotten,
+             TRUE AS forgotten_were_results,
+             CAST(0 AS BIGINT) AS n_post_results_forgotten,
+             CAST(80 AS BIGINT) AS n_exact,
+             CAST(1.0 AS DOUBLE) AS recall_survivors,
+             TRUE AS recall_ge_094""",
+
+    "x120_ann_compact" -> """
+      -- the physical ERASURE contract: 10 forgotten ids x m=8 code
+      -- rows fold out of the encoded part (16000 -> 15920) in one
+      -- crash-safe swap landing at the sized single file, the
+      -- version stamp survives (state changed, recipe did not), the
+      -- tombstone set clears, and search over the compacted bundle
+      -- holds recall 1.0 vs the exact survivor twin
+      SELECT 'ivfpq-nl64-m8-ks16-ci1-pi1-fp1e7' AS version,
+             CAST(16000 AS BIGINT) AS n_rows_before,
+             CAST(15920 AS BIGINT) AS n_rows_after,
+             CAST(1 AS BIGINT) AS n_files_after,
+             TRUE AS version_survived,
+             CAST(0 AS BIGINT) AS n_tombstones_after,
+             CAST(0 AS BIGINT) AS n_post_results_forgotten,
+             CAST(80 AS BIGINT) AS n_exact,
+             CAST(1.0 AS DOUBLE) AS recall_survivors,
+             TRUE AS recall_ge_094""",
+
+    "x121_filtered_ann" -> """
+      -- filtered search, all three routes live: 63 survivors route
+      -- pre-filter exact (nprobe/k_prime unused: 0/k); the ~25%
+      -- HASH filter with the cutoff forced to 0 routes post-filter
+      -- ANN at the router's own widened knobs (nprobe 8/0.241=34,
+      -- k_prime = overfetchFor(5, 0.241) = 83), preflight measures
+      -- 1.0, and the batch holds recall 1.0 vs the exact filtered
+      -- twin; the same-selectivity CORRELATED filter (id mod 4 =
+      -- whole clusters on this lake) measures 0.5125 on the probe
+      -- sample — below the 0.94 floor — and the router REROUTES the
+      -- batch to the exact survivor scan: recall 1.0 by
+      -- construction, with the failed preflight surfaced. Zero
+      -- off-predicate results on every branch.
+      SELECT 'a_selective_exact' AS branch, 'exact_filtered' AS route,
+             CAST(63 AS BIGINT) AS n_survivors,
+             CAST(0 AS BIGINT) AS nprobe,
+             CAST(5 AS BIGINT) AS k_prime,
+             CAST(1.0 AS DOUBLE) AS recall_preflight,
+             CAST(0 AS BIGINT) AS n_off_pred,
+             CAST(80 AS BIGINT) AS n_exact,
+             CAST(1.0 AS DOUBLE) AS recall_filtered,
+             TRUE AS recall_ge_094
+      UNION ALL
+      SELECT 'b_broad_ann', 'ann_overfetch', CAST(482 AS BIGINT),
+             CAST(34 AS BIGINT), CAST(83 AS BIGINT),
+             CAST(1.0 AS DOUBLE),
+             CAST(0 AS BIGINT), CAST(80 AS BIGINT),
+             CAST(1.0 AS DOUBLE), TRUE
+      UNION ALL
+      SELECT 'c_correlated_fallback', 'exact_filtered_fallback',
+             CAST(500 AS BIGINT),
+             CAST(32 AS BIGINT), CAST(80 AS BIGINT),
+             CAST(0.5125 AS DOUBLE),
+             CAST(0 AS BIGINT), CAST(80 AS BIGINT),
+             CAST(1.0 AS DOUBLE), TRUE
+      ORDER BY branch""",
+
+    "x122_ledger_vacuum" -> """
+      -- retention: the stale v1 bundle is swept, the kept v2 bundle
+      -- stays complete, the meta-less in-flight dir is untouched
+      -- (deleting it would race a writer), and a re-sweep is a no-op
+      SELECT CAST(1 AS BIGINT) AS n_kept,
+             CAST(1 AS BIGINT) AS n_deleted,
+             FALSE AS stale_still_exists,
+             TRUE AS kept_complete,
+             TRUE AS inflight_preserved,
+             CAST(1 AS BIGINT) AS n_kept_resweep,
+             CAST(0 AS BIGINT) AS n_deleted_resweep""",
 
     "x88_ivfpq_topk" -> """
       SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ge_08

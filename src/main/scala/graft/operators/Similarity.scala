@@ -954,6 +954,27 @@ object Similarity {
     math.max(50, 10 * k)
   }
 
+  /** Over-fetch width for POST-FILTERED ANN search ([[
+    * annTopKFilteredRouted]]'s ANN branch): fetch k/selectivity
+    * candidates in expectation before the metadata filter, ×4 safety
+    * for filter-geometry correlation (a filter that deletes whole
+    * neighborhoods leaves fewer survivors among the NEAREST
+    * candidates than the global rate predicts). Measured on the
+    * clustered rehearsal lake (SCALE.md round-9 filtered-search
+    * table): at sel = 0.25 with the geometry-UNcorrelated id-hash
+    * filter, recall@5 = 1.0 at this width; the geometry-CORRELATED
+    * whole-cluster filter is the measured hard case recorded next to
+    * it (post-filter recall collapses when probes never reach
+    * surviving cells — the PRE-filter exact branch exists precisely
+    * for that regime, and [[annTopKFilteredRouted]] widens nprobe by
+    * 1/sel so probes keep reaching survivors as selectivity drops). */
+  def overfetchFor(k: Int, selectivity: Double): Int = {
+    require(k > 0, s"overfetchFor: k=$k")
+    require(selectivity > 0.0d && selectivity <= 1.0d,
+      s"overfetchFor: selectivity=$selectivity must be in (0, 1]")
+    math.max(k, math.ceil(4.0d * k / selectivity).toInt)
+  }
+
   /** Shard count for a corpus too big for one index's cell budget —
     * the executable form of the above-clamp seam [[nlistFor]] leaves
     * prose-only: nlistFor clamps at 65536 cells, so once the UNCLAMPED
@@ -1127,6 +1148,120 @@ object Similarity {
         bruteTopKL2(queries, corpus, idCol, vecCol, k))
   }
 
+  final case class FilteredRoute(route: String, nSurvivors: Long,
+                                 nprobe: Int, kPrime: Int,
+                                 recallPreflight: Double,
+                                 result: DataFrame)
+
+  /** METADATA-FILTERED top-k over a standing index — the production
+    * vector-store query shape ("nearest neighbors WHERE lang = 'en'
+    * AND license = 'permissive'"), routed between the two honest
+    * strategies (Weaviate/FAISS's pre- vs post-filter fork, as an
+    * executable rule):
+    *
+    *  - PRE-FILTER EXACT when the filter is selective: count the
+    *    survivors (one metadata-pruned scan — `pred`'s columns only,
+    *    never the vectors) and, below `bruteCutoff`, brute-force the
+    *    survivor set. EXACT by construction — at 2¹⁶ survivors the
+    *    scan is small, and no over-fetch heuristic can beat exact on
+    *    a set that fits one broadcast scan. This branch is also the
+    *    only SAFE one when the filter correlates with geometry
+    *    (deleting whole neighborhoods): probes can't miss survivors
+    *    that are scored directly.
+    *  - POST-FILTER ANN above the cutoff: search the standing index
+    *    with k′ = [[overfetchFor]](k, sel) candidates per query and
+    *    nprobe WIDENED by 1/sel (capped at nlist) — as selectivity
+    *    drops, survivors thin out per cell, so both the candidate
+    *    pool and the probed fraction must grow for survivors to keep
+    *    appearing among candidates — then keep the top-k that satisfy
+    *    `pred` (one broadcast join of the |q|·k′ candidate rows
+    *    against the corpus's metadata projection; the corpus is
+    *    never re-scanned at vector width).
+    *
+    * The filter evaluates on `corpus`'s metadata columns; results are
+    * (query_id, rank, neighbor_id, approx_d2) like every search tail.
+    *
+    * The ANN branch is PREFLIGHT-GUARDED, because its failure mode is
+    * invisible to the sizing rules: filter-GEOMETRY CORRELATION (a
+    * predicate that deletes whole neighborhoods) pushes the nearest
+    * survivors below any affordable over-fetch depth — measured 0.51
+    * recall on the whole-cluster filter at 25% selectivity, while the
+    * same-selectivity hash filter holds 1.0 (SCALE.md filtered-search
+    * table). Selectivity is measurable up front; correlation is not —
+    * so the router MEASURES the outcome on the deterministic
+    * stratified probe sample (the [[annPrunable]] discipline): ANN
+    * post-filter recall vs the exact filtered twin over ≤ probeCap
+    * probes, one survivor-set scan at probe width. Below
+    * `recallFloor` the whole batch reroutes to the exact survivor
+    * scan (`exact_filtered_fallback`) — correct by construction,
+    * costing what the over-fetch heuristic was failing to avoid. */
+  def annTopKFilteredRouted(queries: DataFrame, corpus: DataFrame,
+                            idCol: String, vecCol: String,
+                            pred: Column, k: Int,
+                            encoded: DataFrame, cents: DataFrame,
+                            codebook: DataFrame, nlist: Int,
+                            m: Int = 8,
+                            bruteCutoff: Long = 65536L,
+                            recallFloor: Double = 0.94,
+                            probeCap: Int = 16)
+      : FilteredRoute = {
+    require(k > 0, s"annTopKFilteredRouted: k=$k")
+    require(bruteCutoff >= 0,
+      s"annTopKFilteredRouted: bruteCutoff=$bruteCutoff")
+    require(recallFloor >= 0.0d && recallFloor <= 1.0d,
+      s"annTopKFilteredRouted: recallFloor=$recallFloor")
+    val survivors = corpus.filter(pred)
+    val nSurv = survivors.count()
+    require(nSurv > 0, "annTopKFilteredRouted: the filter matches " +
+      "no corpus rows — top-k over an empty survivor set is " +
+      "undefined; widen the predicate")
+    if (nSurv <= bruteCutoff)
+      // exact by construction — recall 1.0 without measuring
+      FilteredRoute("exact_filtered", nSurv, 0, k, 1.0d,
+        bruteTopKL2(queries, survivors, idCol, vecCol, k))
+    else {
+      val n = corpus.count()
+      val sel = nSurv.toDouble / n.toDouble
+      val kPrime = overfetchFor(k, sel)
+      val np = math.min(nlist,
+        math.ceil(nprobeFor(nlist) / sel).toInt)
+      val rr = math.max(rerankFor(n, nlist, np), kPrime)
+      val meta = corpus.select(col(idCol).as("neighbor_id"),
+        pred.as("__keep"))
+      def annFiltered(qs: DataFrame): DataFrame = {
+        val got = ivfpqSearchEncoded(qs, idCol, vecCol, encoded,
+          cents, codebook, kPrime, np, m, rerank = rr,
+          rerankSource = Some(corpus))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("approx_d2").asc, col("neighbor_id").asc)
+        got.join(meta, Seq("neighbor_id"))
+          .filter(col("__keep"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            col("approx_d2"))
+      }
+      val probes = stratifiedProbes(queries, idCol, probeCap)
+        .localCheckpoint(true)
+      val exactProbe = bruteTopKL2(probes, survivors, idCol,
+        vecCol, k)
+      val hit = exactProbe.as("b").join(annFiltered(probes).as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id"), "left")
+        .agg(count(lit(1)), count(col("l.neighbor_id")))
+        .head() // 1-row preflight decision (the advisor idiom)
+      val recallEst =
+        if (hit.getLong(0) == 0L) 1.0d
+        else hit.getLong(1).toDouble / hit.getLong(0).toDouble
+      if (recallEst >= recallFloor)
+        FilteredRoute("ann_overfetch", nSurv, np, kPrime, recallEst,
+          annFiltered(queries))
+      else
+        FilteredRoute("exact_filtered_fallback", nSurv, np, kPrime,
+          recallEst, bruteTopKL2(queries, survivors, idCol, vecCol, k))
+    }
+  }
+
   /** The standing ANN index's VERSION STRING (the
     * Learn.qualityModelVersion discipline on the index tier): the
     * full quantizer recipe — cell count, PQ geometry, training
@@ -1189,6 +1324,103 @@ object Similarity {
     (vs.read(spark, path, version, "cents"),
       vs.read(spark, path, version, "codebook"),
       vs.read(spark, path, version, "encoded"))
+  }
+
+  // ---- standing-index DELETE lifecycle (tombstone → compact) ------------
+  //
+  // The missing half of a vector store's lifecycle: ingest accretes
+  // (st23), drift advises a rebuild (x116/x118) — and DELETION must
+  // work too, because at 100 TB the encoded ledger is derived
+  // personal data and right-to-be-forgotten requests arrive daily
+  // (the x114 PII discipline extended from the corpus to its derived
+  // state). Two-phase, like every real store:
+  //   1. [[annForget]] — LOGICAL delete: append ids to a tombstone
+  //      relation next to the bundle. O(|ids|) write, instant; every
+  //      search consumer anti-joins the (broadcast, KB-scale)
+  //      tombstone set via [[liveEncoded]] so forgotten vectors stop
+  //      appearing immediately.
+  //   2. [[annCompact]] — PHYSICAL erasure: rewrite the encoded part
+  //      without tombstoned rows (VersionedState.rewritePart's
+  //      crash-safe swap), sized to a target file count — which also
+  //      pays down the small-file debt a long-running st23 ingest
+  //      accretes (one parquet dir per micro-batch) — then clear the
+  //      tombstones. Until compaction runs, the bytes still exist on
+  //      disk; after it, they are gone — the part GDPR actually asks
+  //      for, on the store's own maintenance schedule.
+
+  /** LOGICAL delete: append `ids` (one LONG column, any name) to the
+    * bundle's tombstone set at `path/tombstones`. Append-mode +
+    * distinct-on-read makes redelivery idempotent; the set is
+    * expected KB-scale (deletes are rare relative to the corpus), so
+    * consumers pay one broadcast anti-join. Tombstones deliberately
+    * live OUTSIDE the versioned bundle parts: they are facts about
+    * the DATA (these ids must not surface), not about the index
+    * recipe, and must survive [[VersionedState.write]]'s
+    * all-parts rewrite on rebuild — a rebuild from a source lake
+    * that still contains the vectors re-encodes them, and the
+    * standing tombstones keep them suppressed until the source-level
+    * delete propagates. */
+  def annForget(path: String, ids: DataFrame): Unit = {
+    require(ids.columns.length == 1,
+      s"annForget: expected one id column, got " +
+        ids.columns.mkString(","))
+    ids.select(col(ids.columns.head).cast(LongType).as("vec_id"))
+      .write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** The bundle's current tombstone set as a 1-column (vec_id)
+    * relation — empty (not an error) when nothing was ever
+    * forgotten. Distinct, so append-mode redelivery never
+    * double-counts. */
+  def annTombstones(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p))
+      spark.read.parquet(p.toString).select(col("vec_id")).distinct()
+    else spark.range(0).select(col("id").as("vec_id"))
+  }
+
+  /** The encoded state a consumer may actually surface: `encoded`
+    * minus tombstoned ids. One broadcast anti-join — the tombstone
+    * set is KB-scale by the [[annForget]] contract, so this rides
+    * the probe scan; no corpus shuffle. Every standing-index search
+    * path goes through this (the x119 pane pins that a forgotten
+    * id that WAS a top-k neighbor stops appearing). */
+  def liveEncoded(encoded: DataFrame, tombstones: DataFrame): DataFrame =
+    encoded.join(broadcast(tombstones.select(col("vec_id"))),
+      encoded("neighbor_id") === tombstones("vec_id"), "left_anti")
+
+  /** PHYSICAL erasure + small-file compaction, in one crash-safe
+    * swap: rewrite the bundle's encoded part without tombstoned rows
+    * at `nFiles` output files ([[VersionedState.rewritePart]] stages
+    * BEFORE invalidating meta and re-stamps last, so a reader never
+    * validates mid-swap), then drop the folded tombstones. Clearing
+    * tombstones AFTER the re-stamp is deliberate: a crash between
+    * the two leaves tombstones over already-compacted state, and the
+    * next [[liveEncoded]] anti-join (or the next compact) is a
+    * no-op on them — idempotent, never resurrecting. Returns
+    * (rowsBefore, rowsAfter, dataFilesAfter). The KB definition
+    * parts (cents/codebook) are untouched — deletion changes index
+    * STATE, not the recipe, so the version stamp survives and
+    * consumers keep validating. */
+  def annCompact(spark: SparkSession, path: String, version: String,
+                 nFiles: Int = 1): (Long, Long, Int) = {
+    val vs = graft.sources.VersionedState
+    val ts = annTombstones(spark, path).localCheckpoint(true)
+    val before = vs.read(spark, path, version, "encoded")
+    val nBefore = before.count()
+    val live = liveEncoded(before, ts)
+    vs.rewritePart(path, version, "encoded", live, nFiles)
+    val tsDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val f = tsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(tsDir)) f.delete(tsDir, true)
+    val after = vs.read(spark, path, version, "encoded")
+    val enc = new org.apache.hadoop.fs.Path(s"$path/encoded")
+    val nDataFiles = f.listStatus(enc).count { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    (nBefore, after.count(), nDataFiles)
   }
 
   /** [[hashBlobLake]]'s RECIPE VERSION — part of any standing-state

@@ -86,6 +86,96 @@ object VersionedState {
     }
   }
 
+  /** Rewrite ONE part of an existing bundle in place, crash-safe —
+    * the ledger-compaction primitive ([[graft.operators.Similarity]]
+    * `annCompact` folds tombstones into the encoded part without
+    * re-persisting the KB definition parts). Order is the
+    * Lake.compact swap wrapped in this ledger's invalidate-first
+    * meta discipline:
+    *
+    *   1. stage the new rows to `<part>.compact` (sized file count —
+    *      the accreted form's small-file debt is paid here);
+    *   2. INVALIDATE meta — from here until re-stamp, `exists()`
+    *      reads false, so a reader can never validate mid-swap;
+    *   3. rename live → `.pre`, staged → live, drop `.pre`;
+    *   4. re-stamp meta LAST.
+    *
+    * A crash at any point leaves either the old bundle intact
+    * (before 2) or no valid meta (after 2) — never a valid meta over
+    * mixed state. The input `df` MUST NOT read from the part being
+    * rewritten (stage-then-swap does not protect a lazy self-read;
+    * callers read the part, transform, and pass the plan — the
+    * staging write in step 1 materializes it BEFORE step 3 touches
+    * the source files, which is exactly why staging precedes the
+    * swap). `nFiles` sizes the staged write via coalesce — no
+    * shuffle, tasks concatenate input splits (Lake.compact's
+    * reasoning). */
+  def rewritePart(path: String, version: String, part: String,
+                  df: DataFrame, nFiles: Int): Unit = {
+    require(part != "meta", "VersionedState.rewritePart: 'meta' is " +
+      "the version stamp, not a rewritable part")
+    require(nFiles >= 1, s"VersionedState.rewritePart: nFiles=$nFiles")
+    val spark = df.sparkSession
+    val live = new Path(s"$path/$part")
+    val f = fs(spark, live)
+    require(exists(spark, path, version),
+      s"VersionedState.rewritePart: no complete '$version' bundle " +
+        s"at $path — nothing to compact")
+    val staged = new Path(s"$path/$part.compact")
+    if (f.exists(staged)) f.delete(staged, true)
+    df.coalesce(nFiles).write.mode("overwrite")
+      .parquet(staged.toString)
+    val metaDir = new Path(s"$path/meta")
+    if (f.exists(metaDir)) f.delete(metaDir, true) // invalidate first
+    val bak = new Path(s"$path/$part.pre-compact")
+    if (f.exists(bak)) f.delete(bak, true)
+    if (!f.rename(live, bak))
+      throw new java.io.IOException(
+        s"rewritePart: could not stage out live part $live")
+    if (!f.rename(staged, live)) {
+      if (!f.rename(bak, live))
+        throw new java.io.IOException(
+          s"rewritePart: swap AND restore failed — data intact at " +
+            s"$bak; rename it back to $live")
+      throw new java.io.IOException(s"rewritePart: swap failed: $live")
+    }
+    f.delete(bak, true)
+    spark.range(1)
+      .select(lit(version).as("version"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Delete every stale versioned bundle under `root`, keeping only
+    * bundles whose stamped version is in `keep` — the retention half
+    * of the ledger lifecycle. Callers derive bundle PATHS from
+    * version strings (the contract above), so a recipe change leaves
+    * the old bundle orphaned at its old path forever; at 100 TB the
+    * encoded part of each orphan is the corpus at m bytes/vector, so
+    * "forever" is real storage. Sweeps one directory level: children
+    * of `root` that contain a readable meta stamp. A child with NO
+    * valid meta is left alone (it may be a bundle mid-write by
+    * another process — deleting it here would race the writer; the
+    * single-writer note in [[write]] applies). Returns
+    * (keptCount, deletedCount). */
+  def vacuumRoot(spark: SparkSession, root: String,
+                 keep: Set[String]): (Int, Int) = {
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    if (!f.exists(rootP)) return (0, 0)
+    var kept = 0; var deleted = 0
+    f.listStatus(rootP).filter(_.isDirectory).foreach { st =>
+      val meta = new Path(st.getPath, "meta/_SUCCESS")
+      if (f.exists(meta)) {
+        val rows = spark.read.parquet(
+          new Path(st.getPath, "meta").toString).collect()
+        val v = rows.headOption.map(_.getString(0))
+        if (v.exists(keep.contains)) kept += 1
+        else { f.delete(st.getPath, true); deleted += 1 }
+      }
+    }
+    (kept, deleted)
+  }
+
   /** Read one named part back, failing fast unless the persisted
     * version is exactly what the caller expects. */
   def read(spark: SparkSession, path: String, version: String,

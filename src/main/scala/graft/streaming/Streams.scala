@@ -853,7 +853,12 @@ object Streams {
     * form's caveat; st16's top-k ledger never needed the guard — its
     * merge is idempotent by algebra. */
   /** st17's ledger schema: per-source sketch + the id of the last
-    * applied micro-batch, committed in the SAME atomic swap. */
+    * applied micro-batch, committed in the SAME atomic swap. `__cap`
+    * is the recipe stamp (the dsir `__nb` / boilerplate `__sep`
+    * discipline on the sketch tier): the sketch's error bound is a
+    * function of its capacity, so a fold called at a different
+    * maxMapSize would merge-and-truncate state whose published
+    * bounds no longer hold — it fails fast instead. */
   val freqLedgerSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("source",
@@ -861,6 +866,8 @@ object Streams {
       org.apache.spark.sql.types.StructField("sk",
         org.apache.spark.sql.types.BinaryType),
       org.apache.spark.sql.types.StructField("__last_batch",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__cap",
         org.apache.spark.sql.types.LongType)))
 
   /** One batchId-keyed IDEMPOTENT fold of a (source, tok) micro-batch
@@ -883,17 +890,31 @@ object Streams {
     import graft.functions.FreqFns
     val sp = batch.sparkSession
     val ledger = sp.read.parquet(path)
-    val applied = ledger
-      .agg(coalesce(max(col("__last_batch")), lit(-1L)))
-      .head().getLong(0)
+    val head = ledger
+      .agg(coalesce(max(col("__last_batch")), lit(-1L)),
+        max(col("__cap")))
+      .head()
+    val applied = head.getLong(0)
+    // recipe gate BEFORE the idempotence gate (dsirLedgerFold's
+    // order): even a replayed batch id signals a caller whose next
+    // batch would merge sketches under a different capacity — whose
+    // published error bound (≈ n/maxMapSize) the contract consumers
+    // check no longer describes the merged state
+    require(head.isNullAt(1) || head.getLong(1) == maxMapSize.toLong,
+      s"freqLedgerFold: ledger at $path was built at maxMapSize=" +
+        s"${if (head.isNullAt(1)) "?" else head.getLong(1)} but " +
+        s"this fold was called with maxMapSize=$maxMapSize — sketch " +
+        "bounds are only meaningful within one capacity; rebuild " +
+        "the ledger")
     if (batchId > applied) { // else: replayed batch, already folded
       val delta = batch.groupBy(col("source"))
         .agg(FreqFns.freqAgg(col("tok"), maxMapSize).as("sk"))
-      val merged = ledger.drop("__last_batch")
+      val merged = ledger.drop("__last_batch", "__cap")
         .unionByName(delta)
         .groupBy(col("source"))
         .agg(FreqFns.freqMergeAgg(col("sk"), maxMapSize).as("sk"))
         .withColumn("__last_batch", lit(batchId))
+        .withColumn("__cap", lit(maxMapSize.toLong))
       graft.operators.Mutations.overwriteAtomic(merged, path)
     }
   }
@@ -928,8 +949,14 @@ object Streams {
     // note: ledger-row counting diverges on token-less sources).
     val docs = graft.Tables.load(spark, sfDir, "documents")
     val nSrc = docs.agg(countDistinct(col("source")).as("n_sources"))
-    val merged = spark.read.parquet(path)
-      .agg(FreqFns.freqMergeAgg(col("sk"), 1024).as("sk"))
+    // merge at the ledger's OWN stamped capacity — a consumer that
+    // hardcoded its own would be the parallel-definition divergence
+    // the __cap stamp exists to kill (1-row scalar read, the
+    // advisor-decision idiom)
+    val folded = spark.read.parquet(path)
+    val cap = folded.agg(max(col("__cap"))).head().getLong(0).toInt
+    val merged = folded
+      .agg(FreqFns.freqMergeAgg(col("sk"), cap).as("sk"))
       .crossJoin(broadcast(nSrc)) // 1-row scalar idiom
     graft.operators.TextOps.freqBoundsContract(docs, merged)
   }

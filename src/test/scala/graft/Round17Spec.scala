@@ -1,0 +1,264 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-9 (continued) pins: the standing-ledger DELETE lifecycle —
+  * tombstone (logical, x119) → compact (physical erasure +
+  * small-file close-out via VersionedState.rewritePart's crash-safe
+  * swap, x120) → vacuum (stale-version retention) — and
+  * metadata-filtered search over the standing index (x121): routing
+  * boundary, over-fetch sizing rule, and the degenerate always-true
+  * filter reproducing unfiltered search row-for-row. */
+class Round17Spec extends GraftSuite {
+
+  import graft.operators.Similarity
+  import graft.sources.VersionedState
+
+  private def tmp(name: String): String = {
+    val d = new java.io.File(s"target/qtmp/$name")
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    d.getAbsolutePath
+  }
+
+  // ------------------------------------ VersionedState.rewritePart
+
+  test("rewritePart swaps ONE part in place: rewritten rows land, " +
+       "sibling parts and the version stamp survive, and no staging " +
+       "directories are left behind") {
+    import spark.implicits._
+    val path = tmp("r17_rewrite")
+    val a = Seq((1L, "keep"), (2L, "drop"), (3L, "keep"))
+      .toDF("id", "tag")
+    val b = Seq((9L, "sibling")).toDF("id", "tag")
+    VersionedState.write(path, "v1", "a" -> a, "b" -> b)
+    val live = VersionedState.read(spark, path, "v1", "a")
+      .filter(col("tag") === "keep")
+    VersionedState.rewritePart(path, "v1", "a", live, nFiles = 1)
+    assert(VersionedState.exists(spark, path, "v1"),
+      "the version stamp must survive a part rewrite")
+    val back = VersionedState.read(spark, path, "v1", "a")
+    assert(back.count() === 2L)
+    assert(back.filter(col("tag") === "drop").count() === 0L)
+    // sibling part untouched
+    assert(VersionedState.read(spark, path, "v1", "b")
+      .count() === 1L)
+    // crash-window hygiene: neither staging nor backup dir remains
+    val f = new java.io.File(path)
+    val leftovers = Option(f.listFiles()).toSeq.flatten
+      .map(_.getName).filter(n => n.contains(".compact") ||
+        n.contains(".pre-compact"))
+    assert(leftovers.isEmpty, s"staging leftovers: $leftovers")
+    // and the rewritten part is exactly one data file (the sized
+    // write — the small-file close-out annCompact exists for)
+    val dataFiles = new java.io.File(s"$path/a").listFiles()
+      .count(x => x.isFile && !x.getName.startsWith("_") &&
+        !x.getName.startsWith("."))
+    assert(dataFiles === 1)
+  }
+
+  test("rewritePart refuses the meta part, a zero file count, and a " +
+       "bundle that does not exist at the named version") {
+    import spark.implicits._
+    val path = tmp("r17_rewrite_guards")
+    val a = Seq((1L, "x")).toDF("id", "tag")
+    VersionedState.write(path, "v1", "a" -> a)
+    intercept[IllegalArgumentException] {
+      VersionedState.rewritePart(path, "v1", "meta", a, 1)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedState.rewritePart(path, "v1", "a", a, 0)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedState.rewritePart(path, "v2", "a", a, 1)
+    }
+  }
+
+  // ---------------------------------------- VersionedState.vacuumRoot
+
+  test("vacuumRoot deletes stale versioned bundles, keeps the named " +
+       "versions, and leaves meta-less directories alone (they may " +
+       "be a bundle mid-write)") {
+    import spark.implicits._
+    val root = tmp("r17_vacuum")
+    val df = Seq((1L, "x")).toDF("id", "tag")
+    VersionedState.write(s"$root/model_v1", "v1", "w" -> df)
+    VersionedState.write(s"$root/model_v2", "v2", "w" -> df)
+    // a directory with no valid meta — a writer mid-flight; vacuum
+    // must not race it
+    new java.io.File(s"$root/inflight").mkdirs()
+    val (kept, deleted) = VersionedState.vacuumRoot(spark, root,
+      keep = Set("v2"))
+    assert(kept === 1 && deleted === 1)
+    assert(!VersionedState.exists(spark, s"$root/model_v1", "v1"))
+    assert(VersionedState.exists(spark, s"$root/model_v2", "v2"))
+    assert(new java.io.File(s"$root/inflight").exists(),
+      "vacuum deleted a meta-less directory — that races a writer")
+    // idempotent: a second sweep finds nothing stale
+    assert(VersionedState.vacuumRoot(spark, root,
+      keep = Set("v2")) === ((1, 0)))
+  }
+
+  // -------------------------------- tombstones: annForget/liveEncoded
+
+  test("annForget appends idempotently (redelivered ids dedup on " +
+       "read) and liveEncoded removes every encoded row of a " +
+       "forgotten id; an untouched bundle has an empty tombstone set") {
+    import spark.implicits._
+    val path = tmp("r17_forget")
+    assert(Similarity.annTombstones(spark, path).count() === 0L)
+    val ids = Seq(7L, 13L).toDF("vec_id")
+    Similarity.annForget(path, ids)
+    Similarity.annForget(path, ids) // at-least-once redelivery
+    val ts = Similarity.annTombstones(spark, path)
+    assert(ts.count() === 2L, "tombstones must dedup on read")
+    val encoded = Seq((0L, 7L, 0, 3), (0L, 7L, 1, 5), (1L, 8L, 0, 2),
+      (2L, 13L, 0, 1)).toDF("cell", "neighbor_id", "sub", "code")
+    val live = Similarity.liveEncoded(encoded, ts)
+    assert(live.count() === 1L)
+    assert(live.head().getLong(1) === 8L)
+  }
+
+  // --------------------------------------------- annCompact equality
+
+  test("annCompact: post-compact search equals pre-compact search " +
+       "over liveEncoded ROW-FOR-ROW, the tombstone set clears, the " +
+       "version survives, and a second compact is a no-op") {
+    val n = 500L; val nlist = 16; val m = 8; val k = 5; val np = 4
+    val lake = Similarity.hashBlobLake(spark, n).localCheckpoint(true)
+    val path = tmp("r17_compact")
+    val version = Similarity.annIndexVersion(nlist, m, 16)
+    val (cents, codebook) = Similarity.ivfpqTrain(lake, "vec_id",
+      "embedding", nlist, m, 16, coarseIters = 1, pqIters = 1)
+    Similarity.persistIndex(path, version, cents, codebook,
+      Similarity.ivfpqEncode(lake, "vec_id", "embedding", cents,
+        codebook, m))
+    import spark.implicits._
+    val tsIds = Seq(3L, 77L, 401L).toDF("vec_id")
+    Similarity.annForget(path, tsIds)
+    val q = Similarity.stratifiedProbes(lake, "vec_id", 8)
+      .localCheckpoint(true)
+    val rr = Similarity.rerankFor(n, nlist, np)
+    def search(enc: DataFrame): DataFrame =
+      Similarity.ivfpqSearchEncoded(q, "vec_id", "embedding", enc,
+        cents, codebook, k, np, m = m, rerank = rr,
+        rerankSource = Some(lake))
+    val logical = search(Similarity.liveEncoded(
+      VersionedState.read(spark, path, version, "encoded"),
+      Similarity.annTombstones(spark, path))).localCheckpoint(true)
+    val (nb, na, nf) = Similarity.annCompact(spark, path, version)
+    assert(nb === n * m && na === (n - 3) * m && nf === 1)
+    assert(VersionedState.exists(spark, path, version))
+    assert(Similarity.annTombstones(spark, path).count() === 0L)
+    val physical = search(
+      VersionedState.read(spark, path, version, "encoded"))
+    assert(logical.exceptAll(physical).isEmpty &&
+      physical.exceptAll(logical).isEmpty,
+      "physical erasure changed search results vs the logical " +
+        "tombstone view — compaction must be invisible to consumers")
+    // idempotence: nothing left to fold
+    val (nb2, na2, _) = Similarity.annCompact(spark, path, version)
+    assert(nb2 === na && na2 === na)
+  }
+
+  // ------------------------------------ freq ledger: capacity stamp
+
+  test("freqLedgerFold fails fast on a sketch-capacity mismatch — " +
+       "bounds are only meaningful within one capacity (the __nb/" +
+       "__sep recipe stamp on the sketch tier), and the gate fires " +
+       "BEFORE the idempotence gate") {
+    import spark.implicits._
+    val path = tmp("r17_freq_ledger")
+    graft.operators.Mutations.seedEmptyLedger(spark, path,
+      graft.streaming.Streams.freqLedgerSchema)
+    val batch = Seq(("web", "the"), ("web", "cat"), ("web", "the"))
+      .toDF("source", "tok")
+    graft.streaming.Streams.freqLedgerFold(batch, 0L, path,
+      maxMapSize = 1024)
+    // same capacity folds fine
+    graft.streaming.Streams.freqLedgerFold(batch, 1L, path,
+      maxMapSize = 1024)
+    // a mismatched capacity throws even on a REPLAYED batch id
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Streams.freqLedgerFold(batch, 1L, path,
+        maxMapSize = 512)
+    }
+    assert(e.getMessage.contains("maxMapSize"))
+  }
+
+  // --------------------------------------- filtered search + sizing
+
+  test("overfetchFor: k/sel with 4x safety, floored at k; rejects " +
+       "a selectivity outside (0, 1]") {
+    assert(Similarity.overfetchFor(5, 1.0) === 20)
+    assert(Similarity.overfetchFor(5, 0.25) === 80)
+    assert(Similarity.overfetchFor(5, 0.001) === 20000)
+    intercept[IllegalArgumentException] {
+      Similarity.overfetchFor(5, 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.overfetchFor(5, 1.01)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.overfetchFor(0, 0.5)
+    }
+  }
+
+  test("annTopKFilteredRouted routes by measured survivor count — " +
+       "selective filters pre-filter EXACT, broad ones post-filter " +
+       "ANN with widened knobs; the always-true filter on the ANN " +
+       "branch reproduces unfiltered search row-for-row") {
+    val n = 500L; val nlist = 16; val m = 8; val k = 5
+    val lake = Similarity.hashBlobLake(spark, n).localCheckpoint(true)
+    val (cents, codebook) = Similarity.ivfpqTrain(lake, "vec_id",
+      "embedding", nlist, m, 16, coarseIters = 1, pqIters = 1)
+    val encoded = Similarity.ivfpqEncode(lake, "vec_id", "embedding",
+      cents, codebook, m).localCheckpoint(true)
+    val q = Similarity.stratifiedProbes(lake, "vec_id", 8)
+      .localCheckpoint(true)
+    // selective: 5 survivors <= cutoff -> exact over the survivor set
+    val sel = Similarity.annTopKFilteredRouted(q, lake, "vec_id",
+      "embedding", pmod(col("vec_id"), lit(100L)) === 0, k,
+      encoded, cents, codebook, nlist, m = m, bruteCutoff = 100L)
+    assert(sel.route === "exact_filtered" && sel.nSurvivors === 5L)
+    // exact by construction: equals the brute twin over survivors
+    val twin = Similarity.bruteTopKL2(q,
+      lake.filter(pmod(col("vec_id"), lit(100L)) === 0), "vec_id",
+      "embedding", k)
+    assert(sel.result.exceptAll(twin).isEmpty &&
+      twin.exceptAll(sel.result).isEmpty)
+    // broad + cutoff 0: the ANN branch, knobs widened by 1/sel
+    val ann = Similarity.annTopKFilteredRouted(q, lake, "vec_id",
+      "embedding", lit(true), k, encoded, cents, codebook, nlist,
+      m = m, bruteCutoff = 0L)
+    assert(ann.route === "ann_overfetch")
+    assert(ann.nSurvivors === n)
+    assert(ann.kPrime === Similarity.overfetchFor(k, 1.0))
+    assert(ann.nprobe === Similarity.nprobeFor(nlist))
+    // the preflight MEASURED this decision: filtering nothing loses
+    // nothing, so the sample recall is exactly 1.0 (and a floor
+    // outside [0,1] is a caller error)
+    assert(ann.recallPreflight === 1.0d)
+    intercept[IllegalArgumentException] {
+      Similarity.annTopKFilteredRouted(q, lake, "vec_id",
+        "embedding", lit(true), k, encoded, cents, codebook, nlist,
+        m = m, recallFloor = 1.5)
+    }
+    // sel = 1 degenerate: filtering nothing must reproduce the
+    // unfiltered sized search exactly (same exact-rerank tail)
+    val plain = Similarity.ivfpqSearchEncoded(q, "vec_id",
+      "embedding", encoded, cents, codebook, k,
+      Similarity.nprobeFor(nlist), m = m,
+      rerank = math.max(Similarity.rerankFor(n, nlist,
+        Similarity.nprobeFor(nlist)), ann.kPrime),
+      rerankSource = Some(lake))
+    assert(ann.result.exceptAll(plain).isEmpty &&
+      plain.exceptAll(ann.result).isEmpty)
+    // an empty survivor set is a caller error, not silent zero rows
+    intercept[IllegalArgumentException] {
+      Similarity.annTopKFilteredRouted(q, lake, "vec_id",
+        "embedding", lit(false), k, encoded, cents, codebook, nlist,
+        m = m)
+    }
+  }
+}
