@@ -3407,6 +3407,74 @@ object SparkEntry {
         lit(deleted2.toLong).as("n_deleted_resweep"))
     }),
 
+    "x123_cell_pruned_search" -> ((s, dir) => {
+      // the PHYSICAL LAYOUT that makes probes prune FILES, not rows:
+      // without it the ADC join only SCORES probed cells but the
+      // scan still READS the whole encoded ledger to find them —
+      // fine at 16k rows, corpus-sized IO at 100 TB. The cell-layout
+      // bundle writes one directory (one file) per cell; the search
+      // collects the batch's probed cells (≤ |q|·nprobe longs, the
+      // advisor-decision idiom widened to a pruning list, via the
+      // SAME probeAssign ranking the ADC uses — witnessed, not
+      // re-derived) and pushes them down as a partition filter. The
+      // pane pins the whole contract: files on disk == cells, files
+      // READ == cells PROBED (the pruning is real — Round17Spec
+      // additionally pins the FileSourceScanExec partition count),
+      // pruned == unpruned row-for-row (pruning changes what is
+      // read, never what is scored), and recall 1.0 vs the exact
+      // twin.
+      val n = 2000L; val nlist = 64; val nprobe = 8; val k = 5
+      val m = 8
+      val lake = Similarity.hashBlobLake(s, n).localCheckpoint(true)
+      val version = Similarity.annIndexVersion(nlist, m, 16)
+      val path = annLedgerPath(version,
+        s"${Similarity.hashBlobLakeKey(n)}-celllayout")
+      if (!Similarity.indexExists(s, path, version)) {
+        val (c0, cb0) = Similarity.ivfpqTrain(lake, "vec_id",
+          "embedding", nlist, m, 16, coarseIters = 1, pqIters = 1)
+        Similarity.persistIndexCellLayout(path, version, c0, cb0,
+          Similarity.ivfpqEncode(lake, "vec_id", "embedding",
+            c0, cb0, m))
+      }
+      val (cents, codebook, encoded) =
+        Similarity.loadIndexCellLayout(s, path, version)
+      val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
+        .localCheckpoint(true)
+      val rr = Similarity.rerankFor(n, nlist, nprobe)
+      val (cells, pruned) = Similarity.ivfpqSearchPruned(q, "vec_id",
+        "embedding", encoded, cents, codebook, k, nprobe, m,
+        rerank = rr, rerankSource = Some(lake))
+      val full = Similarity.ivfpqSearchEncoded(q, "vec_id",
+        "embedding", encoded, cents, codebook, k, nprobe, m,
+        rerank = rr, rerankSource = Some(lake))
+      val prunedC = pruned.localCheckpoint(true)
+      val equal = prunedC.exceptAll(full).count() == 0L &&
+        full.exceptAll(prunedC).count() == 0L
+      val filesRead = encoded
+        .filter(col("cell").isInCollection(cells.toSeq))
+        .select(input_file_name()).distinct().count()
+      val filesTotal = encoded
+        .select(input_file_name()).distinct().count()
+      val exact = Similarity.bruteTopKL2(q, lake, "vec_id",
+        "embedding", k)
+      exact.as("b").join(prunedC.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("l.neighbor_id")).as("n_hit"))
+        .select(lit(version).as("version"),
+          lit(nlist.toLong).as("n_cells_total"),
+          lit(cells.length.toLong).as("n_cells_probed"),
+          lit(filesTotal).as("n_files_total"),
+          lit(filesRead).as("n_files_read"),
+          lit(equal).as("pruned_equals_full"),
+          col("n_exact"),
+          round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
+            .as("recall"),
+          (col("n_hit").cast(DoubleType) / col("n_exact")
+            >= lit(0.94d)).as("recall_ge_094"))
+    }),
+
     "x88b_ivfpq_exact" -> ((s, dir) => {
       // the SAME IVFPQ machinery in its degenerate config — every cell
       // probed (nprobe = nlist) and ksub = |corpus| (every residual its
@@ -10862,6 +10930,23 @@ object SparkEntry {
              TRUE AS inflight_preserved,
              CAST(1 AS BIGINT) AS n_kept_resweep,
              CAST(0 AS BIGINT) AS n_deleted_resweep""",
+
+    "x123_cell_pruned_search" -> """
+      -- the layout contract: one file per cell on disk (64), files
+      -- READ == cells PROBED (58 of 64 for this 16-query batch —
+      -- nearly saturating at test scale; the contract, not the
+      -- ratio, is what a 65536-cell deployment inherits), pruning
+      -- changes nothing about results (pruned == full row-for-row),
+      -- recall 1.0 vs the exact twin
+      SELECT 'ivfpq-nl64-m8-ks16-ci1-pi1-fp1e7' AS version,
+             CAST(64 AS BIGINT) AS n_cells_total,
+             CAST(58 AS BIGINT) AS n_cells_probed,
+             CAST(64 AS BIGINT) AS n_files_total,
+             CAST(58 AS BIGINT) AS n_files_read,
+             TRUE AS pruned_equals_full,
+             CAST(80 AS BIGINT) AS n_exact,
+             CAST(1.0 AS DOUBLE) AS recall,
+             TRUE AS recall_ge_094""",
 
     "x88_ivfpq_topk" -> """
       SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ge_08

@@ -479,22 +479,33 @@ object Similarity {
     * neighbor_id, approx_d2) over the probed fraction of the encoded
     * state — shared by the single-stage (exact-rerank) and two-stage
     * ([[ivfpqSearchRefined]]) tails. */
+  /** The probe stage on its own: top-nprobe cells per query by
+    * centroid cosine (the ivf rule), as (query_id, qv, cell) — ONE
+    * definition shared by the ADC tail and the layout-pruning
+    * consumers ([[probedCellIds]]); a parallel re-derivation of the
+    * probe ranking would be the silent-divergence class the repo's
+    * witnessing discipline exists to kill. */
+  private def probeAssign(queries: DataFrame, idCol: String,
+                          vecCol: String, cents: DataFrame,
+                          nprobe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VectorExprs.norm(col(vecCol)).as("qn"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("probe_cos").desc, col("cent_id").asc)
+    q.join(broadcast(cents))
+      .withColumn("probe_cos", centCos(col("qv"), col("qn")))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+  }
+
   private def ivfpqAdc(queries: DataFrame, idCol: String,
                        vecCol: String, encoded: DataFrame,
                        cents: DataFrame, codebook: DataFrame,
                        nprobe: Int, m: Int): DataFrame = {
     val centQ = cents.select(col("cent_id").as("cell"),
       quantize1e7(col("cent_v")).as("cent_q"))
-    // probe: top-nprobe cells per query by centroid cosine (ivf rule)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      VectorExprs.norm(col(vecCol)).as("qn"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("probe_cos").desc, col("cent_id").asc)
-    val probes = q.join(broadcast(cents))
-      .withColumn("probe_cos", centCos(col("qv"), col("qn")))
-      .withColumn("__pr", row_number().over(probeW))
-      .filter(col("__pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+    val probes = probeAssign(queries, idCol, vecCol, cents, nprobe)
     // per-(query, cell) residual ADC tables
     val dtable = probes.join(broadcast(centQ), Seq("cell"))
       .select(col("query_id"), col("cell"),
@@ -1324,6 +1335,75 @@ object Similarity {
     (vs.read(spark, path, version, "cents"),
       vs.read(spark, path, version, "codebook"),
       vs.read(spark, path, version, "encoded"))
+  }
+
+  // ---- cell-partitioned PHYSICAL LAYOUT (probe → file pruning) ----------
+
+  /** [[persistIndex]] with the encoded part laid out ONE DIRECTORY
+    * PER CELL (hive-partitioned on `cell`, pre-shuffled so each cell
+    * is one task's write → one file per cell): the physical layout
+    * that turns the IVF probe decision into FILE pruning. Row-level
+    * reality without it: the ADC join only SCORES probed cells, but
+    * the scan still READS the whole encoded ledger to find them. With
+    * the layout, a consumer filter `cell IN (probed)` is a partition
+    * filter — at 100 TB a query batch probing 128 of 65536 cells
+    * opens 128 directories instead of the full m-bytes-per-vector
+    * corpus. This is how deployed vector stores lay out IVF lists
+    * (FAISS's inverted lists, one file region per list, re-expressed
+    * as lake partitioning). */
+  def persistIndexCellLayout(path: String, version: String,
+                             cents: DataFrame, codebook: DataFrame,
+                             encoded: DataFrame): Unit =
+    graft.sources.VersionedState.writeLayout(path, version,
+      Map("encoded" -> Seq("cell")),
+      "cents" -> cents, "codebook" -> codebook,
+      "encoded" -> encoded.repartition(col("cell")))
+
+  /** Read a cell-layout bundle back. The partition column round-trips
+    * through directory names, where Spark infers INT — re-cast to
+    * LONG so joins against cent_id (a vec_id-derived LONG) keep their
+    * types without runtime coercion. */
+  def loadIndexCellLayout(spark: SparkSession, path: String,
+                          version: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (cents, codebook, encoded) = loadIndex(spark, path, version)
+    (cents, codebook,
+      encoded.withColumn("cell", col("cell").cast(LongType)))
+  }
+
+  /** The DISTINCT cells a query batch will probe — the partition-
+    * pruning predicate's value list, computed by the SAME
+    * [[probeAssign]] ranking the ADC tail uses (witnessed, not
+    * re-derived). Driver-grain by design: ≤ |queries|·nprobe longs,
+    * the 1-row advisor-decision idiom widened to a pruning list —
+    * a query BATCH is thousands of rows, never corpus-grain. */
+  def probedCellIds(queries: DataFrame, idCol: String, vecCol: String,
+                    cents: DataFrame, nprobe: Int): Array[Long] =
+    probeAssign(queries, idCol, vecCol, cents, nprobe)
+      .select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+
+  /** [[ivfpqSearchEncoded]] over a cell-layout ledger with the probe
+    * set pushed down as a PARTITION FILTER: collect the batch's
+    * probed cells ([[probedCellIds]]), restrict the encoded scan to
+    * those directories, search as usual. EQUAL to the unpruned
+    * search by construction — the ADC join never matches rows
+    * outside probed cells anyway (Round17Spec pins the row equality;
+    * x123 pins files-read == cells-probed) — the pruning changes
+    * what is READ, not what is scored. Returns (probedCells, result)
+    * so consumers can witness the pruning that actually happened. */
+  def ivfpqSearchPruned(queries: DataFrame, idCol: String,
+                        vecCol: String, encodedCellLayout: DataFrame,
+                        cents: DataFrame, codebook: DataFrame,
+                        k: Int, nprobe: Int, m: Int = 8,
+                        rerank: Int = 0,
+                        rerankSource: Option[DataFrame] = None)
+      : (Array[Long], DataFrame) = {
+    val cells = probedCellIds(queries, idCol, vecCol, cents, nprobe)
+    val pruned = encodedCellLayout
+      .filter(col("cell").isInCollection(cells))
+    (cells, ivfpqSearchEncoded(queries, idCol, vecCol, pruned, cents,
+      codebook, k, nprobe, m, rerank, rerankSource))
   }
 
   // ---- standing-index DELETE lifecycle (tombstone → compact) ------------

@@ -46,7 +46,22 @@ object VersionedState {
     * make redelivery byte-identical, so overwrite-on-rewrite is
     * idempotent. */
   def write(path: String, version: String,
-            parts: (String, DataFrame)*): Unit = {
+            parts: (String, DataFrame)*): Unit =
+    writeLayout(path, version, Map.empty, parts: _*)
+
+  /** [[write]] with a PHYSICAL LAYOUT per part: parts named in
+    * `partitionColsByPart` are written hive-partitioned on those
+    * columns (directory per value), which turns a consumer's
+    * equality/IN filter on them into PARTITION PRUNING — files never
+    * opened, not rows filtered after a scan. The layout is part of
+    * how a 100 TB ledger stays probe-able: a cell-partitioned
+    * encoded part means a search batch that probes 128 of 65536
+    * cells reads 128 directories, not the corpus (Similarity's
+    * cell-layout search, x123). Same invalidate-first meta
+    * discipline as [[write]]. */
+  def writeLayout(path: String, version: String,
+                  partitionColsByPart: Map[String, Seq[String]],
+                  parts: (String, DataFrame)*): Unit = {
     require(parts.nonEmpty, "VersionedState.write: no parts")
     require(!parts.exists(_._1 == "meta"),
       "VersionedState.write: 'meta' is reserved for the version stamp")
@@ -55,7 +70,12 @@ object VersionedState {
     val f = fs(spark, metaDir)
     if (f.exists(metaDir)) f.delete(metaDir, true) // invalidate first
     parts.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$path/$name")
+      val cols = partitionColsByPart.getOrElse(name, Seq.empty)
+      if (cols.isEmpty)
+        df.write.mode("overwrite").parquet(s"$path/$name")
+      else
+        df.write.mode("overwrite").partitionBy(cols: _*)
+          .parquet(s"$path/$name")
     }
     spark.range(1)
       .select(lit(version).as("version"))

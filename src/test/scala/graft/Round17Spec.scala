@@ -186,6 +186,52 @@ class Round17Spec extends GraftSuite {
     assert(e.getMessage.contains("maxMapSize"))
   }
 
+  // ------------------------------- cell layout: probe → file pruning
+
+  test("cell-layout search pushes the probe set down as a PARTITION " +
+       "filter (FileSourceScanExec reads only probed directories) " +
+       "and equals the unpruned search row-for-row") {
+    val n = 500L; val nlist = 16; val m = 8; val k = 5; val np = 4
+    val lake = Similarity.hashBlobLake(spark, n).localCheckpoint(true)
+    val path = tmp("r17_cell_layout")
+    val version = Similarity.annIndexVersion(nlist, m, 16)
+    val (c0, cb0) = Similarity.ivfpqTrain(lake, "vec_id",
+      "embedding", nlist, m, 16, coarseIters = 1, pqIters = 1)
+    Similarity.persistIndexCellLayout(path, version, c0, cb0,
+      Similarity.ivfpqEncode(lake, "vec_id", "embedding", c0, cb0, m))
+    val (cents, codebook, encoded) =
+      Similarity.loadIndexCellLayout(spark, path, version)
+    val q = Similarity.stratifiedProbes(lake, "vec_id", 4)
+      .localCheckpoint(true)
+    val rr = Similarity.rerankFor(n, nlist, np)
+    val (cells, pruned) = Similarity.ivfpqSearchPruned(q, "vec_id",
+      "embedding", encoded, cents, codebook, k, np, m,
+      rerank = rr, rerankSource = Some(lake))
+    assert(cells.nonEmpty && cells.length < nlist,
+      s"4 probes x 4 queries should probe a strict subset of " +
+        s"$nlist cells, got ${cells.length}")
+    // the scan itself reads only probed partitions — the pruning is
+    // in the PLAN, not a post-scan filter
+    val prunedScan = encoded
+      .filter(org.apache.spark.sql.functions.col("cell")
+        .isInCollection(cells.toSeq))
+    val scans = prunedScan.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "no partition filter reached the parquet scan")
+    assert(scans.map(_.selectedPartitions.partitionCount).sum
+        === cells.length,
+      "scan reads a different directory count than the probe set")
+    // and pruning changes nothing about results
+    val full = Similarity.ivfpqSearchEncoded(q, "vec_id", "embedding",
+      encoded, cents, codebook, k, np, m, rerank = rr,
+      rerankSource = Some(lake))
+    assert(pruned.exceptAll(full).isEmpty &&
+      full.exceptAll(pruned).isEmpty)
+  }
+
   // --------------------------------------- filtered search + sizing
 
   test("overfetchFor: k/sel with 4x safety, floored at k; rejects " +
