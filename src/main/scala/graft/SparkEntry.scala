@@ -3475,6 +3475,88 @@ object SparkEntry {
             >= lit(0.94d)).as("recall_ge_094"))
     }),
 
+    "x124_ledger_promote" -> ((s, dir) => {
+      // the bridge between the index state's two storage forms,
+      // closing the st23 → x123 seam: the ingest fold's ledger is
+      // WRITE-optimized (one __bid directory per micro-batch —
+      // replay-confined, never rewrites history) but a cell's rows
+      // scatter across every batch directory, so probes can't prune
+      // it; the bundle is READ-optimized (one directory per cell).
+      // promoteIngestLedger reads the frozen definition
+      // version-checked, strips the batch bookkeeping, and persists
+      // the cell-layout bundle — CONTENT unchanged (the pane pins
+      // promoted == accreted as row equality), only the layout moves
+      // from ingest-grain to probe-grain. The search tail then runs
+      // PRUNED over the promoted bundle — the full production loop
+      // (stream in → promote in the maintenance window → probe
+      // file-pruned) in one oracled pane.
+      val n = 2000L; val nlist = 64; val nprobe = 8; val k = 5
+      val m = 8; val ksub = 16
+      val (lake, _, _, accreted) = graft.streaming.Streams
+        .streamAnnIngest(s, n, nlist, m, ksub, splitFiles = 4,
+          tag = "x124")
+      val version = Similarity.annIndexVersion(nlist, m, ksub)
+      val defPath = new java.io.File(
+        "target/qtmp/x124_def").getAbsolutePath
+      val encPath = new java.io.File(
+        "target/qtmp/x124_encoded").getAbsolutePath
+      val outPath = annLedgerPath(version,
+        s"${Similarity.hashBlobLakeKey(n)}-promoted")
+      Similarity.promoteIngestLedger(s, defPath, version, encPath,
+        outPath)
+      val (cents, codebook, promoted) =
+        Similarity.loadIndexCellLayout(s, outPath, version)
+      // row equality needs one column ORDER: the bundle read appends
+      // the partition column last, the accreted read carries it first
+      val cols = Seq("cell", "neighbor_id", "sub", "code")
+        .map(col)
+      val acc = accreted.select(cols: _*).localCheckpoint(true)
+      val prom = promoted.select(cols: _*).localCheckpoint(true)
+      val contentEqual = prom.exceptAll(acc).count() == 0L &&
+        acc.exceptAll(prom).count() == 0L
+      val nBatches = s.read.parquet(encPath)
+        .select(col("__bid")).distinct().count()
+      def countDataFiles(root: java.io.File): Long = {
+        val fs = Option(root.listFiles()).toSeq.flatten
+        fs.count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")) +
+          fs.filter(_.isDirectory).map(countDataFiles).sum
+      }
+      val filesPromoted = countDataFiles(
+        new java.io.File(s"$outPath/encoded"))
+      val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
+        .localCheckpoint(true)
+      val (cells, got) = Similarity.ivfpqSearchPruned(q, "vec_id",
+        "embedding", promoted, cents, codebook, k, nprobe, m,
+        rerank = Similarity.rerankFor(n, nlist, nprobe),
+        rerankSource = Some(lake))
+      // what the promotion BUYS: the probe set prunes the promoted
+      // layout to exactly its directories (the x123 contract, now
+      // holding on stream-accreted content) — the accreted __bid
+      // layout cannot prune by cell at all, whatever its file count
+      val filesReadPruned = promoted
+        .filter(col("cell").isInCollection(cells.toSeq))
+        .select(input_file_name()).distinct().count()
+      val exact = Similarity.bruteTopKL2(q, lake, "vec_id",
+        "embedding", k)
+      exact.as("b").join(got.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("l.neighbor_id")).as("n_hit"))
+        .select(lit(version).as("version"),
+          lit(nBatches).as("n_batches"),
+          lit(contentEqual).as("promoted_equals_accreted"),
+          lit(filesPromoted).as("n_files_promoted"),
+          lit(cells.length.toLong).as("n_cells_probed"),
+          lit(filesReadPruned).as("n_files_read_pruned"),
+          col("n_exact"),
+          round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
+            .as("recall"),
+          (col("n_hit").cast(DoubleType) / col("n_exact")
+            >= lit(0.94d)).as("recall_ge_094"))
+    }),
+
     "x88b_ivfpq_exact" -> ((s, dir) => {
       // the SAME IVFPQ machinery in its degenerate config — every cell
       // probed (nprobe = nlist) and ksub = |corpus| (every residual its
@@ -10944,6 +11026,23 @@ object SparkEntry {
              CAST(64 AS BIGINT) AS n_files_total,
              CAST(58 AS BIGINT) AS n_files_read,
              TRUE AS pruned_equals_full,
+             CAST(80 AS BIGINT) AS n_exact,
+             CAST(1.0 AS DOUBLE) AS recall,
+             TRUE AS recall_ge_094""",
+
+    "x124_ledger_promote" -> """
+      -- the storage-form bridge: 4 stream batches accrete, promotion
+      -- rewrites to the cell layout with CONTENT unchanged (row
+      -- equality pinned), and the promoted bundle is probe-prunable
+      -- (files read == cells probed — the capability the ingest-form
+      -- __bid layout cannot offer at any file count); search over it
+      -- holds recall 1.0 vs the exact twin
+      SELECT 'ivfpq-nl64-m8-ks16-ci1-pi1-fp1e7' AS version,
+             CAST(4 AS BIGINT) AS n_batches,
+             TRUE AS promoted_equals_accreted,
+             CAST(64 AS BIGINT) AS n_files_promoted,
+             CAST(58 AS BIGINT) AS n_cells_probed,
+             CAST(58 AS BIGINT) AS n_files_read_pruned,
              CAST(80 AS BIGINT) AS n_exact,
              CAST(1.0 AS DOUBLE) AS recall,
              TRUE AS recall_ge_094""",

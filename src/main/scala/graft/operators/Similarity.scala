@@ -1406,6 +1406,31 @@ object Similarity {
       codebook, k, nprobe, m, rerank, rerankSource))
   }
 
+  /** PROMOTE an accreted ingest ledger into the standing bundle —
+    * the bridge between the index state's two storage forms. The
+    * fold form ([[graft.streaming.Streams.annIngestFold]]) is
+    * WRITE-optimized: each micro-batch owns its `__bid` partition,
+    * so replay is confined and ingest never rewrites history — but a
+    * long-running stream accretes one directory per batch and the
+    * cell a row belongs to is scattered across all of them. The
+    * bundle form is READ-optimized: one directory per cell
+    * ([[persistIndexCellLayout]]), so probes prune files. Promotion
+    * reads the frozen definition version-checked, strips the batch
+    * bookkeeping, and persists the three-part bundle — content
+    * unchanged by construction (spec-pinned as row equality), only
+    * the LAYOUT moves from ingest-grain to probe-grain. Production
+    * cadence: ingest accretes all day, promote runs in the
+    * maintenance window next to [[annCompact]]/vacuum, consumers
+    * flip to the bundle path. */
+  def promoteIngestLedger(spark: SparkSession, definitionPath: String,
+                          version: String, encodedPath: String,
+                          outPath: String): Unit = {
+    val (cents, codebook) = loadIndexDef(spark, definitionPath, version)
+    val encoded = spark.read.parquet(encodedPath)
+      .select(col("cell"), col("neighbor_id"), col("sub"), col("code"))
+    persistIndexCellLayout(outPath, version, cents, codebook, encoded)
+  }
+
   // ---- standing-index DELETE lifecycle (tombstone → compact) ------------
   //
   // The missing half of a vector store's lifecycle: ingest accretes

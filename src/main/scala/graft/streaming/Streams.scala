@@ -1403,7 +1403,7 @@ object Streams {
     * (lake, cents, codebook, assembled encoded). */
   def streamAnnIngest(spark: SparkSession, n: Long, nlist: Int,
                       m: Int = 8, ksub: Int = 16,
-                      splitFiles: Int = 4)
+                      splitFiles: Int = 4, tag: String = "st23")
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.operators.Similarity
     val lake = Similarity.hashBlobLake(spark, n).localCheckpoint(true)
@@ -1418,13 +1418,13 @@ object Streams {
     // independent hardcodings are the silent-mismatch class the
     // version contract exists to kill.
     val version = Similarity.annIndexVersion(nlist, m, ksub)
-    val defDir = new java.io.File("target/qtmp/st23_def")
+    val defDir = new java.io.File(s"target/qtmp/${tag}_def")
     org.apache.commons.io.FileUtils.deleteQuietly(defDir)
     val defPath = defDir.getAbsolutePath
     Similarity.persistIndexDef(defPath, version, cents0, codebook0)
     val (cents, codebook) =
       Similarity.loadIndexDef(spark, defPath, version)
-    val stage = new java.io.File("target/qtmp/st23_src")
+    val stage = new java.io.File(s"target/qtmp/${tag}_src")
     org.apache.commons.io.FileUtils.deleteQuietly(stage)
     stage.mkdirs()
     (0 until splitFiles).foreach { i =>
@@ -1432,7 +1432,7 @@ object Streams {
         .write.mode("overwrite")
         .parquet(new java.io.File(stage, s"part$i").getAbsolutePath)
     }
-    val encodedDir = new java.io.File("target/qtmp/st23_encoded")
+    val encodedDir = new java.io.File(s"target/qtmp/${tag}_encoded")
     org.apache.commons.io.FileUtils.deleteQuietly(encodedDir)
     val encodedPath = encodedDir.getAbsolutePath
     val q = spark.readStream.schema(lake.schema)

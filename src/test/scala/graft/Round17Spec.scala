@@ -232,6 +232,39 @@ class Round17Spec extends GraftSuite {
       full.exceptAll(pruned).isEmpty)
   }
 
+  // ------------------------------ promote: ingest form → probe form
+
+  test("promoteIngestLedger: the fold-accreted __bid ledger promotes " +
+       "to a cell-layout bundle with content unchanged (row " +
+       "equality), and the bundle validates under the same version") {
+    val n = 500L; val nlist = 16; val m = 8; val ksub = 16
+    val lake = Similarity.hashBlobLake(spark, n).localCheckpoint(true)
+    val version = Similarity.annIndexVersion(nlist, m, ksub)
+    val defPath = tmp("r17_promote_def")
+    val encPath = tmp("r17_promote_enc")
+    val outPath = tmp("r17_promote_out")
+    val (c0, cb0) = Similarity.ivfpqTrain(lake, "vec_id",
+      "embedding", nlist, m, ksub, coarseIters = 1, pqIters = 1)
+    Similarity.persistIndexDef(defPath, version, c0, cb0)
+    // two ingest batches through the REAL fold (not a shortcut):
+    // disjoint halves, each owning its __bid partition
+    graft.streaming.Streams.annIngestFold(
+      lake.filter(col("vec_id") % 2 === 0), 0L, defPath, version,
+      encPath, m)
+    graft.streaming.Streams.annIngestFold(
+      lake.filter(col("vec_id") % 2 === 1), 1L, defPath, version,
+      encPath, m)
+    Similarity.promoteIngestLedger(spark, defPath, version, encPath,
+      outPath)
+    assert(Similarity.indexExists(spark, outPath, version))
+    val cols = Seq("cell", "neighbor_id", "sub", "code").map(col)
+    val acc = spark.read.parquet(encPath).select(cols: _*)
+    val prom = Similarity.loadIndexCellLayout(spark, outPath, version)
+      ._3.select(cols: _*)
+    assert(prom.exceptAll(acc).isEmpty && acc.exceptAll(prom).isEmpty,
+      "promotion changed index content — it must only move layout")
+  }
+
   // --------------------------------------- filtered search + sizing
 
   test("overfetchFor: k/sel with 4x safety, floored at k; rejects " +
