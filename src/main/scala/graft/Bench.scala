@@ -181,6 +181,7 @@ object Bench {
     "x122_ledger_vacuum",    // retention sweep of stale bundles
     "x123_cell_pruned_search", // probe set as a partition filter
     "x124_ledger_promote",   // ingest-form -> probe-form bridge
+    "x125_plan_audit",       // plan-shape audit + deploy gate
     "x36_span_dup_coverage") // bridge query shared with all sets
 
   def main(args: Array[String]): Unit = {

@@ -3557,6 +3557,50 @@ object SparkEntry {
             >= lit(0.94d)).as("recall_ge_094"))
     }),
 
+    "x125_plan_audit" -> ((s, dir) => {
+      // PLAN-SHAPE auditing as a runtime operator (plans/PlanAudit):
+      // the .explain discipline this repo enforces in PlanShapeSpec,
+      // lifted into data a pipeline can gate deployment on — at
+      // 100 TB "a new shuffle regressed into the nightly job" is an
+      // outage, and the audit makes it a refused deploy instead. The
+      // pane audits the flagship mart plan (counts from walking the
+      // pre-AQE physical tree, not string-matching explain) and pins
+      // BOTH gate branches live (the x116 canary rule): the flagship
+      // passes its declared shuffle budget; a deliberate cartesian
+      // (plan built, never executed) is REFUSED. The audit facts are
+      // the 100×-sensitive ones: every exchange is a corpus shuffle,
+      // dims must broadcast (0 sort-merge), cartesians are corpus².
+      import graft.plans.PlanAudit
+      val j4 = queries("j4_mart_flagship")(s, dir)
+      val a = PlanAudit.auditPlan(j4)
+      // the flagship's declared budget is TIGHT (its measured 2:
+      // one exchange for the mart aggregation, one for the final
+      // ordering) — a third shuffle appearing is exactly the
+      // regression the gate exists to refuse
+      val gateOk =
+        try { PlanAudit.gate(j4, maxShuffleExchanges = 2); true }
+        catch { case _: IllegalArgumentException => false }
+      // canary: a corpus² plan must be refused — built only for its
+      // PLAN (never executed; the gate walks the tree, runs nothing)
+      val cart = t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+      val refused =
+        try { PlanAudit.gate(cart, maxShuffleExchanges = 100); false }
+        catch { case _: IllegalArgumentException => true }
+      s.range(1).select(
+        lit(a.nShuffleExchanges.toLong).as("n_shuffle_exchanges"),
+        lit(a.nBroadcastHashJoins.toLong)
+          .as("n_broadcast_hash_joins"),
+        lit(a.nSortMergeJoins.toLong).as("n_sort_merge_joins"),
+        lit(a.nCartesianOrLoopJoins.toLong)
+          .as("n_cartesian_or_loop_joins"),
+        lit(a.nWholeStageSpans.toLong > 0L).as("codegen_live"),
+        lit(a.nFileScans.toLong).as("n_file_scans"),
+        lit(a.nScansWithPushedFilters.toLong)
+          .as("n_scans_pushed_filters"),
+        lit(gateOk).as("gate_passes_flagship"),
+        lit(refused).as("gate_refuses_cartesian"))
+    }),
+
     "x88b_ivfpq_exact" -> ((s, dir) => {
       // the SAME IVFPQ machinery in its degenerate config — every cell
       // probed (nprobe = nlist) and ksub = |corpus| (every residual its
@@ -11046,6 +11090,22 @@ object SparkEntry {
              CAST(80 AS BIGINT) AS n_exact,
              CAST(1.0 AS DOUBLE) AS recall,
              TRUE AS recall_ge_094""",
+
+    "x125_plan_audit" -> """
+      -- the flagship mart's static plan shape as data: 2 corpus
+      -- shuffles (mart agg + final ordering), dims broadcast (2 BHJ,
+      -- 0 sort-merge), no corpus-squared joins, codegen live, all 3
+      -- scans carry pushed filters; the gate passes the flagship at
+      -- its tight declared budget and REFUSES a deliberate cartesian
+      SELECT CAST(2 AS BIGINT) AS n_shuffle_exchanges,
+             CAST(2 AS BIGINT) AS n_broadcast_hash_joins,
+             CAST(0 AS BIGINT) AS n_sort_merge_joins,
+             CAST(0 AS BIGINT) AS n_cartesian_or_loop_joins,
+             TRUE AS codegen_live,
+             CAST(3 AS BIGINT) AS n_file_scans,
+             CAST(3 AS BIGINT) AS n_scans_pushed_filters,
+             TRUE AS gate_passes_flagship,
+             TRUE AS gate_refuses_cartesian""",
 
     "x88_ivfpq_topk" -> """
       SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ge_08

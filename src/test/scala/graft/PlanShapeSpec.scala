@@ -13,6 +13,22 @@ class PlanShapeSpec extends GraftSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan.toString
 
+  /** The FULLY-PREPARED static plan (exchanges + codegen inserted,
+    * AQE off) — required for any exchange-count assertion:
+    * `sparkPlan` predates EnsureRequirements, so exchanges are not
+    * in it and a "no exchange" check against it is vacuous (the
+    * PlanAudit.auditPlan rationale). */
+  private def prepared(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key, "true")
+    try {
+      spark.conf.set(key, "false")
+      spark.sessionState.executePlan(df.queryExecution.logical)
+        .executedPlan.toString
+    } finally spark.conf.set(key, prev)
+  }
+
   test("j4 flagship: dims broadcast, no sort-merge join") {
     val p = plan("j4_mart_flagship")
     assert(p.contains("BroadcastHashJoin"), p.take(500))
@@ -42,7 +58,10 @@ class PlanShapeSpec extends GraftSuite {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "-1")
-    val p = try plan("b1_bucketed_join") finally spark.conf.set(key, prev)
+    // prepared plan, not sparkPlan: the exchanges this test asserts
+    // the ABSENCE of only exist after EnsureRequirements runs
+    val p = try prepared("b1_bucketed_join")
+      finally spark.conf.set(key, prev)
     // one Exchange is legal for the final tiny groupBy; the JOIN itself
     // must not shuffle either side: no exchange may appear below the join
     val joinIdx = p.indexOf("SortMergeJoin") match {

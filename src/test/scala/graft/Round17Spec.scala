@@ -265,6 +265,38 @@ class Round17Spec extends GraftSuite {
       "promotion changed index content — it must only move layout")
   }
 
+  // ----------------------------------------- plan audit + deploy gate
+
+  test("PlanAudit audits the PREPARED plan (sparkPlan hides " +
+       "exchanges), and the gate refuses over-budget and " +
+       "corpus-squared plans while honoring an explicit opt-in") {
+    import graft.plans.PlanAudit
+    val df = spark.range(100)
+      .groupBy((col("id") % 10).as("k")).count()
+    val a = PlanAudit.auditPlan(df)
+    // the aggregation's exchange exists on the audit surface — on
+    // sparkPlan (pre-EnsureRequirements) it would count 0 and every
+    // shuffle budget would pass vacuously
+    assert(a.nShuffleExchanges >= 1)
+    assert(df.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange
+        .ShuffleExchangeExec => e
+    }.isEmpty, "sparkPlan grew exchanges — the audit could " +
+      "simplify to it")
+    PlanAudit.gate(df, maxShuffleExchanges = a.nShuffleExchanges)
+    intercept[IllegalArgumentException] {
+      PlanAudit.gate(df,
+        maxShuffleExchanges = a.nShuffleExchanges - 1)
+    }
+    val cart = spark.range(3).crossJoin(spark.range(3))
+    intercept[IllegalArgumentException] {
+      PlanAudit.gate(cart, maxShuffleExchanges = 100)
+    }
+    // corpus² only on explicit opt-in (a deliberate tiny cross)
+    PlanAudit.gate(cart, maxShuffleExchanges = 100,
+      allowCartesian = true)
+  }
+
   // --------------------------------------- filtered search + sizing
 
   test("overfetchFor: k/sel with 4x safety, floored at k; rejects " +
