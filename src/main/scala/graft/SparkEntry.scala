@@ -298,7 +298,16 @@ object SparkEntry {
         cents, codebook, m)
       Similarity.persistIndex(path, version, cents, codebook, encoded)
     }
-    Similarity.loadIndex(s, path, version)
+    val (cents, codebook, encoded) = Similarity.loadIndex(s, path,
+      version)
+    // EVERY standing-index consumer is tombstone-aware: forgotten
+    // ids must stop surfacing from any search path, not just the
+    // one that deleted them (the x119 contract, enforced at the one
+    // place all guarded consumers read through). A never-forgotten
+    // bundle anti-joins an empty broadcast set — plan noise, zero
+    // rows moved.
+    (cents, codebook,
+      Similarity.liveEncoded(encoded, Similarity.annTombstones(s, path)))
   }
 
   /** Shared x113/st23 audit tail: probe the encoded IVFPQ state with
@@ -3167,9 +3176,20 @@ object SparkEntry {
       val version = Similarity.annIndexVersion(nlist, 8, 16)
       val path = annLedgerPath(version,
         s"${Similarity.hashBlobLakeKey(n)}-forget")
-      val (cents, codebook, encoded) = standingAnnIndex(s,
-        s"${Similarity.hashBlobLakeKey(n)}-forget", lake, nlist,
-        m = 8, ksub = 16)
+      // RAW load, deliberately not standingAnnIndex: that helper is
+      // tombstone-aware (the x119 contract applied engine-wide), but
+      // THIS query is the before/after contrast itself — its "pre"
+      // phase must see the unfiltered state even on a warm rerun
+      // where last run's tombstones already exist
+      if (!Similarity.indexExists(s, path, version)) {
+        val (c0, cb0) = Similarity.ivfpqTrain(lake, "vec_id",
+          "embedding", nlist, 8, 16, coarseIters = 1, pqIters = 1)
+        Similarity.persistIndex(path, version, c0, cb0,
+          Similarity.ivfpqEncode(lake, "vec_id", "embedding",
+            c0, cb0, 8))
+      }
+      val (cents, codebook, encoded) =
+        Similarity.loadIndex(s, path, version)
       val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
         .localCheckpoint(true)
       val rr = Similarity.rerankFor(n, nlist, nprobe)
@@ -3436,8 +3456,10 @@ object SparkEntry {
           Similarity.ivfpqEncode(lake, "vec_id", "embedding",
             c0, cb0, m))
       }
-      val (cents, codebook, encoded) =
+      val (cents, codebook, enc0) =
         Similarity.loadIndexCellLayout(s, path, version)
+      val encoded = Similarity.liveEncoded(enc0,
+        Similarity.annTombstones(s, path)) // the x119 contract
       val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
         .localCheckpoint(true)
       val rr = Similarity.rerankFor(n, nlist, nprobe)
@@ -3504,8 +3526,10 @@ object SparkEntry {
         s"${Similarity.hashBlobLakeKey(n)}-promoted")
       Similarity.promoteIngestLedger(s, defPath, version, encPath,
         outPath)
-      val (cents, codebook, promoted) =
+      val (cents, codebook, prom0) =
         Similarity.loadIndexCellLayout(s, outPath, version)
+      val promoted = Similarity.liveEncoded(prom0,
+        Similarity.annTombstones(s, outPath)) // the x119 contract
       // row equality needs one column ORDER: the bundle read appends
       // the partition column last, the accreted read carries it first
       val cols = Seq("cell", "neighbor_id", "sub", "code")
@@ -3553,6 +3577,110 @@ object SparkEntry {
           col("n_exact"),
           round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
             .as("recall"),
+          (col("n_hit").cast(DoubleType) / col("n_exact")
+            >= lit(0.94d)).as("recall_ge_094"))
+    }),
+
+    "e2e_index_lifecycle" -> ((s, dir) => {
+      // the OPS LOOP capstone — every lifecycle operator in the
+      // order a production vector store actually runs them, under
+      // one isolated ledger root, smoke-guarding the seams the
+      // piecewise queries (x116/x118/x119/x120/x122) each gate
+      // alone: (1) a definition sized for 500 vectors has accreted
+      // 4x — the DRIFT advisor fires; (2) the REBUILD retrains at
+      // the advisor's own sized geometry into a NEW versioned bundle
+      // under the same root; (3) VACUUM sweeps the root keeping only
+      // the rebuilt version — the stale bundle x118 leaves orphaned
+      // is exactly what retention exists to collect; (4) FORGET
+      // tombstones ids (each probe's exact rank-1 — the adversarial
+      // canary); (5) COMPACT erases them physically, version
+      // surviving; (6) the final SEARCH holds recall 1.0 vs the
+      // exact twin over survivors with zero forgotten ids surfacing.
+      // Isolated root + fresh build each run: four of the six steps
+      // MUTATE state, so a guarded reuse would pin nothing.
+      val root = new java.io.File("target/qtmp/e2e_lifecycle_root")
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+      val rootPath = root.getAbsolutePath
+      val m = 8; val ksub = 16; val k = 5
+      val lake0 = Similarity.hashBlobLake(s, 500L)
+        .localCheckpoint(true)
+      val lakeNow = Similarity.hashBlobLake(s, 2000L)
+        .localCheckpoint(true)
+      // (0) the standing state as ingest left it: sized at build n
+      val nl0 = Similarity.nlistFor(500L) // 16
+      val v0 = Similarity.annIndexVersion(nl0, m, ksub)
+      val (c0, cb0) = Similarity.ivfpqTrain(lake0, "vec_id",
+        "embedding", nl0, m, ksub, coarseIters = 1, pqIters = 1)
+      Similarity.persistIndex(s"$rootPath/ann_$v0", v0, c0, cb0,
+        Similarity.ivfpqEncode(lakeNow, "vec_id", "embedding",
+          c0, cb0, m))
+      // (1) drift: the advisor reads only the encoded ledger
+      val (_, _, encStale) =
+        Similarity.loadIndex(s, s"$rootPath/ann_$v0", v0)
+      val drift = Similarity.indexGeometryDrift(encStale, nl0).head()
+      val fired = drift.getBoolean(
+        drift.fieldIndex("rebuild_recommended"))
+      val sized = drift.getLong(
+        drift.fieldIndex("sized_nlist_now")).toInt
+      // (2) rebuild at the advisor's OWN sizing, new versioned bundle
+      val v1 = Similarity.annIndexVersion(sized, m, ksub)
+      val (c1, cb1) = Similarity.ivfpqTrain(lakeNow, "vec_id",
+        "embedding", sized, m, ksub, coarseIters = 1, pqIters = 1)
+      Similarity.persistIndex(s"$rootPath/ann_$v1", v1, c1, cb1,
+        Similarity.ivfpqEncode(lakeNow, "vec_id", "embedding",
+          c1, cb1, m))
+      // (3) vacuum: the superseded bundle is now a storage orphan
+      val (kept, deleted) = graft.sources.VersionedState
+        .vacuumRoot(s, rootPath, keep = Set(v1))
+      val staleGone =
+        !Similarity.indexExists(s, s"$rootPath/ann_$v0", v0)
+      // (4) forget: each probe's exact rank-1 neighbor
+      val q = Similarity.stratifiedProbes(lakeNow, "vec_id", 16)
+        .localCheckpoint(true)
+      val preExact = Similarity.bruteTopKL2(q, lakeNow, "vec_id",
+        "embedding", k).localCheckpoint(true)
+      val tsIds = preExact.filter(col("rank") === 1)
+        .select(col("neighbor_id")).distinct().localCheckpoint(true)
+      Similarity.annForget(s"$rootPath/ann_$v1", tsIds)
+      // (5) compact: physical erasure, version surviving
+      val (nb, na, _) =
+        Similarity.annCompact(s, s"$rootPath/ann_$v1", v1)
+      val versionSurvived =
+        Similarity.indexExists(s, s"$rootPath/ann_$v1", v1)
+      // (6) search what remains — through the tombstone-aware read
+      // (empty set post-compact; the x119 contract)
+      val (cents, codebook, enc1) =
+        Similarity.loadIndex(s, s"$rootPath/ann_$v1", v1)
+      val encoded = Similarity.liveEncoded(enc1,
+        Similarity.annTombstones(s, s"$rootPath/ann_$v1"))
+      val np = Similarity.nprobeFor(sized)
+      val got = Similarity.ivfpqSearchEncoded(q, "vec_id",
+        "embedding", encoded, cents, codebook, k, np, m,
+        rerank = Similarity.rerankFor(2000L, sized, np),
+        rerankSource = Some(lakeNow))
+      val survivors = lakeNow.join(tsIds,
+        lakeNow("vec_id") === tsIds("neighbor_id"), "left_anti")
+      val exact = Similarity.bruteTopKL2(q, survivors, "vec_id",
+        "embedding", k)
+      val gotHitTs = got.join(tsIds, Seq("neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_results_forgotten"))
+      exact.as("b").join(got.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("l.neighbor_id")).as("n_hit"))
+        .join(gotHitTs, lit(true), "left") // 1-row pane join idiom
+        .select(
+          lit(fired).as("drift_fired"),
+          lit(v1).as("rebuilt_version"),
+          lit(kept.toLong).as("n_bundles_kept"),
+          lit(deleted.toLong).as("n_bundles_vacuumed"),
+          lit(staleGone).as("stale_gone"),
+          lit(nb - na).as("n_rows_erased"),
+          lit(versionSurvived).as("version_survived_compact"),
+          col("n_results_forgotten"), col("n_exact"),
+          round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
+            .as("recall_survivors"),
           (col("n_hit").cast(DoubleType) / col("n_exact")
             >= lit(0.94d)).as("recall_ge_094"))
     }),
@@ -11089,6 +11217,25 @@ object SparkEntry {
              CAST(58 AS BIGINT) AS n_files_read_pruned,
              CAST(80 AS BIGINT) AS n_exact,
              CAST(1.0 AS DOUBLE) AS recall,
+             TRUE AS recall_ge_094""",
+
+    "e2e_index_lifecycle" -> """
+      -- the ops loop end-to-end: drift fires on the 4x-accreted
+      -- 500-sized geometry, the rebuild lands at the advisor's own
+      -- nl32 in a new bundle, vacuum collects the stale one (1 kept,
+      -- 1 swept), forget+compact erase 16 rank-1 neighbors x m=8
+      -- rows with the version surviving, and the final search holds
+      -- recall 1.0 over survivors with zero forgotten ids surfacing
+      SELECT TRUE AS drift_fired,
+             'ivfpq-nl32-m8-ks16-ci1-pi1-fp1e7' AS rebuilt_version,
+             CAST(1 AS BIGINT) AS n_bundles_kept,
+             CAST(1 AS BIGINT) AS n_bundles_vacuumed,
+             TRUE AS stale_gone,
+             CAST(128 AS BIGINT) AS n_rows_erased,
+             TRUE AS version_survived_compact,
+             CAST(0 AS BIGINT) AS n_results_forgotten,
+             CAST(80 AS BIGINT) AS n_exact,
+             CAST(1.0 AS DOUBLE) AS recall_survivors,
              TRUE AS recall_ge_094""",
 
     "x125_plan_audit" -> """

@@ -1509,13 +1509,31 @@ object Similarity {
     * STATE, not the recipe, so the version stamp survives and
     * consumers keep validating. */
   def annCompact(spark: SparkSession, path: String, version: String,
-                 nFiles: Int = 1): (Long, Long, Int) = {
+                 nFiles: Int = 0,
+                 targetBytes: Long = 128L * 1024 * 1024)
+      : (Long, Long, Int) = {
+    require(nFiles >= 0 && targetBytes > 0,
+      s"annCompact: nFiles=$nFiles targetBytes=$targetBytes")
     val vs = graft.sources.VersionedState
     val ts = annTombstones(spark, path).localCheckpoint(true)
     val before = vs.read(spark, path, version, "encoded")
     val nBefore = before.count()
     val live = liveEncoded(before, ts)
-    vs.rewritePart(path, version, "encoded", live, nFiles)
+    // sized output, not guessed (the writeAdvised discipline):
+    // nFiles = 0 (default) sizes from the live part's bytes at the
+    // 128 MB parquet sweet spot — at a 1 TB encoded ledger that is
+    // ~8k files, at the test bundle it is 1; a positive nFiles pins
+    // it (x120's deterministic single-file pin)
+    val sized =
+      if (nFiles > 0) nFiles
+      else {
+        val enc = new org.apache.hadoop.fs.Path(s"$path/encoded")
+        val bytes = enc
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(enc).getLength
+        math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      }
+    vs.rewritePart(path, version, "encoded", live, sized)
     val tsDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val f = tsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (f.exists(tsDir)) f.delete(tsDir, true)
