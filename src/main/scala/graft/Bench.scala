@@ -182,6 +182,7 @@ object Bench {
     "x123_cell_pruned_search", // probe set as a partition filter
     "x124_ledger_promote",   // ingest-form -> probe-form bridge
     "x125_plan_audit",       // plan-shape audit + deploy gate
+    "x126_index_fsck",       // bundle consistency verifier
     "e2e_index_lifecycle",   // the ops loop: drift->rebuild->vacuum->
                              // forget->compact->search, one pane
     "x36_span_dup_coverage") // bridge query shared with all sets

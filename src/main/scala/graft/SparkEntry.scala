@@ -3729,6 +3729,56 @@ object SparkEntry {
         lit(refused).as("gate_refuses_cartesian"))
     }),
 
+    "x126_index_fsck" -> ((s, dir) => {
+      // index FSCK, both branches live (the x116 canary rule): the
+      // write discipline guarantees a reader never validates
+      // MID-swap, but a bundle restored from backup or written by a
+      // buggy producer can be internally inconsistent under a valid
+      // meta stamp — fsck is what a deployment runs before trusting
+      // restored state. Branch a: the x113 standing ledger, read as
+      // just another consumer — clean. Branch b: a poisoned twin
+      // with the three crafted corruptions fsck exists to catch (a
+      // vector missing one sub-code — the mid-crash partial-encode
+      // shape that ADC-scores with missing terms; an out-of-range
+      // code — silently dropped by the dtable join; an unknown cell
+      // — unreachable by any probe) plus a tombstone referencing no
+      // encoded row (EXPECTED post-compact, counted informationally,
+      // not a failure — clean stays a function of the three real
+      // invariants).
+      val n = 2000L; val nlist = 64; val m = 8; val ksub = 16
+      val lake = Similarity.hashBlobLake(s, n).localCheckpoint(true)
+      val version = Similarity.annIndexVersion(nlist, m, ksub)
+      val healthyPath = annLedgerPath(version,
+        Similarity.hashBlobLakeKey(n))
+      standingAnnIndex(s, Similarity.hashBlobLakeKey(n), lake,
+        nlist, m, ksub) // exists-guard: ensure the shared bundle
+      val (cents, codebook, enc) =
+        Similarity.loadIndex(s, healthyPath, version)
+      val poisonPath = annLedgerPath(version,
+        s"${Similarity.hashBlobLakeKey(n)}-poisoned")
+      val poisoned = enc
+        .filter(!(col("neighbor_id") === 7L && col("sub") === 0))
+        .unionByName(enc.filter(col("neighbor_id") === 11L &&
+            col("sub") === 0)
+          .withColumn("code", lit(ksub)))
+        .unionByName(enc.filter(col("neighbor_id") === 13L &&
+            col("sub") === 0)
+          .withColumn("cell", lit(10000000L)))
+      Similarity.persistIndex(poisonPath, version, cents, codebook,
+        poisoned)
+      Similarity.annForget(poisonPath, // an id no encode ever held:
+        s.range(1).select((col("id") + 99999999L).as("vec_id")))
+      def row(branch: String, p: String) =
+        Similarity.annFsck(s, p, version, m, ksub)
+          .select(lit(branch).as("branch"), col("version"),
+            col("n_vectors"), col("n_bad_subshape"),
+            col("n_bad_codes"), col("n_unknown_cells"),
+            col("n_orphan_tombstones"), col("clean"))
+      row("a_healthy", healthyPath)
+        .unionByName(row("b_poisoned", poisonPath))
+        .orderBy(col("branch"))
+    }),
+
     "x88b_ivfpq_exact" -> ((s, dir) => {
       // the SAME IVFPQ machinery in its degenerate config — every cell
       // probed (nprobe = nlist) and ksub = |corpus| (every residual its
@@ -11253,6 +11303,29 @@ object SparkEntry {
              CAST(3 AS BIGINT) AS n_scans_pushed_filters,
              TRUE AS gate_passes_flagship,
              TRUE AS gate_refuses_cartesian""",
+
+    "x126_index_fsck" -> """
+      -- fsck both ways: the standing ledger reads clean; the
+      -- poisoned twin surfaces each crafted corruption exactly once
+      -- (one partial-encode vector, one extra-row vector with an
+      -- out-of-range code, one with an unknown cell -> 3 subshape
+      -- offenders of which 1 bad code and 1 unknown cell) plus the
+      -- informational orphan tombstone that does NOT break clean's
+      -- definition (it is false for the three real invariants)
+      SELECT 'a_healthy' AS branch,
+             'ivfpq-nl64-m8-ks16-ci1-pi1-fp1e7' AS version,
+             CAST(2000 AS BIGINT) AS n_vectors,
+             CAST(0 AS BIGINT) AS n_bad_subshape,
+             CAST(0 AS BIGINT) AS n_bad_codes,
+             CAST(0 AS BIGINT) AS n_unknown_cells,
+             CAST(0 AS BIGINT) AS n_orphan_tombstones,
+             TRUE AS clean
+      UNION ALL
+      SELECT 'b_poisoned', 'ivfpq-nl64-m8-ks16-ci1-pi1-fp1e7',
+             CAST(2000 AS BIGINT), CAST(3 AS BIGINT),
+             CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+             CAST(1 AS BIGINT), FALSE
+      ORDER BY branch""",
 
     "x88_ivfpq_topk" -> """
       SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ge_08

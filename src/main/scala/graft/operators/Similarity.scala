@@ -1406,6 +1406,58 @@ object Similarity {
       codebook, k, nprobe, m, rerank, rerankSource))
   }
 
+  /** Index FSCK — the consistency verifier for a standing bundle,
+    * closing the crash-recovery loop the write discipline opens:
+    * [[graft.sources.VersionedState.rewritePart]] guarantees a
+    * reader never validates MID-swap, but a bundle restored from a
+    * backup, hand-copied between stores, or written by a buggy
+    * producer can be internally inconsistent while its meta stamp
+    * reads fine. One pass over the encoded state (KB/vector grain,
+    * never the corpus) checks the structural invariants every
+    * consumer silently assumes:
+    *  - every vector carries EXACTLY m sub-codes (a partial encode —
+    *    the mid-crash shape — ADC-scores with missing terms and
+    *    silently ranks wrong);
+    *  - every code is within [0, ksub) (an out-of-range code makes
+    *    the dtable join silently DROP that term — same failure);
+    *  - every cell is a known centroid (an unknown cell is
+    *    unreachable by any probe — the row is dead weight that also
+    *    breaks occupancy-based drift advice);
+    *  - tombstones that reference no encoded row are counted
+    *    (EXPECTED after a compact folded them — informational, not a
+    *    failure).
+    * Returns a 1-row pane; `clean` is the deploy gate. */
+  def annFsck(spark: SparkSession, path: String, version: String,
+              m: Int, ksub: Int): DataFrame = {
+    val (cents, _, encoded) = loadIndex(spark, path, version)
+    val perVec = encoded.groupBy(col("neighbor_id"))
+      .agg(count(lit(1)).as("nrows"),
+        countDistinct(col("sub")).as("nsubs"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("nrows") =!= m || col("nsubs") =!= m, 1L)
+          .otherwise(0L)).as("n_bad_subshape"))
+    val badCodes = encoded
+      .filter(col("code") < 0 || col("code") >= ksub)
+      .agg(count(lit(1)).as("n_bad_codes"))
+    val unknownCells = encoded.join(
+        broadcast(cents.select(col("cent_id").as("cell"))),
+        Seq("cell"), "left_anti")
+      .agg(count(lit(1)).as("n_unknown_cells"))
+    val ts = annTombstones(spark, path)
+    val orphanTs = ts.join(encoded.select(col("neighbor_id")
+        .as("vec_id")), Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_tombstones"))
+    perVec
+      .join(badCodes, lit(true), "left") // 1-row pane join idiom
+      .join(unknownCells, lit(true), "left")
+      .join(orphanTs, lit(true), "left")
+      .select(lit(version).as("version"), col("n_vectors"),
+        col("n_bad_subshape"), col("n_bad_codes"),
+        col("n_unknown_cells"), col("n_orphan_tombstones"),
+        (col("n_bad_subshape") === 0L && col("n_bad_codes") === 0L &&
+          col("n_unknown_cells") === 0L).as("clean"))
+  }
+
   /** PROMOTE an accreted ingest ledger into the standing bundle —
     * the bridge between the index state's two storage forms. The
     * fold form ([[graft.streaming.Streams.annIngestFold]]) is

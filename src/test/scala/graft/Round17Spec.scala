@@ -265,6 +265,47 @@ class Round17Spec extends GraftSuite {
       "promotion changed index content — it must only move layout")
   }
 
+  // ------------------------------------------------------ index fsck
+
+  test("annFsck: a healthy bundle reads clean; each crafted " +
+       "corruption class is surfaced exactly once; an orphan " +
+       "tombstone (the post-compact shape) is informational, not a " +
+       "failure") {
+    import spark.implicits._
+    val n = 500L; val nlist = 16; val m = 8; val ksub = 16
+    val lake = Similarity.hashBlobLake(spark, n).localCheckpoint(true)
+    val path = tmp("r17_fsck")
+    val version = Similarity.annIndexVersion(nlist, m, ksub)
+    val (c0, cb0) = Similarity.ivfpqTrain(lake, "vec_id",
+      "embedding", nlist, m, ksub, coarseIters = 1, pqIters = 1)
+    val enc = Similarity.ivfpqEncode(lake, "vec_id", "embedding",
+      c0, cb0, m).localCheckpoint(true)
+    Similarity.persistIndex(path, version, c0, cb0, enc)
+    val clean = Similarity.annFsck(spark, path, version, m, ksub)
+      .head()
+    assert(clean.getAs[Boolean]("clean"))
+    assert(clean.getAs[Long]("n_vectors") === n)
+    // poison: drop one sub of vec 3, out-of-range code on vec 5,
+    // unknown cell on vec 9 — each must surface
+    val poisoned = enc
+      .filter(!(col("neighbor_id") === 3L && col("sub") === 0))
+      .unionByName(enc.filter(col("neighbor_id") === 5L &&
+          col("sub") === 0)
+        .withColumn("code", lit(ksub)))
+      .unionByName(enc.filter(col("neighbor_id") === 9L &&
+          col("sub") === 0)
+        .withColumn("cell", lit(10000000L)))
+    Similarity.persistIndex(path, version, c0, cb0, poisoned)
+    Similarity.annForget(path, Seq(99999999L).toDF("vec_id"))
+    val bad = Similarity.annFsck(spark, path, version, m, ksub)
+      .head()
+    assert(!bad.getAs[Boolean]("clean"))
+    assert(bad.getAs[Long]("n_bad_subshape") === 3L) // 3, 5, 9
+    assert(bad.getAs[Long]("n_bad_codes") === 1L)
+    assert(bad.getAs[Long]("n_unknown_cells") === 1L)
+    assert(bad.getAs[Long]("n_orphan_tombstones") === 1L)
+  }
+
   // ----------------------------------------- plan audit + deploy gate
 
   test("PlanAudit audits the PREPARED plan (sparkPlan hides " +
