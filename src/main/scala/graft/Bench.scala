@@ -183,6 +183,7 @@ object Bench {
     "x124_ledger_promote",   // ingest-form -> probe-form bridge
     "x125_plan_audit",       // plan-shape audit + deploy gate
     "x126_index_fsck",       // bundle consistency verifier
+    "st24_stream_forget",    // deletion rides the stream (x119 twin)
     "e2e_index_lifecycle",   // the ops loop: drift->rebuild->vacuum->
                              // forget->compact->search, one pane
     "x36_span_dup_coverage") // bridge query shared with all sets

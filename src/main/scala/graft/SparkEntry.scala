@@ -402,6 +402,95 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Shared x119/st24 DELETE pane: build (or reuse) the raw bundle
+    * at its own key, tombstone each probe's exact rank-1 neighbor
+    * through the caller-supplied `forget` (direct append for x119,
+    * the micro-batch stream fold for st24), and emit the
+    * before/after contract — ONE pane definition so the batch and
+    * streaming delete paths can never diverge (the annIndexPane
+    * discipline on the delete tier). */
+  private def annForgetPane(s: SparkSession, keySuffix: String,
+      forget: (String, DataFrame) => Unit): DataFrame = {
+
+      // DELETION enters the standing-index lifecycle (ingest st23,
+      // drift x116, rebuild x118 — and now forget): the LOGICAL
+      // phase. Right-to-be-forgotten ids append to the bundle's
+      // tombstone set (O(|ids|) write, instant) and every consumer
+      // anti-joins the KB-scale set via liveEncoded before probing —
+      // the x114 PII discipline extended from the corpus to its
+      // derived state. The canary is maximally adversarial by
+      // construction: the forgotten ids are each probe's EXACT
+      // rank-1 neighbor, so pre-delete they all surface at the top
+      // of search results (forgotten_were_results — liveness: a
+      // tombstone set the search never would have returned proves
+      // nothing) and post-delete ZERO may appear while recall vs the
+      // exact twin over SURVIVORS stays 1.0 (the forgotten rows
+      // vanish without degrading what remains). Idempotent across
+      // reruns: appends dedup on read, and the tombstoned ids are a
+      // deterministic function of the deterministic lake.
+      val n = 2000L; val nlist = 64; val nprobe = 8; val k = 5
+      val lake = Similarity.hashBlobLake(s, n).localCheckpoint(true)
+      val version = Similarity.annIndexVersion(nlist, 8, 16)
+      val path = annLedgerPath(version,
+        s"${Similarity.hashBlobLakeKey(n)}$keySuffix")
+      // RAW load, deliberately not standingAnnIndex: that helper is
+      // tombstone-aware (the x119 contract applied engine-wide), but
+      // THIS query is the before/after contrast itself — its "pre"
+      // phase must see the unfiltered state even on a warm rerun
+      // where last run's tombstones already exist
+      if (!Similarity.indexExists(s, path, version)) {
+        val (c0, cb0) = Similarity.ivfpqTrain(lake, "vec_id",
+          "embedding", nlist, 8, 16, coarseIters = 1, pqIters = 1)
+        Similarity.persistIndex(path, version, c0, cb0,
+          Similarity.ivfpqEncode(lake, "vec_id", "embedding",
+            c0, cb0, 8))
+      }
+      val (cents, codebook, encoded) =
+        Similarity.loadIndex(s, path, version)
+      val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
+        .localCheckpoint(true)
+      val rr = Similarity.rerankFor(n, nlist, nprobe)
+      val preExact = Similarity.bruteTopKL2(q, lake, "vec_id",
+        "embedding", k).localCheckpoint(true)
+      val tsIds = preExact.filter(col("rank") === 1)
+        .select(col("neighbor_id")).distinct().localCheckpoint(true)
+      val pre = Similarity.ivfpqSearchEncoded(q, "vec_id",
+        "embedding", encoded, cents, codebook, k, nprobe, m = 8,
+        rerank = rr, rerankSource = Some(lake))
+      forget(path, tsIds)
+      val ts = Similarity.annTombstones(s, path)
+      val live = Similarity.liveEncoded(encoded, ts)
+      val post = Similarity.ivfpqSearchEncoded(q, "vec_id",
+        "embedding", live, cents, codebook, k, nprobe, m = 8,
+        rerank = rr, rerankSource = Some(lake))
+      val survivors = lake.join(ts,
+        lake("vec_id") === ts("vec_id"), "left_anti")
+      val postExact = Similarity.bruteTopKL2(q, survivors, "vec_id",
+        "embedding", k)
+      val tsv = ts.select(col("vec_id").as("neighbor_id"))
+      val preHit = pre.join(tsv, Seq("neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_pre_results_forgotten"))
+      val postHit = post.join(tsv, Seq("neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_post_results_forgotten"))
+      val nTs = ts.agg(count(lit(1)).as("n_forgotten"))
+      postExact.as("b").join(post.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("l.neighbor_id")).as("n_hit"))
+        .join(nTs, lit(true), "left") // 1-row pane join idiom
+        .join(preHit, lit(true), "left")
+        .join(postHit, lit(true), "left")
+        .select(lit(version).as("version"), col("n_forgotten"),
+          (col("n_pre_results_forgotten") >= col("n_forgotten"))
+            .as("forgotten_were_results"),
+          col("n_post_results_forgotten"), col("n_exact"),
+          round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
+            .as("recall_survivors"),
+          (col("n_hit").cast(DoubleType) / col("n_exact")
+            >= lit(0.94d)).as("recall_ge_094"))
+  }
+
   // =======================================================================
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -3155,84 +3244,25 @@ object SparkEntry {
     }),
 
     "x119_ann_forget" -> ((s, dir) => {
-      // DELETION enters the standing-index lifecycle (ingest st23,
-      // drift x116, rebuild x118 — and now forget): the LOGICAL
-      // phase. Right-to-be-forgotten ids append to the bundle's
-      // tombstone set (O(|ids|) write, instant) and every consumer
-      // anti-joins the KB-scale set via liveEncoded before probing —
-      // the x114 PII discipline extended from the corpus to its
-      // derived state. The canary is maximally adversarial by
-      // construction: the forgotten ids are each probe's EXACT
-      // rank-1 neighbor, so pre-delete they all surface at the top
-      // of search results (forgotten_were_results — liveness: a
-      // tombstone set the search never would have returned proves
-      // nothing) and post-delete ZERO may appear while recall vs the
-      // exact twin over SURVIVORS stays 1.0 (the forgotten rows
-      // vanish without degrading what remains). Idempotent across
-      // reruns: appends dedup on read, and the tombstoned ids are a
-      // deterministic function of the deterministic lake.
-      val n = 2000L; val nlist = 64; val nprobe = 8; val k = 5
-      val lake = Similarity.hashBlobLake(s, n).localCheckpoint(true)
-      val version = Similarity.annIndexVersion(nlist, 8, 16)
-      val path = annLedgerPath(version,
-        s"${Similarity.hashBlobLakeKey(n)}-forget")
-      // RAW load, deliberately not standingAnnIndex: that helper is
-      // tombstone-aware (the x119 contract applied engine-wide), but
-      // THIS query is the before/after contrast itself — its "pre"
-      // phase must see the unfiltered state even on a warm rerun
-      // where last run's tombstones already exist
-      if (!Similarity.indexExists(s, path, version)) {
-        val (c0, cb0) = Similarity.ivfpqTrain(lake, "vec_id",
-          "embedding", nlist, 8, 16, coarseIters = 1, pqIters = 1)
-        Similarity.persistIndex(path, version, c0, cb0,
-          Similarity.ivfpqEncode(lake, "vec_id", "embedding",
-            c0, cb0, 8))
-      }
-      val (cents, codebook, encoded) =
-        Similarity.loadIndex(s, path, version)
-      val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
-        .localCheckpoint(true)
-      val rr = Similarity.rerankFor(n, nlist, nprobe)
-      val preExact = Similarity.bruteTopKL2(q, lake, "vec_id",
-        "embedding", k).localCheckpoint(true)
-      val tsIds = preExact.filter(col("rank") === 1)
-        .select(col("neighbor_id")).distinct().localCheckpoint(true)
-      val pre = Similarity.ivfpqSearchEncoded(q, "vec_id",
-        "embedding", encoded, cents, codebook, k, nprobe, m = 8,
-        rerank = rr, rerankSource = Some(lake))
-      Similarity.annForget(path, tsIds)
-      val ts = Similarity.annTombstones(s, path)
-      val live = Similarity.liveEncoded(encoded, ts)
-      val post = Similarity.ivfpqSearchEncoded(q, "vec_id",
-        "embedding", live, cents, codebook, k, nprobe, m = 8,
-        rerank = rr, rerankSource = Some(lake))
-      val survivors = lake.join(ts,
-        lake("vec_id") === ts("vec_id"), "left_anti")
-      val postExact = Similarity.bruteTopKL2(q, survivors, "vec_id",
-        "embedding", k)
-      val tsv = ts.select(col("vec_id").as("neighbor_id"))
-      val preHit = pre.join(tsv, Seq("neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("n_pre_results_forgotten"))
-      val postHit = post.join(tsv, Seq("neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("n_post_results_forgotten"))
-      val nTs = ts.agg(count(lit(1)).as("n_forgotten"))
-      postExact.as("b").join(post.as("l"),
-          col("b.query_id") === col("l.query_id") &&
-            col("b.neighbor_id") === col("l.neighbor_id"), "left")
-        .agg(count(lit(1)).as("n_exact"),
-          count(col("l.neighbor_id")).as("n_hit"))
-        .join(nTs, lit(true), "left") // 1-row pane join idiom
-        .join(preHit, lit(true), "left")
-        .join(postHit, lit(true), "left")
-        .select(lit(version).as("version"), col("n_forgotten"),
-          (col("n_pre_results_forgotten") >= col("n_forgotten"))
-            .as("forgotten_were_results"),
-          col("n_post_results_forgotten"), col("n_exact"),
-          round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
-            .as("recall_survivors"),
-          (col("n_hit").cast(DoubleType) / col("n_exact")
-            >= lit(0.94d)).as("recall_ge_094"))
+      annForgetPane(s, "-forget",
+        (p, ids) => Similarity.annForget(p, ids))
     }),
+
+    "st24_stream_forget" -> ((s, dir) => {
+      // x119's STREAMING TWIN — deletion rides the stream: the same
+      // adversarial tombstone set (each probe's exact rank-1
+      // neighbor) arrives as CDC delete events in 2 micro-batches,
+      // each folding via annForget directly — tombstone append is
+      // replay-idempotent BY ALGEBRA (append + distinct-on-read, the
+      // st16 no-guard class), so the assembled set equals the batch
+      // append for ANY split and st24 shares x119's oracle VERBATIM
+      // (the batching-invariance discipline on the delete path). Own
+      // ledger key so the twins' standing state never interferes.
+      annForgetPane(s, "-forget-st24",
+        (p, ids) => graft.streaming.Streams.streamForget(s, ids, p,
+          splitFiles = 2))
+    }),
+
 
     "x120_ann_compact" -> ((s, dir) => {
       // DELETION's PHYSICAL phase + the small-file close-out: until
@@ -6746,6 +6776,17 @@ object SparkEntry {
     * ledger-fed search must hold recall 1.0 against the exact twin —
     * any drift in persistence, versioning, stream assembly, or search
     * quality hash-mismatches. */
+  /** x119/st24 shared DELETE-contract oracle (the twin discipline:
+    * the streaming fold must reproduce the batch append exactly). */
+  private val annForgetOracle: String = """
+      SELECT 'ivfpq-nl64-m8-ks16-ci1-pi1-fp1e7' AS version,
+             CAST(16 AS BIGINT) AS n_forgotten,
+             TRUE AS forgotten_were_results,
+             CAST(0 AS BIGINT) AS n_post_results_forgotten,
+             CAST(80 AS BIGINT) AS n_exact,
+             CAST(1.0 AS DOUBLE) AS recall_survivors,
+             TRUE AS recall_ge_094"""
+
   private val annIndexOracle: String = """
       SELECT 'ivfpq-nl64-m8-ks16-ci1-pi1-fp1e7' AS version,
              CAST(2000 AS BIGINT) AS n_vectors,
@@ -11155,18 +11196,9 @@ object SparkEntry {
              TRUE AS branch_ivfpq_live, TRUE AS branch_sq8_live,
              FALSE AS rebuild_recommended""",
 
-    "x119_ann_forget" -> """
-      -- the logical DELETE contract: the 16 forgotten ids are each
-      -- probe's exact rank-1 neighbor (all surfaced pre-delete - the
-      -- liveness canary), ZERO appear post-delete, and recall vs the
-      -- exact twin over SURVIVORS stays 1.0
-      SELECT 'ivfpq-nl64-m8-ks16-ci1-pi1-fp1e7' AS version,
-             CAST(16 AS BIGINT) AS n_forgotten,
-             TRUE AS forgotten_were_results,
-             CAST(0 AS BIGINT) AS n_post_results_forgotten,
-             CAST(80 AS BIGINT) AS n_exact,
-             CAST(1.0 AS DOUBLE) AS recall_survivors,
-             TRUE AS recall_ge_094""",
+    "x119_ann_forget" -> annForgetOracle,
+
+    "st24_stream_forget" -> annForgetOracle,
 
     "x120_ann_compact" -> """
       -- the physical ERASURE contract: 10 forgotten ids x m=8 code

@@ -1451,6 +1451,46 @@ object Streams {
     (lake, cents, codebook, encoded)
   }
 
+  /** st24: DELETION rides the stream — right-to-be-forgotten ids
+    * arrive as CDC delete events in micro-batches, and each batch
+    * folds into the standing tombstone set via
+    * [[graft.operators.Similarity.annForget]] DIRECTLY: tombstone
+    * append is replay-idempotent BY ALGEBRA (append-mode +
+    * distinct-on-read — the st16 class, where the merge needs no
+    * batchId guard because redelivering a batch changes nothing), so
+    * the assembled set equals the batch append for ANY stream split
+    * and st24 shares x119's oracle VERBATIM (the st18/st20/st23
+    * batching-invariance discipline, applied to the delete path).
+    * At 100 TB this is how deletion actually arrives: a compliance
+    * topic streams ids all day, every consumer's next read excludes
+    * them (the tombstone-aware load), and the nightly compact
+    * erases the bytes. */
+  def streamForget(spark: SparkSession, ids: DataFrame,
+                   bundlePath: String, splitFiles: Int = 2,
+                   tag: String = "st24"): Unit = {
+    val stage = new java.io.File(s"target/qtmp/${tag}_src")
+    org.apache.commons.io.FileUtils.deleteQuietly(stage)
+    stage.mkdirs()
+    val idsC = ids.select(col(ids.columns.head).cast("long")
+      .as("vec_id")).localCheckpoint(true)
+    (0 until splitFiles).foreach { i =>
+      idsC.filter(pmod(col("vec_id"), lit(splitFiles.toLong)) === i)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new java.io.File(stage, s"part$i").getAbsolutePath)
+    }
+    val q = spark.readStream.schema(idsC.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.getAbsolutePath + "/part*")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        graft.operators.Similarity.annForget(bundlePath, b)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** st22's ledger schema: segment-hash document frequencies as
     * standing state — the boilerplate blacklist's sufficient
     * statistic. A doc lives in exactly one micro-batch

@@ -265,6 +265,26 @@ class Round17Spec extends GraftSuite {
       "promotion changed index content — it must only move layout")
   }
 
+  // --------------------------------------- streaming delete (st24)
+
+  test("streamForget: the assembled tombstone set equals the batch " +
+       "append for any split, and replaying the whole stream " +
+       "changes nothing (append idempotence by algebra — the st16 " +
+       "no-guard class)") {
+    import spark.implicits._
+    val path = tmp("r17_stream_forget")
+    val ids = Seq(3L, 8L, 13L, 22L).toDF("vec_id")
+    graft.streaming.Streams.streamForget(spark, ids, path,
+      splitFiles = 2, tag = "r17sf")
+    val assembled = Similarity.annTombstones(spark, path)
+      .collect().map(_.getLong(0)).sorted
+    assert(assembled.toSeq === Seq(3L, 8L, 13L, 22L))
+    // full-stream replay (at-least-once, the worst case): no change
+    graft.streaming.Streams.streamForget(spark, ids, path,
+      splitFiles = 2, tag = "r17sf")
+    assert(Similarity.annTombstones(spark, path).count() === 4L)
+  }
+
   // ------------------------------------------------------ index fsck
 
   test("annFsck: a healthy bundle reads clean; each crafted " +
