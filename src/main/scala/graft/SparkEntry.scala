@@ -285,7 +285,7 @@ object SparkEntry {
     new java.io.File(
       s"target/qtmp/ann_${version}_$lakeKey").getAbsolutePath
 
-  private def standingAnnIndex(s: SparkSession, lakeKey: String,
+  private[graft] def standingAnnIndex(s: SparkSession, lakeKey: String,
                                lake: DataFrame, nlist: Int, m: Int,
                                ksub: Int)
       : (DataFrame, DataFrame, DataFrame) = {

@@ -1191,6 +1191,12 @@ object Similarity {
     *
     * The filter evaluates on `corpus`'s metadata columns; results are
     * (query_id, rank, neighbor_id, approx_d2) like every search tail.
+    * DELETION-STATE COUPLING: `corpus` must reflect the same
+    * tombstone state as `encoded` — the EXACT branch scores
+    * survivors from `corpus` directly, so a caller holding a
+    * forgotten-from bundle must pass the lake anti-joined against
+    * [[annTombstones]] too, or deleted ids resurface on exactly the
+    * route that is supposed to be safest.
     *
     * The ANN branch is PREFLIGHT-GUARDED, because its failure mode is
     * invisible to the sizing rules: filter-GEOMETRY CORRELATION (a

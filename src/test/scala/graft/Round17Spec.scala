@@ -265,6 +265,35 @@ class Round17Spec extends GraftSuite {
       "promotion changed index content — it must only move layout")
   }
 
+  // --------------------- engine-wide tombstone wiring is LIVE
+
+  test("standingAnnIndex (the shared guarded loader) excludes " +
+       "tombstoned ids on EVERY load — the x119 contract holds for " +
+       "consumers that never called annForget themselves") {
+    import spark.implicits._
+    val n = 500L; val nlist = 16
+    val lake = Similarity.hashBlobLake(spark, n).localCheckpoint(true)
+    val key = "r17-wiring-test"
+    // fresh key: ensure no prior state
+    val version = Similarity.annIndexVersion(nlist, 8, 16)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      s"target/qtmp/ann_${version}_$key"))
+    val (_, _, enc0) = SparkEntry.standingAnnIndex(spark, key, lake,
+      nlist, 8, 16)
+    assert(enc0.filter(col("neighbor_id") === 42L).count() === 8L)
+    Similarity.annForget(
+      new java.io.File(s"target/qtmp/ann_${version}_$key")
+        .getAbsolutePath,
+      Seq(42L).toDF("vec_id"))
+    // a DIFFERENT consumer loads through the same helper: excluded
+    val (_, _, enc1) = SparkEntry.standingAnnIndex(spark, key, lake,
+      nlist, 8, 16)
+    assert(enc1.filter(col("neighbor_id") === 42L).count() === 0L,
+      "a forgotten id surfaced from the shared loader — the " +
+        "engine-wide tombstone wiring is dead")
+    assert(enc1.count() === (n - 1) * 8)
+  }
+
   // --------------------------------------- streaming delete (st24)
 
   test("streamForget: the assembled tombstone set equals the batch " +
