@@ -184,6 +184,7 @@ object Bench {
     "x125_plan_audit",       // plan-shape audit + deploy gate
     "x126_index_fsck",       // bundle consistency verifier
     "st24_stream_forget",    // deletion rides the stream (x119 twin)
+    "x127_compact_advisor",  // when-to-compact: debt rules, 3 branches
     "e2e_index_lifecycle",   // the ops loop: drift->rebuild->vacuum->
                              // forget->compact->search, one pane
     "x36_span_dup_coverage") // bridge query shared with all sets

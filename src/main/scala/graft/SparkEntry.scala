@@ -3809,6 +3809,54 @@ object SparkEntry {
         .orderBy(col("branch"))
     }),
 
+    "x127_compact_advisor" -> ((s, dir) => {
+      // the WHEN for x120's compact — the drift-advisor discipline
+      // (x116) applied to the delete tier, with every reason branch
+      // live (the canary rule): a freshly-compacted bundle reads
+      // quiet; forgetting 1% of ids fires the TOMBSTONE-debt rule
+      // (the logical anti-join now carries real deleted mass every
+      // search, and compliance clocks on erasure are running); a
+      // bundle whose encoded part was written at 32 files against a
+      // byte-advised 1 fires the FILE-debt rule (the small-file
+      // accretion a long ingest leaves — x124's ingest form, aged).
+      // A cron compacts on a guess; this compacts on the ledger's
+      // own measured state, and the pane surfaces the reason the
+      // action will cite (the x118 witnessing rule).
+      val n = 2000L; val nlist = 64; val m = 8; val ksub = 16
+      val lake = Similarity.hashBlobLake(s, n).localCheckpoint(true)
+      val version = Similarity.annIndexVersion(nlist, m, ksub)
+      val (c0, cb0) = Similarity.ivfpqTrain(lake, "vec_id",
+        "embedding", nlist, m, ksub, coarseIters = 1, pqIters = 1)
+      val enc = Similarity.ivfpqEncode(lake, "vec_id", "embedding",
+        c0, cb0, m).localCheckpoint(true)
+      // scenario a+b: one bundle, compacted clean then forgotten into
+      val pA = annLedgerPath(version,
+        s"${Similarity.hashBlobLakeKey(n)}-cadvisor")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(pA))
+      Similarity.persistIndex(pA, version, c0, cb0, enc)
+      Similarity.annCompact(s, pA, version) // byte-sized -> 1 file
+      val a = Similarity.compactAdvisor(s, pA, version)
+        .select(lit("a_compacted_quiet").as("branch"), col("*"))
+      val aRow = a.localCheckpoint(true)
+      Similarity.annForget(pA, lake
+        .filter(pmod(col("vec_id"), lit(100L)) === 0)
+        .select(col("vec_id"))) // 20 ids = 1%
+      val b = Similarity.compactAdvisor(s, pA, version)
+        .select(lit("b_tombstone_debt").as("branch"), col("*"))
+      // scenario c: deliberate 32-file write, no tombstones
+      val pC = annLedgerPath(version,
+        s"${Similarity.hashBlobLakeKey(n)}-cadvisor-files")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(pC))
+      Similarity.persistIndex(pC, version, c0, cb0,
+        enc.repartition(32)) // explicit n: AQE never coalesces it
+      val cRow = Similarity.compactAdvisor(s, pC, version)
+        .select(lit("c_file_debt").as("branch"), col("*"))
+      aRow.unionByName(b).unionByName(cRow)
+        .orderBy(col("branch"))
+    }),
+
     "x88b_ivfpq_exact" -> ((s, dir) => {
       // the SAME IVFPQ machinery in its degenerate config — every cell
       // probed (nprobe = nlist) and ksub = |corpus| (every residual its
@@ -11357,6 +11405,33 @@ object SparkEntry {
              CAST(2000 AS BIGINT), CAST(3 AS BIGINT),
              CAST(1 AS BIGINT), CAST(1 AS BIGINT),
              CAST(1 AS BIGINT), FALSE
+      ORDER BY branch""",
+
+    "x127_compact_advisor" -> """
+      -- the when-to-compact rule, every reason branch live: a
+      -- compacted bundle reads quiet; 1% forgotten fires the
+      -- tombstone-debt rule at exactly the threshold; a 32-file
+      -- write against a byte-advised 1 fires the file-debt rule
+      SELECT 'a_compacted_quiet' AS branch,
+             'ivfpq-nl64-m8-ks16-ci1-pi1-fp1e7' AS version,
+             CAST(2000 AS BIGINT) AS n_vectors,
+             CAST(0 AS BIGINT) AS n_tombstoned_live,
+             CAST(0.0 AS DOUBLE) AS ts_fraction,
+             FALSE AS files_over_budget,
+             CAST(1 AS BIGINT) AS advised_files,
+             'none' AS reason, FALSE AS compact_recommended
+      UNION ALL
+      SELECT 'b_tombstone_debt',
+             'ivfpq-nl64-m8-ks16-ci1-pi1-fp1e7',
+             CAST(2000 AS BIGINT), CAST(20 AS BIGINT),
+             CAST(0.01 AS DOUBLE), FALSE, CAST(1 AS BIGINT),
+             'tombstones', TRUE
+      UNION ALL
+      SELECT 'c_file_debt',
+             'ivfpq-nl64-m8-ks16-ci1-pi1-fp1e7',
+             CAST(2000 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0.0 AS DOUBLE), TRUE, CAST(1 AS BIGINT),
+             'files', TRUE
       ORDER BY branch""",
 
     "x88_ivfpq_topk" -> """

@@ -1412,6 +1412,72 @@ object Similarity {
       codebook, k, nprobe, m, rerank, rerankSource))
   }
 
+  /** COMPACTION advisor — the "when" rule for [[annCompact]], the
+    * [[indexGeometryDrift]] discipline applied to the delete tier:
+    * a deployment should not compact on a cron guess but when the
+    * ledger's own state says the debt is real. Two measured debts,
+    * each with an executable threshold:
+    *  - TOMBSTONE debt: live tombstones (ids still present in the
+    *    encoded state — an orphan from a pre-compacted forget does
+    *    not count) as a fraction of vectors; at `tsFracThreshold`
+    *    (default 1%) the logical anti-join is carrying real deleted
+    *    mass every search, and compliance clocks on physical erasure
+    *    start mattering.
+    *  - FILE debt: data files beyond `fileFactor`× the byte-advised
+    *    count ([[annCompact]]'s own 128 MB sizing) — the
+    *    small-file accretion a long ingest leaves.
+    * Reads ledger state only (KB/vector grain + one FS listing).
+    * Returns the 1-row advisor pane; `compact_recommended` with its
+    * `reason` is the action's input (the x118 witnessing rule). */
+  def compactAdvisor(spark: SparkSession, path: String,
+                     version: String,
+                     tsFracThreshold: Double = 0.01,
+                     fileFactor: Int = 4,
+                     targetBytes: Long = 128L * 1024 * 1024)
+      : DataFrame = {
+    require(tsFracThreshold > 0 && fileFactor >= 1 && targetBytes > 0,
+      s"compactAdvisor: tsFracThreshold=$tsFracThreshold " +
+        s"fileFactor=$fileFactor targetBytes=$targetBytes")
+    val vs = graft.sources.VersionedState
+    val encoded = vs.read(spark, path, version, "encoded")
+    val nVec = encoded.select(col("neighbor_id")).distinct().count()
+    val tsLive = annTombstones(spark, path)
+      .join(encoded.select(col("neighbor_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      .count()
+    val enc = new org.apache.hadoop.fs.Path(s"$path/encoded")
+    val f = enc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var nFiles = 0L
+    val it = f.listFiles(enc, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val nm = st.getPath.getName
+      if (st.isFile && !nm.startsWith("_") && !nm.startsWith("."))
+        nFiles += 1
+    }
+    val bytes = f.getContentSummary(enc).getLength
+    val advised = math.max(1L,
+      math.ceil(bytes.toDouble / targetBytes).toLong)
+    val tsFrac = if (nVec == 0) 0.0 else tsLive.toDouble / nVec
+    val tsDebt = tsFrac >= tsFracThreshold
+    val fileDebt = nFiles > fileFactor * advised
+    val reason = (tsDebt, fileDebt) match {
+      case (true, true)  => "tombstones+files"
+      case (true, false) => "tombstones"
+      case (false, true) => "files"
+      case _             => "none"
+    }
+    spark.range(1).select(
+      lit(version).as("version"),
+      lit(nVec).as("n_vectors"),
+      lit(tsLive).as("n_tombstoned_live"),
+      lit(math.rint(tsFrac * 10000) / 10000).as("ts_fraction"),
+      lit(fileDebt).as("files_over_budget"),
+      lit(advised).as("advised_files"),
+      lit(reason).as("reason"),
+      lit(tsDebt || fileDebt).as("compact_recommended"))
+  }
+
   /** Index FSCK — the consistency verifier for a standing bundle,
     * closing the crash-recovery loop the write discipline opens:
     * [[graft.sources.VersionedState.rewritePart]] guarantees a

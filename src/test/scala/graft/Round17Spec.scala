@@ -265,6 +265,38 @@ class Round17Spec extends GraftSuite {
       "promotion changed index content — it must only move layout")
   }
 
+  // --------------------------------------- when-to-compact advisor
+
+  test("compactAdvisor: orphan tombstones (already erased) do not " +
+       "count toward tombstone debt, and the threshold is a >= " +
+       "boundary") {
+    import spark.implicits._
+    val n = 500L; val nlist = 16; val m = 8
+    val lake = Similarity.hashBlobLake(spark, n).localCheckpoint(true)
+    val path = tmp("r17_cadvisor")
+    val version = Similarity.annIndexVersion(nlist, m, 16)
+    val (c0, cb0) = Similarity.ivfpqTrain(lake, "vec_id",
+      "embedding", nlist, m, 16, coarseIters = 1, pqIters = 1)
+    Similarity.persistIndex(path, version, c0, cb0,
+      Similarity.ivfpqEncode(lake, "vec_id", "embedding", c0, cb0, m))
+    Similarity.annCompact(spark, path, version)
+    // an orphan forget: the id was never encoded — no LIVE debt
+    Similarity.annForget(path, Seq(99999999L).toDF("vec_id"))
+    val quiet = Similarity.compactAdvisor(spark, path, version).head()
+    assert(quiet.getAs[Long]("n_tombstoned_live") === 0L)
+    assert(!quiet.getAs[Boolean]("compact_recommended"),
+      "an orphan tombstone fired the debt rule — erased ids must " +
+        "not re-trigger compaction forever")
+    // exactly at the boundary: 5 of 500 = 1% >= 1% fires
+    Similarity.annForget(path,
+      Seq(0L, 1L, 2L, 3L, 4L).toDF("vec_id"))
+    val atBoundary = Similarity.compactAdvisor(spark, path, version)
+      .head()
+    assert(atBoundary.getAs[Double]("ts_fraction") === 0.01)
+    assert(atBoundary.getAs[Boolean]("compact_recommended"))
+    assert(atBoundary.getAs[String]("reason") === "tombstones")
+  }
+
   // --------------------- engine-wide tombstone wiring is LIVE
 
   test("standingAnnIndex (the shared guarded loader) excludes " +
