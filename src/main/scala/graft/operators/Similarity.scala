@@ -1159,10 +1159,17 @@ object Similarity {
         bruteTopKL2(queries, corpus, idCol, vecCol, k))
   }
 
+  /** `probedCells` is Some only on the ANN branch with
+    * `pruneCells = true`: the distinct cells the FULL query batch's
+    * probes pushed down as a partition filter — the witness list for
+    * the files-read == cells-probed contract (x123's discipline on
+    * the filtered path). None on the exact branches (no index is
+    * probed) and on the unpruned ANN path. */
   final case class FilteredRoute(route: String, nSurvivors: Long,
                                  nprobe: Int, kPrime: Int,
                                  recallPreflight: Double,
-                                 result: DataFrame)
+                                 result: DataFrame,
+                                 probedCells: Option[Array[Long]] = None)
 
   /** METADATA-FILTERED top-k over a standing index — the production
     * vector-store query shape ("nearest neighbors WHERE lang = 'en'
@@ -1212,6 +1219,19 @@ object Similarity {
     * `recallFloor` the whole batch reroutes to the exact survivor
     * scan (`exact_filtered_fallback`) — correct by construction,
     * costing what the over-fetch heuristic was failing to avoid. */
+  /** `pruneCells = true` COMPOSES the filtered router with the
+    * cell-partitioned layout (x123): the ANN branch routes through
+    * [[ivfpqSearchPruned]], so the router's own WIDENED nprobe (the
+    * 1/sel rule) becomes a partition filter and the filtered path
+    * prunes FILES, not just compute — the round-9 scale-killer (the
+    * filtered router's row-level read of the whole encoded ledger)
+    * closed by composition, not new machinery. Requires `encoded` to
+    * be the cell-layout read ([[loadIndexCellLayout]]); on a
+    * non-layout ledger the filter is a plain row filter (results
+    * identical, no file pruning — equality is by construction, the
+    * ADC join never matches outside probed cells). The PREFLIGHT runs
+    * on the pruned path too: the measured recall that routes the
+    * batch is measured on the exact plan the batch will run. */
   def annTopKFilteredRouted(queries: DataFrame, corpus: DataFrame,
                             idCol: String, vecCol: String,
                             pred: Column, k: Int,
@@ -1220,7 +1240,8 @@ object Similarity {
                             m: Int = 8,
                             bruteCutoff: Long = 65536L,
                             recallFloor: Double = 0.94,
-                            probeCap: Int = 16)
+                            probeCap: Int = 16,
+                            pruneCells: Boolean = false)
       : FilteredRoute = {
     require(k > 0, s"annTopKFilteredRouted: k=$k")
     require(bruteCutoff >= 0,
@@ -1245,24 +1266,33 @@ object Similarity {
       val rr = math.max(rerankFor(n, nlist, np), kPrime)
       val meta = corpus.select(col(idCol).as("neighbor_id"),
         pred.as("__keep"))
-      def annFiltered(qs: DataFrame): DataFrame = {
-        val got = ivfpqSearchEncoded(qs, idCol, vecCol, encoded,
-          cents, codebook, kPrime, np, m, rerank = rr,
-          rerankSource = Some(corpus))
+      def annFiltered(qs: DataFrame)
+          : (Option[Array[Long]], DataFrame) = {
+        val (cellsOpt, got) =
+          if (pruneCells) {
+            val (cells, g) = ivfpqSearchPruned(qs, idCol, vecCol,
+              encoded, cents, codebook, kPrime, np, m, rerank = rr,
+              rerankSource = Some(corpus))
+            (Some(cells), g)
+          } else
+            (None, ivfpqSearchEncoded(qs, idCol, vecCol, encoded,
+              cents, codebook, kPrime, np, m, rerank = rr,
+              rerankSource = Some(corpus)))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("approx_d2").asc, col("neighbor_id").asc)
-        got.join(meta, Seq("neighbor_id"))
+        (cellsOpt, got.join(meta, Seq("neighbor_id"))
           .filter(col("__keep"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= k)
           .select(col("query_id"), col("rank"), col("neighbor_id"),
-            col("approx_d2"))
+            col("approx_d2")))
       }
       val probes = stratifiedProbes(queries, idCol, probeCap)
         .localCheckpoint(true)
       val exactProbe = bruteTopKL2(probes, survivors, idCol,
         vecCol, k)
-      val hit = exactProbe.as("b").join(annFiltered(probes).as("l"),
+      val hit = exactProbe.as("b")
+        .join(annFiltered(probes)._2.as("l"),
           col("b.query_id") === col("l.query_id") &&
             col("b.neighbor_id") === col("l.neighbor_id"), "left")
         .agg(count(lit(1)), count(col("l.neighbor_id")))
@@ -1270,10 +1300,11 @@ object Similarity {
       val recallEst =
         if (hit.getLong(0) == 0L) 1.0d
         else hit.getLong(1).toDouble / hit.getLong(0).toDouble
-      if (recallEst >= recallFloor)
+      if (recallEst >= recallFloor) {
+        val (cells, result) = annFiltered(queries)
         FilteredRoute("ann_overfetch", nSurv, np, kPrime, recallEst,
-          annFiltered(queries))
-      else
+          result, cells)
+      } else
         FilteredRoute("exact_filtered_fallback", nSurv, np, kPrime,
           recallEst, bruteTopKL2(queries, survivors, idCol, vecCol, k))
     }
@@ -1550,9 +1581,119 @@ object Similarity {
                           version: String, encodedPath: String,
                           outPath: String): Unit = {
     val (cents, codebook) = loadIndexDef(spark, definitionPath, version)
-    val encoded = spark.read.parquet(encodedPath)
+    val ledger = spark.read.parquet(encodedPath)
+    val encoded = ledger
       .select(col("cell"), col("neighbor_id"), col("sub"), col("code"))
     persistIndexCellLayout(outPath, version, cents, codebook, encoded)
+    // stamp the promoted high-water batch id so the INCREMENTAL form
+    // can take over from here; written after the bundle's meta (a
+    // crash between leaves a valid bundle with no watermark, which
+    // the incremental path treats as "fold everything" — idempotent
+    // by the merge's key-dedup, never wrong)
+    val hwm = ledger
+      .agg(coalesce(max(col("__bid").cast(LongType)), lit(-1L)))
+      .head().getLong(0)
+    stampPromoteHighWater(spark, outPath, hwm)
+  }
+
+  private def promoteHwmPath(outPath: String): String =
+    s"$outPath/promote_hwm"
+
+  /** The bundle's promoted high-water ingest batch id — None when the
+    * bundle predates watermarking (or the stamp was lost to a crash);
+    * the incremental promote treats that as -1 (every batch is
+    * "new"), which its key-deduped merge makes a correct, if full,
+    * fold. Lives OUTSIDE the versioned parts for the same reason
+    * tombstones do: it is bookkeeping about the ingest ledger's
+    * position, not about the index recipe. */
+  def promoteHighWater(spark: SparkSession, outPath: String)
+      : Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(promoteHwmPath(outPath))
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else spark.read.parquet(p.toString).collect()
+      .headOption.map(_.getLong(0))
+  }
+
+  private def stampPromoteHighWater(spark: SparkSession,
+                                    outPath: String, hwm: Long): Unit =
+    spark.range(1).select(lit(hwm).as("hwm"))
+      .write.mode("overwrite").parquet(promoteHwmPath(outPath))
+
+  /** INCREMENTAL promotion — the maintenance window stops paying for
+    * history: [[promoteIngestLedger]] rewrites the whole bundle every
+    * run, so at 100 TB a nightly promote re-shuffles and re-writes
+    * the entire m-bytes-per-vector ledger to fold in one day's
+    * batches. This form diffs the ingest ledger against the bundle's
+    * promoted high-water batch id and rewrites ONLY TOUCHED CELLS:
+    *
+    *   1. new rows = ledger partitions `__bid > hwm` (a PARTITION
+    *      filter on the batch-partitioned ingest layout — the read
+    *      side prunes too);
+    *   2. touched = the distinct cells those rows land in (driver
+    *      list, ≤ nlist longs — the probedCellIds idiom);
+    *   3. merged = bundle's touched-cell rows ∪ new rows, key-deduped
+    *      on (cell, neighbor_id, sub) — deterministic encode makes
+    *      replayed rows byte-identical, so a stale/lost watermark
+    *      re-folds to the same state instead of duplicating;
+    *   4. one dynamic-partition-overwrite of exactly those cell
+    *      directories (s18's partitionOverwriteMode machinery),
+    *      inside the invalidate-first meta window, merged
+    *      materialized BEFORE the write (the rewritePart self-read
+    *      rule); untouched cell files are never opened or rewritten
+    *      (byte-identical — x128b pins content hashes);
+    *   5. stamp the new watermark, then re-stamp meta LAST.
+    *
+    * Equal to a full re-promote by construction (spec-pinned row
+    * equality); cost scales with the DELTA's cell footprint, not the
+    * corpus. Returns (nNewBatches, nTouchedCells, newHwm). */
+  def promoteIngestLedgerIncremental(spark: SparkSession,
+                                     definitionPath: String,
+                                     version: String,
+                                     encodedPath: String,
+                                     outPath: String)
+      : (Long, Long, Long) = {
+    if (!indexExists(spark, outPath, version)) {
+      promoteIngestLedger(spark, definitionPath, version, encodedPath,
+        outPath)
+      val ledger = spark.read.parquet(encodedPath)
+      val nB = ledger.select(col("__bid")).distinct().count()
+      val nC = ledger.select(col("cell")).distinct().count()
+      return (nB, nC, promoteHighWater(spark, outPath).getOrElse(-1L))
+    }
+    val hwm = promoteHighWater(spark, outPath).getOrElse(-1L)
+    val ledger = spark.read.parquet(encodedPath)
+    val newRows = ledger.filter(col("__bid") > hwm)
+      .select(col("cell"), col("neighbor_id"), col("sub"), col("code"))
+    val newBatches = ledger.filter(col("__bid") > hwm)
+      .select(col("__bid")).distinct().count()
+    if (newBatches == 0L) return (0L, 0L, hwm)
+    // __bid is the ingest layout's partition column — read back as
+    // INT from directory names (the loadIndexCellLayout re-cast note)
+    val newHwm = ledger.agg(max(col("__bid").cast(LongType)))
+      .head().getLong(0)
+    val touched = newRows.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val (_, _, bundleEnc) = loadIndexCellLayout(spark, outPath, version)
+    val merged = bundleEnc
+      .filter(col("cell").isInCollection(touched.toSeq))
+      .select(col("cell"), col("neighbor_id"), col("sub"), col("code"))
+      .unionByName(newRows)
+      .dropDuplicates("cell", "neighbor_id", "sub")
+      .repartition(col("cell")) // one task → one file per cell
+      .localCheckpoint(true) // materialize BEFORE overwriting source
+    val metaDir = new org.apache.hadoop.fs.Path(s"$outPath/meta")
+    val f = metaDir
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(metaDir)) f.delete(metaDir, true) // invalidate first
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell")
+      .parquet(s"$outPath/encoded")
+    stampPromoteHighWater(spark, outPath, newHwm)
+    spark.range(1).select(lit(version).as("version"))
+      .write.mode("overwrite").parquet(s"$outPath/meta") // re-stamp
+    (newBatches, touched.length.toLong, newHwm)
   }
 
   // ---- standing-index DELETE lifecycle (tombstone → compact) ------------
@@ -1597,16 +1738,71 @@ object Similarity {
       .write.mode("append").parquet(s"$path/tombstones")
   }
 
+  /** The tombstone set's current DATA FILES (sorted) — the snapshot
+    * unit [[annCompact]] folds and deletes by. File-level granularity
+    * is what makes compaction safe against a concurrent
+    * [[annForget]]/streamForget (the documented "stream deletes all
+    * day, compact nightly" cadence): an id appended during the
+    * rewrite window lands in a NEW file this list never saw, so the
+    * compact deletes only what it folded and the late id survives to
+    * suppress searches and fold next time (ADVICE r9 — the round-9
+    * form deleted the whole directory, destroying concurrent appends
+    * unfolded). */
+  private[graft] def tombstoneDataFiles(spark: SparkSession,
+                                        path: String): Array[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) Array.empty
+    else f.listStatus(p).collect {
+      case st if st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".") => st.getPath.toString
+    }.sorted
+  }
+
+  /** Read a tombstone file list back as the distinct (vec_id)
+    * relation; empty list → empty relation. The explicit schema
+    * matters: after a compact deletes exactly the files it folded,
+    * the directory can legitimately hold zero data files, and a
+    * schema-inferring read would throw instead of reading empty. */
+  private def tombstonesFromFiles(spark: SparkSession,
+                                  files: Array[String]): DataFrame =
+    if (files.isEmpty) spark.range(0).select(col("id").as("vec_id"))
+    else spark.read.schema("vec_id LONG")
+      .parquet(files.toIndexedSeq: _*)
+      .select(col("vec_id")).distinct()
+
   /** The bundle's current tombstone set as a 1-column (vec_id)
     * relation — empty (not an error) when nothing was ever
     * forgotten. Distinct, so append-mode redelivery never
     * double-counts. */
-  def annTombstones(spark: SparkSession, path: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (f.exists(p))
-      spark.read.parquet(p.toString).select(col("vec_id")).distinct()
-    else spark.range(0).select(col("id").as("vec_id"))
+  def annTombstones(spark: SparkSession, path: String): DataFrame =
+    tombstonesFromFiles(spark, tombstoneDataFiles(spark, path))
+
+  /** [[annForget]] for a SHARDED standing index (x117's deployment
+    * form): a right-to-be-forgotten id belongs to exactly one shard —
+    * the SAME [[annShardKey]] hash that routed its ingest — so each
+    * shard's tombstone set receives only its own ids and every
+    * per-shard consumer ([[liveEncoded]], [[compactAdvisor]],
+    * [[annCompact]]) keeps working unchanged per shard. Routing by
+    * anything else (or broadcasting all ids to all shards) would
+    * either lose deletes or inflate every shard's anti-join with ids
+    * it can never match. `shardPaths(s)` is shard s's bundle path;
+    * the ids relation is KB-scale by the forget contract, so the
+    * per-shard split is |shards| filters over one checkpointed read. */
+  def annForgetSharded(shardPaths: Seq[String], ids: DataFrame): Unit = {
+    require(shardPaths.nonEmpty, "annForgetSharded: no shard paths")
+    require(ids.columns.length == 1,
+      s"annForgetSharded: expected one id column, got " +
+        ids.columns.mkString(","))
+    val shards = shardPaths.length
+    val idc = ids
+      .select(col(ids.columns.head).cast(LongType).as("vec_id"))
+      .withColumn("__sh", annShardKey(col("vec_id"), shards))
+      .localCheckpoint(true)
+    shardPaths.zipWithIndex.foreach { case (p, sh) =>
+      annForget(p, idc.filter(col("__sh") === sh.toLong)
+        .select(col("vec_id")))
+    }
   }
 
   /** The encoded state a consumer may actually surface: `encoded`
@@ -1635,37 +1831,68 @@ object Similarity {
   def annCompact(spark: SparkSession, path: String, version: String,
                  nFiles: Int = 0,
                  targetBytes: Long = 128L * 1024 * 1024)
+      : (Long, Long, Int) =
+    annCompactWith(spark, path, version, nFiles, targetBytes, () => ())
+
+  /** [[annCompact]] with an injection seam after the tombstone
+    * snapshot — the point a concurrent [[annForget]] lands in the
+    * "stream deletes all day, compact nightly" race. Production code
+    * calls [[annCompact]]; the seam exists so Round18Spec can pin the
+    * ADVICE-r9 contract deterministically: an id forgotten mid-compact
+    * survives (its file was never snapshotted, so it is neither folded
+    * nor deleted) and keeps suppressing searches. */
+  private[graft] def annCompactWith(spark: SparkSession, path: String,
+                                    version: String, nFiles: Int,
+                                    targetBytes: Long,
+                                    midCompact: () => Unit)
       : (Long, Long, Int) = {
     require(nFiles >= 0 && targetBytes > 0,
       s"annCompact: nFiles=$nFiles targetBytes=$targetBytes")
     val vs = graft.sources.VersionedState
-    val ts = annTombstones(spark, path).localCheckpoint(true)
+    // snapshot the tombstone FILE LIST first, fold exactly those
+    // files, and delete exactly those files after the swap — ids
+    // appended concurrently land in files outside this snapshot and
+    // survive the compact unfolded (ADVICE r9; see
+    // [[tombstoneDataFiles]])
+    val tsFiles = tombstoneDataFiles(spark, path)
+    val ts = tombstonesFromFiles(spark, tsFiles).localCheckpoint(true)
+    midCompact() // test seam: a concurrent forget lands here
     val before = vs.read(spark, path, version, "encoded")
     val nBefore = before.count()
     val live = liveEncoded(before, ts)
+    val enc = new org.apache.hadoop.fs.Path(s"$path/encoded")
+    val f = enc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a cell-layout bundle ([[persistIndexCellLayout]]) must come out
+    // of compaction still cell-partitioned, or the probe → file
+    // pruning contract (x123) silently stops holding after the first
+    // compact (ADVICE r9) — detect the layout from the live part's
+    // own directories and have rewritePart preserve it
+    val isCellLayout = f.exists(enc) && f.listStatus(enc).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("cell="))
     // sized output, not guessed (the writeAdvised discipline):
     // nFiles = 0 (default) sizes from the live part's bytes at the
     // 128 MB parquet sweet spot — at a 1 TB encoded ledger that is
     // ~8k files, at the test bundle it is 1; a positive nFiles pins
-    // it (x120's deterministic single-file pin)
+    // it (x120's deterministic single-file pin). The cell layout
+    // sizes itself (one file per live cell).
     val sized =
       if (nFiles > 0) nFiles
       else {
-        val enc = new org.apache.hadoop.fs.Path(s"$path/encoded")
-        val bytes = enc
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .getContentSummary(enc).getLength
+        val bytes = f.getContentSummary(enc).getLength
         math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
       }
-    vs.rewritePart(path, version, "encoded", live, sized)
-    val tsDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val f = tsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (f.exists(tsDir)) f.delete(tsDir, true)
+    vs.rewritePart(path, version, "encoded", live, sized,
+      if (isCellLayout) Seq("cell") else Seq.empty)
+    tsFiles.foreach(p =>
+      f.delete(new org.apache.hadoop.fs.Path(p), false))
     val after = vs.read(spark, path, version, "encoded")
-    val enc = new org.apache.hadoop.fs.Path(s"$path/encoded")
-    val nDataFiles = f.listStatus(enc).count { st =>
+    var nDataFiles = 0
+    val it = f.listFiles(enc, true) // recursive: cell layout nests
+    while (it.hasNext) {
+      val st = it.next()
       val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+        nDataFiles += 1
     }
     (nBefore, after.count(), nDataFiles)
   }

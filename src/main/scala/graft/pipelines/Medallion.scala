@@ -116,10 +116,46 @@ object Medallion {
     * reference gets from Airflow running independent DAG tasks at once;
     * each table is still one isolated write. The ods layer is written
     * date-partitioned (S9). Returns the mart. */
-  def run(spark: SparkSession, sfDir: String, lakeRoot: String): DataFrame = {
+  def run(spark: SparkSession, sfDir: String, lakeRoot: String): DataFrame =
+    runWith(spark, sfDir, lakeRoot, None)
+
+  /** Per-table shuffle budgets for [[runGated]] — the measured
+    * static-plan exchange counts of the five tables (pinned in
+    * Round18Spec), declared as the deploy contract (see
+    * [[ReferenceWarehouse.shuffleBudgets]]). The ods write's own
+    * partition repartition is the runner's machinery, gated outside
+    * the build budget. */
+  val shuffleBudgets: Map[String, Int] = Map(
+    "ods.reviews" -> 0,  // map-only filter/normalize
+    "dim.time" -> 1,     // distinct
+    "dim.places" -> 1,   // distinct
+    "fact.reviews" -> 1, // distinct
+    "mart.trends" -> 1)  // one agg; both dims broadcast
+
+  /** [[run]] with every table's plan refused-or-passed against its
+    * declared budget BEFORE materializing — PlanAudit.gate in the
+    * runner (VERDICT r9 #4): cartesians always refuse; exchanges
+    * above the table's declared count refuse. An undeclared table
+    * fails fast (ungated = the regression class this exists for). */
+  def runGated(spark: SparkSession, sfDir: String, lakeRoot: String,
+               budgets: Map[String, Int] = shuffleBudgets): DataFrame =
+    runWith(spark, sfDir, lakeRoot, Some(budgets))
+
+  private def runWith(spark: SparkSession, sfDir: String,
+                      lakeRoot: String,
+                      budgets: Option[Map[String, Int]]): DataFrame = {
     val ctx = new Ctx(spark, sfDir, lakeRoot)
     Pipelines.runWaves[Table](tables, _.qualified, _.deps, "medallion") { t =>
-      val df = t.build(spark, ctx)
+      val df0 = t.build(spark, ctx)
+      val df = budgets match {
+        case Some(b) =>
+          val budget = b.getOrElse(t.qualified,
+            throw new IllegalArgumentException(
+              s"runGated: no declared shuffle budget for " +
+                s"${t.qualified} — declare it in shuffleBudgets"))
+          graft.plans.PlanAudit.gate(df0, budget)
+        case None => df0
+      }
       // Partitioned layers are shuffled on the partition column first so
       // each partition lands in exactly one task → one file per partition
       // instead of (tasks × partitions) tiny files. Same pattern at

@@ -134,12 +134,73 @@ object ReferenceWarehouse {
     * partition column first (one file per partition — see
     * [[Medallion.run]] for the 100 TB rationale). */
   def run(spark: SparkSession, sources: Map[String, DataFrame],
-          lakeRoot: String): DataFrame = {
+          lakeRoot: String): DataFrame =
+    runWith(spark, sources, lakeRoot, None)
+
+  /** Per-table shuffle-exchange budgets for [[runGated]] — each
+    * table's MEASURED static-plan exchange count on the fixture build
+    * (Round18Spec prints and pins them), declared here as the
+    * deploy-time contract: the number of corpus-wide shuffles this
+    * build is ALLOWED to cost per table. A regression (a lost
+    * broadcast, an accidental sort, a join key falling off) shows up
+    * as exchanges the gate refuses BEFORE the table writes —
+    * PlanShapeSpec's commit-time discipline moved into the runner
+    * itself (VERDICT r9 #4). */
+  val shuffleBudgets: Map[String, Int] = Map(
+    "ods.tripadvisor_info" -> 0, // map-only clean (broadcast _rid fix)
+    "ods.tripadvisor" -> 0,
+    "ods.taipei_name_map" -> 0,
+    "ods.taipei_visitors" -> 0,
+    "ods.gmaps_places" -> 0, // map-only flatten/clean
+    "ods.gmaps_reviews" -> 0, // map-only normalize (write repartition
+                              // is the runner's own, after the gate)
+    "ods.fb_posts" -> 0,
+    "ods.weather_history" -> 0,
+    "dim.places" -> 1, // distinct
+    "dim.time" -> 1,
+    "dim.users" -> 1,
+    "dim.attraction_hashtag" -> 3, // distinct + union-distinct + M2 fold
+    "dim.type" -> 2,
+    "dim.attraction_type" -> 2,
+    "dim.attraction_detail" -> 2,
+    "fact.reviews" -> 1,
+    "fact.attraction_history" -> 0, // broadcast dim join only
+    "mart.review_trends" -> 1) // one agg; dims broadcast
+
+  /** [[run]] with every table's plan gated against its declared
+    * shuffle budget ([[graft.plans.PlanAudit.gate]]) BEFORE it
+    * materializes: a cartesian/nested-loop join anywhere, or a table
+    * whose static plan costs more exchanges than
+    * [[shuffleBudgets]] declares, refuses the deploy instead of
+    * silently paying corpus-squared (or corpus-times-extra-shuffle)
+    * work at 100 TB. The gate audits the table's BUILD plan; the
+    * runner's own partitioned-write repartition (ods.gmaps_reviews)
+    * is declared machinery outside the budget. A table missing from
+    * `budgets` fails fast — an undeclared table is an ungated table,
+    * which is the regression class this runner exists to refuse. */
+  def runGated(spark: SparkSession, sources: Map[String, DataFrame],
+               lakeRoot: String,
+               budgets: Map[String, Int] = shuffleBudgets): DataFrame =
+    runWith(spark, sources, lakeRoot, Some(budgets))
+
+  private def runWith(spark: SparkSession,
+                      sources: Map[String, DataFrame], lakeRoot: String,
+                      budgets: Option[Map[String, Int]]): DataFrame = {
     requiredSources.foreach(s => require(sources.contains(s),
       s"missing raw source '$s'"))
     val ctx = new Ctx(spark, sources, lakeRoot)
     Pipelines.runWaves[Table](tables, _.qualified, _.deps, "refwh") { t =>
-      val df = t.build(ctx)
+      val df0 = t.build(ctx)
+      val df = budgets match {
+        case Some(b) =>
+          val budget = b.getOrElse(t.qualified,
+            throw new IllegalArgumentException(
+              s"runGated: no declared shuffle budget for " +
+                s"${t.qualified} — an undeclared table is an ungated " +
+                "table; declare it in shuffleBudgets"))
+          graft.plans.PlanAudit.gate(df0, budget)
+        case None => df0
+      }
       if (t.qualified == "ods.gmaps_reviews") {
         val n = spark.sparkContext.defaultParallelism
         df.repartition(n, col("published_at")).write.mode("overwrite")

@@ -49,17 +49,30 @@ object PlanAudit {
     * whose tree mutates at runtime — the deterministic audit
     * surface. (AQE can only improve on this static shape at runtime
     * — e.g. demote a sort-merge to broadcast on observed sizes —
-    * so the audit is the conservative bound a gate should hold.) */
+    * so the audit is the conservative bound a gate should hold.)
+    *
+    * THREAD SAFETY (ADVICE r9): re-planning happens in a CLONED
+    * session — `newSession()` with the caller's runtime SQL confs
+    * copied over, AQE flipped off only there — never by mutating the
+    * shared session's conf. The round-9 form set
+    * spark.sql.adaptive.enabled=false on the caller's session and
+    * restored it in a finally, which silently planned any CONCURRENT
+    * query on that session with AQE off for the audit window. The
+    * audit re-plans `df`'s ANALYZED plan (resolution already done, so
+    * the clone needs no temp views), which is also why join-strategy
+    * confs like autoBroadcastJoinThreshold are copied: the audited
+    * shape must be the shape the caller's session would plan. */
   def auditPlan(df: DataFrame): Audit = {
     val spark = df.sparkSession
-    val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(key, "true")
+    val ns = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try ns.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    ns.conf.set("spark.sql.adaptive.enabled", "false")
     val plan: SparkPlan =
-      try {
-        spark.conf.set(key, "false")
-        spark.sessionState.executePlan(df.queryExecution.logical)
-          .executedPlan
-      } finally spark.conf.set(key, prev)
+      ns.sessionState.executePlan(df.queryExecution.analyzed)
+        .executedPlan
     def countIf(p: SparkPlan => Boolean): Int = plan.collect {
       case n if p(n) => 1
     }.sum

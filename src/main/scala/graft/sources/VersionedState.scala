@@ -129,9 +129,22 @@ object VersionedState {
     * the source files, which is exactly why staging precedes the
     * swap). `nFiles` sizes the staged write via coalesce — no
     * shuffle, tasks concatenate input splits (Lake.compact's
-    * reasoning). */
+    * reasoning).
+    *
+    * `partitionCols` preserves a hive-partitioned PHYSICAL LAYOUT
+    * through the rewrite (ADVICE r9: the round-9 form staged a plain
+    * unpartitioned write, so compacting a [[writeLayout]]-written
+    * cell-layout part silently flattened it — results stayed correct
+    * but the partition-filter → file-pruning contract stopped
+    * holding after the first compact, with no warning). Non-empty
+    * cols stage via `repartition(cols)` + `partitionBy(cols)` — one
+    * file per live partition value, the same shape
+    * [[graft.operators.Similarity.persistIndexCellLayout]] writes —
+    * and `nFiles` is ignored on that path (file count = partition
+    * count by construction). */
   def rewritePart(path: String, version: String, part: String,
-                  df: DataFrame, nFiles: Int): Unit = {
+                  df: DataFrame, nFiles: Int,
+                  partitionCols: Seq[String] = Seq.empty): Unit = {
     require(part != "meta", "VersionedState.rewritePart: 'meta' is " +
       "the version stamp, not a rewritable part")
     require(nFiles >= 1, s"VersionedState.rewritePart: nFiles=$nFiles")
@@ -143,8 +156,14 @@ object VersionedState {
         s"at $path — nothing to compact")
     val staged = new Path(s"$path/$part.compact")
     if (f.exists(staged)) f.delete(staged, true)
-    df.coalesce(nFiles).write.mode("overwrite")
-      .parquet(staged.toString)
+    if (partitionCols.isEmpty)
+      df.coalesce(nFiles).write.mode("overwrite")
+        .parquet(staged.toString)
+    else
+      df.repartition(partitionCols
+          .map(org.apache.spark.sql.functions.col): _*)
+        .write.mode("overwrite").partitionBy(partitionCols: _*)
+        .parquet(staged.toString)
     val metaDir = new Path(s"$path/meta")
     if (f.exists(metaDir)) f.delete(metaDir, true) // invalidate first
     val bak = new Path(s"$path/$part.pre-compact")

@@ -890,6 +890,15 @@ object Streams {
     import graft.functions.FreqFns
     val sp = batch.sparkSession
     val ledger = sp.read.parquet(path)
+    // a pre-__cap ledger (built before the capacity stamp existed)
+    // must fail with the same "rebuild the ledger" message as a
+    // capacity mismatch — without this, the agg below dies with an
+    // unresolved-column AnalysisException that says nothing about
+    // WHY the ledger is unusable (ADVICE r9)
+    require(ledger.columns.contains("__cap"),
+      s"freqLedgerFold: ledger at $path carries no __cap capacity " +
+        "stamp (pre-stamp ledger) — sketch bounds are only " +
+        "meaningful within one stamped capacity; rebuild the ledger")
     val head = ledger
       .agg(coalesce(max(col("__last_batch")), lit(-1L)),
         max(col("__cap")))
@@ -954,7 +963,19 @@ object Streams {
     // the __cap stamp exists to kill (1-row scalar read, the
     // advisor-decision idiom)
     val folded = spark.read.parquet(path)
-    val cap = folded.agg(max(col("__cap"))).head().getLong(0).toInt
+    // the consumer-side twin of freqLedgerFold's recipe gates (ADVICE
+    // r9): a pre-stamp ledger fails with the rebuild message, and a
+    // seeded-but-never-folded ledger fails with the explicit
+    // capacity-stamp message instead of an NPE off getLong on null
+    require(folded.columns.contains("__cap"),
+      s"streamFreqLedger: ledger at $path carries no __cap capacity " +
+        "stamp (pre-stamp ledger) — rebuild the ledger")
+    val capRow = folded.agg(max(col("__cap"))).head()
+    require(!capRow.isNullAt(0),
+      s"streamFreqLedger: ledger at $path is seeded but has never " +
+        "been folded — no capacity stamp to merge at; fold at least " +
+        "one batch first")
+    val cap = capRow.getLong(0).toInt
     val merged = folded
       .agg(FreqFns.freqMergeAgg(col("sk"), cap).as("sk"))
       .crossJoin(broadcast(nSrc)) // 1-row scalar idiom
@@ -1020,6 +1041,64 @@ object Streams {
         .withColumn("__nb", lit(nBuckets.toLong))
       Mutations.overwriteAtomic(merged, path)
     }
+  }
+
+  /** Executable DSIR feature-width sizing — the nlistFor discipline
+    * on the hashed-ngram bucket space: size the table to run at load
+    * ≤ 1/4 (sized = power-of-two ceil of 4·occupied, clamped
+    * [4096, 2²⁴]), because past that, pairwise hash collisions — two
+    * distinct n-gram features sharing a bucket and silently AVERAGING
+    * their importance ratios — stop being rare. Bit arithmetic for
+    * the round-up (nlistFor's determinism note: log-based ceils flip
+    * at exact powers of two across JVMs). */
+  def dsirBucketsFor(occupied: Long): Int = {
+    require(occupied >= 0, s"dsirBucketsFor: occupied=$occupied")
+    val t = math.min(1L << 24, math.max(4096L, 4L * occupied))
+    val hb = java.lang.Long.highestOneBit(t)
+    val p2 = if (hb == t) t else hb << 1
+    math.min(1L << 24, p2).toInt
+  }
+
+  /** DSIR-ledger GEOMETRY-DRIFT advisor — the indexGeometryDrift
+    * discipline on the text tier (VERDICT r9 #8): st18's fold freezes
+    * the bucket width `__nb` at seed time and accretes counts
+    * forever, so a ledger that was sized for an early corpus slice
+    * silently saturates as features accrete — counts stay exactly
+    * additive (nothing is WRONG), but collision rate grows with load
+    * and the importance ratios blur, with no error anywhere. One
+    * KB-grain read of the standing ledger (bucket rows only, never
+    * the corpus): occupied buckets vs the stamped width, the sizing
+    * rule's answer for the CURRENT occupancy, and the same
+    * ×`rebuildFactor` trigger as the index tier (2 = one power-of-two
+    * step, so jitter can't flap it). [[dsirBucketsFor]] is the single
+    * owner of the sizing arithmetic. */
+  def dsirLedgerAdvisor(spark: SparkSession, path: String,
+                        rebuildFactor: Int = 2): DataFrame = {
+    require(rebuildFactor >= 1,
+      s"dsirLedgerAdvisor: rebuildFactor=$rebuildFactor")
+    val ledger = spark.read.parquet(path)
+    require(ledger.columns.contains("__nb"),
+      s"dsirLedgerAdvisor: ledger at $path carries no __nb recipe " +
+        "stamp — rebuild the ledger")
+    val head = ledger
+      .agg(max(col("__nb")),
+        count(when(col("ct") + col("cq") > 0L, 1)))
+      .head()
+    require(!head.isNullAt(0),
+      s"dsirLedgerAdvisor: ledger at $path is seeded but has never " +
+        "been folded — no bucket width to advise against; fold at " +
+        "least one batch first")
+    val nb = head.getLong(0)
+    val occ = head.getLong(1)
+    val sized = dsirBucketsFor(occ)
+    spark.range(1).select(
+      lit(nb).as("nb"),
+      lit(occ).as("n_occupied"),
+      lit(math.rint(occ.toDouble / nb * 10000) / 10000)
+        .as("load_factor"),
+      lit(sized.toLong).as("sized_nb_now"),
+      lit(sized >= rebuildFactor.toLong * nb)
+        .as("rebuild_recommended"))
   }
 
   /** Streaming DSIR (x94's twin): the importance model TRAINS AS THE
@@ -1547,6 +1626,54 @@ object Streams {
         .withColumn("__sep", lit(sep))
       Mutations.overwriteAtomic(merged, path)
     }
+  }
+
+  /** Boilerplate-ledger CONTENT-DRIFT advisor — the x116 discipline
+    * on the segment-docfreq tier (VERDICT r9 #8): st22's ledger
+    * accretes docfreq forever while the consumer's `maxDocs`
+    * blacklist threshold stays frozen at whatever the corpus looked
+    * like when it was chosen — as the corpus grows, ordinary
+    * repetition (common short lines, not web furniture) drifts past
+    * the stale threshold and the blacklist starts STRIPPING REAL
+    * CONTENT, with every individual strip still "correct" against
+    * the ledger. The measurable symptom is blacklist occupancy: web
+    * furniture is a thin head (a few segments on many docs), so a
+    * blacklist capturing more than `fracThreshold` of ALL distinct
+    * segments (default 10%) is no longer cutting furniture — the
+    * threshold needs re-deriving for the current corpus. One
+    * KB-grain read of the standing ledger (segment-hash rows only,
+    * never the corpus); both branches live in the pinned query. */
+  def boilerplateLedgerAdvisor(spark: SparkSession, path: String,
+                               maxDocs: Long,
+                               fracThreshold: Double = 0.10)
+      : DataFrame = {
+    require(maxDocs >= 0 && fracThreshold > 0.0 && fracThreshold <= 1.0,
+      s"boilerplateLedgerAdvisor: maxDocs=$maxDocs " +
+        s"fracThreshold=$fracThreshold")
+    val ledger = spark.read.parquet(path)
+    require(ledger.columns.contains("__sep"),
+      s"boilerplateLedgerAdvisor: ledger at $path carries no __sep " +
+        "recipe stamp — rebuild the ledger")
+    val head = ledger
+      .agg(count(lit(1)),
+        coalesce(sum(when(col("docfreq") > maxDocs, 1L)
+          .otherwise(0L)), lit(0L)),
+        coalesce(max(col("docfreq")), lit(0L)))
+      .head()
+    val nSeg = head.getLong(0)
+    require(nSeg > 0L,
+      s"boilerplateLedgerAdvisor: ledger at $path is seeded but has " +
+        "never been folded — no segment frequencies to advise " +
+        "against; fold at least one batch first")
+    val nBlack = head.getLong(1)
+    val frac = nBlack.toDouble / nSeg
+    spark.range(1).select(
+      lit(maxDocs).as("max_docs"),
+      lit(nSeg).as("n_segments"),
+      lit(nBlack).as("n_blacklisted"),
+      lit(math.rint(frac * 10000) / 10000).as("blacklist_frac"),
+      lit(head.getLong(2)).as("max_docfreq"),
+      lit(frac >= fracThreshold).as("rethreshold_recommended"))
   }
 
   /** Streaming boilerplate blacklist (x111's twin): segment document
