@@ -189,6 +189,19 @@ object Bench {
                              // forget->compact->search, one pane
     "x36_span_dup_coverage") // bridge query shared with all sets
 
+  /** Tenth pinned set: the round-10 additions (same discipline; all
+    * nine prior sets stay untouched). x36 bridges again. x128-vs-x121
+    * (across this set and queries_r9) is the composed file-pruning
+    * contrast; x129-vs-x124 the incremental-promotion amortization. */
+  val r10new: Seq[String] = Seq(
+    "x128_filtered_pruned_ann", // filtered router + cell-layout pruning
+    "x129_incremental_promote", // touched-cell dynamic overwrite
+    "x130_sharded_lifecycle",   // sharded forget->compact->merged search
+    "x131_gated_build",         // PlanAudit.gate in the pipeline runner
+    "x132_boilerplate_drift",   // segment-docfreq threshold advisor
+    "x133_dsir_drift",          // bucket-width occupancy advisor
+    "x36_span_dup_coverage")    // bridge query shared with all sets
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -264,6 +277,7 @@ object Bench {
     val resultsR7 = benchSet(r7new)
     val resultsR8 = benchSet(r8new)
     val resultsR9 = benchSet(r9new)
+    val resultsR10 = benchSet(r10new)
     val qs = toJson(results)
     val qsLlm = toJson(resultsLlm)
     val qsR4 = toJson(resultsR4)
@@ -273,6 +287,7 @@ object Bench {
     val qsR7 = toJson(resultsR7)
     val qsR8 = toJson(resultsR8)
     val qsR9 = toJson(resultsR9)
+    val qsR10 = toJson(resultsR10)
     // `value` stays the HEADLINE total only — the pinned 21-set number the
     // driver has tracked since round 1; each later set gets its own key.
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -284,10 +299,11 @@ object Bench {
     val totalR7 = resultsR7.map(_._2).filter(_ >= 0).sum
     val totalR8 = resultsR8.map(_._2).filter(_ >= 0).sum
     val totalR9 = resultsR9.map(_._2).filter(_ >= 0).sum
+    val totalR10 = resultsR10.map(_._2).filter(_ >= 0).sum
     // Stop Spark BEFORE printing so no shutdown log line can land after
     // the JSON — the driver parses the last stdout line.
     spark.stop()
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$nPasses,"queries":$qs,"value_llm":$totalLlm%.3f,"queries_llm":$qsLlm,"value_r4":$totalR4%.3f,"queries_r4":$qsR4,"value_r5":$totalR5%.3f,"queries_r5":$qsR5,"value_r6":$totalR6%.3f,"queries_r6":$qsR6,"value_r6b":$totalR6b%.3f,"queries_r6b":$qsR6b,"value_r7":$totalR7%.3f,"queries_r7":$qsR7,"value_r8":$totalR8%.3f,"queries_r8":$qsR8,"value_r9":$totalR9%.3f,"queries_r9":$qsR9,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$nPasses,"queries":$qs,"value_llm":$totalLlm%.3f,"queries_llm":$qsLlm,"value_r4":$totalR4%.3f,"queries_r4":$qsR4,"value_r5":$totalR5%.3f,"queries_r5":$qsR5,"value_r6":$totalR6%.3f,"queries_r6":$qsR6,"value_r6b":$totalR6b%.3f,"queries_r6b":$qsR6b,"value_r7":$totalR7%.3f,"queries_r7":$qsR7,"value_r8":$totalR8%.3f,"queries_r8":$qsR8,"value_r9":$totalR9%.3f,"queries_r9":$qsR9,"value_r10":$totalR10%.3f,"queries_r10":$qsR10,"sf":"$sfDir"}"""
     // the seven-set line outgrew the driver's stdout tail buffer in
     // round 6 (BENCH_r06.json: parsed=null, tail truncated mid-line) —
     // ALSO persist it to the repo so the numbers survive verbatim even

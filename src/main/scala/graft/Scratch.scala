@@ -436,6 +436,77 @@ object Scratch {
               enc, cents, cb, 5, np, 8, pool, c, lake)
           }
         }
+      case "refined_cold" =>
+        // verdict-9 ask #5: the two-stage refined tail measured in
+        // ITS OWN claimed regime — the rerank source is a PARQUET
+        // READ (decode cost paid on every full-vector fetch, nothing
+        // checkpointed in memory) and the SQ8 codes come from the
+        // standing ledger's fourth part, exactly the deployment form
+        // SCALE.md's round-9 note reserved the refined path for. The
+        // round-9 in-memory sweep measured it 3x SLOWER; this
+        // measures the parquet-backed form both ways so the router
+        // rule (or the recorded negative) rests on the right regime.
+        // CLUSTERED_N overrides n.
+        import org.apache.spark.sql.functions._
+        import graft.operators.Similarity
+        val n = sys.env.getOrElse("CLUSTERED_N", "200000").toLong
+        val nl = Similarity.nlistFor(n)
+        val np = Similarity.nprobeFor(nl)
+        val pool = Similarity.rerankFor(n, nl, np)
+        val c = Similarity.refineFor(5)
+        val root = new java.io.File("target/qtmp/scratch_refined_cold")
+        org.apache.commons.io.FileUtils.deleteQuietly(root)
+        val lakePath = new java.io.File(root, "lake").getAbsolutePath
+        Similarity.hashBlobLake(spark, n).write.parquet(lakePath)
+        val lake = spark.read.parquet(lakePath) // parquet-backed
+        val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
+          .localCheckpoint()
+        val version = Similarity.annIndexVersion(nl, 8, 16)
+        val bundle = new java.io.File(root, "bundle").getAbsolutePath
+        val tb = System.nanoTime()
+        val (cents0, cb0) = Similarity.ivfpqTrain(lake, "vec_id",
+          "embedding", nl, 8, 16, coarseIters = 1, pqIters = 1)
+        val centsC = cents0.localCheckpoint() // KB-scale definition
+        val cbC = cb0.localCheckpoint()
+        graft.sources.VersionedState.write(bundle, version,
+          "cents" -> centsC, "codebook" -> cbC,
+          "encoded" -> Similarity.ivfpqEncode(lake, "vec_id",
+            "embedding", centsC, cbC, 8),
+          "sq8" -> Similarity.sq8Encode(lake, "vec_id", "embedding"))
+        println(f"build: n=$n nlist=$nl nprobe=$np pool=$pool " +
+          f"refineTo=$c wall=${(System.nanoTime() - tb) / 1e9}%.1f s")
+        val vs = graft.sources.VersionedState
+        val enc = vs.read(spark, bundle, version, "encoded")
+        val sq8 = vs.read(spark, bundle, version, "sq8")
+        val exact = Similarity.bruteTopKL2(q, lake, "vec_id",
+          "embedding", 5).localCheckpoint()
+        val denom = exact.count().toDouble
+        def run(tag: String)(mk: => org.apache.spark.sql.DataFrame)
+            : Unit = {
+          mk.write.format("noop").mode("overwrite").save() // warm JIT
+          spark.catalog.clearCache()
+          val walls = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            mk.write.format("noop").mode("overwrite").save()
+            val dt = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache(); dt
+          }
+          val hits = exact.as("b").join(mk.as("l"),
+            col("b.query_id") === col("l.query_id") &&
+              col("b.neighbor_id") === col("l.neighbor_id")).count()
+          println(f"$tag recall=${hits / denom}%.3f " +
+            f"wall=${walls.min}%.2f s (min of ${walls.size})")
+        }
+        run(s"single-stage exact-rerank pool=$pool (parquet source)") {
+          Similarity.ivfpqSearchEncoded(q, "vec_id", "embedding", enc,
+            centsC, cbC, 5, np, 8, pool, Some(lake))
+        }
+        run(s"two-stage pool=$pool refineTo=$c (ledger sq8, " +
+            "parquet source)") {
+          Similarity.ivfpqSearchRefined(q, "vec_id", "embedding",
+            enc, centsC, cbC, 5, np, 8, pool, c, lake,
+            sq8Codes = Some(sq8))
+        }
       case "shard_rehearsal" =>
         // the above-clamp sharding seam MEASURED (verdict-8 ask #2):
         // the 200k clustered lake split 2x100k by annShardKey, each

@@ -3857,6 +3857,399 @@ object SparkEntry {
         .orderBy(col("branch"))
     }),
 
+    "x128_filtered_pruned_ann" -> ((s, dir) => {
+      // the round-9 scale-killer closed BY COMPOSITION (VERDICT r9
+      // #1): x121's filtered router scored only probed cells but
+      // still READ the whole encoded ledger row-level; here its ANN
+      // branch routes through ivfpqSearchPruned over the x123
+      // cell-layout bundle, so the router's own WIDENED nprobe (the
+      // 1/sel rule) becomes a partition filter and the filtered path
+      // prunes FILES. The preflight runs on the pruned plan — the
+      // recall that routes the batch is measured on the plan the
+      // batch executes. Pane witnesses the composition: the router's
+      // resolved knobs (x112 discipline), the probed-cell list's
+      // files-read == cells-probed contract (x123 discipline), zero
+      // off-predicate rows, and recall vs the exact FILTERED twin.
+      // Same bundle as x123 (guarded build, read-only consumer).
+      val n = 2000L; val nlist = 64; val k = 5; val m = 8
+      val lake = Similarity.hashBlobLake(s, n)
+        .withColumn("h4", pmod(xxhash64(col("vec_id")), lit(4L)))
+        .localCheckpoint(true)
+      val version = Similarity.annIndexVersion(nlist, m, 16)
+      val path = annLedgerPath(version,
+        s"${Similarity.hashBlobLakeKey(n)}-celllayout")
+      if (!Similarity.indexExists(s, path, version)) {
+        val (c0, cb0) = Similarity.ivfpqTrain(lake.drop("h4"),
+          "vec_id", "embedding", nlist, m, 16,
+          coarseIters = 1, pqIters = 1)
+        Similarity.persistIndexCellLayout(path, version, c0, cb0,
+          Similarity.ivfpqEncode(lake.drop("h4"), "vec_id",
+            "embedding", c0, cb0, m))
+      }
+      val (cents, codebook, enc0) =
+        Similarity.loadIndexCellLayout(s, path, version)
+      val encoded = Similarity.liveEncoded(enc0,
+        Similarity.annTombstones(s, path)) // the x119 contract
+      // 4 probe queries and a 50% filter: the widened nprobe is
+      // min(64, 8/0.5) = 16, so the BATCH's probed-cell union stays
+      // a strict subset of the 64 cells — the pruning the pane
+      // witnesses is real file skipping, not a full-read that
+      // happens to equal the cell count
+      val q = Similarity.stratifiedProbes(lake, "vec_id", 4)
+        .drop("h4").localCheckpoint(true)
+      val pred = col("h4") < 2 // 50%, geometry-uncorrelated
+      val r = Similarity.annTopKFilteredRouted(q, lake, "vec_id",
+        "embedding", pred, k, encoded, cents, codebook, nlist, m,
+        bruteCutoff = 0L, pruneCells = true)
+      val cells = r.probedCells.getOrElse(Array.empty[Long])
+      val filesRead = encoded
+        .filter(col("cell").isInCollection(cells.toSeq))
+        .select(input_file_name()).distinct().count()
+      val exact = Similarity.bruteTopKL2(q, lake.filter(pred),
+        "vec_id", "embedding", k)
+      val offPred = r.result.join(
+        lake.filter(!pred).select(col("vec_id").as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_off_pred"))
+      exact.as("b").join(r.result.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("l.neighbor_id")).as("n_hit"))
+        .join(offPred, lit(true), "left") // 1-row pane join idiom
+        .select(lit(r.route).as("route"),
+          lit(r.nSurvivors).as("n_survivors"),
+          lit(r.nprobe.toLong).as("nprobe"),
+          lit(r.kPrime.toLong).as("k_prime"),
+          lit(math.rint(r.recallPreflight * 10000) / 10000)
+            .as("recall_preflight"),
+          lit(cells.length.toLong).as("n_cells_probed"),
+          lit(filesRead).as("n_files_read"),
+          lit(filesRead == cells.length.toLong).as("files_eq_cells"),
+          col("n_off_pred"), col("n_exact"),
+          round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
+            .as("recall_filtered"),
+          (col("n_hit").cast(DoubleType) / col("n_exact")
+            >= lit(0.94d)).as("recall_ge_094"))
+    }),
+
+    "x129_incremental_promote" -> ((s, dir) => {
+      // the maintenance window stops paying for history (VERDICT r9
+      // #2): x124's promote rewrites the WHOLE bundle every run —
+      // at 100 TB that re-shuffles the entire m-bytes-per-vector
+      // ledger to fold in one day's batches. The incremental form
+      // diffs the ingest ledger against the bundle's promoted
+      // high-water batch id (a PARTITION filter on the __bid ingest
+      // layout — the read prunes too) and dynamic-partition-
+      // overwrites ONLY the touched cell directories, key-deduped so
+      // a stale watermark re-folds identically. Pane pins the whole
+      // contract: batches/cells touched, files rewritten ==
+      // touched cells (the x123 witnessing rule), untouched files
+      // BYTE-identical, incremental == full re-promote row equality,
+      // and recall over the grown lake. Fresh build each run (two
+      // promotes mutate the bundle; a guarded reuse would pin
+      // nothing).
+      val nlist = 32; val m = 8; val ksub = 16; val k = 5
+      val lakeAll = Similarity.hashBlobLake(s, 2000L)
+        .localCheckpoint(true)
+      val lake0 = lakeAll.filter(col("vec_id") < 1600L)
+      // a geometrically NARROW delta (8 of the 64 clusters): the
+      // case incremental promotion exists for — most cells untouched
+      val delta = lakeAll.filter(col("vec_id") >= 1600L &&
+        pmod(col("vec_id"), lit(64L)) < 8L)
+      val version = Similarity.annIndexVersion(nlist, m, ksub)
+      val defPath = tmpDir("x129_def")
+      val (c0, cb0) = Similarity.ivfpqTrain(lake0, "vec_id",
+        "embedding", nlist, m, ksub, coarseIters = 1, pqIters = 1)
+      Similarity.persistIndexDef(defPath, version, c0, cb0)
+      val ledgerPath = tmpDir("x129_ledger")
+      (0 until 4).foreach { i =>
+        graft.streaming.Streams.annIngestFold(
+          lake0.filter(pmod(col("vec_id"), lit(4L)) === i.toLong),
+          i.toLong, defPath, version, ledgerPath, m)
+      }
+      val outPath = tmpDir("x129_bundle")
+      val (b0, _, hwm0) = Similarity.promoteIngestLedgerIncremental(
+        s, defPath, version, ledgerPath, outPath)
+      def fileHashes(root: java.io.File): Map[String, String] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isFile) Seq(f)
+          else Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        walk(root).filter(_.getName.endsWith(".parquet")).map { f =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          f.getAbsolutePath.stripPrefix(root.getAbsolutePath) ->
+            md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+              .map("%02x".format(_)).mkString
+        }.toMap
+      }
+      val encRoot = new java.io.File(s"$outPath/encoded")
+      val before = fileHashes(encRoot)
+      graft.streaming.Streams.annIngestFold(delta, 4L, defPath,
+        version, ledgerPath, m)
+      val (b1, touched, hwm1) =
+        Similarity.promoteIngestLedgerIncremental(
+          s, defPath, version, ledgerPath, outPath)
+      val after = fileHashes(encRoot)
+      val touchedDirs = after.keySet.filter(p =>
+        !before.contains(p) || before(p) != after(p))
+        .flatMap(_.split("/").find(_.startsWith("cell=")))
+      val untouched = before.keySet.filterNot(p =>
+        touchedDirs.exists(d => p.contains(s"/$d/")))
+      val untouchedIdentical = untouched.nonEmpty &&
+        untouched.forall(p => after.get(p).contains(before(p)))
+      // incremental == full re-promote, row for row
+      val outFull = tmpDir("x129_full")
+      Similarity.promoteIngestLedger(s, defPath, version, ledgerPath,
+        outFull)
+      val cols = Seq("cell", "neighbor_id", "sub", "code").map(col)
+      val inc = Similarity.loadIndexCellLayout(s, outPath, version)
+        ._3.select(cols: _*).localCheckpoint(true)
+      val fullP = Similarity.loadIndexCellLayout(s, outFull, version)
+        ._3.select(cols: _*).localCheckpoint(true)
+      val equal = inc.exceptAll(fullP).count() == 0L &&
+        fullP.exceptAll(inc).count() == 0L
+      // search the promoted bundle over the GROWN lake
+      val grown = lake0.unionByName(delta).localCheckpoint(true)
+      val nGrown = grown.count()
+      val (cents, codebook, prom0) =
+        Similarity.loadIndexCellLayout(s, outPath, version)
+      val promoted = Similarity.liveEncoded(prom0,
+        Similarity.annTombstones(s, outPath))
+      val q = Similarity.stratifiedProbes(grown, "vec_id", 16)
+        .localCheckpoint(true)
+      val np = Similarity.nprobeFor(nlist)
+      val got = Similarity.ivfpqSearchEncoded(q, "vec_id",
+        "embedding", promoted, cents, codebook, k, np, m,
+        rerank = Similarity.rerankFor(nGrown, nlist, np),
+        rerankSource = Some(grown))
+      val exact = Similarity.bruteTopKL2(q, grown, "vec_id",
+        "embedding", k)
+      exact.as("b").join(got.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("l.neighbor_id")).as("n_hit"))
+        .select(lit(b0).as("n_batches_full"),
+          lit(hwm0).as("hwm_after_full"),
+          lit(b1).as("n_new_batches"),
+          lit(touched).as("n_touched_cells"),
+          lit(touchedDirs.size.toLong).as("n_cells_rewritten"),
+          lit(touchedDirs.size.toLong == touched)
+            .as("rewritten_eq_touched"),
+          lit(untouchedIdentical).as("untouched_byte_identical"),
+          lit(equal).as("incremental_equals_full"),
+          lit(hwm1).as("hwm_after_delta"),
+          col("n_exact"),
+          round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
+            .as("recall"),
+          (col("n_hit").cast(DoubleType) / col("n_exact")
+            >= lit(0.94d)).as("recall_ge_094"))
+    }),
+
+    "x130_sharded_lifecycle" -> ((s, dir) => {
+      // the DELETE lifecycle at the sharded deployment point (VERDICT
+      // r9 #3): x117 proved sharded SEARCH; production also forgets
+      // and compacts per shard. annForgetSharded routes each id to
+      // ITS shard by the SAME annShardKey hash that routed ingest
+      // (any other routing loses deletes or bloats every shard's
+      // anti-join); the compact advisor unions per-shard panes; each
+      // shard compacts independently; merged search over survivors
+      // holds recall with zero forgotten ids surfacing (Round18Spec
+      // additionally pins row equality vs the unsharded lifecycle).
+      // Fresh build each run (forget+compact mutate both shards).
+      val n = 2000L; val m = 8; val ksub = 16; val k = 5
+      val shards = 2
+      val lake = Similarity.hashBlobLake(s, n).localCheckpoint(true)
+      val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
+        .localCheckpoint(true)
+      val preExact = Similarity.bruteTopKL2(q, lake, "vec_id",
+        "embedding", k).localCheckpoint(true)
+      // each probe's exact top-2 — the adversarial forget set, sized
+      // past the advisor's 1% tombstone-debt threshold per shard
+      val tsIds = preExact.filter(col("rank") <= 2)
+        .select(col("neighbor_id")).distinct().localCheckpoint(true)
+      val shardPaths = (0 until shards).map(sh => tmpDir(s"x130_s$sh"))
+      val built = (0 until shards).map { sh =>
+        val part = lake.filter(
+          Similarity.annShardKey(col("vec_id"), shards) === sh.toLong)
+          .localCheckpoint(true)
+        val nPart = part.count()
+        val nl = Similarity.nlistFor(nPart)
+        val v = Similarity.annIndexVersion(nl, m, ksub)
+        val (c0, cb0) = Similarity.ivfpqTrain(part, "vec_id",
+          "embedding", nl, m, ksub, coarseIters = 1, pqIters = 1)
+        Similarity.persistIndex(shardPaths(sh), v, c0, cb0,
+          Similarity.ivfpqEncode(part, "vec_id", "embedding",
+            c0, cb0, m))
+        (sh, v, nl, nPart, part)
+      }
+      Similarity.annForgetSharded(shardPaths, tsIds)
+      val tsCounts = (0 until shards).map(sh =>
+        Similarity.annTombstones(s, shardPaths(sh)).count())
+      // the advisor pane, unioned across shards (1 row per shard)
+      val advisorFired = built.map { case (sh, v, _, _, _) =>
+        Similarity.compactAdvisor(s, shardPaths(sh), v)
+          .select(col("compact_recommended")).head().getBoolean(0)
+      }.count(identity)
+      var erased = 0L
+      val perShard = built.map { case (sh, v, nl, nPart, part) =>
+        val (nb, na, _) = Similarity.annCompact(s, shardPaths(sh), v, 1)
+        erased += nb - na
+        val (cents, codebook, enc) =
+          Similarity.loadIndex(s, shardPaths(sh), v)
+        val live = Similarity.liveEncoded(enc,
+          Similarity.annTombstones(s, shardPaths(sh)))
+        val np = Similarity.nprobeFor(nl)
+        Similarity.ivfpqSearchEncoded(q, "vec_id", "embedding", live,
+          cents, codebook, k, np, m,
+          rerank = Similarity.rerankFor(nPart, nl, np),
+          rerankSource = Some(part))
+      }
+      val merged = Similarity.ivfpqMergeTopK(perShard, k)
+        .localCheckpoint(true)
+      val survivors = lake.join(tsIds,
+        lake("vec_id") === tsIds("neighbor_id"), "left_anti")
+      val exact = Similarity.bruteTopKL2(q, survivors, "vec_id",
+        "embedding", k)
+      val forgotten = merged.join(tsIds, Seq("neighbor_id"),
+        "left_semi").agg(count(lit(1)).as("n_results_forgotten"))
+      exact.as("b").join(merged.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("l.neighbor_id")).as("n_hit"))
+        .join(forgotten, lit(true), "left") // 1-row pane join idiom
+        .select(lit(shards.toLong).as("n_shards"),
+          lit(tsCounts(0)).as("n_ts_shard0"),
+          lit(tsCounts(1)).as("n_ts_shard1"),
+          lit(advisorFired.toLong).as("n_shards_compact_recommended"),
+          lit(erased).as("n_rows_erased"),
+          col("n_results_forgotten"), col("n_exact"),
+          round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
+            .as("recall_survivors"),
+          (col("n_hit").cast(DoubleType) / col("n_exact")
+            >= lit(0.94d)).as("recall_ge_094"))
+    }),
+
+    "x131_gated_build" -> ((s, dir) => {
+      // PlanAudit.gate wired INTO the pipeline runner (VERDICT r9
+      // #4): every table's plan is refused-or-passed against its
+      // declared shuffle budget BEFORE it materializes — at 100 TB
+      // "a new shuffle regressed into the nightly build" becomes a
+      // refused deploy, not an outage. Both branches live (the x125
+      // discipline): the declared-budget build passes and its mart
+      // equals the ungated run's; a deliberately-regressed budget
+      // (mart allowed 0 shuffles) and an UNDECLARED table (ungated =
+      // unshipped) are both refused. Round18Spec runs the full
+      // 17-table reference warehouse under the same gate; this pane
+      // prices the driver-table medallion form.
+      import graft.pipelines.Medallion
+      val mart = Medallion.runGated(s, dir, tmpDir("x131_lake"))
+        .localCheckpoint(true)
+      val plain = Medallion.run(s, dir, tmpDir("x131_plain"))
+        .localCheckpoint(true)
+      val martEqual = mart.exceptAll(plain).count() == 0L &&
+        plain.exceptAll(mart).count() == 0L
+      val regressedRefused =
+        try {
+          Medallion.runGated(s, dir, tmpDir("x131_reg"),
+            budgets = Medallion.shuffleBudgets + ("mart.trends" -> 0))
+          false
+        } catch { case _: Exception => true }
+      val undeclaredRefused =
+        try {
+          Medallion.runGated(s, dir, tmpDir("x131_und"),
+            budgets = Medallion.shuffleBudgets - "dim.time")
+          false
+        } catch { case _: Exception => true }
+      s.range(1).select(
+        lit(Medallion.tables.size.toLong).as("n_tables"),
+        lit(mart.count()).as("mart_rows"),
+        lit(martEqual).as("gated_equals_ungated"),
+        lit(regressedRefused).as("regressed_budget_refused"),
+        lit(undeclaredRefused).as("undeclared_table_refused"))
+    }),
+
+    "x132_boilerplate_drift" -> ((s, dir) => {
+      // the x116 drift discipline on the TEXT tier (VERDICT r9 #8):
+      // st22's segment-docfreq ledger accretes forever while the
+      // consumer's maxDocs blacklist threshold stays frozen — as the
+      // corpus grows, ordinary repetition drifts past the stale
+      // threshold and the blacklist starts stripping REAL content,
+      // every individual strip still "correct" against the ledger.
+      // The advisor reads the KB-grain ledger only: blacklist
+      // occupancy (web furniture is a thin head — a blacklist
+      // capturing >10% of distinct segments is cutting content, not
+      // furniture). Both branches live: the x111 threshold (10)
+      // reads quiet (only the injected footers blacklist — the thin
+      // head); the degenerate stale threshold (0) fires. The footer
+      // canary is x111's own deterministic injection, so the ledger
+      // has a REAL docfreq head to advise on; the oracle re-derives
+      // every number from the documents table — docfreq by trimmed
+      // segment, the same segmentation x111 pins.
+      import graft.streaming.Streams
+      val footer = when(pmod(col("doc_id"), lit(3L)) === 0,
+          "subscribe to our newsletter")
+        .when(pmod(col("doc_id"), lit(3L)) === 1,
+          "all rights reserved")
+        .otherwise("cookie policy applies")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit("\n"), footer).as("text"))
+      val path = tmpDir("x132_ledger")
+      graft.operators.Mutations.seedEmptyLedger(s, path,
+        Streams.boilerplateLedgerSchema)
+      Streams.boilerplateLedgerFold(
+        docs.select(col("doc_id"), col("text")), 0L, path)
+      def branch(name: String, maxDocs: Long) =
+        Streams.boilerplateLedgerAdvisor(s, path, maxDocs)
+          .select(lit(name).as("branch"), col("max_docs"),
+            col("n_segments"), col("n_blacklisted"),
+            col("blacklist_frac"), col("max_docfreq"),
+            col("rethreshold_recommended"))
+      branch("a_x111_threshold_quiet", 10L)
+        .unionByName(branch("b_stale_threshold_fires", 0L))
+        .orderBy(col("branch"))
+    }),
+
+    "x133_dsir_drift" -> ((s, dir) => {
+      // the same drift discipline on the DSIR bucket ledger (VERDICT
+      // r9 #8): st18 freezes the feature width __nb at seed time and
+      // accretes counts forever — saturation never errors, it just
+      // blurs the importance ratios as hash collisions grow with
+      // load. The advisor reads bucket rows only; dsirBucketsFor
+      // owns the sizing (load ≤ 1/4 at the next power of two) and
+      // the trigger is the same ×2 step as the index tier. Both
+      // branches live on DETERMINISTIC synthetic corpora (pure
+      // column arithmetic — constants at any sf): a 20-doc corpus
+      // loads 4096 buckets lightly (quiet); a 600-doc 6600-feature
+      // corpus drives occupancy past nb/4 (fires, sized 16384).
+      import graft.streaming.Streams
+      def fold(docs: DataFrame, tag: String): String = {
+        val path = tmpDir(s"x133_$tag")
+        graft.operators.Mutations.seedEmptyLedger(s, path,
+          Streams.dsirLedgerSchema)
+        Streams.dsirLedgerFold(docs, 0L, path, 4096)
+        path
+      }
+      val light = s.range(20).select(col("id").as("doc_id"),
+        concat(lit("alpha beta w"), col("id")).as("text"),
+        lit("en").as("lang"))
+      val heavy = s.range(600).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 6).map(j =>
+          concat(lit("w"), (col("id") * 6 + j).cast(StringType))): _*)
+          .as("text"),
+        lit("en").as("lang"))
+      def branch(name: String, docs: DataFrame, tag: String) =
+        Streams.dsirLedgerAdvisor(s, fold(docs, tag))
+          .select(lit(name).as("branch"), col("nb"),
+            col("n_occupied"), col("load_factor"),
+            col("sized_nb_now"), col("rebuild_recommended"))
+      branch("a_light_quiet", light, "light")
+        .unionByName(branch("b_saturated_fires", heavy, "heavy"))
+        .orderBy(col("branch"))
+    }),
+
     "x88b_ivfpq_exact" -> ((s, dir) => {
       // the SAME IVFPQ machinery in its degenerate config — every cell
       // probed (nprobe = nlist) and ksub = |corpus| (every residual its
@@ -11432,6 +11825,131 @@ object SparkEntry {
              CAST(2000 AS BIGINT), CAST(0 AS BIGINT),
              CAST(0.0 AS DOUBLE), TRUE, CAST(1 AS BIGINT),
              'files', TRUE
+      ORDER BY branch""",
+
+    "x128_filtered_pruned_ann" -> """
+      -- the filtered router composed with the cell layout: 4 probe
+      -- queries, 50% hash filter (986 survivors of the deterministic
+      -- 2k lake), nprobe widened 8 -> 17 by the 1/sel rule, k' =
+      -- overfetchFor(5, 0.493) = 41; the batch's probes reach 41 of
+      -- 64 cells and the scan reads EXACTLY those 41 files (23
+      -- skipped — the pruning is real), recall 1.0 vs the exact
+      -- filtered twin with zero off-predicate rows
+      SELECT 'ann_overfetch' AS route,
+             CAST(986 AS BIGINT) AS n_survivors,
+             CAST(17 AS BIGINT) AS nprobe,
+             CAST(41 AS BIGINT) AS k_prime,
+             CAST(1.0 AS DOUBLE) AS recall_preflight,
+             CAST(41 AS BIGINT) AS n_cells_probed,
+             CAST(41 AS BIGINT) AS n_files_read,
+             TRUE AS files_eq_cells,
+             CAST(0 AS BIGINT) AS n_off_pred,
+             CAST(20 AS BIGINT) AS n_exact,
+             CAST(1.0 AS DOUBLE) AS recall_filtered,
+             TRUE AS recall_ge_094""",
+
+    "x129_incremental_promote" -> """
+      -- incremental promotion: 4 full batches promote (hwm 3), then
+      -- ONE narrow delta batch (8 of the 64 clusters) touches
+      -- exactly 8 cells — 8 cell directories rewritten, every other
+      -- file byte-identical, the bundle row-equal to a full
+      -- re-promote, watermark advanced to 4, recall 1.0 on the
+      -- grown lake
+      SELECT CAST(4 AS BIGINT) AS n_batches_full,
+             CAST(3 AS BIGINT) AS hwm_after_full,
+             CAST(1 AS BIGINT) AS n_new_batches,
+             CAST(8 AS BIGINT) AS n_touched_cells,
+             CAST(8 AS BIGINT) AS n_cells_rewritten,
+             TRUE AS rewritten_eq_touched,
+             TRUE AS untouched_byte_identical,
+             TRUE AS incremental_equals_full,
+             CAST(4 AS BIGINT) AS hwm_after_delta,
+             CAST(80 AS BIGINT) AS n_exact,
+             CAST(1.0 AS DOUBLE) AS recall,
+             TRUE AS recall_ge_094""",
+
+    "x130_sharded_lifecycle" -> """
+      -- the delete lifecycle sharded: 32 adversarial ids (each
+      -- probe's exact top-2) route 17/15 to their shards' tombstone
+      -- sets, both shards' compact advisors fire (1.5-1.7% tombstone
+      -- debt), 256 code rows erase physically (32 ids x m=8), merged
+      -- search over survivors holds recall 1.0 with zero forgotten
+      -- ids surfacing
+      SELECT CAST(2 AS BIGINT) AS n_shards,
+             CAST(17 AS BIGINT) AS n_ts_shard0,
+             CAST(15 AS BIGINT) AS n_ts_shard1,
+             CAST(2 AS BIGINT) AS n_shards_compact_recommended,
+             CAST(256 AS BIGINT) AS n_rows_erased,
+             CAST(0 AS BIGINT) AS n_results_forgotten,
+             CAST(80 AS BIGINT) AS n_exact,
+             CAST(1.0 AS DOUBLE) AS recall_survivors,
+             TRUE AS recall_ge_094""",
+
+    "x131_gated_build" -> """
+      -- the gated medallion build: 5 tables under declared shuffle
+      -- budgets, the gated mart row-equal to the ungated run (row
+      -- count re-derived from the driver tables), a regressed budget
+      -- and an undeclared table both refused
+      SELECT CAST(5 AS BIGINT) AS n_tables,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                SELECT c_mktsegment, year(o_orderdate),
+                       quarter(o_orderdate)
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+                  AND o_orderdate IS NOT NULL
+                GROUP BY 1, 2, 3)) AS mart_rows,
+             TRUE AS gated_equals_ungated,
+             TRUE AS regressed_budget_refused,
+             TRUE AS undeclared_table_refused""",
+
+    "x132_boilerplate_drift" -> """
+      -- the advisor's numbers re-derived from the documents table:
+      -- docfreq by trimmed segment under x111's footer injection;
+      -- the x111 threshold (10) blacklists only the 3 footers (thin
+      -- head, quiet), the stale threshold (0) captures everything
+      -- and fires
+      WITH d AS (
+        SELECT doc_id, text || chr(10) ||
+               CASE doc_id % 3
+                 WHEN 0 THEN 'subscribe to our newsletter'
+                 WHEN 1 THEN 'all rights reserved'
+                 ELSE 'cookie policy applies' END AS t
+        FROM documents),
+      segs AS (
+        SELECT doc_id, trim(UNNEST(string_split(t, chr(10)))) AS ts
+        FROM d),
+      df AS (
+        SELECT ts, COUNT(DISTINCT doc_id) AS docfreq
+        FROM segs GROUP BY 1)
+      SELECT CASE t.md WHEN 10 THEN 'a_x111_threshold_quiet'
+             ELSE 'b_stale_threshold_fires' END AS branch,
+             CAST(t.md AS BIGINT) AS max_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_segments,
+             CAST(SUM(CASE WHEN docfreq > t.md THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_blacklisted,
+             round(SUM(CASE WHEN docfreq > t.md THEN 1 ELSE 0 END)
+               * 1.0 / COUNT(*), 4) AS blacklist_frac,
+             CAST(MAX(docfreq) AS BIGINT) AS max_docfreq,
+             (SUM(CASE WHEN docfreq > t.md THEN 1 ELSE 0 END)
+               * 1.0 / COUNT(*)) >= 0.10 AS rethreshold_recommended
+      FROM df CROSS JOIN (SELECT UNNEST([10, 0]) AS md) t
+      GROUP BY t.md ORDER BY branch""",
+
+    "x133_dsir_drift" -> """
+      -- both branches of the DSIR bucket-width advisor on the
+      -- deterministic synthetic corpora (pure column arithmetic —
+      -- constants at any sf): 20 docs load 4096 buckets at 1% (the
+      -- sizing rule answers 4096, quiet); 600 docs x 11 features
+      -- occupy 3254 buckets (79% load — collisions are no longer
+      -- rare), sized to 16384 >= 2x4096, fires
+      SELECT * FROM (VALUES
+        ('a_light_quiet', CAST(4096 AS BIGINT), CAST(43 AS BIGINT),
+         CAST(0.0105 AS DOUBLE), CAST(4096 AS BIGINT), FALSE),
+        ('b_saturated_fires', CAST(4096 AS BIGINT),
+         CAST(3254 AS BIGINT), CAST(0.7944 AS DOUBLE),
+         CAST(16384 AS BIGINT), TRUE))
+        AS t(branch, nb, n_occupied, load_factor, sized_nb_now,
+             rebuild_recommended)
       ORDER BY branch""",
 
     "x88_ivfpq_topk" -> """
