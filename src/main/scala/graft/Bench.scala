@@ -200,6 +200,7 @@ object Bench {
     "x131_gated_build",         // PlanAudit.gate in the pipeline runner
     "x132_boilerplate_drift",   // segment-docfreq threshold advisor
     "x133_dsir_drift",          // bucket-width occupancy advisor
+    "x134_ops_console",         // unified advisor console (8 actions)
     "x36_span_dup_coverage")    // bridge query shared with all sets
 
   def main(args: Array[String]): Unit = {

@@ -464,7 +464,15 @@ object Scratch {
         val version = Similarity.annIndexVersion(nl, 8, 16)
         val bundle = new java.io.File(root, "bundle").getAbsolutePath
         val tb = System.nanoTime()
-        val (cents0, cb0) = Similarity.ivfpqTrain(lake, "vec_id",
+        // train on a deterministic hash sample (TRAIN_ONE_IN, default
+        // 10) — the documented 100 TB stance (codebooks only need the
+        // distribution) and what keeps the Lloyd join's n×nlist spill
+        // inside this box's disk at 200k×2048
+        val oneIn = sys.env.getOrElse("TRAIN_ONE_IN", "10").toLong
+        val trainSet = if (oneIn <= 1) lake
+          else lake.filter(pmod(xxhash64(col("vec_id")), lit(oneIn))
+            === 0L)
+        val (cents0, cb0) = Similarity.ivfpqTrain(trainSet, "vec_id",
           "embedding", nl, 8, 16, coarseIters = 1, pqIters = 1)
         val centsC = cents0.localCheckpoint() // KB-scale definition
         val cbC = cb0.localCheckpoint()

@@ -4250,6 +4250,84 @@ object SparkEntry {
         .orderBy(col("branch"))
     }),
 
+    "x134_ops_console" -> ((s, dir) => {
+      // the advisor tier's CAPSTONE: every standing-ledger advisor
+      // (index geometry drift, compact debt, DSIR bucket width,
+      // boilerplate threshold) normalized to ONE action schema and
+      // unioned — the single relation a maintenance scheduler polls
+      // against a 100 TB estate, each row KB-grain by the advisor
+      // contract. Eight rows, EVERY action with both branches live
+      // (the x116 canary rule): a stale bundle (500-sized geometry
+      // accreted to 2000, 1% forgotten) fires rebuild AND compact; a
+      // fresh right-sized compacted bundle reads quiet on both; the
+      // x133 synthetic corpora fire/quiet the DSIR width advisor;
+      // one boilerplate ledger registered at the x111 threshold
+      // (quiet) and the degenerate stale threshold (fires). All
+      // inputs deterministic (hash-blob lake + range-generated
+      // corpora) — constants at any sf. Reasons are the advisors'
+      // OWN witnessed values (the x118 rule), so the oracle pins
+      // them verbatim.
+      import graft.operators.Advisors
+      import graft.streaming.Streams
+      val m = 8; val ksub = 16
+      val lake = Similarity.hashBlobLake(s, 2000L).localCheckpoint(true)
+      // stale bundle: trained for 500, carrying 2000, 1% tombstoned
+      val lake0 = Similarity.hashBlobLake(s, 500L).localCheckpoint(true)
+      val nl0 = Similarity.nlistFor(500L) // 16
+      val v0 = Similarity.annIndexVersion(nl0, m, ksub)
+      val pStale = tmpDir("x134_ann_stale")
+      val (c0, cb0) = Similarity.ivfpqTrain(lake0, "vec_id",
+        "embedding", nl0, m, ksub, coarseIters = 1, pqIters = 1)
+      Similarity.persistIndex(pStale, v0, c0, cb0,
+        Similarity.ivfpqEncode(lake, "vec_id", "embedding", c0, cb0, m))
+      Similarity.annCompact(s, pStale, v0) // file debt paid: only the
+      Similarity.annForget(pStale, lake   // tombstone rule can fire
+        .filter(pmod(col("vec_id"), lit(100L)) === 0)
+        .select(col("vec_id"))) // 20 ids = 1%
+      // fresh bundle: right-sized for its population, compacted, clean
+      val nl1 = Similarity.nlistFor(2000L) // 32
+      val v1 = Similarity.annIndexVersion(nl1, m, ksub)
+      val pFresh = tmpDir("x134_ann_fresh")
+      val (c1, cb1) = Similarity.ivfpqTrain(lake, "vec_id",
+        "embedding", nl1, m, ksub, coarseIters = 1, pqIters = 1)
+      Similarity.persistIndex(pFresh, v1, c1, cb1,
+        Similarity.ivfpqEncode(lake, "vec_id", "embedding", c1, cb1, m))
+      Similarity.annCompact(s, pFresh, v1)
+      // text-tier ledgers (x132/x133's deterministic corpora)
+      def dsir(docs: DataFrame, tag: String): String = {
+        val p = tmpDir(s"x134_$tag")
+        graft.operators.Mutations.seedEmptyLedger(s, p,
+          Streams.dsirLedgerSchema)
+        Streams.dsirLedgerFold(docs, 0L, p, 4096)
+        p
+      }
+      val light = dsir(s.range(20).select(col("id").as("doc_id"),
+        concat(lit("alpha beta w"), col("id")).as("text"),
+        lit("en").as("lang")), "dsir_light")
+      val heavy = dsir(s.range(600).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 6).map(j =>
+          concat(lit("w"), (col("id") * 6 + j).cast(StringType))): _*)
+          .as("text"),
+        lit("en").as("lang")), "dsir_heavy")
+      val bp = tmpDir("x134_bp")
+      graft.operators.Mutations.seedEmptyLedger(s, bp,
+        Streams.boilerplateLedgerSchema)
+      Streams.boilerplateLedgerFold(
+        s.range(40).select(col("id").as("doc_id"),
+          concat(lit("unique line "), col("id"), lit("\nfooter text"))
+            .as("text")), 0L, bp)
+      Advisors.opsConsole(s,
+        annBundles = Seq(
+          ("ann_stale_2k_on_500geo", pStale, v0, nl0),
+          ("ann_fresh_2k", pFresh, v1, nl1)),
+        dsirLedgers = Seq(
+          ("dsir_heavy", heavy), ("dsir_light", light)),
+        boilerplateLedgers = Seq(
+          ("bp_x111_threshold", bp, 10L),
+          ("bp_stale_threshold", bp, 0L)))
+        .orderBy(col("tier"), col("ledger"), col("action"))
+    }),
+
     "x88b_ivfpq_exact" -> ((s, dir) => {
       // the SAME IVFPQ machinery in its degenerate config — every cell
       // probed (nprobe = nlist) and ksub = |corpus| (every residual its
@@ -11951,6 +12029,30 @@ object SparkEntry {
         AS t(branch, nb, n_occupied, load_factor, sized_nb_now,
              rebuild_recommended)
       ORDER BY branch""",
+
+    "x134_ops_console" -> """
+      -- the unified maintenance console: 8 advisor rows over one
+      -- deterministic estate, every action with both branches live;
+      -- reasons are the advisors' own witnessed values verbatim
+      SELECT * FROM (VALUES
+        ('ann', 'ann_fresh_2k', 'compact', FALSE,
+         'none ts_fraction=0.0 advised_files=1'),
+        ('ann', 'ann_fresh_2k', 'rebuild', FALSE,
+         'sized_nlist_now=32 trained=32 n_now=2000'),
+        ('ann', 'ann_stale_2k_on_500geo', 'compact', TRUE,
+         'tombstones ts_fraction=0.01 advised_files=1'),
+        ('ann', 'ann_stale_2k_on_500geo', 'rebuild', TRUE,
+         'sized_nlist_now=32 trained=16 n_now=2000'),
+        ('boilerplate', 'bp_stale_threshold', 'rethreshold', TRUE,
+         'blacklist_frac=1.0 n_blacklisted=41 max_docs=0'),
+        ('boilerplate', 'bp_x111_threshold', 'rethreshold', FALSE,
+         'blacklist_frac=0.0244 n_blacklisted=1 max_docs=10'),
+        ('dsir', 'dsir_heavy', 'rebuild', TRUE,
+         'load_factor=0.7944 sized_nb_now=16384 nb=4096'),
+        ('dsir', 'dsir_light', 'rebuild', FALSE,
+         'load_factor=0.0105 sized_nb_now=4096 nb=4096'))
+        AS t(tier, ledger, action, recommended, reason)
+      ORDER BY tier, ledger, action""",
 
     "x88_ivfpq_topk" -> """
       SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ge_08

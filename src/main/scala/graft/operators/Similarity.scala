@@ -755,13 +755,22 @@ object Similarity {
       .select(col("neighbor_id").as("cent_id"), col("cv").as("cent_v"),
         col("cn").as("cent_n"))
     (1 to trainIters).foldLeft(seeds) { (cur, _) =>
-      val assigned = c.join(broadcast(cur))
+      // argmax over SLIM rows: the n×nlist join output projects to
+      // (id, cos, cent_id) ~24 B BEFORE the aggregation, and the
+      // vector payload joins back by id afterwards — carrying cv
+      // through the agg (the round-9 form's first(cv)) made the
+      // struct-max sort-aggregate spill n×nlist×|vec| bytes
+      // (~240 GB at 200k×2048; measured disk-full on this box, and
+      // the same fat shuffle at 100 TB)
+      val cells = c.join(broadcast(cur))
+        .select(col("neighbor_id"), struct(
+          (VectorExprs.dot(col("cv"), col("cent_v")) /
+            (col("cn") * col("cent_n"))).as("cos"),
+          col("cent_id")).as("sc"))
         .groupBy(col("neighbor_id"))
-        .agg(max(struct(
-            (VectorExprs.dot(col("cv"), col("cent_v")) /
-              (col("cn") * col("cent_n"))).as("cos"),
-            col("cent_id"))).getField("cent_id").as("cell"),
-          first(col("cv")).as("cv"))
+        .agg(max(col("sc")).getField("cent_id").as("cell"))
+      val assigned = c.select(col("neighbor_id"), col("cv"))
+        .join(cells, Seq("neighbor_id"))
       // elementwise mean per cell: explode to (cell, pos, v), average,
       // reassemble position-sorted — empty cells drop (fewer, denser
       // cells is fine for a coarse quantizer)
@@ -785,12 +794,24 @@ object Similarity {
     * never a corpus rescan or retrain (the x32/x41 incremental
     * discipline, for vectors). Returns (cell, neighbor_id, cv, cn). */
   def ivfAssign(batch: DataFrame, idCol: String, vecCol: String,
-                cents: DataFrame): DataFrame =
-    ivfPrep(batch, idCol, vecCol).join(broadcast(cents))
+                cents: DataFrame): DataFrame = {
+    val prep = ivfPrep(batch, idCol, vecCol)
+    // argmax over SLIM rows, payload joined back by id (see the
+    // ivfTrain Lloyd-step note): the n×nlist agg input must be
+    // (id, cos, cent_id) ~24 B, not first(cv)-dragged vectors —
+    // the fat form spilled n×nlist×|vec| bytes through the
+    // struct-max sort-aggregate (disk-full at 200k×2048 here;
+    // the same fattened shuffle at 100 TB). Results identical:
+    // same argmax, same tie-break, one extra id-equi-join.
+    val cells = prep.join(broadcast(cents))
+      .select(col("neighbor_id"),
+        struct(centCos(col("cv"), col("cn")).as("cos"),
+          col("cent_id")).as("sc"))
       .groupBy(col("neighbor_id"))
-      .agg(max(struct(centCos(col("cv"), col("cn")).as("cos"),
-          col("cent_id"))).getField("cent_id").as("cell"),
-        first(col("cv")).as("cv"), first(col("cn")).as("cn"))
+      .agg(max(col("sc")).getField("cent_id").as("cell"))
+    prep.join(cells, Seq("neighbor_id"))
+      .select(col("cell"), col("neighbor_id"), col("cv"), col("cn"))
+  }
 
   /** Probe-and-score over a pre-assigned corpus (the standing index
     * table). Split from [[ivfTopK]] so assignment state persists and
