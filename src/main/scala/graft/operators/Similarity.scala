@@ -47,7 +47,14 @@ object Similarity {
   private def scoreAndRank(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    // SLIM the window input first: callers' scored relations still
+    // carry the qv/cv vector payloads (~1 KB/row), and a row_number
+    // window SORTS its full input — at corpus grain that is
+    // n·|q|·|vec| bytes of sort spill for three columns of output
+    // (the ivfAssign fat-agg class, on the window tier). 24 B rows
+    // sort instead; results identical.
+    scored.select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos_sim"), 4).as("cos_sim"))
@@ -164,14 +171,20 @@ object Similarity {
       quantize1e7(col(vecName)).as("__qv"))
     val cents = qv.filter(col(idName) < k)
       .select(col(idName).as("cid"), col("__qv").as("__cv"))
-    qv.crossJoin(broadcast(cents))
-      .withColumn("__d2", aggregate(
+    // argmin over SLIM (id, cid, d2) rows, vectors joined back by id
+    // after — the n×k window must not sort quantized-vector payloads
+    // (the ivfAssign/scoreAndRank fat-row class; at corpus grain that
+    // is n·k·|vec| bytes of sort spill for an id-to-cell mapping)
+    val best = qv.crossJoin(broadcast(cents))
+      .select(col(idName), col("cid"), aggregate(
         zip_with(col("__qv"), col("__cv"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x))
+        lit(0L), (acc, x) => acc + x).as("__d2"))
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col(idName))
           .orderBy(col("__d2").asc, col("cid").asc)))
       .filter(col("__rk") === 1)
+      .select(col(idName), col("cid"))
+    df.select(col(idName), col(vecName)).join(best, Seq(idName))
       .select(col("cid"), col(idName), col(vecName))
   }
 
@@ -326,7 +339,10 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"))
         .join(c, Seq("neighbor_id"))
         .join(broadcast(qv), Seq("query_id"))
-        .withColumn("exact_d2", intL2(col("__rqv"), col("__qv")))
+        // slim before the window: the sort must not carry the two
+        // quantized vectors (the scoreAndRank note)
+        .select(col("query_id"), col("neighbor_id"),
+          intL2(col("__rqv"), col("__qv")).as("exact_d2"))
         .withColumn("rank", row_number().over(w2))
         .filter(col("rank") <= k)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -582,14 +598,16 @@ object Similarity {
       .orderBy(col("sq8_d2").asc, col("neighbor_id").asc)
     val refined = cand.join(c8, Seq("neighbor_id"))
       .join(broadcast(q8), Seq("query_id"))
-      .withColumn("sq8_d2", aggregate(
+      // slim before the window (the scoreAndRank note): the int8
+      // code structs stay out of the refine sort
+      .select(col("query_id"), col("neighbor_id"), aggregate(
         zip_with(col("q8").getField("q"), col("c8").getField("q"),
           (a, b) => {
             val x = a.cast(DoubleType) / col("q8").getField("scale")
             val y = b.cast(DoubleType) / col("c8").getField("scale")
             (x - y) * (x - y)
           }),
-        lit(0.0d), (acc, v) => acc + v))
+        lit(0.0d), (acc, v) => acc + v).as("sq8_d2"))
       .withColumn("__r2", row_number().over(wSq8))
       .filter(col("__r2") <= refineTo)
       .select(col("query_id"), col("neighbor_id"))
@@ -602,7 +620,8 @@ object Similarity {
       .orderBy(col("exact_d2").asc, col("neighbor_id").asc)
     refined.join(cQ, Seq("neighbor_id"))
       .join(broadcast(qQ), Seq("query_id"))
-      .withColumn("exact_d2", intL2(col("__qq"), col("__cq")))
+      .select(col("query_id"), col("neighbor_id"), // slim, as above
+        intL2(col("__qq"), col("__cq")).as("exact_d2"))
       .withColumn("rank", row_number().over(wEx))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -621,7 +640,10 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_d2").asc, col("neighbor_id").asc)
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("approx_d2", intL2(col("qv"), col("cv")))
+      // slim before the window (the scoreAndRank note): n·|q| rows
+      // sort at 24 B, not with two quantized vectors aboard
+      .select(col("query_id"), col("neighbor_id"),
+        intL2(col("qv"), col("cv")).as("approx_d2"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -664,13 +686,16 @@ object Similarity {
     val qq = int8WithNorm(queries, "query_id", "qq", "qn2")
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_cos").desc, col("neighbor_id").asc)
+    val idot = aggregate(
+      zip_with(col("qq"), col("cq"),
+        (a, b) => a.cast(LongType) * b.cast(LongType)),
+      lit(0L), (acc, x) => acc + x)
     val short = cq.join(broadcast(qq), col("query_id") =!= col("neighbor_id"))
-      .withColumn("idot", aggregate(
-        zip_with(col("qq"), col("cq"),
-          (a, b) => a.cast(LongType) * b.cast(LongType)),
-        lit(0L), (acc, x) => acc + x))
-      .withColumn("approx_cos", col("idot").cast(DoubleType) /
-        sqrt(col("qn2").cast(DoubleType) * col("cn2").cast(DoubleType)))
+      // slim before the window (the scoreAndRank note): the int8
+      // vectors stay out of the shortlist sort
+      .select(col("query_id"), col("neighbor_id"),
+        (idot.cast(DoubleType) / sqrt(col("qn2").cast(DoubleType)
+          * col("cn2").cast(DoubleType))).as("approx_cos"))
       .withColumn("__rk", row_number().over(wA))
       .filter(col("__rk") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))

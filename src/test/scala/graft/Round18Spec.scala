@@ -321,6 +321,119 @@ class Round18Spec extends GraftSuite {
       "incremental promote diverged from full re-promote")
   }
 
+  test("incremental promote is crash-safe at both seams: a lost meta " +
+       "falls back to a full (identical) re-promote, and a STALE " +
+       "watermark re-folds already-promoted batches to the identical " +
+       "bundle (the key-dedup idempotence claim, exercised)") {
+    val nlist = 32; val m = 8; val ksub = 16
+    val lake = Similarity.hashBlobLake(spark, 800L).localCheckpoint(true)
+    val version = Similarity.annIndexVersion(nlist, m, ksub)
+    val defPath = tmp("r18_crash_def")
+    val (c0, cb0) = Similarity.ivfpqTrain(lake, "vec_id", "embedding",
+      nlist, m, ksub, coarseIters = 1, pqIters = 1)
+    Similarity.persistIndexDef(defPath, version, c0, cb0)
+    val ledgerPath = tmp("r18_crash_ledger")
+    (0 until 3).foreach { i =>
+      graft.streaming.Streams.annIngestFold(
+        lake.filter(pmod(col("vec_id"), lit(3L)) === i.toLong),
+        i.toLong, defPath, version, ledgerPath, m)
+    }
+    val out = tmp("r18_crash_bundle")
+    Similarity.promoteIngestLedgerIncremental(spark, defPath, version,
+      ledgerPath, out)
+    val cols = Seq("cell", "neighbor_id", "sub", "code").map(col)
+    val good = Similarity.loadIndexCellLayout(spark, out, version)
+      ._3.select(cols: _*).localCheckpoint(true)
+    // seam 1: crash AFTER the dynamic overwrite, BEFORE the meta
+    // re-stamp — the bundle has no valid meta, so the next promote
+    // takes the full path and lands the identical bundle
+    val f = new java.io.File(s"$out/meta")
+    org.apache.commons.io.FileUtils.deleteQuietly(f)
+    assert(!Similarity.indexExists(spark, out, version))
+    val (b1, _, _) = Similarity.promoteIngestLedgerIncremental(
+      spark, defPath, version, ledgerPath, out)
+    assert(b1 === 3L, "meta-less bundle must take the FULL path")
+    assert(Similarity.indexExists(spark, out, version))
+    assert(rowsEqual(good, Similarity
+      .loadIndexCellLayout(spark, out, version)._3.select(cols: _*)))
+    // seam 2: a STALE watermark (hwm file lost / rolled back) makes
+    // the next incremental re-fold batches the bundle already holds —
+    // the key-dedup merge must land the IDENTICAL bundle, not dupes
+    spark.range(1).select(lit(-1L).as("hwm")).write.mode("overwrite")
+      .parquet(s"$out/promote_hwm")
+    val (b2, _, hwm2) = Similarity.promoteIngestLedgerIncremental(
+      spark, defPath, version, ledgerPath, out)
+    assert(b2 === 3L && hwm2 === 2L,
+      "stale watermark must re-fold every batch")
+    assert(rowsEqual(good, Similarity
+      .loadIndexCellLayout(spark, out, version)._3.select(cols: _*)),
+      "stale-watermark re-fold duplicated or lost rows")
+  }
+
+  test("sharded ingest + per-shard incremental promote composes: " +
+       "shard-routed folds, per-shard touched-cell promotes, merged " +
+       "PRUNED search equals the exact twin") {
+    val n = 1600L; val m = 8; val ksub = 16; val k = 5
+    val shards = 2
+    val lakeAll = Similarity.hashBlobLake(spark, 2000L)
+      .localCheckpoint(true)
+    val lake0 = lakeAll.filter(col("vec_id") < n)
+    val delta = lakeAll.filter(col("vec_id") >= n &&
+      pmod(col("vec_id"), lit(64L)) < 8L)
+    val grown = lake0.unionByName(delta).localCheckpoint(true)
+    val q = Similarity.stratifiedProbes(grown, "vec_id", 8)
+      .localCheckpoint(true)
+    val perShard = (0 until shards).map { sh =>
+      val mine = (df: DataFrame) => df.filter(
+        Similarity.annShardKey(col("vec_id"), shards) === sh.toLong)
+      val part0 = mine(lake0).localCheckpoint(true)
+      val nl = Similarity.nlistFor(part0.count())
+      val v = Similarity.annIndexVersion(nl, m, ksub)
+      val defP = tmp(s"r18_shinc_def$sh")
+      val (c0, cb0) = Similarity.ivfpqTrain(part0, "vec_id",
+        "embedding", nl, m, ksub, coarseIters = 1, pqIters = 1)
+      Similarity.persistIndexDef(defP, v, c0, cb0)
+      val ledger = tmp(s"r18_shinc_ledger$sh")
+      (0 until 2).foreach { i =>
+        graft.streaming.Streams.annIngestFold(
+          part0.filter(pmod(col("vec_id"), lit(2L)) === i.toLong),
+          i.toLong, defP, v, ledger, m)
+      }
+      val out = tmp(s"r18_shinc_bundle$sh")
+      Similarity.promoteIngestLedgerIncremental(spark, defP, v,
+        ledger, out)
+      // the delta arrives sharded by the SAME key, folds, promotes
+      // incrementally — only its touched cells rewrite
+      graft.streaming.Streams.annIngestFold(mine(delta), 2L, defP, v,
+        ledger, m)
+      val (nb, touched, _) = Similarity.promoteIngestLedgerIncremental(
+        spark, defP, v, ledger, out)
+      assert(nb === 1L && touched > 0L && touched < nl.toLong,
+        s"shard $sh: delta must touch a strict subset of cells")
+      val (cents, codebook, enc0) =
+        Similarity.loadIndexCellLayout(spark, out, v)
+      val live = Similarity.liveEncoded(enc0,
+        Similarity.annTombstones(spark, out))
+      val np = Similarity.nprobeFor(nl)
+      val nPart = mine(grown).count()
+      val (cells, got) = Similarity.ivfpqSearchPruned(q, "vec_id",
+        "embedding", live, cents, codebook, k, np, m,
+        rerank = Similarity.rerankFor(nPart, nl, np),
+        rerankSource = Some(mine(grown)))
+      assert(cells.nonEmpty)
+      got
+    }
+    val merged = Similarity.ivfpqMergeTopK(perShard, k)
+    val exact = Similarity.bruteTopKL2(q, grown, "vec_id",
+      "embedding", k)
+    val hits = exact.as("b").join(merged.as("l"),
+      col("b.query_id") === col("l.query_id") &&
+        col("b.neighbor_id") === col("l.neighbor_id"), "left_semi")
+      .count()
+    assert(hits === exact.count(),
+      "sharded incremental estate lost true neighbors")
+  }
+
   // ------------------------------------------- sharded delete lifecycle
 
   test("sharded lifecycle equals the unsharded one: forget routes " +
@@ -537,6 +650,36 @@ class Round18Spec extends GraftSuite {
       .head()
     assert(fired.getAs[Long]("n_blacklisted") === 41L)
     assert(fired.getAs[Boolean]("rethreshold_recommended"))
+  }
+
+  // ------------------------------------------- slim window sorts
+
+  test("corpus-grain ANN top-k windows sort SLIM rows: no array " +
+       "payload reaches any window sort in bruteTopK/bruteTopKL2/" +
+       "sq8TopK/assignCells plans (the fat-assign class, window tier)") {
+    import org.apache.spark.sql.types.ArrayType
+    val lake = Similarity.hashBlobLake(spark, 200L).localCheckpoint(true)
+    val q = lake.filter(col("vec_id") < 4L)
+    def assertSlim(tag: String, df: DataFrame): Unit = {
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(wins.nonEmpty, s"$tag: expected a window in the plan")
+      wins.foreach { w =>
+        val fat = w.child.output.filter(a =>
+          a.dataType.isInstanceOf[ArrayType])
+        assert(fat.isEmpty,
+          s"$tag: window sorts array payload(s) ${fat.map(_.name)}")
+      }
+    }
+    assertSlim("bruteTopK",
+      Similarity.bruteTopK(q, lake, "vec_id", "embedding", 5))
+    assertSlim("bruteTopKL2",
+      Similarity.bruteTopKL2(q, lake, "vec_id", "embedding", 5))
+    assertSlim("sq8TopK",
+      Similarity.sq8TopK(q, lake, "vec_id", "embedding", 5))
+    assertSlim("assignCells",
+      Similarity.assignCells(lake, "vec_id", "embedding", 8))
   }
 
   // ---------------------------------------------------- fixtures
