@@ -4083,7 +4083,12 @@ object SparkEntry {
             c0, cb0, m))
         (sh, v, nl, nPart, part)
       }
-      Similarity.annForgetSharded(shardPaths, tsIds)
+      // verifyRouting: the positional-contract guard is ON — each
+      // shard's routed ids are proven present in ITS encoded set
+      // before the tombstone lands (a mis-ordered shardPaths would
+      // orphan deletes silently; round-10 review)
+      Similarity.annForgetSharded(shardPaths, tsIds,
+        verifyRouting = true, version = Some(built.head._2))
       val tsCounts = (0 until shards).map(sh =>
         Similarity.annTombstones(s, shardPaths(sh)).count())
       // the advisor pane, unioned across shards (1 row per shard)
@@ -4150,18 +4155,25 @@ object SparkEntry {
         .localCheckpoint(true)
       val martEqual = mart.exceptAll(plain).count() == 0L &&
         plain.exceptAll(mart).count() == 0L
+      // refusals must be THE GATE's, not any failure: match its
+      // message (an IO error or OOM reading true here would keep the
+      // pane green with the gate disabled — round-10 review)
       val regressedRefused =
         try {
           Medallion.runGated(s, dir, tmpDir("x131_reg"),
             budgets = Medallion.shuffleBudgets + ("mart.trends" -> 0))
           false
-        } catch { case _: Exception => true }
+        } catch { case e: Exception =>
+          e.getMessage != null &&
+            e.getMessage.contains("over the declared budget") }
       val undeclaredRefused =
         try {
           Medallion.runGated(s, dir, tmpDir("x131_und"),
             budgets = Medallion.shuffleBudgets - "dim.time")
           false
-        } catch { case _: Exception => true }
+        } catch { case e: Exception =>
+          e.getMessage != null &&
+            e.getMessage.contains("no declared shuffle budget") }
       s.range(1).select(
         lit(Medallion.tables.size.toLong).as("n_tables"),
         lit(mart.count()).as("mart_rows"),
@@ -4326,6 +4338,72 @@ object SparkEntry {
           ("bp_x111_threshold", bp, 10L),
           ("bp_stale_threshold", bp, 0L)))
         .orderBy(col("tier"), col("ledger"), col("action"))
+    }),
+
+    "st25_stream_promote" -> ((s, dir) => {
+      // the maintenance CADENCE rides the stream (x129's streaming
+      // twin): ingest folds accrete the __bid ledger; every 2nd
+      // batch the fold also promotes INCREMENTALLY, so the
+      // read-optimized cell-layout bundle trails the stream by at
+      // most one cadence window and each promotion rewrites only the
+      // window's touched cells. The pane pins the composed contract:
+      // the trailing bundle row-equals a FULL batch promote of the
+      // assembled ledger (batching + cadence invariance), the
+      // promoted layout still prunes files (x123's witness on
+      // stream-maintained state), and search holds recall 1.0 vs the
+      // exact twin. Fresh build each run (the stream and both
+      // promotes mutate state).
+      import graft.streaming.Streams
+      val n = 2000L; val nlist = 32; val m = 8; val ksub = 16
+      val k = 5
+      val (lake, defPath, version, encodedPath, bundlePath, nProm) =
+        Streams.streamAnnIngestPromote(s, n, nlist, m, ksub,
+          splitFiles = 4, promoteEvery = 2, tag = "st25")
+      val nBatches = s.read.parquet(encodedPath)
+        .select(col("__bid")).distinct().count()
+      val outFull = tmpDir("st25_full")
+      Similarity.promoteIngestLedger(s, defPath, version, encodedPath,
+        outFull)
+      val cols = Seq("cell", "neighbor_id", "sub", "code").map(col)
+      val streamed = Similarity
+        .loadIndexCellLayout(s, bundlePath, version)
+        ._3.select(cols: _*).localCheckpoint(true)
+      val full = Similarity.loadIndexCellLayout(s, outFull, version)
+        ._3.select(cols: _*).localCheckpoint(true)
+      val equal = streamed.exceptAll(full).count() == 0L &&
+        full.exceptAll(streamed).count() == 0L
+      val (cents, codebook, enc0) =
+        Similarity.loadIndexCellLayout(s, bundlePath, version)
+      val live = Similarity.liveEncoded(enc0,
+        Similarity.annTombstones(s, bundlePath)) // the x119 contract
+      val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
+        .localCheckpoint(true)
+      val np = Similarity.nprobeFor(nlist)
+      val (cells, got) = Similarity.ivfpqSearchPruned(q, "vec_id",
+        "embedding", live, cents, codebook, k, np, m,
+        rerank = Similarity.rerankFor(n, nlist, np),
+        rerankSource = Some(lake))
+      val filesRead = live
+        .filter(col("cell").isInCollection(cells.toSeq))
+        .select(input_file_name()).distinct().count()
+      val exact = Similarity.bruteTopKL2(q, lake, "vec_id",
+        "embedding", k)
+      exact.as("b").join(got.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("l.neighbor_id")).as("n_hit"))
+        .select(lit(nBatches).as("n_batches"),
+          lit(nProm.toLong).as("n_promotes"),
+          lit(equal).as("bundle_equals_full_promote"),
+          lit(cells.length.toLong).as("n_cells_probed"),
+          lit(filesRead).as("n_files_read"),
+          lit(filesRead == cells.length.toLong).as("files_eq_cells"),
+          col("n_exact"),
+          round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
+            .as("recall"),
+          (col("n_hit").cast(DoubleType) / col("n_exact")
+            >= lit(0.94d)).as("recall_ge_094"))
     }),
 
     "x88b_ivfpq_exact" -> ((s, dir) => {
@@ -12053,6 +12131,21 @@ object SparkEntry {
          'load_factor=0.0105 sized_nb_now=4096 nb=4096'))
         AS t(tier, ledger, action, recommended, reason)
       ORDER BY tier, ledger, action""",
+
+    "st25_stream_promote" -> """
+      -- the maintenance cadence riding the stream: 4 ingest batches,
+      -- an incremental promote every 2nd, the trailing cell-layout
+      -- bundle row-equal to a full batch promote, the 16-probe batch
+      -- pruning to exactly its 28 probed cell files, recall 1.0
+      SELECT CAST(4 AS BIGINT) AS n_batches,
+             CAST(2 AS BIGINT) AS n_promotes,
+             TRUE AS bundle_equals_full_promote,
+             CAST(28 AS BIGINT) AS n_cells_probed,
+             CAST(28 AS BIGINT) AS n_files_read,
+             TRUE AS files_eq_cells,
+             CAST(80 AS BIGINT) AS n_exact,
+             CAST(1.0 AS DOUBLE) AS recall,
+             TRUE AS recall_ge_094""",
 
     "x88_ivfpq_topk" -> """
       SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ge_08

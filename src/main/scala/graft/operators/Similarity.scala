@@ -1628,8 +1628,19 @@ object Similarity {
                           outPath: String): Unit = {
     val (cents, codebook) = loadIndexDef(spark, definitionPath, version)
     val ledger = spark.read.parquet(encodedPath)
-    val encoded = ledger
-      .select(col("cell"), col("neighbor_id"), col("sub"), col("code"))
+    // DELETE PROPAGATION: the ingest ledger never hears about
+    // bundle-level forgets, so once a compact has folded the
+    // bundle's tombstones, a re-promote (crash recovery, or just the
+    // next full promote) would RESURRECT physically-erased vectors
+    // from the ledger with nothing left to suppress them. Forgets
+    // against a promoted estate therefore tombstone the LEDGER too
+    // ([[annForgetPromoted]]), and every promote anti-joins the
+    // ledger's own tombstone set here — erased ids can never re-enter
+    // a bundle from history.
+    val encoded = liveEncoded(
+      ledger.select(col("cell"), col("neighbor_id"), col("sub"),
+        col("code")),
+      annLedgerTombstones(spark, encodedPath))
     persistIndexCellLayout(outPath, version, cents, codebook, encoded)
     // stamp the promoted high-water batch id so the INCREMENTAL form
     // can take over from here; written after the bundle's meta (a
@@ -1651,14 +1662,24 @@ object Similarity {
     * "new"), which its key-deduped merge makes a correct, if full,
     * fold. Lives OUTSIDE the versioned parts for the same reason
     * tombstones do: it is bookkeeping about the ingest ledger's
-    * position, not about the index recipe. */
+    * position, not about the index recipe. A TORN stamp (crash
+    * between overwrite's delete and commit leaves the directory with
+    * no data files) reads as None too — the explicit-schema
+    * discipline tombstonesFromFiles uses; a schema-inferring read
+    * would throw on exactly the crash the None fallback documents. */
   def promoteHighWater(spark: SparkSession, outPath: String)
       : Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(promoteHwmPath(outPath))
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(p)) None
-    else spark.read.parquet(p.toString).collect()
-      .headOption.map(_.getLong(0))
+    if (!f.exists(p)) return None
+    val files = f.listStatus(p).collect {
+      case st if st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".") => st.getPath.toString
+    }
+    if (files.isEmpty) None
+    else spark.read.schema("hwm LONG")
+      .parquet(files.toIndexedSeq: _*)
+      .collect().headOption.map(_.getLong(0))
   }
 
   private def stampPromoteHighWater(spark: SparkSession,
@@ -1709,15 +1730,27 @@ object Similarity {
     }
     val hwm = promoteHighWater(spark, outPath).getOrElse(-1L)
     val ledger = spark.read.parquet(encodedPath)
-    val newRows = ledger.filter(col("__bid") > hwm)
-      .select(col("cell"), col("neighbor_id"), col("sub"), col("code"))
-    val newBatches = ledger.filter(col("__bid") > hwm)
-      .select(col("__bid")).distinct().count()
+    val delta = ledger.filter(col("__bid") > hwm)
+    // batch count and the new watermark from ONE aggregate over the
+    // partition-pruned DELTA slice — the round-10 review caught the
+    // first draft computing max(__bid) over the FULL ledger, which
+    // at estate scale reads every historical partition on every
+    // cadence promote. __bid is the partition column — INT from
+    // directory names (the loadIndexCellLayout re-cast note).
+    val head = delta
+      .agg(countDistinct(col("__bid")).as("nb"),
+        max(col("__bid").cast(LongType)).as("hw"))
+      .head()
+    val newBatches = head.getLong(0)
     if (newBatches == 0L) return (0L, 0L, hwm)
-    // __bid is the ingest layout's partition column — read back as
-    // INT from directory names (the loadIndexCellLayout re-cast note)
-    val newHwm = ledger.agg(max(col("__bid").cast(LongType)))
-      .head().getLong(0)
+    val newHwm = head.getLong(1)
+    // ledger-level forgets ([[annForgetPromoted]]) must hold through
+    // promotion: an erased id's historical code rows never re-enter
+    // the bundle
+    val newRows = liveEncoded(
+      delta.select(col("cell"), col("neighbor_id"), col("sub"),
+        col("code")),
+      annLedgerTombstones(spark, encodedPath))
     val touched = newRows.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
     val (_, _, bundleEnc) = loadIndexCellLayout(spark, outPath, version)
@@ -1824,6 +1857,40 @@ object Similarity {
   def annTombstones(spark: SparkSession, path: String): DataFrame =
     tombstonesFromFiles(spark, tombstoneDataFiles(spark, path))
 
+  /** An ingest LEDGER's delete-tracking root: a sibling of the
+    * `__bid`-partitioned directory — tombstones nested INSIDE the
+    * ledger root would be swept into its partition discovery as
+    * data. */
+  private def ledgerDeleteRoot(encodedPath: String): String =
+    s"$encodedPath.deletes"
+
+  /** The tombstone set recorded against an ingest ledger (write
+    * form) — what every promote anti-joins so history can never
+    * resurrect an erased vector. */
+  def annLedgerTombstones(spark: SparkSession,
+                          encodedPath: String): DataFrame =
+    annTombstones(spark, ledgerDeleteRoot(encodedPath))
+
+  /** Right-to-be-forgotten against a PROMOTED estate — the delete
+    * recorded at BOTH storage forms, because each fails differently
+    * alone: the bundle tombstone suppresses searches instantly but is
+    * CLEARED by the compact that erases its rows, after which a
+    * re-promote (lost meta, stale watermark — routine crash seams the
+    * recovery paths exist for) would re-materialize the vector from
+    * the ingest ledger with nothing left to suppress it; the ledger
+    * tombstone is anti-joined by every promote, so history stays
+    * erased. Forget-on-a-promoted-estate means calling THIS, not bare
+    * [[annForget]] (spec-pinned: compact → forced full re-promote →
+    * the forgotten id does not resurface). */
+  def annForgetPromoted(bundlePath: String, encodedPath: String,
+                        ids: DataFrame): Unit = {
+    val idc = ids
+      .select(col(ids.columns.head).cast(LongType).as("vec_id"))
+      .localCheckpoint(true) // one evaluation, two appends
+    annForget(bundlePath, idc)
+    annForget(ledgerDeleteRoot(encodedPath), idc)
+  }
+
   /** [[annForget]] for a SHARDED standing index (x117's deployment
     * form): a right-to-be-forgotten id belongs to exactly one shard —
     * the SAME [[annShardKey]] hash that routed its ingest — so each
@@ -1834,20 +1901,53 @@ object Similarity {
     * either lose deletes or inflate every shard's anti-join with ids
     * it can never match. `shardPaths(s)` is shard s's bundle path;
     * the ids relation is KB-scale by the forget contract, so the
-    * per-shard split is |shards| filters over one checkpointed read. */
-  def annForgetSharded(shardPaths: Seq[String], ids: DataFrame): Unit = {
+    * per-shard split is |shards| filters over one checkpointed read.
+    *
+    * ORDERING CONTRACT: `shardPaths(s)` must be shard s of the SAME
+    * hash split that routed ingest — routing is positional, so a
+    * lexicographic directory listing (shard10 before shard2) or a
+    * path subset silently sends an id's tombstone to a shard that
+    * never held it (an invisible orphan) while its true shard keeps
+    * surfacing it (round-10 review). `verifyRouting = true` closes
+    * the seam mechanically: each shard's routed ids left-semi-join
+    * that shard's encoded set and the call FAILS if any id is absent
+    * — one encoded-grain scan per shard, the right price at ops
+    * cadence for a right-to-be-forgotten write (leave it off only
+    * when ids may legitimately predate the index). */
+  def annForgetSharded(shardPaths: Seq[String], ids: DataFrame,
+                       verifyRouting: Boolean = false,
+                       version: Option[String] = None): Unit = {
     require(shardPaths.nonEmpty, "annForgetSharded: no shard paths")
+    require(shardPaths.distinct.length == shardPaths.length,
+      "annForgetSharded: duplicate shard paths — the positional " +
+        "routing contract is broken")
     require(ids.columns.length == 1,
       s"annForgetSharded: expected one id column, got " +
         ids.columns.mkString(","))
+    require(!verifyRouting || version.nonEmpty,
+      "annForgetSharded: verifyRouting reads each shard's encoded " +
+        "part and needs the bundle version")
     val shards = shardPaths.length
     val idc = ids
       .select(col(ids.columns.head).cast(LongType).as("vec_id"))
       .withColumn("__sh", annShardKey(col("vec_id"), shards))
       .localCheckpoint(true)
     shardPaths.zipWithIndex.foreach { case (p, sh) =>
-      annForget(p, idc.filter(col("__sh") === sh.toLong)
-        .select(col("vec_id")))
+      val mine = idc.filter(col("__sh") === sh.toLong)
+        .select(col("vec_id"))
+      if (verifyRouting) {
+        val enc = graft.sources.VersionedState
+          .read(idc.sparkSession, p, version.get, "encoded")
+        val missing = mine.join(
+          enc.select(col("neighbor_id").as("vec_id")),
+          Seq("vec_id"), "left_anti").count()
+        require(missing == 0L,
+          s"annForgetSharded: $missing id(s) routed to shard $sh " +
+            s"($p) are absent from its encoded set — shardPaths is " +
+            "mis-ordered or not the ingest split; the delete would " +
+            "orphan")
+      }
+      annForget(p, mine)
     }
   }
 
@@ -1922,7 +2022,10 @@ object Similarity {
     // it (x120's deterministic single-file pin). The cell layout
     // sizes itself (one file per live cell).
     val sized =
-      if (nFiles > 0) nFiles
+      if (nFiles > 0 || isCellLayout) math.max(1, nFiles)
+      // cell layout sizes itself (one file per live cell) — don't
+      // pay the recursive getContentSummary walk for a number
+      // rewritePart would ignore (round-10 review)
       else {
         val bytes = f.getContentSummary(enc).getLength
         math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)

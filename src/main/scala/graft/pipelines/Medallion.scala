@@ -149,11 +149,7 @@ object Medallion {
       val df0 = t.build(spark, ctx)
       val df = budgets match {
         case Some(b) =>
-          val budget = b.getOrElse(t.qualified,
-            throw new IllegalArgumentException(
-              s"runGated: no declared shuffle budget for " +
-                s"${t.qualified} — declare it in shuffleBudgets"))
-          graft.plans.PlanAudit.gate(df0, budget)
+          graft.plans.PlanAudit.gateDeclared(df0, t.qualified, b)
         case None => df0
       }
       // Partitioned layers are shuffled on the partition column first so

@@ -193,12 +193,7 @@ object ReferenceWarehouse {
       val df0 = t.build(ctx)
       val df = budgets match {
         case Some(b) =>
-          val budget = b.getOrElse(t.qualified,
-            throw new IllegalArgumentException(
-              s"runGated: no declared shuffle budget for " +
-                s"${t.qualified} — an undeclared table is an ungated " +
-                "table; declare it in shuffleBudgets"))
-          graft.plans.PlanAudit.gate(df0, budget)
+          graft.plans.PlanAudit.gateDeclared(df0, t.qualified, b)
         case None => df0
       }
       if (t.qualified == "ods.gmaps_reviews") {

@@ -136,4 +136,20 @@ object PlanAudit {
         "pipeline")
     df
   }
+
+  /** [[gate]] against a DECLARED budget map — the one refusal
+    * contract both gated pipeline runners share (Medallion /
+    * ReferenceWarehouse), so the messages and the undeclared-table
+    * rule cannot drift between them: a table missing from `budgets`
+    * is refused (an undeclared table is an ungated table — exactly
+    * the regression class the runner exists to catch). */
+  def gateDeclared(df: DataFrame, qualified: String,
+                   budgets: Map[String, Int]): DataFrame = {
+    val budget = budgets.getOrElse(qualified,
+      throw new IllegalArgumentException(
+        s"PlanAudit.gateDeclared: no declared shuffle budget for " +
+          s"$qualified — an undeclared table is an ungated table; " +
+          "declare it in the runner's shuffleBudgets"))
+    gate(df, budget)
+  }
 }

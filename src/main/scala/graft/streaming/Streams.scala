@@ -1091,13 +1091,24 @@ object Streams {
     val nb = head.getLong(0)
     val occ = head.getLong(1)
     val sized = dsirBucketsFor(occ)
+    // the trigger compares the UNCLAMPED sizing target (power-of-two
+    // ceil of 4·occupied) against the stamped width: a ledger already
+    // AT the 2²⁴ clamp saturates with sized == nb forever, and a
+    // clamped-trigger advisor would read healthy in exactly the
+    // maximum-collision regime it exists to report (round-10 review).
+    // sized_nb_now stays clamped — it is what a rebuild would use;
+    // past the clamp the advice is feature-space reduction, and the
+    // recommendation must still FIRE.
+    val t = math.max(4096L, 4L * occ)
+    val hb = java.lang.Long.highestOneBit(t)
+    val unclamped = if (hb == t) t else hb << 1
     spark.range(1).select(
       lit(nb).as("nb"),
       lit(occ).as("n_occupied"),
       lit(math.rint(occ.toDouble / nb * 10000) / 10000)
         .as("load_factor"),
       lit(sized.toLong).as("sized_nb_now"),
-      lit(sized >= rebuildFactor.toLong * nb)
+      lit(unclamped >= rebuildFactor.toLong * nb)
         .as("rebuild_recommended"))
   }
 
@@ -1528,6 +1539,68 @@ object Streams {
     val encoded = spark.read.parquet(encodedPath)
       .select(col("cell"), col("neighbor_id"), col("sub"), col("code"))
     (lake, cents, codebook, encoded)
+  }
+
+  /** st25: the MAINTENANCE CADENCE rides the stream — ingest folds
+    * accrete the write-optimized `__bid` ledger all day, and every
+    * `promoteEvery` batches the fold ALSO runs
+    * [[graft.operators.Similarity.promoteIngestLedgerIncremental]],
+    * so the read-optimized cell-layout bundle trails the stream by at
+    * most one cadence window and each promotion pays only the cells
+    * the window's batches touched (x129's contract, on the streaming
+    * cadence it exists for). Replay safety composes from the parts:
+    * the fold is batchId-idempotent via the `__bid` partition, and a
+    * replayed promotion re-folds at a watermark it has already
+    * passed — the key-deduped merge lands the identical bundle
+    * (Round18Spec's stale-watermark pin). Returns (lake, defPath,
+    * version, encodedPath, bundlePath, nPromotes). */
+  def streamAnnIngestPromote(spark: SparkSession, n: Long, nlist: Int,
+                             m: Int = 8, ksub: Int = 16,
+                             splitFiles: Int = 4, promoteEvery: Int = 2,
+                             tag: String = "st25")
+      : (DataFrame, String, String, String, String, Int) = {
+    import graft.operators.Similarity
+    val lake = Similarity.hashBlobLake(spark, n).localCheckpoint(true)
+    val version = Similarity.annIndexVersion(nlist, m, ksub)
+    val defDir = new java.io.File(s"target/qtmp/${tag}_def")
+    org.apache.commons.io.FileUtils.deleteQuietly(defDir)
+    val defPath = defDir.getAbsolutePath
+    val (cents0, codebook0) = Similarity.ivfpqTrain(lake, "vec_id",
+      "embedding", nlist = nlist, m = m, ksub = ksub,
+      coarseIters = 1, pqIters = 1)
+    Similarity.persistIndexDef(defPath, version, cents0, codebook0)
+    val stage = new java.io.File(s"target/qtmp/${tag}_src")
+    org.apache.commons.io.FileUtils.deleteQuietly(stage)
+    stage.mkdirs()
+    (0 until splitFiles).foreach { i =>
+      lake.filter(col("vec_id") % splitFiles === i).coalesce(1)
+        .write.mode("overwrite")
+        .parquet(new java.io.File(stage, s"part$i").getAbsolutePath)
+    }
+    val encodedDir = new java.io.File(s"target/qtmp/${tag}_encoded")
+    org.apache.commons.io.FileUtils.deleteQuietly(encodedDir)
+    val encodedPath = encodedDir.getAbsolutePath
+    val bundleDir = new java.io.File(s"target/qtmp/${tag}_bundle")
+    org.apache.commons.io.FileUtils.deleteQuietly(bundleDir)
+    val bundlePath = bundleDir.getAbsolutePath
+    var nPromotes = 0
+    val q = spark.readStream.schema(lake.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.getAbsolutePath + "/part*")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        annIngestFold(b, bid, defPath, version, encodedPath, m)
+        if ((bid + 1) % promoteEvery == 0) {
+          Similarity.promoteIngestLedgerIncremental(spark, defPath,
+            version, encodedPath, bundlePath)
+          nPromotes += 1
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    (lake, defPath, version, encodedPath, bundlePath, nPromotes)
   }
 
   /** st24: DELETION rides the stream — right-to-be-forgotten ids

@@ -370,6 +370,68 @@ class Round18Spec extends GraftSuite {
       "stale-watermark re-fold duplicated or lost rows")
   }
 
+  test("delete propagation: annForgetPromoted survives compact + " +
+       "forced full re-promote (history cannot resurrect an erased " +
+       "vector), while a bare bundle-only forget demonstrably would") {
+    import spark.implicits._
+    val nlist = 16; val m = 8; val ksub = 16
+    val lake = Similarity.hashBlobLake(spark, 600L).localCheckpoint(true)
+    val version = Similarity.annIndexVersion(nlist, m, ksub)
+    def buildEstate(tag: String): (String, String, String) = {
+      val defP = tmp(s"r18_prop_def_$tag")
+      val (c0, cb0) = Similarity.ivfpqTrain(lake, "vec_id",
+        "embedding", nlist, m, ksub, coarseIters = 1, pqIters = 1)
+      Similarity.persistIndexDef(defP, version, c0, cb0)
+      val ledger = tmp(s"r18_prop_ledger_$tag")
+      (0 until 3).foreach { i =>
+        graft.streaming.Streams.annIngestFold(
+          lake.filter(pmod(col("vec_id"), lit(3L)) === i.toLong),
+          i.toLong, defP, version, ledger, m)
+      }
+      val out = tmp(s"r18_prop_bundle_$tag")
+      Similarity.promoteIngestLedgerIncremental(spark, defP, version,
+        ledger, out)
+      (defP, ledger, out)
+    }
+    def reEncoded(out: String): DataFrame =
+      graft.sources.VersionedState.read(spark, out, version, "encoded")
+    // --- the FIXED path: forget recorded at BOTH storage forms -----
+    val (defA, ledgerA, outA) = buildEstate("a")
+    Similarity.annForgetPromoted(outA, ledgerA, Seq(7L).toDF("vec_id"))
+    assert(Similarity.liveEncoded(reEncoded(outA),
+      Similarity.annTombstones(spark, outA))
+      .filter(col("neighbor_id") === 7L).count() === 0L)
+    Similarity.annCompact(spark, outA, version) // erases + clears
+    assert(Similarity.annTombstones(spark, outA).count() === 0L)
+    // crash seam: lost meta forces the FULL re-promote from history
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$outA/meta"))
+    Similarity.promoteIngestLedgerIncremental(spark, defA, version,
+      ledgerA, outA)
+    assert(reEncoded(outA).filter(col("neighbor_id") === 7L)
+      .count() === 0L,
+      "ledger tombstone failed to hold through the full re-promote")
+    // stale watermark refold can't resurrect either
+    spark.range(1).select(lit(-1L).as("hwm")).write.mode("overwrite")
+      .parquet(s"$outA/promote_hwm")
+    Similarity.promoteIngestLedgerIncremental(spark, defA, version,
+      ledgerA, outA)
+    assert(reEncoded(outA).filter(col("neighbor_id") === 7L)
+      .count() === 0L)
+    // --- the NEGATIVE: a bare bundle-only forget resurrects --------
+    val (defB, ledgerB, outB) = buildEstate("b")
+    Similarity.annForget(outB, Seq(7L).toDF("vec_id")) // bundle only
+    Similarity.annCompact(spark, outB, version)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$outB/meta"))
+    Similarity.promoteIngestLedgerIncremental(spark, defB, version,
+      ledgerB, outB)
+    assert(reEncoded(outB).filter(col("neighbor_id") === 7L)
+      .count() === m.toLong,
+      "the negative control stopped reproducing — update the " +
+        "propagation story")
+  }
+
   test("sharded ingest + per-shard incremental promote composes: " +
        "shard-routed folds, per-shard touched-cell promotes, merged " +
        "PRUNED search equals the exact twin") {
