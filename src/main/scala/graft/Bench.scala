@@ -203,6 +203,22 @@ object Bench {
     "x134_ops_console",         // unified advisor console (8 actions)
     "x36_span_dup_coverage")    // bridge query shared with all sets
 
+  /** Eleventh pinned set: the round-11 additions (same discipline;
+    * all ten prior sets stay untouched). x36 bridges again. st25
+    * lands its bench row here (it shipped after the r10 pin —
+    * VERDICT r10 #5); x135-vs-x128 (across this set and queries_r10)
+    * is the sharding overhead on the filtered route; x136 prices the
+    * full closed loop (two trains + a rebuild train + re-poll per
+    * pass — a maintenance workload, priced honestly). */
+  val r11new: Seq[String] = Seq(
+    "x135_filtered_sharded_ann",   // filter x shards composed
+    "x136_ops_loop",               // console -> executors -> quiet
+    "x137_dsir_rebuild",           // advisor-sized text-tier re-fold
+    "x138_boilerplate_rethreshold", // ledger-derived threshold
+    "st25_stream_promote",         // cadence (landed post-r10 pin)
+    "st26_stream_sharded_promote", // sharded cadence
+    "x36_span_dup_coverage")       // bridge query shared with all sets
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -279,6 +295,7 @@ object Bench {
     val resultsR8 = benchSet(r8new)
     val resultsR9 = benchSet(r9new)
     val resultsR10 = benchSet(r10new)
+    val resultsR11 = benchSet(r11new)
     val qs = toJson(results)
     val qsLlm = toJson(resultsLlm)
     val qsR4 = toJson(resultsR4)
@@ -289,6 +306,7 @@ object Bench {
     val qsR8 = toJson(resultsR8)
     val qsR9 = toJson(resultsR9)
     val qsR10 = toJson(resultsR10)
+    val qsR11 = toJson(resultsR11)
     // `value` stays the HEADLINE total only — the pinned 21-set number the
     // driver has tracked since round 1; each later set gets its own key.
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -301,10 +319,11 @@ object Bench {
     val totalR8 = resultsR8.map(_._2).filter(_ >= 0).sum
     val totalR9 = resultsR9.map(_._2).filter(_ >= 0).sum
     val totalR10 = resultsR10.map(_._2).filter(_ >= 0).sum
+    val totalR11 = resultsR11.map(_._2).filter(_ >= 0).sum
     // Stop Spark BEFORE printing so no shutdown log line can land after
     // the JSON — the driver parses the last stdout line.
     spark.stop()
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$nPasses,"queries":$qs,"value_llm":$totalLlm%.3f,"queries_llm":$qsLlm,"value_r4":$totalR4%.3f,"queries_r4":$qsR4,"value_r5":$totalR5%.3f,"queries_r5":$qsR5,"value_r6":$totalR6%.3f,"queries_r6":$qsR6,"value_r6b":$totalR6b%.3f,"queries_r6b":$qsR6b,"value_r7":$totalR7%.3f,"queries_r7":$qsR7,"value_r8":$totalR8%.3f,"queries_r8":$qsR8,"value_r9":$totalR9%.3f,"queries_r9":$qsR9,"value_r10":$totalR10%.3f,"queries_r10":$qsR10,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$nPasses,"queries":$qs,"value_llm":$totalLlm%.3f,"queries_llm":$qsLlm,"value_r4":$totalR4%.3f,"queries_r4":$qsR4,"value_r5":$totalR5%.3f,"queries_r5":$qsR5,"value_r6":$totalR6%.3f,"queries_r6":$qsR6,"value_r6b":$totalR6b%.3f,"queries_r6b":$qsR6b,"value_r7":$totalR7%.3f,"queries_r7":$qsR7,"value_r8":$totalR8%.3f,"queries_r8":$qsR8,"value_r9":$totalR9%.3f,"queries_r9":$qsR9,"value_r10":$totalR10%.3f,"queries_r10":$qsR10,"value_r11":$totalR11%.3f,"queries_r11":$qsR11,"sf":"$sfDir"}"""
     // the seven-set line outgrew the driver's stdout tail buffer in
     // round 6 (BENCH_r06.json: parsed=null, tail truncated mid-line) —
     // ALSO persist it to the repo so the numbers survive verbatim even

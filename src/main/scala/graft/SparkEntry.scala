@@ -4088,7 +4088,7 @@ object SparkEntry {
       // before the tombstone lands (a mis-ordered shardPaths would
       // orphan deletes silently; round-10 review)
       Similarity.annForgetSharded(shardPaths, tsIds,
-        verifyRouting = true, version = Some(built.head._2))
+        verifyRouting = true, versions = built.map(_._2))
       val tsCounts = (0 until shards).map(sh =>
         Similarity.annTombstones(s, shardPaths(sh)).count())
       // the advisor pane, unioned across shards (1 row per shard)
@@ -4399,6 +4399,370 @@ object SparkEntry {
           lit(cells.length.toLong).as("n_cells_probed"),
           lit(filesRead).as("n_files_read"),
           lit(filesRead == cells.length.toLong).as("files_eq_cells"),
+          col("n_exact"),
+          round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
+            .as("recall"),
+          (col("n_hit").cast(DoubleType) / col("n_exact")
+            >= lit(0.94d)).as("recall_ge_094"))
+    }),
+
+    "x135_filtered_sharded_ann" -> ((s, dir) => {
+      // the production query shape AT THE SCALE SHARDING EXISTS FOR
+      // (VERDICT r10 #1): "nearest WHERE pred" above the cell clamp
+      // must run per shard — x128 composed filter×cells on ONE
+      // bundle, x117/x130 shard build/search/delete; this composes
+      // filter×shards: one global route decision (union survivor
+      // count), per-shard widened-nprobe PRUNED branches over each
+      // shard's cell-layout bundle, ivfpqMergeTopK at k', post-filter
+      // the merged list, preflight measured on the MERGED plan. Pane
+      // witnesses per-shard pruning (files == cells IN EACH SHARD),
+      // zero off-predicate rows, recall vs the exact filtered twin.
+      // Guarded shard bundles (read-only consumer — the x128 rule).
+      val n = 2000L; val k = 5; val m = 8; val ksub = 16
+      val shards = 2
+      val lake = Similarity.hashBlobLake(s, n)
+        .withColumn("h4", pmod(xxhash64(col("vec_id")), lit(4L)))
+        .localCheckpoint(true)
+      val shardKey = Similarity.annShardKey(col("vec_id"), shards)
+      val built = (0 until shards).map { sh =>
+        val part = lake.drop("h4").filter(shardKey === sh.toLong)
+          .localCheckpoint(true)
+        val nl = Similarity.nlistFor(part.count())
+        val v = Similarity.annIndexVersion(nl, m, ksub)
+        val path = annLedgerPath(v,
+          s"${Similarity.hashBlobLakeKey(n)}-sh$sh-of$shards-cells")
+        if (!Similarity.indexExists(s, path, v)) {
+          val (c0, cb0) = Similarity.ivfpqTrain(part, "vec_id",
+            "embedding", nl, m, ksub, coarseIters = 1, pqIters = 1)
+          Similarity.persistIndexCellLayout(path, v, c0, cb0,
+            Similarity.ivfpqEncode(part, "vec_id", "embedding",
+              c0, cb0, m))
+        }
+        (path, v)
+      }
+      val q = Similarity.stratifiedProbes(lake, "vec_id", 4)
+        .drop("h4").localCheckpoint(true)
+      val pred = col("h4") < 2 // 50%, geometry-uncorrelated
+      val r = Similarity.annTopKFilteredRoutedSharded(q, lake,
+        "vec_id", "embedding", pred, k,
+        built.map(_._1), built.map(_._2), m, bruteCutoff = 0L)
+      val filesEqCells = built.zipWithIndex.forall { case ((p, v), sh) =>
+        val enc = Similarity.liveEncoded(
+          Similarity.loadIndexCellLayout(s, p, v)._3,
+          Similarity.annTombstones(s, p))
+        val cells = r.shardCells(sh)
+        enc.filter(col("cell").isInCollection(cells.toSeq))
+          .select(input_file_name()).distinct().count() ==
+          cells.length.toLong
+      }
+      val exact = Similarity.bruteTopKL2(q, lake.filter(pred),
+        "vec_id", "embedding", k)
+      val offPred = r.result.join(
+        lake.filter(!pred).select(col("vec_id").as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_off_pred"))
+      exact.as("b").join(r.result.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("l.neighbor_id")).as("n_hit"))
+        .join(offPred, lit(true), "left") // 1-row pane join idiom
+        .select(lit(r.route).as("route"),
+          lit(shards.toLong).as("n_shards"),
+          lit(r.nSurvivors).as("n_survivors"),
+          lit(r.kPrime.toLong).as("k_prime"),
+          lit(math.rint(r.recallPreflight * 10000) / 10000)
+            .as("recall_preflight"),
+          lit(r.shardNprobe.headOption.getOrElse(0).toLong)
+            .as("nprobe_shard0"),
+          lit(r.shardNprobe.lift(1).getOrElse(0).toLong)
+            .as("nprobe_shard1"),
+          lit(r.shardCells.headOption.map(_.length).getOrElse(0)
+            .toLong).as("n_cells_shard0"),
+          lit(r.shardCells.lift(1).map(_.length).getOrElse(0)
+            .toLong).as("n_cells_shard1"),
+          lit(filesEqCells).as("files_eq_cells_all_shards"),
+          col("n_off_pred"), col("n_exact"),
+          round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
+            .as("recall_filtered"),
+          (col("n_hit").cast(DoubleType) / col("n_exact")
+            >= lit(0.94d)).as("recall_ge_094"))
+    }),
+
+    "x136_ops_loop" -> ((s, dir) => {
+      // the console CLOSED (VERDICT r10 #2): x134 normalized four
+      // advisor families into one pollable relation; this query runs
+      // the loop the console exists for — poll, EXECUTE every firing
+      // action through its existing operator (rebuild -> x118's
+      // path; compact -> annCompact; dsir rebuild -> the advisor-
+      // sized re-fold; rethreshold -> the ledger-derived maxDocs),
+      // re-poll: every previously-firing row reads quiet, and the
+      // never-fired rows are proven untouched (reason strings
+      // pinned verbatim before AND after). Estate: one accreted
+      // bundle (fires rebuild only — pre-compacted, no tombstones),
+      // one tombstoned bundle (fires compact only), the x133
+      // synthetic corpora for the DSIR pair, and the x134 synthetic
+      // boilerplate ledger registered at a stale threshold. All
+      // inputs deterministic — constants at any sf.
+      import graft.operators.Advisors
+      import graft.streaming.Streams
+      val m = 8; val ksub = 16
+      val lake = Similarity.hashBlobLake(s, 2000L).localCheckpoint(true)
+      // accreted: trained for 500, carrying 2000, clean of deletes
+      val lake0 = Similarity.hashBlobLake(s, 500L).localCheckpoint(true)
+      val nl0 = Similarity.nlistFor(500L)
+      val v0 = Similarity.annIndexVersion(nl0, m, ksub)
+      val pAcc = tmpDir("x136_ann_accreted")
+      val (c0, cb0) = Similarity.ivfpqTrain(lake0, "vec_id",
+        "embedding", nl0, m, ksub, coarseIters = 1, pqIters = 1)
+      Similarity.persistIndex(pAcc, v0, c0, cb0,
+        Similarity.ivfpqEncode(lake, "vec_id", "embedding", c0, cb0, m))
+      Similarity.annCompact(s, pAcc, v0) // file debt paid up front
+      // tombstoned: right-sized, compacted, then 1% forgotten
+      val nl1 = Similarity.nlistFor(2000L)
+      val v1 = Similarity.annIndexVersion(nl1, m, ksub)
+      val pTs = tmpDir("x136_ann_tombstoned")
+      val (c1, cb1) = Similarity.ivfpqTrain(lake, "vec_id",
+        "embedding", nl1, m, ksub, coarseIters = 1, pqIters = 1)
+      Similarity.persistIndex(pTs, v1, c1, cb1,
+        Similarity.ivfpqEncode(lake, "vec_id", "embedding", c1, cb1, m))
+      Similarity.annCompact(s, pTs, v1)
+      Similarity.annForget(pTs, lake
+        .filter(pmod(col("vec_id"), lit(100L)) === 0)
+        .select(col("vec_id"))) // 20 ids = 1%
+      // text tier: x133's corpora; the heavy one keeps its 3-batch
+      // history (what a deployment replays on re-fold)
+      val light = s.range(20).select(col("id").as("doc_id"),
+        concat(lit("alpha beta w"), col("id")).as("text"),
+        lit("en").as("lang"))
+      val heavy = s.range(600).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 6).map(j =>
+          concat(lit("w"), (col("id") * 6 + j).cast(StringType))): _*)
+          .as("text"),
+        lit("en").as("lang")).localCheckpoint(true)
+      def dsirAt(docs: DataFrame, tag: String): String = {
+        val p = tmpDir(s"x136_$tag")
+        graft.operators.Mutations.seedEmptyLedger(s, p,
+          Streams.dsirLedgerSchema)
+        Streams.dsirLedgerFold(docs, 0L, p, 4096)
+        p
+      }
+      val pHeavy = dsirAt(heavy, "dsir_heavy")
+      val pLight = dsirAt(light, "dsir_light")
+      val history = (0 until 3).map(i =>
+        heavy.filter(pmod(col("doc_id"), lit(3L)) === i.toLong))
+      val pBp = tmpDir("x136_bp")
+      graft.operators.Mutations.seedEmptyLedger(s, pBp,
+        Streams.boilerplateLedgerSchema)
+      Streams.boilerplateLedgerFold(
+        s.range(40).select(col("id").as("doc_id"),
+          concat(lit("unique line "), col("id"), lit("\nfooter text"))
+            .as("text")), 0L, pBp)
+      val (before, actions, after) = Advisors.opsLoop(s,
+        ann = Seq(
+          Advisors.AnnOps("ann_accreted", pAcc, v0, nl0, lake, m,
+            ksub, nl => tmpDir(s"x136_rebuilt_nl$nl")),
+          Advisors.AnnOps("ann_tombstoned", pTs, v1, nl1, lake, m,
+            ksub, nl => tmpDir(s"x136_rebuilt2_nl$nl"))),
+        dsir = Seq(
+          Advisors.DsirOps("dsir_heavy", pHeavy, history,
+            nb => tmpDir(s"x136_refolded_nb$nb")),
+          Advisors.DsirOps("dsir_light", pLight, history,
+            nb => tmpDir(s"x136_refolded_light_nb$nb"))),
+        bp = Seq(
+          Advisors.BoilerplateOps("bp_stale", pBp, 0L)))
+      before.select(col("tier"), col("ledger"), col("action"),
+          col("recommended").as("fired_before"),
+          col("reason").as("reason_before"))
+        .join(actions, Seq("tier", "ledger", "action"))
+        .join(after.select(col("tier"), col("ledger"), col("action"),
+          (!col("recommended")).as("quiet_after"),
+          col("reason").as("reason_after")),
+          Seq("tier", "ledger", "action"))
+        .orderBy(col("tier"), col("ledger"), col("action"))
+    }),
+
+    "x137_dsir_rebuild" -> ((s, dir) => {
+      // the x118 rebuild discipline ON THE TEXT TIER (VERDICT r10
+      // #3): x133 proved the saturated ledger FIRES; this executes
+      // the action — re-fold the corpus history at the advisor's own
+      // sized_nb_now into a NEW ledger path (hashed counts are not
+      // invertible; re-bucketing means re-folding, and that cost is
+      // the honest price) — then proves the loop closed: the advisor
+      // reads quiet on the resized ledger, the 3-batch history
+      // re-fold equals a fresh single-batch build at the same width
+      // (st18's batching invariance AT THE NEW WIDTH), and the
+      // x94-selection weights from the resized ledger equal the
+      // fresh build's exactly. The rebuild is ITERATIVE by necessity
+      // (this query found it): a saturated ledger UNDER-reads its
+      // own feature count (occupied <= nb), so the first sizing is a
+      // floor — 6.6k features read as 3.3k occupied at 4096 (sized
+      // 16384, still saturated), re-measured at 16384 as 5.4k
+      // (sized 32768, quiet). Deterministic synthetic corpus —
+      // constants at any sf.
+      import graft.streaming.Streams
+      import graft.operators.TextOps
+      val heavy = s.range(600).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 6).map(j =>
+          concat(lit("w"), (col("id") * 6 + j).cast(StringType))): _*)
+          .as("text"),
+        lit("en").as("lang")).localCheckpoint(true)
+      val oldPath = tmpDir("x137_old")
+      graft.operators.Mutations.seedEmptyLedger(s, oldPath,
+        Streams.dsirLedgerSchema)
+      Streams.dsirLedgerFold(heavy, 0L, oldPath, 4096)
+      val bAdv = Streams.dsirLedgerAdvisor(s, oldPath).head()
+      val firedBefore = bAdv.getAs[Boolean]("rebuild_recommended")
+      val history = (0 until 3).map(i =>
+        heavy.filter(pmod(col("doc_id"), lit(3L)) === i.toLong))
+      val (fired, sized, newPath, steps, quietAfter) =
+        Streams.dsirLedgerRebuild(s, oldPath,
+          nb => tmpDir(s"x137_resized_nb$nb"), history)
+      // fresh single-batch build at the FINAL width — the equality twin
+      val freshPath = tmpDir("x137_fresh")
+      graft.operators.Mutations.seedEmptyLedger(s, freshPath,
+        Streams.dsirLedgerSchema)
+      Streams.dsirLedgerFold(heavy, 0L, freshPath, sized)
+      def counts(p: String) = s.read.parquet(p)
+        .select(col("b"), col("ct"), col("cq"))
+      val resized = counts(newPath).localCheckpoint(true)
+      val fresh = counts(freshPath).localCheckpoint(true)
+      val ledgerEqual = resized.exceptAll(fresh).count() == 0L &&
+        fresh.exceptAll(resized).count() == 0L
+      def weights(led: DataFrame) = TextOps.dsirWeightsFrom(heavy,
+        col("doc_id"),
+        TextOps.dsirFeatures(heavy, col("doc_id"), col("text"),
+          col("lang") === "en", sized),
+        led, sized)
+      val w1 = weights(resized).localCheckpoint(true)
+      val w2 = weights(fresh).localCheckpoint(true)
+      val weightsEqual = w1.exceptAll(w2).count() == 0L &&
+        w2.exceptAll(w1).count() == 0L
+      s.range(1).select(
+        lit(bAdv.getAs[Long]("nb")).as("old_nb"),
+        lit(firedBefore && fired).as("rebuild_fired"),
+        lit(steps.toLong).as("n_steps"),
+        lit(sized.toLong).as("final_nb"),
+        lit(quietAfter).as("resized_quiet"),
+        lit(ledgerEqual).as("refold_equals_fresh_build"),
+        lit(weightsEqual).as("weights_equal"),
+        lit(w1.count()).as("n_docs"))
+    }),
+
+    "x138_boilerplate_rethreshold" -> ((s, dir) => {
+      // the other half of VERDICT r10 #3: x132 proved the stale
+      // threshold FIRES; this derives the REPLACEMENT from the
+      // ledger's own docfreq distribution (smallest maxDocs whose
+      // blacklist stays under the occupancy target — web furniture
+      // is a thin head, so that is where the head ends for the
+      // CURRENT corpus) and proves the loop: advisor fires at the
+      // stale threshold, reads quiet at the derived one, and the
+      // strip outcomes witness WHY the stale threshold had to go —
+      // strip-at-stale removes every segment of every doc (the
+      // content-destruction x132 warns of, in the extreme), while
+      // strip-at-derived removes only the recurring head. Oracle
+      // re-derives everything from the documents table (same
+      // segmentation as x111/x132).
+      import graft.streaming.Streams
+      import graft.operators.TextOps
+      val docs = footerInject(t(s, dir, "documents"))
+        .localCheckpoint(true)
+      val path = tmpDir("x138_ledger")
+      graft.operators.Mutations.seedEmptyLedger(s, path,
+        Streams.boilerplateLedgerSchema)
+      Streams.boilerplateLedgerFold(
+        docs.select(col("doc_id"), col("text")), 0L, path)
+      val stale = 0L // frozen before the corpus grew (x132's branch b)
+      val firedStale = Streams.boilerplateLedgerAdvisor(s, path, stale)
+        .head().getAs[Boolean]("rethreshold_recommended")
+      val derived = Streams.boilerplateThresholdFor(s, path, 0.10)
+      val dAdv = Streams.boilerplateLedgerAdvisor(s, path, derived)
+        .head()
+      def strip(md: Long) = TextOps.boilerplateStripAgainst(docs,
+        col("doc_id"), col("text"), "\n",
+        s.read.parquet(path).filter(col("docfreq") > md)
+          .select(col("h")))
+        .agg(count(lit(1)).as("nd"),
+          coalesce(sum(length(col("clean_text"))), lit(0L)).as("ch"))
+        .head()
+      val sStale = strip(stale)
+      val sDerived = strip(derived)
+      s.range(1).select(
+        lit(stale).as("stale_max_docs"),
+        lit(firedStale).as("fired_at_stale"),
+        lit(derived).as("derived_max_docs"),
+        lit(!dAdv.getAs[Boolean]("rethreshold_recommended"))
+          .as("quiet_at_derived"),
+        lit(dAdv.getAs[Long]("n_blacklisted"))
+          .as("n_blacklisted_derived"),
+        lit(dAdv.getAs[Long]("n_segments")).as("n_segments"),
+        lit(sStale.getLong(1)).as("chars_kept_stale"),
+        lit(sDerived.getLong(1)).as("chars_kept_derived"),
+        lit(sDerived.getLong(0)).as("n_docs"))
+    }),
+
+    "st26_stream_sharded_promote" -> ((s, dir) => {
+      // the sharded estate's streaming cadence (VERDICT r10 #6 —
+      // Round18Spec's composition promoted to a CORRECTNESS row):
+      // each micro-batch routes to shards by the ingest hash, folds
+      // per-shard __bid ledgers, and every 2nd batch promotes EVERY
+      // shard incrementally — each shard's cell-layout bundle trails
+      // the stream by at most one cadence window. Pane pins: both
+      // trailing bundles row-equal a full batch promote of their
+      // assembled ledgers, a re-promote with no new batches is a
+      // NO-OP (0 batches, 0 cells — the replay/crash-recovery seam),
+      // merged PRUNED search holds recall vs the exact twin with
+      // files == cells per shard.
+      import graft.streaming.Streams
+      val n = 2000L; val m = 8; val ksub = 16; val k = 5
+      val (lake, state, nProm) = Streams
+        .streamAnnIngestPromoteSharded(s, n, shards = 2, m, ksub,
+          splitFiles = 4, promoteEvery = 2, tag = "st26")
+      val cols = Seq("cell", "neighbor_id", "sub", "code").map(col)
+      val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
+        .localCheckpoint(true)
+      var equalAll = true; var noopAll = true; var filesEq = true
+      val perShard = state.map { case (defP, v, ledgerP, bundleP) =>
+        val outFull = tmpDir(s"st26_full_${v}_${bundleP.hashCode}")
+        Similarity.promoteIngestLedger(s, defP, v, ledgerP, outFull)
+        val streamed = Similarity.loadIndexCellLayout(s, bundleP, v)
+          ._3.select(cols: _*).localCheckpoint(true)
+        val full = Similarity.loadIndexCellLayout(s, outFull, v)
+          ._3.select(cols: _*).localCheckpoint(true)
+        equalAll &&= streamed.exceptAll(full).count() == 0L &&
+          full.exceptAll(streamed).count() == 0L
+        val (nb2, cells2, _) = Similarity
+          .promoteIngestLedgerIncremental(s, defP, v, ledgerP, bundleP)
+        noopAll &&= nb2 == 0L && cells2 == 0L
+        val (cents, codebook, enc0) =
+          Similarity.loadIndexCellLayout(s, bundleP, v)
+        val live = Similarity.liveEncoded(enc0,
+          Similarity.annTombstones(s, bundleP))
+        val nl = cents.count().toInt
+        val np = Similarity.nprobeFor(nl)
+        val (cells, got) = Similarity.ivfpqSearchPruned(q, "vec_id",
+          "embedding", live, cents, codebook, k, np, m,
+          rerank = Similarity.rerankFor(n / 2, nl, np),
+          rerankSource = Some(lake))
+        filesEq &&= live
+          .filter(col("cell").isInCollection(cells.toSeq))
+          .select(input_file_name()).distinct().count() ==
+          cells.length.toLong
+        got
+      }
+      val merged = Similarity.ivfpqMergeTopK(perShard, k)
+      val exact = Similarity.bruteTopKL2(q, lake, "vec_id",
+        "embedding", k)
+      exact.as("b").join(merged.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("l.neighbor_id")).as("n_hit"))
+        .select(lit(2L).as("n_shards"),
+          lit(nProm.toLong).as("n_promotes"),
+          lit(equalAll).as("bundles_equal_full_promote"),
+          lit(noopAll).as("repromote_noop"),
+          lit(filesEq).as("files_eq_cells_all_shards"),
           col("n_exact"),
           round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
             .as("recall"),
@@ -12143,6 +12507,154 @@ object SparkEntry {
              CAST(28 AS BIGINT) AS n_cells_probed,
              CAST(28 AS BIGINT) AS n_files_read,
              TRUE AS files_eq_cells,
+             CAST(80 AS BIGINT) AS n_exact,
+             CAST(1.0 AS DOUBLE) AS recall,
+             TRUE AS recall_ge_094""",
+
+    "x135_filtered_sharded_ann" -> """
+      -- filter x shards composed: the 50% hash filter's 986
+      -- survivors route the batch once (ann_overfetch, k'=41); each
+      -- shard's own widened nprobe prunes ITS cell-layout bundle to
+      -- exactly the probed cell files; the merged post-filtered
+      -- top-k holds recall 1.0 vs the exact filtered twin with zero
+      -- off-predicate rows
+      SELECT 'ann_overfetch' AS route,
+             CAST(2 AS BIGINT) AS n_shards,
+             CAST(986 AS BIGINT) AS n_survivors,
+             CAST(41 AS BIGINT) AS k_prime,
+             CAST(1.0 AS DOUBLE) AS recall_preflight,
+             CAST(9 AS BIGINT) AS nprobe_shard0,
+             CAST(9 AS BIGINT) AS nprobe_shard1,
+             CAST(14 AS BIGINT) AS n_cells_shard0,
+             CAST(15 AS BIGINT) AS n_cells_shard1,
+             TRUE AS files_eq_cells_all_shards,
+             CAST(0 AS BIGINT) AS n_off_pred,
+             CAST(20 AS BIGINT) AS n_exact,
+             CAST(1.0 AS DOUBLE) AS recall_filtered,
+             TRUE AS recall_ge_094""",
+
+    "x136_ops_loop" -> """
+      -- the closed maintenance loop: 7 console rows, every firing
+      -- action executed through its operator with the effect
+      -- witnessed, every previously-firing row quiet after, every
+      -- never-fired row untouched (reason strings pinned verbatim
+      -- both sides)
+      SELECT * FROM (VALUES
+        ('ann', 'ann_accreted', 'compact', FALSE,
+         'none ts_fraction=0.0 advised_files=1', FALSE, '-', TRUE,
+         'none ts_fraction=0.0 advised_files=1'),
+        ('ann', 'ann_accreted', 'rebuild', TRUE,
+         'sized_nlist_now=32 trained=16 n_now=2000', TRUE,
+         'rebuilt version=ivfpq-nl32-m8-ks16-ci1-pi1-fp1e7', TRUE,
+         'sized_nlist_now=32 trained=32 n_now=2000'),
+        ('ann', 'ann_tombstoned', 'compact', TRUE,
+         'tombstones ts_fraction=0.01 advised_files=1', TRUE,
+         'erased=160 files=1', TRUE,
+         'none ts_fraction=0.0 advised_files=1'),
+        ('ann', 'ann_tombstoned', 'rebuild', FALSE,
+         'sized_nlist_now=32 trained=32 n_now=2000', FALSE, '-', TRUE,
+         'sized_nlist_now=32 trained=32 n_now=1980'),
+        ('boilerplate', 'bp_stale', 'rethreshold', TRUE,
+         'blacklist_frac=1.0 n_blacklisted=41 max_docs=0', TRUE,
+         'max_docs=1', TRUE,
+         'blacklist_frac=0.0244 n_blacklisted=1 max_docs=1'),
+        ('dsir', 'dsir_heavy', 'rebuild', TRUE,
+         'load_factor=0.7944 sized_nb_now=16384 nb=4096', TRUE,
+         'refolded nb=32768 steps=2 batches=3', TRUE,
+         'load_factor=0.1827 sized_nb_now=32768 nb=32768'),
+        ('dsir', 'dsir_light', 'rebuild', FALSE,
+         'load_factor=0.0105 sized_nb_now=4096 nb=4096', FALSE, '-',
+         TRUE, 'load_factor=0.0105 sized_nb_now=4096 nb=4096'))
+        AS t(tier, ledger, action, fired_before, reason_before,
+             executed, effect, quiet_after, reason_after)
+      ORDER BY tier, ledger, action""",
+
+    "x137_dsir_rebuild" -> """
+      -- the text-tier rebuild executed at the advisor's sizing,
+      -- ITERATIVELY: a saturated ledger under-reads its feature
+      -- count (occupied <= nb), so the 6.6k-feature corpus reads
+      -- 3.3k occupied at 4096 -> sized 16384 -> still saturated ->
+      -- re-measured 5.4k -> 32768 -> quiet in 2 steps; the final
+      -- 3-batch re-fold equals a fresh single-batch build at the
+      -- same width (batching invariance at the new width) and the
+      -- selection weights from both ledgers are identical
+      SELECT CAST(4096 AS BIGINT) AS old_nb,
+             TRUE AS rebuild_fired,
+             CAST(2 AS BIGINT) AS n_steps,
+             CAST(32768 AS BIGINT) AS final_nb,
+             TRUE AS resized_quiet,
+             TRUE AS refold_equals_fresh_build,
+             TRUE AS weights_equal,
+             CAST(600 AS BIGINT) AS n_docs""",
+
+    "x138_boilerplate_rethreshold" -> """
+      -- the rethreshold action's input derived from the ledger's own
+      -- docfreq distribution: smallest maxDocs whose blacklist stays
+      -- STRICTLY under 10% of distinct segments (strict because the
+      -- advisor fires at >=). Everything re-derived from the
+      -- documents table under x111's footer injection: the stale
+      -- threshold (0) fires and its strip removes every character;
+      -- the derived threshold reads quiet and strips only the
+      -- recurring head
+      WITH d AS (
+        SELECT doc_id, text || chr(10) ||
+               CASE doc_id % 3
+                 WHEN 0 THEN 'subscribe to our newsletter'
+                 WHEN 1 THEN 'all rights reserved'
+                 ELSE 'cookie policy applies' END AS t
+        FROM documents),
+      segs AS (
+        SELECT doc_id, seg, pos, trim(seg) AS ts FROM (
+          SELECT doc_id, UNNEST(parts) AS seg,
+                 generate_subscripts(parts, 1) AS pos
+          FROM (SELECT doc_id, string_split(t, chr(10)) AS parts
+                FROM d))),
+      df AS (
+        SELECT ts, COUNT(DISTINCT doc_id) AS docfreq
+        FROM segs GROUP BY 1),
+      n AS (SELECT COUNT(*) AS ns FROM df),
+      cand AS (SELECT 0 AS md UNION
+               SELECT DISTINCT docfreq AS md FROM df),
+      derived AS (
+        SELECT MIN(md) AS md FROM cand, n
+        WHERE (SELECT COUNT(*) FROM df WHERE docfreq > cand.md)
+              < 0.10 * n.ns),
+      -- rebuilt clean_text re-joins kept segments with the separator,
+      -- so kept chars = sum(kept seg lengths) + (kept_segs - docs
+      -- with >=1 kept seg) separators; docs with NO kept segment
+      -- contribute the empty string (0 chars) via stripTail's
+      -- left join, so they need no term here
+      keptstats AS (
+        SELECT COUNT(*) AS nseg_kept,
+               COUNT(DISTINCT s.doc_id) AS ndocs_kept,
+               COALESCE(SUM(length(s.seg)), 0) AS segchars
+        FROM segs s JOIN df ON s.ts = df.ts, derived
+        WHERE df.docfreq <= derived.md)
+      SELECT CAST(0 AS BIGINT) AS stale_max_docs,
+             TRUE AS fired_at_stale,
+             CAST(derived.md AS BIGINT) AS derived_max_docs,
+             TRUE AS quiet_at_derived,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM df, derived
+              WHERE docfreq > derived.md) AS n_blacklisted_derived,
+             (SELECT CAST(ns AS BIGINT) FROM n) AS n_segments,
+             CAST(0 AS BIGINT) AS chars_kept_stale,
+             (SELECT CAST(segchars + nseg_kept - ndocs_kept AS BIGINT)
+              FROM keptstats) AS chars_kept_derived,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_docs
+      FROM derived""",
+
+    "st26_stream_sharded_promote" -> """
+      -- the sharded streaming cadence: 4 batches route to 2 shards
+      -- by the ingest hash, every 2nd batch promotes both shards
+      -- incrementally; each trailing bundle row-equals a full batch
+      -- promote of its ledger, a re-promote with no new batches is a
+      -- no-op, and the merged pruned search holds recall 1.0 with
+      -- files == cells in both shards
+      SELECT CAST(2 AS BIGINT) AS n_shards,
+             CAST(2 AS BIGINT) AS n_promotes,
+             TRUE AS bundles_equal_full_promote,
+             TRUE AS repromote_noop,
+             TRUE AS files_eq_cells_all_shards,
              CAST(80 AS BIGINT) AS n_exact,
              CAST(1.0 AS DOUBLE) AS recall,
              TRUE AS recall_ge_094""",

@@ -1106,22 +1106,47 @@ object Similarity {
     require(trainedNlist > 0 && rebuildFactor >= 1,
       s"indexGeometryDrift: trainedNlist=$trainedNlist " +
         s"rebuildFactor=$rebuildFactor")
-    val stats = encoded
+    val s = indexGeometryStats(encoded).head()
+    val nNow = s.getLong(0)
+    val (sized, rec) = geometryAdvice(nNow, trainedNlist,
+      rebuildFactor)
+    encoded.sparkSession.range(1).select(
+      lit(nNow).as("n_now"),
+      lit(s.getLong(1)).as("n_cells_occupied"),
+      lit(s.getDouble(2)).as("mean_occ"),
+      lit(s.getLong(3)).as("max_occ"),
+      lit(trainedNlist.toLong).as("trained_nlist"),
+      lit(sized.toLong).as("sized_nlist_now"),
+      lit(rec).as("rebuild_recommended"))
+  }
+
+  /** [[indexGeometryDrift]]'s measured state as a LAZY 1-row
+    * relation — (n_now, n_cells_occupied, mean_occ, max_occ) — so
+    * the ops console can union one poll's stats across every
+    * registered ledger and collect ONCE (one Spark action per poll,
+    * not one per advisor — VERDICT r10). The advisor and the console
+    * both derive their decision from this via [[geometryAdvice]];
+    * neither re-derives the aggregation. */
+  private[graft] def indexGeometryStats(encoded: DataFrame)
+      : DataFrame =
+    encoded
       .groupBy(col("cell"))
       .agg(countDistinct(col("neighbor_id")).as("occ"))
       .agg(coalesce(sum(col("occ")), lit(0L)).as("n_now"),
         count(lit(1)).as("n_cells_occupied"),
         coalesce(round(avg(col("occ")), 2), lit(0.0d)).as("mean_occ"),
         coalesce(max(col("occ")), lit(0L)).as("max_occ"))
-      .localCheckpoint()
-    val nNow = stats.select(col("n_now")).collect()(0).getLong(0)
+
+  /** The geometry-drift DECISION from the measured stats —
+    * [[nlistFor]] stays the single owner of the sizing arithmetic;
+    * advisor pane and ops console both call this (a second
+    * derivation would be the parallel-derivation hole the advisor
+    * tier exists to close). Returns (sizedNlistNow, recommended). */
+  private[graft] def geometryAdvice(nNow: Long, trainedNlist: Int,
+                                    rebuildFactor: Int = 2)
+      : (Int, Boolean) = {
     val sized = nlistFor(nNow)
-    stats.select(col("n_now"), col("n_cells_occupied"),
-      col("mean_occ"), col("max_occ"),
-      lit(trainedNlist.toLong).as("trained_nlist"),
-      lit(sized.toLong).as("sized_nlist_now"),
-      lit(sized >= rebuildFactor.toLong * trainedNlist)
-        .as("rebuild_recommended"))
+    (sized, sized >= rebuildFactor.toLong * trainedNlist)
   }
 
   /** [[annTopKAuto]] with the ROUTE surfaced — ("ivfpq" | "exact",
@@ -1356,6 +1381,153 @@ object Similarity {
     }
   }
 
+  /** [[FilteredRoute]] for the SHARDED estate: the route and the
+    * batch-global knobs once, plus the per-shard witnesses —
+    * `shardNprobe(s)` / `shardCells(s)` are shard s's widened probe
+    * count and the distinct cells its pruned scan actually read
+    * (empty on the exact branches, where no index is probed). */
+  final case class ShardedFilteredRoute(route: String,
+                                        nSurvivors: Long,
+                                        kPrime: Int,
+                                        recallPreflight: Double,
+                                        result: DataFrame,
+                                        shardNprobe: Seq[Int] = Seq.empty,
+                                        shardCells: Seq[Array[Long]] =
+                                          Seq.empty)
+
+  /** [[annTopKFilteredRouted]] composed with the SHARDED estate —
+    * the production query shape ("nearest WHERE lang = 'en'") at the
+    * scale sharding exists for (VERDICT r10 #1): above the cell
+    * clamp (~268M vectors, [[annShardsFor]]) no single bundle can
+    * hold the index, so the filtered router must run per shard and
+    * merge. Composition, not new machinery:
+    *
+    *  - The ROUTE decides ONCE for the whole batch, from the GLOBAL
+    *    survivor count (one metadata-pruned scan of `corpus` —
+    *    shards routing divergently would stitch exact rows to
+    *    over-fetched ANN rows with no single recall statement).
+    *  - EXACT branches are shard-free: the survivor set is one
+    *    brute scan either way.
+    *  - The ANN branch runs the filtered form per shard — each
+    *    shard's own widened nprobe (the 1/sel rule against ITS
+    *    nlist, read from its cents — shards are sized independently)
+    *    through [[ivfpqSearchPruned]] over its cell-layout bundle,
+    *    so every shard prunes FILES like x128 — then merges the
+    *    per-shard k′ candidate lists ([[ivfpqMergeTopK]] at k′: every
+    *    global candidate survives its shard's local k′ because local
+    *    rank ≤ global rank) and post-filters the MERGED list to the
+    *    top-k survivors.
+    *  - The PREFLIGHT measures recall on the MERGED plan — the exact
+    *    plan the batch will run, per-shard probes and all — vs the
+    *    exact filtered twin on the stratified probe sample; below
+    *    `recallFloor` the whole batch reroutes to the exact survivor
+    *    scan.
+    *
+    * Per-shard rerank sizes against n/|shards| (the uniform
+    * [[annShardKey]] split's expected occupancy) rather than
+    * counting each shard — the router already pays two corpus-count
+    * scans; |shards| more would double the preflight's scan bill at
+    * estate scale for a number the hash split already determines.
+    * `rerankSource` is the full corpus: rerank joins by candidate
+    * id, and a shard's candidates only match its own rows.
+    *
+    * DELETION-STATE COUPLING (as [[annTopKFilteredRouted]]): each
+    * shard's encoded state is tombstone-suppressed here, so `corpus`
+    * must reflect the same deletes or the EXACT branches resurface
+    * them. `shardPaths`/`versions` follow [[annForgetSharded]]'s
+    * positional contract: shard s of the same hash split that routed
+    * ingest. */
+  def annTopKFilteredRoutedSharded(queries: DataFrame,
+                                   corpus: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   pred: Column, k: Int,
+                                   shardPaths: Seq[String],
+                                   versions: Seq[String],
+                                   m: Int = 8,
+                                   bruteCutoff: Long = 65536L,
+                                   recallFloor: Double = 0.94,
+                                   probeCap: Int = 16)
+      : ShardedFilteredRoute = {
+    require(shardPaths.nonEmpty,
+      "annTopKFilteredRoutedSharded: no shard paths")
+    require(versions.length == shardPaths.length,
+      s"annTopKFilteredRoutedSharded: ${shardPaths.length} shard " +
+        s"paths but ${versions.length} versions — the positional " +
+        "contract needs one stamp per shard")
+    require(k > 0, s"annTopKFilteredRoutedSharded: k=$k")
+    require(recallFloor >= 0.0d && recallFloor <= 1.0d,
+      s"annTopKFilteredRoutedSharded: recallFloor=$recallFloor")
+    val spark = corpus.sparkSession
+    val shards = shardPaths.length
+    val survivors = corpus.filter(pred)
+    val nSurv = survivors.count()
+    require(nSurv > 0, "annTopKFilteredRoutedSharded: the filter " +
+      "matches no corpus rows — top-k over an empty survivor set " +
+      "is undefined; widen the predicate")
+    if (nSurv <= bruteCutoff)
+      ShardedFilteredRoute("exact_filtered", nSurv, k, 1.0d,
+        bruteTopKL2(queries, survivors, idCol, vecCol, k))
+    else {
+      val n = corpus.count()
+      val sel = nSurv.toDouble / n.toDouble
+      val kPrime = overfetchFor(k, sel)
+      val nShard = math.max(1L, n / shards)
+      // per-shard geometry from each shard's own bundle: nlist is
+      // the cents row count (ground truth, not a re-parse of the
+      // version stamp), tombstones are the shard's own
+      val shardState = shardPaths.zip(versions).map { case (p, v) =>
+        val (cents, codebook, enc0) = loadIndexCellLayout(spark, p, v)
+        val nl = cents.count().toInt
+        val np = math.min(nl, math.ceil(nprobeFor(nl) / sel).toInt)
+        val rr = math.max(rerankFor(nShard, nl, np), kPrime)
+        (cents, codebook,
+          liveEncoded(enc0, annTombstones(spark, p)), nl, np, rr)
+      }
+      val meta = corpus.select(col(idCol).as("neighbor_id"),
+        pred.as("__keep"))
+      def annFiltered(qs: DataFrame)
+          : (Seq[Array[Long]], DataFrame) = {
+        val perShard = shardState.map {
+          case (cents, codebook, enc, _, np, rr) =>
+            ivfpqSearchPruned(qs, idCol, vecCol, enc, cents,
+              codebook, kPrime, np, m, rerank = rr,
+              rerankSource = Some(corpus))
+        }
+        val mergedK = ivfpqMergeTopK(perShard.map(_._2), kPrime)
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("approx_d2").asc, col("neighbor_id").asc)
+        (perShard.map(_._1),
+          mergedK.join(meta, Seq("neighbor_id"))
+            .filter(col("__keep"))
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= k)
+            .select(col("query_id"), col("rank"),
+              col("neighbor_id"), col("approx_d2")))
+      }
+      val probes = stratifiedProbes(queries, idCol, probeCap)
+        .localCheckpoint(true)
+      val exactProbe = bruteTopKL2(probes, survivors, idCol,
+        vecCol, k)
+      val hit = exactProbe.as("b")
+        .join(annFiltered(probes)._2.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id"), "left")
+        .agg(count(lit(1)), count(col("l.neighbor_id")))
+        .head() // 1-row preflight decision (the advisor idiom)
+      val recallEst =
+        if (hit.getLong(0) == 0L) 1.0d
+        else hit.getLong(1).toDouble / hit.getLong(0).toDouble
+      if (recallEst >= recallFloor) {
+        val (cells, result) = annFiltered(queries)
+        ShardedFilteredRoute("ann_overfetch", nSurv, kPrime,
+          recallEst, result, shardState.map(_._5), cells)
+      } else
+        ShardedFilteredRoute("exact_filtered_fallback", nSurv,
+          kPrime, recallEst,
+          bruteTopKL2(queries, survivors, idCol, vecCol, k))
+    }
+  }
+
   /** The standing ANN index's VERSION STRING (the
     * Learn.qualityModelVersion discipline on the index tier): the
     * full quantizer recipe — cell count, PQ geometry, training
@@ -1515,13 +1687,60 @@ object Similarity {
     require(tsFracThreshold > 0 && fileFactor >= 1 && targetBytes > 0,
       s"compactAdvisor: tsFracThreshold=$tsFracThreshold " +
         s"fileFactor=$fileFactor targetBytes=$targetBytes")
-    val vs = graft.sources.VersionedState
-    val encoded = vs.read(spark, path, version, "encoded")
-    val nVec = encoded.select(col("neighbor_id")).distinct().count()
-    val tsLive = annTombstones(spark, path)
-      .join(encoded.select(col("neighbor_id").as("vec_id")),
-        Seq("vec_id"), "left_semi")
-      .count()
+    val s = compactStats(spark, path, version).head()
+    val (nVec, tsLive) = (s.getLong(0), s.getLong(1))
+    val (nFiles, bytes) = compactFsStats(spark, path)
+    val a = compactAdvice(nVec, tsLive, nFiles, bytes,
+      tsFracThreshold, fileFactor, targetBytes)
+    spark.range(1).select(
+      lit(version).as("version"),
+      lit(nVec).as("n_vectors"),
+      lit(tsLive).as("n_tombstoned_live"),
+      lit(a.tsFraction).as("ts_fraction"),
+      lit(a.fileDebt).as("files_over_budget"),
+      lit(a.advisedFiles).as("advised_files"),
+      lit(a.reason).as("reason"),
+      lit(a.recommended).as("compact_recommended"))
+  }
+
+  /** [[compactAdvisor]]'s measured LEDGER state as a LAZY 1-row
+    * relation — (n_vectors, n_tombstoned_live) — the console-poll
+    * unit (see [[indexGeometryStats]]). The filesystem half of the
+    * advisor's evidence ([[compactFsStats]]) is a driver-side
+    * listing, not a Spark job, so it stays out of the unioned
+    * plan. */
+  private[graft] def compactStats(spark: SparkSession, path: String,
+                                  version: String): DataFrame =
+    compactStatsOf(spark, path, graft.sources.VersionedState
+      .read(spark, path, version, "encoded"))
+
+  /** [[compactStats]] over an already-loaded encoded relation — the
+    * console's batched-validation form (it reads the part
+    * unvalidated and folds a [[graft.sources.VersionedState
+    * .versionProbe]] into the same collect). JOIN-FREE by design: a
+    * broadcast (or nested-loop) join materializes its build side as
+    * its OWN Spark job even with AQE off, so a join-shaped stats
+    * branch would re-introduce per-bundle jobs into the poll the
+    * one-collect contract exists to prevent — the tombstone
+    * intersection is a tagged union + two-level aggregation instead
+    * (pure shuffle stages, all inside the poll's single job). */
+  private[graft] def compactStatsOf(spark: SparkSession, path: String,
+                                    encoded: DataFrame): DataFrame =
+    encoded.select(col("neighbor_id").as("id")).distinct()
+      .select(col("id"), lit(0).as("src"))
+      .unionAll(annTombstones(spark, path)
+        .select(col("vec_id").as("id"), lit(1).as("src")))
+      .groupBy(col("id"))
+      .agg(min(col("src")).as("mn"), max(col("src")).as("mx"))
+      .agg(count(when(col("mn") === 0, 1)).as("n_vectors"),
+        count(when(col("mn") === 0 && col("mx") === 1, 1))
+          .as("n_tombstoned_live"))
+
+  /** The compact advisor's FILE-debt evidence: (dataFiles, bytes)
+    * under `path/encoded` — one recursive driver-side listing (KB
+    * of metadata; never a Spark job). */
+  private[graft] def compactFsStats(spark: SparkSession,
+                                    path: String): (Long, Long) = {
     val enc = new org.apache.hadoop.fs.Path(s"$path/encoded")
     val f = enc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     var nFiles = 0L
@@ -1532,7 +1751,24 @@ object Similarity {
       if (st.isFile && !nm.startsWith("_") && !nm.startsWith("."))
         nFiles += 1
     }
-    val bytes = f.getContentSummary(enc).getLength
+    (nFiles, f.getContentSummary(enc).getLength)
+  }
+
+  /** The when-to-compact DECISION from the measured stats — single
+    * owner of the debt arithmetic; advisor pane and ops console both
+    * call this (see [[geometryAdvice]]). */
+  private[graft] final case class CompactAdvice(tsFraction: Double,
+                                                advisedFiles: Long,
+                                                fileDebt: Boolean,
+                                                reason: String,
+                                                recommended: Boolean)
+  private[graft] def compactAdvice(nVec: Long, tsLive: Long,
+                                   nFiles: Long, bytes: Long,
+                                   tsFracThreshold: Double = 0.01,
+                                   fileFactor: Int = 4,
+                                   targetBytes: Long =
+                                     128L * 1024 * 1024)
+      : CompactAdvice = {
     val advised = math.max(1L,
       math.ceil(bytes.toDouble / targetBytes).toLong)
     val tsFrac = if (nVec == 0) 0.0 else tsLive.toDouble / nVec
@@ -1544,15 +1780,8 @@ object Similarity {
       case (false, true) => "files"
       case _             => "none"
     }
-    spark.range(1).select(
-      lit(version).as("version"),
-      lit(nVec).as("n_vectors"),
-      lit(tsLive).as("n_tombstoned_live"),
-      lit(math.rint(tsFrac * 10000) / 10000).as("ts_fraction"),
-      lit(fileDebt).as("files_over_budget"),
-      lit(advised).as("advised_files"),
-      lit(reason).as("reason"),
-      lit(tsDebt || fileDebt).as("compact_recommended"))
+    CompactAdvice(math.rint(tsFrac * 10000) / 10000, advised,
+      fileDebt, reason, tsDebt || fileDebt)
   }
 
   /** Index FSCK — the consistency verifier for a standing bundle,
@@ -1711,9 +1940,15 @@ object Similarity {
     *      (byte-identical — x128b pins content hashes);
     *   5. stamp the new watermark, then re-stamp meta LAST.
     *
-    * Equal to a full re-promote by construction (spec-pinned row
-    * equality); cost scales with the DELTA's cell footprint, not the
-    * corpus. Returns (nNewBatches, nTouchedCells, newHwm). */
+    * Equal to a full re-promote by construction on the LIVE
+    * (tombstone-suppressed) state, and byte-equal on every TOUCHED
+    * cell (both merge sides anti-join the ledger tombstones — ADVICE
+    * r10); untouched cells may physically carry rows erased since
+    * the last promote until the compact folds the still-standing
+    * bundle tombstone, which is the same deferred-erasure window
+    * [[annForget]] itself documents. Cost scales with the DELTA's
+    * cell footprint, not the corpus. Returns
+    * (nNewBatches, nTouchedCells, newHwm). */
   def promoteIngestLedgerIncremental(spark: SparkSession,
                                      definitionPath: String,
                                      version: String,
@@ -1747,16 +1982,33 @@ object Similarity {
     // ledger-level forgets ([[annForgetPromoted]]) must hold through
     // promotion: an erased id's historical code rows never re-enter
     // the bundle
+    val ledgerTs = annLedgerTombstones(spark, encodedPath)
+      .localCheckpoint(true) // one evaluation, two anti-joins
     val newRows = liveEncoded(
       delta.select(col("cell"), col("neighbor_id"), col("sub"),
         col("code")),
-      annLedgerTombstones(spark, encodedPath))
+      ledgerTs)
     val touched = newRows.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
     val (_, _, bundleEnc) = loadIndexCellLayout(spark, outPath, version)
-    val merged = bundleEnc
-      .filter(col("cell").isInCollection(touched.toSeq))
-      .select(col("cell"), col("neighbor_id"), col("sub"), col("code"))
+    // the BUNDLE side of the merge anti-joins the ledger tombstones
+    // too (ADVICE r10): an id erased via [[annForgetPromoted]] after
+    // the last promote still has code rows in the bundle's touched
+    // cells (physical erasure waits for the compact), and merging
+    // them raw would re-write the erased rows into the FRESH cell
+    // files — diverging from [[promoteIngestLedger]], which
+    // anti-joins everything. With both sides filtered, a touched
+    // cell comes out exactly as a full re-promote would write it;
+    // UNTOUCHED cells may still physically carry erased rows until
+    // the compact folds the still-standing bundle tombstone, so the
+    // full-bundle equality contract is on the LIVE (tombstone-
+    // suppressed) state, and on raw bytes for the touched cells.
+    val merged = liveEncoded(
+      bundleEnc
+        .filter(col("cell").isInCollection(touched.toSeq))
+        .select(col("cell"), col("neighbor_id"), col("sub"),
+          col("code")),
+      ledgerTs)
       .unionByName(newRows)
       .dropDuplicates("cell", "neighbor_id", "sub")
       .repartition(col("cell")) // one task → one file per cell
@@ -1913,10 +2165,17 @@ object Similarity {
     * that shard's encoded set and the call FAILS if any id is absent
     * — one encoded-grain scan per shard, the right price at ops
     * cadence for a right-to-be-forgotten write (leave it off only
-    * when ids may legitimately predate the index). */
+    * when ids may legitimately predate the index).
+    *
+    * `versions` is PER SHARD, aligned with `shardPaths`: shards are
+    * sized independently ([[nlistFor]] over per-shard counts), so a
+    * healthy estate can legitimately carry different version stamps
+    * per shard — a single shared version would fail the forget on
+    * exactly that estate (ADVICE r10). A one-element list is
+    * broadcast to every shard for the uniform-estate call sites. */
   def annForgetSharded(shardPaths: Seq[String], ids: DataFrame,
                        verifyRouting: Boolean = false,
-                       version: Option[String] = None): Unit = {
+                       versions: Seq[String] = Seq.empty): Unit = {
     require(shardPaths.nonEmpty, "annForgetSharded: no shard paths")
     require(shardPaths.distinct.length == shardPaths.length,
       "annForgetSharded: duplicate shard paths — the positional " +
@@ -1924,10 +2183,14 @@ object Similarity {
     require(ids.columns.length == 1,
       s"annForgetSharded: expected one id column, got " +
         ids.columns.mkString(","))
-    require(!verifyRouting || version.nonEmpty,
+    require(!verifyRouting || versions.length == 1 ||
+      versions.length == shardPaths.length,
       "annForgetSharded: verifyRouting reads each shard's encoded " +
-        "part and needs the bundle version")
+        "part and needs the bundle version per shard (one element " +
+        "to broadcast, or one aligned with each shardPath)")
     val shards = shardPaths.length
+    def versionOf(sh: Int): String =
+      if (versions.length == 1) versions.head else versions(sh)
     val idc = ids
       .select(col(ids.columns.head).cast(LongType).as("vec_id"))
       .withColumn("__sh", annShardKey(col("vec_id"), shards))
@@ -1937,7 +2200,7 @@ object Similarity {
         .select(col("vec_id"))
       if (verifyRouting) {
         val enc = graft.sources.VersionedState
-          .read(idc.sparkSession, p, version.get, "encoded")
+          .read(idc.sparkSession, p, versionOf(sh), "encoded")
         val missing = mine.join(
           enc.select(col("neighbor_id").as("vec_id")),
           Seq("vec_id"), "left_anti").count()
@@ -2015,6 +2278,16 @@ object Similarity {
     // own directories and have rewritePart preserve it
     val isCellLayout = f.exists(enc) && f.listStatus(enc).exists(st =>
       st.isDirectory && st.getPath.getName.startsWith("cell="))
+    // a caller-pinned file count cannot be honored on a cell-layout
+    // bundle (the partitioned rewrite's file count IS the live cell
+    // count) — fail fast instead of silently ignoring the pin
+    // (ADVICE r10: the x120-style deterministic single-file pin
+    // stops holding the moment a bundle adopts the layout, and a
+    // caller relying on it must find out here, not in production)
+    require(!(nFiles > 0 && isCellLayout),
+      s"annCompact: nFiles=$nFiles cannot be honored on a " +
+        "cell-layout bundle — the partitioned rewrite emits one " +
+        "file per live cell; drop the pin (nFiles = 0)")
     // sized output, not guessed (the writeAdvised discipline):
     // nFiles = 0 (default) sizes from the live part's bytes at the
     // 128 MB parquet sweet spot — at a 1 TB encoded ledger that is

@@ -227,4 +227,40 @@ object VersionedState {
         "ledger path from the version to make this unreachable)")
     spark.read.parquet(s"$path/$part")
   }
+
+  /** The raw part relation WITHOUT [[read]]'s eager version gate —
+    * for consumers that fold the stamp check into their own BATCHED
+    * plan instead of paying one driver round-trip per ledger
+    * ([[graft.operators.Advisors.opsConsole]]'s one-collect poll,
+    * VERDICT r10). Every use MUST pair it with a [[versionProbe]]
+    * branch collected in the same action, or the version contract
+    * silently stops holding for that consumer. `schema` (when the
+    * caller knows the columns it needs) skips parquet schema
+    * INFERENCE, which is itself a Spark job per read — the last
+    * per-ledger job the one-collect poll has to shed; a declared
+    * column may be a projection of the part's full schema, and on a
+    * hive-partitioned part the partition column is matched by name
+    * at the declared type (the loadIndexCellLayout INT→LONG re-cast,
+    * done at read instead). */
+  def readPartUnvalidated(spark: SparkSession, path: String,
+                          part: String,
+                          schema: Option[org.apache.spark.sql.types
+                            .StructType] = None): DataFrame =
+    schema.fold(spark.read)(s => spark.read.schema(s))
+      .parquet(s"$path/$part")
+
+  /** A LAZY 1-row version check — (ok = 1 when the stamped version
+    * equals `version`, else 0; an empty or torn meta reads 0) — the
+    * unionable form of [[read]]'s require, so a poll over N ledgers
+    * validates all N stamps inside its one collect. Explicit meta
+    * schema: no inference job (and the torn-stamp empty directory
+    * reads as ok = 0 instead of throwing — the promoteHighWater
+    * discipline). */
+  def versionProbe(spark: SparkSession, path: String,
+                   version: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, max, when}
+    spark.read.schema("version STRING").parquet(s"$path/meta")
+      .agg(coalesce(max(when(col("version") === lit(version), 1L)
+        .otherwise(0L)), lit(0L)).as("ok"))
+  }
 }

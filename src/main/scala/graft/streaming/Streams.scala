@@ -1076,40 +1076,129 @@ object Streams {
                         rebuildFactor: Int = 2): DataFrame = {
     require(rebuildFactor >= 1,
       s"dsirLedgerAdvisor: rebuildFactor=$rebuildFactor")
-    val ledger = spark.read.parquet(path)
-    require(ledger.columns.contains("__nb"),
-      s"dsirLedgerAdvisor: ledger at $path carries no __nb recipe " +
-        "stamp — rebuild the ledger")
-    val head = ledger
-      .agg(max(col("__nb")),
-        count(when(col("ct") + col("cq") > 0L, 1)))
-      .head()
+    val head = dsirLedgerStats(spark, path).head()
     require(!head.isNullAt(0),
       s"dsirLedgerAdvisor: ledger at $path is seeded but has never " +
         "been folded — no bucket width to advise against; fold at " +
         "least one batch first")
-    val nb = head.getLong(0)
-    val occ = head.getLong(1)
+    val a = dsirAdvice(head.getLong(0), head.getLong(1), rebuildFactor)
+    spark.range(1).select(
+      lit(a.nb).as("nb"),
+      lit(a.nOccupied).as("n_occupied"),
+      lit(a.loadFactor).as("load_factor"),
+      lit(a.sizedNbNow).as("sized_nb_now"),
+      lit(a.recommended).as("rebuild_recommended"))
+  }
+
+  /** [[dsirLedgerAdvisor]]'s measured state as a LAZY 1-row relation
+    * — (nb, n_occupied) — the console-poll unit (one collect per
+    * poll across every registered ledger, VERDICT r10; see
+    * [[graft.operators.Similarity.indexGeometryStats]]). */
+  private[graft] def dsirLedgerStats(spark: SparkSession,
+                                     path: String): DataFrame = {
+    // declared ledger schema: no per-read schema-inference job (the
+    // one-collect poll contract); a foreign ledger without the
+    // __nb stamp reads null there and fails the advisor's
+    // never-folded guard instead
+    val ledger = spark.read.schema(dsirLedgerSchema).parquet(path)
+    ledger.agg(max(col("__nb")).as("nb"),
+      count(when(col("ct") + col("cq") > 0L, 1)).as("n_occupied"))
+  }
+
+  /** The DSIR-width DECISION from the measured stats —
+    * [[dsirBucketsFor]] stays the single owner of the sizing
+    * arithmetic; advisor pane and ops console both call this.
+    *
+    * The trigger compares the UNCLAMPED sizing target (power-of-two
+    * ceil of 4·occupied) against the stamped width: a ledger already
+    * AT the 2²⁴ clamp saturates with sized == nb forever, and a
+    * clamped-trigger advisor would read healthy in exactly the
+    * maximum-collision regime it exists to report (round-10 review).
+    * sized_nb_now stays clamped — it is what a rebuild would use;
+    * past the clamp the advice is feature-space reduction, and the
+    * recommendation must still FIRE. */
+  private[graft] final case class DsirAdvice(nb: Long,
+                                             nOccupied: Long,
+                                             loadFactor: Double,
+                                             sizedNbNow: Long,
+                                             recommended: Boolean)
+  private[graft] def dsirAdvice(nb: Long, occ: Long,
+                                rebuildFactor: Int = 2): DsirAdvice = {
     val sized = dsirBucketsFor(occ)
-    // the trigger compares the UNCLAMPED sizing target (power-of-two
-    // ceil of 4·occupied) against the stamped width: a ledger already
-    // AT the 2²⁴ clamp saturates with sized == nb forever, and a
-    // clamped-trigger advisor would read healthy in exactly the
-    // maximum-collision regime it exists to report (round-10 review).
-    // sized_nb_now stays clamped — it is what a rebuild would use;
-    // past the clamp the advice is feature-space reduction, and the
-    // recommendation must still FIRE.
     val t = math.max(4096L, 4L * occ)
     val hb = java.lang.Long.highestOneBit(t)
     val unclamped = if (hb == t) t else hb << 1
-    spark.range(1).select(
-      lit(nb).as("nb"),
-      lit(occ).as("n_occupied"),
-      lit(math.rint(occ.toDouble / nb * 10000) / 10000)
-        .as("load_factor"),
-      lit(sized.toLong).as("sized_nb_now"),
-      lit(unclamped >= rebuildFactor.toLong * nb)
-        .as("rebuild_recommended"))
+    DsirAdvice(nb, occ,
+      math.rint(occ.toDouble / nb * 10000) / 10000,
+      sized.toLong, unclamped >= rebuildFactor.toLong * nb)
+  }
+
+  /** The ACTION to [[dsirLedgerAdvisor]]'s recommendation — the x118
+    * rebuild discipline on the text tier (VERDICT r10 #3): hashed
+    * counts are not invertible, so a saturated ledger cannot
+    * re-bucket itself — the rebuild RE-FOLDS the corpus history at
+    * the advisor's sizing into a NEW ledger path per step (the width
+    * is part of the recipe, so the path must move — the
+    * version-keyed-ledger rule, hence the `newPathFor` policy).
+    * `history` is the corpus the ledger accreted, as batches (the
+    * replay source a deployment keeps: crawl snapshots, the bronze
+    * tier); each batch folds batchId-idempotent exactly like the
+    * stream did, so a resized ledger equals a fresh batch build at
+    * the same width for ANY batching (st18's invariance at the new
+    * width).
+    *
+    * ITERATIVE, because a saturated ledger UNDERESTIMATES its own
+    * feature count: occupied buckets ≤ nb, so `sized_nb_now` derived
+    * from a ledger at high load is a floor, not the answer — the
+    * first x137 draft folded once at the old ledger's sizing and
+    * came out STILL saturated (6.6k features read as 3.3k occupied
+    * at nb=4096 → sized 16384, where they occupy 5.4k → fires
+    * again). Each re-fold measures occupancy at the wider table and
+    * re-advises; occupancy → |features| geometrically as load
+    * drops, so the loop converges in a couple of steps (each step
+    * at least doubles nb — `maxSteps` default 6 covers 4096 → 2²⁴,
+    * the whole legal range). A ledger already AT the 2²⁴ clamp can
+    * fire with sized == nb (the advice there is feature-space
+    * reduction, not width): the loop stops rather than re-folding
+    * at the same width forever, returning quiet = false honestly.
+    * Corpus-grain × steps, priced honestly: that is what
+    * re-bucketing under measurement costs. Returns
+    * (firedBefore, finalNb, finalPath, steps, quietAfter). */
+  def dsirLedgerRebuild(spark: SparkSession, oldPath: String,
+                        newPathFor: Int => String,
+                        history: Seq[DataFrame],
+                        rebuildFactor: Int = 2,
+                        maxSteps: Int = 6)
+      : (Boolean, Int, String, Int, Boolean) = {
+    require(history.nonEmpty,
+      "dsirLedgerRebuild: no history batches — a resized ledger " +
+        "can only be re-folded from the corpus")
+    require(maxSteps >= 1, s"dsirLedgerRebuild: maxSteps=$maxSteps")
+    def advise(p: String): DsirAdvice = {
+      val head = dsirLedgerStats(spark, p).head()
+      require(!head.isNullAt(0),
+        s"dsirLedgerRebuild: ledger at $p has never been folded")
+      dsirAdvice(head.getLong(0), head.getLong(1), rebuildFactor)
+    }
+    var a = advise(oldPath)
+    if (!a.recommended)
+      return (false, a.nb.toInt, oldPath, 0, true)
+    var cur = oldPath
+    var steps = 0
+    while (a.recommended && steps < maxSteps &&
+      a.sizedNbNow > a.nb) {
+      val sized = a.sizedNbNow.toInt
+      val next = newPathFor(sized)
+      graft.operators.Mutations.seedEmptyLedger(spark, next,
+        dsirLedgerSchema)
+      history.zipWithIndex.foreach { case (batch, i) =>
+        dsirLedgerFold(batch, i.toLong, next, sized)
+      }
+      cur = next
+      steps += 1
+      a = advise(cur)
+    }
+    (true, a.nb.toInt, cur, steps, !a.recommended)
   }
 
   /** Streaming DSIR (x94's twin): the importance model TRAINS AS THE
@@ -1603,6 +1692,98 @@ object Streams {
     (lake, defPath, version, encodedPath, bundlePath, nPromotes)
   }
 
+  /** st26: the maintenance cadence rides the stream ACROSS THE
+    * SHARDED ESTATE — the deployment form st25 (one bundle) and the
+    * sharded build (x117/x130) both exist for, composed (VERDICT r10
+    * #6): each micro-batch routes to shards by the SAME
+    * [[graft.operators.Similarity.annShardKey]] hash that owns the
+    * estate's ingest, folds each shard's slice into ITS `__bid`
+    * ledger (batchId-idempotent per shard), and every `promoteEvery`
+    * batches promotes EVERY shard incrementally — so each shard's
+    * read-optimized cell-layout bundle trails the stream by at most
+    * one cadence window and each promotion pays only the cells the
+    * window's slice touched IN THAT SHARD. Replay safety composes
+    * per shard exactly as st25's: `__bid` partition idempotence +
+    * the watermark's key-deduped merge.
+    *
+    * AT-SCALE STANCE (SCALE.md "cadence blocking"): promotions run
+    * synchronously inside foreachBatch, so the ingest stream stalls
+    * for the promote's duration every cadence window — per shard
+    * that cost is the window's touched-cell footprint, and shards
+    * promote independently (a real deployment runs them as parallel
+    * maintenance jobs; AvailableNow here runs them in-line, which is
+    * the same work single-threaded). Accepted at cadence grain; an
+    * async promote would trade the stall for a bundle that can lag
+    * more than one window.
+    *
+    * Returns (lake, per-shard (defPath, version, ledgerPath,
+    * bundlePath), nPromotes — counted per cadence FIRING, each of
+    * which promotes all shards). */
+  def streamAnnIngestPromoteSharded(spark: SparkSession, n: Long,
+                                    shards: Int, m: Int = 8,
+                                    ksub: Int = 16,
+                                    splitFiles: Int = 4,
+                                    promoteEvery: Int = 2,
+                                    tag: String = "st26")
+      : (DataFrame, Seq[(String, String, String, String)], Int) = {
+    import graft.operators.Similarity
+    require(shards >= 1, s"streamAnnIngestPromoteSharded: shards=$shards")
+    val lake = Similarity.hashBlobLake(spark, n).localCheckpoint(true)
+    val shardKey = Similarity.annShardKey(col("vec_id"), shards)
+    // per-shard FROZEN definitions, sized to each shard's own count
+    // (the x117/x130 discipline: shards are independent estates)
+    val state = (0 until shards).map { sh =>
+      val part = lake.filter(shardKey === sh.toLong)
+      val nl = Similarity.nlistFor(part.count())
+      val v = Similarity.annIndexVersion(nl, m, ksub)
+      val defDir = new java.io.File(s"target/qtmp/${tag}_def$sh")
+      org.apache.commons.io.FileUtils.deleteQuietly(defDir)
+      val defPath = defDir.getAbsolutePath
+      val (c0, cb0) = Similarity.ivfpqTrain(part, "vec_id",
+        "embedding", nl, m, ksub, coarseIters = 1, pqIters = 1)
+      Similarity.persistIndexDef(defPath, v, c0, cb0)
+      val ledgerDir = new java.io.File(s"target/qtmp/${tag}_led$sh")
+      org.apache.commons.io.FileUtils.deleteQuietly(ledgerDir)
+      val bundleDir = new java.io.File(s"target/qtmp/${tag}_bun$sh")
+      org.apache.commons.io.FileUtils.deleteQuietly(bundleDir)
+      (defPath, v, ledgerDir.getAbsolutePath,
+        bundleDir.getAbsolutePath)
+    }
+    val stage = new java.io.File(s"target/qtmp/${tag}_src")
+    org.apache.commons.io.FileUtils.deleteQuietly(stage)
+    stage.mkdirs()
+    (0 until splitFiles).foreach { i =>
+      lake.filter(col("vec_id") % splitFiles === i).coalesce(1)
+        .write.mode("overwrite")
+        .parquet(new java.io.File(stage, s"part$i").getAbsolutePath)
+    }
+    var nPromotes = 0
+    val q = spark.readStream.schema(lake.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.getAbsolutePath + "/part*")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        val batch = b.localCheckpoint(true) // one eval, |shards| slices
+        state.zipWithIndex.foreach {
+          case ((defPath, v, ledgerPath, _), sh) =>
+            annIngestFold(batch.filter(shardKey === sh.toLong), bid,
+              defPath, v, ledgerPath, m)
+        }
+        if ((bid + 1) % promoteEvery == 0) {
+          state.foreach { case (defPath, v, ledgerPath, bundlePath) =>
+            Similarity.promoteIngestLedgerIncremental(spark, defPath,
+              v, ledgerPath, bundlePath)
+          }
+          nPromotes += 1
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    (lake, state, nPromotes)
+  }
+
   /** st24: DELETION rides the stream — right-to-be-forgotten ids
     * arrive as CDC delete events in micro-batches, and each batch
     * folds into the standing tombstone set via
@@ -1723,30 +1904,97 @@ object Streams {
     require(maxDocs >= 0 && fracThreshold > 0.0 && fracThreshold <= 1.0,
       s"boilerplateLedgerAdvisor: maxDocs=$maxDocs " +
         s"fracThreshold=$fracThreshold")
-    val ledger = spark.read.parquet(path)
-    require(ledger.columns.contains("__sep"),
-      s"boilerplateLedgerAdvisor: ledger at $path carries no __sep " +
-        "recipe stamp — rebuild the ledger")
-    val head = ledger
-      .agg(count(lit(1)),
-        coalesce(sum(when(col("docfreq") > maxDocs, 1L)
-          .otherwise(0L)), lit(0L)),
-        coalesce(max(col("docfreq")), lit(0L)))
-      .head()
+    val head = boilerplateLedgerStats(spark, path, maxDocs).head()
     val nSeg = head.getLong(0)
     require(nSeg > 0L,
       s"boilerplateLedgerAdvisor: ledger at $path is seeded but has " +
         "never been folded — no segment frequencies to advise " +
         "against; fold at least one batch first")
-    val nBlack = head.getLong(1)
-    val frac = nBlack.toDouble / nSeg
+    val a = boilerplateAdvice(nSeg, head.getLong(1), fracThreshold)
     spark.range(1).select(
       lit(maxDocs).as("max_docs"),
       lit(nSeg).as("n_segments"),
-      lit(nBlack).as("n_blacklisted"),
-      lit(math.rint(frac * 10000) / 10000).as("blacklist_frac"),
+      lit(head.getLong(1)).as("n_blacklisted"),
+      lit(a.blacklistFrac).as("blacklist_frac"),
       lit(head.getLong(2)).as("max_docfreq"),
-      lit(frac >= fracThreshold).as("rethreshold_recommended"))
+      lit(a.recommended).as("rethreshold_recommended"))
+  }
+
+  /** [[boilerplateLedgerAdvisor]]'s measured state as a LAZY 1-row
+    * relation — (n_segments, n_blacklisted at `maxDocs`,
+    * max_docfreq) — the console-poll unit (see [[dsirLedgerStats]]). */
+  private[graft] def boilerplateLedgerStats(spark: SparkSession,
+                                            path: String,
+                                            maxDocs: Long)
+      : DataFrame = {
+    // declared schema — no inference job (see dsirLedgerStats)
+    val ledger = spark.read.schema(boilerplateLedgerSchema)
+      .parquet(path)
+    ledger.agg(count(lit(1)).as("n_segments"),
+      coalesce(sum(when(col("docfreq") > maxDocs, 1L)
+        .otherwise(0L)), lit(0L)).as("n_blacklisted"),
+      coalesce(max(col("docfreq")), lit(0L)).as("max_docfreq"))
+  }
+
+  /** The rethreshold DECISION from the measured stats — single owner
+    * of the occupancy arithmetic; advisor pane and ops console both
+    * call this. The trigger uses the UNROUNDED fraction; the rounded
+    * one is the display value. */
+  private[graft] final case class BoilerplateAdvice(
+      blacklistFrac: Double, recommended: Boolean)
+  private[graft] def boilerplateAdvice(nSeg: Long, nBlack: Long,
+                                       fracThreshold: Double = 0.10)
+      : BoilerplateAdvice = {
+    val frac = nBlack.toDouble / nSeg
+    BoilerplateAdvice(math.rint(frac * 10000) / 10000,
+      frac >= fracThreshold)
+  }
+
+  /** The ACTION to [[boilerplateLedgerAdvisor]]'s recommendation
+    * (VERDICT r10 #3, the other half): derive the new `maxDocs` FROM
+    * THE LEDGER'S OWN docfreq distribution — the smallest threshold
+    * whose blacklist captures at most `targetFrac` of all distinct
+    * segments. Web furniture is a thin head (few segments on many
+    * docs), so the right threshold is wherever the head ends for the
+    * CURRENT corpus; a frozen threshold drifts as the corpus grows
+    * (x132's firing branch). One KB-grain histogram aggregation of
+    * the standing ledger (distinct docfreq values — never the
+    * corpus), then a driver-side suffix scan: blacklist size at
+    * threshold t is Σ counts of docfreq > t, a step function that
+    * only changes at observed docfreq values, so the smallest
+    * satisfying t is 0 or an observed value. Deterministic given the
+    * ledger; re-derivable by the oracle from the corpus. */
+  def boilerplateThresholdFor(spark: SparkSession, path: String,
+                              targetFrac: Double = 0.10): Long = {
+    require(targetFrac > 0.0 && targetFrac <= 1.0,
+      s"boilerplateThresholdFor: targetFrac=$targetFrac")
+    val ledger = spark.read.parquet(path)
+    require(ledger.columns.contains("__sep"),
+      s"boilerplateThresholdFor: ledger at $path carries no __sep " +
+        "recipe stamp — rebuild the ledger")
+    val hist = ledger.groupBy(col("docfreq"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val nSeg = hist.map(_._2).sum
+    require(nSeg > 0L,
+      s"boilerplateThresholdFor: ledger at $path has never been " +
+        "folded — no distribution to derive from")
+    val budget = targetFrac * nSeg
+    // suffix mass above each candidate threshold, scanned ascending:
+    // the first t with mass(docfreq > t) STRICTLY under budget is
+    // the answer — strict because the advisor's trigger is
+    // frac >= threshold, so a derived threshold landing exactly AT
+    // the budget would re-fire the advisor it exists to quiet
+    var above = nSeg
+    if (above < budget) return 0L
+    var i = 0
+    while (i < hist.length) {
+      above -= hist(i)._2
+      if (above < budget) return hist(i)._1
+      i += 1
+    }
+    hist.last._1 // unreachable: above hits 0 at the last bucket
   }
 
   /** Streaming boilerplate blacklist (x111's twin): segment document
