@@ -567,6 +567,101 @@ object Scratch {
         println(f"merged: recall=${hits / denom}%.3f " +
           f"search=$searchWall%.2f s (both shards, sequential here; " +
           "per-shard builds parallelize on a cluster)")
+      case "filtered_sharded_rehearsal" =>
+        // x135's claimed regime MEASURED at the rehearsal grain
+        // (round-11): the 200k clustered lake split 2x100k by
+        // annShardKey, each shard a CELL-LAYOUT bundle on disk, a
+        // 50% hash filter routed through
+        // annTopKFilteredRoutedSharded — the claims under measure:
+        // the merged preflight routes ann_overfetch, per-shard
+        // pruning reads exactly the probed cell files, recall holds
+        // vs the exact filtered twin, and the search wall sits near
+        // the single-bundle filtered router's (sharding overhead =
+        // the merge window + one extra probe assign, not a second
+        // corpus pass).
+        import org.apache.spark.sql.functions._
+        import graft.operators.Similarity
+        val n = sys.env.getOrElse("CLUSTERED_N", "200000").toLong
+        val shards = 2
+        val lake = Similarity.hashBlobLake(spark, n)
+          .withColumn("h4", pmod(xxhash64(col("vec_id")), lit(4L)))
+          .localCheckpoint()
+        val pred = col("h4") < 2
+        val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
+          .drop("h4").localCheckpoint()
+        val built = (0 until shards).map { sh =>
+          val part = lake.drop("h4").filter(
+            Similarity.annShardKey(col("vec_id"), shards) === sh)
+            .localCheckpoint()
+          val nSh = part.count()
+          val nl = Similarity.nlistFor(nSh)
+          val v = Similarity.annIndexVersion(nl, 8, 16)
+          val p = s"target/qtmp/fsr_shard$sh"
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(p))
+          val t0 = System.nanoTime()
+          val (c0, cb0) = Similarity.ivfpqTrain(part, "vec_id",
+            "embedding", nl, 8, 16, coarseIters = 1, pqIters = 1)
+          Similarity.persistIndexCellLayout(p, v, c0, cb0,
+            Similarity.ivfpqEncode(part, "vec_id", "embedding",
+              c0, cb0, 8))
+          println(f"shard $sh: n=$nSh nlist=$nl " +
+            f"build+persist=${(System.nanoTime() - t0) / 1e9}%.1f s")
+          (p, v)
+        }
+        val t1 = System.nanoTime()
+        val r = Similarity.annTopKFilteredRoutedSharded(q, lake,
+          "vec_id", "embedding", pred, 5,
+          built.map(_._1), built.map(_._2), 8, bruteCutoff = 0L)
+        val got = r.result.localCheckpoint()
+        val routeWall = (System.nanoTime() - t1) / 1e9
+        val exact = Similarity.bruteTopKL2(q, lake.filter(pred),
+          "vec_id", "embedding", 5).localCheckpoint()
+        val hits = exact.as("b").join(got.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id")).count()
+        val filesPerShard = built.zipWithIndex.map { case ((p, v), sh) =>
+          val enc = Similarity.loadIndexCellLayout(spark, p, v)._3
+          val cells = r.shardCells(sh)
+          (cells.length, enc
+            .filter(col("cell").isInCollection(cells.toSeq))
+            .select(input_file_name()).distinct().count())
+        }
+        println(f"route=${r.route} surv=${r.nSurvivors} " +
+          f"k'=${r.kPrime} preflight=${r.recallPreflight}%.3f " +
+          f"nprobe=${r.shardNprobe.mkString("/")} " +
+          f"cells/files=${filesPerShard.mkString(" ")} " +
+          f"recall=${hits / exact.count().toDouble}%.3f " +
+          f"route+search+preflight=$routeWall%.1f s")
+        // single-bundle twin for the overhead contrast
+        val unl = Similarity.nlistFor(n)
+        val uv = Similarity.annIndexVersion(unl, 8, 16)
+        val up = "target/qtmp/fsr_single"
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(up))
+        val t2 = System.nanoTime()
+        val (uc, ucb) = Similarity.ivfpqTrain(lake.drop("h4"),
+          "vec_id", "embedding", unl, 8, 16,
+          coarseIters = 1, pqIters = 1)
+        Similarity.persistIndexCellLayout(up, uv, uc, ucb,
+          Similarity.ivfpqEncode(lake.drop("h4"), "vec_id",
+            "embedding", uc, ucb, 8))
+        println(f"single: nlist=$unl " +
+          f"build+persist=${(System.nanoTime() - t2) / 1e9}%.1f s")
+        val (cents, codebook, enc) =
+          Similarity.loadIndexCellLayout(spark, up, uv)
+        val t3 = System.nanoTime()
+        val single = Similarity.annTopKFilteredRouted(q, lake,
+          "vec_id", "embedding", pred, 5,
+          Similarity.liveEncoded(enc,
+            Similarity.annTombstones(spark, up)),
+          cents, codebook, unl, 8, bruteCutoff = 0L,
+          pruneCells = true)
+        single.result.write.format("noop").mode("overwrite").save()
+        println(f"single-router route=${single.route} " +
+          f"wall=${(System.nanoTime() - t3) / 1e9}%.1f s " +
+          f"(vs sharded $routeWall%.1f s)")
+
       case "bpe_incr_sweep" =>
         // incremental vs full-recount BPE on a LARGE crafted type
         // table (verdict-7 ask #2's measured row): the 31-type driver

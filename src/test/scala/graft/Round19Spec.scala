@@ -220,6 +220,56 @@ class Round19Spec extends GraftSuite {
       bpPane.getAs[Boolean]("rethreshold_recommended"))
   }
 
+  test("opsConsole polls a SHARDED estate in the same one collect: " +
+       "per-shard registrations with per-shard versions, shard-local " +
+       "debt firing only its own shard's row") {
+    val m = 8; val ksub = 16
+    val shards = 2
+    val lake = Similarity.hashBlobLake(spark, 1000L)
+      .localCheckpoint(true)
+    val reg = (0 until shards).map { sh =>
+      val part = lake.filter(
+        Similarity.annShardKey(col("vec_id"), shards) === sh.toLong)
+        .localCheckpoint(true)
+      val nl = Similarity.nlistFor(part.count())
+      val v = Similarity.annIndexVersion(nl, m, ksub)
+      val p = tmp(s"r19_consh$sh")
+      val (c0, cb0) = Similarity.ivfpqTrain(part, "vec_id",
+        "embedding", nl, m, ksub, coarseIters = 1, pqIters = 1)
+      Similarity.persistIndex(p, v, c0, cb0,
+        Similarity.ivfpqEncode(part, "vec_id", "embedding",
+          c0, cb0, m))
+      Similarity.annCompact(spark, p, v) // file debt paid
+      (s"shard$sh", p, v, nl, part)
+    }
+    // tombstone 2% of shard0 ONLY — its compact row must fire alone
+    Similarity.annForget(reg(0)._2, reg(0)._5
+      .filter(pmod(col("vec_id"), lit(50L)) === 0)
+      .select(col("vec_id")))
+    spark.sparkContext.setJobGroup("r19_console_sharded",
+      "sharded-estate poll", interruptOnCancel = false)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val rows = try Advisors.opsConsole(spark,
+        annBundles = reg.map(r => (r._1, r._2, r._3, r._4))).collect()
+      finally {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.sparkContext.clearJobGroup()
+      }
+    // the poll stays O(1) actions with MORE registered bundles —
+    // same bound as the single-bundle pin above
+    assert(spark.sparkContext.statusTracker
+      .getJobIdsForGroup("r19_console_sharded").length <= 3)
+    assert(rows.length === 4)
+    def rec(ledger: String, action: String) =
+      rows.find(r => r.getString(1) == ledger &&
+        r.getString(2) == action).get.getBoolean(3)
+    assert(rec("shard0", "compact"), "shard0's tombstone debt quiet")
+    assert(!rec("shard1", "compact"), "shard1 fired on shard0's debt")
+    assert(!rec("shard0", "rebuild") && !rec("shard1", "rebuild"),
+      "right-sized shards must not fire rebuild")
+  }
+
   test("opsConsole still fails fast on a version mismatch — the " +
        "batched probe preserves the VersionedState contract") {
     val m = 8; val ksub = 16
