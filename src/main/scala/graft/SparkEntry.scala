@@ -4446,15 +4446,20 @@ object SparkEntry {
       val r = Similarity.annTopKFilteredRoutedSharded(q, lake,
         "vec_id", "embedding", pred, k,
         built.map(_._1), built.map(_._2), m, bruteCutoff = 0L)
-      val filesEqCells = built.zipWithIndex.forall { case ((p, v), sh) =>
-        val enc = Similarity.liveEncoded(
-          Similarity.loadIndexCellLayout(s, p, v)._3,
-          Similarity.annTombstones(s, p))
-        val cells = r.shardCells(sh)
-        enc.filter(col("cell").isInCollection(cells.toSeq))
-          .select(input_file_name()).distinct().count() ==
-          cells.length.toLong
-      }
+      // guard on the witness list's presence: a preflight fallback
+      // returns no per-shard cells, and the pane must then report
+      // the (oracle-mismatching) fallback row, not crash the query
+      // (round-11 review)
+      val filesEqCells = r.shardCells.length == built.length &&
+        built.zipWithIndex.forall { case ((p, v), sh) =>
+          val enc = Similarity.liveEncoded(
+            Similarity.loadIndexCellLayout(s, p, v)._3,
+            Similarity.annTombstones(s, p))
+          val cells = r.shardCells(sh)
+          enc.filter(col("cell").isInCollection(cells.toSeq))
+            .select(input_file_name()).distinct().count() ==
+            cells.length.toLong
+        }
       val exact = Similarity.bruteTopKL2(q, lake.filter(pred),
         "vec_id", "embedding", k)
       val offPred = r.result.join(
@@ -4558,7 +4563,7 @@ object SparkEntry {
         s.range(40).select(col("id").as("doc_id"),
           concat(lit("unique line "), col("id"), lit("\nfooter text"))
             .as("text")), 0L, pBp)
-      val (before, actions, after) = Advisors.opsLoop(s,
+      val loop = Advisors.opsLoop(s,
         ann = Seq(
           Advisors.AnnOps("ann_accreted", pAcc, v0, nl0, lake, m,
             ksub, nl => tmpDir(s"x136_rebuilt_nl$nl")),
@@ -4571,11 +4576,12 @@ object SparkEntry {
             nb => tmpDir(s"x136_refolded_light_nb$nb"))),
         bp = Seq(
           Advisors.BoilerplateOps("bp_stale", pBp, 0L)))
-      before.select(col("tier"), col("ledger"), col("action"),
+      loop.before.select(col("tier"), col("ledger"), col("action"),
           col("recommended").as("fired_before"),
           col("reason").as("reason_before"))
-        .join(actions, Seq("tier", "ledger", "action"))
-        .join(after.select(col("tier"), col("ledger"), col("action"),
+        .join(loop.actions, Seq("tier", "ledger", "action"))
+        .join(loop.after.select(col("tier"), col("ledger"),
+          col("action"),
           (!col("recommended")).as("quiet_after"),
           col("reason").as("reason_after")),
           Seq("tier", "ledger", "action"))

@@ -136,15 +136,17 @@ object Advisors {
           sized.toLong)
         val (nVec, tsLive) =
           (stat(nGeo + i)._1.get, stat(nGeo + i)._2.get)
-        val (nFiles, bytes) = Similarity.compactFsStats(spark, path)
-        val c = Similarity.compactAdvice(nVec, tsLive, nFiles, bytes)
+        val (nFiles, bytes, nCellDirs) =
+          Similarity.compactFsStats(spark, path)
+        val c = Similarity.compactAdvice(nVec, tsLive, nFiles, bytes,
+          nCellDirs)
         rows += ConsoleRow("ann", name, "compact", c.recommended,
           s"${c.reason} ts_fraction=${c.tsFraction} " +
             s"advised_files=${c.advisedFiles}", 0L)
     }
     dsirLedgers.zipWithIndex.foreach { case ((name, path), i) =>
-      val (nbOpt, occ) = (stat(nDsir - dsirLedgers.length + i)._1,
-        stat(nDsir - dsirLedgers.length + i)._2.getOrElse(0L))
+      val (nbOpt, occ) = (stat(nTs + i)._1,
+        stat(nTs + i)._2.getOrElse(0L))
       require(nbOpt.nonEmpty,
         s"dsirLedgerAdvisor: ledger at $path is seeded but has " +
           "never been folded — no bucket width to advise against; " +
@@ -156,12 +158,14 @@ object Advisors {
     }
     boilerplateLedgers.zipWithIndex.foreach {
       case ((name, path, maxDocs), i) =>
-        val (nSegO, nBlackO, _) = stat(nDsir + i)
+        val (nSegO, nBlackO, nStampedO) = stat(nDsir + i)
         val nSeg = nSegO.getOrElse(0L)
         require(nSeg > 0L,
           s"boilerplateLedgerAdvisor: ledger at $path is seeded " +
             "but has never been folded — no segment frequencies to " +
             "advise against; fold at least one batch first")
+        st.requireBoilerplateStamp(path, nSeg,
+          nStampedO.getOrElse(0L))
         val b = st.boilerplateAdvice(nSeg, nBlackO.getOrElse(0L))
         rows += ConsoleRow("boilerplate", name, "rethreshold",
           b.recommended,
@@ -196,13 +200,18 @@ object Advisors {
 
   /** An ANN estate registration [[opsLoop]] can maintain: the
     * standing bundle plus what a rebuild needs — the source lake
-    * (production: the corpus the index serves) and a path policy
-    * for the re-sized bundle (version and path both move with the
-    * geometry, the x118 rule). */
+    * (production: the corpus the index serves), its column names,
+    * the training depth (test fixtures train at 1 iteration; a
+    * production estate declares its own), and a path policy for the
+    * re-sized bundle (version and path both move with the geometry,
+    * the x118 rule). */
   final case class AnnOps(name: String, path: String, version: String,
                           trainedNlist: Int, lake: DataFrame,
                           m: Int, ksub: Int,
-                          rebuildPathFor: Int => String)
+                          rebuildPathFor: Int => String,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          coarseIters: Int = 1, pqIters: Int = 1)
 
   /** A DSIR ledger registration: the standing ledger plus the corpus
     * HISTORY a re-fold replays (hashed counts are not invertible —
@@ -240,15 +249,21 @@ object Advisors {
     * paying a physical rewrite on state about to be thrown away is
     * scheduler waste, not maintenance.
     *
-    * Returns (before-console, actions, after-console); `actions` is
-    * (tier, ledger, action, executed, effect) with the effect the
-    * EXECUTED operator's own witnessed outcome (new version / rows
-    * erased / re-folded width / derived threshold). */
+    * The loop's result carries the UPDATED registrations (new bundle
+    * paths/versions, refolded ledger paths, derived thresholds) —
+    * the state the NEXT poll cycle must run with; a scheduler that
+    * re-registered the old paths would fail the version probe on
+    * exactly the bundles this loop just replaced. */
+  final case class OpsLoopResult(before: DataFrame, actions: DataFrame,
+                                 after: DataFrame,
+                                 ann: Seq[AnnOps], dsir: Seq[DsirOps],
+                                 bp: Seq[BoilerplateOps])
+
   def opsLoop(spark: SparkSession,
               ann: Seq[AnnOps] = Seq.empty,
               dsir: Seq[DsirOps] = Seq.empty,
               bp: Seq[BoilerplateOps] = Seq.empty)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : OpsLoopResult = {
     val st = graft.streaming.Streams
     val before = pollRows(spark,
       ann.map(a => (a.name, a.path, a.version, a.trainedNlist)),
@@ -262,7 +277,6 @@ object Advisors {
     val actions =
       scala.collection.mutable.ArrayBuffer.empty[Row]
     before.foreach { r =>
-      val key = (r.tier, r.ledger, r.action)
       (r.tier, r.action) match {
         case ("ann", "rebuild") if r.recommended =>
           val a = annNow.find(_.name == r.ledger).get
@@ -270,15 +284,34 @@ object Advisors {
           val newVersion =
             Similarity.annIndexVersion(sized, a.m, a.ksub)
           val newPath = a.rebuildPathFor(sized)
-          val (c1, cb1) = Similarity.ivfpqTrain(a.lake, "vec_id",
-            "embedding", sized, a.m, a.ksub,
-            coarseIters = 1, pqIters = 1)
-          Similarity.persistIndex(newPath, newVersion, c1, cb1,
-            Similarity.ivfpqEncode(a.lake, "vec_id", "embedding",
-              c1, cb1, a.m))
+          val (c1, cb1) = Similarity.ivfpqTrain(a.lake, a.idCol,
+            a.vecCol, sized, a.m, a.ksub,
+            coarseIters = a.coarseIters, pqIters = a.pqIters)
+          val enc1 = Similarity.ivfpqEncode(a.lake, a.idCol,
+            a.vecCol, c1, cb1, a.m)
+          // the replacement keeps the old bundle's PHYSICAL LAYOUT:
+          // a cell-layout estate rebuilt flat would silently lose the
+          // probe→file-pruning contract (the ADVICE-r9 annCompact
+          // layout-loss class, one tier up — round-11 review)
+          if (Similarity.isCellLayoutBundle(spark, a.path))
+            Similarity.persistIndexCellLayout(newPath, newVersion,
+              c1, cb1, enc1)
+          else
+            Similarity.persistIndex(newPath, newVersion, c1, cb1, enc1)
+          // the old bundle's STANDING TOMBSTONES move with the
+          // estate: annForget never touches the lake, so a rebuild
+          // that re-encodes the lake re-encodes the forgotten
+          // vectors too — without this carry the new bundle serves
+          // them again (the annForgetPromoted resurrection class at
+          // the rebuild seam — round-11 review); the compact below
+          // then folds them, so the replacement lands with the
+          // deletes PHYSICALLY erased
+          Similarity.annForget(newPath,
+            Similarity.annTombstones(spark, a.path))
           // a fresh bundle lands maintenance-complete: pay the
-          // byte-sized compact now or the very next poll fires
-          // file-debt on the bundle this loop just built
+          // byte-sized compact now (which also folds the carried
+          // tombstones) or the very next poll fires on the bundle
+          // this loop just built
           Similarity.annCompact(spark, newPath, newVersion)
           annNow = annNow.map(x => if (x.name == a.name)
             x.copy(path = newPath, version = newVersion,
@@ -301,18 +334,33 @@ object Advisors {
           val (didFire, nbAfter, newPath, steps, quiet) =
             st.dsirLedgerRebuild(spark, d.path, d.rebuildPathFor,
               d.history)
-          // the console's sized_nb_now is a FLOOR (a saturated
-          // ledger under-reads its feature count), so the iterative
-          // rebuild may land wider — never narrower
-          require(didFire && quiet && nbAfter >= r.param,
-            s"opsLoop: dsir rebuild disagreed with the console " +
-              s"(fired=$didFire quiet=$quiet nb=$nbAfter vs " +
-              s"sized=${r.param})")
-          dsirNow = dsirNow.map(x => if (x.name == d.name)
-            x.copy(path = newPath) else x)
-          actions += Row(r.tier, r.ledger, r.action, true,
-            s"refolded nb=$nbAfter steps=$steps " +
-              s"batches=${d.history.length}")
+          if (quiet) {
+            // the console's sized_nb_now is a FLOOR (a saturated
+            // ledger under-reads its feature count), so the
+            // iterative rebuild may land wider — never narrower
+            require(didFire && nbAfter >= r.param,
+              s"opsLoop: dsir rebuild disagreed with the console " +
+                s"(fired=$didFire nb=$nbAfter vs sized=${r.param})")
+            dsirNow = dsirNow.map(x => if (x.name == d.name)
+              x.copy(path = newPath) else x)
+            actions += Row(r.tier, r.ledger, r.action, true,
+              s"refolded nb=$nbAfter steps=$steps " +
+                s"batches=${d.history.length}")
+          } else {
+            // dsirLedgerRebuild's honest non-convergence (width at
+            // the 2²⁴ clamp, or maxSteps exhausted): a legitimate
+            // advisor outcome, reported — not a crash that aborts
+            // the rest of the estate's actions (round-11 review);
+            // any widening that DID land still moves the
+            // registration forward
+            if (steps > 0)
+              dsirNow = dsirNow.map(x => if (x.name == d.name)
+                x.copy(path = newPath) else x)
+            actions += Row(r.tier, r.ledger, r.action, steps > 0,
+              s"unresolved after $steps step(s): nb=$nbAfter still " +
+                "saturated (clamp or maxSteps) — feature-space " +
+                "reduction needed")
+          }
         case ("boilerplate", "rethreshold") if r.recommended =>
           val b = bpNow.find(_.name == r.ledger).get
           val derived = st.boilerplateThresholdFor(spark, b.path,
@@ -335,10 +383,10 @@ object Advisors {
       StructField("action", StringType, nullable = false),
       StructField("executed", BooleanType, nullable = false),
       StructField("effect", StringType, nullable = false)))
-    (toDf(spark, before),
+    OpsLoopResult(toDf(spark, before),
       spark.createDataFrame(
         spark.sparkContext.parallelize(actions.toSeq, 1),
         actionSchema),
-      toDf(spark, after))
+      toDf(spark, after), annNow, dsirNow, bpNow)
   }
 }

@@ -1689,8 +1689,8 @@ object Similarity {
         s"fileFactor=$fileFactor targetBytes=$targetBytes")
     val s = compactStats(spark, path, version).head()
     val (nVec, tsLive) = (s.getLong(0), s.getLong(1))
-    val (nFiles, bytes) = compactFsStats(spark, path)
-    val a = compactAdvice(nVec, tsLive, nFiles, bytes,
+    val (nFiles, bytes, nCellDirs) = compactFsStats(spark, path)
+    val a = compactAdvice(nVec, tsLive, nFiles, bytes, nCellDirs,
       tsFracThreshold, fileFactor, targetBytes)
     spark.range(1).select(
       lit(version).as("version"),
@@ -1736,11 +1736,32 @@ object Similarity {
         count(when(col("mn") === 0 && col("mx") === 1, 1))
           .as("n_tombstoned_live"))
 
-  /** The compact advisor's FILE-debt evidence: (dataFiles, bytes)
-    * under `path/encoded` — one recursive driver-side listing (KB
-    * of metadata; never a Spark job). */
+  /** True when the bundle's encoded part is the cell-partitioned
+    * physical layout ([[persistIndexCellLayout]]) — detected from
+    * its own directories, so every maintenance op that REWRITES the
+    * bundle (compact, the ops loop's rebuild) can preserve the
+    * probe→file-pruning contract instead of silently flattening it
+    * (the ADVICE-r9 layout-loss class). Driver-side FS probe. */
+  private[graft] def isCellLayoutBundle(spark: SparkSession,
+                                        path: String): Boolean = {
+    val enc = new org.apache.hadoop.fs.Path(s"$path/encoded")
+    val f = enc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.exists(enc) && f.listStatus(enc).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("cell="))
+  }
+
+  /** The compact advisor's FILE-debt evidence: (dataFiles, bytes,
+    * cellDirs) under `path/encoded` — one recursive driver-side
+    * listing (KB of metadata; never a Spark job). `cellDirs` is the
+    * cell-layout partition count (0 on a flat bundle): the layout's
+    * own MINIMUM file count, which the file-debt rule must floor its
+    * advised count at — a cell layout carries one file per live cell
+    * BY DESIGN, and measuring that against the byte-advised count
+    * would fire file-debt forever on a bundle no compact can shrink
+    * (found by the round-11 rebuild-carry pin). */
   private[graft] def compactFsStats(spark: SparkSession,
-                                    path: String): (Long, Long) = {
+                                    path: String)
+      : (Long, Long, Long) = {
     val enc = new org.apache.hadoop.fs.Path(s"$path/encoded")
     val f = enc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     var nFiles = 0L
@@ -1751,7 +1772,9 @@ object Similarity {
       if (st.isFile && !nm.startsWith("_") && !nm.startsWith("."))
         nFiles += 1
     }
-    (nFiles, f.getContentSummary(enc).getLength)
+    val nCellDirs = f.listStatus(enc).count(st =>
+      st.isDirectory && st.getPath.getName.startsWith("cell="))
+    (nFiles, f.getContentSummary(enc).getLength, nCellDirs.toLong)
   }
 
   /** The when-to-compact DECISION from the measured stats — single
@@ -1764,13 +1787,16 @@ object Similarity {
                                                 recommended: Boolean)
   private[graft] def compactAdvice(nVec: Long, tsLive: Long,
                                    nFiles: Long, bytes: Long,
+                                   nCellDirs: Long = 0L,
                                    tsFracThreshold: Double = 0.01,
                                    fileFactor: Int = 4,
                                    targetBytes: Long =
                                      128L * 1024 * 1024)
       : CompactAdvice = {
-    val advised = math.max(1L,
-      math.ceil(bytes.toDouble / targetBytes).toLong)
+    // floor the advised count at the cell layout's own partition
+    // count — its structural minimum (see compactFsStats)
+    val advised = math.max(nCellDirs, math.max(1L,
+      math.ceil(bytes.toDouble / targetBytes).toLong))
     val tsFrac = if (nVec == 0) 0.0 else tsLive.toDouble / nVec
     val tsDebt = tsFrac >= tsFracThreshold
     val fileDebt = nFiles > fileFactor * advised
@@ -2276,8 +2302,7 @@ object Similarity {
     // pruning contract (x123) silently stops holding after the first
     // compact (ADVICE r9) — detect the layout from the live part's
     // own directories and have rewritePart preserve it
-    val isCellLayout = f.exists(enc) && f.listStatus(enc).exists(st =>
-      st.isDirectory && st.getPath.getName.startsWith("cell="))
+    val isCellLayout = isCellLayoutBundle(spark, path)
     // a caller-pinned file count cannot be honored on a cell-layout
     // bundle (the partitioned rewrite's file count IS the live cell
     // count) — fail fast instead of silently ignoring the pin

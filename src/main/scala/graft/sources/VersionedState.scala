@@ -250,17 +250,25 @@ object VersionedState {
       .parquet(s"$path/$part")
 
   /** A LAZY 1-row version check — (ok = 1 when the stamped version
-    * equals `version`, else 0; an empty or torn meta reads 0) — the
-    * unionable form of [[read]]'s require, so a poll over N ledgers
-    * validates all N stamps inside its one collect. Explicit meta
-    * schema: no inference job (and the torn-stamp empty directory
-    * reads as ok = 0 instead of throwing — the promoteHighWater
-    * discipline). */
+    * equals `version`, else 0; an empty, torn, or MISSING meta reads
+    * 0) — the unionable form of [[read]]'s require, so a poll over N
+    * ledgers validates all N stamps inside its one collect. Explicit
+    * meta schema: no inference job. The missing-directory case is
+    * real, not defensive: the write discipline DELETES meta first
+    * during any rewrite, so a poll racing a rewritePart sees no meta
+    * dir at all — that bundle must read invalid (and fail ITS
+    * require after the collect), not throw PATH_NOT_FOUND at plan
+    * time and kill the poll for the whole estate (round-11
+    * review). Driver-side FS probe, no job. */
   def versionProbe(spark: SparkSession, path: String,
                    version: String): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, max, when}
-    spark.read.schema("version STRING").parquet(s"$path/meta")
-      .agg(coalesce(max(when(col("version") === lit(version), 1L)
-        .otherwise(0L)), lit(0L)).as("ok"))
+    val meta = new Path(s"$path/meta")
+    if (!fs(spark, meta).exists(meta))
+      spark.range(1).select(lit(0L).as("ok"))
+    else
+      spark.read.schema("version STRING").parquet(s"$path/meta")
+        .agg(coalesce(max(when(col("version") === lit(version), 1L)
+          .otherwise(0L)), lit(0L)).as("ok"))
   }
 }

@@ -1910,13 +1910,14 @@ object Streams {
       s"boilerplateLedgerAdvisor: ledger at $path is seeded but has " +
         "never been folded — no segment frequencies to advise " +
         "against; fold at least one batch first")
+    requireBoilerplateStamp(path, nSeg, head.getLong(2))
     val a = boilerplateAdvice(nSeg, head.getLong(1), fracThreshold)
     spark.range(1).select(
       lit(maxDocs).as("max_docs"),
       lit(nSeg).as("n_segments"),
       lit(head.getLong(1)).as("n_blacklisted"),
       lit(a.blacklistFrac).as("blacklist_frac"),
-      lit(head.getLong(2)).as("max_docfreq"),
+      lit(head.getLong(3)).as("max_docfreq"),
       lit(a.recommended).as("rethreshold_recommended"))
   }
 
@@ -1927,14 +1928,30 @@ object Streams {
                                             path: String,
                                             maxDocs: Long)
       : DataFrame = {
-    // declared schema — no inference job (see dsirLedgerStats)
+    // declared schema — no inference job (see dsirLedgerStats).
+    // `n_stamped` keeps the __sep recipe-stamp guard alive under the
+    // declared read: a FOREIGN ledger (rows but no __sep column)
+    // nulls the stamp on every row, so stamped < segments and the
+    // advisor/console fail fast instead of reading a wrong-recipe
+    // ledger as healthy (round-11 review — the old columns.contains
+    // check died with schema inference)
     val ledger = spark.read.schema(boilerplateLedgerSchema)
       .parquet(path)
     ledger.agg(count(lit(1)).as("n_segments"),
       coalesce(sum(when(col("docfreq") > maxDocs, 1L)
         .otherwise(0L)), lit(0L)).as("n_blacklisted"),
+      count(col("__sep")).as("n_stamped"),
       coalesce(max(col("docfreq")), lit(0L)).as("max_docfreq"))
   }
+
+  /** The shared stamp-guard check on [[boilerplateLedgerStats]]'
+    * collected row — advisor and console both call it. */
+  private[graft] def requireBoilerplateStamp(path: String,
+                                             nSeg: Long,
+                                             nStamped: Long): Unit =
+    require(nStamped == nSeg,
+      s"boilerplateLedgerAdvisor: ledger at $path carries no __sep " +
+        "recipe stamp on every row — rebuild the ledger")
 
   /** The rethreshold DECISION from the measured stats — single owner
     * of the occupancy arithmetic; advisor pane and ops console both

@@ -304,12 +304,92 @@ class Round19Spec extends GraftSuite {
     Similarity.persistIndex(p, v, c0, cb0,
       Similarity.ivfpqEncode(lake, "vec_id", "embedding", c0, cb0, m))
     Similarity.annCompact(spark, p, v)
-    val (before, actions, after) = Advisors.opsLoop(spark,
+    val loop = Advisors.opsLoop(spark,
       ann = Seq(Advisors.AnnOps("a", p, v, nl, lake, m, ksub,
         _ => fail("quiet estate must not rebuild"))))
-    assert(rowsEqual(before, after), "a quiet loop mutated state")
-    val acts = actions.collect()
+    assert(rowsEqual(loop.before, loop.after),
+      "a quiet loop mutated state")
+    val acts = loop.actions.collect()
     assert(acts.forall(r => !r.getBoolean(3) && r.getString(4) == "-"))
+    assert(loop.ann.head.path === p && loop.ann.head.version === v,
+      "a quiet loop moved a registration")
+  }
+
+  test("opsLoop's rebuild carries the old bundle's tombstones and " +
+       "its physical layout: forgotten ids stay erased in the " +
+       "cell-layout replacement (no resurrection at the rebuild " +
+       "seam), and the pruning contract survives") {
+    val m = 8; val ksub = 16
+    val lakeNow = Similarity.hashBlobLake(spark, 2000L)
+      .localCheckpoint(true)
+    val lake0 = Similarity.hashBlobLake(spark, 500L)
+      .localCheckpoint(true)
+    val nl0 = Similarity.nlistFor(500L)
+    val v0 = Similarity.annIndexVersion(nl0, m, ksub)
+    val p = tmp("r19_loop_resur")
+    val (c0, cb0) = Similarity.ivfpqTrain(lake0, "vec_id",
+      "embedding", nl0, m, ksub, coarseIters = 1, pqIters = 1)
+    // CELL LAYOUT, accreted to 4x its trained sizing -> rebuild fires
+    Similarity.persistIndexCellLayout(p, v0, c0, cb0,
+      Similarity.ivfpqEncode(lakeNow, "vec_id", "embedding",
+        c0, cb0, m))
+    // forget 5 ids (0.25% — compact stays quiet; rebuild is the ONLY
+    // firing action, so the carry below is what keeps them erased)
+    import spark.implicits._
+    val forgotten = Seq(100L, 300L, 700L, 1100L, 1900L)
+    Similarity.annForget(p, forgotten.toDF("vec_id"))
+    val loop = Advisors.opsLoop(spark,
+      ann = Seq(Advisors.AnnOps("est", p, v0, nl0, lakeNow, m, ksub,
+        nl => tmp(s"r19_loop_resur_nl$nl"))))
+    val updated = loop.ann.head
+    assert(updated.path != p, "rebuild did not move the bundle")
+    // layout preserved: the replacement is still cell-partitioned
+    assert(Similarity.isCellLayoutBundle(spark, updated.path),
+      "rebuild flattened a cell-layout estate — the pruning " +
+        "contract silently died")
+    // no resurrection: the forgotten ids were re-encoded from the
+    // lake, but the carried tombstones + the landing compact erased
+    // them PHYSICALLY from the replacement
+    val (_, _, encNew) = Similarity.loadIndexCellLayout(spark,
+      updated.path, updated.version)
+    assert(encNew.filter(col("neighbor_id")
+      .isInCollection(forgotten)).count() === 0L,
+      "rebuild resurrected forgotten ids from the lake")
+    // and the after-poll reads quiet on the replacement
+    assert(loop.after.filter(col("recommended")).count() === 0L)
+  }
+
+  test("opsConsole fails fast (not AnalysisException) on a bundle " +
+       "whose meta is mid-rewrite (deleted) — the torn-meta probe " +
+       "reads invalid instead of killing the poll at plan time") {
+    val m = 8; val ksub = 16
+    val lake = Similarity.hashBlobLake(spark, 500L)
+    val nl = Similarity.nlistFor(500L)
+    val v = Similarity.annIndexVersion(nl, m, ksub)
+    val p = tmp("r19_tornmeta")
+    val (c0, cb0) = Similarity.ivfpqTrain(lake, "vec_id",
+      "embedding", nl, m, ksub, coarseIters = 1, pqIters = 1)
+    Similarity.persistIndex(p, v, c0, cb0,
+      Similarity.ivfpqEncode(lake, "vec_id", "embedding", c0, cb0, m))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$p/meta")) // the invalidate-first window
+    val e = intercept[IllegalArgumentException] {
+      Advisors.opsConsole(spark, annBundles = Seq(("a", p, v, nl)))
+    }
+    assert(e.getMessage.contains("does not carry version"))
+  }
+
+  test("boilerplate advisor still fails fast on a FOREIGN ledger " +
+       "(rows but no __sep stamp) under the declared-schema read") {
+    val p = tmp("r19_foreign_bp")
+    // a parquet dir with docfreq-shaped rows but NO recipe stamp
+    spark.range(10).select(col("id").as("h"),
+        (col("id") + 1).as("docfreq"))
+      .write.mode("overwrite").parquet(p)
+    val e = intercept[IllegalArgumentException] {
+      Streams.boilerplateLedgerAdvisor(spark, p, 10L)
+    }
+    assert(e.getMessage.contains("no __sep"))
   }
 
   // ---------------------- ADVICE r10: promote vs pre-compact erasure
