@@ -219,6 +219,18 @@ object Bench {
     "st26_stream_sharded_promote", // sharded cadence
     "x36_span_dup_coverage")       // bridge query shared with all sets
 
+  /** Twelfth pinned set: the round-12 additions (same discipline;
+    * all prior sets stay untouched). x36 bridges again.
+    * x139-vs-x123/x128 (across sets) is probe-locality batching's
+    * cost at a saturating batch width; x136b-vs-x136 prices the ops
+    * loop's own overhead separately from x136's by-design fresh
+    * builds (VERDICT r11 missing #4). */
+  val r12new: Seq[String] = Seq(
+    "x139_batched_pruned_ann",     // probe-locality sub-batch scans
+    "x140_estate_reshard",         // console-fired estate re-shard
+    "x136b_ops_loop_standing",     // amortized standing-estate loop
+    "x36_span_dup_coverage")       // bridge query shared with all sets
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -245,8 +257,19 @@ object Bench {
     }
 
     val nPasses = 4
+    /** The three mutating-lifecycle sets (r9/r10/r11+) fresh-build
+      * whole index estates each pass — their queries are honestly
+      * 10-40 s and self-warming (pass 1 IS the warmup; min-of-n
+      * discards it). Round 11's suite outgrew the driver's wall-clock
+      * budget (BENCH_r11.json rc 124, no artifact): four passes plus
+      * an untimed warmup pass plus the old always-retry-slow rule
+      * spent ~430 s re-confirming reproducibly-slow queries. These
+      * sets run two timed passes, no warmup pass; the x36 bridge +
+      * the same-session adjudication protocol absorb window noise. */
+    val nPassesLifecycle = 2
 
-    /** Warm a set untimed, then min-of-`nPasses` each query.
+    /** Warm a set untimed (unless `warm=false`), then min-of-`n` each
+      * query.
       *
       * Warmup is one untimed pass over the WHOLE set: a single warmup
       * query only warms the JVM generally; each query's own generated
@@ -255,29 +278,34 @@ object Bench {
       * (x2's first run is ~2.5× its steady state). Steady-state cost is
       * what a long-running cluster job pays, so that's what we time.
       *
-      * Episodic multi-second host pauses can still hit every timed pass
-      * of one query (observed: a 1.7 s join reporting 55 s). Any query
-      * whose best sample is still over 8 s — several × the slowest
-      * steady-state query in these sets — re-measures up to twice more;
-      * a genuinely slow query spends its four passes plus at most two
-      * retries confirming its number.
+      * Episodic multi-second host pauses can still hit a timed pass
+      * (observed: a 1.7 s join reporting 55 s). A genuine pause shows
+      * as sample DISAGREEMENT — one inflated sample against steady
+      * ones — so a query re-measures (up to twice) only when its best
+      * sample is slow AND its samples spread >2.5×. A reproducibly
+      * slow query (every lifecycle query: min 10-40 s, spread ~1.1×)
+      * keeps its honest number without retry passes; the old rule
+      * (retry whenever min > 8 s) burned ~430 s/run re-confirming
+      * queries that were never noisy.
       */
-    def benchSet(set: Seq[String]): Seq[(String, Double)] = {
-      set.foreach { n =>
-        try SparkEntry.queries(n)(spark, sfDir)
+    def benchSet(set: Seq[String], n: Int = nPasses,
+                 warm: Boolean = true): Seq[(String, Double)] = {
+      if (warm) set.foreach { q =>
+        try SparkEntry.queries(q)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
         finally spark.catalog.clearCache()
       }
-      val passes = (1 to nPasses).map(_ => set.map(n => n -> timeOnce(n)).toMap)
-      set.map { n =>
-        var samples = passes.map(_(n)).filter(_ >= 0)
+      val passes = (1 to n).map(_ => set.map(q => q -> timeOnce(q)).toMap)
+      set.map { q =>
+        var samples = passes.map(_(q)).filter(_ >= 0)
         var retries = 0
-        while ((samples.isEmpty || samples.min > 8.0) && retries < 2) {
-          samples = samples ++ Seq(timeOnce(n)).filter(_ >= 0)
+        def noisy = samples.min > 8.0 && samples.max / samples.min > 2.5
+        while ((samples.isEmpty || noisy) && retries < 2) {
+          samples = samples ++ Seq(timeOnce(q)).filter(_ >= 0)
           retries += 1
         }
-        n -> (if (samples.isEmpty) -1.0 else samples.min)
+        q -> (if (samples.isEmpty) -1.0 else samples.min)
       }
     }
 
@@ -293,9 +321,10 @@ object Bench {
     val resultsR6b = benchSet(r6bnew)
     val resultsR7 = benchSet(r7new)
     val resultsR8 = benchSet(r8new)
-    val resultsR9 = benchSet(r9new)
-    val resultsR10 = benchSet(r10new)
-    val resultsR11 = benchSet(r11new)
+    val resultsR9 = benchSet(r9new, n = nPassesLifecycle, warm = false)
+    val resultsR10 = benchSet(r10new, n = nPassesLifecycle, warm = false)
+    val resultsR11 = benchSet(r11new, n = nPassesLifecycle, warm = false)
+    val resultsR12 = benchSet(r12new, n = nPassesLifecycle, warm = false)
     val qs = toJson(results)
     val qsLlm = toJson(resultsLlm)
     val qsR4 = toJson(resultsR4)
@@ -307,6 +336,7 @@ object Bench {
     val qsR9 = toJson(resultsR9)
     val qsR10 = toJson(resultsR10)
     val qsR11 = toJson(resultsR11)
+    val qsR12 = toJson(resultsR12)
     // `value` stays the HEADLINE total only — the pinned 21-set number the
     // driver has tracked since round 1; each later set gets its own key.
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -320,17 +350,31 @@ object Bench {
     val totalR9 = resultsR9.map(_._2).filter(_ >= 0).sum
     val totalR10 = resultsR10.map(_._2).filter(_ >= 0).sum
     val totalR11 = resultsR11.map(_._2).filter(_ >= 0).sum
+    val totalR12 = resultsR12.map(_._2).filter(_ >= 0).sum
     // Stop Spark BEFORE printing so no shutdown log line can land after
     // the JSON — the driver parses the last stdout line.
     spark.stop()
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$nPasses,"queries":$qs,"value_llm":$totalLlm%.3f,"queries_llm":$qsLlm,"value_r4":$totalR4%.3f,"queries_r4":$qsR4,"value_r5":$totalR5%.3f,"queries_r5":$qsR5,"value_r6":$totalR6%.3f,"queries_r6":$qsR6,"value_r6b":$totalR6b%.3f,"queries_r6b":$qsR6b,"value_r7":$totalR7%.3f,"queries_r7":$qsR7,"value_r8":$totalR8%.3f,"queries_r8":$qsR8,"value_r9":$totalR9%.3f,"queries_r9":$qsR9,"value_r10":$totalR10%.3f,"queries_r10":$qsR10,"value_r11":$totalR11%.3f,"queries_r11":$qsR11,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$nPasses,"n_lifecycle":$nPassesLifecycle,"queries":$qs,"value_llm":$totalLlm%.3f,"queries_llm":$qsLlm,"value_r4":$totalR4%.3f,"queries_r4":$qsR4,"value_r5":$totalR5%.3f,"queries_r5":$qsR5,"value_r6":$totalR6%.3f,"queries_r6":$qsR6,"value_r6b":$totalR6b%.3f,"queries_r6b":$qsR6b,"value_r7":$totalR7%.3f,"queries_r7":$qsR7,"value_r8":$totalR8%.3f,"queries_r8":$qsR8,"value_r9":$totalR9%.3f,"queries_r9":$qsR9,"value_r10":$totalR10%.3f,"queries_r10":$qsR10,"value_r11":$totalR11%.3f,"queries_r11":$qsR11,"value_r12":$totalR12%.3f,"queries_r12":$qsR12,"sf":"$sfDir"}"""
     // the seven-set line outgrew the driver's stdout tail buffer in
     // round 6 (BENCH_r06.json: parsed=null, tail truncated mid-line) —
     // ALSO persist it to the repo so the numbers survive verbatim even
     // when the tail capture clips; best-effort (a read-only cwd must
-    // not fail the bench)
+    // not fail the bench).
+    //
+    // Partial-crash guard (round-11 incident): a timed-out / killed run
+    // produces -1.0 placeholders, and writing those over the committed
+    // pin destroys the round's only perf evidence. A run with ANY
+    // failed sample lands in BENCH_LOCAL.partial.json instead; only a
+    // fully-priced run may overwrite the pin.
+    val allResults = Seq(results, resultsLlm, resultsR4, resultsR5,
+      resultsR6, resultsR6b, resultsR7, resultsR8, resultsR9,
+      resultsR10, resultsR11, resultsR12)
+    val complete = allResults.forall(_.forall(_._2 >= 0))
+    val pinPath =
+      if (complete) "/root/repo/BENCH_LOCAL.json"
+      else "/root/repo/BENCH_LOCAL.partial.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), line + "\n")
+      java.nio.file.Paths.get(pinPath), line + "\n")
     catch { case _: Throwable => () }
     println(line)
     System.out.flush()

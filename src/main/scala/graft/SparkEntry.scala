@@ -4572,7 +4572,11 @@ object SparkEntry {
         dsir = Seq(
           Advisors.DsirOps("dsir_heavy", pHeavy, history,
             nb => tmpDir(s"x136_refolded_nb$nb")),
-          Advisors.DsirOps("dsir_light", pLight, history,
+          // the light ledger never fires here, but its registration
+          // still carries ITS OWN accreted corpus — the DsirOps
+          // history contract; registering the heavy history would
+          // re-fold the wrong corpus if it ever fired (ADVICE r11)
+          Advisors.DsirOps("dsir_light", pLight, Seq(light),
             nb => tmpDir(s"x136_refolded_light_nb$nb"))),
         bp = Seq(
           Advisors.BoilerplateOps("bp_stale", pBp, 0L)))
@@ -4774,6 +4778,292 @@ object SparkEntry {
             .as("recall"),
           (col("n_hit").cast(DoubleType) / col("n_exact")
             >= lit(0.94d)).as("recall_ge_094"))
+    }),
+
+    "x139_batched_pruned_ann" -> ((s, dir) => {
+      // probe-locality BATCHING (VERDICT r11 missing #2 / wrong #3
+      // made executable): the 200k rehearsal's honest limit was that
+      // a broad batch saturates the probed-cell union — at nlist=64
+      // this 48-query batch probes 60+ cells, so x123's partition
+      // filter reads ~the whole encoded estate while witnessing
+      // "pruned". ivfpqSearchPrunedBatched packs queries by probe
+      // locality (sorted cell lists, greedy union budget) and runs
+      // one file-pruned scan per sub-batch. The batch is the
+      // production shape IN STRUCTURE: 4 queries from each of 12
+      // clusters — same-cluster queries probe near-identical cells,
+      // so locality packing lands ~2 clusters per sub-batch at
+      // budget 16 instead of one query each. Pane pins: the
+      // unbatched union saturation (the degeneracy, witnessed at
+      // last), every sub-batch's union within budget, files read ==
+      // cells per sub-batch (pruning restored), batched row-EQUAL
+      // unbatched (packing changes what each scan reads, never what
+      // any query scores), recall vs the exact twin. Same guarded
+      // bundle as x123/x128 (read-only consumer).
+      val n = 2000L; val nlist = 64; val nprobe = 8; val k = 5
+      val m = 8; val budget = 16
+      val lake = Similarity.hashBlobLake(s, n).localCheckpoint(true)
+      val version = Similarity.annIndexVersion(nlist, m, 16)
+      val path = annLedgerPath(version,
+        s"${Similarity.hashBlobLakeKey(n)}-celllayout")
+      if (!Similarity.indexExists(s, path, version)) {
+        val (c0, cb0) = Similarity.ivfpqTrain(lake, "vec_id",
+          "embedding", nlist, m, 16, coarseIters = 1, pqIters = 1)
+        Similarity.persistIndexCellLayout(path, version, c0, cb0,
+          Similarity.ivfpqEncode(lake, "vec_id", "embedding",
+            c0, cb0, m))
+      }
+      val (cents, codebook, enc0) =
+        Similarity.loadIndexCellLayout(s, path, version)
+      val encoded = Similarity.liveEncoded(enc0,
+        Similarity.annTombstones(s, path)) // the x119 contract
+      // 48 queries, 4 per cluster from 12 clusters (cluster = id
+      // mod 64 by the lake recipe): broad enough to saturate the
+      // single union, local enough that packing beats one-query
+      // sub-batches
+      val q = lake.filter(pmod(col("vec_id"), lit(64L)) < 12 &&
+          col("vec_id") < 256).localCheckpoint(true)
+      val rr = Similarity.rerankFor(n, nlist, nprobe)
+      val (cellsU, unbatched0) = Similarity.ivfpqSearchPruned(q,
+        "vec_id", "embedding", encoded, cents, codebook, k, nprobe,
+        m, rerank = rr, rerankSource = Some(lake))
+      val unbatched = unbatched0.localCheckpoint(true)
+      val (subCells, batched0) = Similarity.ivfpqSearchPrunedBatched(
+        q, "vec_id", "embedding", encoded, cents, codebook, k,
+        nprobe, m, rerank = rr, rerankSource = Some(lake),
+        cellBudget = budget)
+      val batched = batched0.localCheckpoint(true)
+      val equal = batched.exceptAll(unbatched).count() == 0L &&
+        unbatched.exceptAll(batched).count() == 0L
+      val filesEq = subCells.forall { cells =>
+        encoded.filter(col("cell").isInCollection(cells.toSeq))
+          .select(input_file_name()).distinct().count() ==
+          cells.length.toLong
+      }
+      val exact = Similarity.bruteTopKL2(q, lake, "vec_id",
+        "embedding", k)
+      exact.as("b").join(batched.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("l.neighbor_id")).as("n_hit"))
+        .select(lit(48L).as("n_queries"),
+          lit(nlist.toLong).as("n_cells_total"),
+          lit(cellsU.length.toLong).as("n_cells_unbatched"),
+          lit(math.rint(cellsU.length.toDouble / nlist * 10000)
+            / 10000).as("union_frac_unbatched"),
+          lit(subCells.length.toLong).as("n_subbatches"),
+          lit(subCells.map(_.length).max.toLong)
+            .as("max_subbatch_cells"),
+          lit(subCells.forall(_.length <= budget))
+            .as("all_within_budget"),
+          lit(filesEq).as("files_eq_cells_all_subbatches"),
+          lit(equal).as("batched_equals_unbatched"),
+          col("n_exact"),
+          round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
+            .as("recall"),
+          (col("n_hit").cast(DoubleType) / col("n_exact")
+            >= lit(0.94d)).as("recall_ge_094"))
+    }),
+
+    "x140_estate_reshard" -> ((s, dir) => {
+      // the estate learns to GROW (VERDICT r11 missing #3): when the
+      // live population outgrows shards x the cell clamp, rebuilding
+      // wider in place is already clamped — the correct action is
+      // ADDING shards, which changes the annShardKey routing hash
+      // and so re-routes every id: a re-encode from the lake (the
+      // dsirLedgerRebuild discipline on the ANN tier), executed by
+      // the SAME closed loop as every other maintenance action.
+      // Fixture: a 1-shard cell-layout estate of the 2k lake with 1%
+      // standing deletes, registered at cellClamp=16 (the
+      // deployment's per-index cell budget — the capacity knob that
+      // makes the clamp arithmetic exercisable below 268M rows);
+      // sized_shards_now=2 > 1 fires, opsLoop executes annReshard,
+      // the after-poll reads quiet at 2 shards. Pane pins the loop
+      // rows verbatim (x136 discipline) plus the re-shard's own
+      // contracts: zero misrouted ids under the NEW hash, zero
+      // forgotten ids resurfaced (tombstones carried, physically
+      // folded), content == lake minus deletes, each shard row-equal
+      // a fresh per-subset build (carry+compact == logical filter),
+      // a fresh forget against the new estate passes
+      // verifyRouting=true, and the merged pruned search holds
+      // recall 1.0 vs the exact twin.
+      import graft.operators.Advisors
+      val m = 8; val ksub = 16; val k = 5; val n = 2000L
+      val lake = Similarity.hashBlobLake(s, n).localCheckpoint(true)
+      val nl0 = Similarity.nlistFor(n)
+      val v0 = Similarity.annIndexVersion(nl0, m, ksub)
+      val p0 = tmpDir("x140_shard0")
+      val (c0, cb0) = Similarity.ivfpqTrain(lake, "vec_id",
+        "embedding", nl0, m, ksub, coarseIters = 1, pqIters = 1)
+      Similarity.persistIndexCellLayout(p0, v0, c0, cb0,
+        Similarity.ivfpqEncode(lake, "vec_id", "embedding",
+          c0, cb0, m))
+      val forgotten = lake
+        .filter(pmod(col("vec_id"), lit(100L)) === 0L)
+        .select(col("vec_id")).localCheckpoint(true) // 20 ids = 1%
+      Similarity.annForget(p0, forgotten)
+      val loop = Advisors.opsLoop(s, estates = Seq(
+        Advisors.AnnEstateOps("estate", Seq(p0), Seq(v0), lake, m,
+          ksub, (sh, nl) => tmpDir(s"x140_resharded_sh${sh}_nl$nl"),
+          cellClamp = 16)))
+      val est = loop.estates.head
+      val shards = est.shardPaths.length
+      val newEnc = est.shardPaths.zip(est.versions).map {
+        case (p, v) =>
+          val (_, _, e) = Similarity.loadIndexCellLayout(s, p, v)
+          Similarity.liveEncoded(e, Similarity.annTombstones(s, p))
+            .localCheckpoint(true)
+      }
+      val fTag = forgotten.withColumnRenamed("vec_id", "neighbor_id")
+      val misrouted = newEnc.zipWithIndex.map { case (e, sh) =>
+        e.select(col("neighbor_id")).distinct()
+          .filter(Similarity.annShardKey(col("neighbor_id"), shards)
+            =!= sh.toLong).count()
+      }.sum
+      val resurfaced = newEnc.map(
+        _.join(fTag, Seq("neighbor_id"), "left_semi").count()).sum
+      val unionIds = newEnc.map(_.select(col("neighbor_id")))
+        .reduce(_.unionAll(_)).distinct().localCheckpoint(true)
+      val liveLake = lake.join(forgotten, Seq("vec_id"), "left_anti")
+        .localCheckpoint(true)
+      val contentOk = unionIds.count() == liveLake.count() &&
+        unionIds.join(liveLake.select(col("vec_id")
+          .as("neighbor_id")), Seq("neighbor_id"), "left_anti")
+          .count() == 0L
+      // carry+compact == fresh-build-then-logical-filter, per shard
+      val cols = Seq("cell", "neighbor_id", "sub", "code").map(col)
+      val freshEqual = (0 until shards).forall { sh =>
+        val subset = lake.filter(
+          Similarity.annShardKey(col("vec_id"), shards) === sh.toLong)
+        val nl = Similarity.nlistFor(subset.count())
+        val (c1, cb1) = Similarity.ivfpqTrain(subset, "vec_id",
+          "embedding", nl, m, ksub, coarseIters = 1, pqIters = 1)
+        val fresh = Similarity.ivfpqEncode(subset, "vec_id",
+          "embedding", c1, cb1, m)
+          .join(fTag, Seq("neighbor_id"), "left_anti")
+          .select(cols: _*)
+        val got = newEnc(sh).select(cols: _*)
+        got.exceptAll(fresh).count() == 0L &&
+          fresh.exceptAll(got).count() == 0L
+      }
+      // the delete lifecycle against the NEW routing, mechanically
+      // verified (annForgetSharded's verifyRouting reads each
+      // shard's encoded set and fails on any orphan)
+      val sample = liveLake
+        .filter(pmod(col("vec_id"), lit(250L)) === 1L)
+        .select(col("vec_id")).localCheckpoint(true)
+      Similarity.annForgetSharded(est.shardPaths, sample,
+        verifyRouting = true, versions = est.versions)
+      val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
+        .localCheckpoint(true)
+      val perShard = est.shardPaths.zip(est.versions).map {
+        case (p, v) =>
+          val (cents, codebook, e0) =
+            Similarity.loadIndexCellLayout(s, p, v)
+          val live = Similarity.liveEncoded(e0,
+            Similarity.annTombstones(s, p))
+          val nl = cents.count().toInt
+          val np = Similarity.nprobeFor(nl)
+          Similarity.ivfpqSearchPruned(q, "vec_id", "embedding",
+            live, cents, codebook, k, np, m,
+            rerank = Similarity.rerankFor(n / shards, nl, np),
+            rerankSource = Some(lake))._2
+      }
+      val merged = Similarity.ivfpqMergeTopK(perShard, k)
+      val exact = Similarity.bruteTopKL2(q,
+        liveLake.join(sample, Seq("vec_id"), "left_anti"),
+        "vec_id", "embedding", k)
+      val b = loop.before.head()
+      val act = loop.actions.head()
+      val af = loop.after.head()
+      exact.as("b").join(merged.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("l.neighbor_id")).as("n_hit"))
+        .select(lit(b.getBoolean(3)).as("fired_before"),
+          lit(b.getString(4)).as("reason_before"),
+          lit(act.getBoolean(3)).as("executed"),
+          lit(act.getString(4)).as("effect"),
+          lit(!af.getBoolean(3)).as("quiet_after"),
+          lit(af.getString(4)).as("reason_after"),
+          lit(shards.toLong).as("n_shards_after"),
+          lit(misrouted).as("n_misrouted"),
+          lit(resurfaced).as("n_forgotten_resurfaced"),
+          lit(contentOk).as("content_preserved"),
+          lit(freshEqual).as("equals_fresh_build"),
+          lit(true).as("forget_on_new_routing_ok"),
+          col("n_exact"),
+          round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
+            .as("recall"),
+          (col("n_hit").cast(DoubleType) / col("n_exact")
+            >= lit(0.94d)).as("recall_ge_094"))
+    }),
+
+    "x136b_ops_loop_standing" -> ((s, dir) => {
+      // x136's AMORTIZED twin (VERDICT r11 missing #4): x136 prices
+      // the loop on a by-design mutating estate (two trains + a
+      // rebuild train per pass); a production scheduler's steady
+      // state is the OPPOSITE — a healthy standing estate where the
+      // poll reads mostly quiet and the occasional firing action is
+      // cheap. Estate: the GUARDED x123 cell-layout bundle
+      // (right-sized, compacted, no tombstones — rebuild and
+      // compact both quiet; registered read-only, nothing fires on
+      // it), the same bundle as a 1-shard ESTATE at the default
+      // clamp (reshard quiet — the new estate tier's poll-only
+      // cost, priced here), the light DSIR ledger (quiet), and the
+      // x136 stale boilerplate ledger — the ONE firing action,
+      // whose execution is a KB-grain histogram derive. The bench
+      // contrast x136-vs-x136b prices the loop's own overhead
+      // separately from its fixture's builds.
+      import graft.operators.Advisors
+      import graft.streaming.Streams
+      val m = 8; val ksub = 16; val nlist = 64; val n = 2000L
+      val lake = Similarity.hashBlobLake(s, n).localCheckpoint(true)
+      val version = Similarity.annIndexVersion(nlist, m, ksub)
+      val path = annLedgerPath(version,
+        s"${Similarity.hashBlobLakeKey(n)}-celllayout")
+      if (!Similarity.indexExists(s, path, version)) {
+        val (c0, cb0) = Similarity.ivfpqTrain(lake, "vec_id",
+          "embedding", nlist, m, ksub, coarseIters = 1, pqIters = 1)
+        Similarity.persistIndexCellLayout(path, version, c0, cb0,
+          Similarity.ivfpqEncode(lake, "vec_id", "embedding",
+            c0, cb0, m))
+      }
+      val light = s.range(20).select(col("id").as("doc_id"),
+        concat(lit("alpha beta w"), col("id")).as("text"),
+        lit("en").as("lang"))
+      val pLight = tmpDir("x136b_dsir_light")
+      graft.operators.Mutations.seedEmptyLedger(s, pLight,
+        Streams.dsirLedgerSchema)
+      Streams.dsirLedgerFold(light, 0L, pLight, 4096)
+      val pBp = tmpDir("x136b_bp")
+      graft.operators.Mutations.seedEmptyLedger(s, pBp,
+        Streams.boilerplateLedgerSchema)
+      Streams.boilerplateLedgerFold(
+        s.range(40).select(col("id").as("doc_id"),
+          concat(lit("unique line "), col("id"), lit("\nfooter text"))
+            .as("text")), 0L, pBp)
+      val loop = Advisors.opsLoop(s,
+        ann = Seq(Advisors.AnnOps("ann_standing", path, version,
+          nlist, lake, m, ksub,
+          nl => tmpDir(s"x136b_never_nl$nl"))),
+        dsir = Seq(Advisors.DsirOps("dsir_light", pLight, Seq(light),
+          nb => tmpDir(s"x136b_never_nb$nb"))),
+        bp = Seq(Advisors.BoilerplateOps("bp_stale", pBp, 0L)),
+        estates = Seq(Advisors.AnnEstateOps("estate_standing",
+          Seq(path), Seq(version), lake, m, ksub,
+          (sh, nl) => tmpDir(s"x136b_never_sh${sh}_nl$nl"))))
+      loop.before.select(col("tier"), col("ledger"), col("action"),
+          col("recommended").as("fired_before"),
+          col("reason").as("reason_before"))
+        .join(loop.actions, Seq("tier", "ledger", "action"))
+        .join(loop.after.select(col("tier"), col("ledger"),
+          col("action"),
+          (!col("recommended")).as("quiet_after"),
+          col("reason").as("reason_after")),
+          Seq("tier", "ledger", "action"))
+        .orderBy(col("tier"), col("ledger"), col("action"))
     }),
 
     "x88b_ivfpq_exact" -> ((s, dir) => {
@@ -12575,6 +12865,35 @@ object SparkEntry {
              executed, effect, quiet_after, reason_after)
       ORDER BY tier, ledger, action""",
 
+    "x136b_ops_loop_standing" -> """
+      -- x136's amortized twin: a HEALTHY standing estate — the
+      -- guarded right-sized bundle (rebuild + compact quiet), the
+      -- same bundle as a 1-shard estate at the default clamp
+      -- (reshard quiet), the light DSIR ledger (quiet) — where the
+      -- only firing action is the boilerplate rethreshold, a
+      -- KB-grain histogram derive; the loop executes it and every
+      -- row reads quiet after
+      SELECT * FROM (VALUES
+        ('ann', 'ann_standing', 'compact', FALSE,
+         'none ts_fraction=0.0 advised_files=64', FALSE, '-', TRUE,
+         'none ts_fraction=0.0 advised_files=64'),
+        ('ann', 'ann_standing', 'rebuild', FALSE,
+         'sized_nlist_now=32 trained=64 n_now=2000', FALSE, '-',
+         TRUE, 'sized_nlist_now=32 trained=64 n_now=2000'),
+        ('ann', 'estate_standing', 'reshard', FALSE,
+         'sized_shards_now=1 current=1 n_live=2000', FALSE, '-',
+         TRUE, 'sized_shards_now=1 current=1 n_live=2000'),
+        ('boilerplate', 'bp_stale', 'rethreshold', TRUE,
+         'blacklist_frac=1.0 n_blacklisted=41 max_docs=0', TRUE,
+         'max_docs=1', TRUE,
+         'blacklist_frac=0.0244 n_blacklisted=1 max_docs=1'),
+        ('dsir', 'dsir_light', 'rebuild', FALSE,
+         'load_factor=0.0105 sized_nb_now=4096 nb=4096', FALSE, '-',
+         TRUE, 'load_factor=0.0105 sized_nb_now=4096 nb=4096'))
+        AS t(tier, ledger, action, fired_before, reason_before,
+             executed, effect, quiet_after, reason_after)
+      ORDER BY tier, ledger, action""",
+
     "x137_dsir_rebuild" -> """
       -- the text-tier rebuild executed at the advisor's sizing,
       -- ITERATIVELY: a saturated ledger under-reads its feature
@@ -12661,6 +12980,58 @@ object SparkEntry {
              TRUE AS bundles_equal_full_promote,
              TRUE AS repromote_noop,
              TRUE AS files_eq_cells_all_shards,
+             CAST(80 AS BIGINT) AS n_exact,
+             CAST(1.0 AS DOUBLE) AS recall,
+             TRUE AS recall_ge_094""",
+
+    "x139_batched_pruned_ann" -> """
+      -- probe-locality batching: the 48-query batch (4 per cluster,
+      -- 12 clusters) saturates the single probe union at 58 of 64
+      -- cells (frac 0.9062 — the degeneracy the 200k rehearsal
+      -- found, witnessed), while the batched form packs it into 6
+      -- sub-batches whose unions stay within the 16-cell budget,
+      -- each scan reads exactly its union's files, and the union of
+      -- sub-batch results is row-equal to the unbatched search with
+      -- recall 1.0 vs the exact twin
+      SELECT CAST(48 AS BIGINT) AS n_queries,
+             CAST(64 AS BIGINT) AS n_cells_total,
+             CAST(58 AS BIGINT) AS n_cells_unbatched,
+             CAST(0.9062 AS DOUBLE) AS union_frac_unbatched,
+             CAST(6 AS BIGINT) AS n_subbatches,
+             CAST(16 AS BIGINT) AS max_subbatch_cells,
+             TRUE AS all_within_budget,
+             TRUE AS files_eq_cells_all_subbatches,
+             TRUE AS batched_equals_unbatched,
+             CAST(240 AS BIGINT) AS n_exact,
+             CAST(1.0 AS DOUBLE) AS recall,
+             TRUE AS recall_ge_094""",
+
+    "x140_estate_reshard" -> """
+      -- the estate grows: 1 shard, 1980 live (2000 minus 1%
+      -- deletes) at cellClamp=16 sizes to 2 shards and fires; the
+      -- loop executes annReshard (re-encode from the lake, NEW
+      -- routing hash, tombstones carried and physically folded,
+      -- both shards landing at nlistFor(~1000)=16) and the
+      -- after-poll reads quiet at 2. Zero ids misrouted under the
+      -- new hash, zero forgotten ids resurfaced, content == lake
+      -- minus deletes, each shard row-equal a fresh per-subset
+      -- build, a fresh forget passes verifyRouting on the new
+      -- estate, merged pruned search recall 1.0 vs the exact twin
+      SELECT TRUE AS fired_before,
+             'sized_shards_now=2 current=1 n_live=1980'
+               AS reason_before,
+             TRUE AS executed,
+             'resharded shards=2 versions=ivfpq-nl16-m8-ks16-ci1-pi1-fp1e7'
+               AS effect,
+             TRUE AS quiet_after,
+             'sized_shards_now=2 current=2 n_live=1980'
+               AS reason_after,
+             CAST(2 AS BIGINT) AS n_shards_after,
+             CAST(0 AS BIGINT) AS n_misrouted,
+             CAST(0 AS BIGINT) AS n_forgotten_resurfaced,
+             TRUE AS content_preserved,
+             TRUE AS equals_fresh_build,
+             TRUE AS forget_on_new_routing_ok,
              CAST(80 AS BIGINT) AS n_exact,
              CAST(1.0 AS DOUBLE) AS recall,
              TRUE AS recall_ge_094""",

@@ -14,6 +14,12 @@ import org.apache.spark.sql.types._
   *    cell geometry has been outgrown by accretion.
   *  - `ann/compact` — [[Similarity.compactAdvisor]]: tombstone or
   *    small-file debt says physical maintenance is due.
+  *  - `ann/reshard` — [[Similarity.reshardAdvice]] over a sharded
+  *    ESTATE registration: the live population has outgrown
+  *    shards × the cell clamp, so the estate needs MORE SHARDS —
+  *    a routing-hash change only [[Similarity.annReshard]]'s
+  *    re-encode can execute (rebuilding wider in place is already
+  *    clamped).
   *  - `dsir/rebuild` — [[graft.streaming.Streams.dsirLedgerAdvisor]]:
   *    bucket occupancy has saturated the stamped feature width.
   *  - `boilerplate/rethreshold` —
@@ -60,7 +66,9 @@ object Advisors {
   private def pollRows(spark: SparkSession,
                        annBundles: Seq[(String, String, String, Int)],
                        dsirLedgers: Seq[(String, String)],
-                       boilerplateLedgers: Seq[(String, String, Long)])
+                       boilerplateLedgers: Seq[(String, String, Long, Double)],
+                       annEstates: Seq[(String, Seq[String], Seq[String],
+                         Int)] = Seq.empty)
       : Seq[ConsoleRow] = {
     val vs = graft.sources.VersionedState
     val st = graft.streaming.Streams
@@ -101,11 +109,28 @@ object Advisors {
     val dsirStats = dsirLedgers.map { case (_, path) =>
       st.dsirLedgerStats(spark, path)
     }
-    val bpStats = boilerplateLedgers.map { case (_, path, maxDocs) =>
+    val bpStats = boilerplateLedgers.map { case (_, path, maxDocs, _) =>
       st.boilerplateLedgerStats(spark, path, maxDocs)
     }
+    // a SHARDED estate registration contributes one version probe
+    // and one live-count stats branch PER SHARD — same lazy
+    // 1-row-branch discipline, so an estate of S shards adds 2·S
+    // KB-grain branches to the same single collect, never its own
+    // poll jobs
+    val estShardStats = annEstates.flatMap { case (_, paths, vers, _) =>
+      require(vers.length == paths.length,
+        "opsConsole: estate shardPaths and versions must align " +
+          "(positional routing contract)")
+      paths.zip(vers).flatMap { case (p, v) =>
+        val enc = vs.readPartUnvalidated(spark, p, "encoded",
+          Some(encSchema))
+        Seq(vs.versionProbe(spark, p, v),
+          Similarity.compactStatsOf(spark, p, enc))
+      }
+    }
     val branches =
-      (probeStats ++ geoStats ++ tsStats ++ dsirStats ++ bpStats)
+      (probeStats ++ geoStats ++ tsStats ++ dsirStats ++ bpStats ++
+        estShardStats)
         .zipWithIndex.map { case (df, i) => norm(i, df) }
     if (branches.isEmpty) return Seq.empty
     val stat = branches.reduce(_.unionByName(_))
@@ -157,7 +182,7 @@ object Advisors {
           s"nb=${d.nb}", d.sizedNbNow)
     }
     boilerplateLedgers.zipWithIndex.foreach {
-      case ((name, path, maxDocs), i) =>
+      case ((name, path, maxDocs, fracThreshold), i) =>
         val (nSegO, nBlackO, nStampedO) = stat(nDsir + i)
         val nSeg = nSegO.getOrElse(0L)
         require(nSeg > 0L,
@@ -166,12 +191,43 @@ object Advisors {
             "advise against; fold at least one batch first")
         st.requireBoilerplateStamp(path, nSeg,
           nStampedO.getOrElse(0L))
-        val b = st.boilerplateAdvice(nSeg, nBlackO.getOrElse(0L))
+        // the registration's OWN threshold fires the advisor — the
+        // fire threshold and the rethreshold derive target must be
+        // the same value, or a targetFrac > default would leave
+        // blacklist_frac in [default, targetFrac) after the derive
+        // and the loop's quiet-after contract would silently fail
+        // (ADVICE r11)
+        val b = st.boilerplateAdvice(nSeg, nBlackO.getOrElse(0L),
+          fracThreshold)
         rows += ConsoleRow("boilerplate", name, "rethreshold",
           b.recommended,
           s"blacklist_frac=${b.blacklistFrac} " +
             s"n_blacklisted=${nBlackO.getOrElse(0L)} " +
             s"max_docs=$maxDocs", maxDocs)
+    }
+    // estate reshard rows: sum the shards' live counts (n_vectors
+    // minus live tombstones, from the same collect) and size the
+    // shard count against the total — Similarity.reshardAdvice owns
+    // the arithmetic (annShardsFor), as every console decision has
+    // a single owner
+    var estBase = nDsir + boilerplateLedgers.length
+    annEstates.foreach { case (name, paths, vers, cellClamp) =>
+      paths.zip(vers).zipWithIndex.foreach { case ((p, v), j) =>
+        require(stat(estBase + 2 * j)._1.contains(1L),
+          s"VersionedState: estate shard at $p does not carry " +
+            s"version '$v' — rebuild (derive the shard path from " +
+            "the version to make this unreachable)")
+      }
+      val totalLive = paths.indices.map { j =>
+        val (nVecO, tsLiveO, _) = stat(estBase + 2 * j + 1)
+        nVecO.getOrElse(0L) - tsLiveO.getOrElse(0L)
+      }.sum
+      val (sized, rec) =
+        Similarity.reshardAdvice(totalLive, paths.length, cellClamp)
+      rows += ConsoleRow("ann", name, "reshard", rec,
+        s"sized_shards_now=$sized current=${paths.length} " +
+          s"n_live=$totalLive", sized.toLong)
+      estBase += 2 * paths.length
     }
     rows.toSeq
   }
@@ -191,10 +247,20 @@ object Advisors {
   def opsConsole(spark: SparkSession,
                  annBundles: Seq[(String, String, String, Int)] = Seq.empty,
                  dsirLedgers: Seq[(String, String)] = Seq.empty,
-                 boilerplateLedgers: Seq[(String, String, Long)] = Seq.empty)
+                 boilerplateLedgers: Seq[(String, String, Long)] = Seq.empty,
+                 annEstates: Seq[(String, Seq[String], Seq[String])] =
+                   Seq.empty)
       : DataFrame =
     toDf(spark,
-      pollRows(spark, annBundles, dsirLedgers, boilerplateLedgers))
+      pollRows(spark, annBundles, dsirLedgers,
+        // standalone console polls fire at the default occupancy
+        // threshold; a custom targetFrac estate polls via opsLoop,
+        // where the registration carries its own threshold
+        boilerplateLedgers.map { case (n, p, m) => (n, p, m, 0.10) },
+        // standalone console polls size against the default cell
+        // budget; a custom-capacity estate polls via opsLoop, where
+        // the registration carries its own clamp
+        annEstates.map { case (n, ps, vs) => (n, ps, vs, 65536) }))
 
   // ---------------- the CLOSED LOOP: console -> executors -> quiet ----
 
@@ -213,6 +279,23 @@ object Advisors {
                           vecCol: String = "embedding",
                           coarseIters: Int = 1, pqIters: Int = 1)
 
+  /** A SHARDED-estate registration [[opsLoop]] can re-shard: the
+    * per-shard bundle paths/versions ([[Similarity
+    * .annForgetSharded]]'s positional contract — shard s of the
+    * ingest hash split), the source lake a re-shard re-encodes from
+    * (the [[Similarity.annReshard]] discipline: a routing-hash
+    * change is a re-encode, not a shuffle of old bundles), the
+    * quantizer geometry, and the new bundles' path policy
+    * `pathFor(shard, nlist)`. */
+  final case class AnnEstateOps(name: String, shardPaths: Seq[String],
+                                versions: Seq[String],
+                                lake: DataFrame, m: Int, ksub: Int,
+                                pathFor: (Int, Int) => String,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding",
+                                coarseIters: Int = 1, pqIters: Int = 1,
+                                cellClamp: Int = 65536)
+
   /** A DSIR ledger registration: the standing ledger plus the corpus
     * HISTORY a re-fold replays (hashed counts are not invertible —
     * re-bucketing means re-folding; the batching does not matter,
@@ -223,7 +306,10 @@ object Advisors {
 
   /** A boilerplate ledger registration: ledger, the consumer's
     * CURRENT frozen threshold, and the occupancy target a derived
-    * threshold must satisfy. */
+    * threshold must satisfy. `targetFrac` is BOTH the advisor's fire
+    * threshold and the rethreshold derive target — they must be one
+    * value or the loop's quiet-after contract fails for any
+    * targetFrac above the default (ADVICE r11). */
   final case class BoilerplateOps(name: String, path: String,
                                   maxDocs: Long,
                                   targetFrac: Double = 0.10)
@@ -257,23 +343,28 @@ object Advisors {
   final case class OpsLoopResult(before: DataFrame, actions: DataFrame,
                                  after: DataFrame,
                                  ann: Seq[AnnOps], dsir: Seq[DsirOps],
-                                 bp: Seq[BoilerplateOps])
+                                 bp: Seq[BoilerplateOps],
+                                 estates: Seq[AnnEstateOps] = Seq.empty)
 
   def opsLoop(spark: SparkSession,
               ann: Seq[AnnOps] = Seq.empty,
               dsir: Seq[DsirOps] = Seq.empty,
-              bp: Seq[BoilerplateOps] = Seq.empty)
+              bp: Seq[BoilerplateOps] = Seq.empty,
+              estates: Seq[AnnEstateOps] = Seq.empty)
       : OpsLoopResult = {
     val st = graft.streaming.Streams
     val before = pollRows(spark,
       ann.map(a => (a.name, a.path, a.version, a.trainedNlist)),
       dsir.map(d => (d.name, d.path)),
-      bp.map(b => (b.name, b.path, b.maxDocs)))
+      bp.map(b => (b.name, b.path, b.maxDocs, b.targetFrac)),
+      estates.map(e =>
+        (e.name, e.shardPaths, e.versions, e.cellClamp)))
     val fired = before.filter(_.recommended)
       .map(r => (r.tier, r.ledger, r.action) -> r.param).toMap
     var annNow = ann
     var bpNow = bp
     var dsirNow = dsir
+    var estNow = estates
     val actions =
       scala.collection.mutable.ArrayBuffer.empty[Row]
     before.foreach { r =>
@@ -329,6 +420,17 @@ object Advisors {
             actions += Row(r.tier, r.ledger, r.action, true,
               s"erased=${nb - na} files=$nf")
           }
+        case ("ann", "reshard") if r.recommended =>
+          val e = estNow.find(_.name == r.ledger).get
+          val sized = r.param.toInt
+          val (newPaths, newVers) = Similarity.annReshard(spark,
+            e.shardPaths, e.lake, e.idCol, e.vecCol, e.m, e.ksub,
+            sized, e.pathFor, e.coarseIters, e.pqIters)
+          estNow = estNow.map(x => if (x.name == e.name)
+            x.copy(shardPaths = newPaths, versions = newVers) else x)
+          actions += Row(r.tier, r.ledger, r.action, true,
+            s"resharded shards=$sized versions=" +
+              newVers.distinct.mkString(","))
         case ("dsir", "rebuild") if r.recommended =>
           val d = dsirNow.find(_.name == r.ledger).get
           val (didFire, nbAfter, newPath, steps, quiet) =
@@ -376,7 +478,9 @@ object Advisors {
     val after = pollRows(spark,
       annNow.map(a => (a.name, a.path, a.version, a.trainedNlist)),
       dsirNow.map(d => (d.name, d.path)),
-      bpNow.map(b => (b.name, b.path, b.maxDocs)))
+      bpNow.map(b => (b.name, b.path, b.maxDocs, b.targetFrac)),
+      estNow.map(e =>
+        (e.name, e.shardPaths, e.versions, e.cellClamp)))
     val actionSchema = StructType(Seq(
       StructField("tier", StringType, nullable = false),
       StructField("ledger", StringType, nullable = false),
@@ -387,6 +491,6 @@ object Advisors {
       spark.createDataFrame(
         spark.sparkContext.parallelize(actions.toSeq, 1),
         actionSchema),
-      toDf(spark, after), annNow, dsirNow, bpNow)
+      toDf(spark, after), annNow, dsirNow, bpNow, estNow)
   }
 }

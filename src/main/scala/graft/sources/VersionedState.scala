@@ -257,18 +257,37 @@ object VersionedState {
     * real, not defensive: the write discipline DELETES meta first
     * during any rewrite, so a poll racing a rewritePart sees no meta
     * dir at all — that bundle must read invalid (and fail ITS
-    * require after the collect), not throw PATH_NOT_FOUND at plan
-    * time and kill the poll for the whole estate (round-11
-    * review). Driver-side FS probe, no job. */
+    * require after the collect), not throw and kill the poll for
+    * the whole estate (round-11 review). Robust at EVERY stage of
+    * the race (ADVICE r11): dir gone before construction → the
+    * driver-side exists() probe; dir deleted between exists() and
+    * analysis → analysis is FORCED here, inside the catch (Spark 4
+    * defers file-source resolution to the first action, so without
+    * the force the PATH_NOT_FOUND would escape at the poll's
+    * collect — Round20Spec found this); files deleted between the
+    * forced listing and the collect's execution →
+    * `ignoreMissingFiles` skips them and the empty scan aggregates
+    * to ok=0 via the coalesce. The forced analysis is a driver-side
+    * file listing (same cost class as the exists() probe — no Spark
+    * job), so the one-collect poll contract is untouched. */
   def versionProbe(spark: SparkSession, path: String,
                    version: String): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, max, when}
     val meta = new Path(s"$path/meta")
-    if (!fs(spark, meta).exists(meta))
-      spark.range(1).select(lit(0L).as("ok"))
-    else
-      spark.read.schema("version STRING").parquet(s"$path/meta")
+    val invalid = spark.range(1).select(lit(0L).as("ok"))
+    if (!fs(spark, meta).exists(meta)) invalid
+    else try {
+      val probe = spark.read.schema("version STRING")
+        .option("ignoreMissingFiles", "true")
+        .parquet(s"$path/meta")
         .agg(coalesce(max(when(col("version") === lit(version), 1L)
           .otherwise(0L)), lit(0L)).as("ok"))
+      probe.queryExecution.analyzed // force the listing NOW
+      probe
+    } catch {
+      // analysis lost the race with a rewrite's meta delete — same
+      // outcome as the exists() branch
+      case _: org.apache.spark.sql.AnalysisException => invalid
+    }
   }
 }
