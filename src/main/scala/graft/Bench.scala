@@ -227,6 +227,9 @@ object Bench {
     * builds (VERDICT r11 missing #4). */
   val r12new: Seq[String] = Seq(
     "x139_batched_pruned_ann",     // probe-locality sub-batch scans
+    "x141_filtered_batched_ann",   // batching composed into the
+                                   // filtered router (x128's form at
+                                   // the saturating batch width)
     "x140_estate_reshard",         // console-fired estate re-shard
     "x136b_ops_loop_standing",     // amortized standing-estate loop
     "x36_span_dup_coverage")       // bridge query shared with all sets

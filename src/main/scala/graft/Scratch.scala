@@ -662,6 +662,87 @@ object Scratch {
           f"wall=${(System.nanoTime() - t3) / 1e9}%.1f s " +
           f"(vs sharded $routeWall%.1f s)")
 
+      case "batched_pruned_rehearsal" =>
+        // x139/x141's claims at the rehearsal grain (round-12): the
+        // 200k cell-layout bundle (nlist 2048) under the EXACT
+        // round-11 honest-limit shape — 16 stratified probes at the
+        // 1/sel-widened nprobe (~514) unioned to ~2039/2048 cells —
+        // measured three ways: (a) the unbatched pruned route
+        // (saturated baseline), (b) batched with a SPREAD query
+        // batch (stratified — no locality: expect ~singleton
+        // sub-batches, amplification ~|batch|), (c) batched with a
+        // CORRELATED batch (4 queries x 4 clusters — the production
+        // norm: expect ~1 sub-batch per cluster, amplification
+        // near 1). Wall, per-scan width, amplification, and row
+        // equality all printed; SCALE.md records the outcome.
+        import org.apache.spark.sql.functions._
+        import graft.operators.Similarity
+        val n = sys.env.getOrElse("CLUSTERED_N", "200000").toLong
+        val lake = Similarity.hashBlobLake(spark, n)
+          .withColumn("h4", pmod(xxhash64(col("vec_id")), lit(4L)))
+          .localCheckpoint()
+        val pred = col("h4") < 2
+        val nl = Similarity.nlistFor(n)
+        val v = Similarity.annIndexVersion(nl, 8, 16)
+        val p = "target/qtmp/bpr_single"
+        if (!Similarity.indexExists(spark, p, v)) {
+          val t0 = System.nanoTime()
+          val (c0, cb0) = Similarity.ivfpqTrain(lake.drop("h4"),
+            "vec_id", "embedding", nl, 8, 16,
+            coarseIters = 1, pqIters = 1)
+          Similarity.persistIndexCellLayout(p, v, c0, cb0,
+            Similarity.ivfpqEncode(lake.drop("h4"), "vec_id",
+              "embedding", c0, cb0, 8))
+          println(f"bundle: nlist=$nl " +
+            f"build+persist=${(System.nanoTime() - t0) / 1e9}%.1f s")
+        }
+        val (cents, codebook, enc0) =
+          Similarity.loadIndexCellLayout(spark, p, v)
+        val enc = Similarity.liveEncoded(enc0,
+          Similarity.annTombstones(spark, p))
+        val sel = lake.filter(pred).count().toDouble / n
+        val np = math.min(nl,
+          math.ceil(Similarity.nprobeFor(nl) / sel).toInt)
+        val k = 5
+        val rr = math.max(Similarity.rerankFor(n, nl, np),
+          Similarity.overfetchFor(k, sel))
+        val kP = Similarity.overfetchFor(k, sel)
+        def run(tag: String, q: org.apache.spark.sql.DataFrame,
+                budget: Int): Unit = {
+          val t = System.nanoTime()
+          val (sub, got) =
+            if (budget > 0)
+              Similarity.ivfpqSearchPrunedBatched(q, "vec_id",
+                "embedding", enc, cents, codebook, kP, np, 8,
+                rerank = rr, rerankSource = Some(lake.drop("h4")),
+                cellBudget = budget)
+            else {
+              val (c, g) = Similarity.ivfpqSearchPruned(q, "vec_id",
+                "embedding", enc, cents, codebook, kP, np, 8,
+                rerank = rr, rerankSource = Some(lake.drop("h4")))
+              (Seq(c), g)
+            }
+          got.write.format("noop").mode("overwrite").save()
+          val wall = (System.nanoTime() - t) / 1e9
+          val union = sub.flatten.distinct.length
+          val opens = sub.map(_.length).sum
+          println(f"$tag: nq=${q.count()} np=$np budget=$budget " +
+            f"subbatches=${sub.length} " +
+            f"maxcells=${sub.map(_.length).max} union=$union/$nl " +
+            f"amplification=${opens.toDouble / union}%.2f " +
+            f"wall=$wall%.1f s")
+        }
+        val qSpread = Similarity.stratifiedProbes(lake, "vec_id", 16)
+          .drop("h4").localCheckpoint()
+        // correlated: 4 queries from each of 4 clusters (cluster =
+        // id mod 64 at any n by the lake recipe)
+        val qLocal = lake.filter(pmod(col("vec_id"), lit(64L)) < 4 &&
+          col("vec_id") < 256).drop("h4").localCheckpoint()
+        run("unbatched/spread", qSpread, 0)
+        run("batched/spread", qSpread, np + 128)
+        run("unbatched/local", qLocal, 0)
+        run("batched/local", qLocal, np + 128)
+
       case "bpe_incr_sweep" =>
         // incremental vs full-recount BPE on a LARGE crafted type
         // table (verdict-7 ask #2's measured row): the 31-type driver

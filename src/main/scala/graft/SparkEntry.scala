@@ -4856,6 +4856,12 @@ object SparkEntry {
             .as("max_subbatch_cells"),
           lit(subCells.forall(_.length <= budget))
             .as("all_within_budget"),
+          // the locality witness: total file-opens across sub-batch
+          // scans / the single union — near 1 = correlated batch,
+          // the regime batching exists for (see the operator doc)
+          lit(math.rint(subCells.map(_.length).sum.toDouble
+            / cellsU.length * 10000) / 10000)
+            .as("io_amplification"),
           lit(filesEq).as("files_eq_cells_all_subbatches"),
           lit(equal).as("batched_equals_unbatched"),
           col("n_exact"),
@@ -5064,6 +5070,95 @@ object SparkEntry {
           col("reason").as("reason_after")),
           Seq("tier", "ledger", "action"))
         .orderBy(col("tier"), col("ledger"), col("action"))
+    }),
+
+    "x141_filtered_batched_ann" -> ((s, dir) => {
+      // x139 COMPOSED into the filtered router — the production-
+      // complete form: the router's 1/sel-widened nprobe times a
+      // production batch width is EXACTLY the regime that saturates
+      // the probe union (the 200k rehearsal's honest limit hit
+      // 2039/2048 cells on this very route), so x128's "pruned"
+      // path reads ~the whole encoded estate on realistic batches.
+      // With cellBudget set, the ANN branch runs the probe-locality
+      // batched scans: same rows, same route, same preflight
+      // discipline (measured on the batched plan), but every scan
+      // opens <= budget cell directories. Pane: both routes taken,
+      // the unbatched union saturation (frac ~1.0 at 48 queries x
+      // widened nprobe 16 over 64 cells), the batched sub-batch
+      // shape within budget, row equality between the two, zero
+      // off-predicate rows, recall vs the exact FILTERED twin. Same
+      // guarded bundle as x123/x128/x139 (read-only consumer).
+      val n = 2000L; val nlist = 64; val k = 5; val m = 8
+      // budget 20 > the widened nprobe 17, so same-cluster queries
+      // (near-identical 17-cell probe sets) pack together instead
+      // of one query per sub-batch
+      val budget = 20
+      val lake = Similarity.hashBlobLake(s, n)
+        .withColumn("h4", pmod(xxhash64(col("vec_id")), lit(4L)))
+        .localCheckpoint(true)
+      val version = Similarity.annIndexVersion(nlist, m, 16)
+      val path = annLedgerPath(version,
+        s"${Similarity.hashBlobLakeKey(n)}-celllayout")
+      if (!Similarity.indexExists(s, path, version)) {
+        val (c0, cb0) = Similarity.ivfpqTrain(lake.drop("h4"),
+          "vec_id", "embedding", nlist, m, 16,
+          coarseIters = 1, pqIters = 1)
+        Similarity.persistIndexCellLayout(path, version, c0, cb0,
+          Similarity.ivfpqEncode(lake.drop("h4"), "vec_id",
+            "embedding", c0, cb0, m))
+      }
+      val (cents, codebook, enc0) =
+        Similarity.loadIndexCellLayout(s, path, version)
+      val encoded = Similarity.liveEncoded(enc0,
+        Similarity.annTombstones(s, path)) // the x119 contract
+      // the BROAD batch (x139's shape): 4 queries per cluster from
+      // 12 clusters — with the 50% filter widening nprobe 8 -> 16,
+      // the single union saturates
+      val q = lake.filter(pmod(col("vec_id"), lit(64L)) < 12 &&
+          col("vec_id") < 256).drop("h4").localCheckpoint(true)
+      val pred = col("h4") < 2 // 50%, geometry-uncorrelated
+      val r0 = Similarity.annTopKFilteredRouted(q, lake, "vec_id",
+        "embedding", pred, k, encoded, cents, codebook, nlist, m,
+        bruteCutoff = 0L, pruneCells = true)
+      val rb = Similarity.annTopKFilteredRouted(q, lake, "vec_id",
+        "embedding", pred, k, encoded, cents, codebook, nlist, m,
+        bruteCutoff = 0L, pruneCells = true, cellBudget = budget)
+      val res0 = r0.result.localCheckpoint(true)
+      val resB = rb.result.localCheckpoint(true)
+      val equal = resB.exceptAll(res0).count() == 0L &&
+        res0.exceptAll(resB).count() == 0L
+      val exact = Similarity.bruteTopKL2(q, lake.filter(pred),
+        "vec_id", "embedding", k)
+      val offPred = resB.join(
+        lake.filter(!pred).select(col("vec_id").as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_off_pred"))
+      exact.as("b").join(resB.as("l"),
+          col("b.query_id") === col("l.query_id") &&
+            col("b.neighbor_id") === col("l.neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("l.neighbor_id")).as("n_hit"))
+        .join(offPred, lit(true), "left") // 1-row pane join idiom
+        .select(lit(r0.route).as("route_unbatched"),
+          lit(rb.route).as("route_batched"),
+          lit(rb.nprobe.toLong).as("nprobe"),
+          lit(rb.kPrime.toLong).as("k_prime"),
+          lit(math.rint(r0.cellUnionFrac.getOrElse(0.0d) * 10000)
+            / 10000).as("union_frac_unbatched"),
+          lit(rb.subbatchCells.length.toLong).as("n_subbatches"),
+          lit(rb.subbatchCells.map(_.length).max.toLong)
+            .as("max_subbatch_cells"),
+          lit(rb.subbatchCells.forall(_.length <= budget))
+            .as("all_within_budget"),
+          lit(math.rint(rb.subbatchCells.map(_.length).sum.toDouble
+            / r0.probedCells.map(_.length).getOrElse(1) * 10000)
+            / 10000).as("io_amplification"),
+          lit(equal).as("batched_equals_unbatched"),
+          col("n_off_pred"), col("n_exact"),
+          round(col("n_hit").cast(DoubleType) / col("n_exact"), 4)
+            .as("recall_filtered"),
+          (col("n_hit").cast(DoubleType) / col("n_exact")
+            >= lit(0.94d)).as("recall_ge_094"))
     }),
 
     "x88b_ivfpq_exact" -> ((s, dir) => {
@@ -12992,7 +13087,8 @@ object SparkEntry {
       -- sub-batches whose unions stay within the 16-cell budget,
       -- each scan reads exactly its union's files, and the union of
       -- sub-batch results is row-equal to the unbatched search with
-      -- recall 1.0 vs the exact twin
+      -- recall 1.0 vs the exact twin; io_amplification (total opens
+      -- / single union) 1.45 witnesses the batch's locality
       SELECT CAST(48 AS BIGINT) AS n_queries,
              CAST(64 AS BIGINT) AS n_cells_total,
              CAST(58 AS BIGINT) AS n_cells_unbatched,
@@ -13000,6 +13096,7 @@ object SparkEntry {
              CAST(6 AS BIGINT) AS n_subbatches,
              CAST(16 AS BIGINT) AS max_subbatch_cells,
              TRUE AS all_within_budget,
+             CAST(1.4483 AS DOUBLE) AS io_amplification,
              TRUE AS files_eq_cells_all_subbatches,
              TRUE AS batched_equals_unbatched,
              CAST(240 AS BIGINT) AS n_exact,
@@ -13034,6 +13131,34 @@ object SparkEntry {
              TRUE AS forget_on_new_routing_ok,
              CAST(80 AS BIGINT) AS n_exact,
              CAST(1.0 AS DOUBLE) AS recall,
+             TRUE AS recall_ge_094""",
+
+    "x141_filtered_batched_ann" -> """
+      -- probe-locality batching composed into the filtered router:
+      -- at 48 queries x the 1/sel-widened nprobe 17 over 64 cells
+      -- the unbatched route's probe union FULLY saturates (frac
+      -- 1.0 — the production regime where x128's pruning reads the
+      -- whole estate), while the batched route packs 13 sub-batches
+      -- of <= 20 cells (same-cluster queries share probe sets),
+      -- row-equal to the unbatched route with recall 1.0 vs the
+      -- exact filtered twin and zero off-predicate rows;
+      -- io_amplification 3.59 is honest: at widened nprobe 17 the
+      -- 12 clusters' probe sets overlap heavily, so bounding each
+      -- scan at 20 cells re-reads shared cells across sub-batches
+      -- (the bounded-working-set trade, see the operator doc)
+      SELECT 'ann_overfetch' AS route_unbatched,
+             'ann_overfetch' AS route_batched,
+             CAST(17 AS BIGINT) AS nprobe,
+             CAST(41 AS BIGINT) AS k_prime,
+             CAST(1.0 AS DOUBLE) AS union_frac_unbatched,
+             CAST(13 AS BIGINT) AS n_subbatches,
+             CAST(20 AS BIGINT) AS max_subbatch_cells,
+             TRUE AS all_within_budget,
+             CAST(3.5938 AS DOUBLE) AS io_amplification,
+             TRUE AS batched_equals_unbatched,
+             CAST(0 AS BIGINT) AS n_off_pred,
+             CAST(240 AS BIGINT) AS n_exact,
+             CAST(1.0 AS DOUBLE) AS recall_filtered,
              TRUE AS recall_ge_094""",
 
     "x88_ivfpq_topk" -> """

@@ -1245,13 +1245,18 @@ object Similarity {
     * witness (VERDICT r11 wrong #3): near 1.0 the partition filter
     * read the whole encoded estate and "pruning" saved nothing;
     * the pruning contract only holds while |batch|·nprobe ≪ nlist
-    * (see [[ivfpqSearchPruned]]). */
+    * (see [[ivfpqSearchPruned]]). `subbatchCells` (nonempty only
+    * with `cellBudget` > 0) is the per-sub-batch cell unions of the
+    * probe-locality batched scans — each scan opened ≤ budget cell
+    * directories even when the batch union saturates. */
   final case class FilteredRoute(route: String, nSurvivors: Long,
                                  nprobe: Int, kPrime: Int,
                                  recallPreflight: Double,
                                  result: DataFrame,
                                  probedCells: Option[Array[Long]] = None,
-                                 cellUnionFrac: Option[Double] = None)
+                                 cellUnionFrac: Option[Double] = None,
+                                 subbatchCells: Seq[Array[Long]] =
+                                   Seq.empty)
 
   /** METADATA-FILTERED top-k over a standing index — the production
     * vector-store query shape ("nearest neighbors WHERE lang = 'en'
@@ -1313,7 +1318,16 @@ object Similarity {
     * identical, no file pruning — equality is by construction, the
     * ADC join never matches outside probed cells). The PREFLIGHT runs
     * on the pruned path too: the measured recall that routes the
-    * batch is measured on the exact plan the batch will run. */
+    * batch is measured on the exact plan the batch will run.
+    *
+    * `cellBudget` > 0 (with `pruneCells`) COMPOSES probe-locality
+    * batching into the ANN branch ([[ivfpqSearchPrunedBatched]]):
+    * the router's own 1/sel-widened nprobe times a production batch
+    * width is exactly the regime where the single probe union
+    * saturates and file pruning silently degenerates (SCALE.md
+    * round-11 honest limit) — batched, each scan opens ≤ budget
+    * cell directories at ANY batch width, rows identical (the
+    * preflight measures on the batched plan too). */
   def annTopKFilteredRouted(queries: DataFrame, corpus: DataFrame,
                             idCol: String, vecCol: String,
                             pred: Column, k: Int,
@@ -1323,7 +1337,8 @@ object Similarity {
                             bruteCutoff: Long = 65536L,
                             recallFloor: Double = 0.94,
                             probeCap: Int = 16,
-                            pruneCells: Boolean = false)
+                            pruneCells: Boolean = false,
+                            cellBudget: Int = 0)
       : FilteredRoute = {
     require(k > 0, s"annTopKFilteredRouted: k=$k")
     require(bruteCutoff >= 0,
@@ -1349,20 +1364,33 @@ object Similarity {
       val meta = corpus.select(col(idCol).as("neighbor_id"),
         pred.as("__keep"))
       def annFiltered(qs: DataFrame)
-          : (Option[Array[Long]], DataFrame) = {
-        val (cellsOpt, got) =
-          if (pruneCells) {
+          : (Option[Array[Long]], Seq[Array[Long]], DataFrame) = {
+        val (cellsOpt, subCells, got) =
+          if (pruneCells && cellBudget > 0) {
+            // the composed production shape: the router's own
+            // 1/sel-widened nprobe is exactly the regime that
+            // saturates a single probe union (SCALE.md round-11's
+            // honest limit), so the ANN branch runs the
+            // probe-locality batched scans — each one opens ≤
+            // budget cell directories regardless of batch width
+            val (sub, g) = ivfpqSearchPrunedBatched(qs, idCol,
+              vecCol, encoded, cents, codebook, kPrime, np, m,
+              rerank = rr, rerankSource = Some(corpus),
+              cellBudget = cellBudget)
+            (Some(sub.flatten.distinct.sorted.toArray), sub, g)
+          } else if (pruneCells) {
             val (cells, g) = ivfpqSearchPruned(qs, idCol, vecCol,
               encoded, cents, codebook, kPrime, np, m, rerank = rr,
               rerankSource = Some(corpus))
-            (Some(cells), g)
+            (Some(cells), Seq.empty[Array[Long]], g)
           } else
-            (None, ivfpqSearchEncoded(qs, idCol, vecCol, encoded,
-              cents, codebook, kPrime, np, m, rerank = rr,
-              rerankSource = Some(corpus)))
+            (None, Seq.empty[Array[Long]],
+              ivfpqSearchEncoded(qs, idCol, vecCol, encoded,
+                cents, codebook, kPrime, np, m, rerank = rr,
+                rerankSource = Some(corpus)))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("approx_d2").asc, col("neighbor_id").asc)
-        (cellsOpt, got.join(meta, Seq("neighbor_id"))
+        (cellsOpt, subCells, got.join(meta, Seq("neighbor_id"))
           .filter(col("__keep"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= k)
@@ -1374,7 +1402,7 @@ object Similarity {
       val exactProbe = bruteTopKL2(probes, survivors, idCol,
         vecCol, k)
       val hit = exactProbe.as("b")
-        .join(annFiltered(probes)._2.as("l"),
+        .join(annFiltered(probes)._3.as("l"),
           col("b.query_id") === col("l.query_id") &&
             col("b.neighbor_id") === col("l.neighbor_id"), "left")
         .agg(count(lit(1)), count(col("l.neighbor_id")))
@@ -1383,10 +1411,10 @@ object Similarity {
         if (hit.getLong(0) == 0L) 1.0d
         else hit.getLong(1).toDouble / hit.getLong(0).toDouble
       if (recallEst >= recallFloor) {
-        val (cells, result) = annFiltered(queries)
+        val (cells, subCells, result) = annFiltered(queries)
         FilteredRoute("ann_overfetch", nSurv, np, kPrime, recallEst,
           result, cells,
-          cells.map(_.length.toDouble / nlist.toDouble))
+          cells.map(_.length.toDouble / nlist.toDouble), subCells)
       } else
         FilteredRoute("exact_filtered_fallback", nSurv, np, kPrime,
           recallEst, bruteTopKL2(queries, survivors, idCol, vecCol, k))
@@ -1401,7 +1429,10 @@ object Similarity {
     * `shardCellFrac(s)` = shardCells(s).length / shard s's nlist,
     * the per-shard pruning-degeneracy witness (near 1.0 the shard's
     * scan read its whole encoded part — see [[ivfpqSearchPruned]]'s
-    * file-pruning contract). */
+    * file-pruning contract); `shardSubbatchCells(s)` (nonempty only
+    * with `cellBudget` > 0) is shard s's per-sub-batch cell unions
+    * under probe-locality batching — each of its scans opened ≤
+    * budget directories even when its batch union saturates. */
   final case class ShardedFilteredRoute(route: String,
                                         nSurvivors: Long,
                                         kPrime: Int,
@@ -1411,6 +1442,9 @@ object Similarity {
                                         shardCells: Seq[Array[Long]] =
                                           Seq.empty,
                                         shardCellFrac: Seq[Double] =
+                                          Seq.empty,
+                                        shardSubbatchCells:
+                                          Seq[Seq[Array[Long]]] =
                                           Seq.empty)
 
   /** [[annTopKFilteredRouted]] composed with the SHARDED estate —
@@ -1464,7 +1498,8 @@ object Similarity {
                                    m: Int = 8,
                                    bruteCutoff: Long = 65536L,
                                    recallFloor: Double = 0.94,
-                                   probeCap: Int = 16)
+                                   probeCap: Int = 16,
+                                   cellBudget: Int = 0)
       : ShardedFilteredRoute = {
     require(shardPaths.nonEmpty,
       "annTopKFilteredRoutedSharded: no shard paths")
@@ -1504,17 +1539,30 @@ object Similarity {
       val meta = corpus.select(col(idCol).as("neighbor_id"),
         pred.as("__keep"))
       def annFiltered(qs: DataFrame)
-          : (Seq[Array[Long]], DataFrame) = {
+          : (Seq[Array[Long]], Seq[Seq[Array[Long]]], DataFrame) = {
         val perShard = shardState.map {
           case (cents, codebook, enc, _, np, rr) =>
-            ivfpqSearchPruned(qs, idCol, vecCol, enc, cents,
-              codebook, kPrime, np, m, rerank = rr,
-              rerankSource = Some(corpus))
+            if (cellBudget > 0) {
+              // composed production shape (see the single-bundle
+              // router): each shard's widened-nprobe scan runs
+              // probe-locality batched, ≤ budget directories per
+              // sub-batch scan
+              val (sub, g) = ivfpqSearchPrunedBatched(qs, idCol,
+                vecCol, enc, cents, codebook, kPrime, np, m,
+                rerank = rr, rerankSource = Some(corpus),
+                cellBudget = cellBudget)
+              (sub.flatten.distinct.sorted.toArray, sub, g)
+            } else {
+              val (cells, g) = ivfpqSearchPruned(qs, idCol, vecCol,
+                enc, cents, codebook, kPrime, np, m, rerank = rr,
+                rerankSource = Some(corpus))
+              (cells, Seq.empty[Array[Long]], g)
+            }
         }
-        val mergedK = ivfpqMergeTopK(perShard.map(_._2), kPrime)
+        val mergedK = ivfpqMergeTopK(perShard.map(_._3), kPrime)
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("approx_d2").asc, col("neighbor_id").asc)
-        (perShard.map(_._1),
+        (perShard.map(_._1), perShard.map(_._2),
           mergedK.join(meta, Seq("neighbor_id"))
             .filter(col("__keep"))
             .withColumn("rank", row_number().over(w))
@@ -1527,7 +1575,7 @@ object Similarity {
       val exactProbe = bruteTopKL2(probes, survivors, idCol,
         vecCol, k)
       val hit = exactProbe.as("b")
-        .join(annFiltered(probes)._2.as("l"),
+        .join(annFiltered(probes)._3.as("l"),
           col("b.query_id") === col("l.query_id") &&
             col("b.neighbor_id") === col("l.neighbor_id"), "left")
         .agg(count(lit(1)), count(col("l.neighbor_id")))
@@ -1536,13 +1584,14 @@ object Similarity {
         if (hit.getLong(0) == 0L) 1.0d
         else hit.getLong(1).toDouble / hit.getLong(0).toDouble
       if (recallEst >= recallFloor) {
-        val (cells, result) = annFiltered(queries)
+        val (cells, subCells, result) = annFiltered(queries)
         ShardedFilteredRoute("ann_overfetch", nSurv, kPrime,
           recallEst, result, shardState.map(_._5), cells,
           // per-shard degeneracy witness: cells probed / the
           // shard's own nlist (VERDICT r11 wrong #3)
           cells.zip(shardState).map { case (cs, st) =>
-            cs.length.toDouble / st._4.toDouble })
+            cs.length.toDouble / st._4.toDouble },
+          if (cellBudget > 0) subCells else Seq.empty)
       } else
         ShardedFilteredRoute("exact_filtered_fallback", nSurv,
           kPrime, recallEst,
@@ -1731,7 +1780,24 @@ object Similarity {
     * compute anyway) and |subbatches| scans that each open ≤ budget
     * cell directories, instead of one scan that opens ~all of
     * them; sub-batches are independent jobs a scheduler can run
-    * concurrently. Returns (per-sub-batch cell unions, result);
+    * concurrently.
+    *
+    * WHAT THE WIN IS (and is not): total file-opens across the
+    * sub-batch scans is Σ|sub-union| ≥ the single batch union —
+    * cells shared by queries in DIFFERENT sub-batches are re-read
+    * per scan, and no scheme can read less than the union (every
+    * probed cell must be scored for some query). The win is the
+    * BOUNDED PER-SCAN WORKING SET (≤ budget directories of shuffle/
+    * memory footprint instead of the whole estate in one job) and
+    * scheduling independence. The amplification Σ|sub-union| /
+    * |union| is the workload's LOCALITY witness — near 1 when
+    * queries arrive correlated (the production norm: a tenant, a
+    * session, a shard of a crawl), up to |subbatches| on a
+    * spread-out batch, where a deployment should prefer the single
+    * unbatched scan if one job can hold the estate. Callers compute
+    * it from the returned unions; the x139/x141 panes pin it.
+    *
+    * Returns (per-sub-batch cell unions, result);
     * `rerank`/`rerankSource` pass through per sub-batch (rerank
     * joins candidates by id against the full source — sub-batching
     * queries does not change any query's candidate pool). */

@@ -108,6 +108,51 @@ class Round20Spec extends GraftSuite {
       r.probedCells.get.length.toDouble / nlist)
   }
 
+  test("sharded filtered router with cellBudget row-equals its " +
+       "unbatched form, every shard's sub-batch unions within " +
+       "budget") {
+    val n = 2000L; val k = 5; val m = 8; val ksub = 16
+    val shards = 2; val budget = 24
+    val lake = Similarity.hashBlobLake(spark, n)
+      .withColumn("h4", pmod(xxhash64(col("vec_id")), lit(4L)))
+      .localCheckpoint(true)
+    val shardKey = Similarity.annShardKey(col("vec_id"), shards)
+    val built = (0 until shards).map { sh =>
+      val part = lake.drop("h4").filter(shardKey === sh.toLong)
+        .localCheckpoint(true)
+      val nl = Similarity.nlistFor(part.count())
+      val v = Similarity.annIndexVersion(nl, m, ksub)
+      val p = tmp(s"r20_cbshard$sh")
+      val (c0, cb0) = Similarity.ivfpqTrain(part, "vec_id",
+        "embedding", nl, m, ksub, coarseIters = 1, pqIters = 1)
+      Similarity.persistIndexCellLayout(p, v, c0, cb0,
+        Similarity.ivfpqEncode(part, "vec_id", "embedding",
+          c0, cb0, m))
+      (p, v)
+    }
+    val q = lake.filter(pmod(col("vec_id"), lit(64L)) < 8 &&
+      col("vec_id") < 256).drop("h4").localCheckpoint(true)
+    val pred = col("h4") < 2
+    def route(cb: Int) = Similarity.annTopKFilteredRoutedSharded(q,
+      lake, "vec_id", "embedding", pred, k,
+      built.map(_._1), built.map(_._2), m, bruteCutoff = 0L,
+      cellBudget = cb)
+    val r0 = route(0)
+    val rb = route(budget)
+    assert(r0.route === "ann_overfetch" &&
+      rb.route === "ann_overfetch")
+    assert(r0.shardSubbatchCells.isEmpty)
+    assert(rb.shardSubbatchCells.length === shards &&
+      rb.shardSubbatchCells.forall(sub =>
+        sub.nonEmpty && sub.forall(_.length <= budget)))
+    // the per-shard unions agree between the two forms (same probe
+    // ranking — the batched union is the same distinct-cell set)
+    r0.shardCells.zip(rb.shardCells).foreach { case (a, b) =>
+      assert(a.toSeq === b.toSeq)
+    }
+    assert(rowsEqual(rb.result, r0.result))
+  }
+
   // --------------------------------------- estate re-shard lifecycle
 
   test("reshardAdvice: the published crossovers at the default " +
