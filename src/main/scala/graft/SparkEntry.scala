@@ -66,6 +66,17 @@ object SparkEntry {
     d.getAbsolutePath
   }
 
+  /** Multiset row equality in ONE Spark action: the
+    * `a.exceptAll(b).count == 0 && b.exceptAll(a).count == 0` idiom
+    * unioned into a single symmetric-difference count (both
+    * directions empty ⇔ the union counts 0 — same predicate, half
+    * the actions; on green queries both counts always ran). Callers
+    * pass CHECKPOINTED operands when the inputs are expensive lazy
+    * plans — exceptAll evaluates each side per direction, so an
+    * un-materialized operand would otherwise be recomputed. */
+  private def rowSetEqual(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty
+
   /** Quality-contract row for an approximate ANN result: macro-average
     * recall@5 vs the exact brute-force top-k, reduced to a boolean
     * bound the SQL oracle can assert (the a4/a8b pattern for operators
@@ -292,10 +303,9 @@ object SparkEntry {
     val version = Similarity.annIndexVersion(nlist, m, ksub)
     val path = annLedgerPath(version, lakeKey)
     if (!Similarity.indexExists(s, path, version)) {
-      val (cents, codebook) = Similarity.ivfpqTrain(lake, "vec_id",
-        "embedding", nlist, m, ksub, coarseIters = 1, pqIters = 1)
-      val encoded = Similarity.ivfpqEncode(lake, "vec_id", "embedding",
-        cents, codebook, m)
+      val (cents, codebook, encoded) = Similarity.ivfpqTrainEncode(
+        lake, "vec_id", "embedding", nlist, m, ksub,
+        coarseIters = 1, pqIters = 1)
       Similarity.persistIndex(path, version, cents, codebook, encoded)
     }
     val (cents, codebook, encoded) = Similarity.loadIndex(s, path,
@@ -439,11 +449,10 @@ object SparkEntry {
       // phase must see the unfiltered state even on a warm rerun
       // where last run's tombstones already exist
       if (!Similarity.indexExists(s, path, version)) {
-        val (c0, cb0) = Similarity.ivfpqTrain(lake, "vec_id",
-          "embedding", nlist, 8, 16, coarseIters = 1, pqIters = 1)
-        Similarity.persistIndex(path, version, c0, cb0,
-          Similarity.ivfpqEncode(lake, "vec_id", "embedding",
-            c0, cb0, 8))
+        val (c0, cb0, e0) = Similarity.ivfpqTrainEncode(lake,
+          "vec_id", "embedding", nlist, 8, 16,
+          coarseIters = 1, pqIters = 1)
+        Similarity.persistIndex(path, version, c0, cb0, e0)
       }
       val (cents, codebook, encoded) =
         Similarity.loadIndex(s, path, version)
@@ -2839,11 +2848,10 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val historic = emb.filter(col("vec_id") % 10 =!= 0)
       val batch = emb.filter(col("vec_id") % 10 === 0)
-      val (cents, cb) = Similarity.ivfpqTrain(historic, "vec_id",
-        "embedding", nlist = 16, m = 8, ksub = 16,
-        coarseIters = 1, pqIters = 1)
-      val index = Similarity.ivfpqEncode(historic, "vec_id", "embedding",
-          cents, cb)
+      val (cents, cb, histEnc) = Similarity.ivfpqTrainEncode(
+        historic, "vec_id", "embedding", nlist = 16, m = 8,
+        ksub = 16, coarseIters = 1, pqIters = 1)
+      val index = histEnc
         .unionByName(Similarity.ivfpqEncode(batch, "vec_id", "embedding",
           cents, cb))
       val q = emb.filter(col("vec_id") < 10)
@@ -3290,11 +3298,10 @@ object SparkEntry {
         s"${Similarity.hashBlobLakeKey(n)}-compact")
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(path))
-      val (cents0, codebook0) = Similarity.ivfpqTrain(lake, "vec_id",
-        "embedding", nlist, m, 16, coarseIters = 1, pqIters = 1)
-      Similarity.persistIndex(path, version, cents0, codebook0,
-        Similarity.ivfpqEncode(lake, "vec_id", "embedding", cents0,
-          codebook0, m))
+      val (cents0, codebook0, e0) = Similarity.ivfpqTrainEncode(
+        lake, "vec_id", "embedding", nlist, m, 16,
+        coarseIters = 1, pqIters = 1)
+      Similarity.persistIndex(path, version, cents0, codebook0, e0)
       val (cents, codebook, _) = Similarity.loadIndex(s, path, version)
       val tsIds = lake.filter(pmod(col("vec_id"), lit(200L)) === 0)
         .select(col("vec_id"))
@@ -3406,11 +3413,14 @@ object SparkEntry {
             (col("n_hit").cast(DoubleType) / col("n_exact")
               >= lit(0.94d)).as("recall_ge_094"))
       }
-      branch("a_selective_exact", col("mod32") === 0, 65536L)
-        .unionByName(
-          branch("b_broad_ann", col("h4") === 0, 0L))
-        .unionByName(
-          branch("c_correlated_fallback", col("mod4") === 0, 0L))
+      // the three routes are read-only consumers of the same
+      // standing bundle — their construction-time preflights (the
+      // expensive part) run concurrently (graft.Par, guide §2.6)
+      graft.Par.run(Seq(
+        () => branch("a_selective_exact", col("mod32") === 0, 65536L),
+        () => branch("b_broad_ann", col("h4") === 0, 0L),
+        () => branch("c_correlated_fallback", col("mod4") === 0, 0L)))
+        .reduce(_.unionByName(_))
         .orderBy(col("branch"))
     }),
 
@@ -3480,11 +3490,10 @@ object SparkEntry {
       val path = annLedgerPath(version,
         s"${Similarity.hashBlobLakeKey(n)}-celllayout")
       if (!Similarity.indexExists(s, path, version)) {
-        val (c0, cb0) = Similarity.ivfpqTrain(lake, "vec_id",
-          "embedding", nlist, m, 16, coarseIters = 1, pqIters = 1)
-        Similarity.persistIndexCellLayout(path, version, c0, cb0,
-          Similarity.ivfpqEncode(lake, "vec_id", "embedding",
-            c0, cb0, m))
+        val (c0, cb0, e0) = Similarity.ivfpqTrainEncode(lake,
+          "vec_id", "embedding", nlist, m, 16,
+          coarseIters = 1, pqIters = 1)
+        Similarity.persistIndexCellLayout(path, version, c0, cb0, e0)
       }
       val (cents, codebook, enc0) =
         Similarity.loadIndexCellLayout(s, path, version)
@@ -3500,8 +3509,7 @@ object SparkEntry {
         "embedding", encoded, cents, codebook, k, nprobe, m,
         rerank = rr, rerankSource = Some(lake))
       val prunedC = pruned.localCheckpoint(true)
-      val equal = prunedC.exceptAll(full).count() == 0L &&
-        full.exceptAll(prunedC).count() == 0L
+      val equal = rowSetEqual(prunedC, full)
       val filesRead = encoded
         .filter(col("cell").isInCollection(cells.toSeq))
         .select(input_file_name()).distinct().count()
@@ -3566,10 +3574,6 @@ object SparkEntry {
         .map(col)
       val acc = accreted.select(cols: _*).localCheckpoint(true)
       val prom = promoted.select(cols: _*).localCheckpoint(true)
-      val contentEqual = prom.exceptAll(acc).count() == 0L &&
-        acc.exceptAll(prom).count() == 0L
-      val nBatches = s.read.parquet(encPath)
-        .select(col("__bid")).distinct().count()
       def countDataFiles(root: java.io.File): Long = {
         val fs = Option(root.listFiles()).toSeq.flatten
         fs.count(f => f.isFile && !f.getName.startsWith("_") &&
@@ -3580,17 +3584,29 @@ object SparkEntry {
         new java.io.File(s"$outPath/encoded"))
       val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
         .localCheckpoint(true)
-      val (cells, got) = Similarity.ivfpqSearchPruned(q, "vec_id",
-        "embedding", promoted, cents, codebook, k, nprobe, m,
-        rerank = Similarity.rerankFor(n, nlist, nprobe),
-        rerankSource = Some(lake))
-      // what the promotion BUYS: the probe set prunes the promoted
-      // layout to exactly its directories (the x123 contract, now
-      // holding on stream-accreted content) — the accreted __bid
-      // layout cannot prune by cell at all, whatever its file count
-      val filesReadPruned = promoted
-        .filter(col("cell").isInCollection(cells.toSeq))
-        .select(input_file_name()).distinct().count()
+      // equality twin, batch count, and the pruned-search chain are
+      // independent reads — overlap them (graft.Par, guide §2.6)
+      val (contentEqual, nBatches, (cells, got, filesReadPruned)) =
+        graft.Par.join3(
+          rowSetEqual(prom, acc),
+          s.read.parquet(encPath)
+            .select(col("__bid")).distinct().count(),
+          {
+            val (cells0, got0) = Similarity.ivfpqSearchPruned(q,
+              "vec_id", "embedding", promoted, cents, codebook, k,
+              nprobe, m,
+              rerank = Similarity.rerankFor(n, nlist, nprobe),
+              rerankSource = Some(lake))
+            // what the promotion BUYS: the probe set prunes the
+            // promoted layout to exactly its directories (the x123
+            // contract, now holding on stream-accreted content) —
+            // the accreted __bid layout cannot prune by cell at all,
+            // whatever its file count
+            val fr = promoted
+              .filter(col("cell").isInCollection(cells0.toSeq))
+              .select(input_file_name()).distinct().count()
+            (cells0, got0, fr)
+          })
       val exact = Similarity.bruteTopKL2(q, lake, "vec_id",
         "embedding", k)
       exact.as("b").join(got.as("l"),
@@ -3636,41 +3652,57 @@ object SparkEntry {
         .localCheckpoint(true)
       val lakeNow = Similarity.hashBlobLake(s, 2000L)
         .localCheckpoint(true)
-      // (0) the standing state as ingest left it: sized at build n
-      val nl0 = Similarity.nlistFor(500L) // 16
-      val v0 = Similarity.annIndexVersion(nl0, m, ksub)
-      val (c0, cb0) = Similarity.ivfpqTrain(lake0, "vec_id",
-        "embedding", nl0, m, ksub, coarseIters = 1, pqIters = 1)
-      Similarity.persistIndex(s"$rootPath/ann_$v0", v0, c0, cb0,
-        Similarity.ivfpqEncode(lakeNow, "vec_id", "embedding",
-          c0, cb0, m))
-      // (1) drift: the advisor reads only the encoded ledger
-      val (_, _, encStale) =
-        Similarity.loadIndex(s, s"$rootPath/ann_$v0", v0)
-      val drift = Similarity.indexGeometryDrift(encStale, nl0).head()
-      val fired = drift.getBoolean(
-        drift.fieldIndex("rebuild_recommended"))
-      val sized = drift.getLong(
-        drift.fieldIndex("sized_nlist_now")).toInt
-      // (2) rebuild at the advisor's OWN sizing, new versioned bundle
-      val v1 = Similarity.annIndexVersion(sized, m, ksub)
-      val (c1, cb1) = Similarity.ivfpqTrain(lakeNow, "vec_id",
-        "embedding", sized, m, ksub, coarseIters = 1, pqIters = 1)
-      Similarity.persistIndex(s"$rootPath/ann_$v1", v1, c1, cb1,
-        Similarity.ivfpqEncode(lakeNow, "vec_id", "embedding",
-          c1, cb1, m))
-      // (3) vacuum: the superseded bundle is now a storage orphan
-      val (kept, deleted) = graft.sources.VersionedState
-        .vacuumRoot(s, rootPath, keep = Set(v1))
-      val staleGone =
-        !Similarity.indexExists(s, s"$rootPath/ann_$v0", v0)
-      // (4) forget: each probe's exact rank-1 neighbor
-      val q = Similarity.stratifiedProbes(lakeNow, "vec_id", 16)
-        .localCheckpoint(true)
-      val preExact = Similarity.bruteTopKL2(q, lakeNow, "vec_id",
-        "embedding", k).localCheckpoint(true)
-      val tsIds = preExact.filter(col("rank") === 1)
-        .select(col("neighbor_id")).distinct().localCheckpoint(true)
+      // steps 0-3 (build → drift → rebuild → vacuum) are a serial
+      // dependency chain over the ledger root; the forget set's
+      // probes + exact-rank-1 derivation (step 4's input) reads only
+      // the lake — overlap the two branches (graft.Par, guide §2.6);
+      // each branch's work is unchanged
+      val ((fired, sized, v1, kept, deleted, staleGone),
+           (q, preExact, tsIds)) = graft.Par.join2(
+        {
+          // (0) the standing state as ingest left it: sized at build n
+          val nl0 = Similarity.nlistFor(500L) // 16
+          val v0 = Similarity.annIndexVersion(nl0, m, ksub)
+          val (c0, cb0) = Similarity.ivfpqTrain(lake0, "vec_id",
+            "embedding", nl0, m, ksub, coarseIters = 1, pqIters = 1)
+          Similarity.persistIndex(s"$rootPath/ann_$v0", v0, c0, cb0,
+            Similarity.ivfpqEncode(lakeNow, "vec_id", "embedding",
+              c0, cb0, m))
+          // (1) drift: the advisor reads only the encoded ledger
+          val (_, _, encStale) =
+            Similarity.loadIndex(s, s"$rootPath/ann_$v0", v0)
+          val drift =
+            Similarity.indexGeometryDrift(encStale, nl0).head()
+          val fired0 = drift.getBoolean(
+            drift.fieldIndex("rebuild_recommended"))
+          val sized0 = drift.getLong(
+            drift.fieldIndex("sized_nlist_now")).toInt
+          // (2) rebuild at the advisor's OWN sizing, new versioned
+          // bundle — train+encode share the lake's residual pass
+          val v1b = Similarity.annIndexVersion(sized0, m, ksub)
+          val (c1, cb1, e1) = Similarity.ivfpqTrainEncode(lakeNow,
+            "vec_id", "embedding", sized0, m, ksub,
+            coarseIters = 1, pqIters = 1)
+          Similarity.persistIndex(s"$rootPath/ann_$v1b", v1b, c1,
+            cb1, e1)
+          // (3) vacuum: the superseded bundle is now a storage orphan
+          val (kept0, deleted0) = graft.sources.VersionedState
+            .vacuumRoot(s, rootPath, keep = Set(v1b))
+          val staleGone0 =
+            !Similarity.indexExists(s, s"$rootPath/ann_$v0", v0)
+          (fired0, sized0, v1b, kept0, deleted0, staleGone0)
+        },
+        {
+          // (4)'s input: each probe's exact rank-1 neighbor
+          val q0 = Similarity.stratifiedProbes(lakeNow, "vec_id", 16)
+            .localCheckpoint(true)
+          val pre = Similarity.bruteTopKL2(q0, lakeNow, "vec_id",
+            "embedding", k).localCheckpoint(true)
+          val ts = pre.filter(col("rank") === 1)
+            .select(col("neighbor_id")).distinct()
+            .localCheckpoint(true)
+          (q0, pre, ts)
+        })
       Similarity.annForget(s"$rootPath/ann_$v1", tsIds)
       // (5) compact: physical erasure, version surviving
       val (nb, na, _) =
@@ -3825,34 +3857,42 @@ object SparkEntry {
       val n = 2000L; val nlist = 64; val m = 8; val ksub = 16
       val lake = Similarity.hashBlobLake(s, n).localCheckpoint(true)
       val version = Similarity.annIndexVersion(nlist, m, ksub)
-      val (c0, cb0) = Similarity.ivfpqTrain(lake, "vec_id",
-        "embedding", nlist, m, ksub, coarseIters = 1, pqIters = 1)
-      val enc = Similarity.ivfpqEncode(lake, "vec_id", "embedding",
-        c0, cb0, m).localCheckpoint(true)
-      // scenario a+b: one bundle, compacted clean then forgotten into
-      val pA = annLedgerPath(version,
-        s"${Similarity.hashBlobLakeKey(n)}-cadvisor")
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(pA))
-      Similarity.persistIndex(pA, version, c0, cb0, enc)
-      Similarity.annCompact(s, pA, version) // byte-sized -> 1 file
-      val a = Similarity.compactAdvisor(s, pA, version)
-        .select(lit("a_compacted_quiet").as("branch"), col("*"))
-      val aRow = a.localCheckpoint(true)
-      Similarity.annForget(pA, lake
-        .filter(pmod(col("vec_id"), lit(100L)) === 0)
-        .select(col("vec_id"))) // 20 ids = 1%
-      val b = Similarity.compactAdvisor(s, pA, version)
-        .select(lit("b_tombstone_debt").as("branch"), col("*"))
-      // scenario c: deliberate 32-file write, no tombstones
-      val pC = annLedgerPath(version,
-        s"${Similarity.hashBlobLakeKey(n)}-cadvisor-files")
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(pC))
-      Similarity.persistIndex(pC, version, c0, cb0,
-        enc.repartition(32)) // explicit n: AQE never coalesces it
-      val cRow = Similarity.compactAdvisor(s, pC, version)
-        .select(lit("c_file_debt").as("branch"), col("*"))
+      val (c0, cb0, encRaw) = Similarity.ivfpqTrainEncode(lake,
+        "vec_id", "embedding", nlist, m, ksub,
+        coarseIters = 1, pqIters = 1)
+      val enc = encRaw.localCheckpoint(true)
+      // the two scenario bundles are independent standing state in
+      // their own paths — build the chains concurrently (graft.Par,
+      // guide §2.6); per-branch work unchanged
+      val ((aRow, b), cRow) = graft.Par.join2(
+        {
+          // scenario a+b: one bundle, compacted clean then forgotten
+          val pA = annLedgerPath(version,
+            s"${Similarity.hashBlobLakeKey(n)}-cadvisor")
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(pA))
+          Similarity.persistIndex(pA, version, c0, cb0, enc)
+          Similarity.annCompact(s, pA, version) // byte-sized -> 1 file
+          val a = Similarity.compactAdvisor(s, pA, version)
+            .select(lit("a_compacted_quiet").as("branch"), col("*"))
+          val aR = a.localCheckpoint(true)
+          Similarity.annForget(pA, lake
+            .filter(pmod(col("vec_id"), lit(100L)) === 0)
+            .select(col("vec_id"))) // 20 ids = 1%
+          (aR, Similarity.compactAdvisor(s, pA, version)
+            .select(lit("b_tombstone_debt").as("branch"), col("*")))
+        },
+        {
+          // scenario c: deliberate 32-file write, no tombstones
+          val pC = annLedgerPath(version,
+            s"${Similarity.hashBlobLakeKey(n)}-cadvisor-files")
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(pC))
+          Similarity.persistIndex(pC, version, c0, cb0,
+            enc.repartition(32)) // explicit n: AQE never coalesces it
+          Similarity.compactAdvisor(s, pC, version)
+            .select(lit("c_file_debt").as("branch"), col("*"))
+        })
       aRow.unionByName(b).unionByName(cRow)
         .orderBy(col("branch"))
     }),
@@ -3879,12 +3919,10 @@ object SparkEntry {
       val path = annLedgerPath(version,
         s"${Similarity.hashBlobLakeKey(n)}-celllayout")
       if (!Similarity.indexExists(s, path, version)) {
-        val (c0, cb0) = Similarity.ivfpqTrain(lake.drop("h4"),
-          "vec_id", "embedding", nlist, m, 16,
+        val (c0, cb0, e0) = Similarity.ivfpqTrainEncode(
+          lake.drop("h4"), "vec_id", "embedding", nlist, m, 16,
           coarseIters = 1, pqIters = 1)
-        Similarity.persistIndexCellLayout(path, version, c0, cb0,
-          Similarity.ivfpqEncode(lake.drop("h4"), "vec_id",
-            "embedding", c0, cb0, m))
+        Similarity.persistIndexCellLayout(path, version, c0, cb0, e0)
       }
       val (cents, codebook, enc0) =
         Similarity.loadIndexCellLayout(s, path, version)
@@ -4006,8 +4044,7 @@ object SparkEntry {
         ._3.select(cols: _*).localCheckpoint(true)
       val fullP = Similarity.loadIndexCellLayout(s, outFull, version)
         ._3.select(cols: _*).localCheckpoint(true)
-      val equal = inc.exceptAll(fullP).count() == 0L &&
-        fullP.exceptAll(inc).count() == 0L
+      val equal = rowSetEqual(inc, fullP)
       // search the promoted bundle over the GROWN lake
       val grown = lake0.unionByName(delta).localCheckpoint(true)
       val nGrown = grown.count()
@@ -4069,47 +4106,53 @@ object SparkEntry {
       val tsIds = preExact.filter(col("rank") <= 2)
         .select(col("neighbor_id")).distinct().localCheckpoint(true)
       val shardPaths = (0 until shards).map(sh => tmpDir(s"x130_s$sh"))
-      val built = (0 until shards).map { sh =>
+      // independent shard builds in their own paths — concurrent
+      // (graft.Par, guide §2.6), train+encode sharing each shard's
+      // residual pass (ivfpqTrainEncode); per-shard work unchanged
+      val built = graft.Par.run((0 until shards).map { sh => () =>
         val part = lake.filter(
           Similarity.annShardKey(col("vec_id"), shards) === sh.toLong)
           .localCheckpoint(true)
         val nPart = part.count()
         val nl = Similarity.nlistFor(nPart)
         val v = Similarity.annIndexVersion(nl, m, ksub)
-        val (c0, cb0) = Similarity.ivfpqTrain(part, "vec_id",
-          "embedding", nl, m, ksub, coarseIters = 1, pqIters = 1)
-        Similarity.persistIndex(shardPaths(sh), v, c0, cb0,
-          Similarity.ivfpqEncode(part, "vec_id", "embedding",
-            c0, cb0, m))
+        val (c0, cb0, e0) = Similarity.ivfpqTrainEncode(part,
+          "vec_id", "embedding", nl, m, ksub,
+          coarseIters = 1, pqIters = 1)
+        Similarity.persistIndex(shardPaths(sh), v, c0, cb0, e0)
         (sh, v, nl, nPart, part)
-      }
+      })
       // verifyRouting: the positional-contract guard is ON — each
       // shard's routed ids are proven present in ITS encoded set
       // before the tombstone lands (a mis-ordered shardPaths would
       // orphan deletes silently; round-10 review)
       Similarity.annForgetSharded(shardPaths, tsIds,
         verifyRouting = true, versions = built.map(_._2))
-      val tsCounts = (0 until shards).map(sh =>
-        Similarity.annTombstones(s, shardPaths(sh)).count())
-      // the advisor pane, unioned across shards (1 row per shard)
-      val advisorFired = built.map { case (sh, v, _, _, _) =>
-        Similarity.compactAdvisor(s, shardPaths(sh), v)
-          .select(col("compact_recommended")).head().getBoolean(0)
-      }.count(identity)
-      var erased = 0L
-      val perShard = built.map { case (sh, v, nl, nPart, part) =>
-        val (nb, na, _) = Similarity.annCompact(s, shardPaths(sh), v, 1)
-        erased += nb - na
-        val (cents, codebook, enc) =
-          Similarity.loadIndex(s, shardPaths(sh), v)
-        val live = Similarity.liveEncoded(enc,
-          Similarity.annTombstones(s, shardPaths(sh)))
-        val np = Similarity.nprobeFor(nl)
-        Similarity.ivfpqSearchEncoded(q, "vec_id", "embedding", live,
-          cents, codebook, k, np, m,
-          rerank = Similarity.rerankFor(nPart, nl, np),
-          rerankSource = Some(part))
-      }
+      // per-shard tombstone counts, advisor panes, compacts, and
+      // search branches all touch disjoint shard state — concurrent
+      // per shard (graft.Par); same per-shard work, same values
+      val shardRes = graft.Par.run(
+        built.map { case (sh, v, nl, nPart, part) => () =>
+          val ts = Similarity.annTombstones(s, shardPaths(sh)).count()
+          val fired = Similarity.compactAdvisor(s, shardPaths(sh), v)
+            .select(col("compact_recommended")).head().getBoolean(0)
+          val (nb, na, _) =
+            Similarity.annCompact(s, shardPaths(sh), v, 1)
+          val (cents, codebook, enc) =
+            Similarity.loadIndex(s, shardPaths(sh), v)
+          val live = Similarity.liveEncoded(enc,
+            Similarity.annTombstones(s, shardPaths(sh)))
+          val np = Similarity.nprobeFor(nl)
+          (ts, fired, nb - na,
+            Similarity.ivfpqSearchEncoded(q, "vec_id", "embedding",
+              live, cents, codebook, k, np, m,
+              rerank = Similarity.rerankFor(nPart, nl, np),
+              rerankSource = Some(part)))
+        })
+      val tsCounts = shardRes.map(_._1)
+      val advisorFired = shardRes.count(_._2)
+      val erased = shardRes.map(_._3).sum
+      val perShard = shardRes.map(_._4)
       val merged = Similarity.ivfpqMergeTopK(perShard, k)
         .localCheckpoint(true)
       val survivors = lake.join(tsIds,
@@ -4149,12 +4192,14 @@ object SparkEntry {
       // 17-table reference warehouse under the same gate; this pane
       // prices the driver-table medallion form.
       import graft.pipelines.Medallion
-      val mart = Medallion.runGated(s, dir, tmpDir("x131_lake"))
-        .localCheckpoint(true)
-      val plain = Medallion.run(s, dir, tmpDir("x131_plain"))
-        .localCheckpoint(true)
-      val martEqual = mart.exceptAll(plain).count() == 0L &&
-        plain.exceptAll(mart).count() == 0L
+      // gated and plain builds land in separate lake roots — run
+      // them concurrently (graft.Par, guide §2.6)
+      val (mart, plain) = graft.Par.join2(
+        Medallion.runGated(s, dir, tmpDir("x131_lake"))
+          .localCheckpoint(true),
+        Medallion.run(s, dir, tmpDir("x131_plain"))
+          .localCheckpoint(true))
+      val martEqual = rowSetEqual(mart, plain)
       // refusals must be THE GATE's, not any failure: match its
       // message (an IO error or OOM reading true here would keep the
       // pane green with the gate disabled — round-10 review)
@@ -4288,23 +4333,10 @@ object SparkEntry {
       val nl0 = Similarity.nlistFor(500L) // 16
       val v0 = Similarity.annIndexVersion(nl0, m, ksub)
       val pStale = tmpDir("x134_ann_stale")
-      val (c0, cb0) = Similarity.ivfpqTrain(lake0, "vec_id",
-        "embedding", nl0, m, ksub, coarseIters = 1, pqIters = 1)
-      Similarity.persistIndex(pStale, v0, c0, cb0,
-        Similarity.ivfpqEncode(lake, "vec_id", "embedding", c0, cb0, m))
-      Similarity.annCompact(s, pStale, v0) // file debt paid: only the
-      Similarity.annForget(pStale, lake   // tombstone rule can fire
-        .filter(pmod(col("vec_id"), lit(100L)) === 0)
-        .select(col("vec_id"))) // 20 ids = 1%
       // fresh bundle: right-sized for its population, compacted, clean
       val nl1 = Similarity.nlistFor(2000L) // 32
       val v1 = Similarity.annIndexVersion(nl1, m, ksub)
       val pFresh = tmpDir("x134_ann_fresh")
-      val (c1, cb1) = Similarity.ivfpqTrain(lake, "vec_id",
-        "embedding", nl1, m, ksub, coarseIters = 1, pqIters = 1)
-      Similarity.persistIndex(pFresh, v1, c1, cb1,
-        Similarity.ivfpqEncode(lake, "vec_id", "embedding", c1, cb1, m))
-      Similarity.annCompact(s, pFresh, v1)
       // text-tier ledgers (x132/x133's deterministic corpora)
       def dsir(docs: DataFrame, tag: String): String = {
         val p = tmpDir(s"x134_$tag")
@@ -4313,21 +4345,50 @@ object SparkEntry {
         Streams.dsirLedgerFold(docs, 0L, p, 4096)
         p
       }
-      val light = dsir(s.range(20).select(col("id").as("doc_id"),
-        concat(lit("alpha beta w"), col("id")).as("text"),
-        lit("en").as("lang")), "dsir_light")
-      val heavy = dsir(s.range(600).select(col("id").as("doc_id"),
-        concat_ws(" ", (0 until 6).map(j =>
-          concat(lit("w"), (col("id") * 6 + j).cast(StringType))): _*)
-          .as("text"),
-        lit("en").as("lang")), "dsir_heavy")
-      val bp = tmpDir("x134_bp")
-      graft.operators.Mutations.seedEmptyLedger(s, bp,
-        Streams.boilerplateLedgerSchema)
-      Streams.boilerplateLedgerFold(
-        s.range(40).select(col("id").as("doc_id"),
-          concat(lit("unique line "), col("id"), lit("\nfooter text"))
-            .as("text")), 0L, bp)
+      // five independent fixture builds in their own paths — run
+      // concurrently (graft.Par, guide §2.6); per-branch work
+      // unchanged
+      val built = graft.Par.run[Any](Seq(
+        () => {
+          val (c0, cb0) = Similarity.ivfpqTrain(lake0, "vec_id",
+            "embedding", nl0, m, ksub, coarseIters = 1, pqIters = 1)
+          Similarity.persistIndex(pStale, v0, c0, cb0,
+            Similarity.ivfpqEncode(lake, "vec_id", "embedding",
+              c0, cb0, m))
+          Similarity.annCompact(s, pStale, v0) // file debt paid: only
+          Similarity.annForget(pStale, lake // the tombstone rule fires
+            .filter(pmod(col("vec_id"), lit(100L)) === 0)
+            .select(col("vec_id"))) // 20 ids = 1%
+        },
+        () => {
+          // train+encode share the residual pass (same corpus)
+          val (c1, cb1, e1) = Similarity.ivfpqTrainEncode(lake,
+            "vec_id", "embedding", nl1, m, ksub,
+            coarseIters = 1, pqIters = 1)
+          Similarity.persistIndex(pFresh, v1, c1, cb1, e1)
+          Similarity.annCompact(s, pFresh, v1)
+        },
+        () => dsir(s.range(20).select(col("id").as("doc_id"),
+          concat(lit("alpha beta w"), col("id")).as("text"),
+          lit("en").as("lang")), "dsir_light"),
+        () => dsir(s.range(600).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 6).map(j =>
+            concat(lit("w"), (col("id") * 6 + j).cast(StringType))): _*)
+            .as("text"),
+          lit("en").as("lang")), "dsir_heavy"),
+        () => {
+          val p = tmpDir("x134_bp")
+          graft.operators.Mutations.seedEmptyLedger(s, p,
+            Streams.boilerplateLedgerSchema)
+          Streams.boilerplateLedgerFold(
+            s.range(40).select(col("id").as("doc_id"),
+              concat(lit("unique line "), col("id"),
+                lit("\nfooter text")).as("text")), 0L, p)
+          p
+        }))
+      val light = built(2).asInstanceOf[String]
+      val heavy = built(3).asInstanceOf[String]
+      val bp = built(4).asInstanceOf[String]
       Advisors.opsConsole(s,
         annBundles = Seq(
           ("ann_stale_2k_on_500geo", pStale, v0, nl0),
@@ -4361,31 +4422,40 @@ object SparkEntry {
           splitFiles = 4, promoteEvery = 2, tag = "st25")
       val nBatches = s.read.parquet(encodedPath)
         .select(col("__bid")).distinct().count()
-      val outFull = tmpDir("st25_full")
-      Similarity.promoteIngestLedger(s, defPath, version, encodedPath,
-        outFull)
       val cols = Seq("cell", "neighbor_id", "sub", "code").map(col)
-      val streamed = Similarity
-        .loadIndexCellLayout(s, bundlePath, version)
-        ._3.select(cols: _*).localCheckpoint(true)
-      val full = Similarity.loadIndexCellLayout(s, outFull, version)
-        ._3.select(cols: _*).localCheckpoint(true)
-      val equal = streamed.exceptAll(full).count() == 0L &&
-        full.exceptAll(streamed).count() == 0L
-      val (cents, codebook, enc0) =
-        Similarity.loadIndexCellLayout(s, bundlePath, version)
-      val live = Similarity.liveEncoded(enc0,
-        Similarity.annTombstones(s, bundlePath)) // the x119 contract
       val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
         .localCheckpoint(true)
-      val np = Similarity.nprobeFor(nlist)
-      val (cells, got) = Similarity.ivfpqSearchPruned(q, "vec_id",
-        "embedding", live, cents, codebook, k, np, m,
-        rerank = Similarity.rerankFor(n, nlist, np),
-        rerankSource = Some(lake))
-      val filesRead = live
-        .filter(col("cell").isInCollection(cells.toSeq))
-        .select(input_file_name()).distinct().count()
+      // the full-promote equality twin and the search chain read
+      // disjoint state (a fresh outFull bundle vs the streamed
+      // bundle) — overlap them (graft.Par, guide §2.6)
+      val (equal, (cells, got, filesRead)) = graft.Par.join2(
+        {
+          val outFull = tmpDir("st25_full")
+          Similarity.promoteIngestLedger(s, defPath, version,
+            encodedPath, outFull)
+          val streamed = Similarity
+            .loadIndexCellLayout(s, bundlePath, version)
+            ._3.select(cols: _*).localCheckpoint(true)
+          val full = Similarity
+            .loadIndexCellLayout(s, outFull, version)
+            ._3.select(cols: _*).localCheckpoint(true)
+          rowSetEqual(streamed, full)
+        },
+        {
+          val (cents, codebook, enc0) =
+            Similarity.loadIndexCellLayout(s, bundlePath, version)
+          val live = Similarity.liveEncoded(enc0,
+            Similarity.annTombstones(s, bundlePath)) // x119 contract
+          val np = Similarity.nprobeFor(nlist)
+          val (cells0, got0) = Similarity.ivfpqSearchPruned(q,
+            "vec_id", "embedding", live, cents, codebook, k, np, m,
+            rerank = Similarity.rerankFor(n, nlist, np),
+            rerankSource = Some(lake))
+          val fr = live
+            .filter(col("cell").isInCollection(cells0.toSeq))
+            .select(input_file_name()).distinct().count()
+          (cells0, got0, fr)
+        })
       val exact = Similarity.bruteTopKL2(q, lake, "vec_id",
         "embedding", k)
       exact.as("b").join(got.as("l"),
@@ -4424,7 +4494,8 @@ object SparkEntry {
         .withColumn("h4", pmod(xxhash64(col("vec_id")), lit(4L)))
         .localCheckpoint(true)
       val shardKey = Similarity.annShardKey(col("vec_id"), shards)
-      val built = (0 until shards).map { sh =>
+      // independent per-shard guard-builds — concurrent (graft.Par)
+      val built = graft.Par.run((0 until shards).map { sh => () =>
         val part = lake.drop("h4").filter(shardKey === sh.toLong)
           .localCheckpoint(true)
         val nl = Similarity.nlistFor(part.count())
@@ -4432,14 +4503,13 @@ object SparkEntry {
         val path = annLedgerPath(v,
           s"${Similarity.hashBlobLakeKey(n)}-sh$sh-of$shards-cells")
         if (!Similarity.indexExists(s, path, v)) {
-          val (c0, cb0) = Similarity.ivfpqTrain(part, "vec_id",
-            "embedding", nl, m, ksub, coarseIters = 1, pqIters = 1)
-          Similarity.persistIndexCellLayout(path, v, c0, cb0,
-            Similarity.ivfpqEncode(part, "vec_id", "embedding",
-              c0, cb0, m))
+          val (c0, cb0, e0) = Similarity.ivfpqTrainEncode(part,
+            "vec_id", "embedding", nl, m, ksub,
+            coarseIters = 1, pqIters = 1)
+          Similarity.persistIndexCellLayout(path, v, c0, cb0, e0)
         }
         (path, v)
-      }
+      })
       val q = Similarity.stratifiedProbes(lake, "vec_id", 4)
         .drop("h4").localCheckpoint(true)
       val pred = col("h4") < 2 // 50%, geometry-uncorrelated
@@ -4518,25 +4588,9 @@ object SparkEntry {
       val nl0 = Similarity.nlistFor(500L)
       val v0 = Similarity.annIndexVersion(nl0, m, ksub)
       val pAcc = tmpDir("x136_ann_accreted")
-      val (c0, cb0) = Similarity.ivfpqTrain(lake0, "vec_id",
-        "embedding", nl0, m, ksub, coarseIters = 1, pqIters = 1)
-      Similarity.persistIndex(pAcc, v0, c0, cb0,
-        Similarity.ivfpqEncode(lake, "vec_id", "embedding", c0, cb0, m))
-      Similarity.annCompact(s, pAcc, v0) // file debt paid up front
-      // tombstoned: right-sized, compacted, then 1% forgotten
       val nl1 = Similarity.nlistFor(2000L)
       val v1 = Similarity.annIndexVersion(nl1, m, ksub)
       val pTs = tmpDir("x136_ann_tombstoned")
-      val (c1, cb1) = Similarity.ivfpqTrain(lake, "vec_id",
-        "embedding", nl1, m, ksub, coarseIters = 1, pqIters = 1)
-      Similarity.persistIndex(pTs, v1, c1, cb1,
-        Similarity.ivfpqEncode(lake, "vec_id", "embedding", c1, cb1, m))
-      Similarity.annCompact(s, pTs, v1)
-      Similarity.annForget(pTs, lake
-        .filter(pmod(col("vec_id"), lit(100L)) === 0)
-        .select(col("vec_id"))) // 20 ids = 1%
-      // text tier: x133's corpora; the heavy one keeps its 3-batch
-      // history (what a deployment replays on re-fold)
       val light = s.range(20).select(col("id").as("doc_id"),
         concat(lit("alpha beta w"), col("id")).as("text"),
         lit("en").as("lang"))
@@ -4552,17 +4606,48 @@ object SparkEntry {
         Streams.dsirLedgerFold(docs, 0L, p, 4096)
         p
       }
-      val pHeavy = dsirAt(heavy, "dsir_heavy")
-      val pLight = dsirAt(light, "dsir_light")
+      // the five fixture estates/ledgers are independent standing
+      // state in their own paths — build them concurrently
+      // (graft.Par, guide §2.6); each branch's work is unchanged
+      val built = graft.Par.run[Any](Seq(
+        () => { // accreted: trained for 500, carrying 2000
+          val (c0, cb0) = Similarity.ivfpqTrain(lake0, "vec_id",
+            "embedding", nl0, m, ksub, coarseIters = 1, pqIters = 1)
+          Similarity.persistIndex(pAcc, v0, c0, cb0,
+            Similarity.ivfpqEncode(lake, "vec_id", "embedding",
+              c0, cb0, m))
+          Similarity.annCompact(s, pAcc, v0) // file debt paid up front
+        },
+        () => { // tombstoned: right-sized, compacted, 1% forgotten
+          // train+encode share the residual pass (same corpus)
+          val (c1, cb1, e1) = Similarity.ivfpqTrainEncode(lake,
+            "vec_id", "embedding", nl1, m, ksub,
+            coarseIters = 1, pqIters = 1)
+          Similarity.persistIndex(pTs, v1, c1, cb1, e1)
+          Similarity.annCompact(s, pTs, v1)
+          Similarity.annForget(pTs, lake
+            .filter(pmod(col("vec_id"), lit(100L)) === 0)
+            .select(col("vec_id"))) // 20 ids = 1%
+        },
+        // text tier: x133's corpora; the heavy one keeps its 3-batch
+        // history (what a deployment replays on re-fold)
+        () => dsirAt(heavy, "dsir_heavy"),
+        () => dsirAt(light, "dsir_light"),
+        () => {
+          val pBp = tmpDir("x136_bp")
+          graft.operators.Mutations.seedEmptyLedger(s, pBp,
+            Streams.boilerplateLedgerSchema)
+          Streams.boilerplateLedgerFold(
+            s.range(40).select(col("id").as("doc_id"),
+              concat(lit("unique line "), col("id"),
+                lit("\nfooter text")).as("text")), 0L, pBp)
+          pBp
+        }))
+      val pHeavy = built(2).asInstanceOf[String]
+      val pLight = built(3).asInstanceOf[String]
+      val pBp = built(4).asInstanceOf[String]
       val history = (0 until 3).map(i =>
         heavy.filter(pmod(col("doc_id"), lit(3L)) === i.toLong))
-      val pBp = tmpDir("x136_bp")
-      graft.operators.Mutations.seedEmptyLedger(s, pBp,
-        Streams.boilerplateLedgerSchema)
-      Streams.boilerplateLedgerFold(
-        s.range(40).select(col("id").as("doc_id"),
-          concat(lit("unique line "), col("id"), lit("\nfooter text"))
-            .as("text")), 0L, pBp)
       val loop = Advisors.opsLoop(s,
         ann = Seq(
           Advisors.AnnOps("ann_accreted", pAcc, v0, nl0, lake, m,
@@ -4637,8 +4722,7 @@ object SparkEntry {
         .select(col("b"), col("ct"), col("cq"))
       val resized = counts(newPath).localCheckpoint(true)
       val fresh = counts(freshPath).localCheckpoint(true)
-      val ledgerEqual = resized.exceptAll(fresh).count() == 0L &&
-        fresh.exceptAll(resized).count() == 0L
+      val ledgerEqual = rowSetEqual(resized, fresh)
       def weights(led: DataFrame) = TextOps.dsirWeightsFrom(heavy,
         col("doc_id"),
         TextOps.dsirFeatures(heavy, col("doc_id"), col("text"),
@@ -4646,8 +4730,7 @@ object SparkEntry {
         led, sized)
       val w1 = weights(resized).localCheckpoint(true)
       val w2 = weights(fresh).localCheckpoint(true)
-      val weightsEqual = w1.exceptAll(w2).count() == 0L &&
-        w2.exceptAll(w1).count() == 0L
+      val weightsEqual = rowSetEqual(w1, w2)
       s.range(1).select(
         lit(bAdv.getAs[Long]("nb")).as("old_nb"),
         lit(firedBefore && fired).as("rebuild_fired"),
@@ -4731,35 +4814,42 @@ object SparkEntry {
       val cols = Seq("cell", "neighbor_id", "sub", "code").map(col)
       val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
         .localCheckpoint(true)
-      var equalAll = true; var noopAll = true; var filesEq = true
-      val perShard = state.map { case (defP, v, ledgerP, bundleP) =>
-        val outFull = tmpDir(s"st26_full_${v}_${bundleP.hashCode}")
-        Similarity.promoteIngestLedger(s, defP, v, ledgerP, outFull)
-        val streamed = Similarity.loadIndexCellLayout(s, bundleP, v)
-          ._3.select(cols: _*).localCheckpoint(true)
-        val full = Similarity.loadIndexCellLayout(s, outFull, v)
-          ._3.select(cols: _*).localCheckpoint(true)
-        equalAll &&= streamed.exceptAll(full).count() == 0L &&
-          full.exceptAll(streamed).count() == 0L
-        val (nb2, cells2, _) = Similarity
-          .promoteIngestLedgerIncremental(s, defP, v, ledgerP, bundleP)
-        noopAll &&= nb2 == 0L && cells2 == 0L
-        val (cents, codebook, enc0) =
-          Similarity.loadIndexCellLayout(s, bundleP, v)
-        val live = Similarity.liveEncoded(enc0,
-          Similarity.annTombstones(s, bundleP))
-        val nl = cents.count().toInt
-        val np = Similarity.nprobeFor(nl)
-        val (cells, got) = Similarity.ivfpqSearchPruned(q, "vec_id",
-          "embedding", live, cents, codebook, k, np, m,
-          rerank = Similarity.rerankFor(n / 2, nl, np),
-          rerankSource = Some(lake))
-        filesEq &&= live
-          .filter(col("cell").isInCollection(cells.toSeq))
-          .select(input_file_name()).distinct().count() ==
-          cells.length.toLong
-        got
-      }
+      // per-shard verification chains touch disjoint shard state —
+      // concurrent per shard (graft.Par, guide §2.6); same per-shard
+      // work, same witnessed values
+      val shardRes = graft.Par.run(
+        state.map { case (defP, v, ledgerP, bundleP) => () =>
+          val outFull = tmpDir(s"st26_full_${v}_${bundleP.hashCode}")
+          Similarity.promoteIngestLedger(s, defP, v, ledgerP, outFull)
+          val streamed = Similarity.loadIndexCellLayout(s, bundleP, v)
+            ._3.select(cols: _*).localCheckpoint(true)
+          val full = Similarity.loadIndexCellLayout(s, outFull, v)
+            ._3.select(cols: _*).localCheckpoint(true)
+          val eq = rowSetEqual(streamed, full)
+          val (nb2, cells2, _) = Similarity
+            .promoteIngestLedgerIncremental(s, defP, v, ledgerP,
+              bundleP)
+          val noop = nb2 == 0L && cells2 == 0L
+          val (cents, codebook, enc0) =
+            Similarity.loadIndexCellLayout(s, bundleP, v)
+          val live = Similarity.liveEncoded(enc0,
+            Similarity.annTombstones(s, bundleP))
+          val nl = cents.count().toInt
+          val np = Similarity.nprobeFor(nl)
+          val (cells, got) = Similarity.ivfpqSearchPruned(q, "vec_id",
+            "embedding", live, cents, codebook, k, np, m,
+            rerank = Similarity.rerankFor(n / 2, nl, np),
+            rerankSource = Some(lake))
+          val fEq = live
+            .filter(col("cell").isInCollection(cells.toSeq))
+            .select(input_file_name()).distinct().count() ==
+            cells.length.toLong
+          (eq, noop, fEq, got)
+        })
+      val equalAll = shardRes.forall(_._1)
+      val noopAll = shardRes.forall(_._2)
+      val filesEq = shardRes.forall(_._3)
+      val perShard = shardRes.map(_._4)
       val merged = Similarity.ivfpqMergeTopK(perShard, k)
       val exact = Similarity.bruteTopKL2(q, lake, "vec_id",
         "embedding", k)
@@ -4806,11 +4896,10 @@ object SparkEntry {
       val path = annLedgerPath(version,
         s"${Similarity.hashBlobLakeKey(n)}-celllayout")
       if (!Similarity.indexExists(s, path, version)) {
-        val (c0, cb0) = Similarity.ivfpqTrain(lake, "vec_id",
-          "embedding", nlist, m, 16, coarseIters = 1, pqIters = 1)
-        Similarity.persistIndexCellLayout(path, version, c0, cb0,
-          Similarity.ivfpqEncode(lake, "vec_id", "embedding",
-            c0, cb0, m))
+        val (c0, cb0, e0) = Similarity.ivfpqTrainEncode(lake,
+          "vec_id", "embedding", nlist, m, 16,
+          coarseIters = 1, pqIters = 1)
+        Similarity.persistIndexCellLayout(path, version, c0, cb0, e0)
       }
       val (cents, codebook, enc0) =
         Similarity.loadIndexCellLayout(s, path, version)
@@ -4823,22 +4912,30 @@ object SparkEntry {
       val q = lake.filter(pmod(col("vec_id"), lit(64L)) < 12 &&
           col("vec_id") < 256).localCheckpoint(true)
       val rr = Similarity.rerankFor(n, nlist, nprobe)
-      val (cellsU, unbatched0) = Similarity.ivfpqSearchPruned(q,
-        "vec_id", "embedding", encoded, cents, codebook, k, nprobe,
-        m, rerank = rr, rerankSource = Some(lake))
-      val unbatched = unbatched0.localCheckpoint(true)
-      val (subCells, batched0) = Similarity.ivfpqSearchPrunedBatched(
-        q, "vec_id", "embedding", encoded, cents, codebook, k,
-        nprobe, m, rerank = rr, rerankSource = Some(lake),
-        cellBudget = budget)
-      val batched = batched0.localCheckpoint(true)
-      val equal = batched.exceptAll(unbatched).count() == 0L &&
-        unbatched.exceptAll(batched).count() == 0L
-      val filesEq = subCells.forall { cells =>
-        encoded.filter(col("cell").isInCollection(cells.toSeq))
-          .select(input_file_name()).distinct().count() ==
-          cells.length.toLong
-      }
+      // the unbatched and batched scans are independent read-only
+      // consumers of the same bundle — overlap them (graft.Par)
+      val ((cellsU, unbatched), (subCells, batched)) =
+        graft.Par.join2(
+          {
+            val (c, u) = Similarity.ivfpqSearchPruned(q,
+              "vec_id", "embedding", encoded, cents, codebook, k,
+              nprobe, m, rerank = rr, rerankSource = Some(lake))
+            (c, u.localCheckpoint(true))
+          },
+          {
+            val (sc, b) = Similarity.ivfpqSearchPrunedBatched(
+              q, "vec_id", "embedding", encoded, cents, codebook, k,
+              nprobe, m, rerank = rr, rerankSource = Some(lake),
+              cellBudget = budget)
+            (sc, b.localCheckpoint(true))
+          })
+      val (equal, filesEq) = graft.Par.join2(
+        rowSetEqual(batched, unbatched),
+        graft.Par.run(subCells.map { cells => () =>
+          encoded.filter(col("cell").isInCollection(cells.toSeq))
+            .select(input_file_name()).distinct().count() ==
+            cells.length.toLong
+        }).forall(identity))
       val exact = Similarity.bruteTopKL2(q, lake, "vec_id",
         "embedding", k)
       exact.as("b").join(batched.as("l"),
@@ -4899,11 +4996,10 @@ object SparkEntry {
       val nl0 = Similarity.nlistFor(n)
       val v0 = Similarity.annIndexVersion(nl0, m, ksub)
       val p0 = tmpDir("x140_shard0")
-      val (c0, cb0) = Similarity.ivfpqTrain(lake, "vec_id",
-        "embedding", nl0, m, ksub, coarseIters = 1, pqIters = 1)
-      Similarity.persistIndexCellLayout(p0, v0, c0, cb0,
-        Similarity.ivfpqEncode(lake, "vec_id", "embedding",
-          c0, cb0, m))
+      val (c0, cb0, enc0) = Similarity.ivfpqTrainEncode(lake,
+        "vec_id", "embedding", nl0, m, ksub,
+        coarseIters = 1, pqIters = 1)
+      Similarity.persistIndexCellLayout(p0, v0, c0, cb0, enc0)
       val forgotten = lake
         .filter(pmod(col("vec_id"), lit(100L)) === 0L)
         .select(col("vec_id")).localCheckpoint(true) // 20 ids = 1%
@@ -4914,44 +5010,64 @@ object SparkEntry {
           cellClamp = 16)))
       val est = loop.estates.head
       val shards = est.shardPaths.length
-      val newEnc = est.shardPaths.zip(est.versions).map {
-        case (p, v) =>
+      // per-shard loads/counts and the fresh-build twins all target
+      // DISJOINT shard state — run the independent branches
+      // concurrently (graft.Par, guide §2.6); every count/equality
+      // below is the same computation as the serial form
+      val newEnc = graft.Par.run(
+        est.shardPaths.zip(est.versions).map { case (p, v) => () =>
           val (_, _, e) = Similarity.loadIndexCellLayout(s, p, v)
           Similarity.liveEncoded(e, Similarity.annTombstones(s, p))
             .localCheckpoint(true)
-      }
+        })
       val fTag = forgotten.withColumnRenamed("vec_id", "neighbor_id")
-      val misrouted = newEnc.zipWithIndex.map { case (e, sh) =>
-        e.select(col("neighbor_id")).distinct()
-          .filter(Similarity.annShardKey(col("neighbor_id"), shards)
-            =!= sh.toLong).count()
-      }.sum
-      val resurfaced = newEnc.map(
-        _.join(fTag, Seq("neighbor_id"), "left_semi").count()).sum
-      val unionIds = newEnc.map(_.select(col("neighbor_id")))
-        .reduce(_.unionAll(_)).distinct().localCheckpoint(true)
       val liveLake = lake.join(forgotten, Seq("vec_id"), "left_anti")
         .localCheckpoint(true)
-      val contentOk = unionIds.count() == liveLake.count() &&
-        unionIds.join(liveLake.select(col("vec_id")
-          .as("neighbor_id")), Seq("neighbor_id"), "left_anti")
-          .count() == 0L
-      // carry+compact == fresh-build-then-logical-filter, per shard
+      // carry+compact == fresh-build-then-logical-filter, per shard:
+      // the fresh twin is an expensive lazy plan (train + encode), so
+      // checkpoint it ONCE and compare in one symmetric-difference
+      // action — the two-direction exceptAll form evaluated the whole
+      // fresh pipeline twice
       val cols = Seq("cell", "neighbor_id", "sub", "code").map(col)
-      val freshEqual = (0 until shards).forall { sh =>
+      def freshTwinEqual(sh: Int): Boolean = {
         val subset = lake.filter(
           Similarity.annShardKey(col("vec_id"), shards) === sh.toLong)
         val nl = Similarity.nlistFor(subset.count())
-        val (c1, cb1) = Similarity.ivfpqTrain(subset, "vec_id",
-          "embedding", nl, m, ksub, coarseIters = 1, pqIters = 1)
-        val fresh = Similarity.ivfpqEncode(subset, "vec_id",
-          "embedding", c1, cb1, m)
+        val (c1, cb1, e1) = Similarity.ivfpqTrainEncode(subset,
+          "vec_id", "embedding", nl, m, ksub,
+          coarseIters = 1, pqIters = 1)
+        val fresh = e1
           .join(fTag, Seq("neighbor_id"), "left_anti")
-          .select(cols: _*)
+          .select(cols: _*).localCheckpoint(true)
         val got = newEnc(sh).select(cols: _*)
-        got.exceptAll(fresh).count() == 0L &&
-          fresh.exceptAll(got).count() == 0L
+        rowSetEqual(got, fresh)
       }
+      val witnessed = graft.Par.run[Any](
+        newEnc.zipWithIndex.map { case (e, sh) => () =>
+          e.select(col("neighbor_id")).distinct()
+            .filter(Similarity.annShardKey(col("neighbor_id"), shards)
+              =!= sh.toLong).count()
+        } ++
+        newEnc.map { e => () =>
+          e.join(fTag, Seq("neighbor_id"), "left_semi").count()
+        } ++
+        Seq[() => Any](
+          () => {
+            val unionIds = newEnc.map(_.select(col("neighbor_id")))
+              .reduce(_.unionAll(_)).distinct().localCheckpoint(true)
+            unionIds.count() == liveLake.count() &&
+              unionIds.join(liveLake.select(col("vec_id")
+                .as("neighbor_id")), Seq("neighbor_id"), "left_anti")
+                .count() == 0L
+          }) ++
+        (0 until shards).map(sh => () => freshTwinEqual(sh)))
+      val misrouted = witnessed.take(shards)
+        .map(_.asInstanceOf[Long]).sum
+      val resurfaced = witnessed.slice(shards, 2 * shards)
+        .map(_.asInstanceOf[Long]).sum
+      val contentOk = witnessed(2 * shards).asInstanceOf[Boolean]
+      val freshEqual = witnessed.drop(2 * shards + 1)
+        .forall(_.asInstanceOf[Boolean])
       // the delete lifecycle against the NEW routing, mechanically
       // verified (annForgetSharded's verifyRouting reads each
       // shard's encoded set and fails on any orphan)
@@ -4962,8 +5078,8 @@ object SparkEntry {
         verifyRouting = true, versions = est.versions)
       val q = Similarity.stratifiedProbes(lake, "vec_id", 16)
         .localCheckpoint(true)
-      val perShard = est.shardPaths.zip(est.versions).map {
-        case (p, v) =>
+      val perShard = graft.Par.run(
+        est.shardPaths.zip(est.versions).map { case (p, v) => () =>
           val (cents, codebook, e0) =
             Similarity.loadIndexCellLayout(s, p, v)
           val live = Similarity.liveEncoded(e0,
@@ -4974,7 +5090,7 @@ object SparkEntry {
             live, cents, codebook, k, np, m,
             rerank = Similarity.rerankFor(n / shards, nl, np),
             rerankSource = Some(lake))._2
-      }
+        })
       val merged = Similarity.ivfpqMergeTopK(perShard, k)
       val exact = Similarity.bruteTopKL2(q,
         liveLake.join(sample, Seq("vec_id"), "left_anti"),
@@ -5030,11 +5146,10 @@ object SparkEntry {
       val path = annLedgerPath(version,
         s"${Similarity.hashBlobLakeKey(n)}-celllayout")
       if (!Similarity.indexExists(s, path, version)) {
-        val (c0, cb0) = Similarity.ivfpqTrain(lake, "vec_id",
-          "embedding", nlist, m, ksub, coarseIters = 1, pqIters = 1)
-        Similarity.persistIndexCellLayout(path, version, c0, cb0,
-          Similarity.ivfpqEncode(lake, "vec_id", "embedding",
-            c0, cb0, m))
+        val (c0, cb0, e0) = Similarity.ivfpqTrainEncode(lake,
+          "vec_id", "embedding", nlist, m, ksub,
+          coarseIters = 1, pqIters = 1)
+        Similarity.persistIndexCellLayout(path, version, c0, cb0, e0)
       }
       val light = s.range(20).select(col("id").as("doc_id"),
         concat(lit("alpha beta w"), col("id")).as("text"),
@@ -5100,12 +5215,10 @@ object SparkEntry {
       val path = annLedgerPath(version,
         s"${Similarity.hashBlobLakeKey(n)}-celllayout")
       if (!Similarity.indexExists(s, path, version)) {
-        val (c0, cb0) = Similarity.ivfpqTrain(lake.drop("h4"),
-          "vec_id", "embedding", nlist, m, 16,
+        val (c0, cb0, e0) = Similarity.ivfpqTrainEncode(
+          lake.drop("h4"), "vec_id", "embedding", nlist, m, 16,
           coarseIters = 1, pqIters = 1)
-        Similarity.persistIndexCellLayout(path, version, c0, cb0,
-          Similarity.ivfpqEncode(lake.drop("h4"), "vec_id",
-            "embedding", c0, cb0, m))
+        Similarity.persistIndexCellLayout(path, version, c0, cb0, e0)
       }
       val (cents, codebook, enc0) =
         Similarity.loadIndexCellLayout(s, path, version)
@@ -5117,16 +5230,23 @@ object SparkEntry {
       val q = lake.filter(pmod(col("vec_id"), lit(64L)) < 12 &&
           col("vec_id") < 256).drop("h4").localCheckpoint(true)
       val pred = col("h4") < 2 // 50%, geometry-uncorrelated
-      val r0 = Similarity.annTopKFilteredRouted(q, lake, "vec_id",
-        "embedding", pred, k, encoded, cents, codebook, nlist, m,
-        bruteCutoff = 0L, pruneCells = true)
-      val rb = Similarity.annTopKFilteredRouted(q, lake, "vec_id",
-        "embedding", pred, k, encoded, cents, codebook, nlist, m,
-        bruteCutoff = 0L, pruneCells = true, cellBudget = budget)
-      val res0 = r0.result.localCheckpoint(true)
-      val resB = rb.result.localCheckpoint(true)
-      val equal = resB.exceptAll(res0).count() == 0L &&
-        res0.exceptAll(resB).count() == 0L
+      // the unbatched and batched routes are independent read-only
+      // consumers of the same bundle — overlap their construction-
+      // time preflights and checkpoints (graft.Par, guide §2.6)
+      val ((r0, res0), (rb, resB)) = graft.Par.join2(
+        {
+          val r = Similarity.annTopKFilteredRouted(q, lake, "vec_id",
+            "embedding", pred, k, encoded, cents, codebook, nlist, m,
+            bruteCutoff = 0L, pruneCells = true)
+          (r, r.result.localCheckpoint(true))
+        },
+        {
+          val r = Similarity.annTopKFilteredRouted(q, lake, "vec_id",
+            "embedding", pred, k, encoded, cents, codebook, nlist, m,
+            bruteCutoff = 0L, pruneCells = true, cellBudget = budget)
+          (r, r.result.localCheckpoint(true))
+        })
+      val equal = rowSetEqual(resB, res0)
       val exact = Similarity.bruteTopKL2(q, lake.filter(pred),
         "vec_id", "embedding", k)
       val offPred = resB.join(

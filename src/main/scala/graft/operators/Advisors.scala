@@ -361,25 +361,36 @@ object Advisors {
         (e.name, e.shardPaths, e.versions, e.cellClamp)))
     val fired = before.filter(_.recommended)
       .map(r => (r.tier, r.ledger, r.action) -> r.param).toMap
-    var annNow = ann
-    var bpNow = bp
-    var dsirNow = dsir
-    var estNow = estates
-    val actions =
-      scala.collection.mutable.ArrayBuffer.empty[Row]
-    before.foreach { r =>
+    // every firing action targets ITS OWN registration (a compact
+    // whose ledger's rebuild also fired is superseded via `fired`,
+    // decided from the poll — never from execution order), so the
+    // executors are independent: run them CONCURRENTLY (graft.Par,
+    // guide §2.6 — a production scheduler runs maintenance actions
+    // as parallel jobs; the serial loop left the pool idle through
+    // every action's train/commit windows). Each thunk returns its
+    // action row plus a registration update, applied afterwards in
+    // row order — the same rows, same updates, as the serial form.
+    sealed trait Upd
+    case class AnnUpd(name: String, path: String, version: String,
+                      nlist: Int) extends Upd
+    case class EstUpd(name: String, paths: Seq[String],
+                      vers: Seq[String]) extends Upd
+    case class DsirUpd(name: String, path: String) extends Upd
+    case class BpUpd(name: String, maxDocs: Long) extends Upd
+    case object NoUpd extends Upd
+    val executed: Seq[(Row, Upd)] = graft.Par.run(before.map { r => () =>
       (r.tier, r.action) match {
         case ("ann", "rebuild") if r.recommended =>
-          val a = annNow.find(_.name == r.ledger).get
+          val a = ann.find(_.name == r.ledger).get
           val sized = r.param.toInt
           val newVersion =
             Similarity.annIndexVersion(sized, a.m, a.ksub)
           val newPath = a.rebuildPathFor(sized)
-          val (c1, cb1) = Similarity.ivfpqTrain(a.lake, a.idCol,
-            a.vecCol, sized, a.m, a.ksub,
+          // train+encode share the lake's residual pass (one corpus
+          // scan, not two — the ivfpqTrainEncode contract)
+          val (c1, cb1, enc1) = Similarity.ivfpqTrainEncode(a.lake,
+            a.idCol, a.vecCol, sized, a.m, a.ksub,
             coarseIters = a.coarseIters, pqIters = a.pqIters)
-          val enc1 = Similarity.ivfpqEncode(a.lake, a.idCol,
-            a.vecCol, c1, cb1, a.m)
           // the replacement keeps the old bundle's PHYSICAL LAYOUT:
           // a cell-layout estate rebuilt flat would silently lose the
           // probe→file-pruning contract (the ADVICE-r9 annCompact
@@ -404,35 +415,32 @@ object Advisors {
           // tombstones) or the very next poll fires on the bundle
           // this loop just built
           Similarity.annCompact(spark, newPath, newVersion)
-          annNow = annNow.map(x => if (x.name == a.name)
-            x.copy(path = newPath, version = newVersion,
-              trainedNlist = sized) else x)
-          actions += Row(r.tier, r.ledger, r.action, true,
-            s"rebuilt version=$newVersion")
+          (Row(r.tier, r.ledger, r.action, true,
+            s"rebuilt version=$newVersion"),
+            AnnUpd(a.name, newPath, newVersion, sized))
         case ("ann", "compact") if r.recommended =>
           if (fired.contains((r.tier, r.ledger, "rebuild")))
-            actions += Row(r.tier, r.ledger, r.action, false,
-              "superseded by rebuild")
+            (Row(r.tier, r.ledger, r.action, false,
+              "superseded by rebuild"), NoUpd)
           else {
-            val a = annNow.find(_.name == r.ledger).get
+            val a = ann.find(_.name == r.ledger).get
             val (nb, na, nf) =
               Similarity.annCompact(spark, a.path, a.version)
-            actions += Row(r.tier, r.ledger, r.action, true,
-              s"erased=${nb - na} files=$nf")
+            (Row(r.tier, r.ledger, r.action, true,
+              s"erased=${nb - na} files=$nf"), NoUpd)
           }
         case ("ann", "reshard") if r.recommended =>
-          val e = estNow.find(_.name == r.ledger).get
+          val e = estates.find(_.name == r.ledger).get
           val sized = r.param.toInt
           val (newPaths, newVers) = Similarity.annReshard(spark,
             e.shardPaths, e.lake, e.idCol, e.vecCol, e.m, e.ksub,
             sized, e.pathFor, e.coarseIters, e.pqIters)
-          estNow = estNow.map(x => if (x.name == e.name)
-            x.copy(shardPaths = newPaths, versions = newVers) else x)
-          actions += Row(r.tier, r.ledger, r.action, true,
+          (Row(r.tier, r.ledger, r.action, true,
             s"resharded shards=$sized versions=" +
-              newVers.distinct.mkString(","))
+              newVers.distinct.mkString(",")),
+            EstUpd(e.name, newPaths, newVers))
         case ("dsir", "rebuild") if r.recommended =>
-          val d = dsirNow.find(_.name == r.ledger).get
+          val d = dsir.find(_.name == r.ledger).get
           val (didFire, nbAfter, newPath, steps, quiet) =
             st.dsirLedgerRebuild(spark, d.path, d.rebuildPathFor,
               d.history)
@@ -443,11 +451,10 @@ object Advisors {
             require(didFire && nbAfter >= r.param,
               s"opsLoop: dsir rebuild disagreed with the console " +
                 s"(fired=$didFire nb=$nbAfter vs sized=${r.param})")
-            dsirNow = dsirNow.map(x => if (x.name == d.name)
-              x.copy(path = newPath) else x)
-            actions += Row(r.tier, r.ledger, r.action, true,
+            (Row(r.tier, r.ledger, r.action, true,
               s"refolded nb=$nbAfter steps=$steps " +
-                s"batches=${d.history.length}")
+                s"batches=${d.history.length}"),
+              DsirUpd(d.name, newPath))
           } else {
             // dsirLedgerRebuild's honest non-convergence (width at
             // the 2²⁴ clamp, or maxSteps exhausted): a legitimate
@@ -455,24 +462,45 @@ object Advisors {
             // the rest of the estate's actions (round-11 review);
             // any widening that DID land still moves the
             // registration forward
-            if (steps > 0)
-              dsirNow = dsirNow.map(x => if (x.name == d.name)
-                x.copy(path = newPath) else x)
-            actions += Row(r.tier, r.ledger, r.action, steps > 0,
+            (Row(r.tier, r.ledger, r.action, steps > 0,
               s"unresolved after $steps step(s): nb=$nbAfter still " +
                 "saturated (clamp or maxSteps) — feature-space " +
-                "reduction needed")
+                "reduction needed"),
+              if (steps > 0) DsirUpd(d.name, newPath) else NoUpd)
           }
         case ("boilerplate", "rethreshold") if r.recommended =>
-          val b = bpNow.find(_.name == r.ledger).get
+          val b = bp.find(_.name == r.ledger).get
           val derived = st.boilerplateThresholdFor(spark, b.path,
             b.targetFrac)
-          bpNow = bpNow.map(x => if (x.name == b.name)
-            x.copy(maxDocs = derived) else x)
-          actions += Row(r.tier, r.ledger, r.action, true,
-            s"max_docs=$derived")
+          (Row(r.tier, r.ledger, r.action, true,
+            s"max_docs=$derived"), BpUpd(b.name, derived))
         case _ =>
-          actions += Row(r.tier, r.ledger, r.action, false, "-")
+          (Row(r.tier, r.ledger, r.action, false, "-"), NoUpd)
+      }
+    })
+    var annNow = ann
+    var bpNow = bp
+    var dsirNow = dsir
+    var estNow = estates
+    val actions =
+      scala.collection.mutable.ArrayBuffer.empty[Row]
+    executed.foreach { case (row, upd) =>
+      actions += row
+      upd match {
+        case AnnUpd(name, path, version, nlist) =>
+          annNow = annNow.map(x => if (x.name == name)
+            x.copy(path = path, version = version,
+              trainedNlist = nlist) else x)
+        case EstUpd(name, paths, vers) =>
+          estNow = estNow.map(x => if (x.name == name)
+            x.copy(shardPaths = paths, versions = vers) else x)
+        case DsirUpd(name, path) =>
+          dsirNow = dsirNow.map(x => if (x.name == name)
+            x.copy(path = path) else x)
+        case BpUpd(name, maxDocs) =>
+          bpNow = bpNow.map(x => if (x.name == name)
+            x.copy(maxDocs = maxDocs) else x)
+        case NoUpd => ()
       }
     }
     val after = pollRows(spark,

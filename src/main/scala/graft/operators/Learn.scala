@@ -127,8 +127,17 @@ object Learn {
     val biasDf = if (biasDf0 == null) logisticBias(labels) else biasDf0
     // (id, b, v, y) — the training relation every pass re-reads;
     // eagerly materialized once (the x82 localCheckpoint idiom) so k
-    // iterations cost k passes, not an exponentially replayed lineage
-    val f = feat.join(labels, Seq("id")).localCheckpoint()
+    // iterations cost k passes, not an exponentially replayed lineage.
+    // Materialized HASH-PARTITIONED BY id (LogicalRDD preserves the
+    // checkpoint's output partitioning): every iteration both
+    // aggregates the scores by id and joins them back to f by id, so
+    // an unpartitioned f re-shuffles the whole training relation
+    // twice per pass — partitioned once here, the per-iteration plan
+    // keeps only the unavoidable by-bucket gradient exchange (guide
+    // §2.4, "two operations keyed the same way share one exchange").
+    // Decimal sums are order-exact, so the weights are unchanged.
+    val f = feat.join(labels, Seq("id"))
+      .repartition(col("id")).localCheckpoint()
     // per-bucket feature mass Σ_d v — the diagonal preconditioner:
     // dividing the gradient by it turns the step into lr × (average
     // residual on the bucket), bounded ±lr, so |w| ≤ lr·iters and the
@@ -283,6 +292,12 @@ object Learn {
         count(lit(1))).as("mi"))
     xi.join(broadcast(means), Seq("d"))
       .select(col("id"), col("d"), (col("xi") - col("mi")).as("xc"))
+      // NOT pre-partitioned by id (measured, round 12): hash-
+      // partitioning here would let the per-iteration id-joins skip
+      // their exchange, but the upfront n·D shuffle costs more than
+      // the iterations save at these D (the projection aggs reduce
+      // to n rows before exchanging; st20/x105 regressed ~12% with
+      // the repartition) — contrast logisticTrain's f, where it wins.
       .localCheckpoint()
   }
 

@@ -403,9 +403,11 @@ object Similarity {
                 m: Int = 8, ksub: Int = 16,
                 coarseIters: Int = 0, pqIters: Int = 0,
                 rerank: Int = 0): DataFrame = {
-    val (cents, codebook) = ivfpqTrain(corpus, idCol, vecCol,
-      nlist, m, ksub, coarseIters, pqIters)
-    val encoded = ivfpqEncode(corpus, idCol, vecCol, cents, codebook, m)
+    // train+encode share the corpus residual pass (the
+    // ivfpqTrainEncode contract) — the two-call form paid the
+    // assign+subtract scan twice
+    val (cents, codebook, encoded) = ivfpqTrainEncode(corpus, idCol,
+      vecCol, nlist, m, ksub, coarseIters, pqIters)
     ivfpqSearchEncoded(queries, idCol, vecCol, encoded, cents, codebook,
       k, nprobe, m, rerank, if (rerank > 0) Some(corpus) else None)
   }
@@ -432,6 +434,36 @@ object Similarity {
                  nlist: Int = 16, m: Int = 8, ksub: Int = 16,
                  coarseIters: Int = 0, pqIters: Int = 0)
       : (DataFrame, DataFrame) = {
+    val (cents, codebook, _) = ivfpqTrainCore(corpus, idCol, vecCol,
+      nlist, m, ksub, coarseIters, pqIters, keepResid = false)
+    (cents, codebook)
+  }
+
+  /** Train AND encode the SAME corpus, sharing the residual pass —
+    * the build shape every fresh bundle pays (`ivfpqTrain` then
+    * `ivfpqEncode` of the corpus just trained on): called separately,
+    * the full-corpus assign+subtract pass runs TWICE (once inside the
+    * train for the seed draw / refine, once again inside the encode);
+    * at 100 TB that second pass is a whole extra corpus scan+shuffle.
+    * This form materializes the residuals once (the train's existing
+    * checkpoint grain) and feeds both consumers. Same expressions,
+    * same fixed-point arithmetic — (cents, codebook, encoded) are
+    * bit-identical to the two-call form (Round21Spec pins it). */
+  def ivfpqTrainEncode(corpus: DataFrame, idCol: String,
+                       vecCol: String, nlist: Int = 16, m: Int = 8,
+                       ksub: Int = 16, coarseIters: Int = 0,
+                       pqIters: Int = 0)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (cents, codebook, resid) = ivfpqTrainCore(corpus, idCol,
+      vecCol, nlist, m, ksub, coarseIters, pqIters, keepResid = true)
+    (cents, codebook, encodeResiduals(resid, codebook, m))
+  }
+
+  private def ivfpqTrainCore(corpus: DataFrame, idCol: String,
+                             vecCol: String, nlist: Int, m: Int,
+                             ksub: Int, coarseIters: Int,
+                             pqIters: Int, keepResid: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
     val cents = ivfTrain(corpus, idCol, vecCol, nlist, coarseIters)
     // trained paths consume the RESIDUALS (the full-corpus assign +
     // subtract pass) once for the seed draw plus pqIters refine
@@ -439,9 +471,12 @@ object Similarity {
     // neither the seed subtree nor any Lloyd step re-runs the assign
     // (re-exploding subvectors from the checkpoint is cheap; the
     // assign is not). Untrained path consumes residuals once (seeds)
-    // and skips the materialization.
+    // and skips the materialization — unless the caller keeps the
+    // residuals for the encode (ivfpqTrainEncode), which always
+    // checkpoints so the shared pass runs exactly once.
     val resid0 = ivfpqResiduals(corpus, idCol, vecCol, cents)
-    val resid = if (pqIters > 0) resid0.localCheckpoint(true) else resid0
+    val resid = if (pqIters > 0 || keepResid)
+      resid0.localCheckpoint(true) else resid0
     val residSub = resid
       .select(col("neighbor_id"), explode(subvecs(col("__rv"), m)).as("s"))
       .select(col("neighbor_id"), col("s.sub").as("sub"),
@@ -452,7 +487,13 @@ object Similarity {
       .withColumn("code", row_number().over(seedW) - 1)
       .select(col("code"), explode(subvecs(col("__rv"), m)).as("s"))
       .select(col("s.sub").as("sub"), col("code"), col("s.sv").as("cbv"))
-    (cents, pqRefine(residSub, seeds, pqIters))
+    // the codebook is m·ksub KB-grain rows consumed repeatedly (the
+    // encode's broadcast, every search batch's dtable broadcast, the
+    // persist write) — materialize once at the definition grain so
+    // consumers stop re-running the seed draw + refine iterations
+    // (the ivfTrain checkpoint note, at the PQ tier)
+    (cents, pqRefine(residSub, seeds, pqIters).localCheckpoint(true),
+      resid)
   }
 
   /** Encode a batch against a FIXED index definition — the
@@ -465,7 +506,15 @@ object Similarity {
   def ivfpqEncode(batch: DataFrame, idCol: String, vecCol: String,
                   cents: DataFrame, codebook: DataFrame,
                   m: Int = 8): DataFrame =
-    ivfpqResiduals(batch, idCol, vecCol, cents)
+    encodeResiduals(ivfpqResiduals(batch, idCol, vecCol, cents),
+      codebook, m)
+
+  /** The code-assignment tail of [[ivfpqEncode]], split out so
+    * [[ivfpqTrainEncode]] can feed it the train's already-
+    * materialized residuals instead of re-running the assign pass. */
+  private def encodeResiduals(resid: DataFrame, codebook: DataFrame,
+                              m: Int): DataFrame =
+    resid
       .select(col("cell"), col("neighbor_id"),
         explode(subvecs(col("__rv"), m)).as("s"))
       .select(col("cell"), col("neighbor_id"), col("s.sub").as("sub"),
@@ -779,6 +828,15 @@ object Similarity {
       .orderBy(col("__h"), col("neighbor_id")).limit(nlist)
       .select(col("neighbor_id").as("cent_id"), col("cv").as("cent_v"),
         col("cn").as("cent_n"))
+    // the trained centroids are ≤ nlist KB-grain rows consumed MANY
+    // times (the residual assign's broadcast, centQ, the probe
+    // assign, the persist write) — without materialization every
+    // consumer re-runs the seed draw + every Lloyd step (at corpus
+    // scale each re-evaluation is a full n×nlist scoring pass).
+    // Checkpoint ONCE at the definition grain: same rows, and every
+    // consumer now reads one materialized evaluation — which also
+    // pins the float centroid means to a single fold instead of one
+    // per consumer.
     (1 to trainIters).foldLeft(seeds) { (cur, _) =>
       // argmax over SLIM rows: the n×nlist join output projects to
       // (id, cos, cent_id) ~24 B BEFORE the aggregation, and the
@@ -810,7 +868,7 @@ object Similarity {
           transform(col("pm"), e => e.getField("m").cast("float"))
             .as("cent_v"))
         .withColumn("cent_n", VectorExprs.norm(col("cent_v")))
-    }
+    }.localCheckpoint(true)
   }
 
   /** Assign vectors to FIXED centroids — the index-INSERT step: one
@@ -2510,21 +2568,29 @@ object Similarity {
       .reduce(_.unionAll(_))
       .withColumn("__sh", annShardKey(col("vec_id"), newShards))
       .localCheckpoint(true)
-    val built = (0 until newShards).map { sh =>
+    // each new shard is an independent estate landing in its own
+    // paths — build them CONCURRENTLY (graft.Par, guide §2.6): the
+    // serial form leaves the pool idle through every shard's
+    // driver-side train/commit windows, and at cluster scale the
+    // shards are exactly the "independent date partitions" case the
+    // overlap pattern exists for. Per-shard work, rows, and layouts
+    // are unchanged.
+    val built = graft.Par.run((0 until newShards).map { sh => () =>
       val subset = lake
         .filter(annShardKey(col(idCol), newShards) === sh.toLong)
       val nl = nlistFor(subset.count())
       val v = annIndexVersion(nl, m, ksub, coarseIters, pqIters)
       val p = pathFor(sh, nl)
-      val (c, cb) = ivfpqTrain(subset, idCol, vecCol, nl, m, ksub,
-        coarseIters = coarseIters, pqIters = pqIters)
-      persistIndexCellLayout(p, v, c, cb,
-        ivfpqEncode(subset, idCol, vecCol, c, cb, m))
+      // train+encode share the shard's residual pass (one subset
+      // scan, not two — the ivfpqTrainEncode contract)
+      val (c, cb, enc) = ivfpqTrainEncode(subset, idCol, vecCol, nl,
+        m, ksub, coarseIters = coarseIters, pqIters = pqIters)
+      persistIndexCellLayout(p, v, c, cb, enc)
       annForget(p,
         carried.filter(col("__sh") === sh.toLong).select(col("vec_id")))
       annCompact(spark, p, v)
       (p, v)
-    }
+    })
     (built.map(_._1), built.map(_._2))
   }
 

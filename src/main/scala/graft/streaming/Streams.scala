@@ -1732,7 +1732,11 @@ object Streams {
     val shardKey = Similarity.annShardKey(col("vec_id"), shards)
     // per-shard FROZEN definitions, sized to each shard's own count
     // (the x117/x130 discipline: shards are independent estates)
-    val state = (0 until shards).map { sh =>
+    // shards are independent estates landing in their own paths —
+    // train the frozen definitions CONCURRENTLY (graft.Par, guide
+    // §2.6: the parallel-maintenance-jobs stance the at-scale note
+    // below already documents, applied to the build step too)
+    val state = graft.Par.run((0 until shards).map { sh => () =>
       val part = lake.filter(shardKey === sh.toLong)
       val nl = Similarity.nlistFor(part.count())
       val v = Similarity.annIndexVersion(nl, m, ksub)
@@ -1748,7 +1752,7 @@ object Streams {
       org.apache.commons.io.FileUtils.deleteQuietly(bundleDir)
       (defPath, v, ledgerDir.getAbsolutePath,
         bundleDir.getAbsolutePath)
-    }
+    })
     val stage = new java.io.File(s"target/qtmp/${tag}_src")
     org.apache.commons.io.FileUtils.deleteQuietly(stage)
     stage.mkdirs()
@@ -1765,16 +1769,21 @@ object Streams {
       .outputMode("append")
       .foreachBatch { (b: DataFrame, bid: Long) =>
         val batch = b.localCheckpoint(true) // one eval, |shards| slices
-        state.zipWithIndex.foreach {
-          case ((defPath, v, ledgerPath, _), sh) =>
+        // per-shard folds/promotes land in per-shard paths — run them
+        // as the parallel maintenance jobs the at-scale stance above
+        // describes (graft.Par; AvailableNow used to run them in-line
+        // single-threaded, which was the same work serialized)
+        graft.Par.run(state.zipWithIndex.map {
+          case ((defPath, v, ledgerPath, _), sh) => () =>
             annIngestFold(batch.filter(shardKey === sh.toLong), bid,
               defPath, v, ledgerPath, m)
-        }
+        })
         if ((bid + 1) % promoteEvery == 0) {
-          state.foreach { case (defPath, v, ledgerPath, bundlePath) =>
-            Similarity.promoteIngestLedgerIncremental(spark, defPath,
-              v, ledgerPath, bundlePath)
-          }
+          graft.Par.run(state.map {
+            case (defPath, v, ledgerPath, bundlePath) => () =>
+              Similarity.promoteIngestLedgerIncremental(spark, defPath,
+                v, ledgerPath, bundlePath)
+          })
           nPromotes += 1
         }
       }
