@@ -4035,19 +4035,28 @@ object SparkEntry {
         touchedDirs.exists(d => p.contains(s"/$d/")))
       val untouchedIdentical = untouched.nonEmpty &&
         untouched.forall(p => after.get(p).contains(before(p)))
-      // incremental == full re-promote, row for row
+      // incremental == full re-promote, row for row; the equality
+      // twin's build, the incremental bundle's load, and the grown-
+      // lake search prep are independent branches over disjoint
+      // state — overlapped (graft.Par, guide §2.6)
       val outFull = tmpDir("x129_full")
-      Similarity.promoteIngestLedger(s, defPath, version, ledgerPath,
-        outFull)
       val cols = Seq("cell", "neighbor_id", "sub", "code").map(col)
-      val inc = Similarity.loadIndexCellLayout(s, outPath, version)
-        ._3.select(cols: _*).localCheckpoint(true)
-      val fullP = Similarity.loadIndexCellLayout(s, outFull, version)
-        ._3.select(cols: _*).localCheckpoint(true)
+      val (inc, fullP, grownBits) = graft.Par.join3(
+        Similarity.loadIndexCellLayout(s, outPath, version)
+          ._3.select(cols: _*).localCheckpoint(true),
+        {
+          Similarity.promoteIngestLedger(s, defPath, version,
+            ledgerPath, outFull)
+          Similarity.loadIndexCellLayout(s, outFull, version)
+            ._3.select(cols: _*).localCheckpoint(true)
+        },
+        {
+          // search the promoted bundle over the GROWN lake
+          val g = lake0.unionByName(delta).localCheckpoint(true)
+          (g, g.count())
+        })
       val equal = rowSetEqual(inc, fullP)
-      // search the promoted bundle over the GROWN lake
-      val grown = lake0.unionByName(delta).localCheckpoint(true)
-      val nGrown = grown.count()
+      val (grown, nGrown) = grownBits
       val (cents, codebook, prom0) =
         Similarity.loadIndexCellLayout(s, outPath, version)
       val promoted = Similarity.liveEncoded(prom0,

@@ -667,9 +667,17 @@ object Dedup {
     var edges = p0.select(canon(col("id_a"), col("id_b")): _*)
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
 
+    // Both stars aggregate AND join the same center-keyed relation:
+    // repartition it by the center ONCE so the groupBy-min and the
+    // join-back share one exchange (guide §2.4 — "two operations
+    // keyed the same way share one exchange"); unpartitioned, each
+    // star re-shuffled its 2|E| (resp. |E|) rows twice per round.
+    // Layout-only: same rows, min is order-insensitive, labels
+    // unchanged.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("u").as("c"), col("v").as("n"))
         .union(e.select(col("v").as("c"), col("u").as("n")))
+        .repartition(col("c"))
       val m = sym.groupBy("c").agg(min(col("n")).as("__mn"))
         .select(col("c"), least(col("c"), col("__mn")).as("m"))
       // no trailing distinct: small-star's aggregates are duplicate-
@@ -682,8 +690,10 @@ object Dedup {
 
     def smallStar(e: DataFrame): DataFrame = {
       // center = larger endpoint; neighbors = its smaller neighbors
-      val m = e.groupBy(col("v").as("c")).agg(min(col("u")).as("m"))
-      e.select(col("v").as("c"), col("u").as("n")).join(m, Seq("c"))
+      val byV = e.select(col("v").as("c"), col("u").as("n"))
+        .repartition(col("c"))
+      val m = byV.groupBy("c").agg(min(col("n")).as("m"))
+      byV.join(m, Seq("c"))
         .select(col("n").as("w"), col("m"))
         .union(m.select(col("c").as("w"), col("m")))
         .filter(col("w") =!= col("m"))

@@ -38,11 +38,18 @@ object Learn {
     * stream scoring (st19) batching-invariant. Returns (id, b, v). */
   def features(df: DataFrame, id: Column, text: Column,
                nBuckets: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val rawFeat = TextOps.dsirFeatures(df, id, text, lit(true),
         nBuckets)
       .groupBy(col("id"), col("b")).agg(count(lit(1)).as("cnt"))
-    val dl = rawFeat.groupBy(col("id")).agg(sum(col("cnt")).as("dl"))
-    rawFeat.join(dl, Seq("id"))
+    // doc length as a window over the (id, b) counts — the same exact
+    // long sum the old dl-aggregate-then-join computed, in one pass
+    // over rawFeat instead of a second aggregation plus an id-join
+    // (guide §2.4: the window partitioned like the data needs no
+    // second shuffle; the join form re-exchanged rawFeat by id too)
+    rawFeat
+      .withColumn("dl", sum(col("cnt")).over(
+        Window.partitionBy(col("id"))))
       .select(col("id"), col("b"),
         round(col("cnt") / col("dl"), 6).as("v"))
   }
@@ -136,8 +143,14 @@ object Learn {
     // keeps only the unavoidable by-bucket gradient exchange (guide
     // §2.4, "two operations keyed the same way share one exchange").
     // Decimal sums are order-exact, so the weights are unchanged.
+    // ALSO sorted by id within partitions: the checkpoint's LogicalRDD
+    // preserves outputPartitioning AND outputOrdering, so each
+    // iteration's margin window (partitionBy id) reuses this one sort
+    // instead of re-sorting n rows per pass — one n·log n sort buys
+    // `iters` sort-free windows.
     val f = feat.join(labels, Seq("id"))
-      .repartition(col("id")).localCheckpoint()
+      .repartition(col("id")).sortWithinPartitions(col("id"))
+      .localCheckpoint()
     // per-bucket feature mass Σ_d v — the diagonal preconditioner:
     // dividing the gradient by it turns the step into lr × (average
     // residual on the bucket), bounded ±lr, so |w| ≤ lr·iters and the
@@ -147,6 +160,19 @@ object Learn {
     // Constant across iterations; exact decimal sum of 6-dec values.
     val fm = f.groupBy(col("b")).agg(sum(col("v").cast(dec)).as("fm"))
       .localCheckpoint()
+    import org.apache.spark.sql.expressions.Window
+    // the margin as a WINDOW over f's own rows (partitioned by id —
+    // f's materialized layout, so no exchange and no re-sort): the
+    // old form aggregated (id, zd), joined the scores BACK to f by
+    // id, and paid that join's second pass over the training relation
+    // every iteration. The window computes the identical exact
+    // decimal sum zd on every feature row in ONE pass — score and
+    // gradient fused into a single traversal per iteration (guide
+    // §1.2 "remove unnecessary passes"; §2.4 window-reuses-
+    // partitioning). Decimal addition is order-exact, so p — and
+    // therefore every weight — is bit-identical to the join form
+    // (Round22Spec pins it).
+    val idW = Window.partitionBy(col("id"))
     var w: DataFrame = null
     for (_ <- 1 to iters) {
       val scored =
@@ -154,19 +180,16 @@ object Learn {
           f.crossJoin(broadcast(biasDf)) // 1-row scalar idiom
             .withColumn("p", round(lit(1.0d) /
               (lit(1.0d) + exp(-col("bias"))), 6))
-        else {
-          val z = f.join(broadcast(w), Seq("b"), "left")
+        else
+          f.join(broadcast(w), Seq("b"), "left")
             .withColumn("t",
               round(col("v") * coalesce(col("w"), lit(0.0d)), 12)
                 .cast(dec))
-            .groupBy(col("id")).agg(sum(col("t")).as("zd"))
+            .withColumn("zd", sum(col("t")).over(idW))
             .crossJoin(broadcast(biasDf))
             .withColumn("p", round(lit(1.0d) /
               (lit(1.0d) + exp(-(col("bias") +
                 col("zd").cast(DoubleType)))), 6))
-            .select(col("id"), col("p"))
-          f.join(z, Seq("id"))
-        }
       val grad = scored
         .withColumn("g",
           round((col("p") - col("y")) * col("v"), 12).cast(dec))
@@ -228,9 +251,9 @@ object Learn {
   def loadModel(spark: org.apache.spark.sql.SparkSession,
                 path: String, version: String)
       : (DataFrame, DataFrame) = {
-    val vs = graft.sources.VersionedState
-    (vs.read(spark, path, version, "weights"),
-      vs.read(spark, path, version, "bias"))
+    val ps = graft.sources.VersionedState.readParts(spark, path,
+      version, "weights", "bias") // one version gate for the bundle
+    (ps(0), ps(1))
   }
 
   /** Score docs against trained weights: p = σ(bias + Σ v·w_b),

@@ -285,7 +285,13 @@ object Similarity {
     // the materialization
     val corpusSub =
       if (trainIters > 0) corpusSub0.localCheckpoint(true) else corpusSub0
+    // m·ksub KB-grain rows with TWO broadcast consumers (the encode
+    // and the query dtable) — materialize once so the seed draw (a
+    // corpus orderBy+limit) and the Lloyd refine don't re-run per
+    // consumer (the ivfpqTrainCore codebook note, applied to the
+    // raw-vector PQ path)
     val codebook = pqRefine(corpusSub, seeds, trainIters)
+      .localCheckpoint(true)
     // --- encode: (neighbor_id, sub, code) ----------------------------
     val encoded = corpusSub.join(broadcast(codebook), Seq("sub"))
       .groupBy(col("neighbor_id"), col("sub"))
@@ -1698,9 +1704,9 @@ object Similarity {
     * fast on a version mismatch. */
   def loadIndexDef(spark: SparkSession, path: String, version: String)
       : (DataFrame, DataFrame) = {
-    val vs = graft.sources.VersionedState
-    (vs.read(spark, path, version, "cents"),
-      vs.read(spark, path, version, "codebook"))
+    val ps = graft.sources.VersionedState.readParts(spark, path,
+      version, "cents", "codebook") // one version gate for the bundle
+    (ps(0), ps(1))
   }
 
   /** True when a COMPLETE standing index of exactly `version` exists
@@ -1715,10 +1721,9 @@ object Similarity {
     * of ADC-scoring against it). */
   def loadIndex(spark: SparkSession, path: String, version: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val vs = graft.sources.VersionedState
-    (vs.read(spark, path, version, "cents"),
-      vs.read(spark, path, version, "codebook"),
-      vs.read(spark, path, version, "encoded"))
+    val ps = graft.sources.VersionedState.readParts(spark, path,
+      version, "cents", "codebook", "encoded") // one gate, three parts
+    (ps(0), ps(1), ps(2))
   }
 
   // ---- cell-partitioned PHYSICAL LAYOUT (probe → file pruning) ----------
@@ -1902,16 +1907,24 @@ object Similarity {
       } else packed += ((scala.collection.mutable.ArrayBuffer(q),
         scala.collection.mutable.SortedSet(cs: _*)))
     }
+    // each sub-batch leg is ADC-ONLY over its own pruned scan; the
+    // rank/rerank tail runs ONCE over the unioned scores instead of
+    // once per sub-batch (round 13): every query lives in exactly one
+    // sub-batch, so ranking the union per query_id is row-identical
+    // to ranking each leg — and the plan sheds |subbatches|−1 rerank
+    // joins and top-k windows (the r12 event-log profile showed the
+    // batched route's job count dominated by the per-leg tails)
     val subResults = packed.toSeq.map { case (qids, union) =>
       val cells = union.toArray
       val qsub = queries.filter(col(idCol).isInCollection(qids))
       val pruned = encodedCellLayout
         .filter(col("cell").isInCollection(cells))
-      (cells, ivfpqSearchEncoded(qsub, idCol, vecCol, pruned, cents,
-        codebook, k, nprobe, m, rerank, rerankSource))
+      (cells, ivfpqAdc(qsub, idCol, vecCol, pruned, cents,
+        codebook, nprobe, m))
     }
     (subResults.map(_._1),
-      subResults.map(_._2).reduce(_.unionAll(_)))
+      rankAndRerank(subResults.map(_._2).reduce(_.unionAll(_)),
+        queries, idCol, vecCol, k, rerank, rerankSource))
   }
 
   /** COMPACTION advisor — the "when" rule for [[annCompact]], the
@@ -2182,18 +2195,49 @@ object Similarity {
     if (!f.exists(p)) return None
     val files = f.listStatus(p).collect {
       case st if st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith(".") => st.getPath.toString
+        !st.getPath.getName.startsWith(".") => st.getPath
     }
-    if (files.isEmpty) None
-    else spark.read.schema("hwm LONG")
-      .parquet(files.toIndexedSeq: _*)
-      .collect().headOption.map(_.getLong(0))
+    // the stamp is a driver-grain text file now (hwm.txt — zero
+    // Spark jobs to write or read, the VersionedState.stampVersion
+    // discipline); parquet stamps from older bundles or a recovery
+    // tool's hand-written relation still read through the old path,
+    // and a torn/unparseable stamp is None (fold everything —
+    // idempotent, never wrong)
+    files.find(_.getName == "hwm.txt") match {
+      case Some(txt) =>
+        try {
+          val in = f.open(txt)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim finally in.close()
+          Some(s.toLong)
+        } catch { case _: Exception => None }
+      case None =>
+        if (files.isEmpty) None
+        else spark.read.schema("hwm LONG")
+          .parquet(files.map(_.toString).toIndexedSeq: _*)
+          .collect().headOption.map(_.getLong(0))
+    }
   }
 
   private def stampPromoteHighWater(spark: SparkSession,
-                                    outPath: String, hwm: Long): Unit =
-    spark.range(1).select(lit(hwm).as("hwm"))
-      .write.mode("overwrite").parquet(promoteHwmPath(outPath))
+                                    outPath: String, hwm: Long): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(promoteHwmPath(outPath))
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a fresh stamp supersedes any older-format one: clear the dir so
+    // the text stamp is the only live file (same overwrite semantics
+    // as the old parquet write)
+    if (f.exists(dir)) f.delete(dir, true)
+    f.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, ".hwm.txt.tmp")
+    val out = f.create(tmp, true)
+    try out.write(hwm.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(dir, "hwm.txt")
+    if (!f.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"stampPromoteHighWater: could not commit $dst")
+  }
 
   /** INCREMENTAL promotion — the maintenance window stops paying for
     * history: [[promoteIngestLedger]] rewrites the whole bundle every
@@ -2301,8 +2345,8 @@ object Similarity {
       .partitionBy("cell")
       .parquet(s"$outPath/encoded")
     stampPromoteHighWater(spark, outPath, newHwm)
-    spark.range(1).select(lit(version).as("version"))
-      .write.mode("overwrite").parquet(s"$outPath/meta") // re-stamp
+    graft.sources.VersionedState.stampVersion(spark, outPath,
+      version) // re-stamp LAST
     (newBatches, touched.length.toLong, newHwm)
   }
 

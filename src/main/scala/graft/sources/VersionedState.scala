@@ -39,6 +39,67 @@ object VersionedState {
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // ---- the version stamp as a DRIVER-GRAIN text file --------------------
+  //
+  // The stamp was a 1-row parquet relation written with a Spark job
+  // and validated with a Spark collect — ~0.2 s of scheduler overhead
+  // PER STAMP and per validation, paid dozens of times by every
+  // lifecycle query (each bundle write stamps once; each load
+  // validates once). A version stamp is driver-grain metadata, not
+  // data: it is now one `meta/version.txt` file written through the
+  // Hadoop FileSystem (temp + rename, so a concurrent reader never
+  // sees a torn stamp on stores with atomic rename) and read back the
+  // same way — ZERO Spark jobs on either side (guide §1.2: the jobs
+  // existed only to move one string). The crash discipline is
+  // unchanged: invalidate deletes the meta DIR first, the stamp lands
+  // LAST. [[versionProbe]] still reads the stamp LAZILY inside the
+  // poll's one collect (a text-source scan — the rewrite-race
+  // contract Round20Spec pins is execution-time, so the probe must
+  // not snapshot at construction).
+
+  private def metaFile(path: String): Path =
+    new Path(s"$path/meta/version.txt")
+
+  /** Stamp `version` at `path/meta` — the LAST step of every bundle
+    * write (public so [[graft.operators.Similarity]]'s incremental
+    * promote can re-stamp after its dynamic overwrite). */
+  def stampVersion(spark: SparkSession, path: String,
+                   version: String): Unit = {
+    val dst = metaFile(path)
+    val f = fs(spark, dst)
+    f.mkdirs(dst.getParent)
+    // dot-prefixed temp: invisible to file-source scans mid-write
+    val tmp = new Path(dst.getParent, ".version.txt.tmp")
+    val out = f.create(tmp, true)
+    try out.write(version.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (f.exists(dst)) f.delete(dst, false)
+    if (!f.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"VersionedState.stampVersion: could not commit $dst")
+  }
+
+  /** The stamped version at `path`, or None when absent/torn. */
+  private def readStamp(spark: SparkSession, path: String)
+      : Option[String] = {
+    val p = metaFile(path)
+    val f = fs(spark, p)
+    try {
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try {
+          val bytes = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          var n = in.read(buf)
+          while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+          Some(bytes.toString("UTF-8"))
+        } finally in.close()
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
   /** Persist `parts` (name → relation) under `path`, stamping
     * `version` last. Any previous meta is deleted FIRST, so a
     * concurrent reader can never validate against mid-rewrite parts;
@@ -69,17 +130,21 @@ object VersionedState {
     val metaDir = new Path(s"$path/meta")
     val f = fs(spark, metaDir)
     if (f.exists(metaDir)) f.delete(metaDir, true) // invalidate first
-    parts.foreach { case (name, df) =>
+    // parts land in DISJOINT directories — overlap the writes (guide
+    // §2.6 via graft.Par): each write's driver-side commit window
+    // back-fills the others' idle pool time; the meta discipline is
+    // untouched (invalidated above, stamped below AFTER every part
+    // has committed), so a crash mid-writes still leaves no valid
+    // meta over partial state.
+    graft.Par.run(parts.map { case (name, df) => () =>
       val cols = partitionColsByPart.getOrElse(name, Seq.empty)
       if (cols.isEmpty)
         df.write.mode("overwrite").parquet(s"$path/$name")
       else
         df.write.mode("overwrite").partitionBy(cols: _*)
           .parquet(s"$path/$name")
-    }
-    spark.range(1)
-      .select(lit(version).as("version"))
-      .write.mode("overwrite").parquet(s"$path/meta")
+    })
+    stampVersion(spark, path, version)
   }
 
   /** True when a COMPLETE bundle of exactly `version` exists at
@@ -98,13 +163,8 @@ object VersionedState {
     * corruption), but cross-process first-caller dedup needs a table
     * format's atomic metadata pointer — per Lake.compact's notes. */
   def exists(spark: SparkSession, path: String,
-             version: String): Boolean = {
-    val meta = new Path(s"$path/meta/_SUCCESS")
-    fs(spark, meta).exists(meta) && {
-      val rows = spark.read.parquet(s"$path/meta").collect()
-      rows.nonEmpty && rows(0).getString(0) == version
-    }
-  }
+             version: String): Boolean =
+    readStamp(spark, path).contains(version)
 
   /** Rewrite ONE part of an existing bundle in place, crash-safe —
     * the ledger-compaction primitive ([[graft.operators.Similarity]]
@@ -179,9 +239,7 @@ object VersionedState {
       throw new java.io.IOException(s"rewritePart: swap failed: $live")
     }
     f.delete(bak, true)
-    spark.range(1)
-      .select(lit(version).as("version"))
-      .write.mode("overwrite").parquet(s"$path/meta")
+    stampVersion(spark, path, version)
   }
 
   /** Delete every stale versioned bundle under `root`, keeping only
@@ -203,11 +261,8 @@ object VersionedState {
     if (!f.exists(rootP)) return (0, 0)
     var kept = 0; var deleted = 0
     f.listStatus(rootP).filter(_.isDirectory).foreach { st =>
-      val meta = new Path(st.getPath, "meta/_SUCCESS")
-      if (f.exists(meta)) {
-        val rows = spark.read.parquet(
-          new Path(st.getPath, "meta").toString).collect()
-        val v = rows.headOption.map(_.getString(0))
+      val v = readStamp(spark, st.getPath.toString)
+      if (v.isDefined) {
         if (v.exists(keep.contains)) kept += 1
         else { f.delete(st.getPath, true); deleted += 1 }
       }
@@ -218,14 +273,26 @@ object VersionedState {
   /** Read one named part back, failing fast unless the persisted
     * version is exactly what the caller expects. */
   def read(spark: SparkSession, path: String, version: String,
-           part: String): DataFrame = {
-    val rows = spark.read.parquet(s"$path/meta").collect()
-    require(rows.nonEmpty && rows(0).getString(0) == version,
+           part: String): DataFrame =
+    readParts(spark, path, version, part).head
+
+  /** Read SEVERAL parts of one bundle behind a SINGLE version gate —
+    * the same fail-fast contract as [[read]], paid once per bundle
+    * instead of once per part. Every multi-part load (an index
+    * definition is 2 parts, a full index 3, a model 2) was spending
+    * one driver-side meta collect per part on re-validating the same
+    * stamp; on the lifecycle queries those loads happen dozens of
+    * times per run, so the redundant meta jobs are pure driver-gap
+    * overhead (guide §1.2: don't compute things you throw away). */
+  def readParts(spark: SparkSession, path: String, version: String,
+                parts: String*): Seq[DataFrame] = {
+    val stamped = readStamp(spark, path)
+    require(stamped.contains(version),
       s"VersionedState: ledger at $path has version " +
-        s"'${rows.headOption.map(_.getString(0)).getOrElse("<none>")}'" +
+        s"'${stamped.getOrElse("<none>")}'" +
         s" but this build expects '$version' — rebuild (derive the " +
         "ledger path from the version to make this unreachable)")
-    spark.read.parquet(s"$path/$part")
+    parts.map(p => spark.read.parquet(s"$path/$p"))
   }
 
   /** The raw part relation WITHOUT [[read]]'s eager version gate —
@@ -277,9 +344,16 @@ object VersionedState {
     val invalid = spark.range(1).select(lit(0L).as("ok"))
     if (!fs(spark, meta).exists(meta)) invalid
     else try {
+      // meta is a text stamp now — still read through a LAZY
+      // file-source scan (NOT a construction-time driver read): the
+      // rewrite-race contract is execution-time (Round20Spec pins
+      // that a probe planned before a meta delete reads ok=0 at the
+      // collect), and a snapshot at construction would silently
+      // validate a bundle a rewrite has since invalidated.
       val probe = spark.read.schema("version STRING")
         .option("ignoreMissingFiles", "true")
-        .parquet(s"$path/meta")
+        .option("wholetext", "true")
+        .text(s"$path/meta")
         .agg(coalesce(max(when(col("version") === lit(version), 1L)
           .otherwise(0L)), lit(0L)).as("ok"))
       probe.queryExecution.analyzed // force the listing NOW

@@ -684,11 +684,12 @@ object Streams {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     else {
       val src = spark.read.parquet(s"$sfDir/$table.parquet")
-      (0 until splitFiles).foreach { i =>
+      // disjoint target dirs — overlap the stage writes (guide §2.6)
+      graft.Par.run((0 until splitFiles).map { i => () =>
         src.filter(col(keyCol) % splitFiles === i).coalesce(1)
           .write.mode("overwrite")
           .parquet(new java.io.File(stage, s"part$i").getAbsolutePath)
-      }
+      })
     }
     val schema = spark.read.parquet(s"$sfDir/$table.parquet").schema
     val reader = spark.readStream.schema(schema)
@@ -1606,11 +1607,12 @@ object Streams {
     val stage = new java.io.File(s"target/qtmp/${tag}_src")
     org.apache.commons.io.FileUtils.deleteQuietly(stage)
     stage.mkdirs()
-    (0 until splitFiles).foreach { i =>
+    // disjoint target dirs — overlap the stage writes (guide §2.6)
+    graft.Par.run((0 until splitFiles).map { i => () =>
       lake.filter(col("vec_id") % splitFiles === i).coalesce(1)
         .write.mode("overwrite")
         .parquet(new java.io.File(stage, s"part$i").getAbsolutePath)
-    }
+    })
     val encodedDir = new java.io.File(s"target/qtmp/${tag}_encoded")
     org.apache.commons.io.FileUtils.deleteQuietly(encodedDir)
     val encodedPath = encodedDir.getAbsolutePath
@@ -1661,11 +1663,12 @@ object Streams {
     val stage = new java.io.File(s"target/qtmp/${tag}_src")
     org.apache.commons.io.FileUtils.deleteQuietly(stage)
     stage.mkdirs()
-    (0 until splitFiles).foreach { i =>
+    // disjoint target dirs — overlap the stage writes (guide §2.6)
+    graft.Par.run((0 until splitFiles).map { i => () =>
       lake.filter(col("vec_id") % splitFiles === i).coalesce(1)
         .write.mode("overwrite")
         .parquet(new java.io.File(stage, s"part$i").getAbsolutePath)
-    }
+    })
     val encodedDir = new java.io.File(s"target/qtmp/${tag}_encoded")
     org.apache.commons.io.FileUtils.deleteQuietly(encodedDir)
     val encodedPath = encodedDir.getAbsolutePath
@@ -1756,11 +1759,12 @@ object Streams {
     val stage = new java.io.File(s"target/qtmp/${tag}_src")
     org.apache.commons.io.FileUtils.deleteQuietly(stage)
     stage.mkdirs()
-    (0 until splitFiles).foreach { i =>
+    // disjoint target dirs — overlap the stage writes (guide §2.6)
+    graft.Par.run((0 until splitFiles).map { i => () =>
       lake.filter(col("vec_id") % splitFiles === i).coalesce(1)
         .write.mode("overwrite")
         .parquet(new java.io.File(stage, s"part$i").getAbsolutePath)
-    }
+    })
     var nPromotes = 0
     val q = spark.readStream.schema(lake.schema)
       .option("maxFilesPerTrigger", 1)
@@ -1815,11 +1819,12 @@ object Streams {
     stage.mkdirs()
     val idsC = ids.select(col(ids.columns.head).cast("long")
       .as("vec_id")).localCheckpoint(true)
-    (0 until splitFiles).foreach { i =>
+    // disjoint target dirs — overlap the stage writes (guide §2.6)
+    graft.Par.run((0 until splitFiles).map { i => () =>
       idsC.filter(pmod(col("vec_id"), lit(splitFiles.toLong)) === i)
         .coalesce(1).write.mode("overwrite")
         .parquet(new java.io.File(stage, s"part$i").getAbsolutePath)
-    }
+    })
     val q = spark.readStream.schema(idsC.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(stage.getAbsolutePath + "/part*")
